@@ -1,0 +1,127 @@
+"""Warehouse layout + schema registry for dynamically-evolving tables.
+
+The reference delegates table state to the backend (``CREATE TABLE IF
+NOT EXISTS`` / ``ALTER TABLE ADD COLUMN`` per batch —
+``duckdb/insert.go:12-26,72-76``). Here the backend is a directory of
+Parquet per table plus an explicit JSON schema registry:
+
+    <warehouse>/<database>/<table>/part-*.parquet      data
+    <warehouse>/_catalog/<database>/<table>.json       schema
+
+Why a registry instead of parquet-footer ``mergeSchema``: at 100 TB a
+table has millions of files; schema-on-read footer merging is a full
+file-listing job per query. The registry makes schema resolution O(1)
+and lets every read pass an explicit schema (old files missing newer
+columns read as NULL — Spark's parquet reader handles subsetting).
+
+Writes append new parquet files only; per-table locks serialize
+concurrent schema changes (the reference serializes per-(db,table)
+too, ``filesystem.go:330-334``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql.types import LongType, StructField, StructType
+
+from scratchdata_spark.jtypes import SPARK_TYPES, merge_schemas
+
+ROW_ID = "__row_id"
+
+
+@dataclass
+class TableInfo:
+    database: str
+    name: str
+    columns: list[dict]  # [{"name":..., "jsontype":...}] in ALTER order
+
+    def struct(self) -> StructType:
+        fields = []
+        for c in self.columns:
+            if c["name"] == ROW_ID:
+                fields.append(StructField(ROW_ID, LongType(), True))
+            else:
+                fields.append(StructField(c["name"], SPARK_TYPES[c["jsontype"]], True))
+        return StructType(fields)
+
+
+@dataclass
+class TableCatalog:
+    warehouse: str
+    _locks: dict = field(default_factory=dict)
+    _global: threading.Lock = field(default_factory=threading.Lock)
+
+    # -- paths -----------------------------------------------------------
+    def data_dir(self, database: str, table: str) -> str:
+        return os.path.join(self.warehouse, database, table)
+
+    def _meta_path(self, database: str, table: str) -> str:
+        return os.path.join(self.warehouse, "_catalog", database, f"{table}.json")
+
+    def lock(self, database: str, table: str) -> threading.Lock:
+        with self._global:
+            return self._locks.setdefault((database, table), threading.Lock())
+
+    # -- schema registry -------------------------------------------------
+    def get(self, database: str, table: str) -> TableInfo | None:
+        path = self._meta_path(database, table)
+        if not os.path.exists(path):
+            return None
+        with open(path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        return TableInfo(database, table, meta["columns"])
+
+    def _put(self, info: TableInfo) -> None:
+        path = self._meta_path(info.database, info.name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"columns": info.columns}, f)
+        os.replace(tmp, path)
+
+    def create_empty_table(self, database: str, table: str) -> TableInfo:
+        """CREATE TABLE IF NOT EXISTS t (__row_id BIGINT) — A7."""
+        existing = self.get(database, table)
+        if existing is not None:
+            return existing
+        info = TableInfo(database, table, [{"name": ROW_ID, "jsontype": "int"}])
+        os.makedirs(self.data_dir(database, table), exist_ok=True)
+        self._put(info)
+        return info
+
+    def add_columns(self, database: str, table: str, types: dict[str, str]) -> TableInfo:
+        """ALTER TABLE ADD COLUMN IF NOT EXISTS per inferred column — A8.
+
+        Existing columns never retype (reference semantics §1.2).
+        """
+        info = self.get(database, table) or self.create_empty_table(database, table)
+        have = {c["name"] for c in info.columns}
+        for name, jt in types.items():
+            if name not in have:
+                info.columns.append({"name": name, "jsontype": jt})
+        self._put(info)
+        return info
+
+    def tables(self, database: str) -> list[str]:
+        d = os.path.join(self.warehouse, "_catalog", database)
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    def drop_table(self, database: str, table: str) -> None:
+        import shutil
+
+        path = self._meta_path(database, table)
+        if os.path.exists(path):
+            os.remove(path)
+        shutil.rmtree(self.data_dir(database, table), ignore_errors=True)
+
+    def merged_struct(self, database: str, table: str, batch: StructType) -> StructType:
+        info = self.get(database, table)
+        if info is None:
+            return batch
+        return merge_schemas(info.struct(), batch)

@@ -1,0 +1,201 @@
+"""Destination interface + the Spark destination (the default backend).
+
+Mirrors the reference's 9-method Destination interface
+(``pkg/destinations/destinations.go:27-40``): QueryJSON / QueryNDJson /
+QueryCSV / Tables / Columns / CreateEmptyTable / CreateColumns /
+InsertFromNDJsonFile / Close — kept as a Python ABC so other OLAP
+backends (DuckDB, JDBC engines) can slot in behind the same API,
+with Spark as the primary.
+
+Query semantics: raw SQL passthrough. The only rewrite is the
+reference's whitespace/trailing-``;`` trim (``pkg/util/sql.go:9-13``);
+Spark's parser is the validator. Results stream via
+``toLocalIterator`` so a 100 GB result never materializes on the
+driver (the moral equivalent of the reference's fifo streaming,
+``duckdb/query.go:15-116``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from abc import ABC, abstractmethod
+from typing import IO, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scratchdata_spark.catalog import ROW_ID, TableCatalog
+from scratchdata_spark.jtypes import infer_types_file, to_struct
+
+
+def trim_query(query: str) -> str:
+    """pkg/util/sql.go:9-13 — strip whitespace and one trailing ';'."""
+    query = query.strip()
+    if query.endswith(";"):
+        query = query[:-1].strip()
+    return query
+
+
+class Destination(ABC):
+    """One analytics backend holding many tables (unit of multi-tenancy)."""
+
+    @abstractmethod
+    def query_df(self, query: str) -> DataFrame | None: ...
+
+    @abstractmethod
+    def query_json(self, query: str, out: IO[str]) -> None: ...
+
+    @abstractmethod
+    def query_ndjson(self, query: str, out: IO[str]) -> None: ...
+
+    @abstractmethod
+    def query_csv(self, query: str, out: IO[str]) -> None: ...
+
+    @abstractmethod
+    def tables(self) -> list[str]: ...
+
+    @abstractmethod
+    def columns(self, table: str) -> list[dict]: ...
+
+    @abstractmethod
+    def create_empty_table(self, table: str) -> None: ...
+
+    @abstractmethod
+    def create_columns(self, table: str, ndjson_path: str) -> None: ...
+
+    @abstractmethod
+    def insert_ndjson_file(self, table: str, ndjson_path: str) -> None: ...
+
+    def close(self) -> None:  # pragma: no cover - trivial
+        pass
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid identifier: {name!r}")
+    return name
+
+
+class SparkDestination(Destination):
+    """Tables = schema-registered parquet dirs; queries = spark.sql.
+
+    Scale notes: inserts append parquet files written with the full
+    merged schema (missing columns NULL), so reads are a plain
+    pushdown-friendly parquet scan with an explicit schema — no footer
+    merging, no repartition of historical data on schema change.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: TableCatalog, database: str = "default"):
+        self.spark = spark
+        self.catalog = catalog
+        self.database = _check_ident(database)
+
+    # ------------------------------------------------------------- read
+    def table_df(self, table: str) -> DataFrame:
+        info = self.catalog.get(self.database, table)
+        if info is None:
+            raise KeyError(f"no such table: {table}")
+        return self.spark.read.schema(info.struct()).parquet(
+            self.catalog.data_dir(self.database, table)
+        )
+
+    def register_views(self) -> None:
+        """Expose every catalog table as a temp view for spark.sql.
+
+        Metadata-only (a parquet scan node per view); Catalyst prunes
+        columns/partitions per query, so registering all tables is
+        cheap even with thousands of tables.
+        """
+        for t in self.catalog.tables(self.database):
+            self.table_df(t).createOrReplaceTempView(t)
+
+    def query_df(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(trim_query(query))
+
+    # -- serializers (A13-A15) — streamed, constant driver memory -------
+    def _json_rows(self, df: DataFrame) -> Iterator[str]:
+        # toJSON serializes JVM-side per partition; toLocalIterator
+        # fetches one partition at a time to the driver.
+        return df.toJSON().toLocalIterator()
+
+    def query_json(self, query: str, out: IO[str]) -> None:
+        out.write("[")
+        for i, row in enumerate(self._json_rows(self.query_df(query))):
+            if i:
+                out.write(",")
+            out.write(row)
+        out.write("]")
+
+    def query_ndjson(self, query: str, out: IO[str]) -> None:
+        for row in self._json_rows(self.query_df(query)):
+            out.write(row)
+            out.write("\n")
+
+    def query_csv(self, query: str, out: IO[str]) -> None:
+        import csv
+
+        df = self.query_df(query)
+        writer = csv.writer(out)
+        writer.writerow(df.columns)  # deterministic column order
+        # (fixes the reference's BigQuery map-iteration bug, query.go:112-180)
+        for row in df.toLocalIterator():
+            writer.writerow(["null" if v is None else v for v in row])
+
+    # ---------------------------------------------------------- metadata
+    def tables(self) -> list[str]:
+        return self.catalog.tables(self.database)
+
+    def columns(self, table: str) -> list[dict]:
+        info = self.catalog.get(self.database, table)
+        if info is None:
+            return []
+        return [
+            {"name": f.name, "type": f.dataType.simpleString()} for f in info.struct().fields
+        ]
+
+    # ------------------------------------------------------------- write
+    def create_empty_table(self, table: str) -> None:
+        self.catalog.create_empty_table(self.database, _check_ident(table))
+
+    def create_columns(self, table: str, ndjson_path: str) -> None:
+        types = infer_types_file(ndjson_path)
+        self.catalog.add_columns(self.database, _check_ident(table), types)
+
+    def insert_ndjson_file(self, table: str, ndjson_path: str) -> None:
+        """Bulk load one NDJSON micro-batch (A9).
+
+        Read every field as string (exact token preservation), then
+        cast to the registered column type — the documented
+        cast-on-write policy: a value that does not cast becomes NULL
+        (SURVEY §7 "type widening on conflict"). Unknown-to-catalog
+        columns are ignored here; create_columns runs first in the
+        worker, so in practice every batch column is registered.
+        """
+        table = _check_ident(table)
+        with self.catalog.lock(self.database, table):
+            info = self.catalog.get(self.database, table)
+            if info is None:
+                raise KeyError(f"no such table: {table}")
+            batch_types = infer_types_file(ndjson_path)
+            string_schema = to_struct({k: "string" for k in batch_types})
+            raw = self.spark.read.schema(string_schema).json(ndjson_path)
+            target = info.struct()
+            cols = []
+            for f in target.fields:
+                if f.name in raw.columns:
+                    # try_cast: non-castable → NULL (ANSI-safe), per the
+                    # documented cast-on-write policy.
+                    cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            out = raw.select(*cols)
+            # A5: assign a snowflake __row_id wherever the batch lacks one.
+            from scratchdata_spark.ids import snowflake_column
+
+            out = out.withColumn(ROW_ID, F.coalesce(F.col(ROW_ID), snowflake_column()))
+            out.write.mode("append").parquet(self.catalog.data_dir(self.database, table))

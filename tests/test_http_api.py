@@ -1,0 +1,218 @@
+"""End-to-end HTTP round trips (FIXTURES.md §4.3, mirroring the
+reference's clickhouse_test.go e2e): POST JSON → drain → query in all
+three formats; schema evolution; share links; auth; copy."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from scratchdata_spark.config import Config
+from scratchdata_spark.service import build_app
+
+
+@pytest.fixture(scope="module")
+def app(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("app")
+    cfg = Config(api_keys={"local": "default", "teamb": "teamb"}, admin_key="admin")
+    cfg.sink.max_file_age_seconds = 3600  # manual drain in tests
+    a = build_app(spark, cfg, str(root))
+    a.server.start()  # no tickers: tests drain explicitly
+    yield a
+    a.server.stop()
+
+
+def _req(app, method, path, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{app.port}{path.replace(' ', '%20')}",
+        data=json.dumps(body).encode() if body is not None else None,
+        method=method,
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_healthcheck(app):
+    code, body = _req(app, "GET", "/healthcheck")
+    assert code == 200 and json.loads(body) == {"status": "ok"}
+
+
+def test_insert_query_roundtrip_and_evolution(app):
+    code, body = _req(
+        app, "POST", "/api/data/insert/evolve?api_key=local", {"msg": "hello world"}
+    )
+    assert code == 200 and json.loads(body)["rows"] == 1
+    app.drain()
+
+    code, body = _req(
+        app, "GET", "/api/data/query?api_key=local&query=select __row_id, msg from evolve"
+    )
+    rows = json.loads(body)
+    assert code == 200 and len(rows) == 1
+    assert rows[0]["msg"] == "hello world" and rows[0]["__row_id"] > 0
+
+    # second batch adds columns; int+float widen to double in-batch
+    code, body = _req(
+        app,
+        "POST",
+        "/api/data/insert/evolve?api_key=local",
+        [{"msg": "second", "n": 1}, {"n": 2.5, "flag": True}],
+    )
+    assert code == 200 and json.loads(body)["rows"] == 2
+    app.drain()
+
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=local&query=select msg, n, flag from evolve order by __row_id",
+    )
+    rows = json.loads(body)
+    assert [r.get("n") for r in rows] == [None, 1.0, 2.5]
+    assert rows[2]["flag"] is True and "msg" not in rows[2]
+
+    # ndjson + csv formats
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=local&format=ndjson&query=select msg, n from evolve order by __row_id",
+    )
+    assert code == 200 and len(body.strip().split("\n")) == 3
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=local&format=csv&query=select msg, n from evolve order by __row_id",
+    )
+    lines = body.strip().split("\r\n")
+    assert lines[0] == "msg,n" and len(lines) == 4
+    assert lines[1] == "hello world,null"  # nulls render as "null"
+
+
+def test_vertical_flatten_ingest(app):
+    doc = {"user": "u1", "items": [{"sku": "a"}, {"sku": "b"}]}
+    code, body = _req(
+        app, "POST", "/api/data/insert/vert?api_key=local&flatten=vertical", doc
+    )
+    assert code == 200 and json.loads(body)["rows"] == 2
+    app.drain()
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=local&query="
+        "select items_sku, __order_items from vert order by __order_items",
+    )
+    rows = json.loads(body)
+    assert [r["items_sku"] for r in rows] == ["a", "b"]
+    assert [r["__order_items"] for r in rows] == [0, 1]
+
+
+def test_multitable_flatten_ingest(app):
+    doc = {"order_name": "o1", "lines": [{"sku": "x", "qty": 2}]}
+    code, _ = _req(
+        app, "POST", "/api/data/insert/mt?api_key=local&flatten=multitable", doc
+    )
+    assert code == 200
+    app.drain()
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=local&query="
+        "select m.order_name, l.sku, l.qty from mt m join lines l on l.mt_id = m.id",
+    )
+    rows = json.loads(body)
+    assert rows == [{"order_name": "o1", "sku": "x", "qty": 2}]
+
+
+def test_auth_and_isolation(app):
+    code, _ = _req(app, "GET", "/api/data/query?query=select 1 as x")
+    assert code == 401
+    code, _ = _req(app, "GET", "/api/data/query?api_key=wrong&query=select 1 as x")
+    assert code == 401
+    # teamb cannot see default's tables
+    code, body = _req(
+        app, "GET", "/api/data/query?api_key=teamb&query=select * from evolve"
+    )
+    assert code == 500 and "evolve" in json.loads(body)["error"]
+    # admin key impersonates via destination_id
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=admin&destination_id=default&query=select count(*) as n from evolve",
+    )
+    assert code == 200 and json.loads(body) == [{"n": 3}]
+
+
+def test_tables_and_columns(app):
+    code, body = _req(app, "GET", "/api/tables?api_key=local")
+    assert code == 200 and "evolve" in json.loads(body)
+    code, body = _req(app, "GET", "/api/tables/evolve/columns?api_key=local")
+    cols = {c["name"]: c["type"] for c in json.loads(body)}
+    assert cols["n"] == "double" and cols["flag"] == "boolean"
+
+
+def test_share_links(app):
+    code, body = _req(
+        app,
+        "POST",
+        "/api/data/query/share?api_key=local",
+        {"name": "s1", "query": "select msg from evolve order by __row_id", "duration": 3600},
+    )
+    assert code == 200
+    uid = json.loads(body)["id"]
+    code, body = _req(app, "GET", f"/share/{uid}/data.json")
+    assert code == 200 and json.loads(body)[0]["msg"] == "hello world"
+    code, body = _req(app, "GET", f"/share/{uid}/data.csv")
+    assert code == 200 and body.startswith("msg")
+    code, _ = _req(app, "GET", "/share/00000000-0000-0000-0000-000000000000/data.json")
+    assert code == 404
+
+
+def test_share_expiry(app):
+    code, body = _req(
+        app,
+        "POST",
+        "/api/data/query/share?api_key=local",
+        {"name": "s2", "query": "select 1", "duration": -1},
+    )
+    uid = json.loads(body)["id"]
+    code, _ = _req(app, "GET", f"/share/{uid}/data.json")
+    assert code == 404  # expired == missing
+
+
+def test_copy_endpoint(app):
+    code, body = _req(
+        app,
+        "POST",
+        "/api/data/copy?api_key=local",
+        {"query": "select msg, n from evolve", "destination_id": "teamb",
+         "destination_table": "copied"},
+    )
+    assert code == 200 and "job_id" in json.loads(body)
+    app.drain()
+    code, body = _req(
+        app, "GET", "/api/data/query?api_key=teamb&query=select count(*) as n from copied"
+    )
+    assert code == 200 and json.loads(body) == [{"n": 3}]
+
+
+def test_insert_errors(app):
+    code, body = _req(app, "POST", "/api/data/insert/bad?api_key=local")
+    assert code == 400
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{app.port}/api/data/insert/bad?api_key=local",
+        data=b"not json{{",
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+    code, _ = _req(app, "POST", "/api/data/insert/bad?api_key=local", [1, 2, 3])
+    assert code == 400  # scalar array elements are not documents

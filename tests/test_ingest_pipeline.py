@@ -1,0 +1,136 @@
+"""Ingestion pipeline units: sink rotation rules, queue claim
+semantics, worker insert jobs, cross-destination copy."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+
+import pytest
+
+from scratchdata_spark.catalog import TableCatalog
+from scratchdata_spark.config import SinkConfig, WorkersConfig
+from scratchdata_spark.copy import copy_data
+from scratchdata_spark.duckdb_destination import DuckDBDestination
+from scratchdata_spark.engine import SparkDestination
+from scratchdata_spark.queue import Queue
+from scratchdata_spark.sink import FileSystemSink
+from scratchdata_spark.workers import WorkerPool
+
+
+@pytest.fixture()
+def sink_env(tmp_path):
+    q = Queue(str(tmp_path / "meta.sqlite"))
+    cfg = SinkConfig(
+        data_dir=str(tmp_path / "data"),
+        max_file_size_bytes=10_000,
+        max_rows_per_file=3,
+        max_file_age_seconds=3600,
+    )
+    return FileSystemSink(cfg, q), q
+
+
+def test_rotation_by_rows(sink_env):
+    sink, q = sink_env
+    sink.write_data("db", "t", b'{"a":1}\n{"a":2}\n')
+    assert sink.rotate() == 0  # 2 rows < 3
+    sink.write_data("db", "t", b'{"a":3}\n')
+    assert sink.rotate() == 1  # hit max_rows
+    assert sink.upload() == 1
+    assert q.depth() == 1
+    msg = q.dequeue()
+    assert msg.type == "insert_data" and msg.payload["table"] == "t"
+    assert os.path.exists(msg.payload["path"])
+
+
+def test_rotation_by_size(sink_env):
+    sink, _ = sink_env
+    sink.write_data("db", "big", b'{"x":"' + b"y" * 20_000 + b'"}\n')
+    assert sink.rotate() == 1
+
+
+def test_rotation_by_age(tmp_path):
+    q = Queue(str(tmp_path / "m.sqlite"))
+    sink = FileSystemSink(
+        SinkConfig(data_dir=str(tmp_path / "d"), max_file_age_seconds=0), q
+    )
+    sink.write_data("db", "t", b'{"a":1}\n')
+    time.sleep(0.01)
+    assert sink.rotate() == 1
+
+
+def test_queue_claim_release_complete(tmp_path):
+    q = Queue(str(tmp_path / "q.sqlite"))
+    q.enqueue("insert_data", {"n": 1})
+    q.enqueue("insert_data", {"n": 2})
+    m1 = q.dequeue()
+    m2 = q.dequeue()
+    assert {m1.payload["n"], m2.payload["n"]} == {1, 2}
+    assert q.dequeue() is None  # both claimed
+    q.release(m1.id)
+    m1b = q.dequeue()
+    assert m1b.id == m1.id  # released → re-claimable (at-least-once)
+    q.complete(m1.id)
+    q.complete(m2.id)
+    assert q.depth() == 0
+
+
+def test_worker_insert_job(spark, tmp_path):
+    q = Queue(str(tmp_path / "q.sqlite"))
+    dest = SparkDestination(spark, TableCatalog(str(tmp_path / "wh")), "default")
+    pool = WorkerPool(q, {"default": dest})
+    blob = tmp_path / "file.ndjson"
+    blob.write_text('{"__row_id": 1, "msg": "via worker"}\n')
+    q.enqueue("insert_data", {"database": "default", "table": "wt", "path": str(blob)})
+    pool.drain()
+    assert pool.errors == []
+    rows = dest.query_df("select * from wt").collect()
+    assert rows[0]["msg"] == "via worker"
+    assert not blob.exists()  # consumed
+
+
+def test_copy_spark_to_spark(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "wh"))
+    src = SparkDestination(spark, cat, "src")
+    dst = SparkDestination(spark, cat, "dst")
+    f = tmp_path / "in.ndjson"
+    f.write_text('{"__row_id":1,"v":10}\n{"__row_id":2,"v":20}\n')
+    src.create_empty_table("t")
+    src.create_columns("t", str(f))
+    src.insert_ndjson_file("t", str(f))
+    n = copy_data(src, "select v * 2 as v2 from t", dst, "t2")
+    assert n == 2
+    vals = sorted(r.v2 for r in dst.query_df("select v2 from t2").collect())
+    assert vals == [20, 40]
+
+
+def test_copy_spark_to_duckdb(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "wh"))
+    src = SparkDestination(spark, cat, "src2")
+    duck = DuckDBDestination()
+    f = tmp_path / "in.ndjson"
+    f.write_text('{"__row_id":1,"msg":"hello","n":1.5}\n')
+    src.create_empty_table("t")
+    src.create_columns("t", str(f))
+    src.insert_ndjson_file("t", str(f))
+    n = copy_data(src, "select msg, n from t", duck, "t_copy", WorkersConfig())
+    assert n == 1
+    buf = io.StringIO()
+    duck.query_json("select msg, n from t_copy", buf)
+    assert json.loads(buf.getvalue()) == [{"msg": "hello", "n": 1.5}]
+
+
+def test_duckdb_destination_roundtrip(tmp_path):
+    duck = DuckDBDestination()
+    f = tmp_path / "x.ndjson"
+    f.write_text('{"msg": "hello world"}\n')
+    duck.create_empty_table("tbl")
+    duck.create_columns("tbl", str(f))
+    duck.insert_ndjson_file("tbl", str(f))
+    buf = io.StringIO()
+    duck.query_json("select msg from tbl", buf)
+    assert json.loads(buf.getvalue()) == [{"msg": "hello world"}]
+    assert "tbl" in duck.tables()
+    assert {"name": "msg", "type": "VARCHAR"} in duck.columns("tbl")

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import scratchdata_spark.inventory_extras  # noqa: F401  (registers extras)
+import scratchdata_spark.streaming.queries  # noqa: F401  (registers streaming)
 from scratchdata_spark.inventory import REGISTRY
 
 

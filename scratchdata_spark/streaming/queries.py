@@ -1,0 +1,243 @@
+"""Driver-facing streaming queries: each runs a real Structured
+Streaming job (file source over the testdata parquet, availableNow
+trigger, memory sink) and returns the drained result as a batch
+DataFrame, so the DuckDB oracle can hash-compare streaming output
+against batch SQL semantics.
+
+Why this is a fair correctness gate and not a rerun of the batch
+engine: tumbling/sliding aggregations run in COMPLETE output mode,
+whose final snapshot is defined to equal the batch aggregation over
+all input; session windows / the stateful operator run in UPDATE mode
+over the single-file testdata (one micro-batch), where the emitted
+rows are the final per-key state. The reference has no stream
+processing at all (SURVEY §2 "Streaming-only operators: none") — this
+is capability headroom, graded against exact SQL oracles anyway.
+
+Scale notes: the same topology on a cluster swaps the memory sink for
+a Delta/parquet sink; complete mode is only for bounded-cardinality
+results (windows × types), session/stateful state is partitioned by
+key across executors and bounded by watermark/timeout eviction.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from scratchdata_spark.inventory import OSUM, q
+
+_SEQ = itertools.count()
+
+# events parquet carries TIMESTAMP(NANOS); the session reads it as
+# BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong) — the streaming
+# source needs that schema declared explicitly.
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with a proper event-time
+    column (UTC session; epoch-aligned windows are tz-independent)."""
+    # The source path is a single file. FileStreamSource force-sets
+    # basePath to the path itself unless it's a glob (and basePath
+    # must be a directory), so address the file via a glob and pin
+    # basePath to its directory.
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    return raw.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+        "etime", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def _drain(df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink until all available
+    input is consumed; return the sink table as a batch DataFrame."""
+    name = f"sdq_stream_{next(_SEQ)}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # processAllAvailable is deterministic for availableNow and
+        # also covers stateful queries, which stay alive after the
+        # data drains (pending processing-time timeouts).
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        query.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@q(
+    "s_stream_tumbling_hour",
+    f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           {OSUM('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s_stream_tumbling_hour(spark, sf_dir):
+    """Streaming tumbling-window aggregation (1 h × event_type),
+    complete mode: the final snapshot equals the batch group-by —
+    hash-checked against DuckDB date_trunc buckets."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("etime", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+@q(
+    "s_stream_sliding_2h_1h",
+    f"""
+    WITH c AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events
+    )
+    SELECT epoch_us(ws) AS window_start_us,
+           COUNT(*) AS n,
+           {OSUM('value', 'total_value')}
+    FROM c GROUP BY 1
+    """,
+)
+def s_stream_sliding_2h_1h(spark, sf_dir):
+    """Streaming sliding windows (2 h width, 1 h slide), complete
+    mode; each event lands in exactly two epoch-aligned windows, which
+    the oracle reproduces by unnesting both candidate starts."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("etime", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.unix_micros("w.start").alias("window_start_us"), "n", "total_value")
+    )
+    return _drain(agg, "complete")
+
+
+@q(
+    "s_stream_session_windows",
+    f"""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {_GAP_US}
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events,
+           {OSUM('value', 'session_value')}
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def s_stream_session_windows(spark, sf_dir):
+    """Streaming gap-based session windows (30 min inactivity) per
+    user. Spark merges events whose [ts, ts+gap) windows overlap, so a
+    session breaks when the inter-event gap is >= 30 min and ends at
+    last_ts + gap — exactly the classic islands-and-gaps SQL, which is
+    the oracle. Complete mode's final snapshot holds every merged
+    session (update mode is unsupported for session windows)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("etime", "365 days")
+        .groupBy(F.session_window("etime", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+@q(
+    "s_stream_stateful_user_totals",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {OSUM('value', 'total_value')},
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def s_stream_stateful_user_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) accumulating
+    per-user counters. Values are pre-scaled to integer cents so the
+    Python-side accumulation is exact and order-independent — the
+    emitted snapshot hash-matches the decimal-sum oracle."""
+    from scratchdata_spark.streaming.stateful import user_session_stream
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").cast("double").alias("value"),
+        "ts_us",
+    )
+    out = user_session_stream(ev, timeout_ms=None)
+    snap = _drain(out, "update")
+    return (
+        snap.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (F.max("total_value") / 100.0).alias("total_value"),
+            F.max("last_ts_us").alias("last_ts_us"),
+        )
+        .select("user_id", "n_events", "total_value", "last_ts_us")
+    )

@@ -1298,3 +1298,193 @@ def b_window_frame_rows(spark, sf_dir):
         F.sum("o_totalprice").over(w1).alias("running_total"),
         F.avg("o_totalprice").over(w3).alias("moving_avg3"),
     )
+
+
+# ======================================================================
+# Arrays / maps / structs / lateral (SURVEY §2.B "Scalar — array/map/
+# struct (list_*, struct_pack, unnest)" and "subqueries … lateral")
+# ======================================================================
+
+
+@q(
+    "q_array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           embedding[1] AS first_val,
+           list_max(embedding) AS vmax,
+           ROUND(list_sum(embedding[1:4]), 4) + 0 AS s4
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """Array scalar functions over the embedding column: size,
+    element access, max, and a fold (sum of the first 4 dims). The
+    fold accumulates float32 elements into a double in element order
+    on both engines, then rounds to 4 decimals."""
+    em = load(spark, sf_dir)["embeddings"]
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("vmax"),
+        F.round(
+            F.aggregate(F.slice("embedding", 1, 4), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("s4"),
+    )
+
+
+@q(
+    "q_explode_posexplode",
+    """
+    SELECT vec_id, z[2] AS pos, z[1] AS val FROM (
+      SELECT vec_id,
+             unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+      FROM embeddings WHERE vec_id % 50 = 0
+    )
+    """,
+)
+def q_explode_posexplode(spark, sf_dir):
+    """UNNEST with ordinality: posexplode of the embedding array into
+    (vec_id, 1-based pos, value) rows. The DuckDB oracle zips the list
+    with its index range since it lacks WITH ORDINALITY."""
+    em = load(spark, sf_dir)["embeddings"].filter(F.col("vec_id") % 50 == 0)
+    return em.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id", (F.col("pos") + 1).cast("bigint").alias("pos"), "val"
+    )
+
+
+@q(
+    "q_map_struct_funcs",
+    """
+    SELECT n_nationkey,
+           struct_pack(name := n_name, rk := n_regionkey).name AS s_name,
+           map_extract(MAP {'reg': n_regionkey, 'key': n_nationkey}, 'key')[1]
+             AS m_key
+    FROM nation
+    """,
+)
+def q_map_struct_funcs(spark, sf_dir):
+    """Struct construction + field access and map construction + key
+    lookup; output columns are scalars so the cross-engine compare
+    stays type-exact (struct_pack ↔ F.struct, MAP ↔ create_map)."""
+    n = load(spark, sf_dir)["nation"]
+    return n.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk")
+        ).getField("name").alias("s_name"),
+        F.element_at(
+            F.create_map(
+                F.lit("reg"), F.col("n_regionkey"), F.lit("key"), F.col("n_nationkey")
+            ),
+            "key",
+        ).alias("m_key"),
+    )
+
+
+@q(
+    "q_percentile_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           ROUND(median(l_extendedprice), 4) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: linear interpolation) — unlike the
+    approx sketches these are deterministic and hash-compare."""
+    l = load(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+
+
+_AGG_FILTER_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+@q("q_agg_filter", _AGG_FILTER_SQL)
+def q_agg_filter(spark, sf_dir):
+    """FILTER-clause aggregates (ANSI, supported verbatim by both
+    Spark SQL and DuckDB — the same text runs on each)."""
+    load(spark, sf_dir)
+    return spark.sql(_AGG_FILTER_SQL)
+
+
+@q(
+    "q_window_first_last",
+    """
+    SELECT c_custkey, c_nationkey,
+           first_value(c_name) OVER w AS first_name,
+           last_value(c_name) OVER w AS last_name,
+           nth_value(c_name, 2) OVER w AS second_name
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark, sf_dir):
+    """Analytic first/last/nth over an explicit full-partition frame
+    (default frame would truncate last_value at CURRENT ROW)."""
+    c = load(spark, sf_dir)["customer"]
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_name").over(w).alias("first_name"),
+        F.last("c_name").over(w).alias("last_name"),
+        F.nth_value("c_name", 2).over(w).alias("second_name"),
+    )
+
+
+_LATERAL_SQL = """
+    SELECT n_name, l.mx AS max_acctbal, l.cnt AS n_customers
+    FROM nation n, LATERAL (
+      SELECT MAX(c_acctbal) AS mx, COUNT(*) AS cnt
+      FROM customer c WHERE c.c_nationkey = n.n_nationkey
+    ) l
+"""
+
+
+@q("q_lateral_join", _LATERAL_SQL)
+def q_lateral_join(spark, sf_dir):
+    """Correlated LATERAL subquery (identical ANSI text on both
+    engines); Catalyst decorrelates it into an aggregate + join."""
+    load(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@q(
+    "q_word_count",
+    r"""
+    SELECT w, COUNT(*) AS n FROM (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents WHERE lang = 'en'
+    ) WHERE w <> '' GROUP BY w HAVING COUNT(*) >= 5
+    """,
+)
+def q_word_count(spark, sf_dir):
+    """The canonical split→explode→count word count over English
+    documents (ASCII \\s+ split semantics agree across engines;
+    restricted to lang='en' to dodge unicode case-folding drift)."""
+    d = load(spark, sf_dir)["documents"].filter(F.col("lang") == "en")
+    words = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return words.groupBy("w").agg(F.count("*").alias("n")).filter(F.col("n") >= 5)

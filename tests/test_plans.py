@@ -1,0 +1,120 @@
+"""Plan-quality gates: the 100 TB design assertions from SURVEY §4.
+
+Correctness tests prove the answers are right; these prove the
+*physical plans* are the ones that survive a 1000-executor scale-up:
+filters reach the parquet scan, scans read only referenced columns,
+small dimensions broadcast instead of shuffling the fact table,
+aggregations combine map-side, and hot paths stay inside whole-stage
+codegen. A regression here is a silent 10-100× cost at scale even
+when every value is still correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from scratchdata_spark.inventory import REGISTRY, load
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    l = load(spark, sf_dir)["lineitem"]
+    df = l.filter(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_quantity")
+    p = plan(df)
+    assert "PushedFilters: [" in p
+    # at least the IsNotNull + comparison filters must be pushed
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan" in pushed or "GreaterThanOrEqual" in pushed, pushed
+
+
+def test_column_pruning_q01(spark, sf_dir):
+    fn, _ = REGISTRY["q01_pricing_summary"]
+    p = plan(fn(spark, sf_dir))
+    # scan must read only the 7 referenced lineitem columns
+    read_schema = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_quantity" in read_schema and "l_shipdate" in read_schema
+    for unused in ("l_comment", "l_shipinstruct", "l_partkey", "l_suppkey"):
+        assert unused not in read_schema, f"{unused} not pruned: {read_schema}"
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    t = load(spark, sf_dir)
+    df = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    p = plan(df)
+    # nation (25 rows) must broadcast; shuffling customer on nationkey
+    # (25 distinct keys -> skew) would be the wrong plan at any scale
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_partial_aggregation_map_side(spark, sf_dir):
+    fn, _ = REGISTRY["q01_pricing_summary"]
+    p = plan(fn(spark, sf_dir), mode="simple")
+    # two HashAggregate nodes (partial + final) around one Exchange:
+    # map-side combine collapses 600k rows to ~6 groups before shuffle
+    assert p.count("HashAggregate") >= 2, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_whole_stage_codegen_hot_path(spark, sf_dir):
+    fn, _ = REGISTRY["q01_pricing_summary"]
+    # AQE materializes codegen spans only in the executed (final) plan
+    df = fn(spark, sf_dir)
+    df.collect()
+    p = plan(df, mode="simple")
+    assert "isFinalPlan=true" in p, p
+    # codegen stages print as "*(n) Operator" in simple mode
+    assert "*(" in p, p
+
+
+def test_map_only_pipeline_has_no_shuffle(spark, sf_dir):
+    o = load(spark, sf_dir)["orders"]
+    df = o.filter(F.col("o_totalprice") > 100000).select(
+        "o_orderkey", (F.col("o_totalprice") * 0.9).alias("discounted")
+    )
+    p = plan(df, mode="simple")
+    assert "Exchange" not in p, p
+
+
+def test_aqe_and_shuffle_sizing(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    # shuffle partitions sized from env, not the 200 default
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 64
+
+
+def test_semi_join_no_full_materialization(spark, sf_dir):
+    fn, _ = REGISTRY["q_join_semi"]
+    p = plan(fn(spark, sf_dir), mode="simple")
+    assert "LeftSemi" in p, p
+
+
+@pytest.mark.parametrize("name", ["q03_shipping_priority", "q05_local_supplier_volume"])
+def test_join_agg_queries_broadcast_dims(spark, sf_dir, name):
+    fn, _ = REGISTRY[name]
+    p = plan(fn(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_topk_per_group_single_shuffle(spark, sf_dir):
+    fn, _ = REGISTRY["q_topk_per_group"]
+    p = plan(fn(spark, sf_dir), mode="simple")
+    # rank-within-partition needs exactly one exchange on the group key
+    assert p.count("Exchange") <= 2, p

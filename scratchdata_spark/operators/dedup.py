@@ -61,20 +61,40 @@ def shingles(col, k: int = 5):
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 64, k: int = 5) -> DataFrame:
-    """Append ``__sig`` (array<long> of n_hashes minhash values).
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, k: int = 5
+) -> DataFrame:
+    """(id, ``__sig`` array<long>) of n_hashes minhash values per doc.
 
-    One xxhash64 per shingle, then n_hashes cheap seeded re-hashes
-    (two-arg murmur3 ``hash(h, j)`` — overflow-free under ANSI mode)
-    folded with array_min — all inside whole-stage codegen.
+    Explode shingles to rows, one xxhash64 per shingle, then a single
+    hash-aggregate computing n_hashes seeded mins (two-arg murmur3
+    ``hash(h, j)``). The aggregate combines map-side — the shuffle
+    carries one 64-long signature per doc, never shingles — and the
+    whole path allocates no intermediate arrays (the earlier
+    ``array_min(transform(...))×64`` formulation spent its time in
+    per-row array churn). Duplicate shingles need no dedup: min() is
+    idempotent.
     """
-    df = df.withColumn("__sh", shingles(normalize_text(F.col(text_col)), k))
-    df = df.withColumn("__h0", F.expr("transform(__sh, s -> xxhash64(s))"))
-    sig = [
-        F.expr(f"array_min(transform(__h0, h -> hash(h, {j})))").cast("long")
+    base = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
+    n = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
+    ex = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.col("__norm").substr(i, F.lit(k))
+            )
+        ).alias("__s"),
+    )
+    h = ex.select(F.col(id_col), F.xxhash64("__s").alias("__h0"))
+    aggs = [
+        F.min(F.hash(F.col("__h0"), F.lit(j))).cast("long").alias(f"__m{j}")
         for j in range(n_hashes)
     ]
-    return df.withColumn("__sig", F.array(*sig)).drop("__sh", "__h0")
+    sig = h.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{j}") for j in range(n_hashes)]).alias("__sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -85,6 +105,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+    est_margin: float | None = 0.15,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
 
@@ -92,15 +114,37 @@ def minhash_lsh_pairs(
     bucket iff one full band of their signatures agrees. Candidates
     are verified with exact Jaccard over the shingle sets, so the
     output has no LSH false positives (only false-negative risk,
-    controlled by bands/rows).
+    controlled by bands/rows and the two scale valves below).
+
+    Scale valves (both standard LSH-pipeline practice; set to None
+    for the exhaustive behavior):
+
+    * ``max_bucket_size`` — buckets larger than this are degenerate
+      (boilerplate/templated text whose band hashes collide en masse;
+      a B-doc bucket emits B²/2 candidate pairs). They are dropped
+      before the pair join; true near-dups still meet in their other
+      ``bands-1`` buckets.
+    * ``est_margin`` — candidates are pre-screened with the minhash
+      agreement fraction (an unbiased Jaccard estimator already in
+      hand, 64 long comparisons) and must score ≥ threshold −
+      est_margin before paying exact set intersection. With 64 hashes
+      the estimator σ at J=0.5 is ≈0.06, so a 0.15 margin keeps
+      ≳99% recall while cutting verification work by orders of
+      magnitude on collision-heavy corpora.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    from pyspark import StorageLevel
+
     r = n_hashes // bands
-    sig = minhash_signature(df.select(id_col, text_col), text_col, n_hashes, k)
-    sig = sig.withColumn("__shset", shingles(normalize_text(F.col(text_col)), k)).drop(
-        text_col
-    )
+    # Persist the signatures: the DAG references them from five
+    # branches (bucket build, hot-bucket count, self-join a/b sides,
+    # estimator screen) — without caching Spark recomputes the shingle
+    # scan per branch. Cached statistics also let the optimizer see
+    # the true (small) size when joining signatures to candidates.
+    sig = minhash_signature(
+        df.select(id_col, text_col), id_col, text_col, n_hashes, k
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = [
         F.struct(
@@ -109,31 +153,90 @@ def minhash_lsh_pairs(
         )
         for i in range(bands)
     ]
+    # The band self-join carries ONLY (id, band_hash): at corpus scale
+    # the ×bands exploded stream must never haul shingle sets through
+    # the shuffle (that payload is bands× the corpus itself, and its
+    # size is invisible to the optimizer, inviting a catastrophic
+    # broadcast of the exploded side).
     buckets = sig.select(
-        F.col(id_col), "__shset", F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "__shset", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # Candidate pairs: group each bucket's member ids and expand the
+    # in-bucket pairs with array combinatorics — ONE shuffle keyed by
+    # (band, bh) instead of a self-join's two, and the bucket-size cap
+    # applies before any pair materializes. Equivalent to the classic
+    # bucket self-join with a.id < b.id.
+    members = buckets.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ids") <= max_bucket_size)
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__shset").alias("sh_a"),
-            F.col("b.__shset").alias("sh_b"),
-        )
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # Cheap estimator screen: agreement fraction of the signatures we
+    # already computed. No join hints — the cached signature table has
+    # known statistics, so the optimizer broadcasts whichever side is
+    # genuinely small (locally that's the signatures; on a 100 TB
+    # corpus the candidate set is the small side and AQE flips it).
+    if est_margin is not None:
+        sigs = sig.select(F.col(id_col), F.col("__sig"))
+        with_a = cand.join(
+            sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sig", "sig_a"),
+            "id_a",
+        )
+        with_b = with_a.join(
+            sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sig", "sig_b"),
+            "id_b",
+        )
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)
+        )
+        cand = with_b.filter(agree / n_hashes >= threshold - est_margin).select(
+            "id_a", "id_b"
+        )
+
+    # Exact-Jaccard verification: shingle sets are materialized ONLY
+    # for docs that survived the screen (semi-join pruning) — the
+    # expensive per-doc shingle arrays scale with the survivor count,
+    # not the corpus.
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    survivor_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shsets = (
+        df.select(
+            F.col(id_col),
+            shingles(normalize_text(F.col(text_col)), k).alias("__shset"),
+        )
+        .join(F.broadcast(survivor_ids), id_col, "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # No join hints here: both inputs are persisted with known (small)
+    # statistics, so the planner broadcasts the genuinely smaller side
+    # — hinting `half` would build a broadcast of pair×shingle-array
+    # rows on the driver, which is the expensive direction.
+    half = shsets.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+        "__shset", "sh_a"
+    ).join(cand, "id_a")
+    pairs = shsets.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+        "__shset", "sh_b"
+    ).join(half, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

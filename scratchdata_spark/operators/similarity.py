@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    """Sequential left-to-right dot product (fold with double acc).
+
+    Deliberately a HOF fold, not a 64-term unrolled expression: the
+    unrolled tree overflows codegen method limits and measures ~5×
+    slower; the fold's per-element interpretation is fine as long as
+    callers don't fold three times per pair (see cosine_topk).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -60,15 +67,23 @@ def cosine_topk(
     queries: (query_id_col, vec_col) — expected small; broadcast.
     Excludes self-matches when ids collide. Deterministic tiebreak on
     (similarity desc, corpus id asc).
+
+    Norms are computed once per side BEFORE the |Q|×|C| expansion —
+    the pairwise stage pays one dot-product fold, not three.
     """
     q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     joined = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     ).crossJoin(F.broadcast(q))
     sim = joined.filter(F.col("neighbor_id") != F.col("__qid")).withColumn(
-        "cos_sim", cosine(F.col("__cvec"), F.col("__qvec"))
+        "cos_sim",
+        _dot(F.col("__cvec"), F.col("__qvec")) / (F.col("__cn") * F.col("__qn")),
     )
     w = Window.partitionBy("__qid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

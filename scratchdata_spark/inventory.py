@@ -1488,3 +1488,24 @@ def q_word_count(spark, sf_dir):
         F.col("w") != ""
     )
     return words.groupBy("w").agg(F.count("*").alias("n")).filter(F.col("n") >= 5)
+
+
+@q(
+    "q_scan_external_files",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_external_files(spark, sf_dir):
+    """External-file scan (SURVEY §2.B "Scan (external files)"):
+    queries parquet by PATH — ``parquet.`/path```` — rather than a
+    registered table, the Spark SQL equivalent of DuckDB's
+    read_parquet()/httpfs path queries (reference loads the httpfs/aws
+    extensions at duckdb/duckdb.go:80-98; same syntax reads s3a://)."""
+    df = spark.sql(
+        f"SELECT event_type, event_id FROM parquet.`{sf_dir}/events.parquet`"
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("min_id")
+    )

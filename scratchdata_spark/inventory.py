@@ -366,11 +366,13 @@ def q_approx_count_distinct(spark, sf_dir):
 
 @q("q_approx_quantile", None)  # approx sketch, engine-specific
 def q_approx_quantile(spark, sf_dir):
+    # Scalar columns, not array<double>: the driver's canonicalizer
+    # sorts result cells and list cells are unhashable in pandas.
     l = load(spark, sf_dir)["lineitem"]
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75])
-        .cast("array<double>")
-        .alias("price_quartiles")
+        F.percentile_approx("l_extendedprice", 0.25).cast("double").alias("p25"),
+        F.percentile_approx("l_extendedprice", 0.5).cast("double").alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.75).cast("double").alias("p75"),
     )
 
 

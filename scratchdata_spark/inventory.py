@@ -43,7 +43,16 @@ def q(name: str, oracle: str | None):
     return deco
 
 
-_LOAD_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_LOAD_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable cache key for a session: its UUID, not ``id()`` (which
+    the allocator can reuse after a stopped session is GC'd)."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover - connect-mode fallback
+        return str(id(spark))
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -53,7 +62,7 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     registration cost ~1 s for 10 tables — pure fixed overhead when
     every inventory query re-enters here.
     """
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached

@@ -103,3 +103,18 @@ def test_query_over_testdata(dest, sf_dir):
     df.createOrReplaceTempView("lineitem_raw")
     n = dest.spark.sql("select count(*) as n from lineitem_raw").collect()[0][0]
     assert n > 0
+
+
+def test_plan_cache_reuse_and_invalidation(dest):
+    """Repeated query text reuses the analyzed plan (prepared-statement
+    semantics); any write invalidates so results never go stale."""
+    _insert(dest, "pc", ['{"__row_id": 1, "v": 10}'])
+    q = "select count(*) as n from pc"
+    df1 = dest.query_df(q)
+    df2 = dest.query_df(q)
+    assert df1 is df2  # cache hit: same analyzed DataFrame object
+    assert df1.collect()[0]["n"] == 1
+    _insert(dest, "pc", ['{"__row_id": 2, "v": 20}'])
+    df3 = dest.query_df(q)
+    assert df3 is not df1  # write invalidated the cached plan
+    assert df3.collect()[0]["n"] == 2

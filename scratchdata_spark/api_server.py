@@ -18,7 +18,6 @@ directly to the socket file).
 
 from __future__ import annotations
 
-import io
 import json
 import re
 import threading
@@ -72,6 +71,17 @@ class Service:
         return n
 
     # ------------------------------------------------------------- query
+    def validate_query(self, destination: str, q: str) -> None:
+        """Parse/analyze the query so syntax/semantic errors surface
+        BEFORE any response byte is written. The destination's plan
+        cache keeps the analyzed plan, so the serializer that follows
+        re-uses this work rather than repeating it."""
+        dest = self.destinations[destination]  # KeyError → 404 upstream
+        try:
+            dest.query_df(q)
+        except NotImplementedError:  # backend without a DataFrame surface
+            pass
+
     def query(self, destination: str, q: str, fmt: str, out) -> None:
         dest = self.destinations[destination]
         if fmt == "csv":
@@ -86,6 +96,45 @@ class Service:
             "copy_data",
             {"source": source, "query": query, "destination": destination, "table": table},
         )
+
+
+class _ChunkedOut:
+    """File-like text sink emitting HTTP/1.1 chunked frames as it fills.
+
+    Driver memory stays bounded at ~chunk_size regardless of result
+    size — the engine feeds it from ``toLocalIterator`` partition by
+    partition, and each filled buffer goes straight to the socket as
+    one chunk (the Spark analogue of the reference's fifo pump,
+    ``duckdb/query.go:15-116``).
+    """
+
+    def __init__(self, wfile, chunk_size: int = 64 * 1024):
+        self._w = wfile
+        self._chunk = chunk_size
+        self._buf: list[str] = []
+        self._n = 0
+        self.chunks_sent = 0
+
+    def write(self, s: str) -> int:
+        if not s:
+            return 0
+        self._buf.append(s)
+        self._n += len(s)
+        if self._n >= self._chunk:
+            self._flush()
+        return len(s)
+
+    def _flush(self) -> None:
+        if not self._n:
+            return
+        data = "".join(self._buf).encode()
+        self._w.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+        self.chunks_sent += 1
+        self._buf, self._n = [], 0
+
+    def close(self) -> None:
+        self._flush()
+        self._w.write(b"0\r\n\r\n")
 
 
 def make_handler(service: Service):
@@ -118,7 +167,12 @@ def make_handler(service: Service):
             key = params.get("api_key") or (
                 self.headers.get("Authorization", "").removeprefix("Bearer ") or None
             )
-            return service.keys.resolve(key, params.get("destination_id"))
+            dest = service.keys.resolve(key, params.get("destination_id"))
+            if dest is not None and dest not in service.destinations:
+                # admin key + unknown ?destination_id: reject here so no
+                # route ever KeyErrors and no poison job gets enqueued
+                return None
+            return dest
 
         # ------------------------------------------------------- routes
         def do_GET(self):
@@ -207,14 +261,26 @@ def make_handler(service: Service):
             return self._json(404, {"error": "not found"})
 
         def _run_query(self, dest: str, q: str, fmt: str):
-            buf = io.StringIO()
+            # Analyze first: errors still get a clean 4xx/5xx because no
+            # header has been sent yet (plan-cached — not repeated work).
             try:
-                service.query(dest, q, fmt, buf)
+                service.validate_query(dest, q)
             except KeyError:
                 return self._json(404, {"error": f"unknown destination {dest}"})
             except Exception as e:  # noqa: BLE001 — surface backend errors as 500
                 return self._json(500, {"error": str(e).split("\n")[0][:500]})
-            self._send(200, buf.getvalue().encode(), CONTENT_TYPES.get(fmt, "application/json"))
+            self.send_response(200)
+            self.send_header("Content-Type", CONTENT_TYPES.get(fmt, "application/json"))
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            out = _ChunkedOut(self.wfile)
+            try:
+                service.query(dest, q, fmt, out)
+                out.close()
+            except Exception:  # noqa: BLE001
+                # headers are gone: a mid-stream failure can only abort
+                # the connection (same contract as the reference's fifo)
+                self.close_connection = True
 
     return Handler
 

@@ -62,9 +62,12 @@ class TableCatalog:
     def _meta_path(self, database: str, table: str) -> str:
         return os.path.join(self.warehouse, "_catalog", database, f"{table}.json")
 
-    def lock(self, database: str, table: str) -> threading.Lock:
+    def lock(self, database: str, table: str) -> threading.RLock:
+        # RLock: the insert path holds it across create_empty_table +
+        # create_columns + insert_ndjson_file, and insert_ndjson_file
+        # re-acquires it internally.
         with self._global:
-            return self._locks.setdefault((database, table), threading.Lock())
+            return self._locks.setdefault((database, table), threading.RLock())
 
     # -- schema registry -------------------------------------------------
     def get(self, database: str, table: str) -> TableInfo | None:

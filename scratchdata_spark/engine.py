@@ -67,6 +67,13 @@ class Destination(ABC):
     @abstractmethod
     def insert_ndjson_file(self, table: str, ndjson_path: str) -> None: ...
 
+    def insert_ndjson(self, table: str, ndjson_path: str) -> None:
+        """Full batch insert: ensure table, register columns, load.
+        Backends override to make the whole sequence atomic."""
+        self.create_empty_table(table)
+        self.create_columns(table, ndjson_path)
+        self.insert_ndjson_file(table, ndjson_path)
+
     def close(self) -> None:  # pragma: no cover - trivial
         pass
 
@@ -208,6 +215,18 @@ class SparkDestination(Destination):
         types = infer_types_file(ndjson_path)
         self.catalog.add_columns(self.database, _check_ident(table), types)
         self.plan_cache.invalidate()
+
+    def insert_ndjson(self, table: str, ndjson_path: str) -> None:
+        """Atomic batch insert: the per-table catalog lock is held
+        across schema registration AND the data write, so two
+        concurrent batches on one table can't interleave their
+        read-modify-write of the schema JSON (the losing batch's new
+        columns would silently unregister)."""
+        table = _check_ident(table)
+        with self.catalog.lock(self.database, table):
+            self.create_empty_table(table)
+            self.create_columns(table, ndjson_path)
+            self.insert_ndjson_file(table, ndjson_path)
 
     def insert_ndjson_file(self, table: str, ndjson_path: str) -> None:
         """Bulk load one NDJSON micro-batch (A9).

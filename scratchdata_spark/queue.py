@@ -25,9 +25,12 @@ class Message:
 
 
 class Queue:
-    def __init__(self, db_path: str, requeue_after: float = 300.0):
+    def __init__(
+        self, db_path: str, requeue_after: float = 300.0, max_attempts: int = 5
+    ):
         self.db_path = db_path
         self.requeue_after = requeue_after
+        self.max_attempts = max_attempts
         self._local = threading.local()
         with self._conn() as c:
             c.execute(
@@ -36,9 +39,19 @@ class Queue:
                        type TEXT NOT NULL,
                        payload TEXT NOT NULL,
                        created REAL NOT NULL,
-                       claimed_at REAL
+                       claimed_at REAL,
+                       attempts INTEGER NOT NULL DEFAULT 0,
+                       dead INTEGER NOT NULL DEFAULT 0
                    )"""
             )
+            for ddl in (  # migrate pre-dead-letter databases in place
+                "ALTER TABLE messages ADD COLUMN attempts INTEGER NOT NULL DEFAULT 0",
+                "ALTER TABLE messages ADD COLUMN dead INTEGER NOT NULL DEFAULT 0",
+            ):
+                try:
+                    c.execute(ddl)
+                except sqlite3.OperationalError:
+                    pass  # column already exists
 
     def _conn(self) -> sqlite3.Connection:
         conn = getattr(self._local, "conn", None)
@@ -61,10 +74,10 @@ class Queue:
         c = self._conn()
         now = time.time()
         cur = c.execute(
-            """UPDATE messages SET claimed_at = ?
+            """UPDATE messages SET claimed_at = ?, attempts = attempts + 1
                WHERE id = (
                  SELECT id FROM messages
-                 WHERE claimed_at IS NULL OR claimed_at < ?
+                 WHERE dead = 0 AND (claimed_at IS NULL OR claimed_at < ?)
                  ORDER BY id LIMIT 1
                )
                RETURNING id, type, payload""",
@@ -84,5 +97,33 @@ class Queue:
             "UPDATE messages SET claimed_at = NULL WHERE id = ?", (msg_id,)
         )
 
+    def fail(self, msg_id: int, error: str = "") -> bool:
+        """Record a failed attempt: release for retry, or dead-letter
+        once ``max_attempts`` is exhausted (poison messages must not
+        spin the worker pool forever). Returns True if dead-lettered."""
+        c = self._conn()
+        row = c.execute(
+            "SELECT attempts FROM messages WHERE id = ?", (msg_id,)
+        ).fetchone()
+        if row is None:
+            return False
+        if row[0] >= self.max_attempts:
+            c.execute(
+                "UPDATE messages SET dead = 1, payload = json_set(payload, '$.__error', ?) WHERE id = ?",
+                (error[:500], msg_id),
+            )
+            return True
+        self.release(msg_id)
+        return False
+
+    def dead_letters(self) -> list[Message]:
+        rows = self._conn().execute(
+            "SELECT id, type, payload FROM messages WHERE dead = 1 ORDER BY id"
+        ).fetchall()
+        return [Message(r[0], r[1], json.loads(r[2])) for r in rows]
+
     def depth(self) -> int:
-        return self._conn().execute("SELECT COUNT(*) FROM messages").fetchone()[0]
+        """Live (retryable) messages only — dead letters don't count."""
+        return self._conn().execute(
+            "SELECT COUNT(*) FROM messages WHERE dead = 0"
+        ).fetchone()[0]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import threading
+from collections import deque
 
 from scratchdata_spark.config import WorkersConfig
 from scratchdata_spark.copy import copy_data
@@ -34,7 +35,8 @@ class WorkerPool:
         self.config = config or WorkersConfig()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        self.errors: list[str] = []
+        # bounded: a retrying poison message must not grow memory forever
+        self.errors: deque[str] = deque(maxlen=200)
 
     # ------------------------------------------------------------- jobs
     def process(self, msg: Message) -> None:
@@ -48,9 +50,9 @@ class WorkerPool:
     def _process_insert(self, p: dict) -> None:
         dest = self.destinations[p.get("database", "default")]
         table, path = p["table"], p["path"]
-        dest.create_empty_table(table)
-        dest.create_columns(table, path)
-        dest.insert_ndjson_file(table, path)
+        # single atomic call: schema registration + data write under
+        # the per-table lock (concurrent batches can't interleave)
+        dest.insert_ndjson(table, path)
         if os.path.exists(path):
             os.remove(path)
 
@@ -71,7 +73,8 @@ class WorkerPool:
                 self.queue.complete(msg.id)
             except Exception as e:  # noqa: BLE001 — job errors must not kill the pool
                 self.errors.append(f"{msg.type}#{msg.id}: {e}")
-                self.queue.release(msg.id)
+                # release for retry, or dead-letter after max_attempts
+                self.queue.fail(msg.id, str(e))
                 self._stop.wait(self.config.dequeue_timeout_seconds)
 
     def start(self) -> None:

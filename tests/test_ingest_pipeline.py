@@ -85,7 +85,7 @@ def test_worker_insert_job(spark, tmp_path):
     blob.write_text('{"__row_id": 1, "msg": "via worker"}\n')
     q.enqueue("insert_data", {"database": "default", "table": "wt", "path": str(blob)})
     pool.drain()
-    assert pool.errors == []
+    assert not pool.errors
     rows = dest.query_df("select * from wt").collect()
     assert rows[0]["msg"] == "via worker"
     assert not blob.exists()  # consumed
@@ -134,3 +134,52 @@ def test_duckdb_destination_roundtrip(tmp_path):
     assert json.loads(buf.getvalue()) == [{"msg": "hello world"}]
     assert "tbl" in duck.tables()
     assert {"name": "msg", "type": "VARCHAR"} in duck.columns("tbl")
+
+
+def test_queue_dead_letter(tmp_path):
+    """A poison message retries max_attempts times, then dead-letters
+    instead of spinning the pool forever (ADVICE fix)."""
+    from scratchdata_spark.queue import Queue
+
+    q = Queue(str(tmp_path / "q.db"), max_attempts=3)
+    q.enqueue("insert_data", {"table": "t", "path": "/nonexistent"})
+    seen = 0
+    while True:
+        msg = q.dequeue()
+        if msg is None:
+            break
+        seen += 1
+        assert seen < 10, "dead-letter cap not enforced"
+        q.fail(msg.id, "boom")
+    assert seen == 3
+    dead = q.dead_letters()
+    assert len(dead) == 1 and dead[0].payload["__error"] == "boom"
+    assert q.depth() == 0  # dead letters don't count as live work
+
+
+def test_concurrent_inserts_no_schema_race(spark, tmp_path):
+    """Two threads inserting different new columns into one table must
+    both register their columns (ADVICE fix: atomic insert_ndjson)."""
+    import threading
+
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    dest = SparkDestination(spark, TableCatalog(str(tmp_path / "wh")), "db")
+    paths = []
+    for i, col in enumerate(("alpha", "beta", "gamma", "delta")):
+        p = tmp_path / f"b{i}.ndjson"
+        p.write_text(json.dumps({col: i}) + "\n")
+        paths.append(str(p))
+
+    threads = [
+        threading.Thread(target=dest.insert_ndjson, args=("race", p)) for p in paths
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    cols = {c["name"] for c in dest.columns("race")}
+    assert {"alpha", "beta", "gamma", "delta"} <= cols
+    n = dest.query_df("select count(*) as n from race").collect()[0]["n"]
+    assert n == 4

@@ -67,7 +67,9 @@ class Destination(ABC):
     @abstractmethod
     def insert_ndjson_file(self, table: str, ndjson_path: str) -> None: ...
 
-    def insert_ndjson(self, table: str, ndjson_path: str) -> None:
+    def insert_ndjson(
+        self, table: str, ndjson_path: str | list[str], skip_malformed: bool = False
+    ) -> None:
         """Full batch insert: ensure table, register columns, load.
         Backends override to make the whole sequence atomic."""
         self.create_empty_table(table)
@@ -211,25 +213,31 @@ class SparkDestination(Destination):
         self.catalog.create_empty_table(self.database, _check_ident(table))
         self.plan_cache.invalidate()
 
-    def create_columns(self, table: str, ndjson_path: str) -> None:
-        types = infer_types_file(ndjson_path)
+    def create_columns(
+        self, table: str, ndjson_path: str | list[str], skip_malformed: bool = False
+    ) -> None:
+        types = infer_types_file(ndjson_path, skip_malformed=skip_malformed)
         self.catalog.add_columns(self.database, _check_ident(table), types)
         self.plan_cache.invalidate()
 
-    def insert_ndjson(self, table: str, ndjson_path: str) -> None:
+    def insert_ndjson(
+        self, table: str, ndjson_path: str | list[str], skip_malformed: bool = False
+    ) -> None:
         """Atomic batch insert: the per-table catalog lock is held
         across schema registration AND the data write, so two
         concurrent batches on one table can't interleave their
         read-modify-write of the schema JSON (the losing batch's new
-        columns would silently unregister)."""
+        columns would silently unregister). Accepts a file list — a
+        streaming micro-batch inserts all its source files in one call,
+        executor-side, without rows ever visiting the driver."""
         table = _check_ident(table)
         with self.catalog.lock(self.database, table):
             self.create_empty_table(table)
-            self.create_columns(table, ndjson_path)
+            self.create_columns(table, ndjson_path, skip_malformed=skip_malformed)
             self.insert_ndjson_file(table, ndjson_path)
 
-    def insert_ndjson_file(self, table: str, ndjson_path: str) -> None:
-        """Bulk load one NDJSON micro-batch (A9).
+    def insert_ndjson_file(self, table: str, ndjson_path: str | list[str]) -> None:
+        """Bulk load one NDJSON micro-batch (A9) — one file or a list.
 
         Read every field as string (exact token preservation), then
         cast to the registered column type — the documented
@@ -243,9 +251,17 @@ class SparkDestination(Destination):
             info = self.catalog.get(self.database, table)
             if info is None:
                 raise KeyError(f"no such table: {table}")
-            batch_types = infer_types_file(ndjson_path)
+            # tolerant here: strictness is create_columns' job; this
+            # inference only lists which columns the batch carries
+            batch_types = infer_types_file(ndjson_path, skip_malformed=True)
             string_schema = to_struct({k: "string" for k in batch_types})
-            raw = self.spark.read.schema(string_schema).json(ndjson_path)
+            # DROPMALFORMED: an unparseable line vanishes instead of
+            # becoming an all-NULL row (matches inference skipping it)
+            raw = (
+                self.spark.read.schema(string_schema)
+                .option("mode", "DROPMALFORMED")
+                .json(ndjson_path)
+            )
             target = info.struct()
             cols = []
             for f in target.fields:

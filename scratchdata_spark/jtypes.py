@@ -73,14 +73,24 @@ def merge_type_counts(counts: dict[str, int]) -> str:
     return "string"  # all-null (types.go:80-82)
 
 
-def infer_types(lines: Iterable[str]) -> dict[str, str]:
-    """Scan an NDJSON batch → {column: jsontype}."""
+def infer_types(lines: Iterable[str], skip_malformed: bool = False) -> dict[str, str]:
+    """Scan an NDJSON batch → {column: jsontype}.
+
+    ``skip_malformed`` tolerates unparseable lines (streaming-ingest
+    path, where a poisoned file must not wedge the stream); the batch
+    path keeps strict mode so corruption fails the job → retry →
+    dead-letter."""
     counts: dict[str, dict[str, int]] = {}
     for line in lines:
         line = line.strip()
         if not line:
             continue
-        obj = json.loads(line)
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            if skip_malformed:
+                continue
+            raise
         if not isinstance(obj, dict):
             continue
         for k, v in obj.items():
@@ -90,9 +100,19 @@ def infer_types(lines: Iterable[str]) -> dict[str, str]:
     return {k: merge_type_counts(c) for k, c in counts.items()}
 
 
-def infer_types_file(path: str) -> dict[str, str]:
-    with open(path, "r", encoding="utf-8") as f:
-        return infer_types(f)
+def infer_types_file(
+    path: str | list[str], skip_malformed: bool = False
+) -> dict[str, str]:
+    """Infer over one NDJSON file or a list of them (a streaming
+    micro-batch is a file list)."""
+    paths = [path] if isinstance(path, str) else list(path)
+
+    def _lines():
+        for p in paths:
+            with open(p, "r", encoding="utf-8") as f:
+                yield from f
+
+    return infer_types(_lines(), skip_malformed)
 
 
 def to_struct(types: dict[str, str], row_id_col: str = "__row_id") -> StructType:

@@ -47,40 +47,29 @@ def start_table_ingest_stream(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
-        import json as _json
-        import logging
+        # A micro-batch from a file source IS a file list — hand the
+        # paths to the same atomic batch insert the worker pool uses.
+        # No row ever crosses to the driver: executors read, cast and
+        # write; the driver only touches file names (and streams the
+        # type-inference pass over them). skip_malformed: a poisoned
+        # file must not wedge the stream (checkpoint would replay it
+        # on every restart).
+        from urllib.parse import unquote, urlparse
 
-        raw_lines = [r.value for r in batch_df.collect() if r.value and r.value.strip()]
-        # Drop unparseable lines instead of failing the batch: a poisoned
-        # file would otherwise wedge the stream forever (checkpoint
-        # replays the same file on every restart). The HTTP gateway
-        # validates JSON before writing, so this only fires on
-        # corrupted/foreign files dropped into the source dir.
-        lines, bad = [], 0
-        for ln in raw_lines:
-            try:
-                _json.loads(ln)
-                lines.append(ln)
-            except ValueError:
-                bad += 1
-        if bad:
-            logging.getLogger(__name__).warning(
-                "ingest stream %s.%s batch %s: skipped %d malformed line(s)",
-                dest.database, table, batch_id, bad,
-            )
-        if not lines:
+        from pyspark.sql import functions as F
+
+        # distinct file names computed executor-side; only the names
+        # (not rows) are collected
+        names = (
+            batch_df.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+        files = []
+        for r in names:
+            p = urlparse(r.f)
+            files.append(unquote(p.path) if p.scheme in ("file", "") else r.f)
+        if not files:
             return
-        import tempfile
-
-        fd, path = tempfile.mkstemp(suffix=".ndjson")
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write("\n".join(lines) + "\n")
-            dest.create_empty_table(table)
-            dest.create_columns(table, path)
-            dest.insert_ndjson_file(table, path)
-        finally:
-            os.remove(path)
+        dest.insert_ndjson(table, files, skip_malformed=True)
 
     writer = (
         raw.writeStream.foreachBatch(process_batch)

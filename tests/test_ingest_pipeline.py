@@ -183,3 +183,29 @@ def test_concurrent_inserts_no_schema_race(spark, tmp_path):
     assert {"alpha", "beta", "gamma", "delta"} <= cols
     n = dest.query_df("select count(*) as n from race").collect()[0]["n"]
     assert n == 4
+
+
+def test_chunked_writer_spools_and_splits(tmp_path):
+    """ChunkedWriter: newline-aligned splits, size cap, partial-line
+    carry (parity contract with the reference's chunked writer)."""
+    from scratchdata_spark.copy import ChunkedWriter, CopyTooLargeError
+
+    cw = ChunkedWriter(str(tmp_path), chunk_size=30, max_size=10_000)
+    for i in range(10):
+        cw.write(f'{{"v": {i}}}')   # partial: no newline yet
+        cw.write("\n")
+    cw.close()
+    assert cw.rows == 10
+    assert len(cw.paths) > 1  # split past 30 bytes
+    joined = "".join(open(p).read() for p in cw.paths)
+    assert joined.count("\n") == 10
+    for p in cw.paths[:-1]:
+        assert open(p).read().endswith("\n")  # never splits mid-line
+
+    cw2 = ChunkedWriter(str(tmp_path / "x2"), chunk_size=30, max_size=25)
+    (tmp_path / "x2").mkdir()
+    import pytest as _pytest
+
+    with _pytest.raises(CopyTooLargeError):
+        for i in range(100):
+            cw2.write(f'{{"v": {i}}}\n')

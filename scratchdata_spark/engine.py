@@ -115,6 +115,44 @@ class PlanCache:
         self._plans.clear()
 
 
+class DataFrameSerializers:
+    """JSON / NDJSON / CSV streaming serializers (A13–A15) for any
+    backend exposing ``query_df`` — shared by the Spark and JDBC
+    destinations. All three stream through ``toLocalIterator`` so the
+    driver holds one partition at a time."""
+
+    def query_df(self, query: str) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _json_rows(self, df: DataFrame) -> Iterator[str]:
+        # toJSON serializes JVM-side per partition; toLocalIterator
+        # fetches one partition at a time to the driver.
+        return df.toJSON().toLocalIterator()
+
+    def query_json(self, query: str, out: IO[str]) -> None:
+        out.write("[")
+        for i, row in enumerate(self._json_rows(self.query_df(query))):
+            if i:
+                out.write(",")
+            out.write(row)
+        out.write("]")
+
+    def query_ndjson(self, query: str, out: IO[str]) -> None:
+        for row in self._json_rows(self.query_df(query)):
+            out.write(row)
+            out.write("\n")
+
+    def query_csv(self, query: str, out: IO[str]) -> None:
+        import csv
+
+        df = self.query_df(query)
+        writer = csv.writer(out)
+        writer.writerow(df.columns)  # deterministic column order
+        # (fixes the reference's BigQuery map-iteration bug, query.go:112-180)
+        for row in df.toLocalIterator():
+            writer.writerow(["null" if v is None else v for v in row])
+
+
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -124,7 +162,7 @@ def _check_ident(name: str) -> str:
     return name
 
 
-class SparkDestination(Destination):
+class SparkDestination(DataFrameSerializers, Destination):
     """Tables = schema-registered parquet dirs; queries = spark.sql.
 
     Scale notes: inserts append parquet files written with the full
@@ -167,34 +205,8 @@ class SparkDestination(Destination):
 
         return self.plan_cache.get(query, build)
 
-    # -- serializers (A13-A15) — streamed, constant driver memory -------
-    def _json_rows(self, df: DataFrame) -> Iterator[str]:
-        # toJSON serializes JVM-side per partition; toLocalIterator
-        # fetches one partition at a time to the driver.
-        return df.toJSON().toLocalIterator()
-
-    def query_json(self, query: str, out: IO[str]) -> None:
-        out.write("[")
-        for i, row in enumerate(self._json_rows(self.query_df(query))):
-            if i:
-                out.write(",")
-            out.write(row)
-        out.write("]")
-
-    def query_ndjson(self, query: str, out: IO[str]) -> None:
-        for row in self._json_rows(self.query_df(query)):
-            out.write(row)
-            out.write("\n")
-
-    def query_csv(self, query: str, out: IO[str]) -> None:
-        import csv
-
-        df = self.query_df(query)
-        writer = csv.writer(out)
-        writer.writerow(df.columns)  # deterministic column order
-        # (fixes the reference's BigQuery map-iteration bug, query.go:112-180)
-        for row in df.toLocalIterator():
-            writer.writerow(["null" if v is None else v for v in row])
+    # serializers (A13-A15) come from DataFrameSerializers — streamed,
+    # constant driver memory
 
     # ---------------------------------------------------------- metadata
     def tables(self) -> list[str]:

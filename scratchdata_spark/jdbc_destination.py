@@ -1,0 +1,230 @@
+"""Federated JDBC destination: one class covers Postgres, Redshift,
+ClickHouse and MySQL — engines the reference implements as separate
+bespoke drivers (``postgres/postgres.go:24-47``,
+``redshift/redshift.go:31-53``, ``clickhouse/clickhouse.go:39-124``)
+— because Spark's JDBC source provides query pushdown, partitioned
+parallel reads and batched writes generically.
+
+Query path: the user's SQL executes ON the remote engine
+(``option("query", ...)``); Spark ships only result batches. At scale
+a partition column splits the fetch across executors — the remote
+engine does its own scan/optimize exactly as in the reference's
+passthrough model.
+
+DDL (CREATE/ALTER) goes through a plain ``java.sql`` connection from
+the driver — Spark's DataFrame API has no DDL surface for JDBC — the
+same role ``database/sql`` Exec plays in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scratchdata_spark.engine import (
+    DataFrameSerializers,
+    Destination,
+    _check_ident,
+    trim_query,
+)
+from scratchdata_spark.jtypes import infer_types_file
+
+# jsontype -> backend column type, per the reference's insert paths
+# (postgres/insert.go:18-49, redshift/insert.go:15-46,
+#  clickhouse/insert.go:96-121)
+TYPE_MAPS: dict[str, dict[str, str]] = {
+    "postgres": {
+        "string": "VARCHAR",
+        "int": "BIGINT",
+        "float": "DOUBLE PRECISION",
+        "bool": "BOOLEAN",
+    },
+    "redshift": {
+        "string": "VARCHAR",
+        "int": "BIGINT",
+        "float": "DOUBLE PRECISION",
+        "bool": "BOOLEAN",
+    },
+    "clickhouse": {
+        "string": "String",
+        "int": "Int64",
+        "float": "Float64",
+        "bool": "Boolean",
+    },
+    "mysql": {
+        "string": "TEXT",
+        "int": "BIGINT",
+        "float": "DOUBLE",
+        "bool": "BOOLEAN",
+    },
+}
+
+_QUOTE = {"postgres": '"', "redshift": '"', "clickhouse": "`", "mysql": "`"}
+
+# CREATE TABLE IF NOT EXISTS t (__row_id <int64>) — duckdb/insert.go:72-76;
+# ClickHouse needs an engine + primary key (clickhouse/destination.go:10-21)
+_CREATE = {
+    "postgres": 'CREATE TABLE IF NOT EXISTS {t} ("__row_id" BIGINT)',
+    "redshift": 'CREATE TABLE IF NOT EXISTS {t} ("__row_id" BIGINT)',
+    "clickhouse": (
+        "CREATE TABLE IF NOT EXISTS {t} (`__row_id` Int64) "
+        "ENGINE = MergeTree PRIMARY KEY (`__row_id`)"
+    ),
+    "mysql": "CREATE TABLE IF NOT EXISTS {t} (`__row_id` BIGINT)",
+}
+
+
+class JDBCDestination(DataFrameSerializers, Destination):
+    """A remote OLAP engine reached over JDBC, behind the Destination ABC.
+
+    ``engine`` picks the dialect details (type map, identifier quoting,
+    CREATE TABLE shape); everything else is generic JDBC.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        engine: str = "postgres",
+        driver: str | None = None,
+        user: str | None = None,
+        password: str | None = None,
+        fetch_size: int = 10_000,
+        batch_size: int = 10_000,
+    ):
+        if engine not in TYPE_MAPS:
+            raise ValueError(f"unsupported jdbc engine: {engine}")
+        self.spark = spark
+        self.url = url
+        self.engine = engine
+        self.driver = driver
+        self.user = user
+        self.password = password
+        self.fetch_size = fetch_size
+        self.batch_size = batch_size
+
+    # ------------------------------------------------------------- seams
+    def _options(self) -> dict[str, str]:
+        opts = {"url": self.url, "fetchsize": str(self.fetch_size)}
+        if self.driver:
+            opts["driver"] = self.driver
+        if self.user:
+            opts["user"] = self.user
+        if self.password:
+            opts["password"] = self.password
+        return opts
+
+    def _reader(self, *, query: str | None = None, dbtable: str | None = None) -> DataFrame:
+        r = self.spark.read.format("jdbc")
+        for k, v in self._options().items():
+            r = r.option(k, v)
+        if query is not None:
+            r = r.option("query", query)
+        else:
+            r = r.option("dbtable", dbtable)
+        return r.load()
+
+    def _write(self, df: DataFrame, table: str) -> None:
+        w = df.write.format("jdbc").mode("append")
+        for k, v in self._options().items():
+            w = w.option(k, v)
+        w.option("dbtable", table).option("batchsize", str(self.batch_size)).save()
+
+    def _execute(self, sql: str) -> None:
+        """Driver-side DDL through java.sql.DriverManager (the DataFrame
+        API cannot issue DDL)."""
+        jvm = self.spark._jvm
+        props = jvm.java.util.Properties()
+        if self.user:
+            props.setProperty("user", self.user)
+        if self.password:
+            props.setProperty("password", self.password)
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    # -------------------------------------------------------------- read
+    def query_df(self, query: str) -> DataFrame:
+        return self._reader(query=trim_query(query))
+
+    def tables(self) -> list[str]:
+        df = self._reader(
+            query=(
+                "SELECT table_name FROM information_schema.tables "
+                "ORDER BY table_name"
+            )
+        )
+        return [r[0] for r in df.collect()]
+
+    def columns(self, table: str) -> list[dict]:
+        # schema arrives via JDBC statement metadata — no rows move
+        df = self._reader(dbtable=_check_ident(table))
+        return [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ]
+
+    # ------------------------------------------------------------- write
+    def _q(self, ident: str) -> str:
+        q = _QUOTE[self.engine]
+        return f"{q}{_check_ident(ident)}{q}"
+
+    def create_empty_table(self, table: str) -> None:
+        self._execute(_CREATE[self.engine].format(t=self._q(table)))
+
+    def create_columns(self, table: str, ndjson_path, skip_malformed: bool = False) -> None:
+        types = infer_types_file(ndjson_path, skip_malformed=skip_malformed)
+        tmap = TYPE_MAPS[self.engine]
+        have = {c["name"] for c in self.columns(table)}
+        for name, jt in types.items():
+            if name in have:
+                continue  # existing columns never retype (§1.2)
+            try:
+                self._execute(
+                    f"ALTER TABLE {self._q(table)} "
+                    f"ADD COLUMN IF NOT EXISTS {self._q(name)} {tmap[jt]}"
+                )
+            except Exception:
+                # engines without IF NOT EXISTS (MySQL): tolerate the
+                # duplicate-column error like postgres/insert.go:35-43
+                if name not in {c["name"] for c in self.columns(table)}:
+                    raise
+
+    def insert_ndjson_file(self, table: str, ndjson_path) -> None:
+        """Batch insert: read tokens as strings, cast to the REMOTE
+        table's schema (cast-on-write, non-castable → NULL), missing
+        columns → NULL, then one batched JDBC write."""
+        from scratchdata_spark.jtypes import to_struct
+
+        table = _check_ident(table)
+        target = self._reader(dbtable=table).schema
+        batch_types = infer_types_file(ndjson_path, skip_malformed=True)
+        string_schema = to_struct({k: "string" for k in batch_types})
+        raw = (
+            self.spark.read.schema(string_schema)
+            .option("mode", "DROPMALFORMED")
+            .json(ndjson_path)
+        )
+        cols = []
+        for f in target.fields:
+            if f.name in raw.columns:
+                cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        out = raw.select(*cols)
+        from scratchdata_spark.catalog import ROW_ID
+        from scratchdata_spark.ids import snowflake_column
+
+        if ROW_ID in out.columns:
+            out = out.withColumn(
+                ROW_ID, F.coalesce(F.col(ROW_ID), snowflake_column())
+            )
+        self._write(out, table)

@@ -1,13 +1,18 @@
 """HTTP analytics gateway — the reference's API surface on stdlib
 http.server (no external web framework in this environment).
 
-Routes (reference: ``pkg/api/router.go:40-52``):
+Routes (reference: ``pkg/api/router.go:40-52``, destination CRUD
+``pkg/api/destinations.go:15-80``, metrics ``pkg/api/prometheus.go``):
   POST /api/data/insert/{table}?api_key=&flatten=     ingest
   GET|POST /api/data/query?api_key=&query=&format=    query
   POST /api/data/query/share                          create share link
   GET  /share/{uuid}/data.{format}                    run share link
   POST /api/data/copy                                 cross-dest copy job
   GET  /api/tables  /api/tables/{t}/columns           introspection
+  GET  /api/destinations            (admin)           list destinations
+  POST /api/destinations            (admin)           create destination
+  POST /api/destinations/{name}/keys (admin)          mint an API key
+  GET  /metrics                                       Prometheus text
   GET  /healthcheck /ping                             liveness
 
 Ingest is async exactly like the reference: flatten + __row_id in the
@@ -38,13 +43,60 @@ class Service:
     """Wires destinations + sink + queue + workers + shares + keys.
     The HTTP layer only talks to this object (testable without HTTP)."""
 
-    def __init__(self, destinations, sink, queue, workers, shares, keys):
+    def __init__(
+        self,
+        destinations,
+        sink,
+        queue,
+        workers,
+        shares,
+        keys,
+        destination_factory=None,
+        metrics=None,
+    ):
+        from scratchdata_spark.metrics import Metrics
+
         self.destinations = destinations
         self.sink = sink
         self.queue = queue
         self.workers = workers
         self.shares = shares
         self.keys = keys
+        self.destination_factory = destination_factory
+        self.metrics = metrics or Metrics()
+        self.dest_types: dict[str, str] = {n: "spark" for n in destinations}
+
+    # ------------------------------------------- destination/key CRUD
+    def create_destination(self, name: str, type_: str, settings: dict) -> dict:
+        """Reference ``pkg/api/destinations.go:41-80``: register a new
+        destination at runtime (multi-tenant onboarding path)."""
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+            raise ValueError(f"invalid destination name: {name!r}")
+        if name in self.destinations:
+            raise ValueError(f"destination exists: {name}")
+        if self.destination_factory is None:
+            raise ValueError("destination creation not configured")
+        self.destinations[name] = self.destination_factory(name, type_, settings)
+        self.dest_types[name] = type_
+        return {"name": name, "type": type_}
+
+    def list_destinations(self) -> list[dict]:
+        return [
+            {"name": n, "type": self.dest_types.get(n, "spark")}
+            for n in sorted(self.destinations)
+        ]
+
+    def create_key(self, destination: str) -> str:
+        """Reference ``destinations.go:15-22``: mint an API key for a
+        destination; only the plaintext returned here ever exists —
+        the store keeps the hash."""
+        import uuid
+
+        if destination not in self.destinations:
+            raise KeyError(destination)
+        key = str(uuid.uuid4())
+        self.keys.add_key(key, destination)
+        return key
 
     # ------------------------------------------------------------ ingest
     def insert(self, destination: str, table: str, body: bytes, flatten_style: str) -> int:
@@ -53,6 +105,8 @@ class Service:
         except json.JSONDecodeError as e:
             raise ValueError(f"invalid JSON: {e}") from e
         docs = parsed if isinstance(parsed, list) else [parsed]
+        self.metrics.insert_bytes.observe(len(body))
+        self.metrics.insert_array_length.observe(len(docs))
         n = 0
         for doc in docs:
             if not isinstance(doc, dict):
@@ -114,6 +168,7 @@ class _ChunkedOut:
         self._buf: list[str] = []
         self._n = 0
         self.chunks_sent = 0
+        self.total_bytes = 0
 
     def write(self, s: str) -> int:
         if not s:
@@ -130,6 +185,7 @@ class _ChunkedOut:
         data = "".join(self._buf).encode()
         self._w.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
         self.chunks_sent += 1
+        self.total_bytes += len(data)
         self._buf, self._n = [], 0
 
     def close(self) -> None:
@@ -137,7 +193,23 @@ class _ChunkedOut:
         self._w.write(b"0\r\n\r\n")
 
 
+def _route_pattern(path: str) -> str:
+    """Normalize a concrete path to its route pattern (metrics label —
+    unbounded label cardinality would blow up the scrape)."""
+    if path.startswith("/share/"):
+        return "/share/{uuid}/data.{format}"
+    if re.match(r"^/api/tables/[^/]+/columns$", path):
+        return "/api/tables/{table}/columns"
+    if path.startswith("/api/data/insert/"):
+        return "/api/data/insert/{table}"
+    if re.match(r"^/api/destinations/[^/]+/keys$", path):
+        return "/api/destinations/{name}/keys"
+    return path
+
+
 def make_handler(service: Service):
+    import time
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -153,12 +225,17 @@ def make_handler(service: Service):
             n = int(self.headers.get("Content-Length") or 0)
             return self.rfile.read(n) if n else b""
 
+        def send_response(self, code, message=None):
+            self._status = code
+            super().send_response(code, message)
+
         def _send(self, code: int, payload: bytes, ctype: str = "application/json"):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
+            self._resp_bytes = len(payload)
 
         def _json(self, code: int, obj) -> None:
             self._send(code, json.dumps(obj).encode())
@@ -176,9 +253,34 @@ def make_handler(service: Service):
 
         # ------------------------------------------------------- routes
         def do_GET(self):
+            self._instrumented(self._get)
+
+        def do_POST(self):
+            self._instrumented(self._post)
+
+        def _instrumented(self, route_fn):
+            t0 = time.perf_counter()
+            self._status = 0
+            self._resp_bytes = 0
             path, params = self._params()
+            try:
+                route_fn(path, params)
+            finally:
+                service.metrics.observe_request(
+                    _route_pattern(path),
+                    self._status,
+                    time.perf_counter() - t0,
+                    self._resp_bytes,
+                )
+
+        def _get(self, path, params):
             if path in ("/healthcheck", "/ping"):
                 return self._json(200, {"status": "ok"})
+            if path == "/metrics":
+                return self._send(
+                    200, service.metrics.render().encode(),
+                    "text/plain; version=0.0.4",
+                )
 
             m = re.match(r"^/share/([0-9a-f-]+)/data\.(json|ndjson|csv)$", path)
             if m:
@@ -201,10 +303,43 @@ def make_handler(service: Service):
             m = re.match(r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/columns$", path)
             if m:
                 return self._json(200, service.destinations[dest].columns(m.group(1)))
+            if path == "/api/destinations":
+                if not self._is_admin(params):
+                    return self._json(401, {"error": "admin key required"})
+                return self._json(200, service.list_destinations())
             return self._json(404, {"error": "not found"})
 
-        def do_POST(self):
-            path, params = self._params()
+        def _is_admin(self, params) -> bool:
+            key = params.get("api_key") or (
+                self.headers.get("Authorization", "").removeprefix("Bearer ") or None
+            )
+            return service.keys.is_admin(key)
+
+        def _post(self, path, params):
+            # destination/key CRUD (reference pkg/api/destinations.go)
+            # is admin-gated and checked before the destination auth
+            if path == "/api/destinations":
+                if not self._is_admin(params):
+                    return self._json(401, {"error": "admin key required"})
+                try:
+                    body = json.loads(self._body())
+                    out = service.create_destination(
+                        body["name"], body.get("type", "spark"),
+                        body.get("settings", {}),
+                    )
+                except (json.JSONDecodeError, KeyError, ValueError) as e:
+                    return self._json(400, {"error": f"bad request: {e}"})
+                return self._json(200, out)
+            m = re.match(r"^/api/destinations/([A-Za-z_][A-Za-z0-9_]*)/keys$", path)
+            if m:
+                if not self._is_admin(params):
+                    return self._json(401, {"error": "admin key required"})
+                try:
+                    key = service.create_key(m.group(1))
+                except KeyError:
+                    return self._json(404, {"error": "unknown destination"})
+                return self._json(200, {"key": key, "destination_id": m.group(1)})
+
             dest = self._auth(params)
             if dest is None:
                 return self._json(401, {"error": "unauthorized"})
@@ -277,6 +412,7 @@ def make_handler(service: Service):
             try:
                 service.query(dest, q, fmt, out)
                 out.close()
+                self._resp_bytes = out.total_bytes
             except Exception:  # noqa: BLE001
                 # headers are gone: a mid-stream failure can only abort
                 # the connection (same contract as the reference's fifo)

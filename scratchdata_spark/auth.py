@@ -27,6 +27,13 @@ class KeyStore:
             self._hashes[hash_key(key)] = destination
             self._cache.pop(hash_key(key), None)
 
+    def is_admin(self, api_key: str | None) -> bool:
+        return (
+            bool(api_key)
+            and self._admin_hash is not None
+            and hash_key(api_key) == self._admin_hash
+        )
+
     def resolve(self, api_key: str | None, destination_id: str | None = None) -> str | None:
         """→ destination name, or None if unauthorized."""
         if not api_key:

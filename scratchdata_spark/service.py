@@ -80,6 +80,30 @@ def build_app(
     shares = ShareStore(meta_db)
     keys = KeyStore(config.api_keys, config.admin_key)
 
-    service = Service(destinations, sink, queue, workers, shares, keys)
+    def destination_factory(name: str, type_: str, settings: dict):
+        """Runtime destination onboarding (POST /api/destinations)."""
+        if type_ == "spark":
+            return SparkDestination(spark.newSession(), catalog, name)
+        if type_ == "duckdb":
+            from scratchdata_spark.duckdb_destination import DuckDBDestination
+
+            return DuckDBDestination(settings.get("path", ":memory:"))
+        if type_ == "jdbc":
+            from scratchdata_spark.jdbc_destination import JDBCDestination
+
+            return JDBCDestination(
+                spark,
+                settings["url"],
+                engine=settings.get("engine", "postgres"),
+                driver=settings.get("driver"),
+                user=settings.get("user"),
+                password=settings.get("password"),
+            )
+        raise ValueError(f"unknown destination type: {type_}")
+
+    service = Service(
+        destinations, sink, queue, workers, shares, keys,
+        destination_factory=destination_factory,
+    )
     server = ApiServer(service, config.api.host, config.api.port)
     return App(config, service, server, sink, workers, queue)

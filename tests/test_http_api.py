@@ -262,3 +262,56 @@ def test_admin_unknown_destination_rejected(app):
     assert code == 401
     code, _ = _req(app, "GET", "/api/tables?api_key=admin&destination_id=nope")
     assert code == 401
+
+
+def test_destination_and_key_crud(app):
+    """Multi-tenant onboarding (reference pkg/api/destinations.go):
+    admin creates a destination, mints a key, and the key holder can
+    insert + query in their own namespace."""
+    # non-admin refused
+    code, _ = _req(app, "POST", "/api/destinations?api_key=local",
+                   {"name": "tenant1"})
+    assert code == 401
+    code, body = _req(app, "POST", "/api/destinations?api_key=admin",
+                      {"name": "tenant1", "type": "spark"})
+    assert code == 200 and json.loads(body) == {"name": "tenant1", "type": "spark"}
+    # duplicate name rejected
+    code, _ = _req(app, "POST", "/api/destinations?api_key=admin",
+                   {"name": "tenant1"})
+    assert code == 400
+    # listing includes it
+    code, body = _req(app, "GET", "/api/destinations?api_key=admin")
+    names = {d["name"] for d in json.loads(body)}
+    assert {"tenant1", "default", "teamb"} <= names
+    # mint a key, then use it end to end
+    code, body = _req(app, "POST", "/api/destinations/tenant1/keys?api_key=admin")
+    assert code == 200
+    key = json.loads(body)["key"]
+    code, _ = _req(app, "POST", f"/api/data/insert/tt?api_key={key}", {"v": 1})
+    assert code == 200
+    app.drain()
+    code, body = _req(
+        app, "GET", f"/api/data/query?api_key={key}&query=select v from tt"
+    )
+    assert code == 200 and json.loads(body) == [{"v": 1}]
+    # key is scoped: cannot see default's tables
+    code, _ = _req(
+        app, "GET", f"/api/data/query?api_key={key}&query=select * from evolve"
+    )
+    assert code == 500
+    # unknown destination for key minting
+    code, _ = _req(app, "POST", "/api/destinations/nope/keys?api_key=admin")
+    assert code == 404
+
+
+def test_metrics_endpoint(app):
+    """Prometheus text scrape (reference pkg/api/prometheus.go)."""
+    _req(app, "GET", "/healthcheck")  # ensure at least one observation
+    code, body = _req(app, "GET", "/metrics")
+    assert code == 200
+    assert "# TYPE latency histogram" in body
+    assert 'latency_bucket{route="/healthcheck",status_code="200",le="+Inf"}' in body
+    assert "# TYPE insert_bytes histogram" in body
+    assert "insert_bytes_count" in body and "requests_total" in body
+    # route labels are patterns, not raw paths (bounded cardinality)
+    assert "/api/data/insert/{table}" in body

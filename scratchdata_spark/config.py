@@ -41,6 +41,8 @@ class Config:
     metadata_db: str = "scratchdata.sqlite"
     api_keys: dict[str, str] = field(default_factory=dict)  # key -> destination
     admin_key: str | None = None
+    # durable-storage settings: {} → local dir; {"type": "s3"|"gcs", ...}
+    blobstore: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict) -> "Config":
@@ -52,4 +54,5 @@ class Config:
             metadata_db=d.get("metadata_db", "scratchdata.sqlite"),
             api_keys=d.get("api_keys", {}),
             admin_key=d.get("admin_key"),
+            blobstore=d.get("blobstore", {}),
         )

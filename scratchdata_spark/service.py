@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 
 from scratchdata_spark.api_server import ApiServer, Service
 from scratchdata_spark.auth import KeyStore
+from scratchdata_spark.blobstore import make_blobstore
 from scratchdata_spark.catalog import TableCatalog
 from scratchdata_spark.config import Config
 from scratchdata_spark.engine import SparkDestination
@@ -75,8 +76,11 @@ def build_app(
     meta_db = os.path.join(root, config.metadata_db)
     queue = Queue(meta_db)
     config.sink.data_dir = os.path.join(root, config.sink.data_dir)
-    sink = FileSystemSink(config.sink, queue)
-    workers = WorkerPool(queue, destinations, config.workers)
+    blobstore = make_blobstore(
+        config.blobstore, os.path.join(config.sink.data_dir, "blob")
+    )
+    sink = FileSystemSink(config.sink, queue, blobstore=blobstore)
+    workers = WorkerPool(queue, destinations, config.workers, blobstore=blobstore)
     shares = ShareStore(meta_db)
     keys = KeyStore(config.api_keys, config.admin_key)
 

@@ -8,9 +8,10 @@ enqueues an InsertData message per file. Delete-local-then-enqueue
 gives at-least-once delivery (a crash between upload and enqueue can
 re-deliver; inserts must tolerate replay).
 
-Here "durable storage" is a blob directory (S3/GCS in production —
-same contract, rename + enqueue). Threads: one rotation ticker, one
-upload ticker, mirroring the reference cadences (1 s / 10 s).
+"Durable storage" is a ``BlobStore`` (blobstore.py): the local-dir
+store by default, S3/GCS in production — same contract, put + enqueue
+the key. Threads: one rotation ticker, one upload ticker, mirroring
+the reference cadences (1 s / 10 s).
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
+from scratchdata_spark.blobstore import BlobStore, LocalBlobStore
 from scratchdata_spark.config import SinkConfig
 from scratchdata_spark.ids import next_row_id
 from scratchdata_spark.queue import Queue
@@ -36,15 +38,23 @@ class _OpenFile:
 class FileSystemSink:
     """open/<db>/<table>/<snowflake>.ndjson → closed/ → blob/ + queue."""
 
-    def __init__(self, config: SinkConfig, queue: Queue | None = None):
+    def __init__(
+        self,
+        config: SinkConfig,
+        queue: Queue | None = None,
+        blobstore: BlobStore | None = None,
+    ):
         self.config = config
         self.queue = queue
         self._open: dict[tuple[str, str], _OpenFile] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        for sub in ("open", "closed", "blob"):
+        for sub in ("open", "closed"):
             os.makedirs(os.path.join(config.data_dir, sub), exist_ok=True)
+        self.blobstore = blobstore or LocalBlobStore(
+            os.path.join(config.data_dir, "blob")
+        )
 
     # ------------------------------------------------------------- write
     def write_data(self, database: str, table: str, data: bytes) -> None:
@@ -90,22 +100,24 @@ class FileSystemSink:
 
     # ------------------------------------------------------------ upload
     def upload(self) -> int:
-        """closed/ → blob/ + enqueue insert message per file."""
+        """closed/ → blob store + enqueue insert message per file.
+        The message carries the blob KEY (db/table/name); when the
+        store is local it also carries the direct path so same-host
+        workers skip the copy."""
         n = 0
         closed = os.path.join(self.config.data_dir, "closed")
         for db in sorted(os.listdir(closed)):
             for table in sorted(os.listdir(os.path.join(closed, db))):
                 src_dir = os.path.join(closed, db, table)
                 for name in sorted(os.listdir(src_dir)):
-                    blob_dir = os.path.join(self.config.data_dir, "blob", db, table)
-                    os.makedirs(blob_dir, exist_ok=True)
-                    blob_path = os.path.join(blob_dir, name)
-                    os.replace(os.path.join(src_dir, name), blob_path)
+                    key = f"{db}/{table}/{name}"
+                    self.blobstore.put_file(os.path.join(src_dir, name), key)
                     if self.queue is not None:
-                        self.queue.enqueue(
-                            "insert_data",
-                            {"database": db, "table": table, "path": blob_path},
-                        )
+                        payload = {"database": db, "table": table, "key": key}
+                        local = self.blobstore.local_path(key)
+                        if local is not None:
+                            payload["path"] = local
+                        self.queue.enqueue("insert_data", payload)
                     n += 1
         return n
 

@@ -14,6 +14,7 @@ scheduler runs them concurrently across the cluster, so worker
 from __future__ import annotations
 
 import os
+import tempfile
 import threading
 from collections import deque
 
@@ -29,10 +30,12 @@ class WorkerPool:
         queue: Queue,
         destinations: dict[str, Destination],
         config: WorkersConfig | None = None,
+        blobstore=None,
     ):
         self.queue = queue
         self.destinations = destinations
         self.config = config or WorkersConfig()
+        self.blobstore = blobstore  # BlobStore | None — fetch-by-key path
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         # bounded: a retrying poison message must not grow memory forever
@@ -49,11 +52,25 @@ class WorkerPool:
 
     def _process_insert(self, p: dict) -> None:
         dest = self.destinations[p.get("database", "default")]
-        table, path = p["table"], p["path"]
-        # single atomic call: schema registration + data write under
-        # the per-table lock (concurrent batches can't interleave)
-        dest.insert_ndjson(table, path)
-        if os.path.exists(path):
+        table = p["table"]
+        # Reference flow (workers.go:87-127): download from the blob
+        # store, insert, delete the blob on success (failure leaves it
+        # for the at-least-once retry). A local store short-circuits
+        # the download via the direct path in the payload.
+        key, path, tmp = p.get("key"), p.get("path"), None
+        if path is None and key is not None and self.blobstore is not None:
+            tmp = path = tempfile.mktemp(suffix=".ndjson", prefix="sd-ingest-")
+            self.blobstore.get_file(key, path)
+        try:
+            # single atomic call: schema registration + data write under
+            # the per-table lock (concurrent batches can't interleave)
+            dest.insert_ndjson(table, path)
+        finally:
+            if tmp is not None and os.path.exists(tmp):
+                os.remove(tmp)
+        if key is not None and self.blobstore is not None:
+            self.blobstore.delete(key)
+        elif path is not None and os.path.exists(path):
             os.remove(path)
 
     def _process_copy(self, p: dict) -> None:

@@ -47,6 +47,13 @@ _PRIORITY = [
     "x_text_langid",
     "x_text_fingerprint",
     "x_multimodal_meta",
+    # round-2 LLM-pipeline additions (no driver row yet)
+    "x_dedup_embedding_cosine",
+    "x_dedup_embedding_lsh",
+    "x_ann_ivf_topk",
+    "x_multimodal_resize",
+    "x_multimodal_frames",
+    "x_multimodal_features",
     # Structured Streaming entries (never driver-checked in round 1)
     "s_stream_tumbling_hour",
     "s_stream_sliding_2h_1h",

@@ -29,13 +29,24 @@ from scratchdata_spark.operators.dedup import (
     normalize_text,
     simhash,
 )
-from scratchdata_spark.operators.multimodal import attach_binary, extract_media_meta
+from scratchdata_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+    extract_media_meta,
+    resize_images,
+    sample_frames,
+)
 from scratchdata_spark.operators.nested import (
     flatten_horizontal,
     flatten_multitable,
     flatten_vertical,
 )
-from scratchdata_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from scratchdata_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    ivf_topk,
+    near_dup_pairs,
+)
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
@@ -360,3 +371,102 @@ def x_multimodal_meta(spark, sf_dir):
     d = load(spark, sf_dir)["documents"]
     media = attach_binary(d)
     return extract_media_meta(media).drop("crc32")
+
+
+# ------------------------------------------------- round-2 additions
+
+@q(
+    "x_dedup_embedding_cosine",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_COS.format(a='embedding', b='embedding')}) AS n
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS.format(a='a.embedding', b='b.embedding')}
+                 / (a.n * b.n), 6) AS cos_sim
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a='a.embedding', b='b.embedding')} / (a.n * b.n) >= 0.4
+    """,
+)
+def x_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact tier (all pairs
+    compared — the oracle-able baseline; the LSH tier below is the
+    100 TB path). Threshold 0.4 fits the synthetic corpus's cosine
+    range; production semantic dedup runs 0.9+ on real embeddings."""
+    e = load(spark, sf_dir)["embeddings"]
+    return near_dup_pairs(e, dim=64, threshold=0.4)
+
+
+@q("x_dedup_embedding_lsh", None)  # approximate by design: recall < 1
+def x_dedup_embedding_lsh(spark, sf_dir):
+    """Same near-dup semantics via LSH bucket candidate generation —
+    compares only pairs sharing a random-hyperplane bucket, the shape
+    that replaces the quadratic self-join at corpus scale."""
+    e = load(spark, sf_dir)["embeddings"]
+    return near_dup_pairs(e, dim=64, threshold=0.4, n_planes=4)
+
+
+@q("x_ann_ivf_topk", None)  # approximate by design: probes miss cells
+def x_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: nearest-centroid cells + multi-probe.
+    Candidate set is ~nprobe/n_centroids of the corpus per query."""
+    e = load(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, queries, dim=64, k=5, n_centroids=16, nprobe=4)
+
+
+@q(
+    "x_multimodal_resize",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(64 AS INTEGER) AS width,
+           CAST(64 AS INTEGER) AS height,
+           CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+def x_multimodal_resize(spark, sf_dir):
+    """Resize stage plumbing: mapInPandas batch in/out with a
+    deterministic byte-budget fake (64×64 → 64-byte budget), so the
+    output-size law is SQL-checkable. payload column dropped for the
+    compare (binary cells aren't canonicalizer-friendly)."""
+    d = load(spark, sf_dir)["documents"]
+    return resize_images(attach_binary(d), 64, 64).drop("payload")
+
+
+@q(
+    "x_multimodal_frames",
+    """
+    WITH vid AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 30 + 1 AS n,
+             least(4, octet_length(encode(text)) % 30 + 1) AS take
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(g.i * n // take AS INTEGER) AS frame_idx,
+           CAST(n AS INTEGER) AS n_frames
+    FROM vid, LATERAL (SELECT unnest(range(0, take)) AS i) g
+    """,
+)
+def x_multimodal_frames(spark, sf_dir):
+    """Frame sampling fan-out: one video row → ≤4 frame rows at evenly
+    spaced indices, exploded inside the Arrow batch."""
+    d = load(spark, sf_dir)["documents"]
+    return sample_frames(attach_binary(d), max_frames=4).drop("payload")
+
+
+@q("x_multimodal_features", None)  # numpy histogram — not SQL-expressible
+def x_multimodal_features(spark, sf_dir):
+    """Bytes → fixed-dim float vector (encoder stand-in); output plugs
+    straight into the similarity operators."""
+    d = load(spark, sf_dir)["documents"]
+    return extract_features(attach_binary(d))

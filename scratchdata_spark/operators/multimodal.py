@@ -27,7 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -103,3 +105,123 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, META_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("byte_len", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize stage: (doc_id, media_type, payload) → fixed-dimension
+    payloads. Real pipelines decode → scale → re-encode here; the
+    fake keeps the plumbing honest with a deterministic byte-budget
+    truncation (``payload[: max(1, w*h//64)]``) so the output size
+    law is checkable from SQL. Batch shape, output schema, and
+    per-core memory bounds are exactly the real stage's."""
+    budget = max(1, target_w * target_h // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if os.environ.get("SCRATCHDATA_FAKE_DECODE", "1") != "1":
+                raise NotImplementedError(
+                    "image resize requires PIL; not present in this container"
+                )
+            out = [bytes(p)[:budget] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "byte_len": [len(p) for p in out],
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Frame sampling: one video row fans out to ≤ ``max_frames``
+    frame rows at evenly spaced indices (``floor(i * n / max)``) — the
+    1→N row expansion every video pipeline needs, done inside the
+    Arrow batch so the shuffle sees already-exploded rows. The fake
+    "frame" is a deterministic byte slice of the payload; a real
+    decoder drops in at the marked call."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "n_frames": [], "payload": []}
+            for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "video/mp4":
+                    continue
+                _, _, n_frames = decode_image(p, mt)  # codec seam
+                take = min(max_frames, n_frames)
+                for i in range(take):
+                    idx = i * n_frames // take
+                    b = bytes(p)
+                    step = max(1, len(b) // n_frames)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["n_frames"].append(n_frames)
+                    rows["payload"].append(b[idx * step : idx * step + step])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stage: payload bytes → fixed-``dim`` float
+    vector (what a vision/audio encoder produces). Deterministic fake:
+    byte-histogram folded to ``dim`` buckets, L1-normalized — keeps
+    the bytes→vector contract (stable across runs, unit-ish scale)
+    without a model. Output feeds the similarity operators directly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim).astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).astype("float32").tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

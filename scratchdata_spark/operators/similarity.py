@@ -169,3 +169,137 @@ def cosine_topk_lsh(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: unordered (id_a < id_b)
+    with cosine ≥ threshold — the semantic-dedup step of a training
+    pipeline (drop one of each pair downstream).
+
+    ``n_planes=None`` → exact self-join: every pair compared, the
+    correctness baseline (oracle-able, |C|²/2 — small corpora only).
+    ``n_planes=b`` → LSH candidate generation: only pairs sharing a
+    random-hyperplane bucket are compared (recall < 1 across a plane;
+    at 100 TB this is the only shape that runs — the bucket join
+    shuffles ids + vectors once instead of materializing the cross
+    product, and near-identical vectors land in the same bucket with
+    probability (1 - θ/π)^b).
+
+    Norms are computed once per row before the pairwise expansion.
+    """
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
+    if n_planes is not None:
+        v = v.withColumn(
+            "__bucket", hyperplane_bits(F.col("__vec"), dim, n_planes)
+        )
+        a = v.select(
+            F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
+            F.col("__n").alias("__na"), "__bucket",
+        )
+        b = v.select(
+            F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
+            F.col("__n").alias("__nb"), "__bucket",
+        )
+        pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = v.select(
+            F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = v.select(
+            F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus
+    into cells by nearest centroid, probe only the query's ``nprobe``
+    nearest cells, re-rank exactly within them.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic stand-in for a k-means pass (same IVF mechanics:
+    cell assignment, multi-probe, residual exact re-rank; a trained
+    quantizer would only improve cell balance). Centroids broadcast;
+    the corpus-side assignment is one pass (|C| × n_centroids dot
+    products, map-side), and the probe join shuffles by cell id —
+    queries touch ~nprobe/n_centroids of the corpus instead of all
+    of it, which is the IVF speedup at scale.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("__cent_id"),
+            F.col(vec_col).alias("__cent_vec"),
+            _norm(F.col(vec_col)).alias("__cent_n"),
+        )
+    )
+
+    def _nearest_cells(side: DataFrame, sid: str, svec: str, top: int, keep_vec: bool):
+        sims = side.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim",
+            _dot(F.col(svec), F.col("__cent_vec"))
+            / (_norm(F.col(svec)) * F.col("__cent_n")),
+        )
+        w = Window.partitionBy(sid).orderBy(F.col("__csim").desc(), "__cent_id")
+        cols = [sid, "__cent_id"] + ([svec] if keep_vec else [])
+        return (
+            sims.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= top)
+            .select(*cols)
+        )
+
+    cells = _nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "neighbor_id", "__cvec", 1, keep_vec=True,
+    )
+    probes = _nearest_cells(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")),
+        "__qid", "__qvec", nprobe, keep_vec=True,
+    )
+    cand = cells.join(probes, "__cent_id").filter(
+        F.col("neighbor_id") != F.col("__qid")
+    )
+    sim = cand.withColumn("cos_sim", cosine(F.col("__cvec"), F.col("__qvec")))
+    w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

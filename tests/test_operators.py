@@ -147,3 +147,96 @@ def test_multimodal_decode_stub_raises_without_fake(spark, monkeypatch):
     monkeypatch.setenv("SCRATCHDATA_FAKE_DECODE", "0")
     with pytest.raises(NotImplementedError):
         M.decode_image(b"bytes", "image/png")
+
+
+def test_near_dup_pairs_exact_and_lsh_subset(spark):
+    """LSH candidates must be a subset of the exact pairs (no false
+    positives — the exact cosine filter runs after bucketing), and
+    identical vectors must always collide (same bucket by construction)."""
+    from scratchdata_spark.operators.similarity import near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+        (3, [0.9, 0.1, 0.0, 0.0]),   # near-dup of 1
+        (4, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in near_dup_pairs(df, dim=4, threshold=0.9).collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] == 1.0
+    assert (1, 3) in exact and (2, 3) in exact
+    assert not any(4 in p or 5 in p for p in exact)
+
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(df, dim=4, threshold=0.9, n_planes=4).collect()
+    }
+    assert lsh <= set(exact)
+    assert (1, 2) in lsh  # identical vectors share every bucket
+
+
+def test_ivf_topk_matches_brute_force_with_full_probe(spark):
+    """Probing every cell makes IVF exhaustive — results must equal
+    the brute-force ranking exactly."""
+    import random
+
+    from scratchdata_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    brute = cosine_topk(df, queries, k=3).collect()
+    full = ivf_topk(df, queries, dim=8, k=3, n_centroids=4, nprobe=4).collect()
+    assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in brute]) == sorted(
+        [(r.query_id, r.rank, r.neighbor_id) for r in full]
+    )
+    # partial probe returns ≤ k per query and only real neighbors
+    part = ivf_topk(df, queries, dim=8, k=3, n_centroids=8, nprobe=2).collect()
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in part)
+    assert all(v <= 3 for v in per_q.values())
+
+
+def test_resize_and_frames_and_features(spark):
+    from scratchdata_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_binary,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a" * 100), (2, "b" * 35), (5, "c" * 10)], ["doc_id", "text"]
+    )
+    media = attach_binary(df)
+
+    rs = {r.doc_id: r for r in resize_images(media, 64, 64).collect()}
+    assert rs[0].byte_len == 64 and len(rs[0].payload) == 64  # truncated to budget
+    assert rs[5].byte_len == 10  # shorter than budget → kept whole
+    assert rs[0].width == 64 and rs[0].height == 64
+
+    # only video rows (doc_id % 3 == 2) fan out; ≤4 frames, valid indices
+    fr = sample_frames(media, max_frames=4).collect()
+    assert {r.doc_id for r in fr} == {2, 5}
+    for r in fr:
+        assert 0 <= r.frame_idx < r.n_frames and len(r.payload) >= 1
+    n2 = [r for r in fr if r.doc_id == 2]
+    assert len(n2) == min(4, n2[0].n_frames)
+
+    feats = extract_features(media).collect()
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    assert all(abs(sum(r.features) - 1.0) < 1e-3 for r in feats)  # L1-normalized
+    # deterministic: same payload → same vector
+    again = extract_features(media).collect()
+    assert {r.doc_id: r.features for r in feats} == {
+        r.doc_id: r.features for r in again
+    }

@@ -200,6 +200,8 @@ def _route_pattern(path: str) -> str:
         return "/share/{uuid}/data.{format}"
     if re.match(r"^/api/tables/[^/]+/columns$", path):
         return "/api/tables/{table}/columns"
+    if re.match(r"^/api/tables/[^/]+/compact$", path):
+        return "/api/tables/{table}/compact"
     if path.startswith("/api/data/insert/"):
         return "/api/data/insert/{table}"
     if re.match(r"^/api/destinations/[^/]+/keys$", path):
@@ -339,6 +341,27 @@ def make_handler(service: Service):
                 except KeyError:
                     return self._json(404, {"error": "unknown destination"})
                 return self._json(200, {"key": key, "destination_id": m.group(1)})
+            m = re.match(r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/compact$", path)
+            if m:
+                # small-file maintenance (admin): fold the table's
+                # micro-batch parquet files into target-size files
+                if not self._is_admin(params):
+                    return self._json(401, {"error": "admin key required"})
+                dst = service.destinations.get(
+                    params.get("destination_id", "default")
+                )
+                if dst is None or not hasattr(dst, "compact_table"):
+                    return self._json(404, {"error": "unknown destination"})
+                try:
+                    return self._json(
+                        200,
+                        dst.compact_table(
+                            m.group(1),
+                            min_files=int(params.get("min_files", 8)),
+                        ),
+                    )
+                except KeyError:
+                    return self._json(404, {"error": "unknown table"})
 
             dest = self._auth(params)
             if dest is None:

@@ -38,6 +38,8 @@ class TableInfo:
     database: str
     name: str
     columns: list[dict]  # [{"name":..., "jsontype":...}] in ALTER order
+    generation: int = 0  # compaction epoch: 0 = loose files in the
+    #                      table root, N>0 = data lives in g<N>/
 
     def struct(self) -> StructType:
         fields = []
@@ -56,8 +58,18 @@ class TableCatalog:
     _global: threading.Lock = field(default_factory=threading.Lock)
 
     # -- paths -----------------------------------------------------------
-    def data_dir(self, database: str, table: str) -> str:
+    def table_root(self, database: str, table: str) -> str:
         return os.path.join(self.warehouse, database, table)
+
+    def data_dir(self, database: str, table: str) -> str:
+        """Current-generation data directory. Readers and writers both
+        resolve through this, so a compaction pointer flip (atomic
+        JSON replace) redirects every subsequent scan and insert."""
+        root = self.table_root(database, table)
+        info = self.get(database, table)
+        if info is None or info.generation == 0:
+            return root
+        return os.path.join(root, f"g{info.generation}")
 
     def _meta_path(self, database: str, table: str) -> str:
         return os.path.join(self.warehouse, "_catalog", database, f"{table}.json")
@@ -76,15 +88,24 @@ class TableCatalog:
             return None
         with open(path, "r", encoding="utf-8") as f:
             meta = json.load(f)
-        return TableInfo(database, table, meta["columns"])
+        return TableInfo(database, table, meta["columns"], meta.get("generation", 0))
 
     def _put(self, info: TableInfo) -> None:
         path = self._meta_path(info.database, info.name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"columns": info.columns}, f)
+            json.dump({"columns": info.columns, "generation": info.generation}, f)
         os.replace(tmp, path)
+
+    def set_generation(self, database: str, table: str, generation: int) -> None:
+        """Flip the compaction pointer (call under the table lock; the
+        JSON replace itself is atomic)."""
+        info = self.get(database, table)
+        if info is None:
+            raise KeyError(f"no such table: {database}.{table}")
+        info.generation = generation
+        self._put(info)
 
     def create_empty_table(self, database: str, table: str) -> TableInfo:
         """CREATE TABLE IF NOT EXISTS t (__row_id BIGINT) — A7."""

@@ -23,6 +23,9 @@ class WorkersConfig:
     dequeue_timeout_seconds: float = 1.0
     max_bulk_query_size_bytes: int = 500_000_000
     bulk_chunk_size_bytes: int = 50_000_000
+    # compact a table once its current generation accumulates this many
+    # parquet files (0 = off); micro-batch ingest makes many tiny files
+    auto_compact_files: int = 0
 
 
 @dataclass

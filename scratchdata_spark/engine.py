@@ -18,6 +18,7 @@ driver (the moral equivalent of the reference's fifo streaming,
 from __future__ import annotations
 
 import json
+import os
 import re
 from abc import ABC, abstractmethod
 from typing import IO, Iterator
@@ -291,3 +292,95 @@ class SparkDestination(DataFrameSerializers, Destination):
             out.write.mode("append").parquet(self.catalog.data_dir(self.database, table))
         # cached plans pinned the pre-insert file listing — drop them
         self.plan_cache.invalidate()
+
+    # ------------------------------------------------------ maintenance
+    def file_count(self, table: str) -> int:
+        d = self.catalog.data_dir(self.database, _check_ident(table))
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    def compact_table(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 8,
+    ) -> dict:
+        """Rewrite a table's accumulated micro-batch files into
+        ~``target_file_bytes`` files — the maintenance op that keeps
+        the 1000-row ingest rotations from becoming a million-file
+        scan at scale.
+
+        Generation-pointer design (a snapshot flip, like an Iceberg
+        commit scaled down to one JSON field):
+        1. snapshot the current file listing and rewrite it into the
+           next generation directory — NO lock held, inserts continue;
+        2. under the table lock: move files that arrived during the
+           rewrite into the new generation untouched (renames, no
+           data pass), then atomically flip ``generation`` in the
+           catalog JSON;
+        3. retire the grandparent generation only — queries in flight
+           on the previous generation finish on their pinned listing.
+
+        The rewrite sorts within partitions by ``__row_id`` (snowflake
+        ids are time-ordered) so parquet min/max stats prune time-range
+        predicates after compaction.
+        """
+        table = _check_ident(table)
+        info = self.catalog.get(self.database, table)
+        if info is None:
+            raise KeyError(f"no such table: {table}")
+        cur_dir = self.catalog.data_dir(self.database, table)
+        snapshot = sorted(
+            f for f in os.listdir(cur_dir) if f.endswith(".parquet")
+        ) if os.path.isdir(cur_dir) else []
+        if len(snapshot) < min_files:
+            return {"compacted": False, "files": len(snapshot), "reason": "below min_files"}
+
+        total = sum(os.path.getsize(os.path.join(cur_dir, f)) for f in snapshot)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        root = self.catalog.table_root(self.database, table)
+        new_gen = info.generation + 1
+        new_dir = os.path.join(root, f"g{new_gen}")
+        (
+            self.spark.read.schema(info.struct())
+            .parquet(*[os.path.join(cur_dir, f) for f in snapshot])
+            .repartition(int(n_out))
+            .sortWithinPartitions(ROW_ID)
+            .write.mode("overwrite")
+            .parquet(new_dir)
+        )
+        with self.catalog.lock(self.database, table):
+            # catch-up: batches inserted during the rewrite move over
+            # as-is (rename only; their schema may trail — reads pass
+            # an explicit schema, missing columns come back NULL)
+            late = [
+                f
+                for f in os.listdir(cur_dir)
+                if f.endswith(".parquet") and f not in set(snapshot)
+            ]
+            for f in late:
+                os.replace(
+                    os.path.join(cur_dir, f), os.path.join(new_dir, f"late-{f}")
+                )
+            self.catalog.set_generation(self.database, table, new_gen)
+            self.plan_cache.invalidate()
+        # retire the grandparent (new_gen - 2); the immediate parent
+        # stays until the NEXT compaction for in-flight readers
+        retire = new_gen - 2
+        if retire == 0:
+            for f in os.listdir(root):
+                if f.endswith(".parquet") or f == "_SUCCESS":
+                    os.remove(os.path.join(root, f))
+        elif retire > 0:
+            import shutil
+
+            shutil.rmtree(os.path.join(root, f"g{retire}"), ignore_errors=True)
+        return {
+            "compacted": True,
+            "files_in": len(snapshot),
+            "late_files": len(late),
+            "files_out": self.file_count(table),
+            "bytes": int(total),
+            "generation": new_gen,
+        }

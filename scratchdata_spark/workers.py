@@ -72,6 +72,16 @@ class WorkerPool:
             self.blobstore.delete(key)
         elif path is not None and os.path.exists(path):
             os.remove(path)
+        # opportunistic small-file compaction: once the table's current
+        # generation has accumulated auto_compact_files micro-batches,
+        # fold them into ~target-size files (engine.compact_table docs)
+        limit = self.config.auto_compact_files
+        if (
+            limit > 0
+            and hasattr(dest, "compact_table")
+            and dest.file_count(table) >= limit
+        ):
+            dest.compact_table(table, min_files=limit)
 
     def _process_copy(self, p: dict) -> None:
         src = self.destinations[p["source"]]

@@ -118,3 +118,89 @@ def test_plan_cache_reuse_and_invalidation(dest):
     df3 = dest.query_df(q)
     assert df3 is not df1  # write invalidated the cached plan
     assert df3.collect()[0]["n"] == 2
+
+
+# ------------------------------------------------------------ compaction
+def _q(dest, sql):
+    buf = io.StringIO()
+    dest.query_json(sql, buf)
+    return buf.getvalue()
+
+
+def test_compact_folds_small_files_and_flips_generation(dest):
+    import os
+
+    for i in range(6):
+        _insert(dest, "c1", [f'{{"a": {i}, "b": "x{i}"}}'])
+    assert dest.file_count("c1") >= 6
+    before = {(r["a"], r["b"]) for r in
+              json.loads(_q(dest, "SELECT a, b FROM c1 ORDER BY a"))}
+
+    out = dest.compact_table("c1", min_files=4)
+    assert out["compacted"] and out["files_in"] >= 6
+    assert dest.file_count("c1") < out["files_in"]
+    info = dest.catalog.get("db1", "c1")
+    assert info.generation == 1
+    # data dir now resolves into g1/ and every row survived
+    assert dest.catalog.data_dir("db1", "c1").endswith("g1")
+    after = {(r["a"], r["b"]) for r in
+             json.loads(_q(dest, "SELECT a, b FROM c1 ORDER BY a"))}
+    assert after == before
+
+    # inserts keep working post-flip (land in the new generation)...
+    _insert(dest, "c1", ['{"a": 100, "b": "new"}'])
+    rows = json.loads(_q(dest, "SELECT count(*) AS n FROM c1"))
+    assert rows[0]["n"] == 7
+    # ...and a second compaction retires generation 0's loose files
+    for i in range(5):
+        _insert(dest, "c1", [f'{{"a": {200 + i}}}'])
+    out2 = dest.compact_table("c1", min_files=2)
+    assert out2["generation"] == 2
+    root = dest.catalog.table_root("db1", "c1")
+    assert not any(f.endswith(".parquet") for f in os.listdir(root))
+    assert os.path.isdir(os.path.join(root, "g1"))  # parent kept for readers
+    rows = json.loads(_q(dest, "SELECT count(*) AS n FROM c1"))
+    assert rows[0]["n"] == 12
+
+
+def test_compact_below_min_files_is_noop(dest):
+    _insert(dest, "c2", ['{"a": 1}'])
+    out = dest.compact_table("c2", min_files=8)
+    assert out == {"compacted": False, "files": 1, "reason": "below min_files"}
+    assert dest.catalog.get("db1", "c2").generation == 0
+
+
+def test_compact_preserves_schema_evolution(dest):
+    """Rows written before a column existed read back NULL after the
+    rewrite (explicit-schema scan, same as pre-compaction)."""
+    for i in range(3):
+        _insert(dest, "c3", [f'{{"a": {i}}}'])
+    for i in range(3):
+        _insert(dest, "c3", [f'{{"a": {10 + i}, "later": "v{i}"}}'])
+    dest.compact_table("c3", min_files=2)
+    rows = json.loads(_q(dest, "SELECT a, later FROM c3 ORDER BY a"))
+    assert [r.get("later") for r in rows] == [None, None, None, "v0", "v1", "v2"]
+
+
+def test_auto_compaction_via_worker(spark, tmp_path):
+    """WorkerPool triggers compaction once a table crosses the
+    configured file count."""
+    from scratchdata_spark.config import WorkersConfig
+    from scratchdata_spark.queue import Queue
+    from scratchdata_spark.workers import WorkerPool
+
+    d = SparkDestination(spark, TableCatalog(str(tmp_path / "wh")), "default")
+    q = Queue(str(tmp_path / "m.sqlite"))
+    pool = WorkerPool(
+        q, {"default": d}, WorkersConfig(auto_compact_files=4)
+    )
+    for i in range(5):
+        p = tmp_path / f"b{i}.ndjson"
+        p.write_text(f'{{"v": {i}}}\n')
+        q.enqueue("insert_data", {"database": "default", "table": "t", "path": str(p)})
+    pool.drain()
+    assert not pool.errors
+    assert d.catalog.get("default", "t").generation >= 1
+    assert d.file_count("t") <= 2
+    rows = json.loads(_q(d, "SELECT count(*) AS n FROM t"))
+    assert rows[0]["n"] == 5

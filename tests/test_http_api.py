@@ -315,3 +315,29 @@ def test_metrics_endpoint(app):
     assert "insert_bytes_count" in body and "requests_total" in body
     # route labels are patterns, not raw paths (bounded cardinality)
     assert "/api/data/insert/{table}" in body
+
+
+def test_compact_route(app):
+    """Admin maintenance endpoint folds micro-batch files."""
+    for i in range(5):
+        _req(app, "POST", "/api/data/insert/many?api_key=local", {"v": i})
+        app.drain()  # one parquet file per drained batch
+    code, _ = _req(app, "POST", "/api/tables/many/compact?api_key=local")
+    assert code == 401  # non-admin refused
+    code, body = _req(
+        app, "POST",
+        "/api/tables/many/compact?api_key=admin&destination_id=default&min_files=2",
+    )
+    assert code == 200
+    out = json.loads(body)
+    assert out["compacted"] is True and out["files_in"] >= 5
+    code, body = _req(
+        app, "GET",
+        "/api/data/query?api_key=local&query=select count(*) as n from many",
+    )
+    assert json.loads(body) == [{"n": 5}]
+    code, _ = _req(
+        app, "POST",
+        "/api/tables/nope/compact?api_key=admin&destination_id=default",
+    )
+    assert code == 404

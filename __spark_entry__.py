@@ -59,6 +59,8 @@ _PRIORITY = [
     "s_stream_sliding_2h_1h",
     "s_stream_session_windows",
     "s_stream_stateful_user_totals",
+    "s_stream_dedup",
+    "s_stream_stream_join",
     # SQL surface past the round-1 window
     "q_percentile_exact",
     "q_agg_filter",

@@ -241,3 +241,80 @@ def s_stream_stateful_user_totals(spark, sf_dir):
         )
         .select("user_id", "n_events", "total_value", "last_ts_us")
     )
+
+
+@q(
+    "s_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def s_stream_dedup(spark, sf_dir):
+    """Streaming deduplication: dropDuplicatesWithinWatermark keeps
+    one row per (user_id, event_type) with per-key state evicted once
+    the watermark passes the key's last-seen time — the unbounded-state
+    fix for streams that repeat keys forever. Projected to the key
+    columns, every survivor is identical, so the batch oracle is a
+    plain DISTINCT regardless of which arrival won."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("etime", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _drain(deduped, "append")
+
+
+@q(
+    "s_stream_stream_join",
+    """
+    SELECT a.user_id,
+           epoch_us(a.ts) AS purchase_ts_us,
+           epoch_us(b.ts) AS click_ts_us,
+           a.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+    """,
+)
+def s_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join (purchase ⋈ click within 1 h, same
+    user). Both sides carry watermarks and the join predicate bounds
+    event time on each side, so Spark can size the join state and
+    evict it as the watermark advances — the required shape for an
+    unbounded stream-stream join. Final output equals the batch
+    interval join, which is the oracle."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("etime").alias("p_time"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_time", "365 days")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("etime").alias("c_time"),
+            F.col("ts_us").alias("click_ts_us"),
+        )
+        .withWatermark("c_time", "365 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time"))
+        & (F.col("c_time") <= F.col("p_time") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_ts_us",
+        "click_ts_us",
+        "purchase_value",
+    )
+    return _drain(joined, "append")

@@ -182,3 +182,26 @@ def test_stateful_session_operator(spark, tmp_path):
     # inactivity timeout closed both sessions with the final counters
     assert len(closed) == 2
     assert closed[1].n_events == 2 and closed[2].n_events == 1
+
+
+def test_stream_dedup_and_stream_join(spark):
+    """s_stream_dedup / s_stream_stream_join registry entries run as
+    real streaming jobs and match batch semantics on sf0.001."""
+    from scratchdata_spark.streaming.queries import (
+        s_stream_dedup,
+        s_stream_stream_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dd = s_stream_dedup(spark, sf)
+    batch = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type"
+    ).distinct()
+    assert sorted(map(tuple, dd.collect())) == sorted(map(tuple, batch.collect()))
+
+    sj = s_stream_stream_join(spark, sf).collect()
+    # every joined click falls inside [purchase, purchase + 1h]
+    assert all(
+        r.purchase_ts_us <= r.click_ts_us <= r.purchase_ts_us + 3_600_000_000
+        for r in sj
+    )

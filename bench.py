@@ -47,8 +47,11 @@ HEADLINE = [
 EXTRAS = [  # included once implemented (operators/ extras)
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
+    "x_dedup_embedding_lsh",
     "x_ann_cosine_topk",
+    "x_ann_ivf_topk",
     "x_text_quality",
+    "x_multimodal_meta",
 ]
 
 

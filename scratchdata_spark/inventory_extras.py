@@ -404,9 +404,16 @@ def x_dedup_embedding_cosine(spark, sf_dir):
 def x_dedup_embedding_lsh(spark, sf_dir):
     """Same near-dup semantics via LSH bucket candidate generation —
     compares only pairs sharing a random-hyperplane bucket, the shape
-    that replaces the quadratic self-join at corpus scale."""
+    that replaces the quadratic self-join at corpus scale. Plane count
+    scales with corpus size so the expected bucket holds ~60 vectors
+    (candidate work stays ~linear; the count() is a parquet-footer
+    metadata read, not a scan)."""
+    import math
+
     e = load(spark, sf_dir)["embeddings"]
-    return near_dup_pairs(e, dim=64, threshold=0.4, n_planes=4)
+    n = e.count()
+    planes = max(3, math.ceil(math.log2(max(2.0, n / 60.0))))
+    return near_dup_pairs(e, dim=64, threshold=0.4, n_planes=planes)
 
 
 @q("x_ann_ivf_topk", None)  # approximate by design: probes miss cells

@@ -202,6 +202,8 @@ def _route_pattern(path: str) -> str:
         return "/api/tables/{table}/columns"
     if re.match(r"^/api/tables/[^/]+/compact$", path):
         return "/api/tables/{table}/compact"
+    if re.match(r"^/api/tables/[^/]+/partitioning$", path):
+        return "/api/tables/{table}/partitioning"
     if path.startswith("/api/data/insert/"):
         return "/api/data/insert/{table}"
     if re.match(r"^/api/destinations/[^/]+/keys$", path):
@@ -341,6 +343,23 @@ def make_handler(service: Service):
                 except KeyError:
                     return self._json(404, {"error": "unknown destination"})
                 return self._json(200, {"key": key, "destination_id": m.group(1)})
+            m = re.match(r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/partitioning$", path)
+            if m:
+                # declare hive-style partitioning (admin, empty table)
+                if not self._is_admin(params):
+                    return self._json(401, {"error": "admin key required"})
+                dst = service.destinations.get(
+                    params.get("destination_id", "default")
+                )
+                if dst is None or not hasattr(dst, "set_partitioning"):
+                    return self._json(404, {"error": "unknown destination"})
+                try:
+                    dst.set_partitioning(m.group(1), params.get("column"))
+                except KeyError:
+                    return self._json(404, {"error": "unknown table"})
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
+                return self._json(200, {"table": m.group(1), "partition_col": params.get("column")})
             m = re.match(r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/compact$", path)
             if m:
                 # small-file maintenance (admin): fold the table's

@@ -40,6 +40,7 @@ class TableInfo:
     columns: list[dict]  # [{"name":..., "jsontype":...}] in ALTER order
     generation: int = 0  # compaction epoch: 0 = loose files in the
     #                      table root, N>0 = data lives in g<N>/
+    partition_col: str | None = None  # hive-style directory partitioning
 
     def struct(self) -> StructType:
         fields = []
@@ -88,15 +89,46 @@ class TableCatalog:
             return None
         with open(path, "r", encoding="utf-8") as f:
             meta = json.load(f)
-        return TableInfo(database, table, meta["columns"], meta.get("generation", 0))
+        return TableInfo(
+            database,
+            table,
+            meta["columns"],
+            meta.get("generation", 0),
+            meta.get("partition_col"),
+        )
 
     def _put(self, info: TableInfo) -> None:
         path = self._meta_path(info.database, info.name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"columns": info.columns, "generation": info.generation}, f)
+            json.dump(
+                {
+                    "columns": info.columns,
+                    "generation": info.generation,
+                    "partition_col": info.partition_col,
+                },
+                f,
+            )
         os.replace(tmp, path)
+
+    def set_partitioning(self, database: str, table: str, column: str | None) -> None:
+        """Declare hive-style directory partitioning for a table. Only
+        allowed while the table is empty — repartitioning existing data
+        is a rewrite job, not a metadata flip."""
+        info = self.get(database, table)
+        if info is None:
+            raise KeyError(f"no such table: {database}.{table}")
+        d = self.data_dir(database, table)
+        has_data = os.path.isdir(d) and any(
+            f.endswith(".parquet")
+            for _, _, names in os.walk(d)
+            for f in names
+        )
+        if has_data:
+            raise ValueError("cannot change partitioning of a non-empty table")
+        info.partition_col = column
+        self._put(info)
 
     def set_generation(self, database: str, table: str, generation: int) -> None:
         """Flip the compaction pointer (call under the table lock; the

@@ -183,9 +183,14 @@ class SparkDestination(DataFrameSerializers, Destination):
         info = self.catalog.get(self.database, table)
         if info is None:
             raise KeyError(f"no such table: {table}")
-        return self.spark.read.schema(info.struct()).parquet(
-            self.catalog.data_dir(self.database, table)
-        )
+        d = self.catalog.data_dir(self.database, table)
+        reader = self.spark.read.schema(info.struct())
+        if info.partition_col:
+            # hive-layout dirs: basePath makes the partition column
+            # resolve from directory names; an equality/range predicate
+            # on it prunes whole directories at planning time
+            reader = reader.option("basePath", d)
+        return reader.parquet(d)
 
     def register_views(self) -> None:
         """Expose every catalog table as a temp view for spark.sql.
@@ -289,16 +294,49 @@ class SparkDestination(DataFrameSerializers, Destination):
             from scratchdata_spark.ids import snowflake_column
 
             out = out.withColumn(ROW_ID, F.coalesce(F.col(ROW_ID), snowflake_column()))
-            out.write.mode("append").parquet(self.catalog.data_dir(self.database, table))
+            writer = out.write.mode("append")
+            if info.partition_col:
+                writer = writer.partitionBy(info.partition_col)
+            writer.parquet(self.catalog.data_dir(self.database, table))
         # cached plans pinned the pre-insert file listing — drop them
         self.plan_cache.invalidate()
 
     # ------------------------------------------------------ maintenance
+    def set_partitioning(self, table: str, column: str | None) -> None:
+        """Declare hive-style partitioning (empty tables only — see
+        catalog.set_partitioning). The column must already be
+        registered; inserts then write ``column=value/`` directories
+        and scans prune them on partition predicates."""
+        table = _check_ident(table)
+        if column is not None:
+            _check_ident(column)
+            info = self.catalog.get(self.database, table)
+            if info is None:
+                raise KeyError(f"no such table: {table}")
+            if column not in {c["name"] for c in info.columns}:
+                raise ValueError(f"unknown column: {column}")
+        with self.catalog.lock(self.database, table):
+            self.catalog.set_partitioning(self.database, table, column)
+        self.plan_cache.invalidate()
+
+    @staticmethod
+    def _list_parquet(d: str) -> list[str]:
+        """Relative paths of every parquet leaf under d (partitioned
+        tables nest files in column=value/ dirs, but never in g*/)."""
+        out = []
+        for dirpath, dirnames, names in os.walk(d):
+            dirnames[:] = [x for x in dirnames if not re.fullmatch(r"g\d+", x)]
+            for f in names:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, f), d)
+                    out.append(rel.replace(os.sep, "/"))
+        return sorted(out)
+
     def file_count(self, table: str) -> int:
         d = self.catalog.data_dir(self.database, _check_ident(table))
         if not os.path.isdir(d):
             return 0
-        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return len(self._list_parquet(d))
 
     def compact_table(
         self,
@@ -331,9 +369,7 @@ class SparkDestination(DataFrameSerializers, Destination):
         if info is None:
             raise KeyError(f"no such table: {table}")
         cur_dir = self.catalog.data_dir(self.database, table)
-        snapshot = sorted(
-            f for f in os.listdir(cur_dir) if f.endswith(".parquet")
-        ) if os.path.isdir(cur_dir) else []
+        snapshot = self._list_parquet(cur_dir) if os.path.isdir(cur_dir) else []
         if len(snapshot) < min_files:
             return {"compacted": False, "files": len(snapshot), "reason": "below min_files"}
 
@@ -342,36 +378,49 @@ class SparkDestination(DataFrameSerializers, Destination):
         root = self.catalog.table_root(self.database, table)
         new_gen = info.generation + 1
         new_dir = os.path.join(root, f"g{new_gen}")
-        (
+        src = (
             self.spark.read.schema(info.struct())
+            # basePath keeps partition-column values resolvable when the
+            # listing addresses leaf files inside column=value/ dirs
+            .option("basePath", cur_dir)
             .parquet(*[os.path.join(cur_dir, f) for f in snapshot])
-            .repartition(int(n_out))
-            .sortWithinPartitions(ROW_ID)
-            .write.mode("overwrite")
-            .parquet(new_dir)
         )
+        if info.partition_col:
+            # co-locate each hive partition's rows in the same tasks so
+            # the write emits ~1 file per (task, partition value), not
+            # n_out files inside every partition directory
+            src = src.repartition(int(n_out), F.col(info.partition_col))
+        else:
+            src = src.repartition(int(n_out))
+        writer = src.sortWithinPartitions(ROW_ID).write.mode("overwrite")
+        if info.partition_col:
+            writer = writer.partitionBy(info.partition_col)
+        writer.parquet(new_dir)
         with self.catalog.lock(self.database, table):
             # catch-up: batches inserted during the rewrite move over
             # as-is (rename only; their schema may trail — reads pass
             # an explicit schema, missing columns come back NULL)
             late = [
-                f
-                for f in os.listdir(cur_dir)
-                if f.endswith(".parquet") and f not in set(snapshot)
+                f for f in self._list_parquet(cur_dir) if f not in set(snapshot)
             ]
             for f in late:
-                os.replace(
-                    os.path.join(cur_dir, f), os.path.join(new_dir, f"late-{f}")
-                )
+                dst = os.path.join(new_dir, os.path.dirname(f), "late-" + os.path.basename(f))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(cur_dir, f), dst)
             self.catalog.set_generation(self.database, table, new_gen)
             self.plan_cache.invalidate()
         # retire the grandparent (new_gen - 2); the immediate parent
         # stays until the NEXT compaction for in-flight readers
         retire = new_gen - 2
         if retire == 0:
+            import shutil
+
             for f in os.listdir(root):
+                p = os.path.join(root, f)
                 if f.endswith(".parquet") or f == "_SUCCESS":
-                    os.remove(os.path.join(root, f))
+                    os.remove(p)
+                elif "=" in f and os.path.isdir(p):  # hive partition dir
+                    shutil.rmtree(p, ignore_errors=True)
         elif retire > 0:
             import shutil
 

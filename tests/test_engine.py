@@ -204,3 +204,63 @@ def test_auto_compaction_via_worker(spark, tmp_path):
     assert d.file_count("t") <= 2
     rows = json.loads(_q(d, "SELECT count(*) AS n FROM t"))
     assert rows[0]["n"] == 5
+
+
+# ---------------------------------------------------------- partitioning
+def test_partitioned_table_roundtrip_and_pruning(dest):
+    import os
+
+    dest.create_empty_table("pt")
+    # register the partition column first (empty-table requirement)
+    _insert_schema_only = '{"day": "2024-01-01", "v": 0}'
+    dest.create_columns("pt", _write_tmp([_insert_schema_only]))
+    dest.set_partitioning("pt", "day")
+    for day, v in [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)]:
+        _insert(dest, "pt", [f'{{"day": "{day}", "v": {v}}}'])
+
+    d = dest.catalog.data_dir("db1", "pt")
+    assert os.path.isdir(os.path.join(d, "day=2024-01-01"))
+    rows = json.loads(_q(dest, "SELECT day, v FROM pt ORDER BY v"))
+    assert [(r["day"], r["v"]) for r in rows] == [
+        ("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)
+    ]
+    # a partition predicate prunes directories at planning time
+    plan = dest.query_df(
+        "SELECT v FROM pt WHERE day = '2024-01-02'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+
+    # partitioning a non-empty table is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dest.set_partitioning("pt", "v")
+
+
+def test_partitioned_compaction_preserves_layout(dest):
+    import os
+
+    dest.create_empty_table("pc")
+    dest.create_columns("pc", _write_tmp(['{"day": "d1", "v": 0}']))
+    dest.set_partitioning("pc", "day")
+    for i in range(6):
+        _insert(dest, "pc", [f'{{"day": "d{i % 2}", "v": {i}}}'])
+    before = json.loads(_q(dest, "SELECT day, sum(v) AS s FROM pc GROUP BY day ORDER BY day"))
+
+    out = dest.compact_table("pc", min_files=4)
+    assert out["compacted"]
+    d = dest.catalog.data_dir("db1", "pc")
+    assert d.endswith("g1")
+    assert os.path.isdir(os.path.join(d, "day=d0"))  # hive layout kept
+    after = json.loads(_q(dest, "SELECT day, sum(v) AS s FROM pc GROUP BY day ORDER BY day"))
+    assert after == before
+    assert dest.file_count("pc") < out["files_in"]
+
+
+def _write_tmp(lines):
+    import tempfile, os
+
+    fd, path = tempfile.mkstemp(suffix=".ndjson")
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path

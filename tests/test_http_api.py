@@ -341,3 +341,49 @@ def test_compact_route(app):
         "/api/tables/nope/compact?api_key=admin&destination_id=default",
     )
     assert code == 404
+
+
+def test_partitioning_route(app):
+    """Admin declares partitioning on an empty table; subsequent
+    inserts lay out hive dirs and partition predicates still work."""
+    # create table + schema via one insert on a THROWAWAY table to get
+    # the column registered? No — partitioning needs an empty table, so
+    # pre-register via the destination directly.
+    d = app.service.destinations["default"]
+    d.create_empty_table("plogs")
+    import tempfile, os as _os
+
+    fd, p = tempfile.mkstemp(suffix=".ndjson")
+    with _os.fdopen(fd, "w") as f:
+        f.write('{"day": "d0", "v": 0}\n')
+    d.create_columns("plogs", p)
+    _os.remove(p)
+
+    code, _ = _req(app, "POST", "/api/tables/plogs/partitioning?api_key=local&column=day")
+    assert code == 401  # non-admin refused
+    code, body = _req(
+        app, "POST",
+        "/api/tables/plogs/partitioning?api_key=admin&destination_id=default&column=day",
+    )
+    assert code == 200 and json.loads(body)["partition_col"] == "day"
+    # unknown column refused
+    code, _ = _req(
+        app, "POST",
+        "/api/tables/plogs/partitioning?api_key=admin&destination_id=default&column=nope",
+    )
+    assert code == 400
+    for day, v in [("d0", 1), ("d1", 2)]:
+        _req(app, "POST", f"/api/data/insert/plogs?api_key=local",
+             {"day": day, "v": v})
+    app.drain()
+    code, body = _req(
+        app, "GET",
+        "/api/data/query?api_key=local&query=select v from plogs where day = 'd1'",
+    )
+    assert code == 200 and json.loads(body) == [{"v": 2}]
+    # declaring on the now-non-empty table is refused
+    code, _ = _req(
+        app, "POST",
+        "/api/tables/plogs/partitioning?api_key=admin&destination_id=default&column=v",
+    )
+    assert code == 400

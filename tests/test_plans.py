@@ -155,3 +155,62 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_lsh_near_dup_avoids_cartesian(spark, sf_dir):
+    """The LSH candidate join must plan as an equi-join on the bucket
+    id (hash or sort-merge), never a cartesian/BNL product — at corpus
+    scale that's the whole point of the operator."""
+    from scratchdata_spark.operators.similarity import near_dup_pairs
+
+    e = load(spark, sf_dir)["embeddings"]
+    p = plan(near_dup_pairs(e, dim=64, threshold=0.4, n_planes=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # the bucket equi-join survives
+
+
+def test_ivf_probe_join_shape(spark, sf_dir):
+    """IVF: centroids broadcast to both sides (tiny table), and the
+    probe join is an equi-join on the cell id — not a cross join of
+    queries against the whole corpus."""
+    from scratchdata_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    p = plan(ivf_topk(e, queries, dim=64, k=5, n_centroids=16, nprobe=4))
+    assert "BroadcastExchange" in p  # centroid assignment side
+    # the only permissible nested-loop work is against the broadcast
+    # centroid list (bounded n_centroids rows), never corpus×queries
+    assert "CartesianProduct" not in p
+
+
+def test_partition_pruning_partitioned_table(spark, tmp_path):
+    """A predicate on the declared partition column must prune at
+    planning time: non-matching directories never enter the scan."""
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    d = SparkDestination(spark, TableCatalog(str(tmp_path / "wh")), "db")
+    d.create_empty_table("pp")
+    import os, tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".ndjson")
+    with os.fdopen(fd, "w") as f:
+        f.write('{"day": "d0", "v": 1}\n')
+    d.create_columns("pp", path)
+    d.set_partitioning("pp", "day")
+    d.insert_ndjson_file("pp", path)
+    os.remove(path)
+    fd, path = tempfile.mkstemp(suffix=".ndjson")
+    with os.fdopen(fd, "w") as f:
+        f.write('{"day": "d1", "v": 2}\n')
+    d.insert_ndjson("pp", path)
+    os.remove(path)
+
+    p = plan(d.query_df("SELECT v FROM pp WHERE day = 'd1'"))
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters", 1)[1][:160]
+    assert "day" in seg  # the predicate moved into partition pruning

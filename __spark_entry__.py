@@ -68,6 +68,8 @@ _PRIORITY = [
     "q_lateral_join",
     "q_word_count",
     "q_scan_external_files",
+    "q_scan_external_csv",
+    "q_scan_external_orc",
     # fixed this round (array -> scalar quartiles); wants a fresh row
     "q_approx_quantile",
     # new round-2 entries

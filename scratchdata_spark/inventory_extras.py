@@ -490,3 +490,30 @@ def b_multimodal_meta(spark, sf_dir):
     keeps the mapInPandas plumbing under test)."""
     d = load(spark, sf_dir)["documents"]
     return extract_media_meta_native(attach_binary(d)).drop("crc32")
+
+
+from scratchdata_spark.operators.skew import salted_join
+
+
+@q(
+    "x_salted_join_skew",
+    """
+    SELECT l.l_orderkey, l.l_quantity, o.o_orderstatus, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 45
+    """,
+)
+def x_salted_join_skew(spark, sf_dir):
+    """Skew-resistant salted join: result is provably identical to the
+    plain equi-join (the oracle IS the plain join) while each fact key
+    spreads across 8 salt sub-keys. The deliberate shape for a hot-key
+    fact⋈dim when the dim exceeds the broadcast threshold."""
+    t = load(spark, sf_dir)
+    fact = t["lineitem"].filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_quantity"
+    )
+    dim = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return salted_join(
+        fact, dim.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey",
+        n_salts=8,
+    ).select("l_orderkey", "l_quantity", "o_orderstatus", "o_totalprice")

@@ -240,3 +240,30 @@ def test_resize_and_frames_and_features(spark):
     assert {r.doc_id: r.features for r in feats} == {
         r.doc_id: r.features for r in again
     }
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics: inner and left results
+    equal the unsalted join, including unmatched left rows."""
+    from scratchdata_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(["hot"] * 50 + ["a", "b", "nomatch"])],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("b", 3), ("unused", 9)], ["k", "d"]
+    )
+    plain = fact.join(dim, "k", "inner")
+    salted = salted_join(fact, dim, "k", "inner", n_salts=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_l = fact.join(dim, "k", "left")
+    salted_l = salted_join(fact, dim, "k", "left", n_salts=4)
+    assert sorted(map(tuple, plain_l.collect())) == sorted(
+        map(tuple, salted_l.collect())
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        salted_join(fact, dim, "k", "full")

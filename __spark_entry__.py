@@ -62,6 +62,7 @@ _PRIORITY = [
     "s_stream_stateful_user_totals",
     "s_stream_dedup",
     "s_stream_stream_join",
+    "s_rollup_continuous_hourly",
     # SQL surface past the round-1 window
     "q_percentile_exact",
     "q_agg_filter",

@@ -22,6 +22,7 @@ key across executors and bounded by watermark/timeout eviction.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -318,3 +319,40 @@ def s_stream_stream_join(spark, sf_dir):
         "purchase_value",
     )
     return _drain(joined, "append")
+
+
+@q(
+    "s_rollup_continuous_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s_rollup_continuous_hourly(spark, sf_dir):
+    """Continuous rollup (hypertable-style): a streaming job maintains
+    hourly per-type partials append-only; the merged view equals the
+    batch hourly aggregate — integer-cents partials make the merge
+    order-exact, so this hash-matches the oracle."""
+    import tempfile
+
+    from scratchdata_spark.streaming.rollup import (
+        rollup_result,
+        start_rollup_stream,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sd-rollup-")
+    q_ = start_rollup_stream(
+        ev,
+        "etime",
+        ["event_type"],
+        "value",
+        os.path.join(tmp, "rollup"),
+        os.path.join(tmp, "ckpt"),
+        window="1 hour",
+    )
+    q_.awaitTermination()
+    return rollup_result(spark, os.path.join(tmp, "rollup"), ["event_type"])

@@ -205,3 +205,65 @@ def test_stream_dedup_and_stream_join(spark):
         r.purchase_ts_us <= r.click_ts_us <= r.purchase_ts_us + 3_600_000_000
         for r in sj
     )
+
+
+def test_continuous_rollup_multibatch_and_replay(spark, tmp_path):
+    """Partials accumulate across micro-batches (maxFilesPerTrigger=1
+    forces several) and replaying the stream over the same checkpoint
+    must not change the result (idempotent batch writes)."""
+    import pandas as pd
+
+    from scratchdata_spark.streaming.rollup import (
+        rollup_result,
+        start_rollup_stream,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+    import datetime
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 0, 30)
+    for i in range(3):  # three files → three micro-batches
+        pd.DataFrame(
+            {
+                "etime": [base + datetime.timedelta(hours=i)] * 2,
+                "event_type": ["a", "b"],
+                "value": [1.25, 2.50],
+            }
+        ).to_parquet(src / f"f{i}.parquet", coerce_timestamps="us")
+
+    schema = StructType(
+        [
+            StructField("etime", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_rollup_stream(
+            stream, "etime", ["event_type"], "value",
+            str(tmp_path / "rollup"), str(tmp_path / "ckpt"), "1 hour",
+        )
+        q.awaitTermination()
+
+    run()
+    first = sorted(
+        map(tuple, rollup_result(spark, str(tmp_path / "rollup"), ["event_type"]).collect())
+    )
+    assert len(first) == 6  # 3 hours × 2 types
+    assert all(r[2] == 1 for r in first)  # n per (bucket, type)
+    assert {r[3] for r in first} == {1.25, 2.50}
+
+    run()  # replay over the drained checkpoint: no new batches, no dupes
+    again = sorted(
+        map(tuple, rollup_result(spark, str(tmp_path / "rollup"), ["event_type"]).collect())
+    )
+    assert again == first

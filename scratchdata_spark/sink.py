@@ -126,8 +126,34 @@ class FileSystemSink:
         self.rotate(force=True)
         return self.upload()
 
+    # ---------------------------------------------------------- recovery
+    def recover(self) -> int:
+        """Crash recovery at startup: files under open/ that no live
+        buffer tracks are a previous process's — close them so the
+        upload pass ships them. (closed/ needs nothing: upload() walks
+        it every tick, which is also the reference's implicit recovery;
+        the reference LEAKS orphaned open files — filesystem.go tracks
+        them only in memory — so this is a deliberate improvement.)"""
+        n = 0
+        open_root = os.path.join(self.config.data_dir, "open")
+        with self._lock:
+            live = {f.path for f in self._open.values()}
+            for dirpath, _, names in os.walk(open_root):
+                for name in names:
+                    path = os.path.join(dirpath, name)
+                    if path in live or os.path.getsize(path) == 0:
+                        continue
+                    rel = os.path.relpath(dirpath, open_root)
+                    dst_dir = os.path.join(self.config.data_dir, "closed", rel)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.replace(path, os.path.join(dst_dir, name))
+                    n += 1
+        return n
+
     # ----------------------------------------------------------- tickers
     def start(self) -> None:
+        self.recover()  # ship a crashed predecessor's buffered files
+
         def rotate_loop():
             while not self._stop.wait(self.config.rotate_interval_seconds):
                 self.rotate()

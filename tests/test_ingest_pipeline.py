@@ -209,3 +209,24 @@ def test_chunked_writer_spools_and_splits(tmp_path):
     with _pytest.raises(CopyTooLargeError):
         for i in range(100):
             cw2.write(f'{{"v": {i}}}\n')
+
+
+def test_sink_recovers_orphaned_open_files(tmp_path):
+    """A crash leaves buffered files under open/ with no in-memory
+    tracking; a new sink instance must close and ship them on start
+    (the reference leaks these — filesystem.go tracks open files only
+    in memory)."""
+    q = Queue(str(tmp_path / "m.sqlite"))
+    cfg = SinkConfig(data_dir=str(tmp_path / "d"), max_rows_per_file=100)
+    sink1 = FileSystemSink(cfg, q)
+    sink1.write_data("db", "t", b'{"a": 1}\n')  # buffered, never rotated
+    # simulate crash: a fresh process with a fresh sink over the same dir
+    sink2 = FileSystemSink(cfg, q)
+    assert sink2.recover() == 1
+    assert sink2.upload() == 1
+    msg = q.dequeue()
+    assert msg.payload["table"] == "t"
+    with open(msg.payload["path"], "rb") as f:
+        assert f.read() == b'{"a": 1}\n'
+    # second recover is a no-op
+    assert sink2.recover() == 0

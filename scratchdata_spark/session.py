@@ -45,6 +45,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MB input splits: good parquet scan granularity at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # bound output file size on writes (compaction, copy, ingest)
+        .config("spark.sql.files.maxRecordsPerFile", str(5_000_000))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

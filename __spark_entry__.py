@@ -55,6 +55,7 @@ _PRIORITY = [
     "x_multimodal_frames",
     "x_multimodal_features",
     "x_salted_join_skew",
+    "x_pipeline_clean_corpus",
     # Structured Streaming entries (never driver-checked in round 1)
     "s_stream_tumbling_hour",
     "s_stream_sliding_2h_1h",

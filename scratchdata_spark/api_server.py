@@ -65,6 +65,18 @@ class Service:
         self.destination_factory = destination_factory
         self.metrics = metrics or Metrics()
         self.dest_types: dict[str, str] = {n: "spark" for n in destinations}
+        # operational gauges, sampled at scrape time
+        self.metrics.add_gauge(
+            "queue_depth", "Unclaimed insert/copy jobs", queue.depth
+        )
+        self.metrics.add_gauge(
+            "queue_dead_letters", "Poison messages parked after max attempts",
+            lambda: len(queue.dead_letters()),
+        )
+        self.metrics.add_gauge(
+            "worker_errors", "Recent job errors held in memory",
+            lambda: len(workers.errors),
+        )
 
     # ------------------------------------------- destination/key CRUD
     def create_destination(self, name: str, type_: str, settings: dict) -> dict:

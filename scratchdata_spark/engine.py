@@ -343,6 +343,7 @@ class SparkDestination(DataFrameSerializers, Destination):
         table: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         min_files: int = 8,
+        _after_rewrite=None,  # test hook: runs between rewrite and flip
     ) -> dict:
         """Rewrite a table's accumulated micro-batch files into
         ~``target_file_bytes`` files — the maintenance op that keeps
@@ -396,6 +397,8 @@ class SparkDestination(DataFrameSerializers, Destination):
         if info.partition_col:
             writer = writer.partitionBy(info.partition_col)
         writer.parquet(new_dir)
+        if _after_rewrite is not None:
+            _after_rewrite()  # simulate inserts landing mid-compaction
         with self.catalog.lock(self.database, table):
             # catch-up: batches inserted during the rewrite move over
             # as-is (rename only; their schema may trail — reads pass

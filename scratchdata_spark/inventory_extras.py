@@ -517,3 +517,54 @@ def x_salted_join_skew(spark, sf_dir):
         fact, dim.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey",
         n_salts=8,
     ).select("l_orderkey", "l_quantity", "o_orderstatus", "o_totalprice")
+
+
+@q(
+    "x_pipeline_clean_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, {_NORM} AS norm,
+             length(text) AS n,
+             length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS n_nopunct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, lang, source, norm,
+             0.4 * least(n / 500.0, 1.0)
+             + 0.2 * greatest(0.0, 1.0 - (n - n_nopunct) / greatest(n, 1) * 5.0)
+             + 0.2 * greatest(0.0, 1.0 - n_digit / greatest(n, 1) * 5.0)
+             + 0.2 * least(len(list_filter(string_split(norm, ' '),
+                 s -> s IN ('the','and','of','a','to','in','is','it','that','for')))
+                 / greatest(len(string_split(norm, ' ')), 1) * 5.0, 1.0) AS quality
+      FROM scored
+    ), kept AS (
+      SELECT MIN(doc_id) AS doc_id, ARG_MIN(lang, doc_id) AS lang,
+             ARG_MIN(source, doc_id) AS source
+      FROM quality WHERE quality >= 0.5
+      GROUP BY sha256(norm)
+    )
+    SELECT lang, source, COUNT(*) AS n_docs
+    FROM kept GROUP BY lang, source
+    """,
+)
+def x_pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end curation pipeline: quality-score filter (≥ 0.5) →
+    exact dedup of survivors (canonical min-id per content hash) →
+    per-(lang, source) corpus stats. One declarative plan — the score,
+    the hash group-by, and the final rollup all stay JVM-side; this is
+    the composition every training-data run executes before
+    tokenization."""
+    d = load(spark, sf_dir)["documents"]
+    scored = d.select(
+        "doc_id", "lang", "source",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.fingerprint(F.col("text")).alias("__fp"),
+    ).filter(F.col("quality") >= 0.5)
+    kept = scored.groupBy("__fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        # min_by: attributes come from the canonical (min-id) row —
+        # deterministic, unlike any_value, when duplicates disagree
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+    )
+    return kept.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))

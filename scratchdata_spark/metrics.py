@@ -115,10 +115,33 @@ class Counter:
         return "\n".join(lines)
 
 
+class Gauge:
+    """Callback gauge: the value is sampled at scrape time, so queue
+    depth / dead-letter counts are always current without a polling
+    thread."""
+
+    def __init__(self, name: str, help_: str, fn):
+        self.name = name
+        self.help = help_
+        self.fn = fn
+
+    def render(self) -> str:
+        try:
+            v = float(self.fn())
+        except Exception:  # noqa: BLE001 — a scrape must never 500
+            v = float("nan")
+        return (
+            f"# HELP {self.name} {self.help}\n"
+            f"# TYPE {self.name} gauge\n"
+            f"{self.name} {_fmt_num(v) if v == v else 'NaN'}"
+        )
+
+
 class Metrics:
     """The gateway's instrument set + /metrics rendering."""
 
     def __init__(self):
+        self.gauges: list[Gauge] = []
         self.latency = Histogram(
             "latency", "Request latency",
             exponential_buckets_range(0.05, 30, 20), ("route", "status_code"),
@@ -146,6 +169,9 @@ class Metrics:
         self.bytes_returned.observe(resp_bytes, route=route)
         self.requests.inc(route=route, status_code=str(status))
 
+    def add_gauge(self, name: str, help_: str, fn) -> None:
+        self.gauges.append(Gauge(name, help_, fn))
+
     def render(self) -> str:
         parts = [
             self.latency.render(),
@@ -154,4 +180,5 @@ class Metrics:
             self.insert_array_length.render(),
             self.requests.render(),
         ]
+        parts.extend(g.render() for g in self.gauges)
         return "\n".join(parts) + "\n"

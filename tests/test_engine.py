@@ -264,3 +264,20 @@ def _write_tmp(lines):
     with os.fdopen(fd, "w") as f:
         f.write("\n".join(lines) + "\n")
     return path
+
+
+def test_compact_catches_up_files_inserted_during_rewrite(dest):
+    """A batch that lands between the snapshot rewrite and the pointer
+    flip must survive: the lock-held catch-up moves it into the new
+    generation by rename (no lost rows — the compaction race the
+    generation design exists to close)."""
+    for i in range(4):
+        _insert(dest, "race", [f'{{"v": {i}}}'])
+
+    def land_late_batch():
+        _insert(dest, "race", ['{"v": 100}'])
+
+    out = dest.compact_table("race", min_files=2, _after_rewrite=land_late_batch)
+    assert out["compacted"] and out["late_files"] == 1
+    rows = json.loads(_q(dest, "SELECT count(*) AS n, sum(v) AS s FROM race"))
+    assert rows[0] == {"n": 5, "s": 106}

@@ -387,3 +387,20 @@ def test_partitioning_route(app):
         "/api/tables/plogs/partitioning?api_key=admin&destination_id=default&column=v",
     )
     assert code == 400
+
+
+def test_metrics_gauges(app):
+    """Operational gauges sample live state at scrape time."""
+    _req(app, "POST", "/api/data/insert/gtest?api_key=local", {"v": 1})
+    app.sink.flush()  # enqueue without processing → depth rises
+    code, body = _req(app, "GET", "/metrics")
+    assert code == 200
+    import re as _re
+
+    depth = int(_re.search(r"^queue_depth (\d+)", body, _re.M).group(1))
+    assert depth >= 1
+    assert _re.search(r"^queue_dead_letters \d+", body, _re.M)
+    assert _re.search(r"^worker_errors \d+", body, _re.M)
+    app.drain()
+    _, body = _req(app, "GET", "/metrics")
+    assert int(_re.search(r"^queue_depth (\d+)", body, _re.M).group(1)) == 0

@@ -73,6 +73,8 @@ _PRIORITY = [
     "q_scan_external_files",
     "q_scan_external_csv",
     "q_scan_external_orc",
+    "q_agg_lists_median_mode",
+    "q_time_bucket_15min",
     # fixed this round (array -> scalar quartiles); wants a fresh row
     "q_approx_quantile",
     # new round-2 entries

@@ -1608,3 +1608,57 @@ def q_scan_external_orc(spark, sf_dir):
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"), F.min("event_id").alias("min_id")
     )
+
+
+@q(
+    "q_agg_lists_median_mode",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(median(o_totalprice) AS DOUBLE) AS median_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_lists_median_mode(spark, sf_dir):
+    """List/ordered-string aggregation + exact median: collect_set →
+    array_sort → array_join reproduces DuckDB's ordered string_agg
+    deterministically (unordered collect would hash-mismatch)."""
+    o = load(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.median("o_totalprice").cast("double").alias("median_price"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+@q(
+    "q_time_bucket_15min",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)) AS bucket_us,
+           COUNT(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def q_time_bucket_15min(spark, sf_dir):
+    """Arbitrary-interval time bucketing (time_bucket / date_bin):
+    epoch-floor arithmetic — ``ts - ts % interval`` — identical on
+    both engines and cheaper than a window() struct when only the
+    bucket start is needed."""
+    e = load(spark, sf_dir)["events"]
+    us = 15 * 60 * 1_000_000
+    ts_us = F.col("ts")  # load() already normalizes events.ts to µs
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy((ts_us - ts_us % us).alias("bucket_us"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+        )
+    )

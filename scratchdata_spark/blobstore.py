@@ -61,9 +61,15 @@ class LocalBlobStore(BlobStore):
         return p
 
     def put_file(self, local_path: str, key: str) -> None:
+        """COPY, not move: the caller enqueues the key after the put
+        and deletes its local file last, so a crash mid-sequence
+        leaves the local file for the next upload pass (the
+        reference's upload→enqueue→delete order, filesystem.go)."""
         dst = self._path(key)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.replace(local_path, dst)  # atomic on the same filesystem
+        tmp = dst + ".tmp"
+        shutil.copyfile(local_path, tmp)
+        os.replace(tmp, dst)  # readers never see a partial blob
 
     def get_file(self, key: str, local_path: str) -> None:
         shutil.copyfile(self._path(key), local_path)
@@ -115,8 +121,8 @@ class S3BlobStore(BlobStore):
         return f"{self.prefix}/{key}" if self.prefix else key
 
     def put_file(self, local_path: str, key: str) -> None:
+        # copy semantics: caller deletes the local file after enqueue
         self.client.upload_file(local_path, self.bucket, self._key(key))
-        os.remove(local_path)  # same move semantics as LocalBlobStore
 
     def get_file(self, key: str, local_path: str) -> None:
         os.makedirs(os.path.dirname(local_path) or ".", exist_ok=True)
@@ -165,8 +171,8 @@ class GCSBlobStore(BlobStore):
         return f"{self.prefix}/{key}" if self.prefix else key
 
     def put_file(self, local_path: str, key: str) -> None:
+        # copy semantics: caller deletes the local file after enqueue
         self.bucket.blob(self._key(key)).upload_from_filename(local_path)
-        os.remove(local_path)
 
     def get_file(self, key: str, local_path: str) -> None:
         os.makedirs(os.path.dirname(local_path) or ".", exist_ok=True)

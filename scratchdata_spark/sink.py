@@ -110,14 +110,21 @@ class FileSystemSink:
             for table in sorted(os.listdir(os.path.join(closed, db))):
                 src_dir = os.path.join(closed, db, table)
                 for name in sorted(os.listdir(src_dir)):
+                    # upload → enqueue → delete local, in that order
+                    # (reference filesystem.go): a crash mid-sequence
+                    # leaves the closed file; the next pass re-uploads
+                    # the same key (idempotent overwrite) and
+                    # re-enqueues (at-least-once — inserts replay)
+                    src = os.path.join(src_dir, name)
                     key = f"{db}/{table}/{name}"
-                    self.blobstore.put_file(os.path.join(src_dir, name), key)
+                    self.blobstore.put_file(src, key)
                     if self.queue is not None:
                         payload = {"database": db, "table": table, "key": key}
                         local = self.blobstore.local_path(key)
                         if local is not None:
                             payload["path"] = local
                         self.queue.enqueue("insert_data", payload)
+                    os.remove(src)
                     n += 1
         return n
 

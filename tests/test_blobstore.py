@@ -140,7 +140,7 @@ def _roundtrip(store, tmp_path):
     src = tmp_path / "f.ndjson"
     src.write_bytes(b'{"a":1}\n')
     store.put_file(str(src), "db/t/001.ndjson")
-    assert not src.exists()  # move semantics
+    assert src.exists()  # copy semantics: caller deletes after enqueue
     dst = tmp_path / "out.ndjson"
     store.get_file("db/t/001.ndjson", str(dst))
     assert dst.read_bytes() == b'{"a":1}\n'
@@ -238,3 +238,34 @@ def test_sqs_queue_claim_contract():
     assert msg2.payload == msg.payload
     q.complete(msg2.id)
     assert q.dequeue() is None and q.pending() == 0
+
+
+def test_upload_crash_between_put_and_enqueue_is_recoverable(tmp_path):
+    """If the process dies after the blob put but before the enqueue,
+    the closed file must still exist so the next upload pass ships it
+    (upload → enqueue → delete-local ordering)."""
+    q = Queue(str(tmp_path / "meta.sqlite"))
+    store = S3BlobStore("bkt", client=FakeS3Client())
+
+    class ExplodingQueue:
+        def enqueue(self, *_a, **_k):
+            raise RuntimeError("crash before enqueue")
+
+    sink = FileSystemSink(
+        SinkConfig(data_dir=str(tmp_path / "data"), max_rows_per_file=1),
+        ExplodingQueue(),
+        blobstore=store,
+    )
+    sink.write_data("default", "evt", b'{"a":1}\n')
+    sink.rotate(force=True)
+    try:
+        sink.upload()
+    except RuntimeError:
+        pass
+    closed = tmp_path / "data" / "closed" / "default" / "evt"
+    assert list(closed.iterdir()), "closed file must survive the crash"
+    # recovery: a healthy pass re-uploads the same key and enqueues
+    sink.queue = q
+    assert sink.upload() == 1
+    assert q.dequeue() is not None
+    assert not list(closed.iterdir())

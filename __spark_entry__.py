@@ -56,6 +56,7 @@ _PRIORITY = [
     "x_multimodal_features",
     "x_salted_join_skew",
     "x_pipeline_clean_corpus",
+    "x_range_join_bucketed",
     # Structured Streaming entries (never driver-checked in round 1)
     "s_stream_tumbling_hour",
     "s_stream_sliding_2h_1h",

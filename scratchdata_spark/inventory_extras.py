@@ -568,3 +568,49 @@ def x_pipeline_clean_corpus(spark, sf_dir):
         F.min_by("source", "doc_id").alias("source"),
     )
     return kept.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+
+
+from scratchdata_spark.operators.rangejoin import range_join_bucketed
+
+
+@q(
+    "x_range_join_bucketed",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS d0,
+             o_orderdate + INTERVAL 7 DAY AS d1
+      FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 2000
+    )
+    SELECT iv.o_orderkey,
+           COUNT(*) AS n_shipments,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM iv JOIN lineitem l
+      ON l.l_shipdate >= iv.d0 AND l.l_shipdate < iv.d1
+    GROUP BY iv.o_orderkey
+    """,
+)
+def x_range_join_bucketed(spark, sf_dir):
+    """Point-in-interval range join via bucket expansion (1-day
+    buckets over 7-day windows → ~8 exploded rows per interval)
+    instead of the BroadcastNestedLoopJoin Spark would otherwise plan
+    for the non-equi predicate. Oracle is the plain inequality join."""
+    t = load(spark, sf_dir)
+    points = t["lineitem"].select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("p_us"),
+        F.col("l_quantity"),
+    )
+    day_us = 86_400 * 1_000_000
+    intervals = (
+        t["orders"]
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") < 2000))
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d0_us"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 7 * day_us).alias("d1_us"),
+        )
+    )
+    joined = range_join_bucketed(points, intervals, "p_us", "d0_us", "d1_us", day_us)
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )

@@ -267,3 +267,37 @@ def test_salted_join_equals_plain_join(spark):
 
     with _p.raises(ValueError):
         salted_join(fact, dim, "k", "full")
+
+
+def test_range_join_bucketed_equals_nested_loop(spark):
+    """Bucketed range join must equal the plain non-equi join on
+    boundary-heavy data: points on interval edges, intervals shorter
+    and longer than the bucket, zero-length intervals."""
+    from scratchdata_spark.operators.rangejoin import range_join_bucketed
+
+    points = spark.createDataFrame(
+        [(p,) for p in [0, 5, 9, 10, 11, 19, 20, 35, 99]], ["p"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20), (3, 5, 6), (4, 30, 90), (5, 40, 40)],
+        ["iv", "s", "e"],
+    )
+    plain = points.join(
+        intervals, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+    ).select("p", "iv")
+    bucketed = range_join_bucketed(points, intervals, "p", "s", "e", 10).select(
+        "p", "iv"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
+    # inclusive-end variant picks up the boundary points
+    incl = range_join_bucketed(
+        points, intervals, "p", "s", "e", 10, end_inclusive=True
+    ).select("p", "iv")
+    plain_incl = points.join(
+        intervals, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))
+    ).select("p", "iv")
+    assert sorted(map(tuple, incl.collect())) == sorted(
+        map(tuple, plain_incl.collect())
+    )

@@ -214,3 +214,20 @@ def test_partition_pruning_partitioned_table(spark, tmp_path):
     assert "PartitionFilters" in p
     seg = p.split("PartitionFilters", 1)[1][:160]
     assert "day" in seg  # the predicate moved into partition pruning
+
+
+def test_range_join_bucketed_is_equi_join(spark, sf_dir):
+    """The bucketed range join must plan as a hash/sort-merge equi-join
+    on the bucket — never the BroadcastNestedLoopJoin Spark produces
+    for the raw non-equi predicate."""
+    from scratchdata_spark.operators.rangejoin import range_join_bucketed
+
+    l = load(spark, sf_dir)["lineitem"].select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("p")
+    )
+    o = load(spark, sf_dir)["orders"].limit(100).select(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 604_800_000_000).alias("e"),
+    )
+    p = plan(range_join_bucketed(l, o, "p", "s", "e", 86_400_000_000))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p

@@ -147,13 +147,13 @@ FLATTENERS = {
 
 def flatten(table: str, doc: dict[str, Any], style: str = "horizontal") -> list[JSONData]:
     """Dispatch like the reference's ``?flatten=`` param (data.go:114-123)."""
-    if style in ("", "horizontal"):
-        return flatten_horizontal(table, doc)
     if style == "vertical":
         return flatten_vertical(table, doc)
     if style == "multitable":
         return flatten_multitable(table, doc)
-    raise ValueError(f"unknown flatten style: {style!r}")
+    # any other value falls back to horizontal, exactly like the
+    # reference's else-branch (data.go:116-123 has no error path)
+    return flatten_horizontal(table, doc)
 
 
 def to_ndjson(rows: list[JSONData]) -> dict[str, str]:

@@ -150,6 +150,7 @@ class Service:
 
     def query(self, destination: str, q: str, fmt: str, out) -> None:
         dest = self.destinations[destination]
+        fmt = (fmt or "").lower()  # reference matches case-insensitively
         if fmt == "csv":
             dest.query_csv(q, out)
         elif fmt == "ndjson":
@@ -459,7 +460,10 @@ def make_handler(service: Service):
             except Exception as e:  # noqa: BLE001 — surface backend errors as 500
                 return self._json(500, {"error": str(e).split("\n")[0][:500]})
             self.send_response(200)
-            self.send_header("Content-Type", CONTENT_TYPES.get(fmt, "application/json"))
+            self.send_header(
+                "Content-Type",
+                CONTENT_TYPES.get((fmt or "").lower(), "application/json"),
+            )
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             out = _ChunkedOut(self.wfile)

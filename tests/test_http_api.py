@@ -404,3 +404,19 @@ def test_metrics_gauges(app):
     app.drain()
     _, body = _req(app, "GET", "/metrics")
     assert int(_re.search(r"^queue_depth (\d+)", body, _re.M).group(1)) == 0
+
+
+def test_format_param_case_insensitive(app):
+    """format=CSV matches case-insensitively, unknown values default
+    to JSON (reference data.go strings.ToLower switch)."""
+    _req(app, "POST", "/api/data/insert/fmt?api_key=local", {"a": 1})
+    app.drain()
+    code, body = _req(
+        app, "GET", "/api/data/query?api_key=local&query=select a from fmt&format=CSV"
+    )
+    assert code == 200 and body.splitlines()[0] == "a"
+    code, body = _req(
+        app, "GET",
+        "/api/data/query?api_key=local&query=select a from fmt&format=bogus",
+    )
+    assert code == 200 and json.loads(body) == [{"a": 1}]

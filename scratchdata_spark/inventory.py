@@ -66,17 +66,25 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
-    # The testdata parquet uses TIMESTAMP(NANOS); without this flag the
+    # Older testdata drops used TIMESTAMP(NANOS); without this flag that
     # scan fails with PARQUET_TYPE_ILLEGAL. Safe to set on any session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events":
-            # events.ts is parquet TIMESTAMP(NANOS) → read as BIGINT
-            # nanos under nanosAsLong; normalize to epoch MICROS long
-            # (timezone-independent, matches DuckDB epoch_us(ts)).
-            df = df.withColumn("ts", F.expr("ts DIV 1000"))
+            # Normalize events.ts to epoch MICROS long regardless of the
+            # generator's physical type (timezone-independent, matches
+            # DuckDB epoch_us(ts)): TIMESTAMP(NANOS) arrives as BIGINT
+            # nanos under nanosAsLong; timestamp[us] arrives as
+            # TIMESTAMP_NTZ (session TZ is UTC, so the cast is identity).
+            ts_type = dict(df.dtypes)["ts"]
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.expr("ts DIV 1000"))
+            else:
+                df = df.withColumn(
+                    "ts", F.expr("unix_micros(cast(ts as timestamp))")
+                )
         df.createOrReplaceTempView(t)
         out[t] = df
     _LOAD_CACHE[key] = out

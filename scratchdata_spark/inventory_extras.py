@@ -474,9 +474,14 @@ def x_multimodal_frames(spark, sf_dir):
 @q("x_multimodal_features", None)  # numpy histogram — not SQL-expressible
 def x_multimodal_features(spark, sf_dir):
     """Bytes → fixed-dim float vector (encoder stand-in); output plugs
-    straight into the similarity operators."""
+    straight into the similarity operators. The registry entry
+    serializes the vector to JSON text — the driver's canonicalizer
+    sorts cell values and list cells are unhashable; the operator
+    itself keeps returning ``array<float>``."""
     d = load(spark, sf_dir)["documents"]
-    return extract_features(attach_binary(d))
+    return extract_features(attach_binary(d)).withColumn(
+        "features", F.to_json("features")
+    )
 
 
 from scratchdata_spark.inventory import bench_variant

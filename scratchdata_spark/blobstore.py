@@ -51,12 +51,15 @@ class BlobStore:
 
 class LocalBlobStore(BlobStore):
     def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        # abspath: the traversal check in _path compares normalized
+        # absolute paths; a relative root would make every key "fail"
+        # containment and collapse to a flattened name list() can't see.
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
 
     def _path(self, key: str) -> str:
         p = os.path.normpath(os.path.join(self.root, key))
-        if not p.startswith(os.path.abspath(self.root) + os.sep) and p != self.root:
+        if not p.startswith(self.root + os.sep) and p != self.root:
             p = os.path.join(self.root, key.replace("/", "_"))
         return p
 

@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 from scratchdata_spark.catalog import ROW_ID, TableCatalog
 from scratchdata_spark.jtypes import infer_types_file, to_struct
 
+# Per-(warehouse, database, table) compaction mutexes — process-wide so
+# destinations sharing a catalog can't run concurrent compactions of the
+# same table (see SparkDestination.compact_table).
+import threading as _threading
+
+_COMPACT_LOCKS: dict = {}
+_COMPACT_GUARD = _threading.Lock()
+
 
 def trim_query(query: str) -> str:
     """pkg/util/sql.go:9-13 — strip whitespace and one trailing ';'."""
@@ -369,6 +377,35 @@ class SparkDestination(DataFrameSerializers, Destination):
         info = self.catalog.get(self.database, table)
         if info is None:
             raise KeyError(f"no such table: {table}")
+        # Serialize compactions per table: two racers would both compute
+        # new_gen=N+1, and the loser's mode('overwrite') rewrite of
+        # g{N+1} after the winner's pointer flip deletes the winner's
+        # late-file catch-up renames — lost rows. Non-blocking: a racer
+        # reports "in progress" instead of queueing a redundant rewrite.
+        comp_lock = self._compaction_lock(table)
+        if not comp_lock.acquire(blocking=False):
+            return {
+                "compacted": False,
+                "files": self.file_count(table),
+                "reason": "compaction in progress",
+            }
+        try:
+            return self._compact_locked(
+                table, info, target_file_bytes, min_files, _after_rewrite
+            )
+        finally:
+            comp_lock.release()
+
+    def _compaction_lock(self, table: str):
+        import threading
+
+        key = (self.catalog.warehouse, self.database, table)
+        with _COMPACT_GUARD:
+            return _COMPACT_LOCKS.setdefault(key, threading.Lock())
+
+    def _compact_locked(
+        self, table, info, target_file_bytes, min_files, _after_rewrite
+    ) -> dict:
         cur_dir = self.catalog.data_dir(self.database, table)
         snapshot = self._list_parquet(cur_dir) if os.path.isdir(cur_dir) else []
         if len(snapshot) < min_files:
@@ -400,6 +437,19 @@ class SparkDestination(DataFrameSerializers, Destination):
         if _after_rewrite is not None:
             _after_rewrite()  # simulate inserts landing mid-compaction
         with self.catalog.lock(self.database, table):
+            # A compactor on another instance (shared warehouse dir) may
+            # have flipped the generation since our snapshot: abort, our
+            # rewrite is based on a superseded listing.
+            now = self.catalog.get(self.database, table)
+            if now is None or now.generation != info.generation:
+                import shutil
+
+                shutil.rmtree(new_dir, ignore_errors=True)
+                return {
+                    "compacted": False,
+                    "files": self.file_count(table),
+                    "reason": "generation changed during rewrite",
+                }
             # catch-up: batches inserted during the rewrite move over
             # as-is (rename only; their schema may trail — reads pass
             # an explicit schema, missing columns come back NULL)

@@ -76,28 +76,57 @@ def next_row_id() -> int:
     return _default_gen.next_id()
 
 
+_COL_MS_LOCK = threading.Lock()
+_COL_LAST_MS = -1
+
+
+def _job_ms_base() -> int:
+    """Driver-assigned millisecond base, strictly increasing per call:
+    two insert jobs built in the same wall-clock millisecond get
+    DIFFERENT bases (the analogue of the driver generator's
+    wait-for-next-ms on sequence wrap, applied across jobs)."""
+    global _COL_LAST_MS
+    with _COL_MS_LOCK:
+        now = int(time.time() * 1000)
+        if now <= _COL_LAST_MS:
+            now = _COL_LAST_MS + 1
+        _COL_LAST_MS = now
+        return now
+
+
 def snowflake_column() -> Column:
     """Distributed snowflake id as a pure column expression.
 
     Decomposes ``monotonically_increasing_id()`` (layout:
     ``partition << 33 | row_index``) into all three snowflake fields so
-    ids are provably unique for ANY partition count and row count:
+    ids are provably unique WITHIN a job for ANY partition count and
+    row count:
 
     * ``seq``  = row_index mod 4096 (the 12-bit field);
     * ``node`` = partition mod 1024 (the 10-bit field);
-    * ``ms``   = wall-clock ms + row_index//4096           (a partition
-      with >4096 rows advances its virtual millisecond, mirroring the
-      driver generator's wait-for-next-ms on sequence wrap)
+    * ``ms``   = driver-assigned job base ms + row_index//4096 (a
+      partition with >4096 rows advances its virtual millisecond,
+      mirroring the driver generator's wait-for-next-ms on sequence
+      wrap)
       + (partition//1024) * 2^21  (partition groups beyond the 10-bit
       node space are pushed to disjoint ms ranges; row_index//4096 is
       always < 2^21, so groups can never collide).
 
-    Uniqueness argument: equal ids need equal node → partitions differ
-    by a multiple of 1024; equal seq and ms then force identical
-    row_index and partition. Time-ordering is exact up to 1024
-    partitions per job and approximate beyond — uniqueness never
-    degrades. Runs entirely JVM-side: whole-stage-codegen friendly,
-    no Python UDF in the hot path.
+    Uniqueness argument (single job): equal ids need equal node →
+    partitions differ by a multiple of 1024; equal seq and ms then
+    force identical row_index and partition. ACROSS jobs in one
+    process, the base ms is strictly increasing per call (never the
+    same millisecond twice — see :func:`_job_ms_base`), so ids collide
+    only if an earlier job's virtual-ms advance (rows_per_partition /
+    4096 ms) overruns a later job's base — >4M rows in one partition
+    landing in the same second, at which point repartition the insert.
+    Across processes the guarantee matches the reference's: node bits
+    come from the host, and two generators on one host sharing a
+    millisecond can collide (util.go:21-23 has the same property).
+    Time-ordering is exact up to 1024 partitions per job and
+    approximate beyond — uniqueness never degrades. Runs entirely
+    JVM-side: whole-stage-codegen friendly, no Python UDF in the hot
+    path.
     """
     mid = F.monotonically_increasing_id()
     idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
@@ -106,7 +135,7 @@ def snowflake_column() -> Column:
     blocks = F.shiftrightunsigned(idx, _SEQ_BITS) + F.shiftleft(
         F.shiftrightunsigned(part, _NODE_BITS), 21
     )
-    ms = F.unix_millis(F.current_timestamp()) - F.lit(TWITTER_EPOCH_MS) + blocks
+    ms = F.lit(_job_ms_base() - TWITTER_EPOCH_MS) + blocks
     seq = idx % (1 << _SEQ_BITS)
     return (
         F.shiftleft(ms, _NODE_BITS + _SEQ_BITS)

@@ -269,3 +269,19 @@ def test_upload_crash_between_put_and_enqueue_is_recoverable(tmp_path):
     assert sink.upload() == 1
     assert q.dequeue() is not None
     assert not list(closed.iterdir())
+
+
+def test_local_blobstore_relative_root(tmp_path, monkeypatch):
+    """A relative root must behave identically to an absolute one: the
+    traversal guard compares absolute paths on both sides, so nested
+    keys keep their directory structure and list() sees them."""
+    monkeypatch.chdir(tmp_path)
+    store = LocalBlobStore("blobrel")
+    src = tmp_path / "payload.txt"
+    src.write_text("x")
+    store.put_file(str(src), "db/t/001.ndjson")
+    assert store.list("db/t/") == ["db/t/001.ndjson"]
+    assert os.path.exists(tmp_path / "blobrel" / "db" / "t" / "001.ndjson")
+    # traversal attempts still flatten instead of escaping the root
+    store.put_file(str(src), "../escape.txt")
+    assert not os.path.exists(tmp_path / "escape.txt")

@@ -281,3 +281,27 @@ def test_compact_catches_up_files_inserted_during_rewrite(dest):
     assert out["compacted"] and out["late_files"] == 1
     rows = json.loads(_q(dest, "SELECT count(*) AS n, sum(v) AS s FROM race"))
     assert rows[0] == {"n": 5, "s": 106}
+
+
+def test_concurrent_compactions_are_serialized(dest):
+    """Two compactors racing on one table: the second must not rewrite
+    the same generation (its overwrite would delete the winner's
+    late-file catch-up renames). One wins, the other reports busy or
+    a superseded generation — and no rows are lost."""
+    import threading
+
+    for i in range(8):
+        _insert(dest, "cc", [f'{{"v": {i}}}'])
+    results = []
+
+    def compact():
+        results.append(dest.compact_table("cc", min_files=2))
+
+    threads = [threading.Thread(target=compact) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(1 for r in results if r["compacted"]) <= 1
+    rows = json.loads(_q(dest, "SELECT count(*) AS n, sum(v) AS s FROM cc"))
+    assert rows[0] == {"n": 8, "s": 28}

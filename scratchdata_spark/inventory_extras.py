@@ -347,6 +347,53 @@ def q_nested_flatten_multitable(spark, sf_dir):
     )
 
 
+@q(
+    "q_nested_flatten_multitable_depth2",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS doc_id, 'a' AS nm,
+           CAST(unnest([n_nationkey * 10 + 1, n_nationkey * 10 + 2]) AS BIGINT) AS x
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), 'b', CAST(n_nationkey * 10 + 3 AS BIGINT)
+    FROM nation
+    """,
+)
+def q_nested_flatten_multitable_depth2(spark, sf_dir):
+    """Depth-2 multitable FK semantics (flattener.go:210-215): each
+    array-of-struct CHILD row gets its own snowflake id and its nested
+    array's rows FK to THAT id, not the grandparent's. Snowflake ids
+    are nondeterministic, so the oracle checks attribution instead:
+    joining child ⋈ grandchild on the minted id must put each x with
+    the child row that contained it — 'a' gets {10k+1, 10k+2}, 'b'
+    gets {10k+3}, never the cross-contamination the parent-FK reuse
+    bug produced."""
+    n = load(spark, sf_dir)["nation"]
+    k = F.col("n_nationkey").cast("long")
+    doc = n.select(
+        k.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("a").alias("nm"),
+                F.array(k * 10 + 1, k * 10 + 2).alias("xs"),
+            ),
+            F.struct(
+                F.lit("b").alias("nm"),
+                F.array(k * 10 + 3).alias("xs"),
+            ),
+        ).alias("kids"),
+    )
+    tabs = flatten_multitable(doc, "docs", id_col="doc_id")
+    kids, xs = tabs["kids"], tabs["xs"]
+    return (
+        kids.join(xs, kids["id"] == xs["kids_id"])
+        .select(
+            F.col("docs_id").alias("doc_id"),
+            "nm",
+            F.col("xs").cast("long").alias("x"),
+        )
+    )
+
+
 # ----------------------------------------------------------- multimodal
 
 

@@ -161,7 +161,16 @@ def flatten_multitable(
 
 
 def _descend(child: DataFrame, name: str, fk: str) -> dict[str, DataFrame]:
-    """Recurse into a child table that may itself hold nested columns."""
+    """Recurse into a child table that may itself hold nested columns.
+
+    A child that nests further gets its OWN per-row snowflake ``id``
+    (id_col=None path), so grandchildren FK to the child row that
+    actually contains them — matching the reference
+    (pkg/api/flattener.go:210-215) and the per-request flattener
+    (flatten.py walk(): fresh id at every level). Reusing the parent's
+    FK here would stamp every grandchild with the GRANDPARENT's id,
+    making sibling child rows' grandchildren indistinguishable.
+    """
     if not _struct_cols(child) and not _array_cols(child):
         return {name: child}
-    return flatten_multitable(child, name, id_col=fk)
+    return flatten_multitable(child, name, id_col=None)

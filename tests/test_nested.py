@@ -65,8 +65,17 @@ def test_multitable_fk_linkage(spark):
     # struct child: one row per parent, FK carried
     meta = {r["events_id"]: r for r in tabs["meta"].collect()}
     assert meta[2]["a"] == 2
-    inner = {r["meta_id"]: r for r in tabs["inner"].collect()}
-    assert inner[1]["b"] == "x"
+    # inner FKs to the meta ROW's minted snowflake id (not the event id);
+    # attribution is checked by joining on it
+    linked = (
+        tabs["meta"]
+        .join(tabs["inner"], tabs["meta"]["id"] == tabs["inner"]["meta_id"])
+        .select("events_id", "b")
+        .collect()
+    )
+    assert {(r["events_id"], r["b"]) for r in linked} == {
+        (1, "x"), (2, "y"), (3, "z"),
+    }
     # scalar-array child: one row per element, named after the column
     nums = tabs["nums"].collect()
     assert {(r["events_id"], r["nums"]) for r in nums} == {(1, 10), (1, 20), (2, 30)}
@@ -112,3 +121,23 @@ def test_snowflake_column_unique_across_partitions(spark):
     n = 20_000
     df = spark.range(n).repartition(8).withColumn("rid", snowflake_column())
     assert df.select("rid").distinct().count() == n
+
+
+def test_deep_nesting_grandchildren_fk_to_their_child_row(spark):
+    """Depth-2 FK parity (flattener.go:210-215): each item row mints
+    its own id and opts rows FK to it — 'a' owns {x, y}, 'b' owns
+    {z}; the parent-FK-reuse bug attributed every opt to both items."""
+    df = spark.createDataFrame(
+        [Row(id=1, items=[Row(sku="a", opts=["x", "y"]), Row(sku="b", opts=["z"])])]
+    )
+    tabs = flatten_multitable(df, "orders", id_col="id")
+    items, opts = tabs["items"], tabs["opts"]
+    assert "id" in items.columns  # minted per item row
+    owned = (
+        items.join(opts, items["id"] == opts["items_id"])
+        .select("sku", "opts")
+        .collect()
+    )
+    assert sorted((r["sku"], r["opts"]) for r in owned) == [
+        ("a", "x"), ("a", "y"), ("b", "z"),
+    ]

@@ -27,61 +27,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks entries in dict-insertion order and round 1 showed it
-# stops after ~50.  Put the entries that have never received a driver
-# correctness row first (LLM-pipeline x_*, streaming s_*, and the SQL
-# surface past the round-1 window), then the round-1-green long tail —
-# those were already hash-verified by the driver in CORRECTNESS_r01.json.
+# The driver checks entries in dict-insertion order and stops after
+# ~50.  Round 3 rotation: front-load the 41 entries whose only green
+# row is from round 1 (the x_*/s_* surface is banked in
+# CORRECTNESS_r02 the same way), plus the entries fixed or added this
+# round and a few x_*/s_* sanity rows, so every registry entry has a
+# green row no older than one round.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
-    # LLM-pipeline operators (never driver-checked in round 1)
-    "x_dedup_exact",
-    "x_dedup_exact_rows",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_ann_cosine_topk",
-    "x_ann_cosine_lsh",
-    "x_text_token_count",
-    "x_text_quality",
-    "x_text_langid",
-    "x_text_fingerprint",
-    "x_multimodal_meta",
-    # round-2 LLM-pipeline additions (no driver row yet)
-    "x_dedup_embedding_cosine",
-    "x_dedup_embedding_lsh",
-    "x_ann_ivf_topk",
-    "x_multimodal_resize",
-    "x_multimodal_frames",
+    # fixed this round (canonicalizer-safe features; depth-2 FK parity)
     "x_multimodal_features",
-    "x_salted_join_skew",
-    "x_pipeline_clean_corpus",
-    "x_range_join_bucketed",
-    # Structured Streaming entries (never driver-checked in round 1)
+    "q_nested_flatten_multitable_depth2",
+    "q_nested_flatten_multitable",
+    # round-1-only long tail: re-verify under this round's plan-cache,
+    # load(), and session-tuning changes
+    "q_approx_count_distinct",
+    "q_grouping_sets",
+    "q_rollup",
+    "q_cube",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full_outer",
+    "q_join_cross",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_frame_rows",
+    "q_window_frame_range",
+    "q_window_ntile",
+    "q_topk_per_group",
+    "q_qualify_latest",
+    "q_order_limit_offset",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_distinct",
+    "q_scalar_subquery",
+    "q_in_subquery",
+    "q_exists_correlated",
+    "q_cte",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_funcs",
+    "q_case_cast",
+    "q_pivot",
+    "q_unpivot",
+    "q_sample_deterministic",
+    "q_tablesample",
+    "q_array_funcs",
+    "q_explode_posexplode",
+    "q_map_struct_funcs",
+    # x_*/s_* sanity rows (fresh multi-batch streaming evidence)
+    "x_dedup_exact",
+    "x_ann_cosine_topk",
     "s_stream_tumbling_hour",
-    "s_stream_sliding_2h_1h",
     "s_stream_session_windows",
     "s_stream_stateful_user_totals",
-    "s_stream_dedup",
-    "s_stream_stream_join",
-    "s_rollup_continuous_hourly",
-    # SQL surface past the round-1 window
-    "q_percentile_exact",
-    "q_agg_filter",
-    "q_window_first_last",
-    "q_lateral_join",
-    "q_word_count",
-    "q_scan_external_files",
-    "q_scan_external_csv",
-    "q_scan_external_orc",
-    "q_agg_lists_median_mode",
-    "q_time_bucket_15min",
-    # fixed this round (array -> scalar quartiles); wants a fresh row
-    "q_approx_quantile",
-    # new round-2 entries
-    "q_nested_flatten_horizontal",
-    "q_nested_flatten_vertical",
-    "q_nested_flatten_multitable",
 ]
 
 

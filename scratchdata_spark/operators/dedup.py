@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from scratchdata_spark.operators import ensure_parallelism
+
 MASK63 = (1 << 63) - 1
 
 
@@ -143,7 +145,8 @@ def minhash_lsh_pairs(
     # scan per branch. Cached statistics also let the optimizer see
     # the true (small) size when joining signatures to candidates.
     sig = minhash_signature(
-        df.select(id_col, text_col), id_col, text_col, n_hashes, k
+        ensure_parallelism(df.select(id_col, text_col)),
+        id_col, text_col, n_hashes, k,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = [
@@ -248,7 +251,7 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     Implemented as an explode + 64 conditional sums + bit reassembly —
     one shuffle by document id, everything JVM-side.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         "*",
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok"),
     ).withColumn("__th", F.xxhash64("__tok"))
@@ -283,7 +286,8 @@ def ngram_jaccard_pairs(
     checked query for exactness on small corpora.
     """
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(normalize_text(F.col(text_col)), k)).alias("s"))
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(shingles(normalize_text(F.col(text_col)), k)).alias("s"))
         .dropDuplicates([id_col, "s"])
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))

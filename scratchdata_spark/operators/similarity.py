@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from scratchdata_spark.operators import ensure_parallelism
+
 
 def _dot(a, b):
     """Sequential left-to-right dot product (fold with double acc).
@@ -76,11 +78,16 @@ def cosine_topk(
         F.col(vec_col).alias("__qvec"),
         _norm(F.col(vec_col)).alias("__qn"),
     )
-    joined = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        _norm(F.col(vec_col)).alias("__cn"),
-    ).crossJoin(F.broadcast(q))
+    # fan the per-vector arithmetic out across cores when the corpus
+    # arrives in a degenerate layout (no-op on a real many-split scan)
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    joined = c.withColumn("__cn", _norm(F.col("__cvec"))).crossJoin(
+        F.broadcast(q)
+    )
     sim = joined.filter(F.col("neighbor_id") != F.col("__qid")).withColumn(
         "cos_sim",
         _dot(F.col("__cvec"), F.col("__qvec")) / (F.col("__cn") * F.col("__qn")),
@@ -142,11 +149,11 @@ def cosine_topk_lsh(
     The candidate join shuffles on bucket id — at corpus scale this is
     the difference between |Q|×|C| and |Q|×|C|/2^planes comparisons.
     """
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        hyperplane_bits(F.col(vec_col), dim, n_planes).alias("__bucket"),
-    )
+    cb = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
+    ).withColumn("__bucket", hyperplane_bits(F.col("__cvec"), dim, n_planes))
     qb = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
@@ -194,11 +201,9 @@ def near_dup_pairs(
 
     Norms are computed once per row before the pairwise expansion.
     """
-    v = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        _norm(F.col(vec_col)).alias("__n"),
-    )
+    v = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    ).withColumn("__n", _norm(F.col("__vec")))
     if n_planes is not None:
         v = v.withColumn(
             "__bucket", hyperplane_bits(F.col("__vec"), dim, n_planes)
@@ -281,7 +286,12 @@ def ivf_topk(
         )
 
     cells = _nearest_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            )
+        ),
         "neighbor_id", "__cvec", 1, keep_vec=True,
     )
     probes = _nearest_cells(

@@ -23,10 +23,30 @@ from scratchdata_spark.engine import Destination, _check_ident, trim_query
 from scratchdata_spark.jtypes import DUCKDB_TYPES, infer_types_file
 
 
+def motherduck_connection_string(database: str, token: str) -> str:
+    """MotherDuck connection string, matching the reference's
+    validation and format (duckdb/duckdb.go:58-68): neither the
+    database nor the token may smuggle in ``saas_mode`` (it would
+    flip the connection out of the restricted mode the server always
+    requests), and the result is
+    ``md:<db>?motherduck_saas_mode=true&motherduck_token=<token>``."""
+    if "saas_mode" in database.lower():
+        raise ValueError("db cannot be named saas_mode")
+    if "saas_mode" in token.lower():
+        raise ValueError("token cannot be named saas_mode")
+    return f"md:{database}?motherduck_saas_mode=true&motherduck_token={token}"
+
+
 class DuckDBDestination(Destination):
     def __init__(self, path: str = ":memory:"):
         self.conn = duckdb.connect(path)
         self._lock = threading.Lock()  # duckdb conn is not thread-safe
+
+    @classmethod
+    def motherduck(cls, database: str, token: str) -> "DuckDBDestination":
+        """Connect to MotherDuck instead of a local file/in-memory db
+        (requires network + the motherduck extension at runtime)."""
+        return cls(motherduck_connection_string(database, token))
 
     def query_df(self, query: str):
         raise NotImplementedError("DuckDB destination has no DataFrame surface")

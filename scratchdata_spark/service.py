@@ -103,6 +103,32 @@ def build_app(
                 user=settings.get("user"),
                 password=settings.get("password"),
             )
+        if type_ == "motherduck":
+            from scratchdata_spark.duckdb_destination import DuckDBDestination
+
+            return DuckDBDestination.motherduck(
+                settings["database"], settings["token"]
+            )
+        if type_ == "bigquery":
+            from scratchdata_spark.bigquery_destination import BigQueryDestination
+            from scratchdata_spark.blobstore import GCSBlobStore
+
+            bucket = settings["gcs_bucket"]
+            store = GCSBlobStore(
+                bucket,
+                prefix=settings.get("gcs_prefix", ""),
+                bucket_obj=settings.get("bucket_obj"),  # test seam
+            )
+            client = settings.get("client")
+            if client is None:
+                raise ValueError(
+                    "bigquery destination needs an injected client"
+                    " (google-cloud-bigquery is not installed here)"
+                )
+            return BigQueryDestination(
+                client, store, bucket,
+                delete_from_gcs=settings.get("delete_from_gcs", True),
+            )
         raise ValueError(f"unknown destination type: {type_}")
 
     service = Service(

@@ -33,3 +33,25 @@ def test_query_runs(spark, sf_dir, name):
     df = fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(n for n in REGISTRY if not n.startswith("s_")))
+def test_query_schema_is_canonicalizer_safe(spark, sf_dir, name):
+    """The driver's compare canonicalizes cells by sorting them —
+    array/map/struct cells are unhashable there and crash even the
+    rows-only path (the x_multimodal_features red row in round 2, the
+    q_approx_quantile crash in round 1). Registry entries must
+    therefore emit scalar columns only: serialize vectors to JSON or
+    explode them. Streaming entries are excluded only because building
+    them runs the stream; their outputs are aggregates, scalar by
+    construction and hash-checked by the driver."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    fn, _oracle = REGISTRY[name]
+    df = fn(spark, sf_dir)  # analysis only — no job
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name} returns non-scalar columns {bad}"

@@ -1,0 +1,223 @@
+"""Scale soak for the LLM-pipeline valves: do the bucket-cap /
+estimator-screen / plane-scaling mechanisms actually hold candidate
+growth near-linear when the corpus grows ~10×?
+
+Synthesizes a scaled corpus from the sf0.1 testdata (replication +
+deterministic perturbation — half the replicas are near-duplicates,
+half are rewrites, the realistic mix a crawl dedup faces), runs the
+three bucketed operators at 1× and ~10×, and records wall-clock plus
+CANDIDATE-COUNT telemetry — the number the quadratic blowup would
+show up in first — to BENCH_scale.json at the repo root.
+
+Valves under test (all in operators/dedup.py / similarity.py):
+* MinHash-LSH: (band, hash)-bucket candidate generation, bucket-size
+  cap, minhash-agreement estimator screen before exact Jaccard.
+* Embedding-LSH: hyperplane buckets with plane count auto-scaled to
+  corpus size (inventory_extras.py — log2(n/60) planes keeps expected
+  bucket size ~60).
+* IVF: probe join touches ~nprobe/n_centroids of the corpus.
+
+Usage: python tools/scale_soak.py [sf_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from scratchdata_spark.inventory import load
+from scratchdata_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signature,
+    normalize_text,
+)
+from scratchdata_spark.operators.similarity import (
+    hyperplane_bits,
+    ivf_topk,
+    near_dup_pairs,
+)
+from scratchdata_spark.session import get_spark
+
+
+def scaled_documents(spark, sf_dir: str, replicas: int):
+    """documents × replicas with perturbation: replica 0 is the
+    original; odd replicas append a marker suffix (near-dups — same
+    shingles except the tail); even replicas reverse the word order
+    (same vocabulary, destroyed shingles — NOT near-dups)."""
+    d = load(spark, sf_dir)["documents"].select("doc_id", "text")
+    n = d.count()
+    r = spark.range(replicas).select(F.col("id").alias("__rep"))
+    out = d.crossJoin(r).select(
+        (F.col("doc_id") + F.col("__rep") * n).alias("doc_id"),
+        F.when(F.col("__rep") == 0, F.col("text"))
+        .when(
+            F.col("__rep") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" rev"), F.col("__rep").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+        )
+        .alias("text"),
+    )
+    return out, n * replicas
+
+
+def scaled_embeddings(spark, sf_dir: str, replicas: int):
+    """embeddings × replicas: odd replicas get ±0.5% deterministic
+    jitter (near-dups); even replicas get the negated vector (cosine
+    −1, never a near-dup)."""
+    e = load(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    n = e.count()
+    r = spark.range(replicas).select(F.col("id").alias("__rep"))
+    jitter = F.expr(
+        "transform(embedding, (x, i) -> x * (1.0 + "
+        "((pmod(xxhash64(vec_id * 64 + i + __rep), 100) / 100.0) - 0.5) * 0.01))"
+    )
+    negate = F.expr("transform(embedding, x -> -x)")
+    out = e.crossJoin(r).select(
+        (F.col("vec_id") + F.col("__rep") * n).alias("vec_id"),
+        F.when(F.col("__rep") == 0, F.col("embedding"))
+        .when(F.col("__rep") % 2 == 1, jitter)
+        .otherwise(negate)
+        .alias("embedding"),
+    )
+    return out, n * replicas
+
+
+def minhash_telemetry(docs, n_hashes=64, bands=16, k=5, threshold=0.5,
+                      max_bucket_size=256, est_margin=0.15) -> dict:
+    """Re-derives the operator's candidate pipeline stage by stage to
+    count what each valve removes (same formulas as
+    dedup.minhash_lsh_pairs; counts only, so one extra pass)."""
+    r = n_hashes // bands
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes, k).persist()
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.slice("__sig", i * r + 1, r).cast("string")).alias("bh"),
+        )
+        for i in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    members = buckets.groupBy("band", "bh").agg(
+        F.count("*").alias("sz")
+    ).persist()
+    stats = members.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("sz * (sz - 1) / 2")).alias("uncapped_pairs"),
+        F.sum(
+            F.when(F.col("sz") <= max_bucket_size, F.expr("sz * (sz - 1) / 2"))
+            .otherwise(0)
+        ).alias("capped_pairs"),
+        F.max("sz").alias("max_bucket"),
+    ).first()
+    t0 = time.perf_counter()
+    final_pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=n_hashes, bands=bands, k=k,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+        est_margin=est_margin,
+    ).count()
+    wall = time.perf_counter() - t0
+    sig.unpersist()
+    members.unpersist()
+    return {
+        "n_buckets": int(stats["n_buckets"]),
+        "max_bucket": int(stats["max_bucket"]),
+        "candidate_pairs_uncapped": int(stats["uncapped_pairs"]),
+        "candidate_pairs_after_bucket_cap": int(stats["capped_pairs"]),
+        "final_pairs": int(final_pairs),
+        "wall_sec": round(wall, 3),
+    }
+
+
+def embedding_lsh_telemetry(vectors, n: int, threshold=0.4) -> dict:
+    planes = max(3, math.ceil(math.log2(max(2.0, n / 60.0))))
+    bucketed = vectors.select(
+        hyperplane_bits(F.col("embedding"), 64, planes).alias("__bucket")
+    ).groupBy("__bucket").agg(F.count("*").alias("sz"))
+    stats = bucketed.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("sz * (sz - 1) / 2")).alias("candidate_pairs"),
+        F.max("sz").alias("max_bucket"),
+    ).first()
+    t0 = time.perf_counter()
+    final = near_dup_pairs(
+        vectors, dim=64, threshold=threshold, n_planes=planes
+    ).count()
+    wall = time.perf_counter() - t0
+    all_pairs = n * (n - 1) // 2
+    return {
+        "n_planes": planes,
+        "n_buckets": int(stats["n_buckets"]),
+        "max_bucket": int(stats["max_bucket"]),
+        "candidate_pairs": int(stats["candidate_pairs"]),
+        "all_pairs_quadratic": all_pairs,
+        "candidate_fraction": round(stats["candidate_pairs"] / all_pairs, 6),
+        "final_pairs": int(final),
+        "wall_sec": round(wall, 3),
+    }
+
+
+def ivf_telemetry(vectors, n: int, n_queries=50, k=5,
+                  n_centroids=16, nprobe=4) -> dict:
+    queries = (
+        vectors.orderBy("vec_id").limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    t0 = time.perf_counter()
+    rows = ivf_topk(
+        vectors, queries, dim=64, k=k,
+        n_centroids=n_centroids, nprobe=nprobe,
+    ).count()
+    wall = time.perf_counter() - t0
+    return {
+        "corpus": n,
+        "queries": n_queries,
+        "probe_fraction": round(nprobe / n_centroids, 3),
+        "expected_candidates": int(n_queries * n * nprobe / n_centroids),
+        "brute_force_candidates": n_queries * n,
+        "result_rows": int(rows),
+        "wall_sec": round(wall, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="scale-soak")
+
+    out: dict = {"sf_dir": sf_dir, "replicas": replicas, "scales": {}}
+    for label, reps in (("1x", 1), (f"{replicas}x", replicas)):
+        docs, n_docs = scaled_documents(spark, sf_dir, reps)
+        docs = docs.persist()
+        docs.count()
+        vecs, n_vecs = scaled_embeddings(spark, sf_dir, reps)
+        vecs = vecs.persist()
+        vecs.count()
+        out["scales"][label] = {
+            "n_docs": n_docs,
+            "n_vectors": n_vecs,
+            "minhash_lsh": minhash_telemetry(docs),
+            "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
+            "ivf": ivf_telemetry(vecs, n_vecs),
+        }
+        docs.unpersist()
+        vecs.unpersist()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_scale.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

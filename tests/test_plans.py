@@ -231,3 +231,41 @@ def test_range_join_bucketed_is_equi_join(spark, sf_dir):
     )
     p = plan(range_join_bucketed(l, o, "p", "s", "e", 86_400_000_000))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_intersect_variant_broadcast_semi_single_shuffle(spark, sf_dir):
+    """The INTERSECT bench variant must plan as ONE broadcast semi join
+    + one aggregate exchange — never the aggregate-both-sides + sort-
+    merge shape Spark gives the INTERSECT keyword (three shuffles)."""
+    import scratchdata_spark.inventory_extras  # noqa: F401 (registers variants)
+    from scratchdata_spark.inventory import BENCH_VARIANTS
+
+    p = plan(BENCH_VARIANTS["q_intersect"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # tree lines only ("Exchange (n)"); the detail section repeats names
+    shuffles = p.count("Exchange (") - p.count("BroadcastExchange (")
+    assert shuffles <= 1, p
+
+
+def test_multimodal_meta_variant_is_map_only(spark, sf_dir):
+    """The metadata fast path is a single projection over the scan:
+    no exchange, no Python boundary."""
+    import scratchdata_spark.inventory_extras  # noqa: F401 (registers variants)
+    from scratchdata_spark.inventory import BENCH_VARIANTS
+
+    p = plan(BENCH_VARIANTS["x_multimodal_meta"](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_ensure_parallelism_noop_on_wide_input(spark):
+    """The fan-out helper must NOT insert a shuffle when the input
+    already has cluster parallelism — at 100 TB every scan does, and
+    an unconditional repartition would re-shuffle the whole corpus."""
+    from scratchdata_spark.operators import ensure_parallelism
+
+    wide = spark.range(10_000, numPartitions=64)
+    assert ensure_parallelism(wide) is wide
+    narrow = spark.range(10_000, numPartitions=1)
+    out = ensure_parallelism(narrow)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

@@ -180,11 +180,26 @@ class SparkDestination(DataFrameSerializers, Destination):
     merging, no repartition of historical data on schema change.
     """
 
-    def __init__(self, spark: SparkSession, catalog: TableCatalog, database: str = "default"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog,
+        database: str = "default",
+        duckdb_compat: bool = True,
+    ):
         self.spark = spark
         self.catalog = catalog
         self.database = _check_ident(database)
         self.plan_cache = PlanCache()
+        # The reference passes user SQL verbatim to DuckDB, so saved
+        # queries arrive in DuckDB's dialect; the compat layer lets
+        # them run unchanged (dialect.py — alias functions are inlined
+        # SQL UDFs, rewrites only touch tokens stock Spark rejects).
+        self.duckdb_compat = duckdb_compat
+        if duckdb_compat:
+            from scratchdata_spark.dialect import register_compat_functions
+
+            register_compat_functions(spark)
 
     # ------------------------------------------------------------- read
     def table_df(self, table: str) -> DataFrame:
@@ -212,6 +227,10 @@ class SparkDestination(DataFrameSerializers, Destination):
 
     def query_df(self, query: str) -> DataFrame:
         query = trim_query(query)
+        if self.duckdb_compat:
+            from scratchdata_spark.dialect import rewrite
+
+            query = rewrite(query)
 
         def build() -> DataFrame:
             self.register_views()

@@ -686,3 +686,27 @@ def x_range_join_bucketed(spark, sf_dir):
         F.count("*").alias("n_shipments"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+# ------------------------------------------------- DuckDB dialect compat
+
+_DUCKDB_TEXT = """
+    SELECT o_orderkey // 1000 AS bucket,
+           count(*) AS n,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY ALL ORDER BY ALL
+"""
+
+
+@q("q_dialect_duckdb_text", _DUCKDB_TEXT)
+def q_dialect_duckdb_text(spark, sf_dir):
+    """The oracle SQL and the Spark query are the SAME DuckDB-dialect
+    text: the reference forwards user SQL verbatim to DuckDB
+    (pkg/util/sql.go:9-13), so switchability means running those saved
+    queries unchanged — dialect.py rewrites the tokens stock Spark
+    rejects (`//` integer division here) and Spark 4 parses the rest
+    (GROUP BY ALL / ORDER BY ALL) natively."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_TEXT))

@@ -1,0 +1,113 @@
+"""DuckDB-dialect compat (dialect.py): a reference user's saved DuckDB
+SQL runs unchanged through the Spark passthrough. Unit-tests the
+rewriter's token safety, then runs the SAME query text on both engines
+and compares values."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+
+from scratchdata_spark.dialect import (
+    _strftime_to_java,
+    register_compat_functions,
+    rewrite,
+)
+
+
+def test_exclude_becomes_except():
+    assert rewrite("SELECT * EXCLUDE (a) FROM t") == "SELECT * EXCEPT (a) FROM t"
+    assert rewrite("SELECT * exclude(a, b) FROM t") == "SELECT * EXCEPT(a, b) FROM t"
+
+
+def test_int_division():
+    assert rewrite("SELECT a // b FROM t") == "SELECT a  DIV  b FROM t"
+
+
+def test_list_functions():
+    assert rewrite("SELECT list_value(1,2)") == "SELECT array(1,2)"
+    assert rewrite("SELECT list_contains([1], 1)") == "SELECT array_contains([1], 1)"
+
+
+def test_using_sample():
+    assert rewrite("SELECT * FROM t USING SAMPLE 10%") == (
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert rewrite("SELECT * FROM t USING SAMPLE 100 ROWS") == (
+        "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+    )
+
+
+def test_strftime_translation():
+    assert _strftime_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+    assert _strftime_to_java("%H:%M:%S") == "HH:mm:ss"
+    # literal alphabetics are quoted for java.time
+    assert _strftime_to_java("%Yyr") == "yyyy'y''r'"
+    assert rewrite("SELECT strftime(ts, '%Y-%m') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    )
+
+
+def test_qualify_rewrite():
+    out = rewrite(
+        "SELECT a, row_number() OVER (ORDER BY a) rn FROM t QUALIFY rn = 1"
+    )
+    assert out.startswith("SELECT * FROM ( SELECT a,")
+    assert out.endswith("WHERE rn = 1")
+    # trailing ORDER BY / LIMIT stay outside the wrapper
+    out = rewrite("SELECT a, rank() OVER (ORDER BY a) r FROM t QUALIFY r <= 2 LIMIT 1")
+    assert out.endswith("WHERE r <= 2 LIMIT 1")
+
+
+def test_literals_and_comments_untouched():
+    assert rewrite("SELECT '* EXCLUDE (x) //' FROM t") == (
+        "SELECT '* EXCLUDE (x) //' FROM t"
+    )
+    assert rewrite('SELECT "we//ird" FROM t') == 'SELECT "we//ird" FROM t'
+    sql = "SELECT a FROM t -- list_value(1) // EXCLUDE"
+    assert rewrite(sql) == sql
+    # QUALIFY inside a subquery (depth > 0) is left for the engine
+    sub = "SELECT * FROM (SELECT a FROM t) x WHERE a IN (1)"
+    assert rewrite(sub) == sub
+
+
+def test_valid_spark_sql_passes_through():
+    for sql in (
+        "SELECT l_returnflag, SUM(l_quantity) FROM lineitem GROUP BY ALL",
+        "SELECT * EXCEPT (l_comment) FROM lineitem",
+        "SELECT CAST(x AS INT) FROM t WHERE s ILIKE 'a%'",
+    ):
+        assert rewrite(sql) == sql
+
+
+# ------------------------------------------------------------------ e2e
+
+DUCKDB_QUERIES = [
+    # same text must run on BOTH engines and agree value-for-value
+    "SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders GROUP BY ALL ORDER BY ALL",
+    "SELECT epoch_us(TIMESTAMP '2024-03-01 12:30:00') AS us",
+    "SELECT string_split('a.b.c', '.') AS parts",
+    "SELECT o_orderkey // 100 AS bucket, count(*)::BIGINT AS n"
+    " FROM orders GROUP BY ALL ORDER BY bucket LIMIT 5",
+    "SELECT strftime(TIMESTAMP '2024-03-01 12:30:00', '%Y-%m-%d %H:%M') AS s",
+    "SELECT regexp_matches(o_orderpriority, '^1') AS hot, count(*)::BIGINT AS n"
+    " FROM orders GROUP BY ALL ORDER BY hot",
+]
+
+
+def test_same_duckdb_text_on_both_engines(spark, sf_dir):
+    register_compat_functions(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    for sql in DUCKDB_QUERIES:
+        expect = con.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+        norm = lambda rows: sorted(
+            json.dumps([str(v) for v in r]) for r in rows
+        )
+        assert norm(got) == norm(expect), sql

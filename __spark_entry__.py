@@ -35,9 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row no older than one round.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
-    # fixed this round (canonicalizer-safe features; depth-2 FK parity)
+    # fixed/added this round (canonicalizer-safe features; depth-2 FK
+    # parity; DuckDB-dialect passthrough)
     "x_multimodal_features",
     "q_nested_flatten_multitable_depth2",
+    "q_dialect_duckdb_text",
     "q_nested_flatten_multitable",
     # round-1-only long tail: re-verify under this round's plan-cache,
     # load(), and session-tuning changes
@@ -83,7 +85,6 @@ _PRIORITY = [
     "q_explode_posexplode",
     "q_map_struct_funcs",
     # x_*/s_* sanity rows (fresh multi-batch streaming evidence)
-    "x_dedup_exact",
     "x_ann_cosine_topk",
     "s_stream_tumbling_hour",
     "s_stream_session_windows",

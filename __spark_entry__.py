@@ -41,6 +41,10 @@ _PRIORITY = [
     "q_nested_flatten_multitable_depth2",
     "q_dialect_duckdb_text",
     "q_nested_flatten_multitable",
+    # new corpus-preparation stage (round 3)
+    "x_split_train_val",
+    "x_sample_stratified",
+    "x_pack_sequences",
     # round-1-only long tail: re-verify under this round's plan-cache,
     # load(), and session-tuning changes
     "q_approx_count_distinct",
@@ -84,11 +88,9 @@ _PRIORITY = [
     "q_array_funcs",
     "q_explode_posexplode",
     "q_map_struct_funcs",
-    # x_*/s_* sanity rows (fresh multi-batch streaming evidence)
-    "x_ann_cosine_topk",
+    # streaming sanity row (fresh multi-batch evidence; the rest of the
+    # s_* surface is banked in CORRECTNESS_r02 and pytest-covered)
     "s_stream_tumbling_hour",
-    "s_stream_session_windows",
-    "s_stream_stateful_user_totals",
 ]
 
 

@@ -710,3 +710,76 @@ def q_dialect_duckdb_text(spark, sf_dir):
 
     load(spark, sf_dir)
     return spark.sql(rewrite(_DUCKDB_TEXT))
+
+
+# -------------------------------------------- corpus-preparation stage
+
+from scratchdata_spark.operators.pipeline import (
+    pack_sequences,
+    stratified_sample,
+    train_val_split,
+)
+
+
+@q(
+    "x_split_train_val",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(sha256(text), 1, 2) < 'f3' THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def x_split_train_val(spark, sf_dir):
+    """Deterministic content-hash train/val split (~13/256 ≈ 5% val):
+    re-ingesting a document always lands it in the same split, so
+    re-runs never leak val into train. Map-only — no RNG, no shuffle;
+    the oracle reproduces the same sha256-hex comparison."""
+    d = load(spark, sf_dir)["documents"]
+    return train_val_split(d, val_fraction_256=13).select("doc_id", "split")
+
+
+@q(
+    "x_sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(sha256(text), 1, 2) < CASE WHEN lang = 'en' THEN '80'
+                                            ELSE 'zz' END
+    """,
+)
+def x_sample_stratified(spark, sf_dir):
+    """Stratified downsampling: keep ~50% of the dominant language,
+    100% of the rest — the rebalancing step before training-mix
+    assembly. Deterministic per content hash (a document's fate never
+    depends on scan order or partitioning)."""
+    d = load(spark, sf_dir)["documents"]
+    return stratified_sample(d, "lang", {"en": 128}).select("doc_id", "lang")
+
+
+@q(
+    "x_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def x_pack_sequences(spark, sf_dir):
+    """Sequence-packing manifest: per source, documents are ordered
+    deterministically and assigned to ~2048-token packs (pack_id,
+    pack_offset) — the plan a tokenizer job consumes. One shuffle on
+    the group key, which downstream inherits."""
+    d = load(spark, sf_dir)["documents"]
+    return pack_sequences(d, "source", context_tokens=2048)

@@ -98,6 +98,11 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\blist_value\s*\(", "array(", code, flags=re.I)
     code = re.sub(r"\blist_contains\s*\(", "array_contains(", code, flags=re.I)
     code = re.sub(r"\blist_has_any\s*\(", "arrays_overlap(", code, flags=re.I)
+    code = re.sub(r"\blist_transform\s*\(", "transform(", code, flags=re.I)
+    code = re.sub(r"\blist_filter\s*\(", "filter(", code, flags=re.I)
+    code = re.sub(r"\blist_unique\s*\(", "array_distinct(", code, flags=re.I)
+    code = re.sub(r"\barray_length\s*\(", "size(", code, flags=re.I)
+    code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
     # USING SAMPLE 10% | USING SAMPLE 100 ROWS → TABLESAMPLE
     code = re.sub(
         r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*%",
@@ -112,6 +117,36 @@ def _rewrite_code(code: str) -> str:
         flags=re.I,
     )
     return code
+
+
+def _rewrite_bracket_literals(parts: list[tuple[bool, str]]) -> str:
+    """DuckDB list literals ``[1, 'a']`` → ``array(1, 'a')``. A ``[``
+    is a subscript only when it IMMEDIATELY follows a value expression
+    (identifier char, ``)``, ``]``, closing quote — ``a[1]``,
+    ``expr()[1]``); any whitespace or operator before it means a list
+    constructor (``SELECT [1, 2]``, ``IN [..]``). Bracket pairs match
+    via a stack carried ACROSS segments (a literal's string elements
+    are non-code segments); non-code text itself is never altered."""
+    out = []
+    stack = []  # True = literal (rewritten), False = subscript
+    prev = ""  # last raw char of the ORIGINAL text, whitespace included
+    for is_code, text in parts:
+        if not is_code:
+            out.append(text)
+            if text:
+                prev = text[-1]
+            continue
+        for ch in text:
+            if ch == "[":
+                is_subscript = bool(prev) and (prev.isalnum() or prev in "_)]'\"")
+                stack.append(not is_subscript)
+                out.append("[" if is_subscript else "array(")
+            elif ch == "]" and stack:
+                out.append(")" if stack.pop() else "]")
+            else:
+                out.append(ch)
+            prev = ch
+    return "".join(out)
 
 
 # ------------------------------------------------------------- strftime
@@ -142,6 +177,18 @@ def _strftime_to_java(fmt: str) -> str:
             out.append(f"'{c}'" if c.isalpha() else c)
             i += 1
     return "".join(out)
+
+
+def _rewrite_date_diff(sql: str) -> str:
+    """``date_diff('day', a, b)`` → ``timestampdiff(DAY, a, b)`` — the
+    part name lives in a string literal, so this runs on the full text
+    (like strftime) rather than in the literal-masked pass."""
+    return re.sub(
+        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
+        lambda m: f"timestampdiff({m.group(1).upper()},",
+        sql,
+        flags=re.I,
+    )
 
 
 def _rewrite_strftime(sql: str) -> str:
@@ -212,6 +259,8 @@ COMPAT_FUNCTIONS = [
     " RETURNS BOOLEAN RETURN s RLIKE p",
     "CREATE OR REPLACE TEMPORARY FUNCTION list_sort(a ARRAY<STRING>)"
     " RETURNS ARRAY<STRING> RETURN sort_array(a)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_sum(a ARRAY<DOUBLE>)"
+    " RETURNS DOUBLE RETURN aggregate(a, 0.0D, (acc, x) -> acc + x)",
 ]
 
 
@@ -226,8 +275,9 @@ def rewrite(sql: str) -> str:
     """DuckDB SQL → Spark SQL. Pure text transform; string literals,
     quoted identifiers, and comments are never modified."""
     sql = _rewrite_qualify(sql)
-    out = []
-    for is_code, text in _segments(sql):
-        out.append(_rewrite_code(text) if is_code else text)
-    rewritten = "".join(out)
-    return _rewrite_strftime(rewritten)
+    parts = [
+        (is_code, _rewrite_code(text) if is_code else text)
+        for is_code, text in _segments(sql)
+    ]
+    rewritten = _rewrite_bracket_literals(parts)
+    return _rewrite_date_diff(_rewrite_strftime(rewritten))

@@ -28,7 +28,9 @@ def test_int_division():
 
 def test_list_functions():
     assert rewrite("SELECT list_value(1,2)") == "SELECT array(1,2)"
-    assert rewrite("SELECT list_contains([1], 1)") == "SELECT array_contains([1], 1)"
+    assert rewrite("SELECT list_contains([1], 1)") == (
+        "SELECT array_contains(array(1), 1)"
+    )
 
 
 def test_using_sample():
@@ -111,3 +113,50 @@ def test_same_duckdb_text_on_both_engines(spark, sf_dir):
             json.dumps([str(v) for v in r]) for r in rows
         )
         assert norm(got) == norm(expect), sql
+
+
+def test_more_list_and_date_functions():
+    assert rewrite("SELECT list_transform(a, x -> x+1)") == (
+        "SELECT transform(a, x -> x+1)"
+    )
+    assert rewrite("SELECT list_filter(a, x -> x>1)") == "SELECT filter(a, x -> x>1)"
+    assert rewrite("SELECT list_unique(a)") == "SELECT array_distinct(a)"
+    assert rewrite("SELECT array_length(a)") == "SELECT size(a)"
+    assert rewrite("SELECT starts_with(s, 'a')") == "SELECT startswith(s, 'a')"
+    assert rewrite("SELECT date_diff('day', a, b)") == "SELECT timestampdiff(DAY, a, b)"
+
+
+DUCKDB_QUERIES_2 = [
+    "SELECT list_sum(list_transform([1.0, 2.0, 3.5], x -> x * 2)) AS s",
+    "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-02-01') AS d",
+    "SELECT starts_with(o_orderpriority, '1') AS hot, count(*)::BIGINT AS n"
+    " FROM orders GROUP BY ALL ORDER BY hot",
+    "SELECT list_contains([1, 2, 3], 2) AS has2",
+]
+
+
+def test_more_duckdb_text_on_both_engines(spark, sf_dir):
+    register_compat_functions(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    for sql in DUCKDB_QUERIES_2:
+        expect = con.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+        norm = lambda rows: sorted(
+            json.dumps([str(v) for v in r]) for r in rows
+        )
+        assert norm(got) == norm(expect), sql
+
+
+def test_bracket_literals_vs_subscripts():
+    assert rewrite("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)"
+    assert rewrite("SELECT ['a', 'b']") == "SELECT array('a', 'b')"
+    assert rewrite("SELECT [[1], [2]]") == "SELECT array(array(1), array(2))"
+    # subscripts survive untouched
+    assert rewrite("SELECT a[1] FROM t") == "SELECT a[1] FROM t"
+    assert rewrite("SELECT split(s, ',')[1]") == "SELECT split(s, ',')[1]"
+    # literal then subscript on it
+    assert rewrite("SELECT [1, 2][1]") == "SELECT array(1, 2)[1]"

@@ -32,7 +32,7 @@ import os
 from typing import IO
 
 from scratchdata_spark.blobstore import BlobStore
-from scratchdata_spark.engine import Destination, trim_query
+from scratchdata_spark.engine import Destination, _check_ident, trim_query
 from scratchdata_spark.jtypes import infer_types_file
 
 # insert.go:19-31 jsonTypeToBQType
@@ -45,11 +45,25 @@ BQ_TYPES = {
 
 
 def _split_table(table: str) -> tuple[str, str]:
-    """Reference requires ``dataset.table`` (insert.go:36-40)."""
+    """Reference requires ``dataset.table`` (insert.go:36-40); both
+    parts are identifier-validated — DDL and LOAD statements
+    interpolate them into SQL text."""
     parts = table.split(".")
     if len(parts) != 2:
         raise ValueError("table name should be in the format dataset.table")
-    return parts[0], parts[1]
+    return _check_ident(parts[0]), _check_ident(parts[1])
+
+
+def _check_column(name: str) -> str:
+    """Column names come from arbitrary JSON keys and are interpolated
+    into backtick-quoted DDL — reject anything that could break out of
+    the quoting (BigQuery itself only accepts [A-Za-z_][A-Za-z0-9_]*,
+    so this refuses nothing loadable)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"invalid BigQuery column name: {name!r}")
+    return name
 
 
 class BigQueryDestination(Destination):
@@ -64,6 +78,10 @@ class BigQueryDestination(Destination):
         self.blobstore = blobstore
         self.gcs_bucket = gcs_bucket
         self.delete_from_gcs = delete_from_gcs
+        # (path, mtime) → inferred types: the insert sequence calls
+        # create_columns then insert_ndjson_file on the same file; one
+        # inference pass instead of two full-file scans
+        self._types_cache: dict[tuple[str, float], dict[str, str]] = {}
 
     # ------------------------------------------------------------ query
     def query_df(self, query: str):
@@ -113,12 +131,26 @@ class BigQueryDestination(Destination):
             f"CREATE TABLE IF NOT EXISTS {table} (__row_id BIGINT)"
         )
 
+    def _infer_types(self, path: str) -> dict[str, str]:
+        key = (path, os.path.getmtime(path))
+        types = self._types_cache.get(key)
+        if types is None:
+            types = infer_types_file(path)
+            if len(self._types_cache) > 64:
+                self._types_cache.pop(next(iter(self._types_cache)))
+            self._types_cache[key] = types
+        return types
+
     def create_columns(self, table: str, ndjson_path: str | list[str]) -> None:
-        types = infer_types_file(ndjson_path)
+        _split_table(table)  # validates both parts
+        paths = [ndjson_path] if isinstance(ndjson_path, str) else list(ndjson_path)
+        types: dict[str, str] = {}
+        for p in paths:
+            types.update(self._infer_types(p))
         for col, jt in types.items():
             self.client.query(
                 f"ALTER TABLE `{table}` ADD COLUMN IF NOT EXISTS"
-                f" `{col}` {BQ_TYPES.get(jt, 'STRING')}"
+                f" `{_check_column(col)}` {BQ_TYPES.get(jt, 'STRING')}"
             )
 
     # ------------------------------------------------------------ insert
@@ -138,13 +170,15 @@ class BigQueryDestination(Destination):
         this is the shape that works — the LOAD executes inside
         BigQuery against columnar-converted staging, never streaming
         rows through this process."""
+        _split_table(table)  # validates both parts
         paths = [ndjson_path] if isinstance(ndjson_path, str) else list(ndjson_path)
         for path in paths:
             key = self._gcs_key(table, path)
             self.blobstore.put_file(path, key)
-            types = infer_types_file(path)
+            types = self._infer_types(path)
             columns = ", ".join(
-                f"`{c}` {BQ_TYPES.get(t, 'STRING')}" for c, t in types.items()
+                f"`{_check_column(c)}` {BQ_TYPES.get(t, 'STRING')}"
+                for c, t in types.items()
             )
             uri = self._gcs_uri(key)
             self.client.query(

@@ -43,14 +43,15 @@ import re
 
 def _segments(sql: str):
     """Split sql into (is_code, text) segments; string literals
-    ('..' with '' escapes, ".." identifiers) and -- / /* */ comments
-    are non-code so rewrites never touch their contents."""
+    ('..' with '' escapes, ".." and `..` quoted identifiers) and
+    -- / /* */ comments are non-code so rewrites never touch their
+    contents."""
     out = []
     i, n = 0, len(sql)
     start = 0
     while i < n:
         ch = sql[i]
-        if ch == "'" or ch == '"':
+        if ch == "'" or ch == '"' or ch == "`":
             if start < i:
                 out.append((True, sql[start:i]))
             q = ch
@@ -92,7 +93,11 @@ def _segments(sql: str):
 def _rewrite_code(code: str) -> str:
     # * EXCLUDE (a, b) → * EXCEPT (a, b)   (DuckDB keyword for Spark's)
     code = re.sub(r"(\*\s*)EXCLUDE(\s*\()", r"\1EXCEPT\2", code, flags=re.I)
-    # integer division: a // b → a DIV b
+    # integer division: a // b → a DIV b. Exact for integer operands
+    # (both truncate toward zero, -7//2 = -7 DIV 2 = -3). DuckDB's //
+    # on DECIMAL/DOUBLE behaves as plain division (7.5 // 2 = 3.75) —
+    # a type-dependent meaning no text rewrite can reproduce; integer
+    # usage is the dialect's documented contract here.
     code = re.sub(r"//", " DIV ", code)
     # list_* constructors/predicates with direct array_* counterparts
     code = re.sub(r"\blist_value\s*\(", "array(", code, flags=re.I)
@@ -179,28 +184,63 @@ def _strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
-def _rewrite_date_diff(sql: str) -> str:
-    """``date_diff('day', a, b)`` → ``timestampdiff(DAY, a, b)`` — the
-    part name lives in a string literal, so this runs on the full text
-    (like strftime) rather than in the literal-masked pass."""
+_MASK = "\x00"
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace every non-code segment with a ``\\x00<i>\\x00``
+    placeholder so function-shape regexes (strftime, date_diff) can
+    run over the code structure WITHOUT ever matching inside an
+    unrelated string literal — the placeholder stands where the
+    literal argument sits, and the rewrite looks its content up by
+    index. Round-trips exactly via _unmask_literals."""
+    chunks, literals = [], []
+    for is_code, text in _segments(sql):
+        if is_code:
+            chunks.append(text)
+        else:
+            chunks.append(f"{_MASK}{len(literals)}{_MASK}")
+            literals.append(text)
+    return "".join(chunks), literals
+
+
+def _unmask_literals(masked: str, literals: list[str]) -> str:
     return re.sub(
-        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
-        lambda m: f"timestampdiff({m.group(1).upper()},",
-        sql,
-        flags=re.I,
+        f"{_MASK}(\\d+){_MASK}", lambda m: literals[int(m.group(1))], masked
     )
 
 
-def _rewrite_strftime(sql: str) -> str:
-    # strftime(<expr>, '<fmt>') — expr must be paren-free or
-    # parenthesized; keep it conservative (no nested commas).
+def _rewrite_date_diff(masked: str, literals: list[str]) -> str:
+    """``date_diff('day', a, b)`` → ``timestampdiff(DAY, a, b)`` on
+    the literal-masked text: the part-name placeholder must be the
+    call's first argument, so a literal elsewhere can never match."""
     def repl(m):
-        return f"date_format({m.group(1)}, '{_strftime_to_java(m.group(2))}')"
+        lit = literals[int(m.group(1))]
+        part = lit[1:-1] if lit[:1] == "'" else lit
+        if not re.fullmatch(r"\w+", part):
+            return m.group(0)
+        return f"timestampdiff({part.upper()},"
 
     return re.sub(
-        r"\bstrftime\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)",
+        rf"\bdate_diff\s*\(\s*{_MASK}(\d+){_MASK}\s*,", repl, masked, flags=re.I
+    )
+
+
+def _rewrite_strftime(masked: str, literals: list[str]) -> str:
+    """``strftime(<expr>, '<fmt>')`` → ``date_format(expr, ...)`` on
+    the literal-masked text; the format placeholder must be the second
+    argument of the call shape (no nested commas in expr)."""
+    def repl(m):
+        lit = literals[int(m.group(2))]
+        if lit[:1] != "'":
+            return m.group(0)
+        translated = _strftime_to_java(lit[1:-1])
+        return f"date_format({m.group(1)}, '{translated}')"
+
+    return re.sub(
+        rf"\bstrftime\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*{_MASK}(\d+){_MASK}\s*\)",
         repl,
-        sql,
+        masked,
         flags=re.I,
     )
 
@@ -235,10 +275,37 @@ def _rewrite_qualify(sql: str) -> str:
         return sql
     head = sql[:pos].rstrip()
     tail = sql[pos + len("QUALIFY") :].strip()
-    # split trailing ORDER BY / LIMIT at depth 0 out of the predicate
-    m = re.search(r"\b(ORDER\s+BY|LIMIT)\b", tail, flags=re.I)
-    pred, rest = (tail[: m.start()].strip(), tail[m.start() :]) if m else (tail, "")
-    return f"SELECT * FROM ( {head} ) __qualify WHERE {pred} {rest}".strip()
+    # split trailing ORDER BY / LIMIT out of the predicate — they must
+    # land OUTSIDE the wrapper, after the WHERE. Depth-0 only: an
+    # ORDER BY inside the predicate's own OVER (...) clause is part of
+    # the window spec, not the statement tail.
+    split_at = -1
+    depth = 0
+    offset = 0
+    for seg_is_code, seg_text in _segments(tail):
+        if seg_is_code:
+            for m in re.finditer(r"[()]|\bORDER\s+BY\b|\bLIMIT\b", seg_text, flags=re.I):
+                tok = m.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0 and split_at == -1:
+                    split_at = offset + m.start()
+        offset += len(seg_text)
+    if split_at != -1:
+        pred, rest = tail[:split_at].strip(), tail[split_at:]
+    else:
+        pred, rest = tail, ""
+    # The predicate may itself contain a window function (QUALIFY
+    # row_number() OVER (...) = 1 — the most common form), which Spark
+    # rejects in WHERE. Compute it as a projected column in an inner
+    # SELECT (where windows ARE legal), filter on it, then drop it.
+    return (
+        f"SELECT * EXCEPT (__qualify_pred) FROM ("
+        f" SELECT *, ({pred}) AS __qualify_pred FROM ( {head} ) __qualify_src"
+        f" ) WHERE __qualify_pred {rest}"
+    ).strip()
 
 
 # ---------------------------------------------------------------- public
@@ -249,16 +316,19 @@ COMPAT_FUNCTIONS = [
     " RETURNS BIGINT RETURN unix_micros(x)",
     "CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(x TIMESTAMP)"
     " RETURNS BIGINT RETURN unix_millis(x)",
+    # DuckDB's epoch() returns DOUBLE seconds INCLUDING the fraction
     "CREATE OR REPLACE TEMPORARY FUNCTION epoch(x TIMESTAMP)"
-    " RETURNS BIGINT RETURN unix_seconds(x)",
+    " RETURNS DOUBLE RETURN unix_micros(x) / 1000000.0D",
     # literal-separator split (Spark's split takes a REGEX; \Q..\E
     # quotes the separator so '.' splits on dots, not everything)
     "CREATE OR REPLACE TEMPORARY FUNCTION string_split(s STRING, sep STRING)"
     " RETURNS ARRAY<STRING> RETURN split(s, concat('\\\\Q', sep, '\\\\E'))",
     "CREATE OR REPLACE TEMPORARY FUNCTION regexp_matches(s STRING, p STRING)"
     " RETURNS BOOLEAN RETURN s RLIKE p",
-    "CREATE OR REPLACE TEMPORARY FUNCTION list_sort(a ARRAY<STRING>)"
-    " RETURNS ARRAY<STRING> RETURN sort_array(a)",
+    # list_sort is deliberately ABSENT: a typed SQL UDF would coerce
+    # numeric arrays to ARRAY<STRING> and sort lexicographically —
+    # silently wrong. Users get a loud unresolved-function error and
+    # sort_array(), which matches DuckDB's list_sort for every type.
     "CREATE OR REPLACE TEMPORARY FUNCTION list_sum(a ARRAY<DOUBLE>)"
     " RETURNS DOUBLE RETURN aggregate(a, 0.0D, (acc, x) -> acc + x)",
 ]
@@ -280,4 +350,8 @@ def rewrite(sql: str) -> str:
         for is_code, text in _segments(sql)
     ]
     rewritten = _rewrite_bracket_literals(parts)
-    return _rewrite_date_diff(_rewrite_strftime(rewritten))
+    # literal-argument rewrites run on masked text: the target literal
+    # participates via its placeholder, unrelated literals can't match
+    masked, literals = _mask_literals(rewritten)
+    masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
+    return _unmask_literals(masked, literals)

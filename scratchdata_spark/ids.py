@@ -78,18 +78,29 @@ def next_row_id() -> int:
 
 _COL_MS_LOCK = threading.Lock()
 _COL_LAST_MS = -1
+# Adjacent job bases are spaced by this stride because a partition
+# with R rows advances its virtual ms by R//4096 — with only +1 ms
+# between bases, job A's rows 4096.. would collide with job B's first
+# rows in the same partition slot. 64 ms of headroom means a collision
+# needs a >64×4096 = 262k-row single partition in a job racing one
+# launched <64·k ms later; ingest micro-batches are thousands of rows,
+# and a bulk job that large should repartition anyway. The clock only
+# drifts ahead of wall time if jobs start faster than ~15/s sustained.
+_COL_MS_STRIDE = 64
 
 
 def _job_ms_base() -> int:
-    """Driver-assigned millisecond base, strictly increasing per call:
-    two insert jobs built in the same wall-clock millisecond get
-    DIFFERENT bases (the analogue of the driver generator's
+    """Driver-assigned millisecond base, strictly increasing by at
+    least _COL_MS_STRIDE per call: two insert jobs built in the same
+    wall-clock millisecond get bases far enough apart that one job's
+    virtual-ms advance (rows_per_partition // 4096) cannot reach the
+    next job's range (the analogue of the driver generator's
     wait-for-next-ms on sequence wrap, applied across jobs)."""
     global _COL_LAST_MS
     with _COL_MS_LOCK:
         now = int(time.time() * 1000)
-        if now <= _COL_LAST_MS:
-            now = _COL_LAST_MS + 1
+        if now < _COL_LAST_MS + _COL_MS_STRIDE:
+            now = _COL_LAST_MS + _COL_MS_STRIDE
         _COL_LAST_MS = now
         return now
 
@@ -115,11 +126,11 @@ def snowflake_column() -> Column:
     Uniqueness argument (single job): equal ids need equal node →
     partitions differ by a multiple of 1024; equal seq and ms then
     force identical row_index and partition. ACROSS jobs in one
-    process, the base ms is strictly increasing per call (never the
-    same millisecond twice — see :func:`_job_ms_base`), so ids collide
-    only if an earlier job's virtual-ms advance (rows_per_partition /
-    4096 ms) overruns a later job's base — >4M rows in one partition
-    landing in the same second, at which point repartition the insert.
+    process, bases advance by ≥64 ms per job (see :func:`_job_ms_base`),
+    so ids collide only if an earlier job's virtual-ms advance
+    (rows_per_partition / 4096 ms) overruns a later job's base —
+    >262k rows in ONE partition racing a job started within the next
+    64 ms, at which point repartition the insert.
     Across processes the guarantee matches the reference's: node bits
     come from the host, and two generators on one host sharing a
     millisecond can collide (util.go:21-23 has the same property).

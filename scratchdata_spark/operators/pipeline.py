@@ -35,7 +35,13 @@ def train_val_split(
     purpose — re-ingesting the same document always lands in the same
     split, so train/val never leak into each other across pipeline
     re-runs. Map-only: no shuffle, no RNG state."""
-    threshold = format(256 - val_fraction_256, "02x")
+    # 0 → everything train: 'zz' sorts above every 2-char hex bucket
+    # (format(256, '02x') would be the 3-char '100', which hex buckets
+    # 'a0'.. compare ABOVE lexicographically — misrouting ~37% to val)
+    if val_fraction_256 <= 0:
+        threshold = "zz"
+    else:
+        threshold = format(max(256 - val_fraction_256, 0), "02x")
     return df.withColumn(
         "split",
         F.when(_hash_bucket(F.col(text_col)) < F.lit(threshold), "train")

@@ -168,3 +168,32 @@ def test_motherduck_connection_string():
         motherduck_connection_string("SAAS_MODE_db", "tok")
     with pytest.raises(ValueError):
         motherduck_connection_string("db", "xsaas_modey")
+
+
+def test_malicious_column_and_table_names_rejected(dest, tmp_path):
+    d, client, _, _ = dest
+    with pytest.raises(ValueError):
+        d.create_empty_table("ds.events; DROP TABLE x")
+    evil = _ndjson(tmp_path, [{"x` STRING); DROP TABLE ds.events; --": 1}])
+    with pytest.raises(ValueError):
+        d.create_columns("ds.events", evil)
+    with pytest.raises(ValueError):
+        d.insert_ndjson_file("ds.events", evil)
+
+
+def test_insert_infers_types_once_per_file(dest, tmp_path, monkeypatch):
+    d, client, _, _ = dest
+    calls = []
+    import scratchdata_spark.bigquery_destination as bq
+
+    real = bq.infer_types_file
+
+    def counting(path, *a, **k):
+        calls.append(path)
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(bq, "infer_types_file", counting)
+    path = _ndjson(tmp_path, [{"n": 1}])
+    d.create_columns("ds.events", path)
+    d.insert_ndjson_file("ds.events", path)
+    assert len(calls) == 1  # cached between the two steps

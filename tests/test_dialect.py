@@ -56,11 +56,27 @@ def test_qualify_rewrite():
     out = rewrite(
         "SELECT a, row_number() OVER (ORDER BY a) rn FROM t QUALIFY rn = 1"
     )
-    assert out.startswith("SELECT * FROM ( SELECT a,")
-    assert out.endswith("WHERE rn = 1")
+    assert out.startswith("SELECT * EXCEPT (__qualify_pred) FROM (")
+    assert "(rn = 1) AS __qualify_pred" in out
+    assert out.endswith("WHERE __qualify_pred")
     # trailing ORDER BY / LIMIT stay outside the wrapper
     out = rewrite("SELECT a, rank() OVER (ORDER BY a) r FROM t QUALIFY r <= 2 LIMIT 1")
-    assert out.endswith("WHERE r <= 2 LIMIT 1")
+    assert out.endswith("WHERE __qualify_pred LIMIT 1")
+
+
+def test_qualify_with_window_in_predicate_runs(spark, sf_dir):
+    """The most common QUALIFY form puts the window function directly
+    in the predicate — it must execute (windows are illegal in WHERE,
+    so the rewrite projects the predicate in an inner SELECT)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    rows = spark.sql(
+        rewrite(
+            "SELECT o_custkey, o_orderkey FROM orders QUALIFY"
+            " row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1"
+        )
+    ).collect()
+    assert len(rows) > 0
+    assert len({r["o_custkey"] for r in rows}) == len(rows)  # one per key
 
 
 def test_literals_and_comments_untouched():
@@ -160,3 +176,34 @@ def test_bracket_literals_vs_subscripts():
     assert rewrite("SELECT split(s, ',')[1]") == "SELECT split(s, ',')[1]"
     # literal then subscript on it
     assert rewrite("SELECT [1, 2][1]") == "SELECT array(1, 2)[1]"
+
+
+def test_backtick_identifiers_untouched():
+    """Spark queries quoting odd column names with backticks (this
+    engine mints columns from arbitrary JSON keys) must pass through
+    byte-identical — `a//b` is a column name, not integer division."""
+    for sql in (
+        "SELECT `a//b` FROM t",
+        "SELECT `we EXCLUDE (x)` FROM t",
+        "SELECT `list_value(` FROM t",
+        "SELECT `arr[0]` FROM t",
+    ):
+        assert rewrite(sql) == sql
+
+
+def test_literal_mentioning_strftime_or_date_diff_untouched():
+    sql = "SELECT concat('strftime(ts, ', fmt, ')') FROM t"
+    assert rewrite(sql) == sql
+    sql2 = "SELECT 'date_diff(''day'', a, b)' FROM t"
+    assert rewrite(sql2) == sql2
+
+
+def test_epoch_matches_duckdb_fractional_seconds(spark):
+    register_compat_functions(spark)
+    got = spark.sql(
+        "SELECT epoch(TIMESTAMP '2024-03-01 10:30:15.5') AS e"
+    ).first()["e"]
+    expect = duckdb.connect().execute(
+        "SELECT epoch(TIMESTAMP '2024-03-01 10:30:15.5')"
+    ).fetchone()[0]
+    assert abs(got - float(expect)) < 1e-6

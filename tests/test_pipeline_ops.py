@@ -62,3 +62,9 @@ def test_pack_sequences_invariants(spark):
         # pack ids are nondecreasing in doc order
         ids = [r["pack_id"] for r in rows]
         assert ids == sorted(ids)
+
+
+def test_split_zero_val_fraction_keeps_everything_train(spark):
+    d = _docs(spark, 300)
+    out = train_val_split(d, val_fraction_256=0).select("split").distinct().collect()
+    assert [r["split"] for r in out] == ["train"]

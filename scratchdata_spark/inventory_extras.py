@@ -783,3 +783,21 @@ def x_pack_sequences(spark, sf_dir):
     the group key, which downstream inherits."""
     d = load(spark, sf_dir)["documents"]
     return pack_sequences(d, "source", context_tokens=2048)
+
+
+_DUCKDB_QUALIFY_TEXT = """
+    SELECT o_custkey, o_orderkey FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+"""
+
+
+@q("q_dialect_qualify", _DUCKDB_QUALIFY_TEXT)
+def q_dialect_qualify(spark, sf_dir):
+    """QUALIFY through the dialect layer: DuckDB executes the text
+    natively (the oracle); Spark runs the rewrite, which projects the
+    window predicate in an inner SELECT (illegal in WHERE), filters,
+    and drops the helper column — same rows, hash-compared."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_QUALIFY_TEXT))

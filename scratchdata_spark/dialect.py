@@ -11,7 +11,11 @@ unchanged:
 * **SQL-function aliases** (registered once per session as Spark SQL
   UDFs — inlined JVM expressions, NOT Python UDFs): ``epoch_us``,
   ``epoch_ms``, ``epoch``, ``string_split`` (literal separator, via
-  ``\\Q..\\E`` regex quoting), ``regexp_matches``, ``list_sort``.
+  ``\\Q..\\E`` regex quoting), ``regexp_matches``, ``list_sum``.
+  ``list_sort`` is deliberately NOT aliased (a typed SQL UDF would
+  coerce numeric arrays to strings and sort lexicographically);
+  calls to it raise :class:`DialectError` pointing at
+  ``sort_array()``, which matches DuckDB for every element type.
 * **Token rewrites** applied outside string literals and comments:
   ``* EXCLUDE (...)`` → ``* EXCEPT (...)``, ``//`` → ``DIV``,
   ``list_value(`` → ``array(``, ``list_contains(`` →
@@ -20,7 +24,23 @@ unchanged:
   for the common C directives (%Y %m %d %H %M %S …).
 * **QUALIFY** → wraps the query and filters on the window result
   (DuckDB/Snowflake semantics) when the statement is one top-level
-  SELECT.
+  SELECT (set operations pass through untouched — DuckDB binds
+  QUALIFY to the last branch, which a whole-statement wrap would
+  silently change).
+* **File-scan table functions** — the reference boots DuckDB with the
+  json/httpfs/aws extensions (pkg/destinations/duckdb/duckdb.go:80-98),
+  so saved queries read files directly: ``read_parquet('p')`` /
+  ``read_ndjson_auto('p')`` / ``read_csv_auto('p')`` and the bare
+  ``FROM 'x.parquet'`` form all rewrite to Spark's
+  ``parquet.`p`` / ``json.`p`` / ``csv.`p`` path scans. Only the
+  single-literal-path call shape rewrites; forms with reader options
+  or path lists pass through (loud analysis error beats silently
+  dropped options).
+* **ASOF JOIN** → ``ASOF [LEFT] JOIN b ON eq AND l.ts >= b.ts``
+  rewrites to a correlated ``LATERAL (ORDER BY … LIMIT 1)`` subquery,
+  which Catalyst decorrelates into a window group-limit. The
+  DataFrame operator (operators/asof.py) remains the fast path; this
+  is the text-compat path for saved DuckDB queries.
 
 Anything the rewriter does not recognize passes through untouched —
 valid Spark SQL is never altered (every rewritten token is a parse
@@ -38,14 +58,26 @@ from __future__ import annotations
 
 import re
 
+
+class DialectError(ValueError):
+    """A DuckDB construct this layer refuses to bridge silently,
+    raised with the exact replacement so the saved query is a
+    one-token edit away from running."""
+
+
 # --------------------------------------------------------------- masking
 
 
 def _segments(sql: str):
     """Split sql into (is_code, text) segments; string literals
-    ('..' with '' escapes, ".." and `..` quoted identifiers) and
-    -- / /* */ comments are non-code so rewrites never touch their
-    contents."""
+    ('..' with '' OR backslash escapes, ".." and `..` quoted
+    identifiers) and -- / /* */ comments are non-code so rewrites
+    never touch their contents. Backslash escapes matter because
+    Spark parses ``'it\\'s'`` by default and every passthrough query
+    crosses this scanner — a ``\\'`` must not flip the code/literal
+    classification for the rest of the statement. Backticks have no
+    backslash escape on either engine, so only ``''``-style doubling
+    applies there."""
     out = []
     i, n = 0, len(sql)
     start = 0
@@ -57,6 +89,9 @@ def _segments(sql: str):
             q = ch
             j = i + 1
             while j < n:
+                if sql[j] == "\\" and q != "`" and j + 1 < n:
+                    j += 2  # backslash escape: skip the escaped char
+                    continue
                 if sql[j] == q:
                     if j + 1 < n and sql[j + 1] == q:  # doubled quote
                         j += 2
@@ -91,6 +126,17 @@ def _segments(sql: str):
 
 
 def _rewrite_code(code: str) -> str:
+    # list_sort is refused loudly rather than aliased wrongly: a typed
+    # SQL UDF signature would coerce ARRAY<INT> to ARRAY<STRING> and
+    # sort lexicographically — silently wrong. sort_array() matches
+    # DuckDB's list_sort for every element type.
+    if re.search(r"\blist_sort\s*\(", code, flags=re.I):
+        raise DialectError(
+            "list_sort() is not bridged: replace it with sort_array(arr)"
+            " (or sort_array(arr, false) for descending) — Spark's"
+            " sort_array matches DuckDB's list_sort ordering for every"
+            " element type, which no typed UDF alias can."
+        )
     # * EXCLUDE (a, b) → * EXCEPT (a, b)   (DuckDB keyword for Spark's)
     code = re.sub(r"(\*\s*)EXCLUDE(\s*\()", r"\1EXCEPT\2", code, flags=re.I)
     # integer division: a // b → a DIV b. Exact for integer operands
@@ -143,7 +189,7 @@ def _rewrite_bracket_literals(parts: list[tuple[bool, str]]) -> str:
             continue
         for ch in text:
             if ch == "[":
-                is_subscript = bool(prev) and (prev.isalnum() or prev in "_)]'\"")
+                is_subscript = bool(prev) and (prev.isalnum() or prev in "_)]'\"`")
                 stack.append(not is_subscript)
                 out.append("[" if is_subscript else "array(")
             elif ch == "]" and stack:
@@ -245,6 +291,184 @@ def _rewrite_strftime(masked: str, literals: list[str]) -> str:
     )
 
 
+# ------------------------------------------------------------ file scans
+
+# DuckDB table function → Spark USING-format path scan. The reference
+# loads the json/httpfs/aws extensions (duckdb/duckdb.go:80-98), so
+# these call shapes appear in saved user queries. read_csv maps to a
+# headerless scan (Spark's ``csv.`p``` has no option surface) — auto
+# header detection is the one read_csv_auto nicety not carried over.
+_SCAN_FUNCS = {
+    "read_parquet": "parquet",
+    "parquet_scan": "parquet",
+    "read_json_auto": "json",
+    "read_ndjson_auto": "json",
+    "read_json": "json",
+    "read_ndjson": "json",
+    "read_json_objects": "json",
+    "read_csv_auto": "csv",
+    "read_csv": "csv",
+}
+_SCAN_FUNC_RE = re.compile(
+    rf"\b({'|'.join(_SCAN_FUNCS)})\s*\(\s*{_MASK}(\d+){_MASK}\s*\)", re.I
+)
+# bare ``FROM 'x.parquet'`` — DuckDB infers the reader from the
+# extension; only FROM/JOIN positions rewrite (a literal anywhere else
+# is a value, not a table)
+_SCAN_EXTS = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".csv.gz": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".json.gz": "json",
+    ".jsonl.gz": "json",
+    ".ndjson.gz": "json",
+}
+_SCAN_BARE_RE = re.compile(rf"\b(FROM|JOIN)\s+{_MASK}(\d+){_MASK}", re.I)
+
+
+def _scan_path(lit: str) -> str | None:
+    """Unquote a masked string literal into a path, or None if it is
+    not a plain quoted string (or would break a backtick-quoted
+    Spark path)."""
+    if lit[:1] not in ("'", '"') or len(lit) < 2 or lit[-1] != lit[0]:
+        return None
+    path = lit[1:-1].replace(lit[0] * 2, lit[0])
+    if "`" in path or "\x00" in path or not path:
+        return None
+    return path
+
+
+def _rewrite_file_scans(masked: str, literals: list[str]) -> str:
+    """``read_parquet('p')`` → ``parquet.`p``` and bare
+    ``FROM 'x.parquet'`` → ``FROM parquet.`x.parquet```. Single
+    literal-path argument only: a call carrying reader options or a
+    path LIST passes through untouched — a loud analysis error beats
+    silently dropping options. Globs survive verbatim (both engines
+    expand ``*``/``?`` in paths)."""
+
+    def func_repl(m):
+        path = _scan_path(literals[int(m.group(2))])
+        if path is None:
+            return m.group(0)
+        return f"{_SCAN_FUNCS[m.group(1).lower()]}.`{path}`"
+
+    def bare_repl(m):
+        path = _scan_path(literals[int(m.group(2))])
+        if path is None:
+            return m.group(0)
+        low = path.lower()
+        for ext, fmt in _SCAN_EXTS.items():
+            if low.endswith(ext):
+                return f"{m.group(1)} {fmt}.`{path}`"
+        return m.group(0)
+
+    return _SCAN_BARE_RE.sub(bare_repl, _SCAN_FUNC_RE.sub(func_repl, masked))
+
+
+# ------------------------------------------------------------- asof join
+
+_ASOF_RE = re.compile(
+    # right relation: identifier chain or masked backtick identifier,
+    # optional [AS] alias, then ON
+    rf"\bASOF\s+(?P<outer>LEFT\s+)?JOIN\s+"
+    rf"(?P<rtab>[\w.$]+|{_MASK}\d+{_MASK})"
+    rf"(?:\s+(?:AS\s+)?(?P<ralias>(?!ON\b)\w+))?"
+    rf"\s+ON\s+",
+    re.I,
+)
+_ASOF_END_RE = re.compile(
+    r"\bWHERE\b|\bGROUP\b|\bHAVING\b|\bWINDOW\b|\bQUALIFY\b|\bORDER\b"
+    r"|\bLIMIT\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bMINUS\b"
+    r"|\bJOIN\b|\bASOF\b|\bLEFT\b|\bRIGHT\b|\bFULL\b|\bINNER\b|\bCROSS\b|,|;",
+    re.I,
+)
+_ASOF_INEQ_RE = re.compile(r"(?<![<>=!])(>=|<=|>|<)(?![=>])")
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a condition on depth-0 ANDs (masked text — no literals)."""
+    parts, depth, start = [], 0, 0
+    for m in re.finditer(r"[()]|\bAND\b", cond, flags=re.I):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(cond[start : m.start()])
+            start = m.end()
+    parts.append(cond[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
+    """DuckDB ``ASOF [LEFT] JOIN r ON eqs AND ineq`` → Spark
+    ``[LEFT] JOIN LATERAL (SELECT * FROM r WHERE eqs AND ineq
+    ORDER BY <right asof expr> <dir> LIMIT 1) AS r ON TRUE``.
+
+    Catalyst decorrelates the lateral into a window group-limit (one
+    shuffle on the correlated keys) — correct at any scale, though the
+    union+window DataFrame operator (operators/asof.py:29) is the
+    preferred plan for hot paths. Requires an identifiable right alias
+    and exactly one depth-0 inequality mentioning it; anything else
+    passes through for Spark to reject loudly rather than guess."""
+    m = _ASOF_RE.search(masked)
+    if m is None:
+        return masked
+    if _ASOF_RE.search(masked, m.end()):
+        return masked  # multiple ASOF joins: give up, let Spark reject
+    rtab = m.group("rtab")
+    ralias = m.group("ralias") or (
+        rtab.split(".")[-1] if not rtab.startswith(_MASK) else None
+    )
+    if ralias is None:
+        return masked
+    # ON-condition extent: up to the next depth-0 clause keyword
+    end = len(masked)
+    for t in _ASOF_END_RE.finditer(masked, m.end()):
+        seg = masked[m.end() : t.start()]
+        if seg.count("(") == seg.count(")"):  # token is at depth 0
+            end = t.start()
+            break
+    cond = masked[m.end() : end].strip()
+    if not cond:
+        return masked
+    conds = _split_top_and(cond)
+    # the asof ordering term: the single inequality mentioning ralias
+    alias_re = re.compile(rf"\b{re.escape(ralias)}\s*\.", re.I)
+    order_expr, direction = None, None
+    for c in conds:
+        ineqs = list(_ASOF_INEQ_RE.finditer(c))
+        if len(ineqs) != 1:
+            continue
+        op = ineqs[0].group(1)
+        lhs, rhs = c[: ineqs[0].start()], c[ineqs[0].end() :]
+        l_has, r_has = bool(alias_re.search(lhs)), bool(alias_re.search(rhs))
+        if l_has == r_has:
+            continue  # both or neither side mentions the right alias
+        if order_expr is not None:
+            return masked  # two candidate inequalities: ambiguous
+        if r_has:  # left_expr op right_expr
+            order_expr = rhs.strip()
+            direction = "DESC" if op in (">=", ">") else "ASC"
+        else:  # right_expr op left_expr
+            order_expr = lhs.strip()
+            direction = "DESC" if op in ("<=", "<") else "ASC"
+    if order_expr is None:
+        return masked
+    outer = "LEFT JOIN" if m.group("outer") else "JOIN"
+    lateral = (
+        f" {outer} LATERAL (SELECT * FROM {rtab} AS {ralias}"
+        f" WHERE {cond} ORDER BY {order_expr} {direction} LIMIT 1)"
+        f" AS {ralias} ON TRUE "
+    )
+    return masked[: m.start()] + lateral + masked[end:]
+
+
 # -------------------------------------------------------------- qualify
 
 
@@ -252,20 +476,34 @@ def _rewrite_qualify(sql: str) -> str:
     """``SELECT ... QUALIFY <pred> [ORDER BY ...] [LIMIT ...]`` →
     ``SELECT * FROM ( SELECT ... ) __q WHERE <pred> ...`` — filters on
     window-function results, DuckDB/Snowflake semantics. Applied only
-    when exactly one top-level QUALIFY exists (paren depth 0)."""
+    when exactly one top-level QUALIFY exists (paren depth 0) and the
+    statement has NO top-level set operator: DuckDB binds QUALIFY to
+    the last SELECT of a UNION/INTERSECT/EXCEPT, so wrapping the whole
+    statement would compute the window over every branch — silently
+    different results. Such statements pass through untouched."""
     segs = _segments(sql)
     # locate QUALIFY at depth 0 across code segments
     depth = 0
     pos = -1  # char offset in original sql
     offset = 0
+    setop = re.compile(
+        r"[()]|\bQUALIFY\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bMINUS\b", re.I
+    )
     for is_code, text in segs:
         if is_code:
-            for m in re.finditer(r"[()]|\bQUALIFY\b", text, flags=re.I):
-                tok = m.group(0)
+            for m in setop.finditer(text):
+                tok = m.group(0).upper()
                 if tok == "(":
                     depth += 1
                 elif tok == ")":
                     depth -= 1
+                elif depth == 0 and tok != "QUALIFY":
+                    # ``* EXCEPT (a, b)`` is a select-list modifier,
+                    # not a set operation: preceded by ``*``
+                    before = sql[: offset + m.start()].rstrip()
+                    if tok == "EXCEPT" and before.endswith("*"):
+                        continue
+                    return sql  # top-level set operation: give up
                 elif depth == 0:
                     if pos != -1:
                         return sql  # two top-level QUALIFYs: give up
@@ -354,4 +592,6 @@ def rewrite(sql: str) -> str:
     # participates via its placeholder, unrelated literals can't match
     masked, literals = _mask_literals(rewritten)
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
+    masked = _rewrite_file_scans(masked, literals)
+    masked = _rewrite_asof_join(masked, literals)
     return _unmask_literals(masked, literals)

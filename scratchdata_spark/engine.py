@@ -227,14 +227,24 @@ class SparkDestination(DataFrameSerializers, Destination):
 
     def query_df(self, query: str) -> DataFrame:
         query = trim_query(query)
-        if self.duckdb_compat:
-            from scratchdata_spark.dialect import rewrite
-
-            query = rewrite(query)
 
         def build() -> DataFrame:
             self.register_views()
-            return self.spark.sql(query)
+            try:
+                return self.spark.sql(query)
+            except Exception as stock_err:
+                # Dialect compat is a FALLBACK: text that stock Spark
+                # accepts is never rewritten, so a valid Spark query
+                # can't be corrupted by the DuckDB bridging (every
+                # bridged token is a parse/analysis error here).
+                if not self.duckdb_compat:
+                    raise
+                from scratchdata_spark.dialect import rewrite
+
+                rewritten = rewrite(query)
+                if rewritten == query:
+                    raise stock_err
+                return self.spark.sql(rewritten)
 
         return self.plan_cache.get(query, build)
 

@@ -801,3 +801,54 @@ def q_dialect_qualify(spark, sf_dir):
 
     load(spark, sf_dir)
     return spark.sql(rewrite(_DUCKDB_QUALIFY_TEXT))
+
+
+# Correctness runs at sf0.01 — the driver executes the oracle text on
+# DuckDB verbatim (read_parquet is a DuckDB builtin; the reference
+# loads httpfs/json for the remote variants, duckdb.go:80-98) and the
+# Spark side rewrites the SAME text to a ``parquet.`path``` scan.
+_DUCKDB_FILE_SCAN_TEXT = """
+    SELECT event_type, count(*) AS n, min(event_id) AS min_id
+    FROM read_parquet('{dir}/events.parquet')
+    GROUP BY event_type
+"""
+
+
+@q("q_dialect_file_scan", _DUCKDB_FILE_SCAN_TEXT.format(dir="/root/testdata/sf0.01"))
+def q_dialect_file_scan(spark, sf_dir):
+    """DuckDB file-scan table function through the dialect layer:
+    ``read_parquet('p')`` → ``parquet.`p``` — saved reference queries
+    that read files directly run unchanged. Filter/column pushdown
+    reaches the scan exactly as with a registered table (the rewrite
+    is pure text; Catalyst sees an ordinary parquet relation)."""
+    from scratchdata_spark.dialect import rewrite
+
+    return spark.sql(rewrite(_DUCKDB_FILE_SCAN_TEXT.format(dir=sf_dir)))
+
+
+# ts stays out of the SELECT list: load() normalizes the Spark view's
+# events.ts to BIGINT micros while DuckDB sees raw TIMESTAMP — both
+# order identically (so the ASOF comparison is engine-portable) but
+# their projected values differ.
+_DUCKDB_ASOF_TEXT = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           c.event_id AS click_id, c.value AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@q("q_dialect_asof", _DUCKDB_ASOF_TEXT)
+def q_dialect_asof(spark, sf_dir):
+    """DuckDB ``ASOF LEFT JOIN`` text through the dialect layer:
+    DuckDB parses it natively (the oracle); Spark runs the rewrite to
+    a correlated LATERAL (ORDER BY ts DESC LIMIT 1), which Catalyst
+    decorrelates into a window group-limit. Same rows as the
+    union+window DataFrame operator behind q_join_asof
+    (operators/asof.py:29) — that one stays the hot-path plan; this
+    is text-level compatibility for saved queries."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_ASOF_TEXT))

@@ -11,6 +11,7 @@ import duckdb
 import pytest
 
 from scratchdata_spark.dialect import (
+    DialectError,
     _strftime_to_java,
     register_compat_functions,
     rewrite,
@@ -207,3 +208,141 @@ def test_epoch_matches_duckdb_fractional_seconds(spark):
         "SELECT epoch(TIMESTAMP '2024-03-01 10:30:15.5')"
     ).fetchone()[0]
     assert abs(got - float(expect)) < 1e-6
+
+
+# ----------------------------------------------------- round-4 additions
+
+
+def test_backslash_escaped_quote_in_literal():
+    """Spark string literals escape quotes with a backslash by default;
+    a \\' inside a literal must not flip the code/literal scan for the
+    rest of the statement (ADVICE r3)."""
+    sql = r"SELECT 'it\'s', 4//2"
+    assert rewrite(sql) == r"SELECT 'it\'s', 4 DIV 2"
+    # rewritable token INSIDE the literal stays untouched
+    sql2 = r"SELECT 'a\'b // c', x//y FROM t"
+    assert rewrite(sql2) == r"SELECT 'a\'b // c', x DIV y FROM t"
+
+
+def test_qualify_after_set_operation_passes_through():
+    """DuckDB binds QUALIFY to the LAST branch of a set operation;
+    wrapping the whole statement would silently change results, so
+    such statements pass through untouched (ADVICE r3)."""
+    for setop in ("UNION ALL", "UNION", "INTERSECT", "EXCEPT", "MINUS"):
+        sql = (
+            f"SELECT a FROM t1 {setop} SELECT a FROM t2 "
+            "QUALIFY row_number() OVER (ORDER BY a) = 1"
+        )
+        assert rewrite(sql) == sql
+    # ...but * EXCEPT (...) is a select-list modifier, not a set op
+    wrapped = rewrite(
+        "SELECT * EXCEPT (b) FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    )
+    assert "__qualify_pred" in wrapped
+
+
+def test_backtick_subscript_not_list_literal():
+    assert rewrite("SELECT `arr`[1] FROM t") == "SELECT `arr`[1] FROM t"
+
+
+def test_list_sort_raises_with_guidance():
+    with pytest.raises(DialectError, match="sort_array"):
+        rewrite("SELECT list_sort(a) FROM t")
+    # inside a literal or comment: no error
+    assert rewrite("SELECT 'list_sort(a)' FROM t") == "SELECT 'list_sort(a)' FROM t"
+
+
+def test_file_scan_functions():
+    assert (
+        rewrite("SELECT * FROM read_parquet('/tmp/x.parquet')")
+        == "SELECT * FROM parquet.`/tmp/x.parquet`"
+    )
+    assert (
+        rewrite("SELECT a FROM read_ndjson_auto('/d/f.ndjson') WHERE a>1")
+        == "SELECT a FROM json.`/d/f.ndjson` WHERE a>1"
+    )
+    assert (
+        rewrite("SELECT * FROM read_csv_auto('/d/f.csv') t")
+        == "SELECT * FROM csv.`/d/f.csv` t"
+    )
+    # globs survive verbatim
+    assert (
+        rewrite("SELECT * FROM parquet_scan('/data/part-*.parquet')")
+        == "SELECT * FROM parquet.`/data/part-*.parquet`"
+    )
+
+
+def test_file_scan_bare_literal():
+    assert (
+        rewrite("SELECT * FROM '/d/events.parquet' e")
+        == "SELECT * FROM parquet.`/d/events.parquet` e"
+    )
+    assert (
+        rewrite("SELECT * FROM t JOIN '/d/x.ndjson' j ON t.a = j.a")
+        == "SELECT * FROM t JOIN json.`/d/x.ndjson` j ON t.a = j.a"
+    )
+    # unknown extension: not a table path, leave alone
+    assert rewrite("SELECT * FROM '/d/x.txt'") == "SELECT * FROM '/d/x.txt'"
+    # a plain value literal elsewhere never rewrites
+    sql = "SELECT 'x.parquet' AS name FROM t"
+    assert rewrite(sql) == sql
+
+
+def test_file_scan_options_and_lists_pass_through():
+    """Call shapes whose options/list args we can't carry into the
+    ``fmt.`path``` form pass through for a loud analysis error rather
+    than silently dropping reader options."""
+    sql = "SELECT * FROM read_parquet('/x.parquet', hive_partitioning=true)"
+    assert rewrite(sql) == sql
+    sql2 = "SELECT * FROM read_parquet(['/a.parquet', '/b.parquet'])"
+    assert rewrite(sql2) == "SELECT * FROM read_parquet(array('/a.parquet', '/b.parquet'))"
+
+
+def test_asof_join_rewrite_shapes():
+    out = rewrite(
+        "SELECT t.k, q.px FROM trades t ASOF JOIN quotes q "
+        "ON t.k = q.k AND t.ts >= q.qts WHERE t.k > 0"
+    )
+    assert "JOIN LATERAL" in out and "ORDER BY q.qts DESC LIMIT 1" in out
+    assert out.endswith("WHERE t.k > 0")
+    # LEFT variant + reversed operand order (right alias on the left)
+    out2 = rewrite(
+        "SELECT * FROM trades t ASOF LEFT JOIN quotes q ON q.qts <= t.ts"
+    )
+    assert "LEFT JOIN LATERAL" in out2 and "ORDER BY q.qts DESC LIMIT 1" in out2
+    # forward-looking asof (right ts >= left ts) orders ASC
+    out3 = rewrite("SELECT * FROM a ASOF JOIN b ON b.t >= a.t")
+    assert "ORDER BY b.t ASC LIMIT 1" in out3
+    # <> is not an asof inequality; the single real one still wins
+    out4 = rewrite("SELECT * FROM a ASOF JOIN b ON a.x <> b.y AND a.t >= b.t")
+    assert "ORDER BY b.t DESC LIMIT 1" in out4
+
+
+def test_asof_join_ambiguous_passes_through():
+    # two candidate inequalities: give up rather than guess
+    sql = "SELECT * FROM a ASOF JOIN b ON a.t >= b.t AND a.u >= b.u"
+    assert rewrite(sql) == sql
+    # no right-alias inequality
+    sql2 = "SELECT * FROM a ASOF JOIN b ON a.x = b.y"
+    assert rewrite(sql2) == sql2
+
+
+def test_asof_join_executes(spark):
+    from scratchdata_spark.dialect import rewrite as rw
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _asof_t AS SELECT * FROM VALUES"
+        " (1, 10), (1, 25), (2, 12) AS t(k, ts)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _asof_q AS SELECT * FROM VALUES"
+        " (1, 5, 1.0), (1, 20, 2.0), (1, 30, 3.0), (2, 1, 4.0) AS q(k, qts, px)"
+    )
+    rows = spark.sql(
+        rw(
+            "SELECT t.k, t.ts, q.px FROM _asof_t t ASOF JOIN _asof_q q"
+            " ON t.k = q.k AND t.ts >= q.qts"
+        )
+    ).collect()
+    got = {(r.k, r.ts): r.px for r in rows}
+    assert got == {(1, 10): 1.0, (1, 25): 2.0, (2, 12): 4.0}

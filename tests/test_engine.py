@@ -105,6 +105,21 @@ def test_query_over_testdata(dest, sf_dir):
     assert n > 0
 
 
+def test_dialect_rewrite_is_a_fallback(dest):
+    """query_df tries stock Spark first and only rewrites after a
+    parse/analysis failure, so valid Spark SQL can never be corrupted
+    by the DuckDB bridging (ADVICE r3) — while DuckDB-dialect text
+    still runs."""
+    _insert(dest, "dlq", ['{"__row_id": 1, "v": 7}'])
+    # valid Spark text with a backslash-escaped quote + // inside the
+    # literal: must run verbatim (the old always-rewrite path would
+    # have mis-scanned the literal boundary)
+    row = dest.query_df(r"select 'a\'b // c' as s, v from dlq").collect()[0]
+    assert row["s"] == "a'b // c" and row["v"] == 7
+    # DuckDB-dialect text (// division) falls back to the rewriter
+    assert dest.query_df("select v // 2 as h from dlq").collect()[0]["h"] == 3
+
+
 def test_plan_cache_reuse_and_invalidation(dest):
     """Repeated query text reuses the analyzed plan (prepared-statement
     semantics); any write invalidates so results never go stale."""

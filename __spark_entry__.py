@@ -28,69 +28,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks entries in dict-insertion order and stops after
-# ~50.  Round 3 rotation: front-load the 41 entries whose only green
-# row is from round 1 (the x_*/s_* surface is banked in
-# CORRECTNESS_r02 the same way), plus the entries fixed or added this
-# round and a few x_*/s_* sanity rows, so every registry entry has a
-# green row no older than one round.
+# ~50.  Round 4 rotation: front-load exactly the 49 entries WITHOUT a
+# green row in CORRECTNESS_r03 — the r2-banked long tail (agg family,
+# external scans, the x_*/s_* surface), q_dialect_qualify (added after
+# the r3 window was fixed, never driver-checked), and the two dialect
+# entries new this round — so by end of round every registry entry has
+# a green row in r03∪r04.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
-    # fixed/added this round (canonicalizer-safe features; depth-2 FK
-    # parity; DuckDB-dialect passthrough)
-    "x_multimodal_features",
-    "q_nested_flatten_multitable_depth2",
-    "q_dialect_duckdb_text",
-    "q_nested_flatten_multitable",
-    # new corpus-preparation stage (round 3)
-    "x_split_train_val",
-    "x_sample_stratified",
-    "x_pack_sequences",
-    # round-1-only long tail: re-verify under this round's plan-cache,
-    # load(), and session-tuning changes
-    "q_approx_count_distinct",
-    "q_grouping_sets",
-    "q_rollup",
-    "q_cube",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full_outer",
-    "q_join_cross",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_join_asof",
-    "q_window_rank",
-    "q_window_lag_lead",
-    "q_window_frame_rows",
-    "q_window_frame_range",
-    "q_window_ntile",
-    "q_topk_per_group",
-    "q_qualify_latest",
-    "q_order_limit_offset",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_distinct",
-    "q_scalar_subquery",
-    "q_in_subquery",
-    "q_exists_correlated",
-    "q_cte",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_json_funcs",
-    "q_case_cast",
-    "q_pivot",
-    "q_unpivot",
-    "q_sample_deterministic",
-    "q_tablesample",
-    "q_array_funcs",
-    "q_explode_posexplode",
-    "q_map_struct_funcs",
-    # streaming sanity row (fresh multi-batch evidence; the rest of the
-    # s_* surface is banked in CORRECTNESS_r02 and pytest-covered)
-    "s_stream_tumbling_hour",
+    # never driver-checked / new this round (dialect layer)
+    "q_dialect_qualify",
+    "q_dialect_file_scan",
+    "q_dialect_asof",
+    # r2-banked long tail: scans/aggs
+    "q02_filter_predicates",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q_agg_basic",
+    "q_agg_stats",
+    "q_count_distinct",
+    "q_approx_quantile",
+    "q_percentile_exact",
+    "q_agg_filter",
+    "q_agg_lists_median_mode",
+    "q_time_bucket_15min",
+    "q_window_first_last",
+    "q_lateral_join",
+    "q_word_count",
+    "q_scan_external_files",
+    "q_scan_external_csv",
+    "q_scan_external_orc",
+    "q_nested_flatten_horizontal",
+    "q_nested_flatten_vertical",
+    # r2-banked LLM-pipeline surface
+    "x_dedup_exact",
+    "x_dedup_exact_rows",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_dedup_embedding_cosine",
+    "x_dedup_embedding_lsh",
+    "x_ann_cosine_topk",
+    "x_ann_cosine_lsh",
+    "x_ann_ivf_topk",
+    "x_text_token_count",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_fingerprint",
+    "x_multimodal_meta",
+    "x_multimodal_resize",
+    "x_multimodal_frames",
+    "x_salted_join_skew",
+    "x_pipeline_clean_corpus",
+    "x_range_join_bucketed",
+    # streaming: multi-batch evidence for the r2-banked s_* surface
+    "s_stream_sliding_2h_1h",
+    "s_stream_session_windows",
+    "s_stream_stateful_user_totals",
+    "s_stream_dedup",
+    "s_stream_stream_join",
+    "s_rollup_continuous_hourly",
 ]
 
 

@@ -132,7 +132,11 @@ class BigQueryDestination(Destination):
         )
 
     def _infer_types(self, path: str) -> dict[str, str]:
-        key = (path, os.path.getmtime(path))
+        # st_mtime_ns + size: a file rewritten in place within the same
+        # second (1 s mtime granularity on some filesystems) must not
+        # return stale types (ADVICE r3)
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
         types = self._types_cache.get(key)
         if types is None:
             types = infer_types_file(path)

@@ -211,19 +211,33 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification: shingle sets are materialized ONLY
     # for docs that survived the screen (semi-join pruning) — the
     # expensive per-doc shingle arrays scale with the survivor count,
-    # not the corpus.
+    # not the corpus. Shingles are xxhash64-hashed to longs first:
+    # Jaccard over 64-bit shingle hashes equals Jaccard over the
+    # strings (collision odds ~2⁻⁶⁴·|set|²) and the intersect compares
+    # 8-byte longs instead of 5-char strings. ensure_parallelism here
+    # is load-bearing: this branch re-reads the RAW input, and on a
+    # single-row-group source the whole shingle build would otherwise
+    # run on one core (measured 154 s of a 183 s 10×-soak wall).
+    # No broadcast hint on the semi-join: survivors scale with
+    # candidate volume (~millions of ids on a duplicate-heavy corpus),
+    # so a forced broadcast could exceed executor memory at 100 TB —
+    # AQE picks broadcast itself whenever the set is actually small,
+    # exactly as the two pair-joins below rely on it to.
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     survivor_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # shingles() already dedups the strings; distinct strings stay
+    # distinct under xxhash64 (w.h.p.), so no second array_distinct
+    hashed = F.transform(
+        shingles(normalize_text(F.col(text_col)), k), lambda s: F.xxhash64(s)
+    )
     shsets = (
-        df.select(
-            F.col(id_col),
-            shingles(normalize_text(F.col(text_col)), k).alias("__shset"),
-        )
-        .join(F.broadcast(survivor_ids), id_col, "left_semi")
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), hashed.alias("__shset"))
+        .join(survivor_ids, id_col, "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # No join hints here: both inputs are persisted with known (small)

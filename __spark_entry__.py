@@ -89,6 +89,12 @@ _PRIORITY = [
     "s_stream_dedup",
     "s_stream_stream_join",
     "s_rollup_continuous_hourly",
+    # added mid-round-4 AFTER the 50-slot window above was planned:
+    # first overflow positions (the driver checks ~50 in order), so
+    # they lead the r5 window; both are local-oracle PASS
+    # (tools/check_correctness.py at sf0.01)
+    "x_quality_repetition",
+    "x_pii_scrub",
 ]
 
 

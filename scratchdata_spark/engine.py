@@ -194,7 +194,8 @@ class SparkDestination(DataFrameSerializers, Destination):
         # The reference passes user SQL verbatim to DuckDB, so saved
         # queries arrive in DuckDB's dialect; the compat layer lets
         # them run unchanged (dialect.py — alias functions are inlined
-        # SQL UDFs, rewrites only touch tokens stock Spark rejects).
+        # SQL UDFs, and query_df rewrites only AFTER stock Spark
+        # rejects the text, so valid Spark SQL never crosses it).
         self.duckdb_compat = duckdb_compat
         if duckdb_compat:
             from scratchdata_spark.dialect import register_compat_functions

@@ -688,6 +688,97 @@ def x_range_join_bucketed(spark, sf_dir):
     )
 
 
+@q(
+    "x_quality_repetition",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1)
+                AS DOUBLE) AS dup_token_frac,
+           CAST(coalesce(list_max(list_transform(list_distinct(grams),
+                    d -> len(list_filter(grams, x -> x = d)))), 0)
+                / greatest(len(grams), 1) AS DOUBLE) AS top_bigram_frac
+    FROM g
+    """,
+)
+def x_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token fraction
+    (1 − type/token ratio) and top word-bigram occurrence share — the
+    signals that catch boilerplate and keyword-stuffed documents
+    before they reach a training mix. Map-only column expressions
+    (whole-stage codegen); no rounding — int/int division is
+    IEEE-identical on both engines."""
+    d = ensure_parallelism(load(spark, sf_dir)["documents"].select("doc_id", "text"))
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.dup_token_fraction(t).alias("dup_token_frac"),
+        T.top_bigram_fraction(t).alias("top_bigram_frac"),
+    )
+
+
+@q(
+    "x_pii_scrub",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id || '@example.com or +1 555 01'
+                    || doc_id || ' at 10.0.' || doc_id % 256 || '.1'
+               ELSE '' END AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_email,
+           CAST(len(regexp_extract_all(body,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER)
+             AS n_ipv4,
+           sha256(regexp_replace(regexp_replace(regexp_replace(body,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+             '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS scrubbed_sha
+    FROM t
+    """,
+)
+def x_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / phone-ish runs → typed
+    placeholders) with per-kind counts. The query injects
+    deterministic synthetic PII into every 7th document so the
+    replacement paths are actually exercised — documents.text itself
+    is PII-free. RE2-compatible patterns make Spark's Java regex and
+    DuckDB's RE2 agree span-for-span; compared via sha256 of the
+    scrubbed text. Map-only, codegen."""
+    d = ensure_parallelism(load(spark, sf_dir)["documents"].select("doc_id", "text"))
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 01"), F.col("doc_id").cast("string"),
+                F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        T.pii_count(body, "email").alias("n_email"),
+        T.pii_count(body, "ipv4").alias("n_ipv4"),
+        F.sha2(T.scrub_pii(body), 256).alias("scrubbed_sha"),
+    )
+
+
 # ------------------------------------------------- DuckDB dialect compat
 
 _DUCKDB_TEXT = """

@@ -106,3 +106,69 @@ def fingerprint(col) -> Column:
     """Content fingerprint: sha256 over normalized text — stable
     across engines (DuckDB sha256() matches)."""
     return F.sha2(normalize_text(col), 256)
+
+
+# ------------------------------------------------- repetition quality
+
+def dup_token_fraction(col) -> Column:
+    """Fraction of tokens that repeat an earlier token (1 − type/token
+    ratio) — the cheapest Gopher-style repetition signal; boilerplate
+    and keyword-stuffed docs score high."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    # no rounding: int/int division is bit-identical IEEE 754 on every
+    # engine, while ROUND(x, 6) can split on half-tie modes (1/128 =
+    # 0.0078125 rounds differently under HALF_UP vs half-even)
+    return ((n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1))).cast(
+        "double"
+    )
+
+
+def top_bigram_fraction(col) -> Column:
+    """Occurrence share of the most frequent word bigram (Gopher's
+    top-2-gram filter). Pure HOF expression — O(unique·total) per row,
+    JVM-side; fine for document-sized inputs and exactly mirrorable in
+    DuckDB list functions."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    return (top / F.greatest(F.size(grams), F.lit(1))).cast("double")
+
+
+# ------------------------------------------------------- PII scrubbing
+
+# RE2-compatible patterns (no backrefs/lookbehind) so Spark's Java
+# regex and DuckDB's RE2 match the exact same spans.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+
+
+def pii_count(col, kind: str) -> Column:
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind])).cast("int")
+
+
+def scrub_pii(col) -> Column:
+    """Replace emails / IPv4s / phone-ish digit runs with typed
+    placeholder tokens. Order matters only for readability — the three
+    patterns cannot overlap (phone's charset has no ``.``/``@``).
+    Global replace on both engines (Spark default; DuckDB 'g')."""
+    out = col
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

@@ -120,6 +120,57 @@ def test_lang_id_and_quality(spark):
     assert scores[1] > scores[4]  # stopword mass raises quality
 
 
+def test_repetition_metrics(spark):
+    from scratchdata_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),  # 6 toks, 2 distinct
+            (2, "all words here are unique"),
+            (3, "one"),
+        ],
+        "id long, txt string",
+    )
+    out = {
+        r.id: (r.dup, r.top)
+        for r in df.select(
+            "id",
+            T.dup_token_fraction(F.col("txt")).alias("dup"),
+            T.top_bigram_fraction(F.col("txt")).alias("top"),
+        ).collect()
+    }
+    assert out[1][0] == pytest.approx(4 / 6)
+    # bigrams: [buy now, now buy, buy now, now buy, buy now] -> 3/5
+    assert out[1][1] == pytest.approx(3 / 5)
+    assert out[2] == (0.0, pytest.approx(1 / 4))  # every bigram unique
+    assert out[3] == (0.0, 0.0)  # single token: no bigrams
+
+
+def test_pii_scrub(spark):
+    from scratchdata_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or call +1 555 010 1234 now"),
+            (2, "server at 10.0.42.1 fine; version 1.2 is not an ip"),
+            (3, "clean text"),
+        ],
+        "id long, txt string",
+    )
+    out = {
+        r.id: (r.s, r.ne, r.ni)
+        for r in df.select(
+            "id",
+            T.scrub_pii(F.col("txt")).alias("s"),
+            T.pii_count(F.col("txt"), "email").alias("ne"),
+            T.pii_count(F.col("txt"), "ipv4").alias("ni"),
+        ).collect()
+    }
+    assert out[1] == ("mail <EMAIL> or call <PHONE> now", 1, 0)
+    assert out[2] == ("server at <IPV4> fine; version 1.2 is not an ip", 0, 1)
+    assert out[3] == ("clean text", 0, 0)
+
+
 def test_token_count_edges(spark):
     from scratchdata_spark.operators import text as T
 

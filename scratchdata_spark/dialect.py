@@ -37,10 +37,10 @@ unchanged:
   or path lists pass through (loud analysis error beats silently
   dropped options).
 * **ASOF JOIN** → ``ASOF [LEFT] JOIN b ON eq AND l.ts >= b.ts``
-  rewrites to a correlated ``LATERAL (ORDER BY … LIMIT 1)`` subquery,
-  which Catalyst decorrelates into a window group-limit. The
-  DataFrame operator (operators/asof.py) remains the fast path; this
-  is the text-compat path for saved DuckDB queries.
+  rewrites to the union+window form (struct-packed sides, one shuffle
+  on the join keys) — the same plan as the DataFrame operator
+  (operators/asof.py), generated without knowing either table's
+  columns.
 
 Anything the rewriter does not recognize passes through untouched —
 valid Spark SQL is never altered (every rewritten token is a parse
@@ -405,17 +405,33 @@ def _split_top_and(cond: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
-    """DuckDB ``ASOF [LEFT] JOIN r ON eqs AND ineq`` → Spark
-    ``[LEFT] JOIN LATERAL (SELECT * FROM r WHERE eqs AND ineq
-    ORDER BY <right asof expr> <dir> LIMIT 1) AS r ON TRUE``.
+_EQ_RE = re.compile(r"(?<![<>!=])=(?!=)")
 
-    Catalyst decorrelates the lateral into a window group-limit (one
-    shuffle on the correlated keys) — correct at any scale, though the
-    union+window DataFrame operator (operators/asof.py:29) is the
-    preferred plan for hot paths. Requires an identifiable right alias
-    and exactly one depth-0 inequality mentioning it; anything else
-    passes through for Spark to reject loudly rather than guess."""
+
+def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
+    """DuckDB ``l ASOF [LEFT] JOIN r ON eqs AND ineq`` → the
+    union+window form (same single-shuffle plan as the DataFrame
+    operator, operators/asof.py:29), generated without knowing either
+    table's columns by packing each side into a struct:
+
+    1. each side contributes (join keys, asof ts, side tag, its whole
+       row as a struct) to a UNION ALL;
+    2. one window per key — ordered by ts then side — carries the most
+       recent right-struct forward (``last(...) IGNORE NULLS`` over
+       ROWS UNBOUNDED PRECEDING);
+    3. left rows re-emerge as struct columns NAMED the original
+       aliases, so the untouched outer SELECT/WHERE/ORDER BY resolve
+       ``la.x`` as struct-field access.
+
+    A correlated-LATERAL formulation would be shorter but Catalyst
+    decorrelates its non-equi LIMIT 1 into a nested-loop domain join —
+    quadratic in practice (measured minutes at sf0.1 where this form
+    takes tens of ms). Requires simple left/right relations with
+    identifiable aliases, alias-qualified ON terms, and exactly one
+    inequality; anything else passes through for Spark to reject
+    loudly rather than guess. Ties on (ts, side) are resolved
+    arbitrarily, matching DuckDB; unqualified columns in the outer
+    SELECT won't resolve against the struct form (qualify them)."""
     m = _ASOF_RE.search(masked)
     if m is None:
         return masked
@@ -427,6 +443,27 @@ def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
     )
     if ralias is None:
         return masked
+    # left relation: the nearest depth-0 FROM must be followed by ONE
+    # simple relation (table/CTE + optional alias) up to the ASOF
+    fm = None
+    for f in re.finditer(r"\bFROM\b", masked[: m.start()], flags=re.I):
+        fm = f
+    if fm is None:
+        return masked
+    lm = re.fullmatch(
+        rf"\s*(?P<ltab>[\w.$]+|{_MASK}\d+{_MASK})"
+        rf"(?:\s+(?:AS\s+)?(?P<lalias>\w+))?\s*",
+        masked[fm.end() : m.start()],
+        flags=re.I,
+    )
+    if lm is None:
+        return masked
+    ltab = lm.group("ltab")
+    lalias = lm.group("lalias") or (
+        ltab.split(".")[-1] if not ltab.startswith(_MASK) else None
+    )
+    if lalias is None or lalias.upper() == ralias.upper():
+        return masked
     # ON-condition extent: up to the next depth-0 clause keyword
     end = len(masked)
     for t in _ASOF_END_RE.finditer(masked, m.end()):
@@ -437,36 +474,86 @@ def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
     cond = masked[m.end() : end].strip()
     if not cond:
         return masked
-    conds = _split_top_and(cond)
-    # the asof ordering term: the single inequality mentioning ralias
-    alias_re = re.compile(rf"\b{re.escape(ralias)}\s*\.", re.I)
-    order_expr, direction = None, None
-    for c in conds:
+    r_alias_re = re.compile(rf"\b{re.escape(ralias)}\s*\.", re.I)
+    l_alias_re = re.compile(rf"\b{re.escape(lalias)}\s*\.", re.I)
+
+    def side_of(expr: str) -> str | None:
+        r_has, l_has = bool(r_alias_re.search(expr)), bool(l_alias_re.search(expr))
+        if r_has and not l_has:
+            return "r"
+        if l_has and not r_has:
+            return "l"
+        return None
+
+    eq_keys: list[tuple[str, str]] = []  # (left expr, right expr)
+    l_ts = r_ts = None
+    backward = inclusive = None
+    for c in _split_top_and(cond):
         ineqs = list(_ASOF_INEQ_RE.finditer(c))
-        if len(ineqs) != 1:
+        eqs = list(_EQ_RE.finditer(c))
+        if len(eqs) == 1 and not ineqs:
+            a, b = c[: eqs[0].start()].strip(), c[eqs[0].end() :].strip()
+            sa, sb = side_of(a), side_of(b)
+            if sa == "l" and sb == "r":
+                eq_keys.append((a, b))
+            elif sa == "r" and sb == "l":
+                eq_keys.append((b, a))
+            else:
+                return masked  # unqualified or mixed-side equality
             continue
-        op = ineqs[0].group(1)
-        lhs, rhs = c[: ineqs[0].start()], c[ineqs[0].end() :]
-        l_has, r_has = bool(alias_re.search(lhs)), bool(alias_re.search(rhs))
-        if l_has == r_has:
-            continue  # both or neither side mentions the right alias
-        if order_expr is not None:
-            return masked  # two candidate inequalities: ambiguous
-        if r_has:  # left_expr op right_expr
-            order_expr = rhs.strip()
-            direction = "DESC" if op in (">=", ">") else "ASC"
-        else:  # right_expr op left_expr
-            order_expr = lhs.strip()
-            direction = "DESC" if op in ("<=", "<") else "ASC"
-    if order_expr is None:
+        if len(ineqs) == 1 and not eqs:
+            if l_ts is not None:
+                return masked  # two inequalities: ambiguous
+            op = ineqs[0].group(1)
+            a, b = c[: ineqs[0].start()].strip(), c[ineqs[0].end() :].strip()
+            sa, sb = side_of(a), side_of(b)
+            if sa == "l" and sb == "r":  # l_ts op r_ts
+                l_ts, r_ts = a, b
+                backward = op in (">=", ">")
+                inclusive = op in (">=", "<=")
+            elif sa == "r" and sb == "l":  # r_ts op l_ts
+                l_ts, r_ts = b, a
+                backward = op in ("<=", "<")
+                inclusive = op in (">=", "<=")
+            else:
+                return masked
+            continue
+        return masked  # a conjunct that is neither plain eq nor ineq
+    if l_ts is None:
         return masked
-    outer = "LEFT JOIN" if m.group("outer") else "JOIN"
-    lateral = (
-        f" {outer} LATERAL (SELECT * FROM {rtab} AS {ralias}"
-        f" WHERE {cond} ORDER BY {order_expr} {direction} LIMIT 1)"
-        f" AS {ralias} ON TRUE "
+    lkeys = "".join(f"{e} AS __k{i}, " for i, (e, _) in enumerate(eq_keys))
+    rkeys = "".join(f"{e}, " for _, e in eq_keys)
+    partition = (
+        "PARTITION BY " + ", ".join(f"__k{i}" for i in range(len(eq_keys)))
+        if eq_keys
+        else ""
     )
-    return masked[: m.start()] + lateral + masked[end:]
+    ts_dir = "ASC" if backward else "DESC"
+    side_dir = "ASC" if inclusive else "DESC"  # right (0) first iff inclusive
+    inner = "" if m.group("outer") else " AND __r IS NOT NULL"
+    rep = (
+        f"FROM (SELECT __l AS {lalias}, __r AS {ralias} FROM ("
+        f"SELECT __l, last(__r) IGNORE NULLS OVER ({partition}"
+        f" ORDER BY __ts {ts_dir}, __side {side_dir}"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __r"
+        f" FROM ("
+        f"SELECT {lkeys}{l_ts} AS __ts, 1 AS __side,"
+        f" struct({lalias}.*) AS __l, NULL AS __r"
+        f" FROM {ltab} AS {lalias}"
+        f" UNION ALL SELECT {rkeys}{r_ts}, 0, NULL, struct({ralias}.*)"
+        f" FROM {rtab} AS {ralias}"
+        f") __asof_u) __asof_w WHERE __l IS NOT NULL{inner}) __asof "
+    )
+    head = masked[: fm.start()]
+    # a bare ``SELECT *`` cannot expand two struct columns the way
+    # DuckDB's ASOF flattens — expand it to ``la.*, ra.*`` explicitly
+    head = re.sub(
+        r"(\bSELECT\s+)\*(\s*)$",
+        rf"\g<1>{lalias}.*, {ralias}.*\g<2>",
+        head,
+        flags=re.I,
+    )
+    return head + rep + masked[end:]
 
 
 # -------------------------------------------------------------- qualify

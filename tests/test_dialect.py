@@ -303,28 +303,45 @@ def test_asof_join_rewrite_shapes():
         "SELECT t.k, q.px FROM trades t ASOF JOIN quotes q "
         "ON t.k = q.k AND t.ts >= q.qts WHERE t.k > 0"
     )
-    assert "JOIN LATERAL" in out and "ORDER BY q.qts DESC LIMIT 1" in out
+    # union+window form: one shuffle, struct-packed sides, inner-join
+    # null filter; backward asof orders ts ASC with right (side 0)
+    # first at ties (inclusive >=)
+    assert "UNION ALL" in out and "last(__r) IGNORE NULLS OVER" in out
+    assert "PARTITION BY __k0 ORDER BY __ts ASC, __side ASC" in out
+    assert "__r IS NOT NULL" in out
     assert out.endswith("WHERE t.k > 0")
-    # LEFT variant + reversed operand order (right alias on the left)
+    # LEFT variant keeps unmatched left rows (no __r filter); bare *
+    # expands to both sides' structs
     out2 = rewrite(
         "SELECT * FROM trades t ASOF LEFT JOIN quotes q ON q.qts <= t.ts"
     )
-    assert "LEFT JOIN LATERAL" in out2 and "ORDER BY q.qts DESC LIMIT 1" in out2
-    # forward-looking asof (right ts >= left ts) orders ASC
-    out3 = rewrite("SELECT * FROM a ASOF JOIN b ON b.t >= a.t")
-    assert "ORDER BY b.t ASC LIMIT 1" in out3
-    # <> is not an asof inequality; the single real one still wins
-    out4 = rewrite("SELECT * FROM a ASOF JOIN b ON a.x <> b.y AND a.t >= b.t")
-    assert "ORDER BY b.t DESC LIMIT 1" in out4
+    assert out2.startswith("SELECT t.*, q.*")
+    assert "__r IS NOT NULL" not in out2
+    # forward-looking asof (right ts >= left ts) orders ts DESC
+    out3 = rewrite("SELECT a.*, b.* FROM a ASOF JOIN b ON b.t >= a.t")
+    assert "ORDER BY __ts DESC, __side ASC" in out3
+    # strict inequality: left (side 1) first at ties so equal-ts right
+    # rows stay invisible
+    out4 = rewrite("SELECT a.*, b.* FROM a ASOF JOIN b ON a.t > b.t")
+    assert "ORDER BY __ts ASC, __side DESC" in out4
 
 
 def test_asof_join_ambiguous_passes_through():
     # two candidate inequalities: give up rather than guess
     sql = "SELECT * FROM a ASOF JOIN b ON a.t >= b.t AND a.u >= b.u"
     assert rewrite(sql) == sql
-    # no right-alias inequality
+    # no inequality at all
     sql2 = "SELECT * FROM a ASOF JOIN b ON a.x = b.y"
     assert rewrite(sql2) == sql2
+    # unqualified equality term: sides unknowable from text
+    sql3 = "SELECT * FROM a ASOF JOIN b ON k = b.k AND a.t >= b.t"
+    assert rewrite(sql3) == sql3
+    # left side is not a simple relation (chained join): give up
+    sql4 = (
+        "SELECT * FROM a JOIN c ON a.i = c.i "
+        "ASOF JOIN b ON a.k = b.k AND a.t >= b.t"
+    )
+    assert rewrite(sql4) == sql4
 
 
 def test_asof_join_executes(spark):
@@ -332,7 +349,7 @@ def test_asof_join_executes(spark):
 
     spark.sql(
         "CREATE OR REPLACE TEMP VIEW _asof_t AS SELECT * FROM VALUES"
-        " (1, 10), (1, 25), (2, 12) AS t(k, ts)"
+        " (1, 10), (1, 25), (2, 12), (3, 7) AS t(k, ts)"
     )
     spark.sql(
         "CREATE OR REPLACE TEMP VIEW _asof_q AS SELECT * FROM VALUES"
@@ -346,3 +363,12 @@ def test_asof_join_executes(spark):
     ).collect()
     got = {(r.k, r.ts): r.px for r in rows}
     assert got == {(1, 10): 1.0, (1, 25): 2.0, (2, 12): 4.0}
+    # LEFT variant keeps the unmatched row (k=3 has no quotes) with
+    # NULL right columns; inner (above) dropped it
+    left = spark.sql(
+        rw(
+            "SELECT t.k, t.ts, q.px FROM _asof_t t ASOF LEFT JOIN _asof_q q"
+            " ON t.k = q.k AND t.ts > q.qts WHERE t.k = 3"
+        )
+    ).collect()
+    assert [(r.k, r.ts, r.px) for r in left] == [(3, 7, None)]

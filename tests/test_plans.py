@@ -269,3 +269,31 @@ def test_ensure_parallelism_noop_on_wide_input(spark):
     narrow = spark.range(10_000, numPartitions=1)
     out = ensure_parallelism(narrow)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_dialect_asof_is_union_window_not_nested_loop(spark, sf_dir):
+    """The ASOF text rewrite must produce the union+window plan (one
+    shuffle on the key, Window over the union) — NEVER a nested-loop
+    domain join, which is what a correlated-LATERAL formulation
+    decorrelates into (quadratic: minutes at sf0.1)."""
+    import scratchdata_spark.inventory_extras  # noqa: F401
+    from scratchdata_spark.inventory import REGISTRY
+
+    p = plan(REGISTRY["q_dialect_asof"][0](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p and "Union" in p
+
+
+def test_corpus_quality_ops_are_map_only(spark, sf_dir):
+    """Repetition metrics and PII scrubbing are pure projections over
+    the scan — no exchange, no Python boundary — so they run at
+    parquet-scan speed on any corpus size. (ensure_parallelism may
+    add one fan-out repartition on narrow local inputs; assert no
+    AGGREGATE shuffle and no Python.)"""
+    import scratchdata_spark.inventory_extras  # noqa: F401
+    from scratchdata_spark.inventory import REGISTRY
+
+    for name in ("x_quality_repetition", "x_pii_scrub"):
+        p = plan(REGISTRY[name][0](spark, sf_dir))
+        assert "ArrowEvalPython" not in p and "MapInPandas" not in p, name
+        assert "HashAggregate" not in p and "SortAggregate" not in p, name

@@ -32,10 +32,9 @@ unchanged:
   so saved queries read files directly: ``read_parquet('p')`` /
   ``read_ndjson_auto('p')`` / ``read_csv_auto('p')`` and the bare
   ``FROM 'x.parquet'`` form all rewrite to Spark's
-  ``parquet.`p`` / ``json.`p`` / ``csv.`p`` path scans. Only the
-  single-literal-path call shape rewrites; forms with reader options
-  or path lists pass through (loud analysis error beats silently
-  dropped options).
+  ``parquet.`p`` / ``json.`p`` / ``csv.`p`` path scans; literal path
+  LISTS become a UNION ALL chain of scans. Forms with reader options
+  pass through (loud analysis error beats silently dropped options).
 * **ASOF JOIN** → ``ASOF [LEFT] JOIN b ON eq AND l.ts >= b.ts``
   rewrites to the union+window form (struct-packed sides, one shuffle
   on the join keys) — the same plan as the DataFrame operator
@@ -312,6 +311,13 @@ _SCAN_FUNCS = {
 _SCAN_FUNC_RE = re.compile(
     rf"\b({'|'.join(_SCAN_FUNCS)})\s*\(\s*{_MASK}(\d+){_MASK}\s*\)", re.I
 )
+# list form ``read_parquet(['a', 'b'])`` — by this point the bracket
+# pass turned the literal into ``array('a', 'b')``
+_SCAN_LIST_RE = re.compile(
+    rf"\b({'|'.join(_SCAN_FUNCS)})\s*\(\s*array\("
+    rf"\s*{_MASK}\d+{_MASK}(?:\s*,\s*{_MASK}\d+{_MASK})*\s*\)\s*\)",
+    re.I,
+)
 # bare ``FROM 'x.parquet'`` — DuckDB infers the reader from the
 # extension; only FROM/JOIN positions rewrite (a literal anywhere else
 # is a value, not a table)
@@ -357,6 +363,21 @@ def _rewrite_file_scans(masked: str, literals: list[str]) -> str:
             return m.group(0)
         return f"{_SCAN_FUNCS[m.group(1).lower()]}.`{path}`"
 
+    def list_repl(m):
+        """Path LIST → a UNION ALL chain of single-path scans.
+        Positional union: correct for the homogeneous file lists the
+        call shape means in practice (DuckDB also unifies the list's
+        schemas); files with reordered columns are out of scope."""
+        fmt = _SCAN_FUNCS[m.group(1).lower()]
+        paths = [
+            _scan_path(literals[int(i)])
+            for i in re.findall(rf"{_MASK}(\d+){_MASK}", m.group(0))
+        ]
+        if not paths or any(p is None for p in paths):
+            return m.group(0)
+        scans = " UNION ALL ".join(f"SELECT * FROM {fmt}.`{p}`" for p in paths)
+        return f"({scans})"
+
     def bare_repl(m):
         path = _scan_path(literals[int(m.group(2))])
         if path is None:
@@ -367,7 +388,9 @@ def _rewrite_file_scans(masked: str, literals: list[str]) -> str:
                 return f"{m.group(1)} {fmt}.`{path}`"
         return m.group(0)
 
-    return _SCAN_BARE_RE.sub(bare_repl, _SCAN_FUNC_RE.sub(func_repl, masked))
+    masked = _SCAN_FUNC_RE.sub(func_repl, masked)
+    masked = _SCAN_LIST_RE.sub(list_repl, masked)
+    return _SCAN_BARE_RE.sub(bare_repl, masked)
 
 
 # ------------------------------------------------------------- asof join

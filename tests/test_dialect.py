@@ -288,14 +288,29 @@ def test_file_scan_bare_literal():
     assert rewrite(sql) == sql
 
 
-def test_file_scan_options_and_lists_pass_through():
-    """Call shapes whose options/list args we can't carry into the
-    ``fmt.`path``` form pass through for a loud analysis error rather
-    than silently dropping reader options."""
+def test_file_scan_options_pass_through():
+    """Call shapes whose options we can't carry into the ``fmt.`path```
+    form pass through for a loud analysis error rather than silently
+    dropping reader options."""
     sql = "SELECT * FROM read_parquet('/x.parquet', hive_partitioning=true)"
     assert rewrite(sql) == sql
-    sql2 = "SELECT * FROM read_parquet(['/a.parquet', '/b.parquet'])"
-    assert rewrite(sql2) == "SELECT * FROM read_parquet(array('/a.parquet', '/b.parquet'))"
+    # non-literal list element: untouched
+    sql2 = "SELECT * FROM read_parquet(['/a.parquet', p])"
+    assert rewrite(sql2) == "SELECT * FROM read_parquet(array('/a.parquet', p))"
+
+
+def test_file_scan_path_list_becomes_union_all(spark, sf_dir):
+    out = rewrite("SELECT * FROM read_parquet(['/a.parquet', '/b.parquet'])")
+    assert out == (
+        "SELECT * FROM (SELECT * FROM parquet.`/a.parquet`"
+        " UNION ALL SELECT * FROM parquet.`/b.parquet`)"
+    )
+    # executes: same file twice = doubled row count
+    p = f"{sf_dir}/region.parquet"
+    n = spark.sql(
+        rewrite(f"SELECT count(*) AS n FROM read_parquet(['{p}', '{p}'])")
+    ).first()["n"]
+    assert n == 10
 
 
 def test_asof_join_rewrite_shapes():

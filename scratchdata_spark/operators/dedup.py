@@ -99,6 +99,31 @@ def minhash_signature(
     )
 
 
+def minhash_params_for(
+    n_docs: int, threshold: float = 0.5, base_rows: int = 4
+) -> tuple[int, int]:
+    """Corpus-size-aware (n_hashes, bands) keeping the LSH S-curve
+    midpoint at ``threshold``.
+
+    Rows-per-band r grows one step per decade beyond ~50k docs —
+    random band collisions scale ~N²·J_bgʳ, so raising r is the lever
+    that keeps candidate mass bounded as the corpus grows. Bands are
+    then pinned to b = ⌈threshold⁻ʳ⌉, which holds the midpoint fixed:
+    P(candidate | J=t) = 1−(1−tʳ)^b ≈ 1−e⁻¹ for b = t⁻ʳ, at any r.
+    Bigger r ⇒ steeper curve ⇒ better precision at the same recall
+    midpoint; the price is signature width n = b·r (linear map-side
+    work, no extra shuffle).
+
+    Same auto-scale pattern as the embedding-LSH plane count
+    (similarity.py / tools/scale_soak.py: planes = log2(n/60)).
+    """
+    import math
+
+    r = base_rows + max(0, round(math.log10(max(n_docs, 1) / 50_000)))
+    bands = max(2, math.ceil(threshold**-r))
+    return bands * r, bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

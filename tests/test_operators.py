@@ -120,6 +120,24 @@ def test_lang_id_and_quality(spark):
     assert scores[1] > scores[4]  # stopword mass raises quality
 
 
+def test_minhash_params_scale_with_corpus():
+    from scratchdata_spark.operators.dedup import minhash_params_for
+
+    # at bench scales: the proven default (r=4, b=16, n=64) unchanged
+    assert minhash_params_for(5_000) == (64, 16)
+    assert minhash_params_for(50_000) == (64, 16)
+    # one decade up: r=5, midpoint held at 0.5 -> b = ceil(2^5) = 32
+    assert minhash_params_for(500_000) == (160, 32)
+    # two decades: r=6, b=64
+    assert minhash_params_for(5_000_000) == (384, 64)
+    # midpoint invariance: P(candidate | J=threshold) ~ 1-1/e at any r
+    for n in (5_000, 500_000, 5_000_000):
+        nh, b = minhash_params_for(n, threshold=0.5)
+        r = nh // b
+        p = 1 - (1 - 0.5**r) ** b
+        assert 0.60 <= p <= 0.67, (n, p)
+
+
 def test_repetition_metrics(spark):
     from scratchdata_spark.operators import text as T
 

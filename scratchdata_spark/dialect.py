@@ -153,15 +153,16 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\blist_unique\s*\(", "array_distinct(", code, flags=re.I)
     code = re.sub(r"\barray_length\s*\(", "size(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
-    # USING SAMPLE 10% | USING SAMPLE 100 ROWS → TABLESAMPLE
+    # USING SAMPLE 10% | USING SAMPLE 100 ROWS → TABLESAMPLE, incl. the
+    # named-method forms bernoulli(10%) / system(10%) / reservoir(100 ROWS)
     code = re.sub(
-        r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*%",
+        r"\bUSING\s+SAMPLE\s+(?:(?:bernoulli|system)\s*\(\s*)?(\d+(?:\.\d+)?)\s*%\s*\)?",
         r"TABLESAMPLE (\1 PERCENT)",
         code,
         flags=re.I,
     )
     code = re.sub(
-        r"\bUSING\s+SAMPLE\s+(\d+)\s+ROWS\b",
+        r"\bUSING\s+SAMPLE\s+(?:reservoir\s*\(\s*)?(\d+)\s+ROWS\s*\)?",
         r"TABLESAMPLE (\1 ROWS)",
         code,
         flags=re.I,
@@ -252,6 +253,24 @@ def _mask_literals(sql: str) -> tuple[str, list[str]]:
 def _unmask_literals(masked: str, literals: list[str]) -> str:
     return re.sub(
         f"{_MASK}(\\d+){_MASK}", lambda m: literals[int(m.group(1))], masked
+    )
+
+
+def _rewrite_strptime(masked: str, literals: list[str]) -> str:
+    """``strptime(<expr>, '<fmt>')`` → ``to_timestamp(expr, ...)`` —
+    the parse-direction twin of strftime, same directive table."""
+    def repl(m):
+        lit = literals[int(m.group(2))]
+        if lit[:1] != "'":
+            return m.group(0)
+        translated = _strftime_to_java(lit[1:-1])
+        return f"to_timestamp({m.group(1)}, '{translated}')"
+
+    return re.sub(
+        rf"\bstrptime\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*{_MASK}(\d+){_MASK}\s*\)",
+        repl,
+        masked,
+        flags=re.I,
     )
 
 
@@ -702,6 +721,7 @@ def rewrite(sql: str) -> str:
     # participates via its placeholder, unrelated literals can't match
     masked, literals = _mask_literals(rewritten)
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
+    masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_file_scans(masked, literals)
     masked = _rewrite_asof_join(masked, literals)
     return _unmask_literals(masked, literals)

@@ -387,3 +387,29 @@ def test_asof_join_executes(spark):
         )
     ).collect()
     assert [(r.k, r.ts, r.px) for r in left] == [(3, 7, None)]
+
+
+def test_strptime_and_sample_methods(spark):
+    out = rewrite("SELECT strptime(s, '%Y-%m-%d %H:%M:%S') FROM t")
+    assert out == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    # round-trips a real value identically to DuckDB
+    got = spark.sql(
+        rewrite("SELECT strptime('2024-03-01 10:30:15', '%Y-%m-%d %H:%M:%S') AS ts")
+    ).first()["ts"]
+    expect = duckdb.connect().execute(
+        "SELECT strptime('2024-03-01 10:30:15', '%Y-%m-%d %H:%M:%S')"
+    ).fetchone()[0]
+    assert got == expect
+    # named sampling methods map onto TABLESAMPLE
+    assert (
+        rewrite("SELECT * FROM t USING SAMPLE bernoulli(10%)")
+        == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert (
+        rewrite("SELECT * FROM t USING SAMPLE reservoir(100 ROWS)")
+        == "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+    )
+    assert (
+        rewrite("SELECT * FROM t USING SAMPLE system(5%)")
+        == "SELECT * FROM t TABLESAMPLE (5 PERCENT)"
+    )

@@ -370,3 +370,35 @@ def test_range_join_bucketed_equals_nested_loop(spark):
     assert sorted(map(tuple, incl.collect())) == sorted(
         map(tuple, plain_incl.collect())
     )
+
+
+def test_minhash_lsh_pairs_finds_known_near_dups(spark):
+    """End-to-end LSH pipeline on a corpus with KNOWN pair structure:
+    near-identical docs must surface with the exact Jaccard their
+    shingle sets have; unrelated docs must not pair. Exercises the
+    hashed-shingle verification tier (jaccard over xxhash64 longs ==
+    jaccard over the 5-char shingle strings)."""
+    from scratchdata_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base + " x"),  # near-dup of 1
+        (3, "completely different content about spark query planning internals"),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert set(out) == {(1, 2), (1, 4), (2, 4)}
+    assert out[(1, 4)] == 1.0  # exact dup
+
+    def sh(t, k=5):
+        t = " ".join(t.lower().split())
+        return {t[i : i + k] for i in range(max(1, len(t) - k + 1))}
+
+    a, b = sh(rows[0][1]), sh(rows[1][1])
+    expect = len(a & b) / len(a | b)
+    assert out[(1, 2)] == pytest.approx(expect, abs=1e-6)

@@ -163,3 +163,33 @@ def test_infer_types_matches_precedence_semantics(docs):
 
 def test_precedence_order_is_the_documented_one():
     assert _PRECEDENCE == ("string", "undefined", "float", "int", "bool")
+
+
+# ----------------------------------------------------- dialect scanner
+
+_lit_body = st.text(
+    # printable ASCII minus quote/backslash (those are injected
+    # explicitly below via doubling, the escape both dialects share)
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=32, max_codepoint=126,
+        exclude_characters="'\\",
+    ),
+    max_size=40,
+)
+
+
+@given(_lit_body, _lit_body)
+@settings(max_examples=200, deadline=None)
+def test_dialect_rewrite_preserves_literals(a, b):
+    """Whatever a string literal contains — rewrite trigger tokens
+    (``//``, ``EXCLUDE``, ``list_sort(``, brackets), comment markers,
+    placeholder bytes — the rewriter must never alter it, while still
+    rewriting the code around it."""
+    from scratchdata_spark.dialect import rewrite
+
+    inner = (a + "'' // EXCLUDE ( [1] list_sort( /* -- " + b).replace(
+        "'", "''"
+    )
+    sql = f"SELECT '{inner}' AS c, 4//2 FROM t"
+    out = rewrite(sql)
+    assert out == f"SELECT '{inner}' AS c, 4 DIV 2 FROM t"

@@ -43,6 +43,37 @@ def test_healthcheck(app):
     assert code == 200 and json.loads(body) == {"status": "ok"}
 
 
+def test_duckdb_dialect_text_through_http(app):
+    """A reference user's saved DuckDB-dialect query (// division,
+    QUALIFY) runs unchanged through the public query endpoint — the
+    engine falls back to the dialect rewriter after stock Spark
+    rejects the text."""
+    code, body = _req(
+        app,
+        "POST",
+        "/api/data/insert/dlct?api_key=local",
+        [{"g": 1, "v": 10}, {"g": 1, "v": 20}, {"g": 2, "v": 30}],
+    )
+    assert code == 200
+    app.drain()
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=local&query="
+        "select v // 10 as tens from dlct order by tens",
+    )
+    assert code == 200 and [r["tens"] for r in json.loads(body)] == [1, 2, 3]
+    code, body = _req(
+        app,
+        "GET",
+        "/api/data/query?api_key=local&query="
+        "select g, v from dlct qualify row_number() over"
+        " (partition by g order by v) = 1 order by g",
+    )
+    assert code == 200
+    assert [(r["g"], r["v"]) for r in json.loads(body)] == [(1, 10), (2, 30)]
+
+
 def test_insert_query_roundtrip_and_evolution(app):
     code, body = _req(
         app, "POST", "/api/data/insert/evolve?api_key=local", {"msg": "hello world"}

@@ -69,14 +69,19 @@ class DialectError(ValueError):
 
 def _segments(sql: str):
     """Split sql into (is_code, text) segments; string literals
-    ('..' with '' OR backslash escapes, ".." and `..` quoted
-    identifiers) and -- / /* */ comments are non-code so rewrites
-    never touch their contents. Backslash escapes matter because
-    Spark parses ``'it\\'s'`` by default and every passthrough query
-    crosses this scanner — a ``\\'`` must not flip the code/literal
-    classification for the rest of the statement. Backticks have no
-    backslash escape on either engine, so only ``''``-style doubling
-    applies there."""
+    ('..' with '' doubling, ".." and `..` quoted identifiers) and
+    -- / /* */ comments are non-code so rewrites never touch their
+    contents.
+
+    Literal semantics are DUCKDB's — quote doubling, backslash is an
+    ordinary character (``'a\\'`` is a complete literal ending in a
+    backslash) — because only DuckDB-dialect text reaches this
+    scanner: the engine rewrites as a FALLBACK after stock Spark
+    rejects the text (engine.py query_df), so a valid Spark query
+    with backslash escapes is executed verbatim and never crosses
+    here. Treating ``\\'`` as an escape instead would mis-pair the
+    quotes of DuckDB text like ``'a\\', 'x // y'`` and rewrite inside
+    the second literal."""
     out = []
     i, n = 0, len(sql)
     start = 0
@@ -88,9 +93,6 @@ def _segments(sql: str):
             q = ch
             j = i + 1
             while j < n:
-                if sql[j] == "\\" and q != "`" and j + 1 < n:
-                    j += 2  # backslash escape: skip the escaped char
-                    continue
                 if sql[j] == q:
                     if j + 1 < n and sql[j + 1] == q:  # doubled quote
                         j += 2
@@ -154,15 +156,29 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\barray_length\s*\(", "size(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
     # USING SAMPLE 10% | USING SAMPLE 100 ROWS → TABLESAMPLE, incl. the
-    # named-method forms bernoulli(10%) / system(10%) / reservoir(100 ROWS)
+    # named-method forms bernoulli(10%) / system(10%) / reservoir(100
+    # ROWS). Method forms match their parens as a unit — an optional
+    # lone ``\)?`` would eat the closing paren of an enclosing subquery.
     code = re.sub(
-        r"\bUSING\s+SAMPLE\s+(?:(?:bernoulli|system)\s*\(\s*)?(\d+(?:\.\d+)?)\s*%\s*\)?",
+        r"\bUSING\s+SAMPLE\s+(?:bernoulli|system)\s*\(\s*(\d+(?:\.\d+)?)\s*%\s*\)",
         r"TABLESAMPLE (\1 PERCENT)",
         code,
         flags=re.I,
     )
     code = re.sub(
-        r"\bUSING\s+SAMPLE\s+(?:reservoir\s*\(\s*)?(\d+)\s+ROWS\s*\)?",
+        r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*%",
+        r"TABLESAMPLE (\1 PERCENT)",
+        code,
+        flags=re.I,
+    )
+    code = re.sub(
+        r"\bUSING\s+SAMPLE\s+reservoir\s*\(\s*(\d+)\s+ROWS\s*\)",
+        r"TABLESAMPLE (\1 ROWS)",
+        code,
+        flags=re.I,
+    )
+    code = re.sub(
+        r"\bUSING\s+SAMPLE\s+(\d+)\s+ROWS\b",
         r"TABLESAMPLE (\1 ROWS)",
         code,
         flags=re.I,
@@ -398,6 +414,27 @@ def _rewrite_file_scans(masked: str, literals: list[str]) -> str:
         return f"({scans})"
 
     def bare_repl(m):
+        prefix = masked[: m.start()]
+        # expression-level FROM keywords are not relation positions:
+        # ``IS [NOT] DISTINCT FROM <lit>``, and the SQL-standard
+        # function forms ``trim(... FROM x)`` / ``substring(x FROM n)``
+        # / ``extract(f FROM x)`` — the latter all sit inside a
+        # function call, i.e. the nearest unclosed ``(`` is preceded
+        # by an identifier (a derived-table paren never is).
+        if m.group(1).upper() == "FROM":
+            if re.search(r"\bIS\s+(NOT\s+)?DISTINCT\s*$", prefix, flags=re.I):
+                return m.group(0)
+            depth = 0
+            for i in range(len(prefix) - 1, -1, -1):
+                if prefix[i] == ")":
+                    depth += 1
+                elif prefix[i] == "(":
+                    if depth == 0:
+                        before = prefix[:i].rstrip()
+                        if before and (before[-1].isalnum() or before[-1] == "_"):
+                            return m.group(0)  # function-call paren
+                        break
+                    depth -= 1
         path = _scan_path(literals[int(m.group(2))])
         if path is None:
             return m.group(0)
@@ -573,17 +610,32 @@ def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
     ts_dir = "ASC" if backward else "DESC"
     side_dir = "ASC" if inclusive else "DESC"  # right (0) first iff inclusive
     inner = "" if m.group("outer") else " AND __r IS NOT NULL"
+    # NULL semantics must match DuckDB's ASOF (verified live): right
+    # rows with NULL ts or NULL keys never match anything — they are
+    # filtered out of the union (a NULL key would otherwise PARTITION
+    # together with NULL left keys, and a NULL ts would sort somewhere
+    # and get carried). A NULL LEFT ts, however, sorts as the extreme
+    # (DuckDB's NULLS-LAST sort machinery): it sees every right row
+    # and takes the closest one — NULLS LAST in both directions
+    # reproduces that for the inclusive operators (>=, <=). Known
+    # divergence: DuckDB's STRICT variants (>, <) pick a different
+    # arbitrary right row for a NULL left ts (observed: >= returns
+    # the max right ts, > the min — an implementation accident we
+    # don't chase); non-NULL data is exact for all four operators.
+    r_notnull = " AND ".join(
+        [f"({r_ts}) IS NOT NULL"] + [f"({e}) IS NOT NULL" for _, e in eq_keys]
+    )
     rep = (
         f"FROM (SELECT __l AS {lalias}, __r AS {ralias} FROM ("
         f"SELECT __l, last(__r) IGNORE NULLS OVER ({partition}"
-        f" ORDER BY __ts {ts_dir}, __side {side_dir}"
+        f" ORDER BY __ts {ts_dir} NULLS LAST, __side {side_dir}"
         f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __r"
         f" FROM ("
         f"SELECT {lkeys}{l_ts} AS __ts, 1 AS __side,"
         f" struct({lalias}.*) AS __l, NULL AS __r"
         f" FROM {ltab} AS {lalias}"
         f" UNION ALL SELECT {rkeys}{r_ts}, 0, NULL, struct({ralias}.*)"
-        f" FROM {rtab} AS {ralias}"
+        f" FROM {rtab} AS {ralias} WHERE {r_notnull}"
         f") __asof_u) __asof_w WHERE __l IS NOT NULL{inner}) __asof "
     )
     head = masked[: fm.start()]

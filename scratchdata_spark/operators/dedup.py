@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = 256,
     est_margin: float | None = 0.15,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
 
@@ -159,10 +160,19 @@ def minhash_lsh_pairs(
       ≳99% recall while cutting verification work by orders of
       magnitude on collision-heavy corpora.
 
+    ``corpus_size`` (document count, when the caller knows it) turns
+    on corpus-size-aware banding: (n_hashes, bands) are resolved by
+    :func:`minhash_params_for`, which raises rows-per-band one step
+    per decade beyond ~50k docs while holding the S-curve midpoint at
+    ``threshold`` — bounded random-collision mass at any scale, same
+    recall midpoint. Explicit n_hashes/bands apply when it is None.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     from pyspark import StorageLevel
 
+    if corpus_size is not None:
+        n_hashes, bands = minhash_params_for(corpus_size, threshold)
     r = n_hashes // bands
     # Persist the signatures: the DAG references them from five
     # branches (bucket build, hot-bucket count, self-join a/b sides,

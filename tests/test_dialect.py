@@ -213,15 +213,19 @@ def test_epoch_matches_duckdb_fractional_seconds(spark):
 # ----------------------------------------------------- round-4 additions
 
 
-def test_backslash_escaped_quote_in_literal():
-    """Spark string literals escape quotes with a backslash by default;
-    a \\' inside a literal must not flip the code/literal scan for the
-    rest of the statement (ADVICE r3)."""
-    sql = r"SELECT 'it\'s', 4//2"
-    assert rewrite(sql) == r"SELECT 'it\'s', 4 DIV 2"
-    # rewritable token INSIDE the literal stays untouched
-    sql2 = r"SELECT 'a\'b // c', x//y FROM t"
-    assert rewrite(sql2) == r"SELECT 'a\'b // c', x DIV y FROM t"
+def test_duckdb_backslash_literal_semantics():
+    """The scanner uses DUCKDB literal semantics: backslash is an
+    ordinary character, so ``'a\\'`` is a complete literal and the
+    following literal's contents must stay untouched while real code
+    still rewrites. (The ADVICE-r3 corruption scenario — valid Spark
+    text with ``\\'`` escapes crossing the rewriter — is prevented
+    structurally: the engine only rewrites after stock Spark rejects
+    the text, test_engine.test_dialect_rewrite_is_a_fallback.)"""
+    sql = r"SELECT 'a\', 'x // y', b//c FROM t"
+    assert rewrite(sql) == r"SELECT 'a\', 'x // y', b DIV c FROM t"
+    # quote doubling still escapes
+    sql2 = "SELECT 'it''s // fine', x//y FROM t"
+    assert rewrite(sql2) == "SELECT 'it''s // fine', x DIV y FROM t"
 
 
 def test_qualify_after_set_operation_passes_through():
@@ -322,7 +326,7 @@ def test_asof_join_rewrite_shapes():
     # null filter; backward asof orders ts ASC with right (side 0)
     # first at ties (inclusive >=)
     assert "UNION ALL" in out and "last(__r) IGNORE NULLS OVER" in out
-    assert "PARTITION BY __k0 ORDER BY __ts ASC, __side ASC" in out
+    assert "PARTITION BY __k0 ORDER BY __ts ASC NULLS LAST, __side ASC" in out
     assert "__r IS NOT NULL" in out
     assert out.endswith("WHERE t.k > 0")
     # LEFT variant keeps unmatched left rows (no __r filter); bare *
@@ -334,11 +338,11 @@ def test_asof_join_rewrite_shapes():
     assert "__r IS NOT NULL" not in out2
     # forward-looking asof (right ts >= left ts) orders ts DESC
     out3 = rewrite("SELECT a.*, b.* FROM a ASOF JOIN b ON b.t >= a.t")
-    assert "ORDER BY __ts DESC, __side ASC" in out3
+    assert "ORDER BY __ts DESC NULLS LAST, __side ASC" in out3
     # strict inequality: left (side 1) first at ties so equal-ts right
     # rows stay invisible
     out4 = rewrite("SELECT a.*, b.* FROM a ASOF JOIN b ON a.t > b.t")
-    assert "ORDER BY __ts ASC, __side DESC" in out4
+    assert "ORDER BY __ts ASC NULLS LAST, __side DESC" in out4
 
 
 def test_asof_join_ambiguous_passes_through():
@@ -413,3 +417,31 @@ def test_strptime_and_sample_methods(spark):
         rewrite("SELECT * FROM t USING SAMPLE system(5%)")
         == "SELECT * FROM t TABLESAMPLE (5 PERCENT)"
     )
+
+
+def test_asof_null_semantics_match_duckdb(spark):
+    """NULL handling verified against DuckDB live (r4 code review):
+    right rows with NULL ts or NULL keys never match; a NULL LEFT ts
+    sorts as the extreme and takes the closest right row (inclusive
+    operators)."""
+    from scratchdata_spark.dialect import rewrite as rw
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _nl AS SELECT * FROM VALUES"
+        " (1, CAST(NULL AS INT)), (1, 7) AS t(k, ts)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _nr AS SELECT * FROM VALUES"
+        " (1, 5), (1, 9), (1, CAST(NULL AS INT)), (CAST(NULL AS INT), 6)"
+        " AS q(k, qts)"
+    )
+    rows = spark.sql(
+        rw(
+            "SELECT t.k, t.ts, q.qts FROM _nl t ASOF LEFT JOIN _nr q"
+            " ON t.k = q.k AND t.ts >= q.qts"
+        )
+    ).collect()
+    got = {(r.k, r.ts): r.qts for r in rows}
+    # ts=7 -> greatest qts <= 7 is 5; NULL ts sorts last -> sees all,
+    # takes 9; the NULL-qts and NULL-key right rows are invisible
+    assert got == {(1, 7): 5, (1, None): 9}

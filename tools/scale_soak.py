@@ -51,7 +51,14 @@ def scaled_documents(spark, sf_dir: str, replicas: int):
     original; odd replicas append a marker suffix (near-dups — same
     shingles except the tail); even replicas reverse the word order
     (same vocabulary, destroyed shingles — NOT near-dups)."""
-    d = load(spark, sf_dir)["documents"].select("doc_id", "text")
+    from scratchdata_spark.operators import ensure_parallelism
+
+    # fan the 1-row-group parquet base out BEFORE the crossJoin: the
+    # perturbation expressions evaluate in the join's map stage, and
+    # at high replica counts a single-partition base serializes them
+    # on one core (measured: 100× materialize never finished; <60 s
+    # fanned out)
+    d = ensure_parallelism(load(spark, sf_dir)["documents"].select("doc_id", "text"))
     n = d.count()
     r = spark.range(replicas).select(F.col("id").alias("__rep"))
     out = d.crossJoin(r).select(
@@ -73,7 +80,11 @@ def scaled_embeddings(spark, sf_dir: str, replicas: int):
     """embeddings × replicas: odd replicas get ±0.5% deterministic
     jitter (near-dups); even replicas get the negated vector (cosine
     −1, never a near-dup)."""
-    e = load(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    from scratchdata_spark.operators import ensure_parallelism
+
+    e = ensure_parallelism(
+        load(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    )
     n = e.count()
     r = spark.range(replicas).select(F.col("id").alias("__rep"))
     jitter = F.expr(

@@ -30,6 +30,10 @@ from scratchdata_spark.operators.dedup import (
     normalize_text,
     simhash,
 )
+from scratchdata_spark.operators.graph import (
+    connected_components,
+    dedup_by_pairs,
+)
 from scratchdata_spark.operators.multimodal import (
     attach_binary,
     extract_features,
@@ -77,10 +81,10 @@ def x_dedup_exact_rows(spark, sf_dir):
     return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
 
 
-@q(
-    "x_dedup_ngram_jaccard",
-    f"""
-    WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+# Shared by the pair entry and the connected-components entries below:
+# character-5-gram inverted index → exact all-pairs Jaccard ≥ 0.4.
+_NGRAM_CTES = f"""
+    docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id,
@@ -94,7 +98,32 @@ def x_dedup_exact_rows(spark, sf_dir):
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
+    )"""
+
+# Transitive closure of the ≥0.4 pair graph: symmetric edges, then a
+# recursive reachability walk; cluster id = min reachable vertex.
+# Mirrors operators/graph.py connected_components exactly.
+_CLUSTER_CTES = f"""{_NGRAM_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE c / (na.n + nb.n - c) >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    walk(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id)"""
+
+
+@q(
+    "x_dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_CTES}
     SELECT id_a, id_b, ROUND(c / (na.n + nb.n - c), 6) AS jaccard
     FROM common
     JOIN sizes na ON na.doc_id = id_a
@@ -106,6 +135,43 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
     """Exact all-pairs 5-gram Jaccard ≥ 0.4 via inverted shingle index."""
     d = load(spark, sf_dir)["documents"]
     return ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.4)
+
+
+@q(
+    "x_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT id AS doc_id, cluster_id FROM comp
+    """,
+)
+def x_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not pairs: exact 5-gram-Jaccard pairs →
+    distributed connected components (min-label propagation + pointer
+    jumping, operators/graph.py) → (doc_id, cluster_id = min member).
+    The oracle computes the same closure with a recursive CTE."""
+    d = load(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.4)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+@q(
+    "x_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster_id < id)
+    """,
+)
+def x_dedup_survivors(spark, sf_dir):
+    """Corpus after cluster-level dedup: one canonical (min-id) row
+    per connected duplicate cluster, all unpaired rows untouched —
+    the end-to-end shape of a production dedup pass (pairs tier →
+    transitive closure → anti-join of losers)."""
+    d = load(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.4)
+    return dedup_by_pairs(d, pairs, "doc_id").select("doc_id", "lang", "source")
 
 
 @q("x_dedup_minhash_lsh", None)  # xxhash64 signatures: no SQL oracle

@@ -872,6 +872,7 @@ def q_dialect_duckdb_text(spark, sf_dir):
 # -------------------------------------------- corpus-preparation stage
 
 from scratchdata_spark.operators.pipeline import (
+    decontaminate,
     pack_sequences,
     stratified_sample,
     train_val_split,
@@ -940,6 +941,46 @@ def x_pack_sequences(spark, sf_dir):
     the group key, which downstream inherits."""
     d = load(spark, sf_dir)["documents"]
     return pack_sequences(d, "source", context_tokens=2048)
+
+
+@q(
+    "x_decontaminate",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 0) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      FROM norm
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, COALESCE(n, 0) AS n_contaminated_ngrams,
+           COALESCE(n, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 50th document stands in for
+    an eval set; training docs sharing any distinct word 8-gram with
+    it are flagged with their overlap count. The benchmark gram set
+    broadcasts (AQE — it is tiny next to the corpus); the only
+    shuffle is the per-doc hit count."""
+    d = load(spark, sf_dir)["documents"]
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=8, min_hits=1).select(
+        "doc_id", "n_contaminated_ngrams", "contaminated"
+    )
 
 
 _DUCKDB_QUALIFY_TEXT = """

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scratchdata_spark.operators.dedup import normalize_text
 from scratchdata_spark.operators.text import token_count
 
 
@@ -69,6 +70,74 @@ def stratified_sample(
     default_hex = F.lit(format(min(default_256, 256), "02x") if default_256 < 256 else "zz")
     threshold = default_hex if threshold is None else threshold.otherwise(default_hex)
     return df.filter(_hash_bucket(F.col(text_col)) < threshold)
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams of normalized text as an array<string> —
+    pure column expressions (split → transform over a sequence →
+    array_join), codegen end to end. Texts shorter than n words yield
+    an empty array (the sequence guard matters: Spark's
+    ``sequence(1, 0)`` counts DOWN, it is not empty)."""
+    toks = F.split(normalize_text(col), " ")
+    cnt = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: count, per training document, the
+    distinct word n-grams it shares with any document of the
+    ``benchmark`` (eval-set) corpus, and flag documents at or above
+    ``min_hits`` as contaminated. The n-gram-overlap test is the
+    standard published decontamination procedure for LLM training
+    sets (n=8..13 word grams); callers drop or audit flagged rows.
+
+    Scale (100 TB training corpus, MB-scale benchmark): the benchmark
+    gram set is tiny, so the overlap join broadcasts it (AQE; no
+    shuffle of the exploded training grams). The only shuffle is the
+    per-document hit count, which partial-aggregates map-side, and
+    the final attach ships (id, count) pairs — never text. Grams stay
+    as strings rather than hashes so results are engine-portable and
+    exactly auditable; at extreme benchmark sizes, xxhash64-ing the
+    gram column on both sides of the join is the drop-in compaction.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(bcol), n)).alias("gram")
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    # doc_grams is distinct per (doc, gram) by construction
+    # (word_ngrams array_distincts), so count(*) is the distinct count
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated_ngrams") >= min_hits
+        )
+    )
 
 
 def pack_sequences(

@@ -68,3 +68,69 @@ def test_split_zero_val_fraction_keeps_everything_train(spark):
     d = _docs(spark, 300)
     out = train_val_split(d, val_fraction_256=0).select("split").distinct().collect()
     assert [r["split"] for r in out] == ["train"]
+
+
+# ------------------------------------------------------ decontamination
+
+
+def test_word_ngrams_basic_and_short_text(spark):
+    from pyspark.sql import functions as F
+
+    from scratchdata_spark.operators.pipeline import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a  B c",), ("x",), ("",)], "t string"
+    )
+    got = [r.g for r in df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b c"]  # normalization: collapse + lowercase
+    assert got[2] == []  # shorter than n
+    assert got[3] == []
+
+
+def test_word_ngrams_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from scratchdata_spark.operators.pipeline import word_ngrams
+
+    df = spark.createDataFrame([("a b a b a b",)], "t string")
+    got = df.select(word_ngrams(F.col("t"), 2).alias("g")).collect()[0].g
+    assert sorted(got) == ["a b", "b a"]
+
+
+def test_decontaminate_counts_and_flags(spark):
+    from scratchdata_spark.operators.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 2 distinct 3-grams
+            (2, "totally unrelated words here now"),
+            (3, "quick brown fox somewhere else entirely"),  # shares 1
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sat down")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in decontaminate(docs, bench, n=3, min_hits=2).collect()
+    }
+    assert out[1] == (2, True)  # 'the quick brown', 'quick brown fox'
+    assert out[2] == (0, False)
+    assert out[3] == (1, False)  # below min_hits
+
+
+def test_decontaminate_keeps_all_rows_and_columns(spark):
+    from scratchdata_spark.operators.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "de")],
+        "doc_id long, text string, lang string",
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    out = decontaminate(docs, bench, n=3)
+    assert out.count() == 2
+    assert set(out.columns) == {
+        "doc_id", "text", "lang", "n_contaminated_ngrams", "contaminated"
+    }

@@ -35,6 +35,11 @@ unchanged:
   ``parquet.`p`` / ``json.`p`` / ``csv.`p`` path scans; literal path
   LISTS become a UNION ALL chain of scans. Forms with reader options
   pass through (loud analysis error beats silently dropped options).
+* **DISTINCT ON** → ``SELECT DISTINCT ON (keys) ... ORDER BY ...``
+  (DuckDB/Postgres first-row-per-key) rewrites to a ROW_NUMBER
+  window over the keys, filtered to 1 — original select list, keys,
+  and WHERE stay in their own scope. Set operations, GROUP BY, and
+  ordinal ORDER BYs pass through untouched.
 * **ASOF JOIN** → ``ASOF [LEFT] JOIN b ON eq AND l.ts >= b.ts``
   rewrites to the union+window form (struct-packed sides, one shuffle
   on the join keys) — the same plan as the DataFrame operator
@@ -659,6 +664,176 @@ def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
     return head + rep + masked[end:]
 
 
+# ---------------------------------------------------------- distinct on
+
+_DISTINCT_ON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.I)
+
+
+def _d0_matches(text: str, pattern: str):
+    """Matches of ``pattern`` at paren depth 0 of masked text (parens
+    inside literals are already placeholders, so raw counting is
+    exact)."""
+    depth = 0
+    for m in re.finditer(rf"[()]|{pattern}", text, flags=re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            yield m
+
+
+_ORDINAL_ITEM_RE = re.compile(
+    r"(?:^|,)\s*\d+\s*(?:ASC|DESC)?\s*(?:NULLS\s+(?:FIRST|LAST))?\s*(?=,|$)",
+    re.I,
+)
+
+_ORDER_MODS_RE = re.compile(
+    r"(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?\s*$", re.I
+)
+
+
+def _split_d0_commas(text: str) -> list[str]:
+    """Split on depth-0 commas (masked text — literal commas hidden)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_order_modifiers(item: str) -> tuple[str, str]:
+    """'expr DESC NULLS LAST' → ('expr', ' DESC NULLS LAST')."""
+    m = _ORDER_MODS_RE.search(item)
+    mods = (m.group(1) or "") + (m.group(2) or "")
+    return item[: m.start()].strip(), mods
+
+
+def _rewrite_distinct_on(masked: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) list FROM ...
+    [WHERE ...] [ORDER BY ob] [LIMIT ...]`` → first row per key combo
+    by the ORDER BY, via a ROW_NUMBER window:
+
+        SELECT * EXCEPT (__sd_rn) FROM (
+          SELECT list, ROW_NUMBER() OVER (
+            PARTITION BY keys ORDER BY ob) AS __sd_rn FROM ... WHERE ...
+        ) __sd WHERE __sd_rn = 1 [ORDER BY ob] [LIMIT ...]
+
+    The original select list, keys, window ordering, and WHERE all
+    stay in their original scope, so alias-qualified references keep
+    resolving. Without an ORDER BY, DuckDB returns an arbitrary row
+    per key; the rewrite orders by the keys themselves (deterministic,
+    and any row is "compatible" with arbitrary). Conservatively
+    skipped — text passes through for Spark to reject loudly — when
+    the DISTINCT ON is not the statement's one top-level SELECT, a
+    top-level set operator / GROUP BY / HAVING / QUALIFY is present,
+    or the ORDER BY uses ordinal positions (ordinals inside a window
+    spec are constants, not column references)."""
+    m = _DISTINCT_ON_RE.search(masked)
+    if m is None:
+        return masked
+
+    def depth_at(pos: int) -> int:
+        return masked.count("(", 0, pos) - masked.count(")", 0, pos)
+
+    if depth_at(m.start()) != 0 or _DISTINCT_ON_RE.search(masked, m.end()):
+        return masked
+    for sm in re.finditer(
+        r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bMINUS\b", masked, re.I
+    ):
+        if depth_at(sm.start()) == 0:
+            # ``* EXCEPT (a)`` is a select-list modifier, not a set op
+            if sm.group(0).upper() == "EXCEPT" and masked[: sm.start()].rstrip().endswith("*"):
+                continue
+            return masked
+
+    # key list via paren matching (masked text: literal parens hidden)
+    i = m.end()
+    depth, j = 1, i
+    while j < len(masked) and depth:
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        return masked
+    keys = masked[i : j - 1].strip()
+    rest = masked[j:]
+    if not keys:
+        return masked
+
+    if any(_d0_matches(rest, r"\bGROUP\s+BY\b|\bHAVING\b|\bQUALIFY\b")):
+        return masked
+    froms = list(_d0_matches(rest, r"\bFROM\b"))
+    if not froms:
+        return masked
+    fpos = froms[0].start()
+
+    obs = list(_d0_matches(rest, r"\bORDER\s+BY\b"))
+    order_expr = None
+    if obs:
+        ob = obs[0]
+        body, tail = rest[: ob.start()], rest[ob.end() :]
+        lims = list(_d0_matches(tail, r"\bLIMIT\b|\bOFFSET\b"))
+        if lims:
+            order_expr, trailer = tail[: lims[0].start()].strip(), tail[lims[0].start() :]
+        else:
+            order_expr, trailer = tail.strip(), ""
+        if _ORDINAL_ITEM_RE.search(order_expr):
+            return masked
+    else:
+        lims = list(_d0_matches(rest, r"\bLIMIT\b|\bOFFSET\b"))
+        if lims:
+            body, trailer = rest[: lims[0].start()], rest[lims[0].start() :]
+        else:
+            body, trailer = rest, ""
+
+    if fpos >= len(body):
+        return masked
+    sel_list = body[:fpos].strip()
+    from_tail = body[fpos:].strip()
+    if not sel_list or not from_tail:
+        return masked
+    win_order = order_expr if order_expr else keys
+    # The outer ORDER BY may reference columns that are neither in the
+    # select list nor unqualified (ORDER BY t.ts DESC on a projection
+    # of other columns — legal in DuckDB). Hoist every order item as
+    # an aliased helper column computed in the ORIGINAL scope, order
+    # by the helpers outside, and strip them with EXCEPT.
+    helper_cols, outer_order = [], []
+    if order_expr:
+        for idx, item in enumerate(_split_d0_commas(order_expr)):
+            expr, mods = _split_order_modifiers(item)
+            if not expr:
+                return masked
+            helper_cols.append(f"{expr} AS __sd_ob{idx}")
+            outer_order.append(f"__sd_ob{idx}{mods}")
+    helpers = (", " + ", ".join(helper_cols)) if helper_cols else ""
+    drop = ", ".join(["__sd_rn"] + [f"__sd_ob{i}" for i in range(len(helper_cols))])
+    inner = (
+        f"SELECT {sel_list}, ROW_NUMBER() OVER"
+        f" (PARTITION BY {keys} ORDER BY {win_order}) AS __sd_rn"
+        f"{helpers} {from_tail}"
+    )
+    out = (
+        f"{masked[: m.start()]}SELECT * EXCEPT ({drop})"
+        f" FROM ( {inner} ) __sd WHERE __sd_rn = 1"
+    )
+    if outer_order:
+        out += f" ORDER BY {', '.join(outer_order)}"
+    if trailer.strip():
+        out += f" {trailer.strip()}"
+    return out
+
+
 # -------------------------------------------------------------- qualify
 
 
@@ -788,4 +963,5 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_file_scans(masked, literals)
     masked = _rewrite_asof_join(masked, literals)
+    masked = _rewrite_distinct_on(masked)
     return _unmask_literals(masked, literals)

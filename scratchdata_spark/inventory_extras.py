@@ -1050,3 +1050,25 @@ def q_dialect_asof(spark, sf_dir):
 
     load(spark, sf_dir)
     return spark.sql(rewrite(_DUCKDB_ASOF_TEXT))
+
+
+_DUCKDB_DISTINCT_ON_TEXT = """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1000
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@q("q_dialect_distinct_on", _DUCKDB_DISTINCT_ON_TEXT)
+def q_dialect_distinct_on(spark, sf_dir):
+    """DuckDB/Postgres ``DISTINCT ON`` text through the dialect layer:
+    DuckDB executes the text natively (the oracle); Spark runs the
+    ROW_NUMBER rewrite (dialect.py ``_rewrite_distinct_on``) — first
+    order per customer by (date, key), hash-compared. The o_orderkey
+    tiebreaker makes the winner unique, so both engines agree row for
+    row."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_DISTINCT_ON_TEXT))

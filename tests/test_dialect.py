@@ -474,3 +474,62 @@ def test_aggregate_renames_match_duckdb(spark, sf_dir):
     assert rewrite("SELECT list(x) FROM t") == "SELECT array_agg(x) FROM t"
     # list_value already rewrote before the bare list() rule
     assert rewrite("SELECT list_value(1)") == "SELECT array(1)"
+
+
+def test_distinct_on_rewrite_shapes():
+    from scratchdata_spark.dialect import rewrite
+
+    # basic: keys partition, ORDER BY hoisted as helper columns
+    out = rewrite("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, c DESC")
+    assert "ROW_NUMBER() OVER (PARTITION BY a ORDER BY a, c DESC)" in out
+    assert "__sd_rn = 1" in out
+    assert "c AS __sd_ob1" in out
+    assert out.rstrip().endswith("ORDER BY __sd_ob0, __sd_ob1 DESC")
+    # no ORDER BY: deterministic fallback to the keys
+    out = rewrite("SELECT DISTINCT ON (x, y) z FROM t")
+    assert "PARTITION BY x, y ORDER BY x, y" in out
+    # LIMIT stays outside the wrapper
+    out = rewrite("SELECT DISTINCT ON (a) a FROM t ORDER BY a LIMIT 3")
+    assert out.rstrip().endswith("LIMIT 3")
+
+
+def test_distinct_on_conservative_passthrough():
+    from scratchdata_spark.dialect import rewrite
+
+    untouched = [
+        # set operation: DuckDB binds DISTINCT ON per branch
+        "SELECT DISTINCT ON (a) a FROM t UNION SELECT 1",
+        # aggregation semantics don't compose with the window rewrite
+        "SELECT DISTINCT ON (a) a, count(*) FROM t GROUP BY a",
+        # ordinal ORDER BY would become a constant in the window spec
+        "SELECT DISTINCT ON (a) a, b FROM t ORDER BY 2",
+        # subquery DISTINCT ON (depth > 0) is not the top-level SELECT
+        "SELECT * FROM (SELECT DISTINCT ON (a) a FROM t)",
+    ]
+    for sql in untouched:
+        assert rewrite(sql) == sql, sql
+    # literal containing the phrase is never touched
+    sql = "SELECT 'use SELECT DISTINCT ON (x) here' AS tip FROM t"
+    assert rewrite(sql) == sql
+
+
+def test_distinct_on_executes_and_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from scratchdata_spark.dialect import rewrite
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    # ORDER BY column o_orderdate is NOT in the select list — the
+    # helper-column hoist is what makes this resolve on Spark
+    sql = (
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey FROM orders"
+        " ORDER BY o_custkey, o_orderdate, o_orderkey"
+    )
+    expect = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+    assert sorted(got) == sorted(expect)
+    assert len(got) > 0

@@ -35,6 +35,12 @@ unchanged:
   ``parquet.`p`` / ``json.`p`` / ``csv.`p`` path scans; literal path
   LISTS become a UNION ALL chain of scans. Forms with reader options
   pass through (loud analysis error beats silently dropped options).
+* **Constructors & spines**: ``unnest(...)`` → ``explode(...)``,
+  ``struct_pack(a := x)`` and brace literals ``{'a': x}`` →
+  ``named_struct``, ``MAP {'k': v}`` → ``map``, FROM-position
+  ``generate_series(start, stop[, step])`` →
+  ``explode(sequence(...))``; ``string_split`` inlines to native
+  ``split`` (a SQL UDF cannot sit under a generator).
 * **DISTINCT ON** → ``SELECT DISTINCT ON (keys) ... ORDER BY ...``
   (DuckDB/Postgres first-row-per-key) rewrites to a ROW_NUMBER
   window over the keys, filtered to 1 — original select list, keys,
@@ -169,6 +175,11 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\barg_max\s*\(", "max_by(", code, flags=re.I)
     code = re.sub(r"\barg_min\s*\(", "min_by(", code, flags=re.I)
     code = re.sub(r"\bquantile_cont\s*\(", "percentile(", code, flags=re.I)
+    # select-list unnest → explode: same one-row-per-element semantics
+    # for arrays (the overwhelmingly common use). unnest of structs /
+    # multiple parallel unnests differ — those become loud analysis
+    # errors on Spark, never silent changes.
+    code = re.sub(r"\bunnest\s*\(", "explode(", code, flags=re.I)
     # USING SAMPLE 10% | USING SAMPLE 100 ROWS → TABLESAMPLE, incl. the
     # named-method forms bernoulli(10%) / system(10%) / reservoir(100
     # ROWS). Method forms match their parens as a unit — an optional
@@ -664,6 +675,196 @@ def _rewrite_asof_join(masked: str, literals: list[str]) -> str:
     return head + rep + masked[end:]
 
 
+# ------------------------------------------- struct / series constructors
+
+
+def _match_paren(text: str, pos: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``pos``; -1 if
+    unbalanced. Masked text — literal parens are hidden."""
+    depth = 0
+    for j in range(pos, len(text)):
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    return -1
+
+
+_STRING_SPLIT_RE = re.compile(r"\bstring_split\s*\(", re.I)
+
+
+def _rewrite_string_split(masked: str) -> str:
+    """``string_split(s, sep)`` → ``split(s, concat('\\Q', sep,
+    '\\E'))`` — the same literal-separator semantics as the SQL-UDF
+    alias, but as a native call. The textual form matters because
+    Spark refuses SQL UDFs under generators (``UNSUPPORTED_SQL_UDF_
+    USAGE``), so ``unnest(string_split(text, ' '))`` — a ubiquitous
+    DuckDB tokenization idiom — only works when the function inlines
+    before analysis."""
+    while True:
+        m = _STRING_SPLIT_RE.search(masked)
+        if m is None:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        end = _match_paren(masked, open_idx)
+        if end == -1:
+            return masked
+        args = _split_d0_commas(masked[open_idx + 1 : end - 1])
+        if len(args) != 2:
+            return masked
+        masked = (
+            masked[: m.start()]
+            + f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+            + masked[end:]
+        )
+
+
+_STRUCT_PACK_RE = re.compile(r"\bstruct_pack\s*\(", re.I)
+
+
+def _rewrite_struct_pack(masked: str) -> str:
+    """``struct_pack(a := x, b := y)`` → ``named_struct('a', x, 'b',
+    y)``. Innermost packs are reached by re-scanning after each
+    replacement; a malformed argument list leaves the whole statement
+    untouched (loud Spark error beats a guessed rewrite)."""
+    while True:
+        m = _STRUCT_PACK_RE.search(masked)
+        if m is None:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        end = _match_paren(masked, open_idx)
+        if end == -1:
+            return masked
+        parts = []
+        for item in _split_d0_commas(masked[open_idx + 1 : end - 1]):
+            km = re.match(r"\s*(\w+)\s*:=\s*(.+)$", item, re.S)
+            if km is None:
+                return masked
+            parts.append(f"'{km.group(1)}', {km.group(2).strip()}")
+        if not parts:
+            return masked
+        masked = (
+            masked[: m.start()]
+            + "named_struct("
+            + ", ".join(parts)
+            + ")"
+            + masked[end:]
+        )
+
+
+def _rewrite_brace_literals(masked: str) -> str:
+    """DuckDB struct/map literals → Spark constructors:
+    ``{'a': 1, 'b': x}`` → ``named_struct('a', 1, 'b', x)`` and
+    ``MAP {'k': v}`` → ``map('k', v)``. Braces appear nowhere in valid
+    Spark SQL, so there is nothing to collide with; innermost pairs
+    are rewritten first so nesting works. Keys are masked string
+    literals (or bare identifiers for structs) and values may be any
+    expression; ``::`` casts inside values are skipped when locating
+    the key separator. A malformed pair aborts the whole rewrite."""
+    while "{" in masked:
+        # innermost pair: last '{' before the first '}' after it
+        close = masked.find("}")
+        if close == -1:
+            return masked
+        open_idx = masked.rfind("{", 0, close)
+        if open_idx == -1:
+            return masked
+        body = masked[open_idx + 1 : close]
+        if not body.strip():
+            return masked
+        kvs = []
+        for item in _split_d0_commas(body):
+            # first ':' at paren depth 0 that is not part of '::'
+            depth, sep = 0, -1
+            k = 0
+            while k < len(item):
+                ch = item[k]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == ":" and depth == 0:
+                    if k + 1 < len(item) and item[k + 1] == ":":
+                        k += 2
+                        continue
+                    sep = k
+                    break
+                k += 1
+            if sep == -1:
+                return masked
+            key, val = item[:sep].strip(), item[sep + 1 :].strip()
+            if not key or not val:
+                return masked
+            if not (re.fullmatch(rf"{_MASK}\d+{_MASK}", key) or key.isidentifier()):
+                return masked
+            if key.isidentifier():
+                key = f"'{key}'"
+            kvs.append((key, val))
+        before = masked[:open_idx]
+        stripped = before.rstrip()
+        if re.search(r"\bMAP$", stripped, flags=re.I):
+            repl = "map(" + ", ".join(f"{k}, {v}" for k, v in kvs) + ")"
+            masked = stripped[:-3] + repl + masked[close + 1 :]
+        else:
+            repl = (
+                "named_struct("
+                + ", ".join(f"{k}, {v}" for k, v in kvs)
+                + ")"
+            )
+            masked = before + repl + masked[close + 1 :]
+    return masked
+
+
+_GEN_SERIES_RE = re.compile(
+    r"\b(FROM|JOIN)\s+generate_series\s*\(", re.I
+)
+_GS_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(\w+)\s*(?:\(\s*(\w+)\s*\))?", re.I)
+_GS_KEYWORDS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "INTERSECT",
+    "EXCEPT", "MINUS", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+    "ON", "USING", "QUALIFY", "WINDOW", "OFFSET", "SELECT", "AND", "OR",
+}
+
+
+def _rewrite_generate_series(masked: str) -> str:
+    """FROM-position ``generate_series(start, stop[, step])`` (the
+    date-spine / number-spine table function; inclusive stop on both
+    engines) → ``(SELECT explode(sequence(...)) AS generate_series)``.
+    The single-argument DuckDB form and select-list uses pass through
+    — their semantics have no direct sequence() equivalent."""
+    out = []
+    last = 0
+    for m in _GEN_SERIES_RE.finditer(masked):
+        open_idx = masked.index("(", m.end() - 1)
+        end = _match_paren(masked, open_idx)
+        if end == -1:
+            continue
+        args = masked[open_idx + 1 : end - 1]
+        if len(_split_d0_commas(args)) not in (2, 3):
+            continue
+        # optional [AS] alias [(colname)] — but not a trailing keyword
+        col = tab = None
+        am = _GS_ALIAS_RE.match(masked, end)
+        consumed = end
+        if am and am.group(1) and am.group(1).upper() not in _GS_KEYWORDS:
+            tab, col = am.group(1), am.group(2)
+            consumed = am.end()
+        colname = col or "generate_series"
+        repl = (
+            f"{m.group(1)} (SELECT explode(sequence({args}))"
+            f" AS {colname})"
+        )
+        if tab:
+            repl += f" {tab}"
+        out.append(masked[last : m.start()])
+        out.append(repl)
+        last = consumed
+    out.append(masked[last:])
+    return "".join(out)
+
+
 # ---------------------------------------------------------- distinct on
 
 _DISTINCT_ON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.I)
@@ -963,5 +1164,9 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_file_scans(masked, literals)
     masked = _rewrite_asof_join(masked, literals)
+    masked = _rewrite_string_split(masked)
+    masked = _rewrite_struct_pack(masked)
+    masked = _rewrite_brace_literals(masked)
+    masked = _rewrite_generate_series(masked)
     masked = _rewrite_distinct_on(masked)
     return _unmask_literals(masked, literals)

@@ -1072,3 +1072,63 @@ def q_dialect_distinct_on(spark, sf_dir):
 
     load(spark, sf_dir)
     return spark.sql(rewrite(_DUCKDB_DISTINCT_ON_TEXT))
+
+
+_DUCKDB_UNNEST_TEXT = """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 20
+"""
+
+
+@q("q_dialect_unnest_tokens", _DUCKDB_UNNEST_TEXT)
+def q_dialect_unnest_tokens(spark, sf_dir):
+    """DuckDB's ubiquitous tokenization idiom ``unnest(string_split(
+    text, ' '))`` through the dialect layer: unnest → explode, and
+    string_split inlines to native ``split`` with a regex-quoted
+    separator (the SQL-UDF alias alone cannot sit under a generator —
+    Spark rejects UNSUPPORTED_SQL_UDF_USAGE)."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_UNNEST_TEXT))
+
+
+_DUCKDB_STRUCT_TEXT = """
+    SELECT doc_id,
+           struct_pack(chars := n_chars, l := lang).chars AS chars,
+           {'lo': n_chars - 1}.lo AS lo
+    FROM documents WHERE doc_id < 100
+"""
+
+
+@q("q_dialect_struct_literals", _DUCKDB_STRUCT_TEXT)
+def q_dialect_struct_literals(spark, sf_dir):
+    """DuckDB struct constructors through the dialect layer:
+    ``struct_pack(k := v)`` and the brace literal ``{'k': v}`` both
+    rewrite to ``named_struct``, with field access resolving on the
+    rewritten expression."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_STRUCT_TEXT))
+
+
+_DUCKDB_SERIES_TEXT = """
+    SELECT gs.d AS day
+    FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-10',
+                         INTERVAL 1 DAY) gs(d)
+"""
+
+
+@q("q_dialect_generate_series", _DUCKDB_SERIES_TEXT)
+def q_dialect_generate_series(spark, sf_dir):
+    """DuckDB's date-spine table function ``generate_series(start,
+    stop, step)`` (inclusive stop) through the dialect layer →
+    ``explode(sequence(...))`` subquery with the user's alias. Bounds
+    are TIMESTAMP because the engines agree there (DuckDB's DATE form
+    returns timestamps, Spark's sequence keeps dates — a documented
+    type divergence)."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_SERIES_TEXT))

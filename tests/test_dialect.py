@@ -533,3 +533,69 @@ def test_distinct_on_executes_and_matches_duckdb(spark, sf_dir):
     got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
     assert sorted(got) == sorted(expect)
     assert len(got) > 0
+
+
+def test_struct_pack_and_brace_literal_shapes():
+    from scratchdata_spark.dialect import rewrite
+
+    assert (
+        rewrite("SELECT struct_pack(a := 1, b := x + 1) FROM t")
+        == "SELECT named_struct('a', 1, 'b', x + 1) FROM t"
+    )
+    # nesting, both mechanisms
+    assert (
+        rewrite("SELECT struct_pack(a := struct_pack(b := 2)) FROM t")
+        == "SELECT named_struct('a', named_struct('b', 2)) FROM t"
+    )
+    assert (
+        rewrite("SELECT {'outer': {'inner': 1}} FROM t")
+        == "SELECT named_struct('outer', named_struct('inner', 1)) FROM t"
+    )
+    # map literal; '::' inside a value is not a key separator
+    assert (
+        rewrite("SELECT MAP {'k': x::INT} FROM t")
+        == "SELECT map('k', x::INT) FROM t"
+    )
+    # malformed argument lists leave the statement untouched
+    assert rewrite("SELECT struct_pack(bad) FROM t") == "SELECT struct_pack(bad) FROM t"
+    # braces inside a string literal are never touched
+    lit = "SELECT '{not: sql}' AS tip FROM t"
+    assert rewrite(lit) == lit
+
+
+def test_unnest_and_string_split_inline():
+    from scratchdata_spark.dialect import rewrite
+
+    out = rewrite("SELECT unnest(string_split(text, ' ')) AS tok FROM t")
+    assert "explode(split(text, concat('\\\\Q', ' ', '\\\\E')))" in out
+
+
+def test_generate_series_rewrite_shapes():
+    from scratchdata_spark.dialect import rewrite
+
+    out = rewrite("SELECT * FROM generate_series(1, 10)")
+    assert out == "SELECT * FROM (SELECT explode(sequence(1, 10)) AS generate_series)"
+    out = rewrite("SELECT * FROM generate_series(1, 10, 2) AS g(n) WHERE n > 3")
+    assert out == (
+        "SELECT * FROM (SELECT explode(sequence(1, 10, 2)) AS n) g WHERE n > 3"
+    )
+    # 1-arg form and select-list position pass through
+    assert rewrite("SELECT generate_series(5)") == "SELECT generate_series(5)"
+
+
+def test_struct_and_series_execute_matching_duckdb(spark):
+    import duckdb
+
+    from scratchdata_spark.dialect import rewrite
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT struct_pack(a := 1, b := 'x').a AS a",
+        "SELECT {'lo': 41 + 1}.lo AS lo",
+        "SELECT map_keys(MAP {'k': 1, 'j': 2}) AS ks",
+        "SELECT gs.n AS n FROM generate_series(2, 8, 3) gs(n)",
+    ]
+    for sql in cases:
+        expect = [tuple(map(str, r)) for r in con.execute(sql).fetchall()]
+        got = [tuple(map(str, r)) for r in spark.sql(rewrite(sql)).collect()]
+        assert sorted(got) == sorted(expect), sql

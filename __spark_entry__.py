@@ -28,19 +28,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks entries in dict-insertion order and stops after
-# ~50.  Round 4 rotation: front-load exactly the 49 entries WITHOUT a
-# green row in CORRECTNESS_r03 — the r2-banked long tail (agg family,
-# external scans, the x_*/s_* surface), q_dialect_qualify (added after
-# the r3 window was fixed, never driver-checked), and the two dialect
-# entries new this round — so by end of round every registry entry has
-# a green row in r03∪r04.
+# ~50.  Round 4 rotation, slot-budgeted: (a) the flagship sanity row,
+# (b) every never-driver-checked entry (the dialect layer grown this
+# round, the corpus-quality pair, the connected-components trio),
+# (c) the r2-banked HASH-oracle long tail (agg family, external scans,
+# x_* pipeline, all six s_* streaming entries).  Rows-only entries
+# whose latest row is r2 sit just past the window edge: a row-count
+# check re-verified one round later costs less than letting a
+# hash-verified entry go two rounds stale.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
-    # never driver-checked / new this round (dialect layer)
+    # --- never driver-checked (new in round 4) ---
     "q_dialect_qualify",
     "q_dialect_file_scan",
     "q_dialect_asof",
-    # r2-banked long tail: scans/aggs
+    "q_dialect_distinct_on",
+    "q_dialect_unnest_tokens",
+    "q_dialect_struct_literals",
+    "q_dialect_generate_series",
+    "x_quality_repetition",
+    "x_pii_scrub",
+    "x_dedup_clusters",
+    "x_dedup_survivors",
+    "x_decontaminate",
+    # --- r2-banked hash-oracle long tail ---
     "q02_filter_predicates",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
@@ -48,7 +59,6 @@ _PRIORITY = [
     "q_agg_basic",
     "q_agg_stats",
     "q_count_distinct",
-    "q_approx_quantile",
     "q_percentile_exact",
     "q_agg_filter",
     "q_agg_lists_median_mode",
@@ -61,17 +71,10 @@ _PRIORITY = [
     "q_scan_external_orc",
     "q_nested_flatten_horizontal",
     "q_nested_flatten_vertical",
-    # r2-banked LLM-pipeline surface
     "x_dedup_exact",
-    "x_dedup_exact_rows",
     "x_dedup_ngram_jaccard",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
     "x_dedup_embedding_cosine",
-    "x_dedup_embedding_lsh",
     "x_ann_cosine_topk",
-    "x_ann_cosine_lsh",
-    "x_ann_ivf_topk",
     "x_text_token_count",
     "x_text_quality",
     "x_text_langid",
@@ -82,19 +85,21 @@ _PRIORITY = [
     "x_salted_join_skew",
     "x_pipeline_clean_corpus",
     "x_range_join_bucketed",
-    # streaming: multi-batch evidence for the r2-banked s_* surface
+    # streaming: multi-batch driver evidence for the s_* surface
     "s_stream_sliding_2h_1h",
     "s_stream_session_windows",
     "s_stream_stateful_user_totals",
     "s_stream_dedup",
     "s_stream_stream_join",
     "s_rollup_continuous_hourly",
-    # added mid-round-4 AFTER the 50-slot window above was planned:
-    # first overflow positions (the driver checks ~50 in order), so
-    # they lead the r5 window; both are local-oracle PASS
-    # (tools/check_correctness.py at sf0.01)
-    "x_quality_repetition",
-    "x_pii_scrub",
+    # --- r2-banked rows-only entries: first past the window edge ---
+    "q_approx_quantile",
+    "x_dedup_exact_rows",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_dedup_embedding_lsh",
+    "x_ann_cosine_lsh",
+    "x_ann_ivf_topk",
 ]
 
 

@@ -138,11 +138,12 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
         F.max("sz").alias("max_bucket"),
     ).first()
     t0 = time.perf_counter()
-    final_pairs = minhash_lsh_pairs(
+    pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", k=k,
         threshold=threshold, max_bucket_size=max_bucket_size,
         est_margin=est_margin, corpus_size=n_docs,
-    ).count()
+    ).persist()
+    final_pairs = pairs.count()
     wall = time.perf_counter() - t0
     sig.unpersist()
     members.unpersist()
@@ -152,6 +153,35 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
         "candidate_pairs_uncapped": int(stats["uncapped_pairs"]),
         "candidate_pairs_after_bucket_cap": int(stats["capped_pairs"]),
         "final_pairs": int(final_pairs),
+        "wall_sec": round(wall, 3),
+    }, pairs
+
+
+def cc_telemetry(pairs) -> dict:
+    """Connected components over the verified minhash pairs — the
+    transitive tier a production dedup runs after pair generation.
+    The pair graph here is the stress shape for CC (each duplicated
+    source doc becomes a near-clique of replicas), so cluster count
+    and wall growth vs scale are the numbers to watch."""
+    from scratchdata_spark.operators.graph import connected_components
+
+    t0 = time.perf_counter()
+    comp = connected_components(pairs)
+    agg = (
+        comp.groupBy("comp")
+        .agg(F.count("*").alias("sz"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").alias("n_vertices"),
+            F.max("sz").alias("max_cluster"),
+        )
+        .first()
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "n_clusters": int(agg["n_clusters"] or 0),
+        "n_vertices": int(agg["n_vertices"] or 0),
+        "max_cluster": int(agg["max_cluster"] or 0),
         "wall_sec": round(wall, 3),
     }
 
@@ -220,13 +250,16 @@ def main() -> None:
         vecs, n_vecs = scaled_embeddings(spark, sf_dir, reps)
         vecs = vecs.persist()
         vecs.count()
+        mh_stats, mh_pairs = minhash_telemetry(docs, n_docs=n_docs)
         out["scales"][label] = {
             "n_docs": n_docs,
             "n_vectors": n_vecs,
-            "minhash_lsh": minhash_telemetry(docs, n_docs=n_docs),
+            "minhash_lsh": mh_stats,
+            "connected_components": cc_telemetry(mh_pairs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
         }
+        mh_pairs.unpersist()
         docs.unpersist()
         vecs.unpersist()
 

@@ -51,6 +51,7 @@ _PRIORITY = [
     "x_dedup_clusters",
     "x_dedup_survivors",
     "x_decontaminate",
+    "x_global_shuffle",
     # --- r2-banked hash-oracle long tail ---
     "q02_filter_predicates",
     "q03_shipping_priority",

@@ -873,6 +873,7 @@ def q_dialect_duckdb_text(spark, sf_dir):
 
 from scratchdata_spark.operators.pipeline import (
     decontaminate,
+    global_shuffle,
     pack_sequences,
     stratified_sample,
     train_val_split,
@@ -1132,3 +1133,35 @@ def q_dialect_generate_series(spark, sf_dir):
 
     load(spark, sf_dir)
     return spark.sql(rewrite(_DUCKDB_SERIES_TEXT))
+
+
+@q(
+    "x_global_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             sha256(concat('epoch0', ':', CAST(doc_id AS VARCHAR))) AS hh
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hh,
+             CAST((ascii(substr(hh, 1, 1)) * 65536
+                 + ascii(substr(hh, 2, 1)) * 256
+                 + ascii(substr(hh, 3, 1))) % 8 AS INTEGER) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY hh, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def x_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + sharding manifest (seed-keyed
+    sha256 rank): shard assignment map-only, position rank shuffled
+    once on the shard key — reproducible corpus order for training
+    restarts. Oracle reproduces the identical hash arithmetic."""
+    d = load(spark, sf_dir)["documents"]
+    return global_shuffle(d, "doc_id", seed="epoch0", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )

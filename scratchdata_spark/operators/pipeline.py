@@ -72,6 +72,44 @@ def stratified_sample(
     return df.filter(_hash_bucket(F.col(text_col)) < threshold)
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic pseudorandom global shuffle + sharding: every row
+    gets a ``shard`` (uniform by content of sha256(seed:id)) and a
+    ``pos`` within its shard (rank by the same hash). Changing the
+    seed reshuffles the corpus; the same seed reproduces the exact
+    order on re-runs — what a training job needs to restart mid-epoch
+    or re-materialize a shard.
+
+    Scale: shard assignment is map-only; the only shuffle keys on
+    ``shard`` — exactly the partitioning the shard writer consumes —
+    and ``pos`` sorts within each shard partition, never globally.
+    The shard index is derived from the hex digest with ascii()
+    arithmetic (3 chars → 12 bits of entropy before the modulo)
+    because both engines compute it identically — no engine-specific
+    hash in the contract.
+    """
+    h = F.sha2(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")), 256
+    )
+    shard = (
+        F.ascii(F.substring(F.col("__h"), 1, 1)) * 65536
+        + F.ascii(F.substring(F.col("__h"), 2, 1)) * 256
+        + F.ascii(F.substring(F.col("__h"), 3, 1))
+    ) % n_shards
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Distinct word n-grams of normalized text as an array<string> —
     pure column expressions (split → transform over a sequence →

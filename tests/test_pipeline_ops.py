@@ -134,3 +134,40 @@ def test_decontaminate_keeps_all_rows_and_columns(spark):
     assert set(out.columns) == {
         "doc_id", "text", "lang", "n_contaminated_ngrams", "contaminated"
     }
+
+
+# ----------------------------------------------------- global shuffle
+
+
+def test_global_shuffle_deterministic_and_balanced(spark):
+    from scratchdata_spark.operators.pipeline import global_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(400)], "doc_id long, text string"
+    )
+    a = {r.doc_id: (r.shard, r.pos) for r in global_shuffle(docs, n_shards=4).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in global_shuffle(docs, n_shards=4).collect()}
+    assert a == b  # same seed → identical assignment
+    shards = [s for s, _ in a.values()]
+    assert set(shards) == {0, 1, 2, 3}
+    # roughly balanced: no shard takes more than half the corpus
+    from collections import Counter
+
+    assert max(Counter(shards).values()) < 200
+    # positions are a 1..n permutation within each shard
+    by_shard: dict = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_global_shuffle_seed_changes_order(spark):
+    from scratchdata_spark.operators.pipeline import global_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r.doc_id: (r.shard, r.pos) for r in global_shuffle(docs, seed="e0").collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in global_shuffle(docs, seed="e1").collect()}
+    assert a != b

@@ -297,3 +297,29 @@ def test_corpus_quality_ops_are_map_only(spark, sf_dir):
         p = plan(REGISTRY[name][0](spark, sf_dir))
         assert "ArrowEvalPython" not in p and "MapInPandas" not in p, name
         assert "HashAggregate" not in p and "SortAggregate" not in p, name
+
+
+def test_global_shuffle_single_exchange_no_global_sort(spark, sf_dir):
+    """The shuffle/shard manifest must shuffle ONCE (hash on the shard
+    key — the partitioning the shard writer inherits) and sort only
+    within partitions; a global sort (range partitioning) would
+    serialize the corpus through one ordering at 100 TB."""
+    import scratchdata_spark.inventory_extras  # noqa: F401
+    from scratchdata_spark.inventory import REGISTRY
+
+    p = plan(REGISTRY["x_global_shuffle"][0](spark, sf_dir))
+    shuffles = p.count("Exchange (") - p.count("BroadcastExchange (")
+    assert shuffles == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast into the overlap join —
+    shuffling the exploded corpus grams on the gram key would move
+    the whole tokenized corpus at 100 TB."""
+    import scratchdata_spark.inventory_extras  # noqa: F401
+    from scratchdata_spark.inventory import REGISTRY
+
+    p = plan(REGISTRY["x_decontaminate"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, p

@@ -52,6 +52,7 @@ _PRIORITY = [
     "x_dedup_survivors",
     "x_decontaminate",
     "x_global_shuffle",
+    "x_model_score",
     # --- r2-banked hash-oracle long tail ---
     "q02_filter_predicates",
     "q03_shipping_priority",

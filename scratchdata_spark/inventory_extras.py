@@ -1165,3 +1165,32 @@ def x_global_shuffle(spark, sf_dir):
     return global_shuffle(d, "doc_id", seed="epoch0", n_shards=8).select(
         "doc_id", "shard", "pos"
     )
+
+
+@q(
+    "x_model_score",
+    """
+    SELECT doc_id,
+           ROUND(
+             0.5 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS DOUBLE), 200.0) / 200.0
+           + 0.3 * CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                             AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                   ELSE 0.0 END
+           + 0.2 * (1.0 - least(CAST(length(text) AS DOUBLE), 4000.0) / 4000.0),
+           6) AS model_score
+    FROM documents
+    """,
+)
+def x_model_score(spark, sf_dir):
+    """Batch model-inference seam (operators/modelscore.py): Arrow-
+    batched mapInPandas scoring with the deterministic fallback
+    scorer — rational arithmetic in fixed order, so the oracle
+    reproduces the score bit-for-bit THROUGH the Arrow batch path.
+    A real classifier plugs in via scorer= or SPARK_GRAFT_SCORER."""
+    from scratchdata_spark.operators.modelscore import score_documents
+
+    d = load(spark, sf_dir)["documents"]
+    return score_documents(d).select("doc_id", "model_score")

@@ -63,6 +63,7 @@ class Service:
         self.shares = shares
         self.keys = keys
         self.destination_factory = destination_factory
+        self.dashboard = None  # set by build_app when the UI is enabled
         self.metrics = metrics or Metrics()
         self.dest_types: dict[str, str] = {n: "spark" for n in destinations}
         # operational gauges, sampled at scrape time
@@ -97,6 +98,19 @@ class Service:
             {"name": n, "type": self.dest_types.get(n, "spark")}
             for n in sorted(self.destinations)
         ]
+
+    def delete_destination(self, name: str) -> None:
+        """Reference ``pkg/connections/service.go:DeleteDestination``:
+        drop the destination and every key that resolves to it."""
+        dest = self.destinations.pop(name)  # KeyError → 404 upstream
+        self.dest_types.pop(name, None)
+        self.keys.drop_destination(name)
+        close = getattr(dest, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:
+                pass  # best-effort: the mapping entry is already gone
 
     def create_key(self, destination: str) -> str:
         """Reference ``destinations.go:15-22``: mint an API key for a
@@ -209,8 +223,16 @@ class _ChunkedOut:
 def _route_pattern(path: str) -> str:
     """Normalize a concrete path to its route pattern (metrics label —
     unbounded label cardinality would blow up the scrape)."""
+    if re.fullmatch(r"/share/[0-9a-f-]+", path):
+        return "/share/{uuid}"
     if path.startswith("/share/"):
         return "/share/{uuid}/data.{format}"
+    if path.startswith("/dashboard/connections/edit/"):
+        return "/dashboard/connections/edit/{name}"
+    if path.startswith("/dashboard/connections/new/"):
+        return "/dashboard/connections/new/{type}"
+    if re.fullmatch(r"/request/[0-9a-f-]+", path):
+        return "/request/{id}"
     if re.match(r"^/api/tables/[^/]+/columns$", path):
         return "/api/tables/{table}/columns"
     if re.match(r"^/api/tables/[^/]+/compact$", path):
@@ -293,6 +315,9 @@ def make_handler(service: Service):
         def _get(self, path, params):
             if path in ("/healthcheck", "/ping"):
                 return self._json(200, {"status": "ok"})
+            dash = getattr(service, "dashboard", None)
+            if dash is not None and dash.handle_get(self, path, params):
+                return
             if path == "/metrics":
                 return self._send(
                     200, service.metrics.render().encode(),
@@ -333,6 +358,9 @@ def make_handler(service: Service):
             return service.keys.is_admin(key)
 
         def _post(self, path, params):
+            dash = getattr(service, "dashboard", None)
+            if dash is not None and dash.handle_post(self, path, params):
+                return
             # destination/key CRUD (reference pkg/api/destinations.go)
             # is admin-gated and checked before the destination auth
             if path == "/api/destinations":

@@ -27,6 +27,17 @@ class KeyStore:
             self._hashes[hash_key(key)] = destination
             self._cache.pop(hash_key(key), None)
 
+    def drop_destination(self, destination: str) -> None:
+        """Revoke every key for a deleted destination (the reference
+        cascades this through its DB foreign key)."""
+        with self._lock:
+            self._hashes = {
+                h: d for h, d in self._hashes.items() if d != destination
+            }
+            self._cache = {
+                h: v for h, v in self._cache.items() if v[1] != destination
+            }
+
     def is_admin(self, api_key: str | None) -> bool:
         return (
             bool(api_key)

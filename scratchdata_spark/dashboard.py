@@ -1,0 +1,798 @@
+"""Server-rendered dashboard: connection management + share pages.
+
+The last reference surface this repo had skipped — ``pkg/view/*`` +
+``pkg/connections/*`` (~950 LoC of Go/templ).  Parity map:
+
+  route table                 ``pkg/view/router.go:44-81``
+  page handlers               ``pkg/view/controller.go``
+  form flow / upsert          ``pkg/connections/service.go`` + ``upsert.go``
+  per-type form fields        the ``form:`` struct tags on each
+                              destination config (``duckdb/duckdb.go:21``,
+                              ``postgres/postgres.go:14-19``,
+                              ``redshift/redshift.go:14-27``,
+                              ``bigquery/bigquery.go:14-21``,
+                              ``clickhouse/clickhouse.go:21-28``) read by
+                              ``pkg/util/forms.go:ConvertToForms``
+  request links (7-day TTL)   ``pkg/storage/database/gorm/gorm.go:76-84``
+  share landing page          ``pkg/view/templates/pages/share.html``
+
+Routes:
+  GET  /dashboard[/]                   home
+  GET  /dashboard/connections          list connections
+  GET  /dashboard/connections/new      type chooser
+  GET  /dashboard/connections/new/{t}  credential form for type t
+  POST /dashboard/connections/upsert   validate + create + show API key
+  POST /dashboard/connections/keys     mint a key for a connection
+  GET  /dashboard/connections/edit/{name}
+  POST /dashboard/connections/delete
+  POST /dashboard/connections/request  create a one-time setup link
+  GET  /request/{id}                   third-party credential form
+  POST /request/upsert                 third-party submit
+  GET  /request/success
+  GET  /share/{uuid}                   public share landing (HTML)
+
+Dashboard routes are gated on the admin API key (the reference wraps
+them in its auth middleware); ``/request/*`` and ``/share/{uuid}``
+are public, exactly like the reference.  POSTs carry a double-submit
+CSRF token (the reference uses gorilla/csrf).  Everything is stdlib:
+pages are f-string HTML with ``html.escape`` on all user data — no
+web framework or template engine exists in this environment.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+import secrets
+import sqlite3
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from urllib.parse import parse_qs
+
+REQUEST_TTL_SECONDS = 7 * 24 * 3600  # gorm.go:82 — time.Hour * 24 * 7
+
+
+@dataclass(frozen=True)
+class FormField:
+    """One rendered form input — ``pkg/util/forms.go:8-13``."""
+
+    name: str
+    type: str  # text | password | number | bool | textarea
+    label: str
+    default: str = ""
+
+
+# Per-type credential forms — the reference's ViewConfig
+# (``pkg/destinations/config.go:11-35``) plus this repo's native
+# "spark" warehouse type. Field names/labels/defaults mirror the Go
+# struct tags line-for-line so a reference user sees the same form.
+VIEW_CONFIG: dict[str, dict] = {
+    "spark": {
+        "display": "Spark Warehouse",
+        "fields": [],  # native: settings come from the server config
+    },
+    "duckdb": {
+        "display": "DuckDB",
+        "fields": [
+            FormField("database", "text", "Database Name"),
+            FormField("token", "password", "MotherDuck Token"),
+        ],
+    },
+    "postgres": {
+        "display": "PostgreSQL",
+        "fields": [
+            FormField("host", "text", "Host"),
+            FormField("port", "number", "Port", "5432"),
+            FormField("database", "text", "Database"),
+            FormField("user", "text", "User"),
+            FormField("password", "password", "Password"),
+            FormField("schema", "text", "Schema", "public"),
+        ],
+    },
+    "redshift": {
+        "display": "Redshift",
+        "fields": [
+            FormField("redshift_host", "text", "Host"),
+            FormField("redshift_port", "number", "Port", "5439"),
+            FormField("redshift_database", "text", "Database"),
+            FormField("redshift_user", "text", "User"),
+            FormField("redshift_password", "password", "Password"),
+            FormField("redshift_schema", "text", "Schema", "public"),
+            FormField("s3_region", "text", "S3 Region"),
+            FormField("s3_access_key_id", "text", "S3 Access Key ID"),
+            FormField("s3_secret_access_key", "password", "S3 Secret Access Key"),
+            FormField("s3_bucket", "text", "S3 Bucket"),
+            FormField("s3_file_prefix", "text", "S3 File Prefix"),
+            FormField("delete_from_s3", "bool", "Delete From S3"),
+        ],
+    },
+    "bigquery": {
+        "display": "BigQuery",
+        "fields": [
+            FormField("credentials_json", "textarea", "Credentials JSON String"),
+            FormField("location", "text", "Location"),
+            FormField("gcs_bucket_name", "text", "GCS Bucket Name"),
+            FormField("gcs_file_prefix", "text", "GCS File Prefix"),
+            FormField("delete_from_gcs", "bool", "Delete From GCS"),
+        ],
+    },
+    "clickhouse": {
+        "display": "Clickhouse",
+        "fields": [
+            FormField("host", "text", "Host"),
+            FormField("username", "text", "Username"),
+            FormField("password", "password", "Password"),
+            FormField("database", "text", "Database Name", "default"),
+            FormField("http_protocol", "text", "HTTP Protocol", "https"),
+            FormField("http_port", "number", "HTTP Port", "8443"),
+            FormField("tcp_port", "number", "TCP Port", "9440"),
+            FormField("tls", "bool", "TLS"),
+        ],
+    },
+}
+
+
+class FormError(Exception):
+    """``pkg/connections/upsert.go:33-41`` — a user-facing validation
+    failure that re-renders the form with a flash, not a 500."""
+
+    def __init__(self, title: str, message: str):
+        super().__init__(f"{title}: {message}")
+        self.title = title
+        self.message = message
+
+
+class RequestStore:
+    """One-time connection-setup links, sqlite-backed like the other
+    metadata stores (reference keeps them in its gorm DB —
+    ``gorm.go:76-84``). Expired rows are treated as absent."""
+
+    def __init__(self, db_path: str):
+        self._db_path = db_path
+        self._lock = threading.Lock()
+        with self._conn() as c:
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS connection_requests ("
+                " request_id TEXT PRIMARY KEY, dest_name TEXT, dest_type TEXT,"
+                " expires REAL)"
+            )
+
+    def _conn(self) -> sqlite3.Connection:
+        return sqlite3.connect(self._db_path, timeout=30)
+
+    def create(self, dest_name: str, dest_type: str) -> str:
+        rid = str(uuid.uuid4())
+        with self._lock, self._conn() as c:
+            c.execute(
+                "INSERT INTO connection_requests VALUES (?,?,?,?)",
+                (rid, dest_name, dest_type, time.time() + REQUEST_TTL_SECONDS),
+            )
+        return rid
+
+    def get(self, rid: str) -> tuple[str, str] | None:
+        """(dest_name, dest_type) or None — expired links report
+        'request expired' upstream (``connections/service.go:229``)."""
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT dest_name, dest_type, expires FROM connection_requests"
+                " WHERE request_id = ?",
+                (rid,),
+            ).fetchone()
+        if row is None or row[2] < time.time():
+            return None
+        return row[0], row[1]
+
+    def delete(self, rid: str) -> None:
+        with self._lock, self._conn() as c:
+            c.execute(
+                "DELETE FROM connection_requests WHERE request_id = ?", (rid,)
+            )
+
+
+def decode_form(dest_type: str, form: dict[str, str]) -> dict:
+    """Typed settings from a posted form — the reference does this
+    with gorilla/schema + mapstructure over the config struct
+    (``upsert.go:86-97``); here the FormField type drives the cast."""
+    vc = VIEW_CONFIG.get(dest_type)
+    if vc is None:
+        raise FormError("Unknown connection type", dest_type)
+    settings: dict = {}
+    for f in vc["fields"]:
+        raw = form.get(f.name, "") or f.default
+        if f.type == "number":
+            try:
+                settings[f.name] = int(raw) if raw else 0
+            except ValueError:
+                raise FormError(
+                    "Failed to decode form", f"{f.label}: not a number: {raw!r}"
+                ) from None
+        elif f.type == "bool":
+            settings[f.name] = str(raw).lower() in ("on", "true", "1", "yes")
+        else:
+            settings[f.name] = raw
+    return settings
+
+
+def factory_call(dest_type: str, settings: dict) -> tuple[str, dict]:
+    """Map a dashboard form to this repo's destination_factory
+    vocabulary (service.py).  DuckDB with a token becomes MotherDuck —
+    the same branch the reference takes at ``duckdb/duckdb.go:58-68``;
+    the JDBC engines build their connection URL here."""
+    if dest_type == "spark":
+        return "spark", {}
+    if dest_type == "duckdb":
+        if settings.get("token"):
+            return "motherduck", {
+                "database": settings.get("database", ""),
+                "token": settings["token"],
+            }
+        return "duckdb", {"path": settings.get("database") or ":memory:"}
+    if dest_type == "postgres":
+        url = (
+            f"jdbc:postgresql://{settings.get('host', '')}:"
+            f"{settings.get('port', 5432)}/{settings.get('database', '')}"
+        )
+        return "jdbc", {
+            "url": url,
+            "engine": "postgres",
+            "user": settings.get("user"),
+            "password": settings.get("password"),
+        }
+    if dest_type == "redshift":
+        url = (
+            f"jdbc:redshift://{settings.get('redshift_host', '')}:"
+            f"{settings.get('redshift_port', 5439)}/"
+            f"{settings.get('redshift_database', '')}"
+        )
+        return "jdbc", {
+            "url": url,
+            "engine": "redshift",
+            "user": settings.get("redshift_user"),
+            "password": settings.get("redshift_password"),
+        }
+    if dest_type == "clickhouse":
+        proto = settings.get("http_protocol", "https")
+        url = (
+            f"jdbc:clickhouse:{proto}://{settings.get('host', '')}:"
+            f"{settings.get('http_port', 8443)}/{settings.get('database', 'default')}"
+        )
+        return "jdbc", {
+            "url": url,
+            "engine": "clickhouse",
+            "user": settings.get("username"),
+            "password": settings.get("password"),
+        }
+    if dest_type == "bigquery":
+        return "bigquery", {
+            "gcs_bucket": settings.get("gcs_bucket_name", ""),
+            "gcs_prefix": settings.get("gcs_file_prefix", ""),
+            "delete_from_gcs": settings.get("delete_from_gcs", True),
+            "credentials_json": settings.get("credentials_json", ""),
+            "location": settings.get("location", ""),
+        }
+    raise FormError("Unknown connection type", dest_type)
+
+
+_e = html.escape
+
+_CSS = """
+body{font-family:system-ui,sans-serif;margin:0;background:#f6f7f9;color:#111}
+main{max-width:44rem;margin:3rem auto;background:#fff;padding:2rem;
+ border-radius:.5rem;box-shadow:0 1px 3px rgba(0,0,0,.12)}
+h1{font-size:1.5rem} a{color:#4f46e5}
+table{border-collapse:collapse;width:100%} td,th{padding:.4rem .6rem;
+ border-bottom:1px solid #e5e7eb;text-align:left}
+label{display:block;margin:.6rem 0 .2rem;font-weight:600;font-size:.85rem}
+input[type=text],input[type=password],input[type=number],textarea{
+ width:100%;padding:.4rem;border:1px solid #d1d5db;border-radius:.25rem}
+button{margin-top:1rem;background:#4f46e5;color:#fff;border:0;
+ padding:.5rem 1rem;border-radius:.25rem;cursor:pointer}
+.flash{background:#fef2f2;border:1px solid #fecaca;color:#991b1b;
+ padding:.6rem 1rem;border-radius:.25rem;margin-bottom:1rem}
+.key{font-family:monospace;background:#f3f4f6;padding:.4rem .6rem;
+ border-radius:.25rem;display:inline-block}
+.inline{display:inline}
+"""
+
+
+def _page(title: str, body: str) -> str:
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_e(title)}</title><style>{_CSS}</style></head>"
+        f"<body><main>{body}</main></body></html>"
+    )
+
+
+class Dashboard:
+    """HTML controller over the API `Service` — holds no query state;
+    every mutation goes through the same Service methods the JSON API
+    uses, so dashboard- and API-created connections are identical."""
+
+    def __init__(self, service, meta_db: str, external_url: str = ""):
+        self.service = service
+        self.requests = RequestStore(meta_db)
+        self.external_url = external_url.rstrip("/")
+        # settings shown on the edit page; password-typed fields are
+        # never stored here so they can't leak back into HTML
+        self.dest_settings: dict[str, dict] = {}
+        self.dest_dashboard_type: dict[str, str] = {}
+
+    # ------------------------------------------------------------ http
+    def _send(self, handler, code: int, body: str, set_cookie: str | None = None):
+        payload = body.encode()
+        handler.send_response(code)
+        handler.send_header("Content-Type", "text/html; charset=utf-8")
+        handler.send_header("Content-Length", str(len(payload)))
+        if set_cookie:
+            handler.send_header("Set-Cookie", set_cookie)
+        handler.end_headers()
+        handler.wfile.write(payload)
+        handler._resp_bytes = len(payload)
+
+    def _redirect(self, handler, location: str):
+        handler.send_response(302)
+        handler.send_header("Location", location)
+        handler.send_header("Content-Length", "0")
+        handler.end_headers()
+
+    def _cookies(self, handler) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for part in handler.headers.get("Cookie", "").split(";"):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                out[k.strip()] = v.strip()
+        return out
+
+    def _is_admin(self, handler, params) -> bool:
+        key = params.get("api_key") or self._cookies(handler).get("sd_key")
+        return self.service.keys.is_admin(key)
+
+    def _csrf_token(self, handler) -> tuple[str, str | None]:
+        """Double-submit cookie: (token, Set-Cookie header or None)."""
+        tok = self._cookies(handler).get("sd_csrf")
+        if tok and re.fullmatch(r"[0-9a-f]{32}", tok):
+            return tok, None
+        tok = secrets.token_hex(16)
+        return tok, f"sd_csrf={tok}; HttpOnly; SameSite=Strict; Path=/"
+
+    def _csrf_ok(self, handler, form: dict[str, str]) -> bool:
+        cookie_tok = self._cookies(handler).get("sd_csrf")
+        form_tok = form.get("csrf_token")
+        return bool(
+            cookie_tok
+            and form_tok
+            and secrets.compare_digest(cookie_tok, form_tok)
+        )
+
+    # --------------------------------------------------------- helpers
+    def _form_html(
+        self,
+        dest_type: str,
+        action: str,
+        token: str,
+        *,
+        name: str = "",
+        values: dict | None = None,
+        request_id: str = "",
+        flash: str = "",
+    ) -> str:
+        vc = VIEW_CONFIG[dest_type]
+        values = values or {}
+        rows = [
+            f"<label>Connection Name</label>"
+            f"<input type='text' name='name' value='{_e(name)}' required>"
+        ]
+        for f in vc["fields"]:
+            val = str(values.get(f.name, f.default))
+            if f.type == "bool":
+                checked = " checked" if str(val).lower() in ("on", "true", "1") else ""
+                rows.append(
+                    f"<label>{_e(f.label)}</label>"
+                    f"<input type='checkbox' name='{_e(f.name)}'{checked}>"
+                )
+            elif f.type == "textarea":
+                rows.append(
+                    f"<label>{_e(f.label)}</label>"
+                    f"<textarea name='{_e(f.name)}' rows='6'>{_e(val)}</textarea>"
+                )
+            else:
+                # passwords are never echoed back into the page
+                shown = "" if f.type == "password" else val
+                rows.append(
+                    f"<label>{_e(f.label)}</label>"
+                    f"<input type='{f.type if f.type != 'number' else 'number'}'"
+                    f" name='{_e(f.name)}' value='{_e(shown)}'>"
+                )
+        flash_html = f"<div class='flash'>{_e(flash)}</div>" if flash else ""
+        hidden_req = (
+            f"<input type='hidden' name='request_id' value='{_e(request_id)}'>"
+            if request_id
+            else ""
+        )
+        return (
+            f"<h1>New {_e(vc['display'])} Connection</h1>{flash_html}"
+            f"<form method='post' action='{_e(action)}'>"
+            f"<input type='hidden' name='type' value='{_e(dest_type)}'>"
+            f"<input type='hidden' name='csrf_token' value='{_e(token)}'>"
+            f"{hidden_req}{''.join(rows)}"
+            "<button type='submit'>Save Connection</button></form>"
+        )
+
+    def _api_key_page(self, name: str, api_key: str) -> str:
+        """pages/connections/api.html — the one place the plaintext
+        key is ever shown."""
+        url = self.external_url or "this server"
+        return (
+            f"<h1>Connection “{_e(name)}” ready</h1>"
+            "<p>Store this API key now — it is shown exactly once:</p>"
+            f"<p class='key'>{_e(api_key)}</p>"
+            f"<p>Send data to <span class='key'>{_e(url)}"
+            "/api/data/insert/&lt;table&gt;?api_key=…</span></p>"
+            "<p><a href='/dashboard/connections'>Back to connections</a></p>"
+        )
+
+    def _upsert(self, form: dict[str, str], *, name_override: str | None = None):
+        """Shared create path for dashboard + request-link submits —
+        ``pkg/connections/upsert.go:60-126``: decode, test
+        credentials (our factory connects eagerly), create
+        destination, mint one key."""
+        dest_type = form.get("type", "")
+        name = (name_override or form.get("name", "")).strip()
+        if not name:
+            raise FormError("Missing name", "connection name is required")
+        settings = decode_form(dest_type, form)
+        fac_type, fac_settings = factory_call(dest_type, settings)
+        try:
+            self.service.create_destination(name, fac_type, fac_settings)
+        except FormError:
+            raise
+        except (ValueError, KeyError) as err:
+            raise FormError(
+                "Failed to connect to destination."
+                " Check the settings and try again.",
+                str(err),
+            ) from err
+        api_key = self.service.create_key(name)
+        self.dest_settings[name] = {
+            k: v
+            for k, v in settings.items()
+            if not any(
+                f.name == k and f.type == "password"
+                for f in VIEW_CONFIG[dest_type]["fields"]
+            )
+        }
+        self.dest_dashboard_type[name] = dest_type
+        return name, api_key
+
+    # ------------------------------------------------------------- GET
+    def handle_get(self, handler, path: str, params: dict) -> bool:
+        """True if the path belonged to the dashboard."""
+        if path == "/dashboard":
+            self._redirect(handler, "/dashboard/")
+            return True
+
+        m = re.fullmatch(r"/share/([0-9a-f-]+)", path)
+        if m:
+            self._share_page(handler, m.group(1))
+            return True
+
+        m = re.fullmatch(r"/request/([0-9a-f-]+)", path)
+        if m:
+            self._request_form(handler, m.group(1))
+            return True
+        if path == "/request/success":
+            self._send(
+                handler,
+                200,
+                _page(
+                    "Connection created",
+                    "<h1>Connection created</h1>"
+                    "<p>Credentials saved. You can close this page.</p>",
+                ),
+            )
+            return True
+
+        if not path.startswith("/dashboard/"):
+            return False
+
+        if not self._is_admin(handler, params):
+            self._send(
+                handler,
+                401,
+                _page("Unauthorized", "<h1>401</h1><p>admin key required"
+                      " (?api_key=…)</p>"),
+            )
+            return True
+        # ?api_key=<admin> on any dashboard page starts a cookie session
+        cookie = None
+        if params.get("api_key"):
+            cookie = (
+                f"sd_key={params['api_key']}; HttpOnly; SameSite=Strict; Path=/"
+            )
+
+        if path == "/dashboard/":
+            body = (
+                "<h1>Ready to get your data moving?</h1>"
+                "<p>Connect your data sources with"
+                " <a href='/dashboard/connections'>connections</a>.</p>"
+            )
+            self._send(handler, 200, _page("Dashboard", body), cookie)
+            return True
+
+        if path == "/dashboard/connections":
+            self._connections_index(handler, cookie)
+            return True
+
+        if path == "/dashboard/connections/new":
+            items = "".join(
+                f"<li><a href='/dashboard/connections/new/{t}'>"
+                f"{_e(vc['display'])}</a></li>"
+                for t, vc in sorted(VIEW_CONFIG.items())
+            )
+            self._send(
+                handler,
+                200,
+                _page("New Connection", f"<h1>New Connection</h1><ul>{items}</ul>"),
+                cookie,
+            )
+            return True
+
+        m = re.fullmatch(r"/dashboard/connections/new/([a-z]+)", path)
+        if m:
+            t = m.group(1)
+            if t not in VIEW_CONFIG:
+                self._send(handler, 404, _page("Unknown type", "<h1>404</h1>"))
+                return True
+            token, csrf_cookie = self._csrf_token(handler)
+            self._send(
+                handler,
+                200,
+                _page(
+                    "New Connection",
+                    self._form_html(t, "/dashboard/connections/upsert", token),
+                ),
+                cookie or csrf_cookie,
+            )
+            return True
+
+        m = re.fullmatch(r"/dashboard/connections/edit/([A-Za-z_][A-Za-z0-9_]*)", path)
+        if m:
+            name = m.group(1)
+            t = self.dest_dashboard_type.get(name)
+            if name not in self.service.destinations or t is None:
+                self._send(
+                    handler, 404, _page("Not found", "<h1>Connection not found</h1>")
+                )
+                return True
+            token, csrf_cookie = self._csrf_token(handler)
+            self._send(
+                handler,
+                200,
+                _page(
+                    "Edit Connection",
+                    self._form_html(
+                        t,
+                        "/dashboard/connections/upsert",
+                        token,
+                        name=name,
+                        values=self.dest_settings.get(name, {}),
+                    ),
+                ),
+                cookie or csrf_cookie,
+            )
+            return True
+
+        self._send(handler, 404, _page("Not found", "<h1>404</h1>"))
+        return True
+
+    def _connections_index(self, handler, cookie):
+        token, csrf_cookie = self._csrf_token(handler)
+        rows = []
+        for d in self.service.list_destinations():
+            n = _e(d["name"])
+            rows.append(
+                f"<tr><td>{n}</td><td>{_e(d['type'])}</td><td>"
+                f"<a href='/dashboard/connections/edit/{n}'>edit</a> "
+                f"<form class='inline' method='post'"
+                f" action='/dashboard/connections/keys'>"
+                f"<input type='hidden' name='name' value='{n}'>"
+                f"<input type='hidden' name='csrf_token' value='{token}'>"
+                f"<button>new key</button></form> "
+                f"<form class='inline' method='post'"
+                f" action='/dashboard/connections/delete'>"
+                f"<input type='hidden' name='name' value='{n}'>"
+                f"<input type='hidden' name='csrf_token' value='{token}'>"
+                f"<button>delete</button></form></td></tr>"
+            )
+        req_opts = "".join(
+            f"<option value='{t}'>{_e(vc['display'])}</option>"
+            for t, vc in sorted(VIEW_CONFIG.items())
+        )
+        body = (
+            "<h1>Connections</h1>"
+            "<p><a href='/dashboard/connections/new'>New Connection</a></p>"
+            f"<table><tr><th>Name</th><th>Type</th><th></th></tr>"
+            f"{''.join(rows)}</table>"
+            "<h2>Request credentials from someone else</h2>"
+            "<form method='post' action='/dashboard/connections/request'>"
+            f"<select name='type'>{req_opts}</select>"
+            f"<input type='hidden' name='csrf_token' value='{token}'>"
+            "<button>Create link</button></form>"
+        )
+        self._send(handler, 200, _page("Connections", body), cookie or csrf_cookie)
+
+    def _share_page(self, handler, uid: str):
+        """pages/share.html — name, expiry date, format links."""
+        share = self.service.shares.get(uid)
+        if share is None:
+            self._send(
+                handler, 404, _page("Not found", "<h1>Query not found</h1>")
+            )
+            return
+        expires = datetime.fromtimestamp(share.expires_at, tz=timezone.utc)
+        expires_str = f"{expires.strftime('%B')} {expires.day}, {expires.year}"
+        body = (
+            f"<h1>{_e(share.name or 'Shared query')}</h1>"
+            f"<p>Expires {expires_str}</p>"
+            f"<p><a href='/share/{_e(uid)}/data.csv'>CSV</a> · "
+            f"<a href='/share/{_e(uid)}/data.json'>JSON</a></p>"
+        )
+        self._send(handler, 200, _page("Shared query", body))
+
+    def _request_form(self, handler, rid: str):
+        req = self.requests.get(rid)
+        if req is None:
+            self._send(
+                handler,
+                404,
+                _page("Request expired", "<h1>Request not found or expired</h1>"),
+            )
+            return
+        _, dest_type = req
+        token, csrf_cookie = self._csrf_token(handler)
+        self._send(
+            handler,
+            200,
+            _page(
+                "Connect your database",
+                self._form_html(
+                    dest_type, "/request/upsert", token, request_id=rid
+                ),
+            ),
+            csrf_cookie,
+        )
+
+    # ------------------------------------------------------------ POST
+    def handle_post(self, handler, path: str, params: dict) -> bool:
+        if path not in (
+            "/dashboard/connections/upsert",
+            "/dashboard/connections/keys",
+            "/dashboard/connections/delete",
+            "/dashboard/connections/request",
+            "/request/upsert",
+        ):
+            return False
+        raw = handler._body().decode()
+        form = {k: v[0] for k, v in parse_qs(raw, keep_blank_values=True).items()}
+        if not self._csrf_ok(handler, form):
+            self._send(handler, 403, _page("Forbidden", "<h1>Bad CSRF token</h1>"))
+            return True
+        if path == "/request/upsert":
+            self._request_upsert(handler, form)
+            return True
+        if not self._is_admin(handler, params):
+            self._send(
+                handler, 401, _page("Unauthorized", "<h1>admin key required</h1>")
+            )
+            return True
+
+        if path == "/dashboard/connections/upsert":
+            try:
+                name, api_key = self._upsert(form)
+            except FormError as fe:
+                token, _ = self._csrf_token(handler)
+                self._send(
+                    handler,
+                    200,
+                    _page(
+                        "New Connection",
+                        self._form_html(
+                            form.get("type", "spark"),
+                            "/dashboard/connections/upsert",
+                            token,
+                            name=form.get("name", ""),
+                            values=form,
+                            flash=f"{fe.title} {fe.message}",
+                        ),
+                    ),
+                )
+                return True
+            self._send(handler, 200, _page("API key", self._api_key_page(name, api_key)))
+            return True
+
+        if path == "/dashboard/connections/keys":
+            name = form.get("name", "")
+            try:
+                api_key = self.service.create_key(name)
+            except KeyError:
+                self._send(
+                    handler, 404, _page("Not found", "<h1>Connection not found</h1>")
+                )
+                return True
+            self._send(handler, 200, _page("API key", self._api_key_page(name, api_key)))
+            return True
+
+        if path == "/dashboard/connections/delete":
+            name = form.get("name", "")
+            try:
+                self.service.delete_destination(name)
+            except KeyError:
+                self._send(
+                    handler, 404, _page("Not found", "<h1>Connection not found</h1>")
+                )
+                return True
+            self.dest_settings.pop(name, None)
+            self.dest_dashboard_type.pop(name, None)
+            self._redirect(handler, "/dashboard/connections")
+            return True
+
+        if path == "/dashboard/connections/request":
+            dest_type = form.get("type", "")
+            if dest_type not in VIEW_CONFIG:
+                self._send(
+                    handler, 400, _page("Bad request", "<h1>Unknown type</h1>")
+                )
+                return True
+            # "%s Request" placeholder name — connections/service.go:66
+            rid = self.requests.create(f"{dest_type} Request", dest_type)
+            url = f"{self.external_url}/request/{rid}"
+            body = (
+                "<h1>Share this link</h1>"
+                "<p>Anyone with the link can submit credentials for this"
+                " connection. It expires in 7 days.</p>"
+                f"<p class='key'>{_e(url)}</p>"
+                "<p><a href='/dashboard/connections'>Back</a></p>"
+            )
+            self._send(handler, 200, _page("Connection request", body))
+            return True
+        return True  # unreachable
+
+    def _request_upsert(self, handler, form: dict[str, str]):
+        rid = form.get("request_id", "")
+        req = self.requests.get(rid)
+        if req is None:
+            self._send(
+                handler,
+                404,
+                _page("Request expired", "<h1>Request not found or expired</h1>"),
+            )
+            return
+        _, dest_type = req
+        form["type"] = dest_type  # the link's type wins over the form's
+        try:
+            self._upsert(form)
+        except FormError as fe:
+            token, _ = self._csrf_token(handler)
+            self._send(
+                handler,
+                200,
+                _page(
+                    "Connect your database",
+                    self._form_html(
+                        dest_type,
+                        "/request/upsert",
+                        token,
+                        name=form.get("name", ""),
+                        values=form,
+                        request_id=rid,
+                        flash=f"{fe.title} {fe.message}",
+                    ),
+                ),
+            )
+            return
+        self.requests.delete(rid)
+        # third party never sees the API key — the admin mints their own
+        self._redirect(handler, "/request/success")

@@ -135,5 +135,10 @@ def build_app(
         destinations, sink, queue, workers, shares, keys,
         destination_factory=destination_factory,
     )
+    from scratchdata_spark.dashboard import Dashboard
+
+    service.dashboard = Dashboard(
+        service, meta_db, external_url=config.api.external_url
+    )
     server = ApiServer(service, config.api.host, config.api.port)
     return App(config, service, server, sink, workers, queue)

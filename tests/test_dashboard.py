@@ -1,0 +1,272 @@
+"""Dashboard e2e over real HTTP: auth gate, CSRF, connection CRUD,
+key minting, request links, share landing page (reference
+``pkg/view/router.go:44-81`` + ``pkg/connections``)."""
+
+from __future__ import annotations
+
+import json
+import re
+import urllib.error
+import urllib.request
+
+import pytest
+
+from scratchdata_spark.config import Config
+from scratchdata_spark.dashboard import (
+    VIEW_CONFIG,
+    FormError,
+    decode_form,
+    factory_call,
+)
+from scratchdata_spark.service import build_app
+
+
+@pytest.fixture(scope="module")
+def app(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dash")
+    cfg = Config(api_keys={"local": "default"}, admin_key="admin")
+    cfg.sink.max_file_age_seconds = 3600
+    a = build_app(spark, cfg, str(root))
+    a.server.start()
+    yield a
+    a.server.stop()
+
+
+class Client:
+    """Cookie-carrying client (urllib keeps none by itself)."""
+
+    def __init__(self, app):
+        self.base = f"http://127.0.0.1:{app.port}"
+        self.cookies: dict[str, str] = {}
+
+    def req(self, method, path, form: dict | None = None):
+        headers = {}
+        if self.cookies:
+            headers["Cookie"] = "; ".join(
+                f"{k}={v}" for k, v in self.cookies.items()
+            )
+        data = None
+        if form is not None:
+            data = urllib.parse.urlencode(form).encode()
+            headers["Content-Type"] = "application/x-www-form-urlencoded"
+        r = urllib.request.Request(
+            self.base + path, data=data, method=method, headers=headers
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=60) as resp:
+                self._eat_cookies(resp)
+                return resp.status, resp.read().decode()
+        except urllib.error.HTTPError as e:
+            self._eat_cookies(e)
+            return e.code, e.read().decode()
+
+    def _eat_cookies(self, resp):
+        for sc in resp.headers.get_all("Set-Cookie") or []:
+            k, v = sc.split(";", 1)[0].split("=", 1)
+            self.cookies[k] = v
+
+    def csrf(self, page_html: str) -> str:
+        m = re.search(r"name='csrf_token' value='([0-9a-f]{32})'", page_html)
+        assert m, "no csrf token on page"
+        return m.group(1)
+
+
+@pytest.fixture()
+def client(app):
+    return Client(app)
+
+
+def test_dashboard_requires_admin(client):
+    code, body = client.req("GET", "/dashboard/")
+    assert code == 401
+    code, body = client.req("GET", "/dashboard/?api_key=local")
+    assert code == 401  # tenant key is not admin
+    code, body = client.req("GET", "/dashboard/?api_key=admin")
+    assert code == 200 and "connections" in body
+    # the ?api_key visit started a cookie session
+    assert client.cookies.get("sd_key") == "admin"
+    code, _ = client.req("GET", "/dashboard/connections")
+    assert code == 200
+
+
+def test_redirect_and_type_chooser(client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new")
+    assert code == 200
+    for t, vc in VIEW_CONFIG.items():
+        assert vc["display"] in body
+    code, body = client.req("GET", "/dashboard/connections/new/duckdb")
+    assert code == 200 and "MotherDuck Token" in body
+
+
+def test_csrf_rejected_without_cookie_token(client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "nope", "csrf_token": "f" * 32},
+    )
+    assert code == 403 and "CSRF" in body
+
+
+def test_upsert_spark_connection_and_key_roundtrip(app, client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/spark")
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "dash_tenant", "csrf_token": token},
+    )
+    assert code == 200
+    m = re.search(r"class='key'>([0-9a-f-]{36})</p>", body)
+    assert m, body
+    api_key = m.group(1)
+    # the minted key works against the JSON API immediately
+    code, body = client.req(
+        "POST",
+        f"/api/data/insert/dash_t?api_key={api_key}",
+    )
+    # empty body is a 400, but auth passed (not 401)
+    assert code == 400
+    # listed in the connections table with a working second key mint
+    code, body = client.req("GET", "/dashboard/connections")
+    assert "dash_tenant" in body
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/keys",
+        {"name": "dash_tenant", "csrf_token": token},
+    )
+    assert code == 200 and re.search(r"[0-9a-f-]{36}", body)
+    # edit page renders the saved form
+    code, body = client.req("GET", "/dashboard/connections/edit/dash_tenant")
+    assert code == 200 and "dash_tenant" in body
+
+
+def test_upsert_form_error_rerenders(client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/spark")
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "", "csrf_token": token},
+    )
+    assert code == 200 and "flash" in body and "Missing name" in body
+    # duplicate name is a form error, not a 500
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "default", "csrf_token": token},
+    )
+    assert code == 200 and "flash" in body
+
+
+def test_delete_connection_revokes_keys(app, client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/spark")
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "doomed", "csrf_token": token},
+    )
+    key = re.search(r"class='key'>([0-9a-f-]{36})</p>", body).group(1)
+    assert app.service.keys.resolve(key) == "doomed"
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/delete",
+        {"name": "doomed", "csrf_token": token},
+    )
+    assert code in (200, 302)
+    assert "doomed" not in app.service.destinations
+    assert app.service.keys.resolve(key) is None
+
+
+def test_request_link_flow(app, client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections")
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/request",
+        {"type": "spark", "csrf_token": token},
+    )
+    assert code == 200
+    rid = re.search(r"/request/([0-9a-f-]{36})", body).group(1)
+
+    # the third party (no admin cookie) opens the link and submits
+    outsider = Client(app)
+    code, body = outsider.req("GET", f"/request/{rid}")
+    assert code == 200 and "Connection Name" in body
+    token = outsider.csrf(body)
+    code, body = outsider.req(
+        "POST",
+        "/request/upsert",
+        {"request_id": rid, "name": "partner_db", "csrf_token": token},
+    )
+    assert code in (200, 302)
+    assert "partner_db" in app.service.destinations
+    # link is one-time: second open 404s
+    code, body = outsider.req("GET", f"/request/{rid}")
+    assert code == 404
+    # success page is public
+    code, body = outsider.req("GET", "/request/success")
+    assert code == 200
+
+
+def test_request_link_unknown_or_expired(app, client):
+    outsider = Client(app)
+    code, _ = outsider.req("GET", f"/request/{'0' * 8}-dead-beef-dead-beefdeadbeef")
+    assert code == 404
+    # expired row: write one directly with a past expiry
+    rid = app.service.dashboard.requests.create("x Request", "spark")
+    import sqlite3
+
+    with sqlite3.connect(app.service.dashboard.requests._db_path) as c:
+        c.execute(
+            "UPDATE connection_requests SET expires = 0 WHERE request_id = ?",
+            (rid,),
+        )
+    code, body = outsider.req("GET", f"/request/{rid}")
+    assert code == 404 and "expired" in body
+
+
+def test_share_landing_page(app, client):
+    uid = app.service.shares.create(
+        "default", "Monthly revenue", "select 1 as one", 3600
+    )
+    outsider = Client(app)
+    code, body = outsider.req("GET", f"/share/{uid}")
+    assert code == 200
+    assert "Monthly revenue" in body and "Expires" in body
+    assert f"/share/{uid}/data.csv" in body and f"/share/{uid}/data.json" in body
+    # the linked data endpoints still work (HTML route must not shadow them)
+    code, body = outsider.req("GET", f"/share/{uid}/data.json")
+    assert code == 200 and json.loads(body) == [{"one": 1}]
+    code, body = outsider.req("GET", f"/share/{'1' * 8}-1111-1111-1111-111111111111")
+    assert code == 404
+
+
+def test_decode_form_types_and_factory_mapping():
+    s = decode_form(
+        "postgres",
+        {"host": "h", "port": "5555", "database": "d", "user": "u",
+         "password": "p", "schema": ""},
+    )
+    assert s["port"] == 5555 and s["schema"] == "public"
+    t, fs = factory_call("postgres", s)
+    assert t == "jdbc" and fs["url"] == "jdbc:postgresql://h:5555/d"
+    # duckdb: token → motherduck, no token → local file
+    t, fs = factory_call("duckdb", {"database": "db1", "token": "tok"})
+    assert t == "motherduck" and fs == {"database": "db1", "token": "tok"}
+    t, fs = factory_call("duckdb", {"database": "/tmp/x.db", "token": ""})
+    assert t == "duckdb" and fs == {"path": "/tmp/x.db"}
+    # bools + bad number
+    s = decode_form("clickhouse", {"tls": "on", "http_port": "8443"})
+    assert s["tls"] is True
+    with pytest.raises(FormError):
+        decode_form("clickhouse", {"http_port": "NaN"})
+    with pytest.raises(FormError):
+        decode_form("nosuch", {})

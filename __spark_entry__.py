@@ -46,6 +46,10 @@ _PRIORITY = [
     "q_dialect_unnest_tokens",
     "q_dialect_struct_literals",
     "q_dialect_generate_series",
+    "q_dialect_subscripts",
+    "q_dialect_star_replace",
+    "q_dialect_agg_order_by",
+    "q_dialect_pivot_stmt",
     "x_quality_repetition",
     "x_pii_scrub",
     "x_dedup_clusters",

@@ -56,12 +56,17 @@ Anything the rewriter does not recognize passes through untouched —
 valid Spark SQL is never altered (every rewritten token is a parse
 error in stock Spark, so there is nothing to collide with).
 
-Known divergences NOT bridged (they parse on both engines with
-different meanings, so a text rewrite would silently change valid
-Spark queries): array subscripts (DuckDB ``a[1]`` is 1-based, Spark
-0-based — use ``element_at(a, 1)``, 1-based on both), and ``split``'s
-separator (regex on Spark, handled here only via the ``string_split``
-alias). These are documented rather than guessed at.
+Integer subscripts ARE bridged: within rewritten text ``a[1]`` is
+DuckDB's 1-based (negative-from-end) subscript, emitted as
+``element_at(a, 1)`` — identical semantics for arrays and maps on
+both engines. (A subscript in a query stock Spark accepts never
+reaches the rewriter and keeps Spark's 0-based meaning.)
+
+Known divergences NOT bridged: slice subscripts ``x[a:b]`` and set
+operators ``BY NAME`` fail loudly with the exact replacement
+(DialectError); ``split``'s separator (regex on Spark) is handled
+only via the ``string_split`` alias. Divergences are documented or
+guarded, never guessed at.
 """
 
 from __future__ import annotations
@@ -216,27 +221,38 @@ def _rewrite_bracket_literals(parts: list[tuple[bool, str]]) -> str:
     is a subscript only when it IMMEDIATELY follows a value expression
     (identifier char, ``)``, ``]``, closing quote — ``a[1]``,
     ``expr()[1]``); any whitespace or operator before it means a list
-    constructor (``SELECT [1, 2]``, ``IN [..]``). Bracket pairs match
-    via a stack carried ACROSS segments (a literal's string elements
-    are non-code segments); non-code text itself is never altered."""
+    constructor (``SELECT [1, 2]``, ``IN [..]``). The Postgres-compat
+    constructor ``ARRAY[...]`` is a special case: the ``[`` follows an
+    identifier char but the identifier is the bare word ``array``, so
+    it becomes ``array(...)`` too. Bracket pairs match via a stack
+    carried ACROSS segments (a literal's string elements are non-code
+    segments); non-code text itself is never altered."""
     out = []
     stack = []  # True = literal (rewritten), False = subscript
     prev = ""  # last raw char of the ORIGINAL text, whitespace included
+    word = ""  # trailing identifier, for the ARRAY[...] form
     for is_code, text in parts:
         if not is_code:
             out.append(text)
             if text:
                 prev = text[-1]
+            word = ""
             continue
         for ch in text:
             if ch == "[":
                 is_subscript = bool(prev) and (prev.isalnum() or prev in "_)]'\"`")
-                stack.append(not is_subscript)
-                out.append("[" if is_subscript else "array(")
+                if is_subscript and word.lower() == "array":
+                    # ARRAY[1, 2] — constructor keyword, not a value
+                    stack.append(True)
+                    out.append("(")
+                else:
+                    stack.append(not is_subscript)
+                    out.append("[" if is_subscript else "array(")
             elif ch == "]" and stack:
                 out.append(")" if stack.pop() else "]")
             else:
                 out.append(ch)
+            word = word + ch if (ch.isalnum() or ch == "_") else ""
             prev = ch
     return "".join(out)
 
@@ -299,16 +315,19 @@ def _unmask_literals(masked: str, literals: list[str]) -> str:
 
 def _rewrite_strptime(masked: str, literals: list[str]) -> str:
     """``strptime(<expr>, '<fmt>')`` → ``to_timestamp(expr, ...)`` —
-    the parse-direction twin of strftime, same directive table."""
+    the parse-direction twin of strftime, same directive table.
+    ``try_strptime`` maps to ``try_to_timestamp`` (NULL on parse
+    failure, both engines)."""
     def repl(m):
-        lit = literals[int(m.group(2))]
+        lit = literals[int(m.group(3))]
         if lit[:1] != "'":
             return m.group(0)
         translated = _strftime_to_java(lit[1:-1])
-        return f"to_timestamp({m.group(1)}, '{translated}')"
+        fn = "try_to_timestamp" if m.group(1) else "to_timestamp"
+        return f"{fn}({m.group(2)}, '{translated}')"
 
     return re.sub(
-        rf"\bstrptime\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*{_MASK}(\d+){_MASK}\s*\)",
+        rf"\b(try_)?strptime\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*{_MASK}(\d+){_MASK}\s*\)",
         repl,
         masked,
         flags=re.I,
@@ -1035,6 +1054,329 @@ def _rewrite_distinct_on(masked: str) -> str:
     return out
 
 
+# ----------------------------------------------- subscripts / commas
+
+
+def _expr_start(text: str, end: int) -> int | None:
+    """Start index of the value expression whose last char is at
+    ``end`` — walks left over identifier chars / dots / mask
+    placeholders and over balanced ``(...)`` / ``[...]`` groups
+    (``foo(x)``, ``a.b``, chained subscripts)."""
+    k = end
+    while k >= 0:
+        ch = text[k]
+        if ch in ")]":
+            depth = 0
+            while k >= 0:
+                if text[k] in ")]":
+                    depth += 1
+                elif text[k] in "([":
+                    depth -= 1
+                if depth == 0:
+                    break
+                k -= 1
+            if depth != 0:
+                return None
+            k -= 1
+        elif ch.isalnum() or ch in "_.\x00":
+            k -= 1
+        else:
+            break
+    start = k + 1
+    return start if start <= end else None
+
+
+_INT_SUBSCRIPT_RE = re.compile(r"\[\s*(-?\d+)\s*\]")
+
+
+def _rewrite_int_subscripts(masked: str) -> str:
+    """``expr[n]`` with an integer literal → ``element_at(expr, n)``.
+
+    Everything that reaches the rewriter is DuckDB-dialect text (the
+    engine only falls back here after stock Spark rejects the
+    statement), and in DuckDB ``l[1]`` is the FIRST element and
+    ``l[-1]`` the last — Spark's bracket is 0-based and rejects
+    negatives. ``element_at`` is 1-based with negative-from-end on
+    arrays and key-lookup on maps, which is exactly DuckDB's subscript
+    semantics for both types. Non-integer subscripts (map string keys,
+    struct fields) mean the same thing on both engines and stay as
+    brackets. Restart-scan loop handles chains (``a[1][2]``) —
+    queries are short, quadratic is irrelevant."""
+    while True:
+        for m in _INT_SUBSCRIPT_RE.finditer(masked):
+            i = m.start()
+            k = i - 1
+            if k < 0 or not (masked[k].isalnum() or masked[k] in "_)]\x00"):
+                continue  # list literal slipped through — not a subscript
+            start = _expr_start(masked, k)
+            if start is None:
+                continue
+            base = masked[start:i]
+            if not base or base.lower() == "array":
+                continue
+            masked = (
+                masked[:start]
+                + f"element_at({base}, {m.group(1)})"
+                + masked[m.end():]
+            )
+            break  # indices shifted — rescan
+        else:
+            return masked
+
+
+def _rewrite_trailing_commas(masked: str) -> str:
+    """DuckDB tolerates trailing commas (``SELECT a, b, FROM t``,
+    ``struct(a, b, )``); Spark rejects them with TRAILING_COMMA /
+    parse errors. Dropping the comma is the only possible intent.
+    ``from_unixtime(...)`` etc. are safe: ``FROM\\b`` cannot match
+    into a longer identifier."""
+    masked = re.sub(r",(\s*)(?=FROM\b)", r"\1", masked, flags=re.I)
+    masked = re.sub(r",(\s*\))", r"\1", masked)
+    return masked
+
+
+# ----------------------------------------------------- star REPLACE
+
+
+_STAR_REPLACE_RE = re.compile(
+    r"((?:[A-Za-z_][A-Za-z0-9_]*|\x00\d+\x00)\s*\.\s*)?\*\s+REPLACE\s*\(", re.I
+)
+
+
+def _rewrite_star_replace(masked: str) -> str:
+    """``SELECT * REPLACE (expr AS col, ...)`` → ``* EXCEPT (col, ...),
+    expr AS col, ...``. Same column SET; the replaced columns move to
+    the end of the projection (Spark's EXCEPT keeps relative order of
+    the rest, DuckDB keeps the replaced column in place) — position is
+    the one divergence, names/values match."""
+    while True:
+        m = _STAR_REPLACE_RE.search(masked)
+        if m is None:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _match_paren(masked, open_idx)
+        if close == -1:
+            return masked
+        items = _split_d0_commas(masked[open_idx + 1 : close - 1])
+        names = []
+        for item in items:
+            am = re.search(
+                r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*|\x00\d+\x00)\s*$", item, re.I
+            )
+            if am is None:
+                return masked  # not the simple form — leave loud
+            names.append(am.group(1))
+        prefix = (m.group(1) or "").replace(" ", "")
+        repl = (
+            f"{prefix}* EXCEPT ({', '.join(names)}), {', '.join(items)}"
+        )
+        masked = masked[: m.start()] + repl + masked[close:]
+
+
+# ------------------------------------------- ORDER BY inside an agg
+
+
+_AGG_ORDER_RE = re.compile(
+    r"\b(array_agg|string_agg|listagg|group_concat)\s*\(", re.I
+)
+_ORDER_BY_IN_ARGS_RE = re.compile(r"\bORDER\s+BY\b", re.I)
+
+
+def _rewrite_agg_order_by(masked: str) -> str:
+    """DuckDB's in-argument ordered aggregates.
+
+    ``string_agg(x, sep ORDER BY k ...)`` → ``listagg(x, sep) WITHIN
+    GROUP (ORDER BY k ...)`` — Spark 4's standard form, any key list.
+
+    ``array_agg(x ORDER BY k [DESC])`` (also ``list(...)``, renamed
+    earlier) has no WITHIN GROUP form in Spark, so it becomes the
+    sorted-struct idiom: collect ``struct(k AS _ob, x AS _v)``,
+    ``sort_array`` (struct compare orders by _ob first), project
+    ``_v``. Single sort key only; ties break by value rather than
+    input order — same multiset, deterministic."""
+    while True:
+        hit = None
+        for m in _AGG_ORDER_RE.finditer(masked):
+            open_idx = masked.index("(", m.end() - 1)
+            close = _match_paren(masked, open_idx)
+            if close == -1:
+                continue
+            inner = masked[open_idx + 1 : close - 1]
+            obs = [
+                om
+                for om in _d0_matches(inner, r"\bORDER\s+BY\b")
+                if _ORDER_BY_IN_ARGS_RE.fullmatch(om.group(0))
+            ]
+            if obs:
+                hit = (m, open_idx, close, inner, obs[0])
+                break
+        if hit is None:
+            return masked
+        m, open_idx, close, inner, ob = hit
+        fn = m.group(1).lower()
+        args = _split_d0_commas(inner[: ob.start()])
+        order_clause = inner[ob.end():].strip()
+        if fn in ("string_agg", "listagg", "group_concat"):
+            sep = f", {args[1]}" if len(args) > 1 else ""
+            repl = (
+                f"listagg({args[0]}{sep})"
+                f" WITHIN GROUP (ORDER BY {order_clause})"
+            )
+        else:  # array_agg
+            key, mods = _split_order_modifiers(order_clause)
+            if "," in order_clause or not args:
+                return masked  # multi-key: leave as a loud parse error
+            asc = "false" if re.search(r"\bDESC\b", mods, re.I) else "true"
+            repl = (
+                f"transform(sort_array(array_agg(struct({key} AS _ob,"
+                f" {args[0]} AS _v)), {asc}), p -> p._v)"
+            )
+        masked = masked[: m.start()] + repl + masked[close:]
+
+
+# --------------------------------------------------- explicit guards
+
+
+def _guard_unbridged(masked: str) -> None:
+    """Constructs with no faithful text rewrite fail LOUDLY with the
+    exact replacement, never silently change meaning (same policy as
+    list_sort in _rewrite_code)."""
+    if re.search(r"\[[^\[\]:]*(?<!:):(?!:)[^\[\]]*\]", masked):
+        raise DialectError(
+            "slice subscripts (x[a:b]) are not bridged: use"
+            " slice(arr, start, length) for lists or"
+            " substr(s, start, length) for strings — the bracket form"
+            " is type-dependent in DuckDB and has no Spark equivalent."
+        )
+    if re.search(r"\bBY\s+NAME\b", masked, re.I):
+        raise DialectError(
+            "UNION/INTERSECT/EXCEPT BY NAME is not bridged: list the"
+            " columns explicitly in the same order on both sides —"
+            " Spark set operators match by position only."
+        )
+
+
+# ----------------------------------------- whole-statement forms
+
+
+_SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+(.+?)\s*;?\s*$", re.I | re.S)
+_PIVOT_STMT_RE = re.compile(
+    r"^\s*PIVOT\s+([A-Za-z_]\w*)\s+ON\s+([A-Za-z_]\w*)"
+    r"(?:\s+IN\s*\(([^)]*)\))?"
+    r"(?:\s+USING\s+(.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def statement_form_df(spark, query: str):
+    """DuckDB whole-statement forms with no SQL-text equivalent —
+    ``SUMMARIZE`` and the simplified ``PIVOT`` statement. Returns a
+    DataFrame, or None when the text is neither form. Called from the
+    engine's dialect fallback (engine.py query_df), so stock-Spark
+    text never arrives here.
+
+    ``SUMMARIZE t`` / ``SUMMARIZE SELECT ...``: DuckDB's per-column
+    profile (column_name/type, min/max, approx_unique, avg, std,
+    q25/q50/q75, count, null_percentage). One distributed aggregation
+    pass over all columns, then a JVM-side ``stack`` to rows — no
+    driver collect, works at any scale.
+
+    ``PIVOT t ON col [IN (v,..)] [USING agg(x) [, ...]] [GROUP BY g]``:
+    maps to ``df.groupBy(g).pivot(col[, values]).agg(...)``. Without
+    GROUP BY, groups on every column not pivoted and not referenced by
+    an aggregate — DuckDB's implicit rule. Without USING, counts rows
+    (DuckDB default). Without IN, Spark's pivot runs the same distinct
+    scan DuckDB does to discover values."""
+    m = _SUMMARIZE_RE.match(query)
+    if m and not _PIVOT_STMT_RE.match(query):
+        from pyspark.sql import functions as F
+
+        src = m.group(1).strip()
+        df = (
+            spark.sql(src)
+            if re.match(r"(?is)^\s*(select|from|with|values)\b", src)
+            else spark.table(src)
+        )
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        }
+        aggs, stacks = [], []
+        total = F.count(F.lit(1)).alias("__n")
+        for i, f in enumerate(df.schema.fields):
+            c = df[f.name]
+            aggs += [
+                F.min(c).cast("string").alias(f"mn{i}"),
+                F.max(c).cast("string").alias(f"mx{i}"),
+                F.approx_count_distinct(c).alias(f"au{i}"),
+                (
+                    F.avg(c) if f.name in numeric else F.lit(None)
+                ).cast("double").alias(f"av{i}"),
+                (
+                    F.stddev(c) if f.name in numeric else F.lit(None)
+                ).cast("double").alias(f"sd{i}"),
+                *[
+                    (
+                        F.percentile_approx(c, q) if f.name in numeric else F.lit(None)
+                    ).cast("double").alias(f"q{int(q * 100)}_{i}")
+                    for q in (0.25, 0.5, 0.75)
+                ],
+                F.count(c).alias(f"ct{i}"),
+            ]
+            name_lit = f.name.replace("'", "''")
+            type_lit = f.dataType.simpleString().replace("'", "''")
+            stacks.append(
+                f"'{name_lit}', '{type_lit}', mn{i}, mx{i}, au{i}, av{i},"
+                f" sd{i}, q25_{i}, q50_{i}, q75_{i}, __n,"
+                f" round(100.0 * (__n - ct{i}) / nullif(__n, 0), 2)"
+            )
+        one = df.agg(total, *aggs)
+        return one.selectExpr(
+            f"stack({len(stacks)}, {', '.join(stacks)}) AS (column_name,"
+            " column_type, min, max, approx_unique, avg, std, q25, q50,"
+            " q75, count, null_percentage)"
+        )
+
+    m = _PIVOT_STMT_RE.match(query)
+    if m:
+        from pyspark.sql import functions as F
+
+        table, on_col, in_list, using, group_by = m.groups()
+        df = spark.table(table)
+        if using:
+            agg_exprs = [F.expr(a) for a in _split_top_level_commas_text(using)]
+        else:
+            agg_exprs = [F.count(F.lit(1))]
+        if group_by:
+            group_cols = [g.strip() for g in group_by.split(",")]
+        else:
+            using_text = using or ""
+            group_cols = [
+                c
+                for c in df.columns
+                if c.lower() != on_col.lower()
+                and not re.search(rf"\b{re.escape(c)}\b", using_text, re.I)
+            ]
+        piv = df.groupBy(*group_cols).pivot(
+            on_col,
+            [v.strip().strip("'\"") for v in in_list.split(",")]
+            if in_list
+            else None,
+        )
+        return piv.agg(*agg_exprs)
+    return None
+
+
+def _split_top_level_commas_text(text: str) -> list[str]:
+    """Depth-0 comma split over RAW text: literals are masked for the
+    split, then each piece is unmasked."""
+    masked, literals = _mask_literals(text)
+    return [_unmask_literals(p, literals) for p in _split_d0_commas(masked)]
+
+
 # -------------------------------------------------------------- qualify
 
 
@@ -1169,4 +1511,9 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_brace_literals(masked)
     masked = _rewrite_generate_series(masked)
     masked = _rewrite_distinct_on(masked)
+    masked = _rewrite_star_replace(masked)
+    masked = _rewrite_agg_order_by(masked)
+    masked = _rewrite_trailing_commas(masked)
+    masked = _rewrite_int_subscripts(masked)
+    _guard_unbridged(masked)
     return _unmask_literals(masked, literals)

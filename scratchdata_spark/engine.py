@@ -240,8 +240,14 @@ class SparkDestination(DataFrameSerializers, Destination):
                 # bridged token is a parse/analysis error here).
                 if not self.duckdb_compat:
                     raise
-                from scratchdata_spark.dialect import rewrite
+                from scratchdata_spark.dialect import (
+                    rewrite,
+                    statement_form_df,
+                )
 
+                stmt = statement_form_df(self.spark, query)
+                if stmt is not None:
+                    return stmt
                 rewritten = rewrite(query)
                 if rewritten == query:
                     raise stock_err

@@ -1135,6 +1135,97 @@ def q_dialect_generate_series(spark, sf_dir):
     return spark.sql(rewrite(_DUCKDB_SERIES_TEXT))
 
 
+_DUCKDB_SUBSCRIPT_TEXT = """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_tok,
+           string_split(text, ' ')[-1] AS last_tok,
+           n_chars // 10 AS tens
+    FROM documents
+    WHERE doc_id < 50
+"""
+
+
+@q("q_dialect_subscripts", _DUCKDB_SUBSCRIPT_TEXT)
+def q_dialect_subscripts(spark, sf_dir):
+    """DuckDB's 1-based (negative-from-end) list subscripts through
+    the dialect layer → ``element_at`` (1-based with negative
+    indexing on both engines). Before round 4 the subscript was a
+    documented divergence; inside the rewriter it is now bridged
+    exactly (dialect.py ``_rewrite_int_subscripts``) — only text
+    stock Spark REJECTED gets here, so Spark's 0-based bracket on
+    valid Spark SQL is untouched."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_SUBSCRIPT_TEXT))
+
+
+_DUCKDB_REPLACE_TEXT = """
+    SELECT * REPLACE (upper(n_name) AS n_name, n_regionkey // 1 AS n_regionkey)
+    FROM nation
+"""
+
+
+@q("q_dialect_star_replace", _DUCKDB_REPLACE_TEXT)
+def q_dialect_star_replace(spark, sf_dir):
+    """DuckDB's ``* REPLACE (expr AS col)`` star modifier →
+    ``* EXCEPT (col), expr AS col``. The replaced columns move to the
+    end of the projection (the one divergence — DuckDB keeps them in
+    place), which the hash compare is immune to: the driver sorts
+    columns by name."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_REPLACE_TEXT))
+
+
+_DUCKDB_AGG_ORDER_TEXT = """
+    SELECT o_custkey,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS pri,
+           to_json(list(o_orderkey ORDER BY o_orderkey DESC)) AS keys_desc
+    FROM orders
+    GROUP BY o_custkey
+"""
+
+
+@q("q_dialect_agg_order_by", _DUCKDB_AGG_ORDER_TEXT)
+def q_dialect_agg_order_by(spark, sf_dir):
+    """DuckDB's in-argument ordered aggregates: ``string_agg(x, sep
+    ORDER BY k)`` becomes Spark 4's ``listagg ... WITHIN GROUP`` and
+    ``list(x ORDER BY k DESC)`` the sorted-struct transform
+    (dialect.py ``_rewrite_agg_order_by``). o_orderkey is unique per
+    group, so the order — and the hash — is fully determined on both
+    engines."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_AGG_ORDER_TEXT))
+
+
+_DUCKDB_PIVOT_TEXT = """
+    PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority
+"""
+
+
+@q("q_dialect_pivot_stmt", _DUCKDB_PIVOT_TEXT)
+def q_dialect_pivot_stmt(spark, sf_dir):
+    """DuckDB's simplified ``PIVOT`` STATEMENT (not the SQL-standard
+    subclause): DuckDB executes it natively as the oracle; Spark
+    builds ``groupBy().pivot().agg()`` from the parsed shape
+    (dialect.py ``statement_form_df``) — the pivot value discovery is
+    the same distributed distinct scan DuckDB performs."""
+    from scratchdata_spark.dialect import statement_form_df
+
+    load(spark, sf_dir)
+    df = statement_form_df(spark, _DUCKDB_PIVOT_TEXT)
+    # count(*) over a pivot cell that has no rows is NULL in Spark's
+    # pivot and 0 in DuckDB's statement — align on the SQL meaning
+    return df.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) for c in df.columns[1:]],
+    )
+
+
 @q(
     "x_global_shuffle",
     """

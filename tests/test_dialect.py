@@ -172,11 +172,14 @@ def test_bracket_literals_vs_subscripts():
     assert rewrite("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)"
     assert rewrite("SELECT ['a', 'b']") == "SELECT array('a', 'b')"
     assert rewrite("SELECT [[1], [2]]") == "SELECT array(array(1), array(2))"
-    # subscripts survive untouched
-    assert rewrite("SELECT a[1] FROM t") == "SELECT a[1] FROM t"
-    assert rewrite("SELECT split(s, ',')[1]") == "SELECT split(s, ',')[1]"
+    # integer subscripts keep DuckDB's 1-based meaning via element_at
+    # (this text only ever arrives after stock Spark rejected it)
+    assert rewrite("SELECT a[1] FROM t") == "SELECT element_at(a, 1) FROM t"
+    assert rewrite("SELECT split(s, ',')[1]") == (
+        "SELECT element_at(split(s, ','), 1)"
+    )
     # literal then subscript on it
-    assert rewrite("SELECT [1, 2][1]") == "SELECT array(1, 2)[1]"
+    assert rewrite("SELECT [1, 2][1]") == "SELECT element_at(array(1, 2), 1)"
 
 
 def test_backtick_identifiers_untouched():
@@ -246,7 +249,11 @@ def test_qualify_after_set_operation_passes_through():
 
 
 def test_backtick_subscript_not_list_literal():
-    assert rewrite("SELECT `arr`[1] FROM t") == "SELECT `arr`[1] FROM t"
+    # classified as a subscript (not rewritten to a list literal) and
+    # then bridged to the 1-based element_at like any other subscript
+    assert rewrite("SELECT `arr`[1] FROM t") == (
+        "SELECT element_at(`arr`, 1) FROM t"
+    )
 
 
 def test_list_sort_raises_with_guidance():
@@ -599,3 +606,150 @@ def test_struct_and_series_execute_matching_duckdb(spark):
         expect = [tuple(map(str, r)) for r in con.execute(sql).fetchall()]
         got = [tuple(map(str, r)) for r in spark.sql(rewrite(sql)).collect()]
         assert sorted(got) == sorted(expect), sql
+
+
+# ------------------------- round-4 additions: subscripts, REPLACE, …
+
+
+def test_int_subscripts_become_element_at():
+    assert rewrite("select l[1] // 2 from t") == (
+        "select element_at(l, 1)  DIV  2 from t"
+    )
+    assert "element_at(l, -1)" in rewrite("select l[-1], x // y from t")
+    assert "element_at(element_at(l, 1), 2)" in rewrite("select l[1][2] // 1 from t")
+    assert "element_at(f(x), 1)" in rewrite("select f(x)[1] // 1 from t")
+    # string keys (maps/structs: same meaning both engines) untouched
+    assert "m['k']" in rewrite("select m['k'] // 1 from t")
+    # a list literal is never a subscript base mistake
+    assert "element_at(array(1,2,3), 2)" in rewrite("select [1,2,3][2]")
+
+
+def test_array_keyword_constructor():
+    assert rewrite("select ARRAY[1, 2] as a") == "select ARRAY(1, 2) as a"
+
+
+def test_trailing_commas_dropped():
+    assert rewrite("select a, b, from t") == "select a, b from t"
+    assert rewrite("select struct(a, b, ) from t") == (
+        "select struct(a, b ) from t"
+    )
+
+
+def test_star_replace_rewrite():
+    assert rewrite("select * replace (v+1 as v) from t") == (
+        "select * EXCEPT (v), v+1 as v from t"
+    )
+    assert rewrite("select t.* REPLACE (x*2 AS x, y AS y2) from t") == (
+        "select t.* EXCEPT (x, y2), x*2 AS x, y AS y2 from t"
+    )
+
+
+def test_agg_order_by_rewrites():
+    got = rewrite("select string_agg(s, ',' order by v desc) from t group by g")
+    assert "listagg(s, ',') WITHIN GROUP (ORDER BY v desc)" in got
+    got = rewrite("select list(s order by v desc) from t group by g")
+    assert (
+        "transform(sort_array(array_agg(struct(v AS _ob, s AS _v)), false),"
+        " p -> p._v)" in got
+    )
+
+
+def test_try_strptime():
+    assert rewrite("select try_strptime(s, '%Y-%m-%d') from t") == (
+        "select try_to_timestamp(s, 'yyyy-MM-dd') from t"
+    )
+
+
+def test_slice_and_by_name_raise_with_guidance():
+    with pytest.raises(DialectError, match="slice"):
+        rewrite("select s[1:2] // 1 from t")
+    with pytest.raises(DialectError, match="BY NAME"):
+        rewrite("select a // 1 from t union all by name select b from u")
+
+
+def test_subscript_rewrites_match_duckdb(spark):
+    con = duckdb.connect()
+    cases = [
+        "SELECT list_value(10, 20, 30)[1] // 1 AS first",
+        "SELECT list_value(10, 20, 30)[-1] // 1 AS last",
+        "SELECT list_value(7, 8)[2] // 1 AS second",
+        # struct field by string key: identical meaning on both
+        # engines, so it stays a bracket (DuckDB's MAP subscript wraps
+        # the result in a list — that one is not bridged)
+        "SELECT ({'k': 5})['k'] // 1 AS sk",
+    ]
+    for sql in cases:
+        expect = [tuple(map(str, r)) for r in con.execute(sql).fetchall()]
+        got = [tuple(map(str, r)) for r in spark.sql(rewrite(sql)).collect()]
+        assert got == expect, sql
+
+
+def test_ordered_agg_matches_duckdb(spark, sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT *"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    sql = (
+        "SELECT o_custkey, string_agg(o_orderpriority, '|'"
+        " ORDER BY o_orderkey) AS pri FROM orders"
+        " GROUP BY o_custkey ORDER BY o_custkey LIMIT 50"
+    )
+    expect = con.execute(sql).fetchall()
+    got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+    assert got == expect
+    # array_agg ORDER BY: unique sort key → order fully determined
+    sql2 = (
+        "SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey DESC) AS ks"
+        " FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 50"
+    )
+    expect2 = [(r[0], list(r[1])) for r in con.execute(sql2).fetchall()]
+    got2 = [(r[0], list(r[1])) for r in spark.sql(rewrite(sql2)).collect()]
+    assert got2 == expect2
+
+
+def test_summarize_statement(spark, sf_dir):
+    from scratchdata_spark.dialect import statement_form_df
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    rows = statement_form_df(spark, "SUMMARIZE nation").collect()
+    byname = {r["column_name"]: r for r in rows}
+    assert set(byname) == {"n_nationkey", "n_name", "n_regionkey"}
+    nk = byname["n_nationkey"]
+    assert nk["min"] == "0" and nk["count"] == 25 and nk["null_percentage"] == 0.0
+    assert byname["n_name"]["avg"] is None  # non-numeric: no moments
+    # SELECT form
+    rows = statement_form_df(
+        spark, "SUMMARIZE SELECT n_regionkey FROM nation"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["max"] == "4"
+
+
+def test_pivot_statement_matches_duckdb(spark, sf_dir):
+    from scratchdata_spark.dialect import statement_form_df
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT *"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    sql = (
+        "PIVOT orders ON o_orderstatus USING count(*)"
+        " GROUP BY o_orderpriority"
+    )
+    expect = {tuple(map(str, r)) for r in con.execute(sql).fetchall()}
+    df = statement_form_df(spark, sql)
+    got = {tuple(map(str, r)) for r in df.collect()}
+    assert sorted(df.columns) == sorted(
+        [d[0] for d in con.execute(sql).description]
+    )
+    assert got == expect
+    assert statement_form_df(spark, "SELECT 1") is None

@@ -57,6 +57,9 @@ _PRIORITY = [
     "x_decontaminate",
     "x_global_shuffle",
     "x_model_score",
+    "x_cap_per_source",
+    "x_resample_temperature",
+    "x_chunk_documents",
     # --- r2-banked hash-oracle long tail ---
     "q02_filter_predicates",
     "q03_shipping_priority",

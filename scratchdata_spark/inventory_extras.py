@@ -872,9 +872,12 @@ def q_dialect_duckdb_text(spark, sf_dir):
 # -------------------------------------------- corpus-preparation stage
 
 from scratchdata_spark.operators.pipeline import (
+    cap_per_group,
+    chunk_documents,
     decontaminate,
     global_shuffle,
     pack_sequences,
+    resample_by_temperature,
     stratified_sample,
     train_val_split,
 )
@@ -942,6 +945,84 @@ def x_pack_sequences(spark, sf_dir):
     the group key, which downstream inherits."""
     d = load(spark, sf_dir)["documents"]
     return pack_sequences(d, "source", context_tokens=2048)
+
+
+@q(
+    "x_cap_per_source",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY sha256(text), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 15
+    """,
+)
+def x_cap_per_source(spark, sf_dir):
+    """Domain caps: at most 15 documents per source, winners chosen
+    by content-hash order so the cap is deterministic and unbiased
+    w.r.t. crawl order (operators/pipeline.py cap_per_group). One
+    shuffle on the group key; at 100 TB the rank is a single window
+    pass per source partition, no global sort."""
+    d = load(spark, sf_dir)["documents"]
+    return cap_per_group(d, "source", 15).select("doc_id", "source")
+
+
+@q(
+    "x_resample_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    r AS (SELECT source, pow(n, -0.5) AS rate FROM c),
+    k AS (SELECT source, rate / (SELECT max(rate) FROM r) AS keep FROM r)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN k ON d.source = k.source
+    WHERE keep >= 1
+       OR substr(sha256(d.text), 1, 4)
+          < printf('%04x', CAST(round(keep * 65536) AS INT))
+    """,
+)
+def x_resample_temperature(spark, sf_dir):
+    """Temperature rebalancing (alpha=0.5): each source keeps a rate
+    ∝ count^(alpha-1), scaled so the smallest source keeps all —
+    the multilingual mixing rule, materialized deterministically by
+    content hash (operators/pipeline.py resample_by_temperature).
+    printf('%04x') renders the per-group threshold identically on
+    both engines, so the survivor set hash-matches exactly."""
+    d = load(spark, sf_dir)["documents"]
+    return resample_by_temperature(d, "source", alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
+@q(
+    "x_chunk_documents",
+    """
+    WITH offs AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(length(text) - 1, 0) + 1, 96)) AS g
+      FROM documents
+    )
+    SELECT doc_id,
+           g // 96 AS chunk_ix,
+           g AS chunk_start,
+           substr(text, CAST(g AS INT) + 1, 128) AS chunk_text
+    FROM offs
+    """,
+)
+def x_chunk_documents(spark, sf_dir):
+    """Overlapping character-window chunking (128 chars, 32 overlap)
+    in front of an embedding model (operators/pipeline.py
+    chunk_documents): sequence → posexplode → substring, map-side
+    only. The oracle reproduces the window arithmetic with a
+    correlated generate_series."""
+    d = load(spark, sf_dir)["documents"]
+    out = chunk_documents(d, chunk_chars=128, overlap_chars=32)
+    return out.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+    )
 
 
 @q(

@@ -178,6 +178,109 @@ def decontaminate(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group document cap (domain caps in a web corpus: no single
+    source may contribute more than ``cap`` documents). Winners are
+    chosen by content-hash order — deterministic across re-runs and
+    partitionings, and unbiased w.r.t. crawl/scan order, which a
+    naive LIMIT per group is not. One shuffle on the group key;
+    the rank is a single window pass within each group partition."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.sha2(F.col(text_col), 256), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def resample_by_temperature(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based source rebalancing, downsample-only: keep
+    each group at a rate ∝ count^(alpha-1), scaled so the
+    smallest group keeps everything. alpha=1 keeps the natural
+    distribution, alpha→0 approaches uniform-over-groups — the
+    standard multilingual/temperature mixing rule, materialized
+    deterministically: a document survives iff the first 4 hex chars
+    of sha256(text) fall below its group's keep-threshold, so re-runs
+    and re-partitions keep exactly the same documents.
+
+    Scale: group counts are one partial-aggregated shuffle over a
+    tiny key space; the keep-rate table broadcasts back; the filter
+    itself is map-only. The threshold is compared as a 4-char hex
+    string (printf('%04x') — identical in Spark and DuckDB), never
+    parsed back to int, so the whole operator is oracle-checkable."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    rates = counts.withColumn("__rate", F.pow("__n", F.lit(alpha - 1.0)))
+    max_rate = rates.agg(F.max("__rate").alias("__mx"))
+    keep = (
+        rates.crossJoin(F.broadcast(max_rate))
+        .withColumn("__keep", F.col("__rate") / F.col("__mx"))
+        .select(group_col, "__keep")
+    )
+    thresh = F.expr(
+        "printf('%04x', cast(round(__keep * 65536) as int))"
+    )
+    return (
+        df.join(F.broadcast(keep), group_col)
+        .withColumn(
+            "__th",
+            F.when(F.col("__keep") >= 1.0, F.lit("zzzz")).otherwise(thresh),
+        )
+        .filter(F.substring(F.sha2(F.col(text_col), 256), 1, 4) < F.col("__th"))
+        .drop("__keep", "__th")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap_chars: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping character windows — the
+    chunking stage in front of an embedding model (RAG indexing,
+    similarity search over long documents). Offsets advance by
+    chunk_chars - overlap_chars; the final window is allowed to be
+    short rather than silently dropping the tail. Pure column
+    expressions (sequence → posexplode → substring): map-side only,
+    no shuffle, parallelism is the input partitioning — exactly what
+    a 100 TB corpus wants from a fan-out transform."""
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be smaller than chunk_chars")
+    step = chunk_chars - overlap_chars
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_ix", "chunk_start"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_ix",
+        "chunk_start",
+        F.substring(
+            F.col(text_col), F.col("chunk_start") + 1, chunk_chars
+        ).alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str,

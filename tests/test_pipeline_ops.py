@@ -171,3 +171,82 @@ def test_global_shuffle_seed_changes_order(spark):
     a = {r.doc_id: (r.shard, r.pos) for r in global_shuffle(docs, seed="e0").collect()}
     b = {r.doc_id: (r.shard, r.pos) for r in global_shuffle(docs, seed="e1").collect()}
     assert a != b
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    from scratchdata_spark.operators.pipeline import cap_per_group
+
+    d = _docs(spark, 400)  # 4 sources × 100 docs
+    capped = cap_per_group(d, "source", 25)
+    by = {r["source"]: r["count"]
+          for r in capped.groupBy("source").count().collect()}
+    assert all(v == 25 for v in by.values())
+    # winners are content-hash chosen: partitioning-independent
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_group(d.repartition(13), "source", 25).collect()
+    )
+    assert a == b
+    # groups under the cap keep every row
+    small = cap_per_group(d.filter(F.col("doc_id") < 10), "source", 25)
+    assert small.count() == 10
+
+
+def test_resample_by_temperature_rates(spark):
+    from scratchdata_spark.operators.pipeline import resample_by_temperature
+
+    # skewed sources: 0 → 600 docs, 1 → 150, 2 → 50
+    d = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 600, "big")
+        .when(F.col("id") < 750, "mid")
+        .otherwise("small")
+        .alias("source"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    out = resample_by_temperature(d, "source", alpha=0.5)
+    by = {r["source"]: r["count"]
+          for r in out.groupBy("source").count().collect()}
+    # smallest group keeps everything (keep-rate scaled to 1.0)
+    assert by["small"] == 50
+    # bigger groups are downsampled harder: expected keep ~ sqrt(50/n)
+    assert by["mid"] < 150 and by["big"] < 600
+    assert by["big"] / 600 < by["mid"] / 150
+    # alpha=1 keeps the natural distribution untouched
+    assert resample_by_temperature(d, "source", alpha=1.0).count() == 800
+    # deterministic across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in resample_by_temperature(
+            d.repartition(11), "source", alpha=0.5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_chunk_documents_windows(spark):
+    import pytest
+
+    from scratchdata_spark.operators.pipeline import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a" * 250), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(d, chunk_chars=100, overlap_chars=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: offsets 0,80,160,240 → 4 chunks; last one short (10 chars)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_ix"])
+    assert [r["chunk_start"] for r in c1] == [0, 80, 160, 240]
+    assert [len(r["chunk_text"]) for r in c1] == [100, 100, 90, 10]
+    # consecutive chunks overlap by exactly 20 chars
+    assert c1[0]["chunk_text"][-20:] == c1[1]["chunk_text"][:20]
+    # short doc: one whole chunk; empty doc: one empty chunk (kept,
+    # not dropped — callers filter if they want)
+    assert [r["chunk_text"] for r in by_doc[2]] == ["xy"]
+    assert [r["chunk_text"] for r in by_doc[3]] == [""]
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_chars=64, overlap_chars=64)

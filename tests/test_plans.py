@@ -323,3 +323,40 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     p = plan(REGISTRY["x_decontaminate"][0](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, p
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Chunking is a fan-out transform (sequence → posexplode →
+    substring): it must stay map-side — any exchange would shuffle
+    the full corpus text just to split strings."""
+    import scratchdata_spark.inventory_extras  # noqa: F401
+    from scratchdata_spark.inventory import REGISTRY
+
+    p = plan(REGISTRY["x_chunk_documents"][0](spark, sf_dir), mode="simple")
+    assert "Exchange" not in p, p
+    assert "Generate" in p  # the explode runs JVM-side, not in Python
+
+
+def test_cap_per_group_single_shuffle_no_global_sort(spark, sf_dir):
+    """The domain cap shuffles once on the group key and ranks within
+    partitions — a global sort or a second exchange would serialize
+    the corpus at 100 TB."""
+    import scratchdata_spark.inventory_extras  # noqa: F401
+    from scratchdata_spark.inventory import REGISTRY
+
+    p = plan(REGISTRY["x_cap_per_source"][0](spark, sf_dir))
+    shuffles = p.count("Exchange (") - p.count("BroadcastExchange (")
+    assert shuffles == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_resample_temperature_broadcasts_keep_rates(spark, sf_dir):
+    """The per-group keep-rate table is tiny (one row per source) and
+    must broadcast back onto the corpus; a sort-merge join here would
+    shuffle every document on the group key."""
+    import scratchdata_spark.inventory_extras  # noqa: F401
+    from scratchdata_spark.inventory import REGISTRY
+
+    p = plan(REGISTRY["x_resample_temperature"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, p

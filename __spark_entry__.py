@@ -29,13 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks entries in dict-insertion order and stops after
 # ~50.  Round 4 rotation, slot-budgeted: (a) the flagship sanity row,
-# (b) every never-driver-checked entry (the dialect layer grown this
-# round, the corpus-quality pair, the connected-components trio),
-# (c) the r2-banked HASH-oracle long tail (agg family, external scans,
-# x_* pipeline, all six s_* streaming entries).  Rows-only entries
-# whose latest row is r2 sit just past the window edge: a row-count
-# check re-verified one round later costs less than letting a
-# hash-verified entry go two rounds stale.
+# (b) every never-driver-checked entry — the dialect layer and
+# corpus operators grown this round MUST get their first rows,
+# (c) the six s_* streaming entries (explicit VERDICT-r3 ask:
+# multi-batch driver evidence), (d) as much of the r2-banked
+# hash-oracle tail as fits — operators whose modules were touched in
+# rounds 3-4 first.  The simplest untouched passthrough shapes
+# (filters, plain aggs, word count, lateral) and the rows-only
+# re-checks sit past the window edge: they are pytest-exercised
+# every session, their code is unchanged since their r2 hash-green
+# row, and a one-round-staler row there costs less than a
+# never-checked entry shipping without any driver evidence.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
     # --- never driver-checked (new in round 4) ---
@@ -60,24 +64,19 @@ _PRIORITY = [
     "x_cap_per_source",
     "x_resample_temperature",
     "x_chunk_documents",
-    # --- r2-banked hash-oracle long tail ---
-    "q02_filter_predicates",
+    # streaming: multi-batch driver evidence for the s_* surface
+    "s_stream_sliding_2h_1h",
+    "s_stream_session_windows",
+    "s_stream_stateful_user_totals",
+    "s_stream_dedup",
+    "s_stream_stream_join",
+    "s_rollup_continuous_hourly",
+    # --- r2-banked hash-oracle tail, touched-code first ---
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
-    "q_agg_basic",
-    "q_agg_stats",
-    "q_count_distinct",
-    "q_percentile_exact",
-    "q_agg_filter",
     "q_agg_lists_median_mode",
-    "q_time_bucket_15min",
-    "q_window_first_last",
-    "q_lateral_join",
-    "q_word_count",
     "q_scan_external_files",
-    "q_scan_external_csv",
-    "q_scan_external_orc",
     "q_nested_flatten_horizontal",
     "q_nested_flatten_vertical",
     "x_dedup_exact",
@@ -94,14 +93,20 @@ _PRIORITY = [
     "x_salted_join_skew",
     "x_pipeline_clean_corpus",
     "x_range_join_bucketed",
-    # streaming: multi-batch driver evidence for the s_* surface
-    "s_stream_sliding_2h_1h",
-    "s_stream_session_windows",
-    "s_stream_stateful_user_totals",
-    "s_stream_dedup",
-    "s_stream_stream_join",
-    "s_rollup_continuous_hourly",
-    # --- r2-banked rows-only entries: first past the window edge ---
+    # --- past the ~50 edge: unchanged passthrough shapes (r2 green,
+    # pytest-exercised) then the rows-only re-checks ---
+    "q02_filter_predicates",
+    "q_agg_basic",
+    "q_agg_stats",
+    "q_count_distinct",
+    "q_percentile_exact",
+    "q_agg_filter",
+    "q_time_bucket_15min",
+    "q_window_first_last",
+    "q_lateral_join",
+    "q_word_count",
+    "q_scan_external_csv",
+    "q_scan_external_orc",
     "q_approx_quantile",
     "x_dedup_exact_rows",
     "x_dedup_minhash_lsh",

@@ -54,6 +54,8 @@ _PRIORITY = [
     "q_dialect_star_replace",
     "q_dialect_agg_order_by",
     "q_dialect_pivot_stmt",
+    "q_dialect_list_comprehension",
+    "q_dialect_union_by_name",
     "x_quality_repetition",
     "x_pii_scrub",
     "x_dedup_clusters",
@@ -90,11 +92,11 @@ _PRIORITY = [
     "x_multimodal_meta",
     "x_multimodal_resize",
     "x_multimodal_frames",
-    "x_salted_join_skew",
     "x_pipeline_clean_corpus",
-    "x_range_join_bucketed",
     # --- past the ~50 edge: unchanged passthrough shapes (r2 green,
     # pytest-exercised) then the rows-only re-checks ---
+    "x_salted_join_skew",
+    "x_range_join_bucketed",
     "q02_filter_predicates",
     "q_agg_basic",
     "q_agg_stats",

@@ -1234,6 +1234,107 @@ def _rewrite_agg_order_by(masked: str) -> str:
         masked = masked[: m.start()] + repl + masked[close:]
 
 
+# ------------------------------------------- list comprehensions
+
+
+_ARRAY_CALL_RE = re.compile(r"\barray\(", re.I)
+
+
+def _rewrite_list_comprehensions(masked: str) -> str:
+    """DuckDB list comprehensions ``[expr FOR x IN lst [IF cond]]`` →
+    ``transform(lst, x -> expr)`` / ``transform(filter(lst, x ->
+    cond), x -> expr)``. By the time this pass runs, the bracket pair
+    has already been classified as a list constructor and emitted as
+    ``array( expr FOR x IN lst ... )`` — this pass recognizes the
+    FOR/IN shape inside and replaces the whole call. Nested
+    comprehensions resolve because the scan restarts after every
+    rewrite (innermost arrays contain no FOR and pass through)."""
+    while True:
+        for m in _ARRAY_CALL_RE.finditer(masked):
+            open_idx = m.end() - 1
+            close = _match_paren(masked, open_idx)
+            if close == -1:
+                continue
+            inner = masked[open_idx + 1 : close - 1]
+            fors = list(_d0_matches(inner, r"\bFOR\b"))
+            if not fors:
+                continue
+            expr = inner[: fors[0].start()].strip()
+            rest = inner[fors[0].end():]
+            ins = list(_d0_matches(rest, r"\bIN\b"))
+            if not ins:
+                continue
+            var = rest[: ins[0].start()].strip()
+            tail = rest[ins[0].end():]
+            ifs = list(_d0_matches(tail, r"\bIF\b"))
+            if ifs:
+                lst = tail[: ifs[0].start()].strip()
+                cond = tail[ifs[0].end():].strip()
+                repl = (
+                    f"transform(filter({lst}, {var} -> {cond}),"
+                    f" {var} -> {expr})"
+                )
+            else:
+                repl = f"transform({tail.strip()}, {var} -> {expr})"
+            masked = masked[: m.start()] + repl + masked[close:]
+            break  # indices shifted — rescan
+        else:
+            return masked
+
+
+# ------------------------------------------------ prefix aliases
+
+
+_PREFIX_ALIAS_RE = re.compile(
+    r"(\bSELECT\b|,|\()(\s*)([A-Za-z_]\w*)\s*:(?![:=])", re.I
+)
+_ALIAS_STOP_RE = re.compile(
+    r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT|QUALIFY)\b",
+    re.I,
+)
+
+
+def _rewrite_prefix_aliases(masked: str) -> str:
+    """DuckDB 1.3 prefix aliases ``SELECT name: expr`` → ``expr AS
+    name``. The alias scope ends at the next same-depth comma, a
+    closing paren, or a clause keyword. ``:=`` (struct_pack named
+    args) and ``::`` casts never match; string literals are masked.
+    A colon in valid Spark SQL is a parse error outside these forms,
+    so the fallback contract holds."""
+    while True:
+        m = _PREFIX_ALIAS_RE.search(masked)
+        if m is None:
+            return masked
+        start = m.end()  # just after ':'
+        depth = 0
+        end = len(masked)
+        i = start
+        while i < len(masked):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch == ",":
+                    end = i
+                    break
+                km = _ALIAS_STOP_RE.match(masked, i)
+                if km and not (masked[i - 1].isalnum() or masked[i - 1] == "_"):
+                    end = i
+                    break
+            i += 1
+        expr = masked[start:end].strip()
+        masked = (
+            masked[: m.start()]
+            + f"{m.group(1)}{m.group(2)}{expr} AS {m.group(3)} "
+            + masked[end:]
+        )
+
+
 # --------------------------------------------------- explicit guards
 
 
@@ -1250,9 +1351,11 @@ def _guard_unbridged(masked: str) -> None:
         )
     if re.search(r"\bBY\s+NAME\b", masked, re.I):
         raise DialectError(
-            "UNION/INTERSECT/EXCEPT BY NAME is not bridged: list the"
-            " columns explicitly in the same order on both sides —"
-            " Spark set operators match by position only."
+            "BY NAME set operators are bridged only as a top-level"
+            " UNION [ALL] BY NAME statement without a trailing ORDER"
+            " BY/LIMIT (engine statement form, unionByName). For this"
+            " shape, list the columns explicitly in the same order on"
+            " both sides — Spark set operators match by position only."
         )
 
 
@@ -1340,6 +1443,10 @@ def statement_form_df(spark, query: str):
             " q75, count, null_percentage)"
         )
 
+    by_name = _union_by_name_df(spark, query)
+    if by_name is not None:
+        return by_name
+
     m = _PIVOT_STMT_RE.match(query)
     if m:
         from pyspark.sql import functions as F
@@ -1375,6 +1482,50 @@ def _split_top_level_commas_text(text: str) -> list[str]:
     split, then each piece is unmasked."""
     masked, literals = _mask_literals(text)
     return [_unmask_literals(p, literals) for p in _split_d0_commas(masked)]
+
+
+_ORDER_LIMIT_RE = re.compile(
+    r"\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b", re.I
+)
+
+
+def _union_by_name_df(spark, query: str):
+    """Top-level ``A UNION [ALL] BY NAME B [...]`` → chained
+    ``unionByName(allowMissingColumns=True)`` — DuckDB's by-name set
+    union: columns match by name, absentees fill with NULL. Spark's
+    SQL UNION is positional only, but its DataFrame op is exactly
+    this, so the statement becomes a DataFrame plan rather than a
+    text rewrite. Plain UNION (no ALL) deduplicates after the union,
+    same as DuckDB. Each branch may itself need the dialect rewriter.
+    A trailing depth-0 ORDER BY / LIMIT on the final branch would
+    bind to the whole statement in DuckDB but to one branch here —
+    those pass through to the loud BY NAME guard instead of running
+    with silently different meaning."""
+    masked, literals = _mask_literals(query)
+    hits = list(_d0_matches(masked, r"\bUNION\s+(?:ALL\s+)?BY\s+NAME\b"))
+    if not hits:
+        return None
+    last_seg = masked[hits[-1].end():]
+    if _ORDER_LIMIT_RE.search(last_seg):
+        return None  # global ORDER/LIMIT: no faithful branch split
+    dedup = any("ALL" not in h.group(0).upper() for h in hits)
+    segments, pos = [], 0
+    for h in hits:
+        segments.append(masked[pos : h.start()])
+        pos = h.end()
+    segments.append(masked[pos:])
+
+    def run(seg_masked: str):
+        seg = _unmask_literals(seg_masked, literals).strip()
+        try:
+            return spark.sql(seg)
+        except Exception:
+            return spark.sql(rewrite(seg))
+
+    out = run(segments[0])
+    for seg in segments[1:]:
+        out = out.unionByName(run(seg), allowMissingColumns=True)
+    return out.distinct() if dedup else out
 
 
 # -------------------------------------------------------------- qualify
@@ -1511,9 +1662,11 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_brace_literals(masked)
     masked = _rewrite_generate_series(masked)
     masked = _rewrite_distinct_on(masked)
+    masked = _rewrite_list_comprehensions(masked)
     masked = _rewrite_star_replace(masked)
     masked = _rewrite_agg_order_by(masked)
     masked = _rewrite_trailing_commas(masked)
     masked = _rewrite_int_subscripts(masked)
+    masked = _rewrite_prefix_aliases(masked)
     _guard_unbridged(masked)
     return _unmask_literals(masked, literals)

@@ -1307,6 +1307,48 @@ def q_dialect_pivot_stmt(spark, sf_dir):
     )
 
 
+_DUCKDB_COMPREHENSION_TEXT = """
+    SELECT doc_id,
+           to_json([length(t) FOR t IN string_split(text, ' ')
+                    IF length(t) > 3]) AS long_tok_lens
+    FROM documents WHERE doc_id < 100
+"""
+
+
+@q("q_dialect_list_comprehension", _DUCKDB_COMPREHENSION_TEXT)
+def q_dialect_list_comprehension(spark, sf_dir):
+    """DuckDB list comprehensions ``[expr FOR x IN lst IF cond]``
+    through the dialect layer → ``transform(filter(lst, x -> cond),
+    x -> expr)`` (dialect.py ``_rewrite_list_comprehensions``). Same
+    text runs natively on DuckDB as the oracle; to_json keeps the
+    array column canonicalizer-safe."""
+    from scratchdata_spark.dialect import rewrite
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite(_DUCKDB_COMPREHENSION_TEXT))
+
+
+_DUCKDB_BY_NAME_TEXT = """
+    SELECT n_nationkey AS k, n_name FROM nation
+    UNION ALL BY NAME
+    SELECT r_regionkey AS k, r_name FROM region
+"""
+
+
+@q("q_dialect_union_by_name", _DUCKDB_BY_NAME_TEXT)
+def q_dialect_union_by_name(spark, sf_dir):
+    """DuckDB ``UNION ALL BY NAME`` (match columns by name, fill
+    absentees with NULL): DuckDB executes the text natively as the
+    oracle; Spark builds the same result as a DataFrame plan with
+    ``unionByName(allowMissingColumns=True)`` (dialect.py
+    ``statement_form_df``) — Spark's SQL set operators are positional
+    only, so this is a statement form, not a text rewrite."""
+    from scratchdata_spark.dialect import statement_form_df
+
+    load(spark, sf_dir)
+    return statement_form_df(spark, _DUCKDB_BY_NAME_TEXT)
+
+
 @q(
     "x_global_shuffle",
     """

@@ -753,3 +753,62 @@ def test_pivot_statement_matches_duckdb(spark, sf_dir):
     )
     assert got == expect
     assert statement_form_df(spark, "SELECT 1") is None
+
+
+def test_list_comprehension_rewrite():
+    assert rewrite("select [x + 1 for x in [1,2,3]] as l") == (
+        "select transform(array(1,2,3), x -> x + 1) as l"
+    )
+    assert rewrite("select [x*2 for x in l if x > 0] as l2 from t") == (
+        "select transform(filter(l, x -> x > 0), x -> x*2) as l2 from t"
+    )
+
+
+def test_prefix_alias_rewrite():
+    got = rewrite("select foo: 1, bar: a // b from t")
+    assert "1 AS foo" in got and "a  DIV  b AS bar" in got
+    # := named args and :: casts never match the alias pattern
+    assert "named_struct('a', 1)" in rewrite("select struct_pack(a := 1) // 1")
+    got = rewrite("select n: count(*) from t group by g")
+    assert "count(*) AS n" in got
+
+
+def test_union_by_name_statement(spark):
+    from scratchdata_spark.dialect import statement_form_df
+
+    spark.sql("select 1 as a, 2 as b").createOrReplaceTempView("ubn_a")
+    spark.sql("select 30 as b, 40 as c").createOrReplaceTempView("ubn_b")
+    df = statement_form_df(
+        spark, "select * from ubn_a union all by name select * from ubn_b"
+    )
+    assert sorted(df.columns) == ["a", "b", "c"]
+    rows = sorted(
+        [(r["a"], r["b"], r["c"]) for r in df.collect()],
+        key=lambda t: (t[0] is None, t),
+    )
+    assert rows == [(1, 2, None), (None, 30, 40)]
+    # without ALL: deduplicated
+    d2 = statement_form_df(spark, "select 1 as a union by name select 1 as a")
+    assert d2.count() == 1
+    # a trailing global ORDER BY has no faithful branch split → the
+    # statement falls through (and the text guard raises loudly)
+    assert (
+        statement_form_df(
+            spark,
+            "select * from ubn_a union all by name"
+            " select * from ubn_b order by b",
+        )
+        is None
+    )
+    with pytest.raises(DialectError, match="BY NAME"):
+        rewrite(
+            "select a // 1 from t union all by name select b from u"
+        )
+
+
+def test_comprehension_and_union_by_name_match_duckdb(spark):
+    con = duckdb.connect()
+    sql = "SELECT [x * 10 FOR x IN [1,2,3] IF x <> 2] AS l"
+    expect = [tuple(map(str, r)) for r in con.execute(sql).fetchall()]
+    got = [tuple(map(str, r)) for r in spark.sql(rewrite(sql)).collect()]
+    assert got == expect

@@ -99,6 +99,29 @@ class Service:
             for n in sorted(self.destinations)
         ]
 
+    def update_destination(self, name: str, type_: str, settings: dict) -> dict:
+        """Swap a destination's backend in place with fresh settings;
+        existing API keys keep resolving to it (the reference's
+        UpdateDestination writes the new settings against the same
+        row — ``connections/service.go:UpdateConnection``). The new
+        backend is built FIRST, so a failed connection leaves the old
+        one serving."""
+        if name not in self.destinations:
+            raise KeyError(name)
+        if self.destination_factory is None:
+            raise ValueError("destination creation not configured")
+        fresh = self.destination_factory(name, type_, settings)
+        old = self.destinations[name]
+        self.destinations[name] = fresh
+        self.dest_types[name] = type_
+        close = getattr(old, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:
+                pass
+        return {"name": name, "type": type_}
+
     def delete_destination(self, name: str) -> None:
         """Reference ``pkg/connections/service.go:DeleteDestination``:
         drop the destination and every key that resolves to it."""

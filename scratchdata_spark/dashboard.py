@@ -321,13 +321,23 @@ class Dashboard:
         self.dest_dashboard_type: dict[str, str] = {}
 
     # ------------------------------------------------------------ http
-    def _send(self, handler, code: int, body: str, set_cookie: str | None = None):
+    def _send(
+        self,
+        handler,
+        code: int,
+        body: str,
+        set_cookie: str | list[str] | None = None,
+    ):
         payload = body.encode()
         handler.send_response(code)
         handler.send_header("Content-Type", "text/html; charset=utf-8")
         handler.send_header("Content-Length", str(len(payload)))
-        if set_cookie:
-            handler.send_header("Set-Cookie", set_cookie)
+        cookies = (
+            [set_cookie] if isinstance(set_cookie, str) else (set_cookie or [])
+        )
+        for c in cookies:
+            if c:
+                handler.send_header("Set-Cookie", c)
         handler.end_headers()
         handler.wfile.write(payload)
         handler._resp_bytes = len(payload)
@@ -378,12 +388,22 @@ class Dashboard:
         values: dict | None = None,
         request_id: str = "",
         flash: str = "",
+        existing: bool = False,
     ) -> str:
-        vc = VIEW_CONFIG[dest_type]
+        # unknown type (hand-edited POST): generic error page, not a
+        # KeyError that kills the handler thread mid-response
+        vc = VIEW_CONFIG.get(dest_type)
+        if vc is None:
+            return (
+                f"<h1>Unknown connection type</h1>"
+                f"<div class='flash'>{_e(flash or dest_type)}</div>"
+                "<p><a href='/dashboard/connections/new'>Pick a type</a></p>"
+            )
         values = values or {}
+        name_ro = " readonly" if existing else ""
         rows = [
             f"<label>Connection Name</label>"
-            f"<input type='text' name='name' value='{_e(name)}' required>"
+            f"<input type='text' name='name' value='{_e(name)}' required{name_ro}>"
         ]
         for f in vc["fields"]:
             val = str(values.get(f.name, f.default))
@@ -412,12 +432,16 @@ class Dashboard:
             if request_id
             else ""
         )
+        hidden_existing = (
+            "<input type='hidden' name='existing' value='1'>" if existing else ""
+        )
+        verb = "Edit" if existing else "New"
         return (
-            f"<h1>New {_e(vc['display'])} Connection</h1>{flash_html}"
+            f"<h1>{verb} {_e(vc['display'])} Connection</h1>{flash_html}"
             f"<form method='post' action='{_e(action)}'>"
             f"<input type='hidden' name='type' value='{_e(dest_type)}'>"
             f"<input type='hidden' name='csrf_token' value='{_e(token)}'>"
-            f"{hidden_req}{''.join(rows)}"
+            f"{hidden_req}{hidden_existing}{''.join(rows)}"
             "<button type='submit'>Save Connection</button></form>"
         )
 
@@ -435,27 +459,35 @@ class Dashboard:
         )
 
     def _upsert(self, form: dict[str, str], *, name_override: str | None = None):
-        """Shared create path for dashboard + request-link submits —
-        ``pkg/connections/upsert.go:60-126``: decode, test
-        credentials (our factory connects eagerly), create
-        destination, mint one key."""
+        """Shared create/update path for dashboard + request-link
+        submits — ``pkg/connections/upsert.go:60-126``: decode, test
+        credentials (our factory connects eagerly), create or (when
+        the edit form set ``existing``) replace the destination.
+        Creates mint one key; updates keep the existing keys valid.
+        Any factory failure — bad credentials raise backend-specific
+        exceptions (duckdb.Error, JDBC/Py4J), not just ValueError —
+        re-renders the form as a flash, never a dropped socket."""
         dest_type = form.get("type", "")
         name = (name_override or form.get("name", "")).strip()
+        is_update = form.get("existing") == "1"
         if not name:
             raise FormError("Missing name", "connection name is required")
         settings = decode_form(dest_type, form)
         fac_type, fac_settings = factory_call(dest_type, settings)
         try:
-            self.service.create_destination(name, fac_type, fac_settings)
+            if is_update:
+                self.service.update_destination(name, fac_type, fac_settings)
+            else:
+                self.service.create_destination(name, fac_type, fac_settings)
         except FormError:
             raise
-        except (ValueError, KeyError) as err:
+        except Exception as err:
             raise FormError(
                 "Failed to connect to destination."
                 " Check the settings and try again.",
                 str(err),
             ) from err
-        api_key = self.service.create_key(name)
+        api_key = None if is_update else self.service.create_key(name)
         self.dest_settings[name] = {
             k: v
             for k, v in settings.items()
@@ -554,7 +586,7 @@ class Dashboard:
                     "New Connection",
                     self._form_html(t, "/dashboard/connections/upsert", token),
                 ),
-                cookie or csrf_cookie,
+                [cookie, csrf_cookie],
             )
             return True
 
@@ -579,9 +611,10 @@ class Dashboard:
                         token,
                         name=name,
                         values=self.dest_settings.get(name, {}),
+                        existing=True,
                     ),
                 ),
-                cookie or csrf_cookie,
+                [cookie, csrf_cookie],
             )
             return True
 
@@ -593,9 +626,17 @@ class Dashboard:
         rows = []
         for d in self.service.list_destinations():
             n = _e(d["name"])
+            # edit needs the dashboard-side form state (type + saved
+            # settings); API-created or config-time connections have
+            # none, so they get no dead link
+            edit = (
+                f"<a href='/dashboard/connections/edit/{n}'>edit</a> "
+                if d["name"] in self.dest_dashboard_type
+                else ""
+            )
             rows.append(
                 f"<tr><td>{n}</td><td>{_e(d['type'])}</td><td>"
-                f"<a href='/dashboard/connections/edit/{n}'>edit</a> "
+                f"{edit}"
                 f"<form class='inline' method='post'"
                 f" action='/dashboard/connections/keys'>"
                 f"<input type='hidden' name='name' value='{n}'>"
@@ -622,7 +663,7 @@ class Dashboard:
             f"<input type='hidden' name='csrf_token' value='{token}'>"
             "<button>Create link</button></form>"
         )
-        self._send(handler, 200, _page("Connections", body), cookie or csrf_cookie)
+        self._send(handler, 200, _page("Connections", body), [cookie, csrf_cookie])
 
     def _share_page(self, handler, uid: str):
         """pages/share.html — name, expiry date, format links."""
@@ -693,20 +734,34 @@ class Dashboard:
             try:
                 name, api_key = self._upsert(form)
             except FormError as fe:
-                token, _ = self._csrf_token(handler)
+                token, csrf_cookie = self._csrf_token(handler)
                 self._send(
                     handler,
                     200,
                     _page(
                         "New Connection",
                         self._form_html(
-                            form.get("type", "spark"),
+                            form.get("type", ""),
                             "/dashboard/connections/upsert",
                             token,
                             name=form.get("name", ""),
                             values=form,
                             flash=f"{fe.title} {fe.message}",
+                            existing=form.get("existing") == "1",
                         ),
+                    ),
+                    csrf_cookie,
+                )
+                return True
+            if api_key is None:  # edit: keys unchanged, no key page
+                self._send(
+                    handler,
+                    200,
+                    _page(
+                        "Connection updated",
+                        f"<h1>Connection “{_e(name)}” updated</h1>"
+                        "<p>Existing API keys keep working.</p>"
+                        "<p><a href='/dashboard/connections'>Back</a></p>",
                     ),
                 )
                 return True
@@ -770,12 +825,19 @@ class Dashboard:
                 _page("Request expired", "<h1>Request not found or expired</h1>"),
             )
             return
-        _, dest_type = req
+        stored_name, dest_type = req
         form["type"] = dest_type  # the link's type wins over the form's
+        form.pop("existing", None)  # request links only ever create
+        # the form name wins (reference UpdateConnection sets Name from
+        # the form); the stored "%s Request" placeholder is the
+        # fallback when the submitter leaves it blank
+        name = form.get("name", "").strip() or re.sub(
+            r"\W+", "_", stored_name
+        )
         try:
-            self._upsert(form)
+            self._upsert(form, name_override=name)
         except FormError as fe:
-            token, _ = self._csrf_token(handler)
+            token, csrf_cookie = self._csrf_token(handler)
             self._send(
                 handler,
                 200,
@@ -791,6 +853,7 @@ class Dashboard:
                         flash=f"{fe.title} {fe.message}",
                     ),
                 ),
+                csrf_cookie,
             )
             return
         self.requests.delete(rid)

@@ -1453,10 +1453,12 @@ def statement_form_df(spark, query: str):
 
         table, on_col, in_list, using, group_by = m.groups()
         df = spark.table(table)
-        if using:
-            agg_exprs = [F.expr(a) for a in _split_top_level_commas_text(using)]
-        else:
-            agg_exprs = [F.count(F.lit(1))]
+        agg_texts = (
+            _split_top_level_commas_text(using) if using else ["count(*)"]
+        )
+        agg_exprs = (
+            [F.expr(a) for a in agg_texts] if using else [F.count(F.lit(1))]
+        )
         if group_by:
             group_cols = [g.strip() for g in group_by.split(",")]
         else:
@@ -1473,7 +1475,29 @@ def statement_form_df(spark, query: str):
             if in_list
             else None,
         )
-        return piv.agg(*agg_exprs)
+        out = piv.agg(*agg_exprs)
+        # DuckDB's PIVOT statement renders an empty COUNT cell as 0;
+        # Spark's pivot leaves it NULL. Patch the count-backed output
+        # columns (all of them for a single count agg; by name suffix
+        # for multi-agg pivots) so API callers see DuckDB's values.
+        count_like = [
+            a for a in agg_texts if re.match(r"(?is)^\s*count\s*\(", a)
+        ]
+        if count_like:
+            group_set = {c.lower() for c in group_cols}
+            fixed = []
+            for c in out.columns:
+                is_count_col = c.lower() not in group_set and (
+                    len(agg_texts) == 1
+                    or any(a in c for a in count_like)
+                )
+                fixed.append(
+                    F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c)
+                    if is_count_col
+                    else F.col(f"`{c}`")
+                )
+            out = out.select(*fixed)
+        return out
     return None
 
 
@@ -1506,9 +1530,13 @@ def _union_by_name_df(spark, query: str):
     if not hits:
         return None
     last_seg = masked[hits[-1].end():]
-    if _ORDER_LIMIT_RE.search(last_seg):
+    # statement-level (depth-0) ORDER BY/LIMIT only — one inside an
+    # OVER() clause or subquery of the last branch is that branch's
+    if any(
+        _ORDER_LIMIT_RE.fullmatch(m.group(0))
+        for m in _d0_matches(last_seg, _ORDER_LIMIT_RE.pattern)
+    ):
         return None  # global ORDER/LIMIT: no faithful branch split
-    dedup = any("ALL" not in h.group(0).upper() for h in hits)
     segments, pos = [], 0
     for h in hits:
         segments.append(masked[pos : h.start()])
@@ -1522,10 +1550,14 @@ def _union_by_name_df(spark, query: str):
         except Exception:
             return spark.sql(rewrite(seg))
 
+    # left-associative like DuckDB: UNION (no ALL) deduplicates the
+    # accumulated result BEFORE the next branch is appended
     out = run(segments[0])
-    for seg in segments[1:]:
+    for h, seg in zip(hits, segments[1:]):
         out = out.unionByName(run(seg), allowMissingColumns=True)
-    return out.distinct() if dedup else out
+        if not re.search(r"\bALL\b", h.group(0), re.I):
+            out = out.distinct()
+    return out
 
 
 # -------------------------------------------------------------- qualify

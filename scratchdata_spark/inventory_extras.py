@@ -978,7 +978,7 @@ def x_cap_per_source(spark, sf_dir):
     FROM documents d JOIN k ON d.source = k.source
     WHERE keep >= 1
        OR substr(sha256(d.text), 1, 4)
-          < printf('%04x', CAST(round(keep * 65536) AS INT))
+          < printf('%04x', CAST(least(round(keep * 65536), 65535) AS INT))
     """,
 )
 def x_resample_temperature(spark, sf_dir):
@@ -1298,13 +1298,9 @@ def q_dialect_pivot_stmt(spark, sf_dir):
     from scratchdata_spark.dialect import statement_form_df
 
     load(spark, sf_dir)
-    df = statement_form_df(spark, _DUCKDB_PIVOT_TEXT)
-    # count(*) over a pivot cell that has no rows is NULL in Spark's
-    # pivot and 0 in DuckDB's statement — align on the SQL meaning
-    return df.select(
-        "o_orderpriority",
-        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) for c in df.columns[1:]],
-    )
+    # empty COUNT cells come back 0 (DuckDB's rendering) from the
+    # statement builder itself, so API callers and this oracle agree
+    return statement_form_df(spark, _DUCKDB_PIVOT_TEXT)
 
 
 _DUCKDB_COMPREHENSION_TEXT = """

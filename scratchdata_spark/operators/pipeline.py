@@ -230,8 +230,12 @@ def resample_by_temperature(
         .withColumn("__keep", F.col("__rate") / F.col("__mx"))
         .select(group_col, "__keep")
     )
+    # least(...) caps the grid at 65535 ('ffff'): keep-rates just
+    # below 1.0 would otherwise round to 65536, whose printf '10000'
+    # is 5 chars and lexicographically BELOW almost every 4-char hex
+    # prefix — dropping ~94% of a group meant to keep ~all of it
     thresh = F.expr(
-        "printf('%04x', cast(round(__keep * 65536) as int))"
+        "printf('%04x', cast(least(round(__keep * 65536), 65535.0) as int))"
     )
     return (
         df.join(F.broadcast(keep), group_col)

@@ -270,3 +270,87 @@ def test_decode_form_types_and_factory_mapping():
         decode_form("clickhouse", {"http_port": "NaN"})
     with pytest.raises(FormError):
         decode_form("nosuch", {})
+
+
+# ------------------------- fixes from the round-4 adversarial review
+
+
+def test_edit_connection_saves_and_keeps_keys(app, client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/spark")
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "editable", "csrf_token": token},
+    )
+    key = re.search(r"class='key'>([0-9a-f-]{36})</p>", body).group(1)
+    # edit page renders with the existing marker, and saving works
+    code, body = client.req("GET", "/dashboard/connections/edit/editable")
+    assert code == 200 and "name='existing' value='1'" in body
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "editable", "existing": "1",
+         "csrf_token": token},
+    )
+    assert code == 200 and "updated" in body and "shown exactly once" not in body
+    # the pre-edit key still resolves — update must not revoke keys
+    assert app.service.keys.resolve(key) == "editable"
+
+
+def test_form_with_api_key_in_url_sets_csrf_cookie(app):
+    """A fresh admin session landing DIRECTLY on a form page via
+    ?api_key= must still receive the sd_csrf cookie (both Set-Cookie
+    headers go out), or the form could never submit."""
+    c = Client(app)
+    code, body = c.req(
+        "GET", "/dashboard/connections/new/spark?api_key=admin"
+    )
+    assert code == 200
+    assert "sd_key" in c.cookies and "sd_csrf" in c.cookies
+    token = c.csrf(body)
+    code, body = c.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "direct_entry", "csrf_token": token},
+    )
+    assert code == 200 and re.search(r"[0-9a-f-]{36}", body)
+
+
+def test_unknown_type_upsert_renders_error_not_crash(app, client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/spark")
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "bogus", "name": "x", "csrf_token": token},
+    )
+    assert code == 200 and "Unknown connection type" in body
+
+
+def test_bad_backend_credentials_rerender_as_flash(app, client):
+    """Factory failures raise backend-specific exceptions (duckdb
+    IOException etc.), which must surface as the form's flash path,
+    not a dropped socket."""
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/duckdb")
+    token = client.csrf(body)
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "duckdb", "name": "badduck",
+         "database": "/nonexistent-dir/no.db", "token": "",
+         "csrf_token": token},
+    )
+    assert code == 200 and "Failed to connect" in body
+    assert "badduck" not in app.service.destinations
+
+
+def test_index_omits_edit_link_for_non_dashboard_connections(app, client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections")
+    # 'default' comes from build-time config — no dashboard form state
+    assert "/dashboard/connections/edit/default" not in body

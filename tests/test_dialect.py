@@ -812,3 +812,61 @@ def test_comprehension_and_union_by_name_match_duckdb(spark):
     expect = [tuple(map(str, r)) for r in con.execute(sql).fetchall()]
     got = [tuple(map(str, r)) for r in spark.sql(rewrite(sql)).collect()]
     assert got == expect
+
+
+def test_union_by_name_window_order_by_is_not_global(spark):
+    """A depth>0 ORDER BY (inside OVER()) in the final branch must NOT
+    be mistaken for a statement-level one — the bridgeable shape."""
+    from scratchdata_spark.dialect import statement_form_df
+
+    spark.sql("select 1 as a").createOrReplaceTempView("ubn_w1")
+    spark.sql("select 5 as x").createOrReplaceTempView("ubn_w2")
+    df = statement_form_df(
+        spark,
+        "select a from ubn_w1 union all by name"
+        " select row_number() over (order by x) as a from ubn_w2",
+    )
+    assert df is not None and sorted(r["a"] for r in df.collect()) == [1, 1]
+
+
+def test_union_by_name_mixed_dedup_is_left_associative(spark):
+    """A UNION BY NAME B UNION ALL BY NAME C: dedup applies to (A,B)
+    only; C's duplicates survive — DuckDB's left-assoc semantics."""
+    from scratchdata_spark.dialect import statement_form_df
+
+    df = statement_form_df(
+        spark,
+        "select 1 as a union by name select 1 as a"
+        " union all by name select 1 as a",
+    )
+    assert [r["a"] for r in df.collect()] == [1, 1]
+    con = duckdb.connect()
+    assert (
+        len(
+            con.execute(
+                "select 1 as a union by name select 1 as a"
+                " union all by name select 1 as a"
+            ).fetchall()
+        )
+        == 2
+    )
+
+
+def test_pivot_statement_empty_count_cells_are_zero(spark):
+    """Engine-served PIVOT renders empty COUNT cells as 0 like
+    DuckDB's statement — not Spark's pivot NULL."""
+    from scratchdata_spark.dialect import statement_form_df
+
+    spark.createDataFrame(
+        [("p1", "A"), ("p2", "B")], ["grp", "status"]
+    ).createOrReplaceTempView("pv0")
+    df = statement_form_df(spark, "PIVOT pv0 ON status USING count(*) GROUP BY grp")
+    vals = {r["grp"]: (r["A"], r["B"]) for r in df.collect()}
+    assert vals == {"p1": (1, 0), "p2": (0, 1)}
+    # a single non-count agg keeps NULL (DuckDB sums are NULL too)
+    spark.createDataFrame(
+        [("p1", "A", 3), ("p2", "B", 4)], ["grp", "status", "v"]
+    ).createOrReplaceTempView("pv1")
+    df = statement_form_df(spark, "PIVOT pv1 ON status USING sum(v) GROUP BY grp")
+    vals = {r["grp"]: (r["A"], r["B"]) for r in df.collect()}
+    assert vals == {"p1": (3, None), "p2": (None, 4)}

@@ -250,3 +250,23 @@ def test_chunk_documents_windows(spark):
     assert [r["chunk_text"] for r in by_doc[3]] == [""]
     with pytest.raises(ValueError):
         chunk_documents(d, chunk_chars=64, overlap_chars=64)
+
+
+def test_resample_near_unity_keep_rate_is_not_truncated(spark):
+    """Two near-equal large groups: the slightly-larger one's keep
+    rate rounds to the 65536 grid top — the threshold must cap at
+    'ffff' (keep ~everything), not overflow to the 5-char '10000'
+    whose lexicographic compare drops ~94% of the group."""
+    from scratchdata_spark.operators.pipeline import resample_by_temperature
+
+    d = spark.range(2001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "a").otherwise("b").alias("source"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    out = resample_by_temperature(d, "source", alpha=0.5)
+    by = {r["source"]: r["count"]
+          for r in out.groupBy("source").count().collect()}
+    assert by["a"] == 1000  # smaller group: keep-rate exactly 1
+    # larger group keeps ~all (>= 99%), never the ~6% of the bug
+    assert by["b"] >= 990

@@ -178,8 +178,14 @@ class Service:
         """Parse/analyze the query so syntax/semantic errors surface
         BEFORE any response byte is written. The destination's plan
         cache keeps the analyzed plan, so the serializer that follows
-        re-uses this work rather than repeating it."""
+        re-uses this work rather than repeating it. Warehouse DML
+        statements validate WITHOUT executing (query_df would run the
+        side effect; the one real execution happens when the
+        serializer calls it)."""
         dest = self.destinations[destination]  # KeyError → 404 upstream
+        validate_stmt = getattr(dest, "validate_statement", None)
+        if validate_stmt is not None and validate_stmt(q):
+            return
         try:
             dest.query_df(q)
         except NotImplementedError:  # backend without a DataFrame surface

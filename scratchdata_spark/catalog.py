@@ -47,6 +47,11 @@ class TableInfo:
         for c in self.columns:
             if c["name"] == ROW_ID:
                 fields.append(StructField(ROW_ID, LongType(), True))
+            elif "sparktype" in c:
+                # full Spark DDL type (CTAS results carry timestamps,
+                # arrays, decimals — beyond the four ingest jsontypes)
+                dt = StructType.fromDDL(f"`x` {c['sparktype']}")[0].dataType
+                fields.append(StructField(c["name"], dt, True))
             else:
                 fields.append(StructField(c["name"], SPARK_TYPES[c["jsontype"]], True))
         return StructType(fields)
@@ -159,6 +164,20 @@ class TableCatalog:
         for name, jt in types.items():
             if name not in have:
                 info.columns.append({"name": name, "jsontype": jt})
+        self._put(info)
+        return info
+
+    def add_spark_columns(
+        self, database: str, table: str, types: dict[str, str]
+    ) -> TableInfo:
+        """ADD COLUMN with a full Spark DDL type string — the CTAS
+        channel for types the ingest jsontypes cannot express.
+        Same append-only, never-retype contract as add_columns."""
+        info = self.get(database, table) or self.create_empty_table(database, table)
+        have = {c["name"] for c in info.columns}
+        for name, ddl in types.items():
+            if name not in have:
+                info.columns.append({"name": name, "sparktype": ddl})
         self._put(info)
         return info
 

@@ -229,6 +229,16 @@ class SparkDestination(DataFrameSerializers, Destination):
     def query_df(self, query: str) -> DataFrame:
         query = trim_query(query)
 
+        # warehouse DML/DDL executes HERE, bypassing the plan cache —
+        # caching would make a repeated INSERT/DELETE text a no-op —
+        # and never reaches spark.sql, whose session catalog would
+        # swallow CREATE/DROP invisibly (warehouse_dml module doc)
+        from scratchdata_spark import warehouse_dml
+
+        if warehouse_dml.statement_kind(query) is not None:
+            self.register_views()
+            return warehouse_dml.execute(self, query)
+
         def build() -> DataFrame:
             self.register_views()
             try:
@@ -254,6 +264,20 @@ class SparkDestination(DataFrameSerializers, Destination):
                 return self.spark.sql(rewritten)
 
         return self.plan_cache.get(query, build)
+
+    def validate_statement(self, query: str) -> bool:
+        """True if ``query`` is a warehouse DML/DDL statement, after
+        side-effect-free validation (shape, target table, embedded
+        SELECT analysis). The HTTP layer calls this BEFORE streaming:
+        query_df would EXECUTE the statement, and the API's
+        validate-then-serialize shape would run it twice."""
+        from scratchdata_spark import warehouse_dml
+
+        if warehouse_dml.statement_kind(trim_query(query)) is None:
+            return False
+        self.register_views()
+        warehouse_dml.validate(self, trim_query(query))
+        return True
 
     # serializers (A13-A15) come from DataFrameSerializers — streamed,
     # constant driver memory

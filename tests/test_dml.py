@@ -1,0 +1,209 @@
+"""Warehouse DML/DDL statements (warehouse_dml.py): CTAS, INSERT …
+SELECT/VALUES, UPDATE, DELETE, TRUNCATE, DROP through the passthrough
+query path — executed against the TableCatalog (never Spark's session
+catalog), copy-on-write generation flips for the mutating rewrites,
+and exactly-once execution through the HTTP validate-then-stream
+shape."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from scratchdata_spark.catalog import TableCatalog
+from scratchdata_spark.engine import SparkDestination
+
+
+@pytest.fixture()
+def dest(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "wh"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    nd = "\n".join(
+        json.dumps({"g": c, "v": i}) for i, c in enumerate("aabbcc")
+    )
+    p = tmp_path / "seed.ndjson"
+    p.write_text(nd + "\n")
+    d.insert_ndjson("t", str(p))
+    return d
+
+
+def run(dest, q):
+    out = io.StringIO()
+    dest.query_json(q, out)
+    return json.loads(out.getvalue())
+
+
+def test_ctas_registers_in_engine_catalog(dest):
+    assert run(dest, "create table t2 as select g, v*2 as v2 from t") == [
+        {"count": 6}
+    ]
+    # visible to the ENGINE's catalog (introspection, other sessions),
+    # not lost in Spark's session catalog
+    assert "t2" in dest.tables()
+    cols = {c["name"]: c["type"] for c in dest.columns("t2")}
+    assert cols["v2"] == "bigint" and "__row_id" in cols
+    assert run(dest, "select sum(v2) as s from t2") == [{"s": 30}]
+    # plain CREATE collides; OR REPLACE and IF NOT EXISTS don't
+    with pytest.raises(Exception):
+        run(dest, "create table t2 as select 1 as x")
+    assert run(dest, "create table if not exists t2 as select 1 as x") == [
+        {"count": 0}
+    ]
+    run(dest, "create or replace table t2 as select 9 as x")
+    assert run(dest, "select x from t2") == [{"x": 9}]
+
+
+def test_ctas_rich_types_round_trip(dest):
+    run(
+        dest,
+        "create table rich as select timestamp '2024-05-01 10:00:00' as ts,"
+        " array(1, 2) as arr, g from t",
+    )
+    cols = {c["name"]: c["type"] for c in dest.columns("rich")}
+    assert cols["ts"] == "timestamp" and cols["arr"] == "array<int>"
+    rows = run(dest, "select ts, arr[0] as a0 from rich limit 1")
+    assert rows[0]["a0"] == 1 and rows[0]["ts"].startswith("2024-05-01")
+
+
+def test_create_from_defs_and_positional_insert(dest):
+    run(dest, "create table t4 (a INT, b STRING)")
+    # declaration order survives registration: positional VALUES map
+    cols = [c["name"] for c in dest.columns("t4")]
+    assert cols == ["__row_id", "a", "b"]
+    assert run(dest, "insert into t4 values (1, 'x')") == [{"count": 1}]
+    assert run(dest, "insert into t4 (b) select 'only-b'") == [{"count": 1}]
+    rows = run(dest, "select a, b from t4 order by b")
+    assert rows == [{"b": "only-b"}, {"a": 1, "b": "x"}]
+    with pytest.raises(Exception, match="arity"):
+        run(dest, "insert into t4 values (1, 'x', 99)")
+
+
+def test_insert_select_appends(dest):
+    before = run(dest, "select count(*) as n from t")[0]["n"]
+    assert run(dest, "insert into t select g, v + 100 from t") == [
+        {"count": before}
+    ]
+    assert run(dest, "select count(*) as n from t")[0]["n"] == 2 * before
+    # appended rows got unique __row_ids
+    dup = run(
+        dest,
+        "select count(*) as n from"
+        " (select __row_id from t group by __row_id having count(*) > 1) d",
+    )
+    assert dup[0]["n"] == 0
+
+
+def test_update_and_delete_copy_on_write(dest):
+    gen0 = dest.catalog.get("dml", "t").generation
+    assert run(dest, "update t set v = v + 1000 where g = 'a'") == [
+        {"count": 2}
+    ]
+    assert run(dest, "select min(v) as m from t where g = 'a'") == [
+        {"m": 1000}
+    ]
+    assert run(dest, "delete from t where v >= 1000") == [{"count": 2}]
+    assert run(dest, "select count(*) as n from t") == [{"n": 4}]
+    # each mutation flipped a generation pointer (snapshot semantics)
+    assert dest.catalog.get("dml", "t").generation == gen0 + 2
+    # DELETE without WHERE empties but keeps the table
+    assert run(dest, "delete from t") == [{"count": 4}]
+    assert run(dest, "select count(*) as n from t") == [{"n": 0}]
+    assert "t" in dest.tables()
+
+
+def test_update_null_predicate_rows_untouched(dest):
+    run(dest, "insert into t values (null, 7)")
+    # pred g = 'zz' is NULL for the null-g row: must NOT update it
+    assert run(dest, "update t set v = -1 where g = 'zz'") == [{"count": 0}]
+    assert run(dest, "select v from t where g is null") == [{"v": 7}]
+
+
+def test_truncate_and_drop(dest):
+    run(dest, "create table tr as select * from t")
+    assert run(dest, "truncate table tr") == [{"count": 0}]
+    assert run(dest, "select count(*) as n from tr") == [{"n": 0}]
+    run(dest, "drop table tr")
+    assert "tr" not in dest.tables()
+    # the stale temp view must not keep resolving
+    with pytest.raises(Exception):
+        run(dest, "select * from tr")
+    assert run(dest, "drop table if exists tr") == [{"count": 0}]
+    with pytest.raises(KeyError):
+        run(dest, "drop table tr")
+
+
+def test_dml_with_duckdb_dialect_expressions(dest):
+    """Statement bodies run through the same dialect fallback as
+    queries — a saved DuckDB script's `//` works inside DML."""
+    run(dest, "create table dd as select g, v // 2 as half from t")
+    assert run(dest, "select max(half) as m from dd") == [{"m": 2}]
+    assert run(dest, "delete from dd where half // 1 = 2") == [{"count": 2}]
+
+
+def test_validate_does_not_execute(dest):
+    """The HTTP layer validates then streams; validation of a DML
+    statement must be side-effect-free or inserts double-execute."""
+    q = "insert into t values ('z', 42)"
+    assert dest.validate_statement(q) is True
+    assert run(dest, "select count(*) as n from t where g = 'z'") == [
+        {"n": 0}
+    ]
+    # …and the real execution is exactly once
+    run(dest, q)
+    assert run(dest, "select count(*) as n from t where g = 'z'") == [
+        {"n": 1}
+    ]
+    # non-statements are declined without analysis side effects
+    assert dest.validate_statement("select 1") is False
+    # broken statements fail validation loudly
+    with pytest.raises(KeyError):
+        dest.validate_statement("insert into nosuch select 1")
+
+
+def test_http_dml_executes_exactly_once(spark, tmp_path):
+    import urllib.request
+
+    from scratchdata_spark.config import Config
+    from scratchdata_spark.service import build_app
+
+    cfg = Config(api_keys={"k": "default"}, admin_key="adm")
+    cfg.sink.max_file_age_seconds = 3600
+    app = build_app(spark, cfg, str(tmp_path / "app"))
+    app.server.start()
+    try:
+        base = f"http://127.0.0.1:{app.port}"
+
+        def req(method, path, body=None):
+            r = urllib.request.Request(
+                base + path,
+                data=json.dumps(body).encode() if body else None,
+                method=method,
+            )
+            with urllib.request.urlopen(r, timeout=60) as resp:
+                return resp.status, resp.read().decode()
+
+        s, _ = req("POST", "/api/data/insert/ht?api_key=k", [{"x": 1}])
+        assert s == 200
+        app.drain()
+        import urllib.parse
+
+        def q(sql):
+            s, b = req(
+                "GET",
+                "/api/data/query?api_key=k&query=" + urllib.parse.quote(sql),
+            )
+            assert s == 200, b
+            return json.loads(b)
+
+        # one POSTed INSERT inserts exactly ONE row (validate+stream
+        # must not run the statement twice)
+        assert q("insert into ht values (99)") == [{"count": 1}]
+        assert q("select count(*) as n from ht where x = 99") == [{"n": 1}]
+        assert q("create table agg as select sum(x) as s from ht") == [
+            {"count": 1}
+        ]
+        assert q("select s from agg") == [{"s": 100}]
+    finally:
+        app.server.stop()

@@ -184,8 +184,14 @@ class Service:
         serializer calls it)."""
         dest = self.destinations[destination]  # KeyError → 404 upstream
         validate_stmt = getattr(dest, "validate_statement", None)
-        if validate_stmt is not None and validate_stmt(q):
-            return
+        if validate_stmt is not None:
+            try:
+                if validate_stmt(q):
+                    return
+            except KeyError as err:
+                # 'no such table' must NOT reuse the KeyError →
+                # 404-unknown-destination mapping of the line above
+                raise ValueError(str(err)) from err
         try:
             dest.query_df(q)
         except NotImplementedError:  # backend without a DataFrame surface

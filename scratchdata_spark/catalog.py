@@ -193,7 +193,10 @@ class TableCatalog:
         path = self._meta_path(database, table)
         if os.path.exists(path):
             os.remove(path)
-        shutil.rmtree(self.data_dir(database, table), ignore_errors=True)
+        # the WHOLE root, not just the current generation: retained
+        # parent-generation files would silently resurrect into a
+        # later CREATE of the same name (gen 0 reads the root dir)
+        shutil.rmtree(self.table_root(database, table), ignore_errors=True)
 
     def merged_struct(self, database: str, table: str, batch: StructType) -> StructType:
         info = self.get(database, table)

@@ -235,9 +235,10 @@ class SparkDestination(DataFrameSerializers, Destination):
         # swallow CREATE/DROP invisibly (warehouse_dml module doc)
         from scratchdata_spark import warehouse_dml
 
-        if warehouse_dml.statement_kind(query) is not None:
+        stmt_text = warehouse_dml.normalize(query)
+        if warehouse_dml.statement_kind(stmt_text) is not None:
             self.register_views()
-            return warehouse_dml.execute(self, query)
+            return warehouse_dml.execute(self, stmt_text)
 
         def build() -> DataFrame:
             self.register_views()
@@ -273,10 +274,11 @@ class SparkDestination(DataFrameSerializers, Destination):
         validate-then-serialize shape would run it twice."""
         from scratchdata_spark import warehouse_dml
 
-        if warehouse_dml.statement_kind(trim_query(query)) is None:
+        stmt_text = warehouse_dml.normalize(trim_query(query))
+        if warehouse_dml.statement_kind(stmt_text) is None:
             return False
         self.register_views()
-        warehouse_dml.validate(self, trim_query(query))
+        warehouse_dml.validate(self, stmt_text)
         return True
 
     # serializers (A13-A15) come from DataFrameSerializers — streamed,
@@ -496,48 +498,15 @@ class SparkDestination(DataFrameSerializers, Destination):
         writer.parquet(new_dir)
         if _after_rewrite is not None:
             _after_rewrite()  # simulate inserts landing mid-compaction
-        with self.catalog.lock(self.database, table):
-            # A compactor on another instance (shared warehouse dir) may
-            # have flipped the generation since our snapshot: abort, our
-            # rewrite is based on a superseded listing.
-            now = self.catalog.get(self.database, table)
-            if now is None or now.generation != info.generation:
-                import shutil
-
-                shutil.rmtree(new_dir, ignore_errors=True)
-                return {
-                    "compacted": False,
-                    "files": self.file_count(table),
-                    "reason": "generation changed during rewrite",
-                }
-            # catch-up: batches inserted during the rewrite move over
-            # as-is (rename only; their schema may trail — reads pass
-            # an explicit schema, missing columns come back NULL)
-            late = [
-                f for f in self._list_parquet(cur_dir) if f not in set(snapshot)
-            ]
-            for f in late:
-                dst = os.path.join(new_dir, os.path.dirname(f), "late-" + os.path.basename(f))
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(cur_dir, f), dst)
-            self.catalog.set_generation(self.database, table, new_gen)
-            self.plan_cache.invalidate()
-        # retire the grandparent (new_gen - 2); the immediate parent
-        # stays until the NEXT compaction for in-flight readers
-        retire = new_gen - 2
-        if retire == 0:
-            import shutil
-
-            for f in os.listdir(root):
-                p = os.path.join(root, f)
-                if f.endswith(".parquet") or f == "_SUCCESS":
-                    os.remove(p)
-                elif "=" in f and os.path.isdir(p):  # hive partition dir
-                    shutil.rmtree(p, ignore_errors=True)
-        elif retire > 0:
-            import shutil
-
-            shutil.rmtree(os.path.join(root, f"g{retire}"), ignore_errors=True)
+        late = self._flip_generation(
+            table, info.generation, cur_dir, snapshot, new_dir, new_gen
+        )
+        if late is None:
+            return {
+                "compacted": False,
+                "files": self.file_count(table),
+                "reason": "generation changed during rewrite",
+            }
         return {
             "compacted": True,
             "files_in": len(snapshot),
@@ -546,3 +515,55 @@ class SparkDestination(DataFrameSerializers, Destination):
             "bytes": int(total),
             "generation": new_gen,
         }
+
+    def _flip_generation(
+        self,
+        table: str,
+        expected_gen: int,
+        cur_dir: str,
+        snapshot: list[str],
+        new_dir: str,
+        new_gen: int,
+    ) -> list[str] | None:
+        """Shared generation-flip tail for compaction AND the
+        warehouse-DML copy-on-write rewrites (warehouse_dml.py):
+        re-check the pointer under the table lock, rename late-arrived
+        insert files into the new generation untouched, flip, retire
+        the grandparent. Returns the late-file list, or None if the
+        generation changed under us (the new dir is discarded)."""
+        import shutil
+
+        root = self.catalog.table_root(self.database, table)
+        with self.catalog.lock(self.database, table):
+            # A flipper on another instance (shared warehouse dir) may
+            # have moved the pointer since our snapshot: abort, our
+            # rewrite is based on a superseded listing.
+            now = self.catalog.get(self.database, table)
+            if now is None or now.generation != expected_gen:
+                shutil.rmtree(new_dir, ignore_errors=True)
+                return None
+            # catch-up: batches inserted during the rewrite move over
+            # as-is (rename only; their schema may trail — reads pass
+            # an explicit schema, missing columns come back NULL)
+            late = [
+                f for f in self._list_parquet(cur_dir) if f not in set(snapshot)
+            ] if os.path.isdir(cur_dir) else []
+            for f in late:
+                dst = os.path.join(new_dir, os.path.dirname(f), "late-" + os.path.basename(f))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(cur_dir, f), dst)
+            self.catalog.set_generation(self.database, table, new_gen)
+            self.plan_cache.invalidate()
+        # retire the grandparent (new_gen - 2); the immediate parent
+        # stays until the NEXT flip for in-flight readers
+        retire = new_gen - 2
+        if retire == 0:
+            for f in os.listdir(root):
+                p = os.path.join(root, f)
+                if f.endswith(".parquet") or f == "_SUCCESS":
+                    os.remove(p)
+                elif "=" in f and os.path.isdir(p):  # hive partition dir
+                    shutil.rmtree(p, ignore_errors=True)
+        elif retire > 0:
+            shutil.rmtree(os.path.join(root, f"g{retire}"), ignore_errors=True)
+        return late

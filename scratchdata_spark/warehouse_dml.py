@@ -81,9 +81,29 @@ _UPDATE_RE = re.compile(
 )
 
 
+_LINE_COMMENT = re.compile(r"^\s*--[^\n]*\n?")
+_BLOCK_COMMENT = re.compile(r"^\s*/\*.*?\*/", re.S)
+
+
+def normalize(query: str) -> str:
+    """Strip LEADING comments so '-- rebuild\\nCREATE TABLE … AS …'
+    is recognized as a statement — otherwise it would fall through to
+    spark.sql and land in Spark's session catalog, the exact silent
+    wrongness this module exists to prevent. Interior comments stay;
+    the embedded SELECT path handles them."""
+    prev = None
+    while prev != query:
+        prev = query
+        query = _LINE_COMMENT.sub("", query, count=1)
+        query = _BLOCK_COMMENT.sub("", query, count=1)
+    return query
+
+
 def statement_kind(query: str) -> str | None:
     """Which warehouse statement this text is, or None (normal query
-    → passthrough). Order matters: CTAS before column-def CREATE."""
+    → passthrough). Callers pass normalize()d text — leading comments
+    must not hide a statement. Order matters: CTAS before column-def
+    CREATE."""
     for kind, rx in (
         ("ctas", _CTAS_RE),
         ("create", _CREATE_DEF_RE),
@@ -216,9 +236,12 @@ def validate(dest, query: str) -> None:
         m = _UPDATE_RE.match(query)
         info = _require_table(dest, m.group(1))
         set_clause, pred = _split_where(dest, m.group(2))
-        _update_assignments(info, set_clause)
+        assigns = _update_assignments(info, set_clause)
+        tdf = dest.table_df(m.group(1))
+        for text in assigns.values():
+            _expr(dest, tdf, text)  # SET rhs analyzed too, not just names
         if pred:
-            _analyze_pred(dest, m.group(1), pred)
+            _expr(dest, tdf, pred)
     else:
         raise ValueError(f"not a warehouse statement: {query!r}")
 
@@ -238,6 +261,42 @@ def _require_table(dest, table: str):
 
 def _analyze_pred(dest, table: str, pred: str) -> None:
     _expr(dest, dest.table_df(table), pred)  # analysis only
+
+
+def _staged_write(dest, out, partition_col) -> tuple[str, int]:
+    """Write the result to a staging directory FIRST (self-referential
+    statements like ``CREATE OR REPLACE TABLE t AS SELECT … FROM t``
+    must fully materialize before the old data may be touched), with
+    the row count observed in the SAME pass (Observation metric — no
+    persist, no second scan)."""
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    staging = os.path.join(
+        dest.catalog.warehouse, "_staging", _uuid.uuid4().hex
+    )
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = out.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(staging)
+    return staging, int(obs.get["n"] or 0)
+
+
+def _adopt_staged(dest, staging: str, data_dir: str) -> None:
+    """Rename the staged parquet files into the live directory —
+    Spark part-file names carry a job UUID, so appends can't collide."""
+    for dirpath, _dirs, names in os.walk(staging):
+        for f in names:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), staging)
+            dst = os.path.join(data_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(dirpath, f), dst)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 # ------------------------------------------------------ CREATE / CTAS
@@ -276,6 +335,24 @@ def _register_schema(dest, table: str, fields) -> None:
             )
 
 
+def _target_struct(src_schema) -> StructType:
+    """The catalog schema a CTAS result registers as: __row_id first,
+    then each source column widened to its jsontype's storage type
+    (int→bigint, float→double) where one fits, kept verbatim
+    otherwise. The written data is cast to the same types, so parquet
+    files and catalog schema always agree."""
+    from scratchdata_spark.jtypes import SPARK_TYPES
+
+    fields = [StructField(ROW_ID, LongType(), True)]
+    for f in src_schema.fields:
+        if f.name == ROW_ID:
+            continue
+        jt = _jsontype_of(f.dataType)
+        dt = SPARK_TYPES[jt] if jt is not None else f.dataType
+        fields.append(StructField(f.name, dt, True))
+    return StructType(fields)
+
+
 def _exec_ctas(dest, query: str):
     m = _CTAS_RE.match(query)
     or_replace, if_not_exists, table, select_text = m.groups()
@@ -286,27 +363,22 @@ def _exec_ctas(dest, query: str):
             return _count_df(dest, 0)
         if not or_replace:
             raise ValueError(f"table exists: {table}")
-        _exec_drop_table(dest, table)
     src = _source_df(dest, select_text)
+    target = _target_struct(src.schema)
+    out = _with_row_id(src).select(
+        *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+    # materialize to staging BEFORE any drop: OR REPLACE … FROM <self>
+    # must read the old data in full while it still exists
+    staging, n = _staged_write(dest, out, None)
+    if existing is not None:
+        _exec_drop_table(dest, table)
     with dest.catalog.lock(dest.database, table):
         dest.catalog.create_empty_table(dest.database, table)
-        _register_schema(dest, table, src.schema.fields)
-        info = dest.catalog.get(dest.database, table)
-        out = _with_row_id(src)
-        # cast to the REGISTERED types (widened ints/floats): the
-        # parquet files must match the catalog schema readers pass
-        out = out.select(
-            *[
-                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
-                for f in info.struct().fields
-            ]
+        _register_schema(dest, table, target.fields)
+        _adopt_staged(
+            dest, staging, dest.catalog.data_dir(dest.database, table)
         )
-        out = out.persist()
-        n = out.count()
-        out.write.mode("append").parquet(
-            dest.catalog.data_dir(dest.database, table)
-        )
-        out.unpersist()
     dest.plan_cache.invalidate()
     return _count_df(dest, n)
 
@@ -343,32 +415,45 @@ def _with_row_id(df):
 def _insert_projection(info, src, col_list: str | None):
     """Positional mapping (SQL/DuckDB semantics) of the source onto
     the target columns — the explicit column list when given, else
-    every registered column except __row_id, in ALTER order. Unlisted
-    columns fill with NULL; arity must match exactly."""
-    target_fields = {f.name: f for f in info.struct().fields}
+    every registered column except __row_id, in ALTER order. A
+    ``SELECT *`` from an engine view also carries __row_id; that
+    width is accepted and the ids REGENERATED (__row_id is
+    engine-internal — accepting foreign ids could duplicate them).
+    Unlisted columns fill with NULL; arity must match exactly.
+    Returns (renamed_src, projection): source columns are renamed to
+    ordinals first, so duplicate source names (SELECT x, x) keep
+    their positional meaning instead of an ambiguity error."""
+    fields = info.struct().fields
+    target_names = {f.name for f in fields}
     if col_list and col_list.strip():
         names = [c.strip() for c in col_list.split(",")]
         for n in names:
-            if n not in target_fields:
+            if n not in target_names:
                 raise ValueError(f"unknown column: {n}")
     else:
-        names = [f.name for f in info.struct().fields if f.name != ROW_ID]
-    src_cols = [c for c in src.columns]
-    if len(src_cols) != len(names):
+        names = [f.name for f in fields if f.name != ROW_ID]
+        if ROW_ID in src.columns and len(src.columns) == len(fields):
+            names = [f.name for f in fields]  # SELECT * incl __row_id
+    if len(src.columns) != len(names):
         raise ValueError(
-            f"INSERT arity mismatch: {len(src_cols)} source columns for"
-            f" {len(names)} target columns ({', '.join(names)})"
+            f"INSERT arity mismatch: {len(src.columns)} source columns"
+            f" for {len(names)} target columns ({', '.join(names)})"
         )
+    renamed = src.toDF(*[f"_src{i}" for i in range(len(src.columns))])
+    by_name = {n: i for i, n in enumerate(names)}
     cols = []
-    for f in info.struct().fields:
-        if f.name in names:
-            s = src_cols[names.index(f.name)]
-            cols.append(F.col(f"`{s}`").cast(f.dataType).alias(f.name))
-        elif f.name == ROW_ID:
-            continue  # assigned after projection
+    for f in fields:
+        if f.name == ROW_ID:
+            continue  # always re-assigned after the projection
+        if f.name in by_name:
+            cols.append(
+                renamed[f"_src{by_name[f.name]}"]
+                .cast(f.dataType)
+                .alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return cols
+    return renamed, cols
 
 
 def _exec_insert(dest, query: str):
@@ -376,17 +461,17 @@ def _exec_insert(dest, query: str):
     table, col_list, select_text = m.groups()
     info = _require_table(dest, table)
     src = _source_df(dest, select_text)
-    cols = _insert_projection(info, src, col_list)
-    out = _with_row_id(src.select(*cols))
+    renamed, cols = _insert_projection(info, src, col_list)
+    out = _with_row_id(renamed.select(*cols))
     out = out.select(*[f.name for f in info.struct().fields])
+    # stage first (count observed in the same pass), adopt by rename:
+    # a self-referential INSERT INTO t SELECT … FROM t reads a
+    # listing pinned before any new file lands in the live dir
+    staging, n = _staged_write(dest, out, info.partition_col)
     with dest.catalog.lock(dest.database, table):
-        out = out.persist()
-        n = out.count()
-        writer = out.write.mode("append")
-        if info.partition_col:
-            writer = writer.partitionBy(info.partition_col)
-        writer.parquet(dest.catalog.data_dir(dest.database, table))
-        out.unpersist()
+        _adopt_staged(
+            dest, staging, dest.catalog.data_dir(dest.database, table)
+        )
     dest.plan_cache.invalidate()
     return _count_df(dest, n)
 
@@ -415,15 +500,22 @@ def _exec_drop(dest, query: str):
     return _count_df(dest, 0)
 
 
-def _cow_rewrite(dest, table: str, info, transform) -> None:
+def _cow_rewrite(dest, table: str, transform) -> None:
     """Copy-on-write generation flip — the compaction mechanism
-    (engine._compact_locked) applied to a row transform: snapshot the
-    current listing, rewrite it through ``transform`` into g{N+1},
-    then under the table lock re-check the generation, rename
-    late-arriving insert files over untouched, flip the pointer, and
-    retire the grandparent generation."""
+    applied to a row transform: snapshot the current listing, rewrite
+    it through ``transform`` into g{N+1}, then hand off to the SAME
+    flip tail compaction uses (engine._flip_generation: lock,
+    generation re-check, late-file catch-up, pointer flip,
+    grandparent retirement — one implementation, not two).
+
+    The compaction lock is held for the whole rewrite so concurrent
+    DML/compaction serialize, and the TableInfo is re-read INSIDE the
+    lock: a generation loaded before blocking would compute a
+    new_gen that collides with the directory a racing flipper just
+    made live, and the overwrite would destroy it."""
     comp_lock = dest._compaction_lock(table)
     with comp_lock:
+        info = _require_table(dest, table)  # fresh generation pointer
         cur_dir = dest.catalog.data_dir(dest.database, table)
         snapshot = (
             dest._list_parquet(cur_dir) if os.path.isdir(cur_dir) else []
@@ -439,74 +531,52 @@ def _cow_rewrite(dest, table: str, info, transform) -> None:
             )
         else:
             src = dest.spark.createDataFrame([], info.struct())
-        out = transform(src)
+        out = transform(src, info)
         writer = out.write.mode("overwrite")
         if info.partition_col:
             writer = writer.partitionBy(info.partition_col)
         writer.parquet(new_dir)
-        with dest.catalog.lock(dest.database, table):
-            now = dest.catalog.get(dest.database, table)
-            if now is None or now.generation != info.generation:
-                shutil.rmtree(new_dir, ignore_errors=True)
-                raise RuntimeError(
-                    f"table {table} changed during the rewrite; retry"
-                )
-            late = [
-                f
-                for f in (
-                    dest._list_parquet(cur_dir)
-                    if os.path.isdir(cur_dir)
-                    else []
-                )
-                if f not in set(snapshot)
-            ]
-            for f in late:
-                dst = os.path.join(
-                    new_dir, os.path.dirname(f), "late-" + os.path.basename(f)
-                )
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(cur_dir, f), dst)
-            dest.catalog.set_generation(dest.database, table, new_gen)
-            dest.plan_cache.invalidate()
-        # retire the grandparent; the parent stays for in-flight readers
-        retire = new_gen - 2
-        if retire == 0:
-            for f in os.listdir(root):
-                p = os.path.join(root, f)
-                if f.endswith(".parquet") or f == "_SUCCESS":
-                    os.remove(p)
-                elif "=" in f and os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
-        elif retire > 0:
-            shutil.rmtree(os.path.join(root, f"g{retire}"), ignore_errors=True)
+        # metadata-only counts (parquet row-group footers — no data
+        # scan): rows in the snapshot vs rows the rewrite kept. An
+        # Observation metric would be single-pass too, but the
+        # optimizer prunes CollectMetrics together with a folded-away
+        # filter (DELETE without WHERE → filter(false) → the observed
+        # subtree vanishes and the metric never materializes).
+        before = src.count()
+        try:
+            after = dest.spark.read.parquet(new_dir).count()
+        except Exception:  # empty result wrote no parquet files
+            after = 0
+        late = dest._flip_generation(
+            table, info.generation, cur_dir, snapshot, new_dir, new_gen
+        )
+        if late is None:  # cross-process flip raced us (shared dir)
+            raise RuntimeError(
+                f"table {table} changed during the rewrite; retry"
+            )
+        return before, after
 
 
 def _exec_truncate(dest, query: str):
     table = _TRUNCATE_RE.match(query).group(1)
-    info = _require_table(dest, table)
-    _cow_rewrite(dest, table, info, lambda src: src.limit(0))
+    _require_table(dest, table)
+    _cow_rewrite(dest, table, lambda src, info: src.limit(0))
     return _count_df(dest, 0)
 
 
 def _exec_delete(dest, query: str):
     m = _DELETE_RE.match(query)
     table, pred = m.groups()
-    info = _require_table(dest, table)
-    if pred is None:
-        # DELETE without WHERE: count, then truncate via the same CoW
-        n = dest.table_df(table).count()
-        _cow_rewrite(dest, table, info, lambda src: src.limit(0))
-        return _count_df(dest, n)
-    cond = F.coalesce(_expr(dest, dest.table_df(table), pred), F.lit(False))
-    deleted = {"n": 0}
-
-    def transform(src):
-        kept = src.filter(~cond)
-        deleted["n"] = src.filter(cond).count()
-        return kept
-
-    _cow_rewrite(dest, table, info, transform)
-    return _count_df(dest, deleted["n"])
+    _require_table(dest, table)
+    cond = (
+        F.coalesce(_expr(dest, dest.table_df(table), pred), F.lit(False))
+        if pred
+        else F.lit(True)
+    )
+    before, after = _cow_rewrite(
+        dest, table, lambda src, info: src.filter(~cond)
+    )
+    return _count_df(dest, before - after)
 
 
 # -------------------------------------------------------------- UPDATE
@@ -543,21 +613,22 @@ def _exec_update(dest, query: str):
         if pred
         else F.lit(True)
     )
-    fields = {f.name: f for f in info.struct().fields}
-    updated = {"n": 0}
+    set_cols = {
+        name: _expr(dest, tdf, text) for name, text in assigns.items()
+    }
+    # matched count needs the predicate evaluated — one extra filter
+    # scan before the rewrite (UPDATE rewrites everything anyway, so
+    # the rewrite pass dominates; an Observation metric would fold
+    # away with trivial predicates, see _cow_rewrite)
+    n = tdf.filter(cond).count()
 
-    def transform(src):
-        updated["n"] = src.filter(cond).count()
+    def transform(src, info):
+        fields = {f.name: f for f in info.struct().fields}
         cols = []
         for f in info.struct().fields:
-            if f.name in assigns:
+            if f.name in set_cols:
                 cols.append(
-                    F.when(
-                        cond,
-                        _expr(dest, tdf, assigns[f.name]).cast(
-                            fields[f.name].dataType
-                        ),
-                    )
+                    F.when(cond, set_cols[f.name].cast(fields[f.name].dataType))
                     .otherwise(F.col(f.name))
                     .alias(f.name)
                 )
@@ -565,5 +636,5 @@ def _exec_update(dest, query: str):
                 cols.append(F.col(f.name))
         return src.select(*cols)
 
-    _cow_rewrite(dest, table, info, transform)
-    return _count_df(dest, updated["n"])
+    _cow_rewrite(dest, table, transform)
+    return _count_df(dest, n)

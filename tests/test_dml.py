@@ -207,3 +207,92 @@ def test_http_dml_executes_exactly_once(spark, tmp_path):
         assert q("select s from agg") == [{"s": 100}]
     finally:
         app.server.stop()
+
+
+# ------------------------- fixes from the DML adversarial review
+
+
+def test_create_or_replace_self_reference(dest):
+    """CREATE OR REPLACE TABLE t AS SELECT … FROM t (the standard
+    cleanup idiom) must materialize the source BEFORE the old table
+    is dropped — and must not lose the data on the way."""
+    assert run(
+        dest, "create or replace table t as select g, v from t where v < 4"
+    ) == [{"count": 4}]
+    assert run(dest, "select count(*) as n from t") == [{"n": 4}]
+    assert run(dest, "select max(v) as m from t") == [{"m": 3}]
+
+
+def test_insert_select_star_including_row_id(dest):
+    """INSERT INTO archive SELECT * FROM t: the view exposes
+    __row_id, so the positional width includes it; ids are
+    REGENERATED (engine-internal), rows land intact."""
+    run(dest, "create table archive as select * from t where 1 = 0")
+    assert run(dest, "insert into archive select * from t") == [{"count": 6}]
+    assert run(dest, "select count(*) as n from archive") == [{"n": 6}]
+    dup = run(
+        dest,
+        "select count(*) as n from (select __row_id from archive"
+        " group by __row_id having count(*) > 1) d",
+    )
+    assert dup[0]["n"] == 0
+
+
+def test_insert_duplicate_source_columns_positional(dest):
+    run(dest, "create table pair (a STRING, b STRING)")
+    # SELECT g, g — duplicate names are positional, not ambiguous
+    assert run(dest, "insert into pair select g, g from t where v = 0") == [
+        {"count": 1}
+    ]
+    rows = run(dest, "select a, b from pair")
+    assert rows == [{"a": "a", "b": "a"}]
+
+
+def test_leading_comment_does_not_hide_statement(dest):
+    run(dest, "-- rebuild rollup\ncreate table roll as select g from t")
+    # in the ENGINE catalog, not lost in Spark's session catalog
+    assert "roll" in dest.tables()
+
+
+def test_drop_does_not_resurrect_old_generations(dest):
+    """delete (gen flip) → drop → re-create same name: the old
+    generation's parent files must not reappear at generation 0."""
+    run(dest, "delete from t where v >= 3")  # flips to g1; root keeps parents
+    assert run(dest, "select count(*) as n from t") == [{"n": 3}]
+    run(dest, "drop table t")
+    run(dest, "create table t as select 'fresh' as g, 777 as v")
+    rows = run(dest, "select g, v from t")
+    assert rows == [{"g": "fresh", "v": 777}]
+
+
+def test_update_bad_set_expression_fails_validation(dest):
+    with pytest.raises(Exception):
+        dest.validate_statement("update t set v = no_such_col + 1")
+
+
+def test_http_missing_table_error_names_the_table(spark, tmp_path):
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from scratchdata_spark.config import Config
+    from scratchdata_spark.service import build_app
+
+    cfg = Config(api_keys={"k": "default"})
+    cfg.sink.max_file_age_seconds = 3600
+    app = build_app(spark, cfg, str(tmp_path / "app2"))
+    app.server.start()
+    try:
+        url = (
+            f"http://127.0.0.1:{app.port}/api/data/query?api_key=k&query="
+            + urllib.parse.quote("insert into nosuch select 1")
+        )
+        try:
+            urllib.request.urlopen(url, timeout=60)
+            raise AssertionError("expected an error status")
+        except urllib.error.HTTPError as e:
+            body = e.read().decode()
+            assert "nosuch" in body
+            assert "unknown destination" not in body
+    finally:
+        app.server.stop()

@@ -524,13 +524,18 @@ class SparkDestination(DataFrameSerializers, Destination):
         snapshot: list[str],
         new_dir: str,
         new_gen: int,
+        adopt: list[str] | None = None,
     ) -> list[str] | None:
         """Shared generation-flip tail for compaction AND the
         warehouse-DML copy-on-write rewrites (warehouse_dml.py):
         re-check the pointer under the table lock, rename late-arrived
         insert files into the new generation untouched, flip, retire
-        the grandparent. Returns the late-file list, or None if the
-        generation changed under us (the new dir is discarded)."""
+        the grandparent. ``adopt`` lists snapshot files a PRUNED
+        rewrite left untouched (partitions a predicate cannot reach) —
+        they rename over only after the re-check passes, so an abort
+        never destroys files already moved. Returns the late-file
+        list, or None if the generation changed under us (the new dir
+        is discarded)."""
         import shutil
 
         root = self.catalog.table_root(self.database, table)
@@ -542,6 +547,10 @@ class SparkDestination(DataFrameSerializers, Destination):
             if now is None or now.generation != expected_gen:
                 shutil.rmtree(new_dir, ignore_errors=True)
                 return None
+            for f in adopt or []:
+                dst = os.path.join(new_dir, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(cur_dir, f), dst)
             # catch-up: batches inserted during the rewrite move over
             # as-is (rename only; their schema may trail — reads pass
             # an explicit schema, missing columns come back NULL)

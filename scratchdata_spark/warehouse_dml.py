@@ -24,10 +24,13 @@ Execution model (designed for 100 TB):
   the same per-table compaction lock so rewrites serialize; readers
   in flight finish on their pinned listing, inserts that land
   mid-rewrite are renamed into the new generation untouched (they
-  are not part of the statement's snapshot). v1 rewrites the whole
-  table like compaction does; file-level pruning (skip files whose
-  min/max can't match the predicate, rename instead of rewrite —
-  what Delta/Iceberg CoW does) is the marked optimization path.
+  are not part of the statement's snapshot). Partition-pruned CoW
+  (_prunable_partitions): a predicate that touches only the
+  partition column rewrites just the matching partition dirs and
+  RENAMES everything else over — Delta/Iceberg-style pruning at
+  directory granularity, so a point delete on a partitioned 100 TB
+  table never rewrites the corpus. Parquet min/max file-level
+  pruning is the remaining optimization headroom.
 * The API validates before it streams (api_server._run_query), so
   validation must NOT execute: ``validate_statement`` checks the
   statement shape, target-table rules, and the embedded SELECT's
@@ -500,13 +503,68 @@ def _exec_drop(dest, query: str):
     return _count_df(dest, 0)
 
 
-def _cow_rewrite(dest, table: str, transform) -> None:
+def _prunable_partitions(dest, info, pred_text, cond, cur_dir):
+    """Hive-partition directories the predicate can possibly reach,
+    or None when pruning is unsound — the Delta/Iceberg-style CoW
+    optimization: a DELETE/UPDATE whose predicate touches ONLY the
+    partition column rewrites just the matching partitions; every
+    other file renames into the new generation untouched, so a point
+    delete on a 100 TB table never rewrites the whole corpus.
+
+    Sound-only rules: the table must be partitioned, the predicate
+    must reference no column other than the partition column (checked
+    textually on masked text; identifiers followed by '(' are
+    function names), and quoted identifiers bail out (masking hides
+    them from the check). The surviving predicate is then evaluated
+    ONCE PER PARTITION VALUE on a driver-tiny DataFrame; cast
+    failures and the null partition evaluate to no-match and stay
+    untouched — exactly what the coalesced row predicate would do."""
+    P = info.partition_col
+    if not P or pred_text is None:
+        return None
+    if '"' in pred_text or "`" in pred_text:
+        return None
+    from scratchdata_spark.dialect import _mask_literals
+
+    masked, _lits = _mask_literals(pred_text)
+    cols = {f.name.lower() for f in info.struct().fields}
+    refs = {
+        t.lower()
+        for t in re.findall(r"\b([A-Za-z_]\w*)\b(?!\s*\()", masked)
+        if t.lower() in cols
+    }
+    if refs != {P.lower()}:
+        return None
+    if not os.path.isdir(cur_dir):
+        return None
+    import urllib.parse
+
+    dirs = sorted(
+        d
+        for d in os.listdir(cur_dir)
+        if os.path.isdir(os.path.join(cur_dir, d)) and d.startswith(f"{P}=")
+    )
+    if not dirs:
+        return None
+    ptype = {f.name: f.dataType for f in info.struct().fields}[P]
+    raws = [urllib.parse.unquote(d[len(P) + 1 :]) for d in dirs]
+    vdf = dest.spark.createDataFrame(
+        [(r,) for r in raws], "raw string"
+    ).select("raw", F.col("raw").cast(ptype).alias(P))
+    hits = {r["raw"] for r in vdf.filter(cond).select("raw").collect()}
+    return {d for d, r in zip(dirs, raws) if r in hits}
+
+
+def _cow_rewrite(dest, table: str, transform, prune_fn=None):
     """Copy-on-write generation flip — the compaction mechanism
     applied to a row transform: snapshot the current listing, rewrite
     it through ``transform`` into g{N+1}, then hand off to the SAME
     flip tail compaction uses (engine._flip_generation: lock,
-    generation re-check, late-file catch-up, pointer flip,
-    grandparent retirement — one implementation, not two).
+    generation re-check, untouched-file adoption, late-file catch-up,
+    pointer flip, grandparent retirement — one implementation, not
+    two). ``prune_fn(info, cur_dir)`` may return the set of partition
+    dirs the statement can touch; files outside them are adopted by
+    rename instead of rewritten.
 
     The compaction lock is held for the whole rewrite so concurrent
     DML/compaction serialize, and the TableInfo is re-read INSIDE the
@@ -520,14 +578,24 @@ def _cow_rewrite(dest, table: str, transform) -> None:
         snapshot = (
             dest._list_parquet(cur_dir) if os.path.isdir(cur_dir) else []
         )
+        touch_dirs = prune_fn(info, cur_dir) if prune_fn else None
+        if touch_dirs is not None:
+            touched = [
+                f for f in snapshot if f.split("/", 1)[0] in touch_dirs
+            ]
+            if not touched:  # predicate reaches no partition: no-op
+                return 0, 0
+            untouched = [f for f in snapshot if f.split("/", 1)[0] not in touch_dirs]
+        else:
+            touched, untouched = snapshot, []
         root = dest.catalog.table_root(dest.database, table)
         new_gen = info.generation + 1
         new_dir = os.path.join(root, f"g{new_gen}")
-        if snapshot:
+        if touched:
             src = (
                 dest.spark.read.schema(info.struct())
                 .option("basePath", cur_dir)
-                .parquet(*[os.path.join(cur_dir, f) for f in snapshot])
+                .parquet(*[os.path.join(cur_dir, f) for f in touched])
             )
         else:
             src = dest.spark.createDataFrame([], info.struct())
@@ -548,7 +616,13 @@ def _cow_rewrite(dest, table: str, transform) -> None:
         except Exception:  # empty result wrote no parquet files
             after = 0
         late = dest._flip_generation(
-            table, info.generation, cur_dir, snapshot, new_dir, new_gen
+            table,
+            info.generation,
+            cur_dir,
+            snapshot,
+            new_dir,
+            new_gen,
+            adopt=untouched,
         )
         if late is None:  # cross-process flip raced us (shared dir)
             raise RuntimeError(
@@ -574,7 +648,12 @@ def _exec_delete(dest, query: str):
         else F.lit(True)
     )
     before, after = _cow_rewrite(
-        dest, table, lambda src, info: src.filter(~cond)
+        dest,
+        table,
+        lambda src, info: src.filter(~cond),
+        prune_fn=lambda info, cur_dir: _prunable_partitions(
+            dest, info, pred, cond, cur_dir
+        ),
     )
     return _count_df(dest, before - after)
 
@@ -636,5 +715,12 @@ def _exec_update(dest, query: str):
                 cols.append(F.col(f.name))
         return src.select(*cols)
 
-    _cow_rewrite(dest, table, transform)
+    _cow_rewrite(
+        dest,
+        table,
+        transform,
+        prune_fn=lambda info, cur_dir: _prunable_partitions(
+            dest, info, pred, cond, cur_dir
+        ),
+    )
     return _count_df(dest, n)

@@ -296,3 +296,81 @@ def test_http_missing_table_error_names_the_table(spark, tmp_path):
             assert "unknown destination" not in body
     finally:
         app.server.stop()
+
+
+def test_partition_pruned_delete(spark, tmp_path):
+    """DELETE whose predicate touches only the partition column must
+    rewrite ONLY the matching partitions: untouched partition files
+    are renamed (identical file names in the new generation), and a
+    predicate reaching no partition is a complete no-op."""
+    import os
+
+    cat = TableCatalog(str(tmp_path / "whp"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    nd = "\n".join(
+        json.dumps({"part": p, "v": i})
+        for i, p in enumerate(["x", "x", "y", "y", "z"])
+    )
+    seed = tmp_path / "p.ndjson"
+    seed.write_text(nd + "\n")
+    d.create_empty_table("pt")
+    d.create_columns("pt", str(seed))
+    d.set_partitioning("pt", "part")
+    d.insert_ndjson_file("pt", str(seed))
+
+    cur = cat.data_dir("dml", "pt")
+    files_before = {
+        f for f in d._list_parquet(cur) if f.startswith("part=y/")
+    }
+    assert files_before
+    assert run(d, "delete from pt where part = 'x'") == [{"count": 2}]
+    assert run(d, "select count(*) as n from pt") == [{"n": 3}]
+    # untouched partition y: same physical files, renamed over
+    cur2 = cat.data_dir("dml", "pt")
+    files_after = {
+        f for f in d._list_parquet(cur2) if f.startswith("part=y/")
+    }
+    assert files_after == files_before
+    # x partition is gone entirely
+    assert not any(f.startswith("part=x/") for f in d._list_parquet(cur2))
+
+    # predicate reaching no partition: no generation flip at all
+    gen = cat.get("dml", "pt").generation
+    assert run(d, "delete from pt where part = 'nope'") == [{"count": 0}]
+    assert cat.get("dml", "pt").generation == gen
+
+    # predicate on a NON-partition column still works (full rewrite)
+    assert run(d, "delete from pt where v = 4") == [{"count": 1}]
+    assert run(d, "select count(*) as n from pt") == [{"n": 2}]
+
+
+def test_partition_pruned_update(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "whu"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    nd = "\n".join(
+        json.dumps({"part": p, "v": i})
+        for i, p in enumerate(["x", "y", "y"])
+    )
+    seed = tmp_path / "u.ndjson"
+    seed.write_text(nd + "\n")
+    d.create_empty_table("ut")
+    d.create_columns("ut", str(seed))
+    d.set_partitioning("ut", "part")
+    d.insert_ndjson_file("ut", str(seed))
+    cur = cat.data_dir("dml", "ut")
+    x_files = {f for f in d._list_parquet(cur) if f.startswith("part=x/")}
+
+    assert run(d, "update ut set v = v * 10 where part = 'y'") == [
+        {"count": 2}
+    ]
+    rows = run(d, "select part, v from ut order by v")
+    assert rows == [
+        {"part": "x", "v": 0},
+        {"part": "y", "v": 10},
+        {"part": "y", "v": 20},
+    ]
+    # x partition renamed over untouched
+    cur2 = cat.data_dir("dml", "ut")
+    assert {
+        f for f in d._list_parquet(cur2) if f.startswith("part=x/")
+    } == x_files

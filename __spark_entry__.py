@@ -111,6 +111,7 @@ _PRIORITY = [
     "q_scan_external_orc",
     "q_approx_quantile",
     "x_dedup_exact_rows",
+    "x_dedup_incremental",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
     "x_dedup_embedding_lsh",

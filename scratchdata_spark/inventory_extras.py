@@ -24,6 +24,7 @@ from scratchdata_spark.inventory import load, q
 from scratchdata_spark.operators import ensure_parallelism
 from scratchdata_spark.operators import text as T
 from scratchdata_spark.operators.dedup import (
+    dedup_against_corpus,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -186,6 +187,22 @@ def x_dedup_minhash_lsh(spark, sf_dir):
 def x_dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir)["documents"].select("doc_id", "text")
     return simhash(d, "text").select("doc_id", "simhash")
+
+
+@q("x_dedup_incremental", None)  # xxhash64 band index: no SQL oracle
+def x_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a 'new batch' (every 5th document)
+    against the rest of the corpus — the daily-crawl production shape
+    (operators/dedup.py dedup_against_corpus): exact tier by content
+    fingerprint, near tier by banded minhash against the corpus band
+    index, signature-agreement screened. Rows-only: the band hashes
+    are engine-specific xxhash64."""
+    d = load(spark, sf_dir)["documents"]
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup_against_corpus(new, corpus).select(
+        "doc_id", "dup_exact", "dup_near", "dup_of"
+    )
 
 
 # ----------------------------------------------------------- similarity

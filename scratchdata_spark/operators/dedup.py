@@ -294,6 +294,115 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Incremental dedup: flag NEW documents that duplicate an
+    EXISTING corpus — the production shape (a crawl increment against
+    a 100 TB corpus), where re-running all-pairs dedup over
+    corpus+increment would redo O(corpus²) work for an
+    O(increment×corpus) question.
+
+    Two tiers, sharing the batch operators' machinery:
+
+    * exact — content fingerprints (sha256 of normalized text),
+      semi-joined: only digests cross the shuffle, never documents.
+    * near — banded MinHash: the increment's band keys join the
+      corpus's band index on (band, band-hash). In production the
+      corpus index (one (band, hash, id) row set per corpus version)
+      is materialized once and reused per increment; degenerate
+      corpus buckets are capped like the batch operator. Candidates
+      screen on the signature agreement fraction (unbiased Jaccard
+      estimator, σ≈0.06 at 64 hashes) ≥ threshold.
+
+    Returns new_df + ``dup_exact`` / ``dup_near`` booleans and
+    ``dup_of`` (min matching corpus id — audit evidence; NULL when no
+    near match).
+    """
+    from pyspark import StorageLevel
+
+    r = n_hashes // bands
+    fp = lambda c: F.sha2(normalize_text(c), 256)  # noqa: E731
+    new_fp = new_df.select(F.col(id_col), fp(F.col(text_col)).alias("__fp"))
+    corp_fp = corpus_df.select(fp(F.col(text_col)).alias("__fp")).distinct()
+    exact = (
+        new_fp.join(corp_fp, "__fp", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("dup_exact", F.lit(True))
+    )
+
+    sig_new = minhash_signature(
+        ensure_parallelism(new_df.select(id_col, text_col)),
+        id_col, text_col, n_hashes, k,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_corp = minhash_signature(
+        ensure_parallelism(corpus_df.select(id_col, text_col)),
+        id_col, text_col, n_hashes, k,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def band_rows(sig, out_id):
+        band_cols = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.slice("__sig", i * r + 1, r).cast("string")
+                ).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*band_cols)).alias("b"),
+        ).select(out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    nb = band_rows(sig_new, "__nid")
+    cb = band_rows(sig_corp, "__cid")
+    if max_bucket_size is not None:
+        hot = (
+            cb.groupBy("band", "bh")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bh")
+        )
+        cb = cb.join(hot, ["band", "bh"], "left_anti")
+    cand = (
+        nb.join(cb, ["band", "bh"])
+        .select("__nid", "__cid")
+        .dropDuplicates(["__nid", "__cid"])
+    )
+    withs = cand.join(
+        sig_new.select(F.col(id_col).alias("__nid"), F.col("__sig").alias("sig_n")),
+        "__nid",
+    ).join(
+        sig_corp.select(F.col(id_col).alias("__cid"), F.col("__sig").alias("sig_c")),
+        "__cid",
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda z: z)
+    )
+    near = (
+        withs.filter(agree / n_hashes >= threshold)
+        .groupBy("__nid")
+        .agg(F.min("__cid").alias("dup_of"))
+        .withColumnRenamed("__nid", id_col)
+    )
+    return (
+        new_df.join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .withColumn("dup_exact", F.coalesce("dup_exact", F.lit(False)))
+        .withColumn("dup_near", F.col("dup_of").isNotNull())
+    )
+
+
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
 

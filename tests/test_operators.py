@@ -402,3 +402,41 @@ def test_minhash_lsh_pairs_finds_known_near_dups(spark):
     a, b = sh(rows[0][1]), sh(rows[1][1])
     expect = len(a & b) / len(a | b)
     assert out[(1, 2)] == pytest.approx(expect, abs=1e-6)
+
+
+def test_dedup_against_corpus(spark):
+    """Incremental dedup of a new batch vs an existing corpus: exact
+    dup flagged by content hash, near dup by banded minhash + sig
+    agreement, unique docs pass clean."""
+    from pyspark.sql import functions as F
+
+    from scratchdata_spark.operators.dedup import dedup_against_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far"
+        " away into the deep dark forest tonight while owls watch"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"{base} corpus doc {i} " + "filler words here " * 3)
+         for i in range(50)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1000, f"{base} corpus doc 7 " + "filler words here " * 3),  # exact
+            (1001, f"{base} corpus doc 9 " + "filler words here " * 3 + "x"),  # near
+            (1002, "completely different content about spark plans and"
+                   " shuffle partitions nothing in common with the rest"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_against_corpus(new, corpus).collect()}
+    assert out[1000]["dup_exact"] is True and out[1000]["dup_near"] is True
+    # corpus docs share most of their text, so several near-match:
+    # dup_of is the MIN matching corpus id (deterministic evidence)
+    assert out[1000]["dup_of"] is not None
+    assert out[1001]["dup_exact"] is False and out[1001]["dup_near"] is True
+    assert out[1002]["dup_exact"] is False and out[1002]["dup_near"] is False
+    assert out[1002]["dup_of"] is None
+    # every input row comes back exactly once with original columns
+    assert len(out) == 3 and "text" in out[1002].asDict()

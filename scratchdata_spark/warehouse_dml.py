@@ -82,6 +82,11 @@ _DELETE_RE = re.compile(
 _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s*;?\s*$", re.I | re.S
 )
+_COPY_TO_RE = re.compile(
+    rf"^\s*COPY\s+({_IDENT}|\(.+\))\s+TO\s+'([^']+)'"
+    rf"\s*(?:\(\s*([^)]*)\s*\))?\s*;?\s*$",
+    re.I | re.S,
+)
 
 
 _LINE_COMMENT = re.compile(r"^\s*--[^\n]*\n?")
@@ -115,6 +120,7 @@ def statement_kind(query: str) -> str | None:
         ("truncate", _TRUNCATE_RE),
         ("delete", _DELETE_RE),
         ("update", _UPDATE_RE),
+        ("copy_to", _COPY_TO_RE),
     ):
         if rx.match(query):
             return kind
@@ -197,6 +203,8 @@ def execute(dest, query: str):
         return _exec_delete(dest, query)
     if kind == "update":
         return _exec_update(dest, query)
+    if kind == "copy_to":
+        return _exec_copy_to(dest, query)
     raise ValueError(f"not a warehouse statement: {query!r}")
 
 
@@ -245,6 +253,10 @@ def validate(dest, query: str) -> None:
             _expr(dest, tdf, text)  # SET rhs analyzed too, not just names
         if pred:
             _expr(dest, tdf, pred)
+    elif kind == "copy_to":
+        m = _COPY_TO_RE.match(query)
+        _copy_source_df(dest, m.group(1))  # analyze only
+        _copy_format(m.group(2), m.group(3))  # loud on unknown formats
     else:
         raise ValueError(f"not a warehouse statement: {query!r}")
 
@@ -656,6 +668,92 @@ def _exec_delete(dest, query: str):
         ),
     )
     return _count_df(dest, before - after)
+
+
+# ------------------------------------------------------------- COPY TO
+
+
+def _copy_source_df(dest, source: str):
+    if source.startswith("("):
+        return dest.query_df(source[1:-1])
+    _require_table(dest, source)
+    return dest.table_df(source)
+
+
+def _parse_copy_options(opts: str | None) -> dict[str, str]:
+    from scratchdata_spark.dialect import _split_top_level_commas_text
+
+    out: dict[str, str] = {}
+    for item in _split_top_level_commas_text(opts or ""):
+        parts = item.split(None, 1)
+        key = parts[0].upper()
+        val = parts[1].strip().strip("'") if len(parts) > 1 else "true"
+        out[key] = val
+    return out
+
+
+def _copy_format(path: str, opts_text: str | None) -> tuple[str, dict]:
+    opts = _parse_copy_options(opts_text)
+    fmt = opts.get("FORMAT", "").lower()
+    if not fmt:
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        fmt = {"parquet": "parquet", "csv": "csv", "json": "json",
+               "ndjson": "json", "jsonl": "json"}.get(ext, "")
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(
+            f"COPY TO: unsupported format {fmt or '(none)'} — use a"
+            " .parquet/.csv/.json path or FORMAT parquet|csv|json"
+        )
+    return fmt, opts
+
+
+def _exec_copy_to(dest, query: str):
+    """DuckDB's export statement: ``COPY <table|(query)> TO 'path'
+    [(FORMAT …, HEADER, DELIMITER ',', PER_THREAD_OUTPUT)]``.
+
+    DuckDB writes ONE file at the exact path; Spark writes a
+    directory of parts. Default keeps DuckDB's contract (coalesce(1)
+    + rename — the right call for result-sized exports). With
+    ``PER_THREAD_OUTPUT`` the write stays fully distributed and
+    ``path`` becomes a directory of part files — DuckDB's own
+    many-files mode, and the only shape that makes sense for a
+    100 TB extract."""
+    m = _COPY_TO_RE.match(query)
+    source, path, opts_text = m.groups()
+    df = _copy_source_df(dest, source)
+    fmt, opts = _copy_format(path, opts_text)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    per_thread = "PER_THREAD_OUTPUT" in opts
+    out_dir = path if per_thread else path + ".__spark_tmp__"
+    writer = (df if per_thread else df.coalesce(1)).write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option(
+            "header", opts.get("HEADER", "true")
+        ).option("delimiter", opts.get("DELIMITER", ","))
+        writer.csv(out_dir)
+    elif fmt == "json":
+        writer.json(out_dir)
+    else:
+        writer.parquet(out_dir)
+    n = int(obs.get["n"] or 0)
+    if not per_thread:
+        part = next(
+            (
+                f
+                for f in sorted(os.listdir(out_dir))
+                if f.startswith("part-")
+            ),
+            None,
+        )
+        if part is None:  # empty result: emit an empty file
+            open(path, "w").close()
+        else:
+            os.replace(os.path.join(out_dir, part), path)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return _count_df(dest, n)
 
 
 # -------------------------------------------------------------- UPDATE

@@ -374,3 +374,37 @@ def test_partition_pruned_update(spark, tmp_path):
     assert {
         f for f in d._list_parquet(cur2) if f.startswith("part=x/")
     } == x_files
+
+
+def test_copy_to_exports(dest, tmp_path):
+    """COPY … TO 'path': single exact-path file by default (DuckDB's
+    contract), distributed part directory with PER_THREAD_OUTPUT."""
+    import csv
+    import os
+
+    import duckdb
+
+    p = tmp_path / "out.parquet"
+    assert run(dest, f"copy (select g, v from t order by v) to '{p}'") == [
+        {"count": 6}
+    ]
+    assert p.is_file()
+    rows = duckdb.sql(f"select g, v from '{p}' order by v").fetchall()
+    assert rows[0] == ("a", 0) and len(rows) == 6
+
+    c = tmp_path / "out.csv"
+    run(dest, f"copy t to '{c}' (HEADER, DELIMITER '|')")
+    with open(c) as f:
+        header = f.readline().strip().split("|")
+    assert "g" in header and "v" in header
+
+    d = tmp_path / "parts"
+    run(
+        dest,
+        f"copy (select * from t) to '{d}' (FORMAT PARQUET, PER_THREAD_OUTPUT)",
+    )
+    assert os.path.isdir(d)
+    assert any(f.endswith(".parquet") for f in os.listdir(d))
+
+    with pytest.raises(Exception, match="unsupported format"):
+        run(dest, f"copy t to '{tmp_path}/x.xlsx'")

@@ -41,6 +41,10 @@ class TableInfo:
     generation: int = 0  # compaction epoch: 0 = loose files in the
     #                      table root, N>0 = data lives in g<N>/
     partition_col: str | None = None  # hive-style directory partitioning
+    # tombstones of DROP COLUMNed names: parquet files still carry the
+    # old values, so re-ADDing the name would silently resurrect them
+    # (DuckDB's drop removes the data) — re-ADD is refused instead
+    dropped: list = field(default_factory=list)
 
     def struct(self) -> StructType:
         fields = []
@@ -100,6 +104,7 @@ class TableCatalog:
             meta["columns"],
             meta.get("generation", 0),
             meta.get("partition_col"),
+            meta.get("dropped", []),
         )
 
     def _put(self, info: TableInfo) -> None:
@@ -112,6 +117,7 @@ class TableCatalog:
                     "columns": info.columns,
                     "generation": info.generation,
                     "partition_col": info.partition_col,
+                    "dropped": info.dropped,
                 },
                 f,
             )
@@ -162,8 +168,39 @@ class TableCatalog:
         info = self.get(database, table) or self.create_empty_table(database, table)
         have = {c["name"] for c in info.columns}
         for name, jt in types.items():
+            self._check_not_dropped(info, name)
             if name not in have:
                 info.columns.append({"name": name, "jsontype": jt})
+        self._put(info)
+        return info
+
+    @staticmethod
+    def _check_not_dropped(info: TableInfo, name: str) -> None:
+        if name in info.dropped:
+            raise ValueError(
+                f"column {name!r} was dropped from {info.name}: the"
+                " retained parquet files still carry its old values,"
+                " so re-adding the name would resurrect them — use a"
+                " new column name"
+            )
+
+    def drop_column(self, database: str, table: str, name: str) -> TableInfo:
+        """ALTER TABLE DROP COLUMN: metadata-only — reads pass an
+        explicit schema, so the column vanishes from every scan
+        without rewriting a single parquet file (at 100 TB that IS
+        the operation); the name is tombstoned, see TableInfo."""
+        info = self.get(database, table)
+        if info is None:
+            raise KeyError(f"no such table: {table}")
+        if name == ROW_ID:
+            raise ValueError("__row_id is engine-internal")
+        before = len(info.columns)
+        info.columns = [c for c in info.columns if c["name"] != name]
+        if len(info.columns) == before:
+            raise ValueError(f"unknown column: {name}")
+        if info.partition_col == name:
+            raise ValueError("cannot drop the partition column")
+        info.dropped = sorted({*info.dropped, name})
         self._put(info)
         return info
 
@@ -176,10 +213,54 @@ class TableCatalog:
         info = self.get(database, table) or self.create_empty_table(database, table)
         have = {c["name"] for c in info.columns}
         for name, ddl in types.items():
+            self._check_not_dropped(info, name)
             if name not in have:
                 info.columns.append({"name": name, "sparktype": ddl})
         self._put(info)
         return info
+
+    # -------------------------------------------------- logical views
+    def _views_dir(self, database: str) -> str:
+        # a SUBDIR of the table-meta dir: tables() lists only *.json
+        # files, so view storage can never masquerade as a table
+        return os.path.join(self.warehouse, "_catalog", database, "__views")
+
+    def create_view(
+        self, database: str, name: str, sql: str, or_replace: bool = False
+    ) -> None:
+        """Persist a logical view: the SQL text, re-registered as a
+        temp view in every session (engine.register_views) — the
+        cross-session CREATE VIEW that Spark's session catalog cannot
+        give (views there die with the session)."""
+        d = self._views_dir(database)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{name}.json")
+        if os.path.exists(path) and not or_replace:
+            raise ValueError(f"view exists: {name}")
+        if self.get(database, name) is not None:
+            raise ValueError(f"table exists: {name}")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"sql": sql}, f)
+        os.replace(tmp, path)
+
+    def views(self, database: str) -> dict[str, str]:
+        d = self._views_dir(database)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f), "r", encoding="utf-8") as fh:
+                    out[f[:-5]] = json.load(fh)["sql"]
+        return out
+
+    def drop_view(self, database: str, name: str) -> bool:
+        path = os.path.join(self._views_dir(database), f"{name}.json")
+        if not os.path.exists(path):
+            return False
+        os.remove(path)
+        return True
 
     def tables(self, database: str) -> list[str]:
         d = os.path.join(self.warehouse, "_catalog", database)

@@ -222,9 +222,40 @@ class SparkDestination(DataFrameSerializers, Destination):
         Metadata-only (a parquet scan node per view); Catalyst prunes
         columns/partitions per query, so registering all tables is
         cheap even with thousands of tables.
+
+        Logical views (catalog.views — CREATE VIEW statements) are
+        registered after the tables they read. Two passes tolerate
+        view-on-view dependencies regardless of name order; a view
+        whose SQL no longer analyzes (dropped base table) is skipped,
+        and referencing it then fails with table-not-found — loud,
+        not stale results.
         """
         for t in self.catalog.tables(self.database):
             self.table_df(t).createOrReplaceTempView(t)
+        views = self.catalog.views(self.database)
+        for _pass in range(2):
+            failed = {}
+            for name, sql in views.items():
+                try:
+                    self.view_df(sql).createOrReplaceTempView(name)
+                except Exception as err:  # noqa: BLE001 — retried once
+                    failed[name] = sql
+            views = failed
+            if not views:
+                break
+
+    def view_df(self, sql: str) -> DataFrame:
+        """DataFrame for a stored view's SQL — with the same DuckDB
+        dialect fallback the query path has (a saved view's text may
+        be dialect SQL)."""
+        try:
+            return self.spark.sql(sql)
+        except Exception:
+            if not self.duckdb_compat:
+                raise
+            from scratchdata_spark.dialect import rewrite
+
+            return self.spark.sql(rewrite(sql))
 
     def query_df(self, query: str) -> DataFrame:
         query = trim_query(query)

@@ -87,6 +87,23 @@ _COPY_TO_RE = re.compile(
     rf"\s*(?:\(\s*([^)]*)\s*\))?\s*;?\s*$",
     re.I | re.S,
 )
+_CREATE_VIEW_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_VIEW_RE = re.compile(
+    rf"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$", re.I | re.S
+)
+_ALTER_ADD_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+"
+    rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_ALTER_DROP_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+"
+    rf"(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
+    re.I | re.S,
+)
 
 
 _LINE_COMMENT = re.compile(r"^\s*--[^\n]*\n?")
@@ -114,10 +131,14 @@ def statement_kind(query: str) -> str | None:
     CREATE."""
     for kind, rx in (
         ("ctas", _CTAS_RE),
+        ("create_view", _CREATE_VIEW_RE),
         ("create", _CREATE_DEF_RE),
         ("insert", _INSERT_RE),
+        ("drop_view", _DROP_VIEW_RE),
         ("drop", _DROP_RE),
         ("truncate", _TRUNCATE_RE),
+        ("alter_add", _ALTER_ADD_RE),
+        ("alter_drop", _ALTER_DROP_RE),
         ("delete", _DELETE_RE),
         ("update", _UPDATE_RE),
         ("copy_to", _COPY_TO_RE),
@@ -205,6 +226,14 @@ def execute(dest, query: str):
         return _exec_update(dest, query)
     if kind == "copy_to":
         return _exec_copy_to(dest, query)
+    if kind == "create_view":
+        return _exec_create_view(dest, query)
+    if kind == "drop_view":
+        return _exec_drop_view(dest, query)
+    if kind == "alter_add":
+        return _exec_alter_add(dest, query)
+    if kind == "alter_drop":
+        return _exec_alter_drop(dest, query)
     raise ValueError(f"not a warehouse statement: {query!r}")
 
 
@@ -257,6 +286,28 @@ def validate(dest, query: str) -> None:
         m = _COPY_TO_RE.match(query)
         _copy_source_df(dest, m.group(1))  # analyze only
         _copy_format(m.group(2), m.group(3))  # loud on unknown formats
+    elif kind == "create_view":
+        m = _CREATE_VIEW_RE.match(query)
+        _check_ident(dest, m.group(2))
+        if dest.catalog.get(dest.database, m.group(2)) is not None:
+            raise ValueError(f"table exists: {m.group(2)}")
+        dest.view_df(m.group(3))  # analyze only
+    elif kind == "drop_view":
+        m = _DROP_VIEW_RE.match(query)
+        if not m.group(1) and m.group(2) not in dest.catalog.views(
+            dest.database
+        ):
+            raise KeyError(f"no such view: {m.group(2)}")
+    elif kind == "alter_add":
+        m = _ALTER_ADD_RE.match(query)
+        _require_table(dest, m.group(1))
+        StructType.fromDDL(f"`{m.group(3)}` {m.group(4)}")  # loud on bad type
+    elif kind == "alter_drop":
+        m = _ALTER_DROP_RE.match(query)
+        info = _require_table(dest, m.group(1))
+        have = {c["name"] for c in info.columns}
+        if not m.group(2) and m.group(3) not in have:
+            raise ValueError(f"unknown column: {m.group(3)}")
     else:
         raise ValueError(f"not a warehouse statement: {query!r}")
 
@@ -754,6 +805,67 @@ def _exec_copy_to(dest, query: str):
             os.replace(os.path.join(out_dir, part), path)
         shutil.rmtree(out_dir, ignore_errors=True)
     return _count_df(dest, n)
+
+
+# ---------------------------------------------------- views + ALTER
+
+
+def _exec_create_view(dest, query: str):
+    """Catalog-persisted logical view: the SQL text survives across
+    sessions and re-registers as a temp view per session
+    (engine.register_views) — spark.sql's CREATE VIEW would die with
+    the session and be invisible to other tenants' engines."""
+    m = _CREATE_VIEW_RE.match(query)
+    or_replace, name, sql = m.groups()
+    _check_ident(dest, name)
+    dest.view_df(sql)  # the text must analyze NOW, not at first read
+    dest.catalog.create_view(
+        dest.database, name, sql.strip(), or_replace=bool(or_replace)
+    )
+    dest.view_df(sql).createOrReplaceTempView(name)
+    dest.plan_cache.invalidate()
+    return _count_df(dest, 0)
+
+
+def _exec_drop_view(dest, query: str):
+    m = _DROP_VIEW_RE.match(query)
+    if_exists, name = m.groups()
+    found = dest.catalog.drop_view(dest.database, name)
+    if not found and not if_exists:
+        raise KeyError(f"no such view: {name}")
+    try:
+        dest.spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    dest.plan_cache.invalidate()
+    return _count_df(dest, 0)
+
+
+def _exec_alter_add(dest, query: str):
+    m = _ALTER_ADD_RE.match(query)
+    table, if_not_exists, name, type_ddl = m.groups()
+    info = _require_table(dest, table)
+    if any(c["name"] == name for c in info.columns):
+        if if_not_exists:
+            return _count_df(dest, 0)
+        raise ValueError(f"column exists: {name}")
+    field = StructType.fromDDL(f"`{name}` {type_ddl}")[0]
+    _register_schema(dest, table, [field])
+    dest.plan_cache.invalidate()
+    return _count_df(dest, 0)
+
+
+def _exec_alter_drop(dest, query: str):
+    m = _ALTER_DROP_RE.match(query)
+    table, if_exists, name = m.groups()
+    info = _require_table(dest, table)
+    if not any(c["name"] == name for c in info.columns):
+        if if_exists:
+            return _count_df(dest, 0)
+        raise ValueError(f"unknown column: {name}")
+    dest.catalog.drop_column(dest.database, table, name)
+    dest.plan_cache.invalidate()
+    return _count_df(dest, 0)
 
 
 # -------------------------------------------------------------- UPDATE

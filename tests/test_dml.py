@@ -408,3 +408,60 @@ def test_copy_to_exports(dest, tmp_path):
 
     with pytest.raises(Exception, match="unsupported format"):
         run(dest, f"copy t to '{tmp_path}/x.xlsx'")
+
+
+def test_create_view_persists_across_sessions(spark, dest):
+    """CREATE VIEW stores the SQL in the catalog; a brand-new Spark
+    session over the same warehouse resolves it — spark.sql's session
+    catalog could never do this."""
+    run(dest, "create view busy as select g, count(*) as n from t group by g")
+    assert run(dest, "select * from busy order by g") == [
+        {"g": "a", "n": 2}, {"g": "b", "n": 2}, {"g": "c", "n": 2},
+    ]
+    # fresh session, same warehouse
+    d2 = SparkDestination(spark.newSession(), dest.catalog, "dml")
+    assert run(d2, "select n from busy where g = 'a'") == [{"n": 2}]
+    # view-on-view and OR REPLACE
+    run(dest, "create view busy2 as select sum(n) as total from busy")
+    assert run(dest, "select total from busy2") == [{"total": 6}]
+    run(dest, "create or replace view busy as select 1 as one")
+    assert run(dest, "select one from busy") == [{"one": 1}]
+    with pytest.raises(Exception, match="view exists"):
+        run(dest, "create view busy as select 2 as two")
+    # dialect text inside a stored view
+    run(dest, "create view halves as select v // 2 as h from t")
+    assert run(dest, "select max(h) as m from halves") == [{"m": 2}]
+    # drop
+    run(dest, "drop view busy2")
+    with pytest.raises(Exception):
+        run(dest, "select * from busy2")
+    assert run(dest, "drop view if exists busy2") == [{"count": 0}]
+    with pytest.raises(KeyError):
+        run(dest, "drop view busy2")
+
+
+def test_alter_table_add_and_drop_column(dest):
+    run(dest, "alter table t add column note STRING")
+    cols = {c["name"] for c in dest.columns("t")}
+    assert "note" in cols
+    # new column reads NULL from pre-existing rows, accepts inserts
+    assert run(dest, "select count(*) as n from t where note is null") == [
+        {"n": 6}
+    ]
+    run(dest, "insert into t values ('d', 10, 'hello')")
+    assert run(dest, "select note from t where g = 'd'") == [{"note": "hello"}]
+    with pytest.raises(Exception, match="column exists"):
+        run(dest, "alter table t add column note STRING")
+    assert run(
+        dest, "alter table t add column if not exists note STRING"
+    ) == [{"count": 0}]
+    # drop: metadata-only, column vanishes from scans
+    run(dest, "alter table t drop column note")
+    assert "note" not in {c["name"] for c in dest.columns("t")}
+    with pytest.raises(Exception):
+        run(dest, "select note from t")
+    # re-ADD is refused: parquet files still carry old values
+    with pytest.raises(Exception, match="resurrect"):
+        run(dest, "alter table t add column note INT")
+    with pytest.raises(Exception, match="unknown column"):
+        run(dest, "alter table t drop column nope")

@@ -168,14 +168,17 @@ class TableCatalog:
         info = self.get(database, table) or self.create_empty_table(database, table)
         have = {c["name"] for c in info.columns}
         for name, jt in types.items():
-            self._check_not_dropped(info, name)
-            if name not in have:
+            # tombstoned names are SKIPPED, not refused: a producer
+            # still posting the dropped field must not break ingest —
+            # only the explicit ALTER ADD path refuses (warehouse_dml)
+            if name not in have and name not in info.dropped:
                 info.columns.append({"name": name, "jsontype": jt})
         self._put(info)
         return info
 
     @staticmethod
-    def _check_not_dropped(info: TableInfo, name: str) -> None:
+    def check_not_dropped(info: TableInfo, name: str) -> None:
+        """Refuse re-ADDing a tombstoned column (explicit DDL only)."""
         if name in info.dropped:
             raise ValueError(
                 f"column {name!r} was dropped from {info.name}: the"
@@ -213,8 +216,7 @@ class TableCatalog:
         info = self.get(database, table) or self.create_empty_table(database, table)
         have = {c["name"] for c in info.columns}
         for name, ddl in types.items():
-            self._check_not_dropped(info, name)
-            if name not in have:
+            if name not in have and name not in info.dropped:
                 info.columns.append({"name": name, "sparktype": ddl})
         self._put(info)
         return info

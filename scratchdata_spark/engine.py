@@ -224,25 +224,38 @@ class SparkDestination(DataFrameSerializers, Destination):
         cheap even with thousands of tables.
 
         Logical views (catalog.views — CREATE VIEW statements) are
-        registered after the tables they read. Two passes tolerate
-        view-on-view dependencies regardless of name order; a view
-        whose SQL no longer analyzes (dropped base table) is skipped,
-        and referencing it then fails with table-not-found — loud,
-        not stale results.
+        registered after the tables they read, looping until the
+        unresolved set stops shrinking — so view-on-view chains of
+        any depth resolve regardless of name order. A view whose SQL
+        no longer analyzes (dropped base table) is skipped, and
+        referencing it then fails with table-not-found — loud, not
+        stale results.
+
+        View registration eagerly ANALYZES each view's SQL (unlike
+        the lazy table scan nodes), so it is fingerprint-cached: the
+        (name, sql) set is re-read each call — tiny JSON files — but
+        the Spark analysis re-runs only when it changed.
         """
         for t in self.catalog.tables(self.database):
             self.table_df(t).createOrReplaceTempView(t)
         views = self.catalog.views(self.database)
-        for _pass in range(2):
+        fp = hash(tuple(sorted(views.items())))
+        if fp == getattr(self, "_views_fp", None):
+            return
+        while views:
             failed = {}
             for name, sql in views.items():
                 try:
                     self.view_df(sql).createOrReplaceTempView(name)
-                except Exception as err:  # noqa: BLE001 — retried once
+                except Exception:  # noqa: BLE001 — retried while shrinking
                     failed[name] = sql
+            if len(failed) == len(views):
+                break  # nothing resolved this pass: remaining are broken
             views = failed
-            if not views:
-                break
+        if not views:
+            # cache only a fully-registered set: a broken view must be
+            # retried next call (its base table may just have returned)
+            self._views_fp = fp
 
     def view_df(self, sql: str) -> DataFrame:
         """DataFrame for a stored view's SQL — with the same DuckDB

@@ -245,6 +245,7 @@ def validate(dest, query: str) -> None:
     if kind == "ctas":
         m = _CTAS_RE.match(query)
         _check_ident(dest, m.group(3))
+        _check_no_view(dest, m.group(3))
         if (
             dest.catalog.get(dest.database, m.group(3)) is not None
             and not m.group(1)
@@ -255,6 +256,7 @@ def validate(dest, query: str) -> None:
     elif kind == "create":
         m = _CREATE_DEF_RE.match(query)
         _check_ident(dest, m.group(2))
+        _check_no_view(dest, m.group(2))
         StructType.fromDDL(m.group(3))  # loud on bad column defs
     elif kind == "insert":
         m = _INSERT_RE.match(query)
@@ -291,6 +293,8 @@ def validate(dest, query: str) -> None:
         _check_ident(dest, m.group(2))
         if dest.catalog.get(dest.database, m.group(2)) is not None:
             raise ValueError(f"table exists: {m.group(2)}")
+        if not m.group(1) and m.group(2) in dest.catalog.views(dest.database):
+            raise ValueError(f"view exists: {m.group(2)}")
         dest.view_df(m.group(3))  # analyze only
     elif kind == "drop_view":
         m = _DROP_VIEW_RE.match(query)
@@ -300,8 +304,13 @@ def validate(dest, query: str) -> None:
             raise KeyError(f"no such view: {m.group(2)}")
     elif kind == "alter_add":
         m = _ALTER_ADD_RE.match(query)
-        _require_table(dest, m.group(1))
+        info = _require_table(dest, m.group(1))
         StructType.fromDDL(f"`{m.group(3)}` {m.group(4)}")  # loud on bad type
+        dest.catalog.check_not_dropped(info, m.group(3))
+        if not m.group(2) and any(
+            c["name"] == m.group(3) for c in info.columns
+        ):
+            raise ValueError(f"column exists: {m.group(3)}")
     elif kind == "alter_drop":
         m = _ALTER_DROP_RE.match(query)
         info = _require_table(dest, m.group(1))
@@ -323,6 +332,14 @@ def _require_table(dest, table: str):
     if info is None:
         raise KeyError(f"no such table: {table}")
     return info
+
+
+def _check_no_view(dest, name: str) -> None:
+    """A table may not take a stored view's name: register_views
+    registers views AFTER tables, so the view would silently shadow
+    the table in every query while inserts write invisible rows."""
+    if name in dest.catalog.views(dest.database):
+        raise ValueError(f"view exists: {name}")
 
 
 def _analyze_pred(dest, table: str, pred: str) -> None:
@@ -423,6 +440,7 @@ def _exec_ctas(dest, query: str):
     m = _CTAS_RE.match(query)
     or_replace, if_not_exists, table, select_text = m.groups()
     _check_ident(dest, table)
+    _check_no_view(dest, table)
     existing = dest.catalog.get(dest.database, table)
     if existing is not None:
         if if_not_exists:
@@ -453,6 +471,7 @@ def _exec_create(dest, query: str):
     m = _CREATE_DEF_RE.match(query)
     if_not_exists, table, defs = m.groups()
     _check_ident(dest, table)
+    _check_no_view(dest, table)
     if dest.catalog.get(dest.database, table) is not None:
         if if_not_exists:
             return _count_df(dest, 0)
@@ -726,7 +745,15 @@ def _exec_delete(dest, query: str):
 
 def _copy_source_df(dest, source: str):
     if source.startswith("("):
-        return dest.query_df(source[1:-1])
+        inner = source[1:-1]
+        # a nested warehouse STATEMENT would execute during the API's
+        # zero-side-effect validation AND again at serialization —
+        # COPY's source must be a query, exactly like DuckDB requires
+        if statement_kind(normalize(inner)) is not None:
+            raise ValueError(
+                "COPY source must be a SELECT query, not a statement"
+            )
+        return dest.query_df(inner)
     _require_table(dest, source)
     return dest.table_df(source)
 
@@ -779,7 +806,11 @@ def _exec_copy_to(dest, query: str):
     df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     per_thread = "PER_THREAD_OUTPUT" in opts
     out_dir = path if per_thread else path + ".__spark_tmp__"
-    writer = (df if per_thread else df.coalesce(1)).write.mode("overwrite")
+    # repartition(1), NOT coalesce(1): an empty result folds to a
+    # zero-partition plan under coalesce and writes no part file at
+    # all — the single-file contract needs one task to always run so
+    # even an empty export is a VALID parquet/csv-with-header file
+    writer = (df if per_thread else df.repartition(1)).write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option(
             "header", opts.get("HEADER", "true")
@@ -799,10 +830,12 @@ def _exec_copy_to(dest, query: str):
             ),
             None,
         )
-        if part is None:  # empty result: emit an empty file
-            open(path, "w").close()
-        else:
-            os.replace(os.path.join(out_dir, part), path)
+        if part is None:
+            # should not happen with repartition(1); a 0-byte parquet
+            # would be invalid, so fail loudly rather than emit one
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise RuntimeError(f"COPY TO produced no output file: {path}")
+        os.replace(os.path.join(out_dir, part), path)
         shutil.rmtree(out_dir, ignore_errors=True)
     return _count_df(dest, n)
 
@@ -818,11 +851,11 @@ def _exec_create_view(dest, query: str):
     m = _CREATE_VIEW_RE.match(query)
     or_replace, name, sql = m.groups()
     _check_ident(dest, name)
-    dest.view_df(sql)  # the text must analyze NOW, not at first read
+    df = dest.view_df(sql)  # the text must analyze NOW, not at first read
     dest.catalog.create_view(
         dest.database, name, sql.strip(), or_replace=bool(or_replace)
     )
-    dest.view_df(sql).createOrReplaceTempView(name)
+    df.createOrReplaceTempView(name)
     dest.plan_cache.invalidate()
     return _count_df(dest, 0)
 
@@ -845,6 +878,10 @@ def _exec_alter_add(dest, query: str):
     m = _ALTER_ADD_RE.match(query)
     table, if_not_exists, name, type_ddl = m.groups()
     info = _require_table(dest, table)
+    # explicit DDL refuses tombstoned names (ingest silently skips
+    # them instead — catalog.add_columns); IF NOT EXISTS does not
+    # soften this: the column does NOT exist, re-adding is the hazard
+    dest.catalog.check_not_dropped(info, name)
     if any(c["name"] == name for c in info.columns):
         if if_not_exists:
             return _count_df(dest, 0)

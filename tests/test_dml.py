@@ -465,3 +465,80 @@ def test_alter_table_add_and_drop_column(dest):
         run(dest, "alter table t add column note INT")
     with pytest.raises(Exception, match="unknown column"):
         run(dest, "alter table t drop column nope")
+
+
+# ------------------- fixes from the views/COPY adversarial review
+
+
+def test_ingest_skips_tombstoned_column(dest, tmp_path):
+    """A producer still posting a dropped field must not break
+    ingest: the tombstone refuses only the explicit ALTER ADD."""
+    run(dest, "alter table t add column extra STRING")
+    run(dest, "alter table t drop column extra")
+    nd = json.dumps({"g": "n", "v": 50, "extra": "still here"})
+    p = tmp_path / "late.ndjson"
+    p.write_text(nd + "\n")
+    dest.insert_ndjson("t", str(p))  # must not raise
+    assert run(dest, "select v from t where g = 'n'") == [{"v": 50}]
+    assert "extra" not in {c["name"] for c in dest.columns("t")}
+
+
+def test_copy_rejects_nested_statement(dest, tmp_path):
+    """COPY (delete from t) must be refused — a nested statement
+    would execute during zero-side-effect validation AND again at
+    serialization."""
+    before = run(dest, "select count(*) as n from t")[0]["n"]
+    with pytest.raises(Exception, match="must be a SELECT"):
+        run(dest, f"copy (delete from t) to '{tmp_path}/x.json'")
+    with pytest.raises(Exception, match="must be a SELECT"):
+        dest.validate_statement(f"copy (delete from t) to '{tmp_path}/x.json'")
+    assert run(dest, "select count(*) as n from t") == [{"n": before}]
+
+
+def test_table_cannot_shadow_view_and_vice_versa(dest):
+    run(dest, "create view shadow as select 1 as x")
+    with pytest.raises(Exception, match="view exists"):
+        run(dest, "create table shadow as select 2 as x")
+    with pytest.raises(Exception, match="view exists"):
+        run(dest, "create table shadow (a INT)")
+    with pytest.raises(Exception, match="table exists"):
+        run(dest, "create view t as select 1 as x")
+
+
+def test_view_chain_depth_three_resolves_in_fresh_session(spark, dest):
+    """Adverse alphabetical order: a reads b reads c reads t — a
+    fixed two-pass registration would lose 'a' in a new session."""
+    run(dest, "create view v_c as select v from t")
+    run(dest, "create view v_b as select v + 1 as v from v_c")
+    run(dest, "create view v_a as select v + 1 as v from v_b")
+    d2 = SparkDestination(spark.newSession(), dest.catalog, "dml")
+    assert run(d2, "select max(v) as m from v_a") == [{"m": 7}]
+
+
+def test_empty_copy_to_writes_valid_files(dest, tmp_path):
+    import duckdb
+
+    p = tmp_path / "empty.parquet"
+    assert run(dest, f"copy (select g, v from t where 1 = 0) to '{p}'") == [
+        {"count": 0}
+    ]
+    # a VALID parquet file with the schema, not a 0-byte stub
+    assert duckdb.sql(f"select * from '{p}'").fetchall() == []
+    assert duckdb.sql(f"select * from '{p}' limit 0").columns == ["g", "v"]
+    c = tmp_path / "empty.csv"
+    run(dest, f"copy (select g from t where 1 = 0) to '{c}' (HEADER)")
+    assert open(c).readline().strip() == "g"
+
+
+def test_validation_covers_view_and_alter_failures(dest):
+    """Every failure mode must surface at validation, before the
+    HTTP layer commits to a 200."""
+    run(dest, "create view vv as select 1 as x")
+    with pytest.raises(ValueError, match="view exists"):
+        dest.validate_statement("create view vv as select 2 as y")
+    with pytest.raises(ValueError, match="column exists"):
+        dest.validate_statement("alter table t add column v STRING")
+    run(dest, "alter table t add column gone INT")
+    run(dest, "alter table t drop column gone")
+    with pytest.raises(ValueError, match="resurrect"):
+        dest.validate_statement("alter table t add column gone INT")

@@ -20,6 +20,12 @@ unchanged:
   ``* EXCLUDE (...)`` → ``* EXCEPT (...)``, ``//`` → ``DIV``,
   ``list_value(`` → ``array(``, ``list_contains(`` →
   ``array_contains(``, ``USING SAMPLE n% / n ROWS`` → ``TABLESAMPLE``.
+* **Round-4 growth** (each documented at its pass): ``* REPLACE``,
+  trailing commas, ``try_strptime``, in-argument ordered aggregates,
+  list comprehensions, prefix aliases, integer subscripts →
+  ``element_at``, ``ARRAY[..]``; whole-statement ``SUMMARIZE`` /
+  ``PIVOT`` / ``UNION BY NAME`` become DataFrame plans
+  (:func:`statement_form_df`).
 * **strftime(expr, 'fmt')** → ``date_format(expr, '<translated>')``
   for the common C directives (%Y %m %d %H %M %S …).
 * **QUALIFY** → wraps the query and filters on the window result

@@ -157,6 +157,32 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
     }, pairs
 
 
+def incremental_dedup_telemetry(docs, n_docs: int) -> dict:
+    """Every 10th doc as the 'daily increment', the rest as the
+    standing corpus (operators/dedup.py dedup_against_corpus). The
+    scale claim under test: wall tracks increment×corpus band
+    collisions, not corpus² — at 10× docs the increment and corpus
+    both grow 10×, so near-linear wall growth means the band join is
+    doing its job."""
+    from scratchdata_spark.operators.dedup import dedup_against_corpus
+
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    t0 = time.perf_counter()
+    agg = dedup_against_corpus(new, corpus).agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.col("dup_exact").cast("long")).alias("n_exact"),
+        F.sum(F.col("dup_near").cast("long")).alias("n_near"),
+    ).first()
+    wall = time.perf_counter() - t0
+    return {
+        "n_new": int(agg["n_new"]),
+        "flagged_exact": int(agg["n_exact"] or 0),
+        "flagged_near": int(agg["n_near"] or 0),
+        "wall_sec": round(wall, 3),
+    }
+
+
 def cc_telemetry(pairs) -> dict:
     """Connected components over the verified minhash pairs — the
     transitive tier a production dedup runs after pair generation.
@@ -256,6 +282,7 @@ def main() -> None:
             "n_vectors": n_vecs,
             "minhash_lsh": mh_stats,
             "connected_components": cc_telemetry(mh_pairs),
+            "incremental_dedup": incremental_dedup_telemetry(docs, n_docs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
         }

@@ -29,8 +29,13 @@ Execution model (designed for 100 TB):
   partition column rewrites just the matching partition dirs and
   RENAMES everything else over — Delta/Iceberg-style pruning at
   directory granularity, so a point delete on a partitioned 100 TB
-  table never rewrites the corpus. Parquet min/max file-level
-  pruning is the remaining optimization headroom.
+  table never rewrites the corpus. A second tier
+  (_numeric_conjuncts/_file_may_match) prunes at FILE granularity
+  from parquet row-group min/max footers: numeric comparison
+  conjuncts rule files out entirely (numeric stats are exact;
+  string stats may be writer-truncated and are never used), so even
+  an unpartitioned table's point delete rewrites only the files
+  whose value range can contain matches.
 * The API validates before it streams (api_server._run_query), so
   validation must NOT execute: ``validate_statement`` checks the
   statement shape, target-table rules, and the embedded SELECT's
@@ -637,7 +642,100 @@ def _prunable_partitions(dest, info, pred_text, cond, cur_dir):
     return {d for d, r in zip(dirs, raws) if r in hits}
 
 
-def _cow_rewrite(dest, table: str, transform, prune_fn=None):
+_CONJUNCT_RE = re.compile(
+    rf"^\s*({_IDENT})\s*(==|=|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$"
+)
+_CONJUNCT_REV_RE = re.compile(
+    rf"^\s*(-?\d+(?:\.\d+)?)\s*(==|=|<=|>=|<|>)\s*({_IDENT})\s*$"
+)
+_FLIP_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _numeric_conjuncts(info, pred_text: str) -> list[tuple[str, str, float]]:
+    """(col, op, literal) for every top-level AND conjunct of the
+    simple numeric-comparison shape. Soundness: the full predicate is
+    their conjunction (AND-ed with whatever else), so a FILE where any
+    ONE of them is false for every row cannot contain a matching row —
+    unparseable conjuncts are simply unusable, never unsound. Only
+    numeric columns: parquet min/max stats are exact for numerics,
+    while string stats may be truncated by writers."""
+    from scratchdata_spark.dialect import _mask_literals
+
+    masked, _ = _mask_literals(pred_text)
+    if re.search(r"\bOR\b|\bNOT\b|\x00", masked, re.I):
+        # a placeholder means a string literal somewhere — with only
+        # numeric conjuncts usable there is nothing it could add, and
+        # skipping keeps the parse trivially reviewable
+        conjuncts = []
+    else:
+        conjuncts = re.split(r"\bAND\b", masked, flags=re.I)
+    numeric = {
+        f.name
+        for f in info.struct().fields
+        if f.dataType.simpleString()
+        in ("tinyint", "smallint", "int", "bigint", "float", "double")
+    }
+    out = []
+    for c in conjuncts:
+        m = _CONJUNCT_RE.match(c)
+        if m and m.group(1) in numeric:
+            out.append((m.group(1), m.group(2), float(m.group(3))))
+            continue
+        m = _CONJUNCT_REV_RE.match(c)
+        if m and m.group(3) in numeric:
+            out.append((m.group(3), _FLIP_OP[m.group(2)], float(m.group(1))))
+    return out
+
+
+def _file_may_match(path: str, conjuncts) -> bool:
+    """True unless some conjunct is provably false for every row of
+    the file, judged by parquet row-group min/max statistics. Missing
+    or incomplete stats → True (never prune blind); an all-NULL
+    column satisfies no comparison, so stats-absent-with-rows guards
+    that too."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return True
+    schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col, op, lit in conjuncts:
+        ci = schema_names.get(col)
+        if ci is None:
+            continue
+        lo = hi = None
+        any_values = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                if md.row_group(rg).num_rows > 0:
+                    lo = hi = None
+                    any_values = True
+                    break
+                continue
+            if st.num_values and st.num_values > 0:
+                any_values = True
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if not any_values:
+            return False  # only NULLs: no comparison can hold
+        if lo is None or hi is None:
+            continue  # stats unusable for this conjunct
+        lo, hi = float(lo), float(hi)
+        impossible = (
+            (op in ("=", "==") and (lit < lo or lit > hi))
+            or (op == "<" and lo >= lit)
+            or (op == "<=" and lo > lit)
+            or (op == ">" and hi <= lit)
+            or (op == ">=" and hi < lit)
+        )
+        if impossible:
+            return False
+    return True
+
+
+def _cow_rewrite(dest, table: str, transform, prune_fn=None, file_prune_pred=None):
     """Copy-on-write generation flip — the compaction mechanism
     applied to a row transform: snapshot the current listing, rewrite
     it through ``transform`` into g{N+1}, then hand off to the SAME
@@ -665,11 +763,24 @@ def _cow_rewrite(dest, table: str, transform, prune_fn=None):
             touched = [
                 f for f in snapshot if f.split("/", 1)[0] in touch_dirs
             ]
-            if not touched:  # predicate reaches no partition: no-op
-                return 0, 0
             untouched = [f for f in snapshot if f.split("/", 1)[0] not in touch_dirs]
         else:
             touched, untouched = snapshot, []
+        # second pruning tier: parquet min/max footer stats — files a
+        # numeric conjunct rules out entirely adopt by rename too
+        if file_prune_pred is not None and touched:
+            conjuncts = _numeric_conjuncts(info, file_prune_pred)
+            if conjuncts:
+                keep = [
+                    f
+                    for f in touched
+                    if _file_may_match(os.path.join(cur_dir, f), conjuncts)
+                ]
+                skipped = set(touched) - set(keep)
+                untouched += [f for f in touched if f in skipped]
+                touched = keep
+        if (prune_fn is not None or file_prune_pred is not None) and not touched:
+            return 0, 0  # the predicate provably reaches no file: no-op
         root = dest.catalog.table_root(dest.database, table)
         new_gen = info.generation + 1
         new_dir = os.path.join(root, f"g{new_gen}")
@@ -736,6 +847,7 @@ def _exec_delete(dest, query: str):
         prune_fn=lambda info, cur_dir: _prunable_partitions(
             dest, info, pred, cond, cur_dir
         ),
+        file_prune_pred=pred,
     )
     return _count_df(dest, before - after)
 
@@ -969,5 +1081,6 @@ def _exec_update(dest, query: str):
         prune_fn=lambda info, cur_dir: _prunable_partitions(
             dest, info, pred, cond, cur_dir
         ),
+        file_prune_pred=pred,
     )
     return _count_df(dest, n)

@@ -542,3 +542,77 @@ def test_validation_covers_view_and_alter_failures(dest):
     run(dest, "alter table t drop column gone")
     with pytest.raises(ValueError, match="resurrect"):
         dest.validate_statement("alter table t add column gone INT")
+
+
+def test_file_level_pruned_delete(spark, tmp_path):
+    """Unpartitioned table, three insert batches with disjoint v
+    ranges → three parquet files with disjoint min/max. A DELETE on
+    one range rewrites ONLY that file; the others adopt by rename."""
+    cat = TableCatalog(str(tmp_path / "whf"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    for lo in (0, 100, 200):
+        nd = "\n".join(
+            json.dumps({"g": "x", "v": lo + i}) for i in range(10)
+        )
+        p = tmp_path / f"b{lo}.ndjson"
+        p.write_text(nd + "\n")
+        d.insert_ndjson("ft", str(p))
+    cur = cat.data_dir("dml", "ft")
+    files = d._list_parquet(cur)
+    assert len(files) >= 3
+
+    # identify which files can contain v in [100, 110): footer check
+    import pyarrow.parquet as pq
+
+    def vrange(f):
+        md = pq.ParquetFile(f"{cur}/{f}").metadata
+        ci = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "v"
+        )
+        st = md.row_group(0).column(ci).statistics
+        return st.min, st.max
+
+    low_files = {f for f in files if vrange(f)[1] < 100}
+    assert low_files  # the 0-99 batch
+
+    assert run(d, "delete from ft where v >= 100 and v < 110") == [
+        {"count": 10}
+    ]
+    assert run(d, "select count(*) as n from ft") == [{"n": 20}]
+    # the sub-100 files were adopted unchanged (same names, new gen)
+    cur2 = cat.data_dir("dml", "ft")
+    after = set(d._list_parquet(cur2))
+    assert low_files <= after
+    # a predicate provably outside every file's range: complete no-op
+    gen = cat.get("dml", "ft").generation
+    assert run(d, "delete from ft where v > 10000") == [{"count": 0}]
+    assert cat.get("dml", "ft").generation == gen
+    # a non-prunable predicate (string col) still deletes correctly
+    assert run(d, "delete from ft where g = 'x' and v = 0") == [{"count": 1}]
+    assert run(d, "select count(*) as n from ft") == [{"n": 19}]
+
+
+def test_numeric_conjunct_parser_soundness(spark, tmp_path):
+    from scratchdata_spark.warehouse_dml import _numeric_conjuncts
+
+    cat = TableCatalog(str(tmp_path / "whc"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    nd = json.dumps({"g": "x", "v": 1, "f": 1.5})
+    p = tmp_path / "c.ndjson"
+    p.write_text(nd + "\n")
+    d.insert_ndjson("ct", str(p))
+    info = cat.get("dml", "ct")
+    assert _numeric_conjuncts(info, "v >= 100 AND v < 110") == [
+        ("v", ">=", 100.0), ("v", "<", 110.0)
+    ]
+    assert _numeric_conjuncts(info, "250 > v") == [("v", "<", 250.0)]
+    # OR / NOT / string literals / non-numeric cols: no pruning
+    assert _numeric_conjuncts(info, "v = 1 OR v = 2") == []
+    assert _numeric_conjuncts(info, "NOT v = 1") == []
+    assert _numeric_conjuncts(info, "g = 'x' AND v = 1") == []
+    assert _numeric_conjuncts(info, "g = 'x'") == []
+    # mixed with an unusable conjunct: the usable one still prunes
+    assert _numeric_conjuncts(info, "length(g) > 1 AND v = 5") == [
+        ("v", "=", 5.0)
+    ]

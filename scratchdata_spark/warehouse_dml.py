@@ -651,14 +651,28 @@ _CONJUNCT_REV_RE = re.compile(
 _FLIP_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
 
 
-def _numeric_conjuncts(info, pred_text: str) -> list[tuple[str, str, float]]:
-    """(col, op, literal) for every top-level AND conjunct of the
-    simple numeric-comparison shape. Soundness: the full predicate is
-    their conjunction (AND-ed with whatever else), so a FILE where any
-    ONE of them is false for every row cannot contain a matching row —
-    unparseable conjuncts are simply unusable, never unsound. Only
-    numeric columns: parquet min/max stats are exact for numerics,
-    while string stats may be truncated by writers."""
+def _parse_num(text: str):
+    """int when integral, float otherwise — Python's mixed int/float
+    comparisons are mathematically exact, while coercing a big int64
+    through float() loses precision above 2^53 (float(2^53+1) ==
+    2^53) and would wrongly prune a file whose max is 2^53+1 against
+    a `> 2^53` predicate."""
+    return float(text) if "." in text else int(text)
+
+
+def _numeric_conjuncts(info, pred_text: str) -> list[tuple[str, str, object]]:
+    """(col_lowercase, op, literal) for every top-level AND conjunct
+    of the simple numeric-comparison shape. Soundness: the full
+    predicate is their conjunction (AND-ed with whatever else), so a
+    FILE where any ONE of them is false for every row cannot contain
+    a matching row — unparseable conjuncts are simply unusable, never
+    unsound. INTEGER columns only: integer parquet stats are exact;
+    float/double stats may exclude NaN (some writers), and Spark
+    orders NaN above every value, so a `v > lit` prune on a
+    NaN-carrying file would wrongly skip rows; string stats may be
+    writer-truncated. Column names compare lowercase, matching
+    Spark's (and _prunable_partitions') case-insensitive
+    resolution."""
     from scratchdata_spark.dialect import _mask_literals
 
     masked, _ = _mask_literals(pred_text)
@@ -670,69 +684,80 @@ def _numeric_conjuncts(info, pred_text: str) -> list[tuple[str, str, float]]:
     else:
         conjuncts = re.split(r"\bAND\b", masked, flags=re.I)
     numeric = {
-        f.name
+        f.name.lower()
         for f in info.struct().fields
         if f.dataType.simpleString()
-        in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        in ("tinyint", "smallint", "int", "bigint")
     }
     out = []
     for c in conjuncts:
         m = _CONJUNCT_RE.match(c)
-        if m and m.group(1) in numeric:
-            out.append((m.group(1), m.group(2), float(m.group(3))))
+        if m and m.group(1).lower() in numeric:
+            out.append((m.group(1).lower(), m.group(2), _parse_num(m.group(3))))
             continue
         m = _CONJUNCT_REV_RE.match(c)
-        if m and m.group(3) in numeric:
-            out.append((m.group(3), _FLIP_OP[m.group(2)], float(m.group(1))))
+        if m and m.group(3).lower() in numeric:
+            out.append(
+                (m.group(3).lower(), _FLIP_OP[m.group(2)], _parse_num(m.group(1)))
+            )
     return out
 
 
 def _file_may_match(path: str, conjuncts) -> bool:
     """True unless some conjunct is provably false for every row of
-    the file, judged by parquet row-group min/max statistics. Missing
-    or incomplete stats → True (never prune blind); an all-NULL
+    the file, judged by parquet row-group min/max statistics. Every
+    surprise — unreadable footer, non-numeric physical stats,
+    anything — resolves to True (never prune blind); an all-NULL
     column satisfies no comparison, so stats-absent-with-rows guards
-    that too."""
+    that too. Stats stay in their native int type: Python int/float
+    comparisons are exact (see _parse_num)."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
+        schema_names: dict[str, int | None] = {}
+        for i in range(md.num_columns):
+            n = md.schema.column(i).name.lower()
+            # two physical columns differing only by case: ambiguous,
+            # disable pruning on that name
+            schema_names[n] = None if n in schema_names else i
+        for col, op, lit in conjuncts:
+            ci = schema_names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            any_values = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    if md.row_group(rg).num_rows > 0:
+                        lo = hi = None
+                        any_values = True
+                        break
+                    continue
+                if st.num_values and st.num_values > 0:
+                    any_values = True
+                    if not isinstance(st.min, int) or not isinstance(st.max, int):
+                        lo = hi = None  # unexpected physical type
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if not any_values:
+                return False  # only NULLs: no comparison can hold
+            if lo is None or hi is None:
+                continue  # stats unusable for this conjunct
+            impossible = (
+                (op in ("=", "==") and (lit < lo or lit > hi))
+                or (op == "<" and lo >= lit)
+                or (op == "<=" and lo > lit)
+                or (op == ">" and hi <= lit)
+                or (op == ">=" and hi < lit)
+            )
+            if impossible:
+                return False
+        return True
     except Exception:
         return True
-    schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    for col, op, lit in conjuncts:
-        ci = schema_names.get(col)
-        if ci is None:
-            continue
-        lo = hi = None
-        any_values = False
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                if md.row_group(rg).num_rows > 0:
-                    lo = hi = None
-                    any_values = True
-                    break
-                continue
-            if st.num_values and st.num_values > 0:
-                any_values = True
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-        if not any_values:
-            return False  # only NULLs: no comparison can hold
-        if lo is None or hi is None:
-            continue  # stats unusable for this conjunct
-        lo, hi = float(lo), float(hi)
-        impossible = (
-            (op in ("=", "==") and (lit < lo or lit > hi))
-            or (op == "<" and lo >= lit)
-            or (op == "<=" and lo > lit)
-            or (op == ">" and hi <= lit)
-            or (op == ">=" and hi < lit)
-        )
-        if impossible:
-            return False
-    return True
 
 
 def _cow_rewrite(dest, table: str, transform, prune_fn=None, file_prune_pred=None):
@@ -767,17 +792,26 @@ def _cow_rewrite(dest, table: str, transform, prune_fn=None, file_prune_pred=Non
         else:
             touched, untouched = snapshot, []
         # second pruning tier: parquet min/max footer stats — files a
-        # numeric conjunct rules out entirely adopt by rename too
+        # numeric conjunct rules out entirely adopt by rename too.
+        # Footers are independent read-only I/O; a thread pool bounds
+        # the time this holds the table's compaction lock.
         if file_prune_pred is not None and touched:
             conjuncts = _numeric_conjuncts(info, file_prune_pred)
             if conjuncts:
-                keep = [
-                    f
-                    for f in touched
-                    if _file_may_match(os.path.join(cur_dir, f), conjuncts)
-                ]
-                skipped = set(touched) - set(keep)
-                untouched += [f for f in touched if f in skipped]
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    verdicts = list(
+                        pool.map(
+                            lambda f: _file_may_match(
+                                os.path.join(cur_dir, f), conjuncts
+                            ),
+                            touched,
+                        )
+                    )
+                keep = []
+                for f, may in zip(touched, verdicts):
+                    (keep if may else untouched).append(f)
                 touched = keep
         if (prune_fn is not None or file_prune_pred is not None) and not touched:
             return 0, 0  # the predicate provably reaches no file: no-op

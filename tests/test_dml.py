@@ -616,3 +616,39 @@ def test_numeric_conjunct_parser_soundness(spark, tmp_path):
     assert _numeric_conjuncts(info, "length(g) > 1 AND v = 5") == [
         ("v", "=", 5.0)
     ]
+
+
+def test_file_pruning_bigint_precision_and_case(spark, tmp_path):
+    """Stats and literals above 2^53 must compare exactly (float()
+    coercion would equate 2^53 and 2^53+1 and wrongly prune); column
+    matching is case-insensitive like Spark's resolution; float
+    columns never prune (NaN orders above everything in Spark while
+    some writers exclude it from min/max)."""
+    from scratchdata_spark.warehouse_dml import (
+        _file_may_match,
+        _numeric_conjuncts,
+    )
+
+    cat = TableCatalog(str(tmp_path / "whb"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    big = 2**53
+    nd = json.dumps({"v": big + 1, "f": 1.5})
+    p = tmp_path / "big.ndjson"
+    p.write_text(nd + "\n")
+    d.insert_ndjson("bt", str(p))
+    info = cat.get("dml", "bt")
+
+    cj = _numeric_conjuncts(info, f"v > {big}")
+    assert cj and isinstance(cj[0][2], int)
+    f = next(
+        f"{cat.data_dir('dml', 'bt')}/{x}"
+        for x in d._list_parquet(cat.data_dir("dml", "bt"))
+    )
+    # the file HOLDS 2^53+1 > 2^53: must NOT be pruned
+    assert _file_may_match(f, cj) is True
+    # a range provably above the file's max IS pruned
+    assert _file_may_match(f, _numeric_conjuncts(info, f"v > {big + 1}")) is False
+    # case-insensitive column match still prunes
+    assert _numeric_conjuncts(info, "V > 5")[0][0] == "v"
+    # float/double columns: no pruning conjuncts at all
+    assert _numeric_conjuncts(info, "f > 100.0") == []

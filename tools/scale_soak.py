@@ -157,7 +157,7 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
     }, pairs
 
 
-def incremental_dedup_telemetry(docs, n_docs: int) -> dict:
+def incremental_dedup_telemetry(docs) -> dict:
     """Every 10th doc as the 'daily increment', the rest as the
     standing corpus (operators/dedup.py dedup_against_corpus). The
     scale claim under test: wall tracks increment×corpus band
@@ -282,7 +282,7 @@ def main() -> None:
             "n_vectors": n_vecs,
             "minhash_lsh": mh_stats,
             "connected_components": cc_telemetry(mh_pairs),
-            "incremental_dedup": incremental_dedup_telemetry(docs, n_docs),
+            "incremental_dedup": incremental_dedup_telemetry(docs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
         }

@@ -330,12 +330,29 @@ class SparkDestination(DataFrameSerializers, Destination):
 
     # ---------------------------------------------------------- metadata
     def tables(self) -> list[str]:
-        return self.catalog.tables(self.database)
+        # stored logical views list alongside tables — DuckDB's SHOW
+        # TABLES (the reference's /api/tables source) includes views
+        return sorted(
+            {
+                *self.catalog.tables(self.database),
+                *self.catalog.views(self.database),
+            }
+        )
 
     def columns(self, table: str) -> list[dict]:
         info = self.catalog.get(self.database, table)
         if info is None:
-            return []
+            sql = self.catalog.views(self.database).get(table)
+            if sql is None:
+                return []
+            try:
+                fields = self.view_df(sql).schema.fields
+            except Exception:
+                return []  # broken view (dropped base table)
+            return [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in fields
+            ]
         return [
             {"name": f.name, "type": f.dataType.simpleString()} for f in info.struct().fields
         ]

@@ -652,3 +652,15 @@ def test_file_pruning_bigint_precision_and_case(spark, tmp_path):
     assert _numeric_conjuncts(info, "V > 5")[0][0] == "v"
     # float/double columns: no pruning conjuncts at all
     assert _numeric_conjuncts(info, "f > 100.0") == []
+
+
+def test_views_appear_in_introspection(dest):
+    """DuckDB's SHOW TABLES (the reference's /api/tables source)
+    lists views; so do ours, with columns derived from the view's
+    analyzed schema."""
+    run(dest, "create view intro_v as select g, count(*) as n from t group by g")
+    assert "intro_v" in dest.tables()
+    cols = {c["name"]: c["type"] for c in dest.columns("intro_v")}
+    assert cols == {"g": "string", "n": "bigint"}
+    run(dest, "drop view intro_v")
+    assert "intro_v" not in dest.tables()

@@ -45,6 +45,11 @@ class TableInfo:
     # old values, so re-ADDing the name would silently resurrect them
     # (DuckDB's drop removes the data) — re-ADD is refused instead
     dropped: list = field(default_factory=list)
+    # declared PRIMARY KEY columns (from CREATE TABLE): the DEFAULT
+    # conflict target for ON CONFLICT / INSERT OR IGNORE|REPLACE.
+    # Not enforced on plain INSERT (parquet appends can't check
+    # uniqueness cheaply; the upsert statements are the honest path)
+    primary_key: list = field(default_factory=list)
 
     def struct(self) -> StructType:
         fields = []
@@ -105,6 +110,7 @@ class TableCatalog:
             meta.get("generation", 0),
             meta.get("partition_col"),
             meta.get("dropped", []),
+            meta.get("primary_key", []),
         )
 
     def _put(self, info: TableInfo) -> None:
@@ -118,6 +124,7 @@ class TableCatalog:
                     "generation": info.generation,
                     "partition_col": info.partition_col,
                     "dropped": info.dropped,
+                    "primary_key": info.primary_key,
                 },
                 f,
             )
@@ -187,6 +194,17 @@ class TableCatalog:
                 " new column name"
             )
 
+    def set_primary_key(self, database: str, table: str, cols: list) -> None:
+        info = self.get(database, table)
+        if info is None:
+            raise KeyError(f"no such table: {table}")
+        have = {c["name"] for c in info.columns}
+        for c in cols:
+            if c not in have:
+                raise ValueError(f"unknown PRIMARY KEY column: {c}")
+        info.primary_key = list(cols)
+        self._put(info)
+
     def drop_column(self, database: str, table: str, name: str) -> TableInfo:
         """ALTER TABLE DROP COLUMN: metadata-only — reads pass an
         explicit schema, so the column vanishes from every scan
@@ -203,6 +221,8 @@ class TableCatalog:
             raise ValueError(f"unknown column: {name}")
         if info.partition_col == name:
             raise ValueError("cannot drop the partition column")
+        if name in info.primary_key:
+            raise ValueError("cannot drop a PRIMARY KEY column")
         info.dropped = sorted({*info.dropped, name})
         self._put(info)
         return info

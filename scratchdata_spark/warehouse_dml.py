@@ -70,8 +70,11 @@ _CREATE_DEF_RE = re.compile(
     re.I | re.S,
 )
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*(?:\(\s*([^)]*?)\s*\))?\s*"
-    rf"((?:SELECT|VALUES|WITH|FROM)\b.+?)\s*;?\s*$",
+    rf"^\s*INSERT\s+(?:OR\s+(IGNORE|REPLACE)\s+)?INTO\s+({_IDENT})"
+    rf"\s*(?:\(\s*([^)]*?)\s*\))?\s*"
+    rf"((?:SELECT|VALUES|WITH|FROM)\b.+?)\s*"
+    rf"(?:ON\s+CONFLICT\s*(?:\(\s*([^)]*?)\s*\))?\s+DO\s+"
+    rf"(NOTHING|UPDATE\s+SET\s+.+?)\s*)?;?\s*$",
     re.I | re.S,
 )
 _DROP_RE = re.compile(
@@ -262,12 +265,19 @@ def validate(dest, query: str) -> None:
         m = _CREATE_DEF_RE.match(query)
         _check_ident(dest, m.group(2))
         _check_no_view(dest, m.group(2))
-        StructType.fromDDL(m.group(3))  # loud on bad column defs
+        clean, pk = _parse_column_defs(m.group(3))
+        struct = StructType.fromDDL(clean)  # loud on bad column defs
+        names = {f.name for f in struct.fields}
+        for c in pk:
+            if c not in names:
+                raise ValueError(f"unknown PRIMARY KEY column: {c}")
     elif kind == "insert":
         m = _INSERT_RE.match(query)
-        info = _require_table(dest, m.group(1))
-        src = _source_df(dest, m.group(3))
-        _insert_projection(info, src, m.group(2))  # arity/name checks
+        or_mode, table, col_list, body, conflict_cols, action = m.groups()
+        info = _require_table(dest, table)
+        src = _source_df(dest, body)
+        _insert_projection(info, src, col_list)  # arity/name checks
+        _conflict_spec(info, or_mode, conflict_cols, action)
     elif kind == "drop":
         m = _DROP_RE.match(query)
         if not m.group(1):
@@ -481,10 +491,13 @@ def _exec_create(dest, query: str):
         if if_not_exists:
             return _count_df(dest, 0)
         raise ValueError(f"table exists: {table}")
-    struct = StructType.fromDDL(defs)
+    clean, pk = _parse_column_defs(defs)
+    struct = StructType.fromDDL(clean)
     with dest.catalog.lock(dest.database, table):
         dest.catalog.create_empty_table(dest.database, table)
         _register_schema(dest, table, struct.fields)
+        if pk:
+            dest.catalog.set_primary_key(dest.database, table, pk)
     dest.plan_cache.invalidate()
     return _count_df(dest, 0)
 
@@ -500,6 +513,99 @@ def _with_row_id(df):
 
 
 # -------------------------------------------------------------- INSERT
+
+
+_TABLE_PK_RE = re.compile(r"^\s*PRIMARY\s+KEY\s*\(\s*([^)]*)\s*\)\s*$", re.I)
+_COL_CONSTRAINT_RE = re.compile(
+    r"\s+(PRIMARY\s+KEY|NOT\s+NULL|UNIQUE|DEFAULT\s+.+|CHECK\s*\(.+\)"
+    r"|REFERENCES\s+.+)\s*$",
+    re.I | re.S,
+)
+
+
+def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
+    """Saved DuckDB schemas carry constraints Spark's DDL parser
+    rejects (PRIMARY KEY, NOT NULL, UNIQUE, DEFAULT, CHECK,
+    REFERENCES). Strip them — declared but UNENFORCED on plain
+    appends, like much of the warehouse world — except PRIMARY KEY,
+    which is recorded in the catalog as the default conflict target
+    for ON CONFLICT / INSERT OR IGNORE|REPLACE. Returns (clean DDL,
+    primary-key columns)."""
+    from scratchdata_spark.dialect import _split_top_level_commas_text
+
+    clean, pk = [], []
+    for item in _split_top_level_commas_text(defs):
+        m = _TABLE_PK_RE.match(item)
+        if m:
+            pk += [c.strip().strip('`"') for c in m.group(1).split(",")]
+            continue
+        cur = item
+        prev = None
+        while prev != cur:
+            prev = cur
+            cm = _COL_CONSTRAINT_RE.search(cur)
+            if cm:
+                if re.match(r"(?i)PRIMARY", cm.group(1)):
+                    pk.append(cur.split()[0].strip('`"'))
+                cur = cur[: cm.start()]
+        clean.append(cur.strip())
+    return ", ".join(clean), pk
+
+
+def _conflict_spec(info, or_mode, conflict_cols, action):
+    """(keys, mode, set_cols) for the INSERT's conflict clause; mode
+    is None (plain append), 'nothing', 'replace' (whole row), or
+    'update' (listed columns). Keys default to the declared PRIMARY
+    KEY. DO UPDATE supports exactly the ``col = EXCLUDED.col`` form —
+    arbitrary update expressions are refused loudly rather than
+    half-implemented."""
+    or_mode = (or_mode or "").upper()
+    if not or_mode and not action:
+        return None, None, None
+    if or_mode and action:
+        raise ValueError("use either INSERT OR … or ON CONFLICT, not both")
+    have = {f.name for f in info.struct().fields}
+    set_cols = None
+    if action:
+        keys = (
+            [c.strip().strip('`"') for c in conflict_cols.split(",")]
+            if conflict_cols
+            else list(info.primary_key)
+        )
+        act = action.strip()
+        if act.upper() == "NOTHING":
+            mode = "nothing"
+        else:
+            set_text = re.sub(r"(?is)^UPDATE\s+SET\s+", "", act)
+            set_cols = []
+            for item in set_text.split(","):
+                mm = re.match(
+                    rf"^\s*({_IDENT})\s*=\s*EXCLUDED\s*\.\s*({_IDENT})\s*$",
+                    item,
+                    re.I,
+                )
+                if mm is None or mm.group(1).lower() != mm.group(2).lower():
+                    raise ValueError(
+                        "ON CONFLICT DO UPDATE supports only"
+                        " 'col = EXCLUDED.col' assignments"
+                    )
+                set_cols.append(mm.group(1))
+            mode = "update"
+    else:
+        keys = list(info.primary_key)
+        mode = "nothing" if or_mode == "IGNORE" else "replace"
+    if not keys:
+        raise ValueError(
+            "no conflict target: declare a PRIMARY KEY or use"
+            " ON CONFLICT (cols)"
+        )
+    for k in keys:
+        if k not in have or k == ROW_ID:
+            raise ValueError(f"unknown conflict column: {k}")
+    for c in set_cols or []:
+        if c not in have or c == ROW_ID or c in keys:
+            raise ValueError(f"bad DO UPDATE column: {c}")
+    return keys, mode, set_cols
 
 
 def _insert_projection(info, src, col_list: str | None):
@@ -548,21 +654,73 @@ def _insert_projection(info, src, col_list: str | None):
 
 def _exec_insert(dest, query: str):
     m = _INSERT_RE.match(query)
-    table, col_list, select_text = m.groups()
+    or_mode, table, col_list, select_text, conflict_cols, action = m.groups()
     info = _require_table(dest, table)
     src = _source_df(dest, select_text)
     renamed, cols = _insert_projection(info, src, col_list)
-    out = _with_row_id(renamed.select(*cols))
-    out = out.select(*[f.name for f in info.struct().fields])
-    # stage first (count observed in the same pass), adopt by rename:
-    # a self-referential INSERT INTO t SELECT … FROM t reads a
-    # listing pinned before any new file lands in the live dir
-    staging, n = _staged_write(dest, out, info.partition_col)
-    with dest.catalog.lock(dest.database, table):
-        _adopt_staged(
-            dest, staging, dest.catalog.data_dir(dest.database, table)
+    batch = renamed.select(*cols)  # target columns, __row_id pending
+    keys, mode, set_cols = _conflict_spec(info, or_mode, conflict_cols, action)
+
+    if mode in (None, "nothing"):
+        if mode == "nothing":
+            # idempotent append: drop in-batch key dups, then keep only
+            # rows whose keys are absent from the table — only key
+            # columns cross the anti-join, never the payload
+            batch = batch.dropDuplicates(keys)
+            batch = batch.join(
+                dest.table_df(table).select(*keys), keys, "left_anti"
+            )
+        out = _with_row_id(batch)
+        out = out.select(*[f.name for f in info.struct().fields])
+        # stage first (count observed in the same pass), adopt by
+        # rename: a self-referential INSERT INTO t SELECT … FROM t
+        # reads a listing pinned before any new file lands live
+        staging, n = _staged_write(dest, out, info.partition_col)
+        with dest.catalog.lock(dest.database, table):
+            _adopt_staged(
+                dest, staging, dest.catalog.data_dir(dest.database, table)
+            )
+        dest.plan_cache.invalidate()
+        return _count_df(dest, n)
+
+    # upsert modes: ONE copy-on-write rewrite folds the merge —
+    # replace: old rows losing their key + the whole new batch;
+    # update: old rows keep their __row_id, listed columns replaced
+    # from the batch, plus genuinely new batch rows appended
+    from pyspark import StorageLevel
+
+    batch = batch.dropDuplicates(keys).persist(StorageLevel.MEMORY_AND_DISK)
+    n = batch.count()
+    field_order = [f.name for f in info.struct().fields]
+    fields = {f.name: f for f in info.struct().fields}
+
+    def transform(src2, info2):
+        new_rows = _with_row_id(batch).select(*field_order)
+        if mode == "replace":
+            keep = src2.join(batch.select(*keys), keys, "left_anti")
+            return keep.unionByName(new_rows)
+        bsel = batch.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"__new_{c}") for c in set_cols],
         )
-    dest.plan_cache.invalidate()
+        matched = src2.join(bsel, keys, "inner").select(
+            *[
+                F.col(f"__new_{f}").cast(fields[f].dataType).alias(f)
+                if f in set_cols
+                else F.col(f)
+                for f in field_order
+            ]
+        )
+        unmatched = src2.join(bsel.select(*keys), keys, "left_anti")
+        inserts = _with_row_id(
+            batch.join(src2.select(*keys).distinct(), keys, "left_anti")
+        ).select(*field_order)
+        return unmatched.unionByName(matched).unionByName(inserts)
+
+    try:
+        _cow_rewrite(dest, table, transform)
+    finally:
+        batch.unpersist()
     return _count_df(dest, n)
 
 

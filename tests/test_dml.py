@@ -664,3 +664,68 @@ def test_views_appear_in_introspection(dest):
     assert cols == {"g": "string", "n": "bigint"}
     run(dest, "drop view intro_v")
     assert "intro_v" not in dest.tables()
+
+
+def test_primary_key_and_upsert_statements(spark, tmp_path):
+    """CREATE with constraints (PK recorded, rest stripped), INSERT OR
+    IGNORE/REPLACE, and ON CONFLICT DO NOTHING / DO UPDATE
+    (EXCLUDED.col form) — the idempotent-ingest/upsert surface."""
+    cat = TableCatalog(str(tmp_path / "whk"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    run(d, "create table kv (k INT PRIMARY KEY, a STRING, b INT NOT NULL)")
+    assert cat.get("dml", "kv").primary_key == ["k"]
+    assert [c["name"] for c in d.columns("kv")] == ["__row_id", "k", "a", "b"]
+    run(d, "insert into kv values (1, 'one', 10), (2, 'two', 20)")
+
+    # OR IGNORE: existing key 2 keeps its row, key 3 lands
+    assert run(
+        d, "insert or ignore into kv values (2, 'TWO', 99), (3, 'three', 30)"
+    ) == [{"count": 1}]
+    assert run(d, "select a from kv where k = 2") == [{"a": "two"}]
+    assert run(d, "select count(*) as n from kv") == [{"n": 3}]
+
+    # OR REPLACE: whole-row replacement
+    run(d, "insert or replace into kv values (2, 'TWO', 99)")
+    assert run(d, "select a, b from kv where k = 2") == [{"a": "TWO", "b": 99}]
+    assert run(d, "select count(*) as n from kv") == [{"n": 3}]
+
+    # ON CONFLICT (k) DO NOTHING — explicit target
+    assert run(
+        d,
+        "insert into kv values (3, 'x', 0), (4, 'four', 40)"
+        " on conflict (k) do nothing",
+    ) == [{"count": 1}]
+    assert run(d, "select a from kv where k = 3") == [{"a": "three"}]
+
+    # DO UPDATE SET a = EXCLUDED.a: listed column replaced on match,
+    # unlisted column (b) retained; new key inserted
+    run(
+        d,
+        "insert into kv values (4, 'FOUR', 44), (5, 'five', 50)"
+        " on conflict do update set a = EXCLUDED.a",
+    )
+    assert run(d, "select a, b from kv where k = 4") == [
+        {"a": "FOUR", "b": 40}
+    ]
+    assert run(d, "select a from kv where k = 5") == [{"a": "five"}]
+    # row ids stay unique through the merge
+    dup = run(
+        d,
+        "select count(*) as n from (select __row_id from kv"
+        " group by __row_id having count(*) > 1) x",
+    )
+    assert dup[0]["n"] == 0
+
+    # guardrails: arbitrary DO UPDATE exprs and PK-less OR IGNORE fail
+    # at VALIDATION (before HTTP commits a 200)
+    with pytest.raises(ValueError, match="EXCLUDED"):
+        d.validate_statement(
+            "insert into kv values (9, 'x', 0)"
+            " on conflict do update set a = upper(EXCLUDED.a)"
+        )
+    run(d, "create table nopk (x INT)")
+    with pytest.raises(ValueError, match="conflict target"):
+        d.validate_statement("insert or ignore into nopk values (1)")
+    # PK columns cannot be dropped
+    with pytest.raises(Exception, match="PRIMARY KEY"):
+        run(d, "alter table kv drop column k")

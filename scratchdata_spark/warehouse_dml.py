@@ -515,40 +515,60 @@ def _with_row_id(df):
 # -------------------------------------------------------------- INSERT
 
 
-_TABLE_PK_RE = re.compile(r"^\s*PRIMARY\s+KEY\s*\(\s*([^)]*)\s*\)\s*$", re.I)
-_COL_CONSTRAINT_RE = re.compile(
-    r"\s+(PRIMARY\s+KEY|NOT\s+NULL|UNIQUE|DEFAULT\s+.+|CHECK\s*\(.+\)"
-    r"|REFERENCES\s+.+)\s*$",
+_TABLE_CONSTRAINT_RE = re.compile(
+    r"^\s*(?:CONSTRAINT\s+\w+\s+)?"
+    r"(PRIMARY\s+KEY|UNIQUE|CHECK|FOREIGN\s+KEY)\b(.*)$",
     re.I | re.S,
 )
+_CONSTRAINT_KEYWORD_RE = re.compile(
+    r"\b(PRIMARY\s+KEY|NOT\s+NULL|UNIQUE|DEFAULT|CHECK|REFERENCES)\b", re.I
+)
+_PK_COL_NAME_RE = re.compile(r"^\s*(`[^`]+`|\"[^\"]+\"|\w+)")
 
 
 def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
     """Saved DuckDB schemas carry constraints Spark's DDL parser
-    rejects (PRIMARY KEY, NOT NULL, UNIQUE, DEFAULT, CHECK,
-    REFERENCES). Strip them — declared but UNENFORCED on plain
-    appends, like much of the warehouse world — except PRIMARY KEY,
-    which is recorded in the catalog as the default conflict target
-    for ON CONFLICT / INSERT OR IGNORE|REPLACE. Returns (clean DDL,
-    primary-key columns)."""
-    from scratchdata_spark.dialect import _split_top_level_commas_text
+    rejects — column-level (PRIMARY KEY, NOT NULL, UNIQUE, DEFAULT,
+    CHECK, REFERENCES) and table-level ([CONSTRAINT name] PRIMARY
+    KEY/UNIQUE/CHECK/FOREIGN KEY …). Strip them all — declared but
+    UNENFORCED on plain appends, like much of the warehouse world —
+    except PRIMARY KEY, which is recorded in the catalog as the
+    default conflict target for ON CONFLICT / INSERT OR
+    IGNORE|REPLACE. Parsing runs on MASKED text (a DEFAULT string
+    literal can contain anything) and strips RIGHTMOST-first, so
+    ``k INT DEFAULT 0 PRIMARY KEY`` records the PK before the greedy
+    DEFAULT tail is removed. Returns (clean DDL, pk columns)."""
+    from scratchdata_spark.dialect import (
+        _mask_literals,
+        _split_d0_commas,
+        _unmask_literals,
+    )
 
+    masked, lits = _mask_literals(defs)
     clean, pk = [], []
-    for item in _split_top_level_commas_text(defs):
-        m = _TABLE_PK_RE.match(item)
-        if m:
-            pk += [c.strip().strip('`"') for c in m.group(1).split(",")]
-            continue
+    for item in _split_d0_commas(masked):
+        tm = _TABLE_CONSTRAINT_RE.match(item)
+        if tm:
+            if tm.group(1).upper().startswith("PRIMARY"):
+                inner = re.search(r"\(\s*([^)]*)\s*\)", tm.group(2))
+                if inner:
+                    pk += [
+                        c.strip().strip('`"')
+                        for c in inner.group(1).split(",")
+                    ]
+            continue  # table-level constraint: dropped entirely
         cur = item
-        prev = None
-        while prev != cur:
-            prev = cur
-            cm = _COL_CONSTRAINT_RE.search(cur)
-            if cm:
-                if re.match(r"(?i)PRIMARY", cm.group(1)):
-                    pk.append(cur.split()[0].strip('`"'))
-                cur = cur[: cm.start()]
-        clean.append(cur.strip())
+        while True:
+            hits = list(_CONSTRAINT_KEYWORD_RE.finditer(cur))
+            if not hits:
+                break
+            last = hits[-1]
+            if last.group(1).upper().replace(" ", "").startswith("PRIMARY"):
+                nm = _PK_COL_NAME_RE.match(cur)
+                if nm:
+                    pk.append(nm.group(1).strip('`"'))
+            cur = cur[: last.start()]
+        clean.append(_unmask_literals(cur.strip(), lits))
     return ", ".join(clean), pk
 
 
@@ -661,15 +681,7 @@ def _exec_insert(dest, query: str):
     batch = renamed.select(*cols)  # target columns, __row_id pending
     keys, mode, set_cols = _conflict_spec(info, or_mode, conflict_cols, action)
 
-    if mode in (None, "nothing"):
-        if mode == "nothing":
-            # idempotent append: drop in-batch key dups, then keep only
-            # rows whose keys are absent from the table — only key
-            # columns cross the anti-join, never the payload
-            batch = batch.dropDuplicates(keys)
-            batch = batch.join(
-                dest.table_df(table).select(*keys), keys, "left_anti"
-            )
+    if mode is None:
         out = _with_row_id(batch)
         out = out.select(*[f.name for f in info.struct().fields])
         # stage first (count observed in the same pass), adopt by
@@ -683,14 +695,40 @@ def _exec_insert(dest, query: str):
         dest.plan_cache.invalidate()
         return _count_df(dest, n)
 
+    if mode == "nothing":
+        # idempotent append: drop in-batch key dups, then keep only
+        # rows whose keys are absent from the table — only key
+        # columns cross the anti-join, never the payload. The whole
+        # read-check-write holds the COMPACTION lock: two concurrent
+        # retries must not both pass the absence check (the exact
+        # duplicate this statement exists to prevent)
+        with dest._compaction_lock(table):
+            deduped = batch.dropDuplicates(keys)
+            deduped = deduped.join(
+                dest.table_df(table).select(*keys), keys, "left_anti"
+            )
+            out = _with_row_id(deduped)
+            out = out.select(*[f.name for f in info.struct().fields])
+            staging, n = _staged_write(dest, out, info.partition_col)
+            with dest.catalog.lock(dest.database, table):
+                _adopt_staged(
+                    dest, staging, dest.catalog.data_dir(dest.database, table)
+                )
+        dest.plan_cache.invalidate()
+        return _count_df(dest, n)
+
     # upsert modes: ONE copy-on-write rewrite folds the merge —
     # replace: old rows losing their key + the whole new batch;
     # update: old rows keep their __row_id, listed columns replaced
-    # from the batch, plus genuinely new batch rows appended
+    # from the batch (single left-outer scan with a match flag), plus
+    # genuinely new batch rows appended
     from pyspark import StorageLevel
 
     batch = batch.dropDuplicates(keys).persist(StorageLevel.MEMORY_AND_DISK)
     n = batch.count()
+    if n == 0:
+        batch.unpersist()
+        return _count_df(dest, 0)
     field_order = [f.name for f in info.struct().fields]
     fields = {f.name: f for f in info.struct().fields}
 
@@ -702,23 +740,58 @@ def _exec_insert(dest, query: str):
         bsel = batch.select(
             *[F.col(k) for k in keys],
             *[F.col(c).alias(f"__new_{c}") for c in set_cols],
+            F.lit(True).alias("__matched"),
         )
-        matched = src2.join(bsel, keys, "inner").select(
+        merged = src2.join(bsel, keys, "left_outer").select(
             *[
-                F.col(f"__new_{f}").cast(fields[f].dataType).alias(f)
+                F.when(
+                    F.col("__matched"),
+                    F.col(f"__new_{f}").cast(fields[f].dataType),
+                )
+                .otherwise(F.col(f))
+                .alias(f)
                 if f in set_cols
                 else F.col(f)
                 for f in field_order
             ]
         )
-        unmatched = src2.join(bsel.select(*keys), keys, "left_anti")
         inserts = _with_row_id(
-            batch.join(src2.select(*keys).distinct(), keys, "left_anti")
+            batch.join(src2.select(*keys), keys, "left_anti")
         ).select(*field_order)
-        return unmatched.unionByName(matched).unionByName(inserts)
+        return merged.unionByName(inserts)
 
+    # file/partition pruning: a conflicting row must carry a batch
+    # key, so for a single integer key the [min, max] of the batch's
+    # keys is a sound reach bound — files/partitions outside it adopt
+    # by rename (conservative: in-range files without the exact keys
+    # still rewrite)
+    prune_pred = None
+    if len(keys) == 1 and fields[keys[0]].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        lohi = batch.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).first()
+        if lohi["lo"] is not None:
+            prune_pred = f"{keys[0]} >= {lohi['lo']} AND {keys[0]} <= {lohi['hi']}"
     try:
-        _cow_rewrite(dest, table, transform)
+        _cow_rewrite(
+            dest,
+            table,
+            transform,
+            prune_fn=(
+                (
+                    lambda info2, cur_dir: _prunable_partitions(
+                        dest, info2, prune_pred, F.expr(prune_pred), cur_dir
+                    )
+                )
+                if prune_pred
+                else None
+            ),
+            file_prune_pred=prune_pred,
+            want_counts=False,
+            empty_touch_is_noop=False,
+        )
     finally:
         batch.unpersist()
     return _count_df(dest, n)
@@ -918,7 +991,15 @@ def _file_may_match(path: str, conjuncts) -> bool:
         return True
 
 
-def _cow_rewrite(dest, table: str, transform, prune_fn=None, file_prune_pred=None):
+def _cow_rewrite(
+    dest,
+    table: str,
+    transform,
+    prune_fn=None,
+    file_prune_pred=None,
+    want_counts: bool = True,
+    empty_touch_is_noop: bool = True,
+):
     """Copy-on-write generation flip — the compaction mechanism
     applied to a row transform: snapshot the current listing, rewrite
     it through ``transform`` into g{N+1}, then hand off to the SAME
@@ -971,8 +1052,15 @@ def _cow_rewrite(dest, table: str, transform, prune_fn=None, file_prune_pred=Non
                 for f, may in zip(touched, verdicts):
                     (keep if may else untouched).append(f)
                 touched = keep
-        if (prune_fn is not None or file_prune_pred is not None) and not touched:
-            return 0, 0  # the predicate provably reaches no file: no-op
+        if (
+            empty_touch_is_noop
+            and (prune_fn is not None or file_prune_pred is not None)
+            and not touched
+        ):
+            # DELETE/UPDATE: predicate provably reaches no file → no-op.
+            # Upserts pass empty_touch_is_noop=False — their transform
+            # INSERTS batch rows even with nothing matched.
+            return 0, 0
         root = dest.catalog.table_root(dest.database, table)
         new_gen = info.generation + 1
         new_dir = os.path.join(root, f"g{new_gen}")
@@ -995,11 +1083,15 @@ def _cow_rewrite(dest, table: str, transform, prune_fn=None, file_prune_pred=Non
         # optimizer prunes CollectMetrics together with a folded-away
         # filter (DELETE without WHERE → filter(false) → the observed
         # subtree vanishes and the metric never materializes).
-        before = src.count()
-        try:
-            after = dest.spark.read.parquet(new_dir).count()
-        except Exception:  # empty result wrote no parquet files
-            after = 0
+        # Callers that don't consume the counts (upserts, truncate)
+        # skip both jobs — they'd run inside the compaction lock.
+        before = after = 0
+        if want_counts:
+            before = src.count()
+            try:
+                after = dest.spark.read.parquet(new_dir).count()
+            except Exception:  # empty result wrote no parquet files
+                after = 0
         late = dest._flip_generation(
             table,
             info.generation,
@@ -1019,7 +1111,9 @@ def _cow_rewrite(dest, table: str, transform, prune_fn=None, file_prune_pred=Non
 def _exec_truncate(dest, query: str):
     table = _TRUNCATE_RE.match(query).group(1)
     _require_table(dest, table)
-    _cow_rewrite(dest, table, lambda src, info: src.limit(0))
+    _cow_rewrite(
+        dest, table, lambda src, info: src.limit(0), want_counts=False
+    )
     return _count_df(dest, 0)
 
 

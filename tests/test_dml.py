@@ -729,3 +729,74 @@ def test_primary_key_and_upsert_statements(spark, tmp_path):
     # PK columns cannot be dropped
     with pytest.raises(Exception, match="PRIMARY KEY"):
         run(d, "alter table kv drop column k")
+
+
+def test_upsert_prunes_files_and_inserts_out_of_range_keys(spark, tmp_path):
+    """Upsert file pruning by batch-key range: files whose key range
+    cannot intersect the batch adopt by rename; and when NO file can
+    match (all batch keys new, out of range), the batch must still
+    insert — an empty touched set is not a no-op for upserts."""
+    cat = TableCatalog(str(tmp_path / "whu2"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    run(d, "create table ks (k INT PRIMARY KEY, a STRING)")
+    for lo in (0, 100):
+        run(
+            d,
+            "insert into ks values "
+            + ", ".join(f"({lo + i}, 'v{lo + i}')" for i in range(5)),
+        )
+    cur = cat.data_dir("dml", "ks")
+    files = d._list_parquet(cur)
+    assert len(files) >= 2
+
+    # upsert touching only the 100-range: low-range file adopts
+    import pyarrow.parquet as pq
+
+    def kmax(f):
+        md = pq.ParquetFile(f"{cur}/{f}").metadata
+        ci = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "k"
+        )
+        return md.row_group(0).column(ci).statistics.max
+
+    low_files = {f for f in files if kmax(f) < 100}
+    assert low_files
+    run(d, "insert or replace into ks values (101, 'REPL')")
+    cur2 = cat.data_dir("dml", "ks")
+    assert low_files <= set(d._list_parquet(cur2))
+    assert run(d, "select a from ks where k = 101") == [{"a": "REPL"}]
+    assert run(d, "select count(*) as n from ks") == [{"n": 10}]
+
+    # batch entirely out of range: still inserted (no silent drop)
+    run(d, "insert or replace into ks values (999, 'new')")
+    assert run(d, "select a from ks where k = 999") == [{"a": "new"}]
+    assert run(d, "select count(*) as n from ks") == [{"n": 11}]
+
+
+def test_create_constraint_stripping_edge_cases(spark, tmp_path):
+    from scratchdata_spark.warehouse_dml import _parse_column_defs
+
+    clean, pk = _parse_column_defs("k INT DEFAULT 0 PRIMARY KEY, a STRING")
+    assert pk == ["k"] and clean == "k INT, a STRING"
+    clean, pk = _parse_column_defs(
+        "a INT, b INT, CONSTRAINT pk PRIMARY KEY (a, b)"
+    )
+    assert pk == ["a", "b"] and clean == "a INT, b INT"
+    clean, pk = _parse_column_defs("x INT, CHECK (x > 0), UNIQUE (x)")
+    assert pk == [] and clean == "x INT"
+    clean, pk = _parse_column_defs(
+        "u INT REFERENCES users(id) PRIMARY KEY, note STRING DEFAULT 'a,b'"
+    )
+    assert pk == ["u"] and clean == "u INT, note STRING"
+    # end-to-end: constrained DDL creates and inserts fine
+    cat = TableCatalog(str(tmp_path / "whc2"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    run(
+        d,
+        "create table cx (id INT NOT NULL, v DOUBLE DEFAULT 1.5,"
+        " CONSTRAINT ck CHECK (v > 0), PRIMARY KEY (id))",
+    )
+    assert cat.get("dml", "cx").primary_key == ["id"]
+    run(d, "insert or ignore into cx values (1, 2.0), (1, 3.0)")
+    assert run(d, "select count(*) as n from cx") == [{"n": 1}]

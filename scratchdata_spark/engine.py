@@ -370,7 +370,11 @@ class SparkDestination(DataFrameSerializers, Destination):
         self.plan_cache.invalidate()
 
     def insert_ndjson(
-        self, table: str, ndjson_path: str | list[str], skip_malformed: bool = False
+        self,
+        table: str,
+        ndjson_path: str | list[str],
+        skip_malformed: bool = False,
+        dedupe_keys: list[str] | None = None,
     ) -> None:
         """Atomic batch insert: the per-table catalog lock is held
         across schema registration AND the data write, so two
@@ -378,14 +382,39 @@ class SparkDestination(DataFrameSerializers, Destination):
         read-modify-write of the schema JSON (the losing batch's new
         columns would silently unregister). Accepts a file list — a
         streaming micro-batch inserts all its source files in one call,
-        executor-side, without rows ever visiting the driver."""
+        executor-side, without rows ever visiting the driver.
+
+        ``dedupe_keys`` makes the insert IDEMPOTENT BY KEY (the SQL
+        ``INSERT … ON CONFLICT DO NOTHING`` semantics): rows whose
+        keys already exist in the table are dropped, so an
+        at-least-once producer resending the same logical rows in new
+        files cannot double-insert. The read-check-write then holds
+        the compaction lock (before the catalog lock, the same order
+        every copy-on-write rewrite uses), serializing with
+        concurrent dedupe inserts and mutations."""
         table = _check_ident(table)
+        if dedupe_keys:
+            with self._compaction_lock(table):
+                with self.catalog.lock(self.database, table):
+                    self.create_empty_table(table)
+                    self.create_columns(
+                        table, ndjson_path, skip_malformed=skip_malformed
+                    )
+                    self.insert_ndjson_file(
+                        table, ndjson_path, dedupe_keys=dedupe_keys
+                    )
+            return
         with self.catalog.lock(self.database, table):
             self.create_empty_table(table)
             self.create_columns(table, ndjson_path, skip_malformed=skip_malformed)
             self.insert_ndjson_file(table, ndjson_path)
 
-    def insert_ndjson_file(self, table: str, ndjson_path: str | list[str]) -> None:
+    def insert_ndjson_file(
+        self,
+        table: str,
+        ndjson_path: str | list[str],
+        dedupe_keys: list[str] | None = None,
+    ) -> None:
         """Bulk load one NDJSON micro-batch (A9) — one file or a list.
 
         Read every field as string (exact token preservation), then
@@ -425,6 +454,19 @@ class SparkDestination(DataFrameSerializers, Destination):
             from scratchdata_spark.ids import snowflake_column
 
             out = out.withColumn(ROW_ID, F.coalesce(F.col(ROW_ID), snowflake_column()))
+            if dedupe_keys:
+                keys = list(dedupe_keys)
+                missing = [k for k in keys if k not in out.columns]
+                if missing:
+                    raise ValueError(
+                        f"dedupe_keys not in table schema: {missing}"
+                    )
+                # within-batch dup keys collapse, then only keys cross
+                # the anti-join against the table — never the payload
+                out = out.dropDuplicates(keys)
+                out = out.join(
+                    self.table_df(table).select(*keys), keys, "left_anti"
+                )
             writer = out.write.mode("append")
             if info.partition_col:
                 writer = writer.partitionBy(info.partition_col)

@@ -31,6 +31,7 @@ def start_table_ingest_stream(
     checkpoint_dir: str,
     trigger: dict | None = None,
     max_files_per_trigger: int = 100,
+    dedupe_keys: list[str] | None = None,
 ):
     """Stream NDJSON files for one table into the destination.
 
@@ -69,7 +70,13 @@ def start_table_ingest_stream(
             files.append(unquote(p.path) if p.scheme in ("file", "") else r.f)
         if not files:
             return
-        dest.insert_ndjson(table, files, skip_malformed=True)
+        # dedupe_keys: idempotent-by-key micro-batches — checkpointing
+        # already makes each FILE exactly-once, but an at-least-once
+        # PRODUCER resending rows in fresh files needs the key-level
+        # anti-join (engine.insert_ndjson) to keep the table clean
+        dest.insert_ndjson(
+            table, files, skip_malformed=True, dedupe_keys=dedupe_keys
+        )
 
     writer = (
         raw.writeStream.foreachBatch(process_batch)

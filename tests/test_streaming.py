@@ -267,3 +267,37 @@ def test_continuous_rollup_multibatch_and_replay(spark, tmp_path):
         map(tuple, rollup_result(spark, str(tmp_path / "rollup"), ["event_type"]).collect())
     )
     assert again == first
+
+
+def test_ingest_stream_idempotent_by_key(spark, tmp_path):
+    """dedupe_keys: an at-least-once producer resending the same
+    logical rows in NEW files (fresh to the checkpoint) must not
+    double-insert — key-level idempotency on top of the file-level
+    exactly-once the checkpoint already gives."""
+    import os
+
+    from scratchdata_spark.streaming.ingest import start_table_ingest_stream
+
+    dest = SparkDestination(
+        spark, TableCatalog(str(tmp_path / "whk")), "default"
+    )
+    src = str(tmp_path / "in_k")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        f.write('{"k": 1, "v": "one"}\n{"k": 2, "v": "two"}\n')
+    q = start_table_ingest_stream(
+        spark, dest, "idem_t", src, str(tmp_path / "ck_k"),
+        dedupe_keys=["k"],
+    )
+    q.awaitTermination(120)
+
+    # the producer retries: same rows + one new, in a NEW file
+    with open(os.path.join(src, "b.ndjson"), "w") as f:
+        f.write('{"k": 1, "v": "one"}\n{"k": 2, "v": "two"}\n{"k": 3, "v": "three"}\n')
+    q2 = start_table_ingest_stream(
+        spark, dest, "idem_t", src, str(tmp_path / "ck_k"),
+        dedupe_keys=["k"],
+    )
+    q2.awaitTermination(120)
+    rows = dest.query_df("select k, v from idem_t order by k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "one"), (2, "two"), (3, "three")]

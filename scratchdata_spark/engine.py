@@ -280,6 +280,16 @@ class SparkDestination(DataFrameSerializers, Destination):
         from scratchdata_spark import warehouse_dml
 
         stmt_text = warehouse_dml.normalize(query)
+        script = warehouse_dml.split_script(stmt_text)
+        if len(script) > 1:
+            # a saved multi-statement script: DuckDB executes every
+            # statement and answers with the LAST one's result.
+            # Intermediate DML runs for its side effects; an
+            # intermediate SELECT is built (analyzed) but its rows are
+            # never materialized — it has no observable effect.
+            for stmt in script[:-1]:
+                self.query_df(stmt)
+            return self.query_df(script[-1])
         if warehouse_dml.statement_kind(stmt_text) is not None:
             self.register_views()
             return warehouse_dml.execute(self, stmt_text)
@@ -319,6 +329,32 @@ class SparkDestination(DataFrameSerializers, Destination):
         from scratchdata_spark import warehouse_dml
 
         stmt_text = warehouse_dml.normalize(trim_query(query))
+        script = warehouse_dml.split_script(stmt_text)
+        if len(script) > 1:
+            # validate each DML statement WITHOUT executing; plain
+            # SELECT parts are left to execution, and a failure that
+            # names a table an EARLIER script statement creates is
+            # expected (it doesn't exist yet) — everything else is a
+            # genuine error surfaced before the HTTP 200
+            self.register_views()
+            pending: set[str] = set()
+            for stmt in script:
+                part = warehouse_dml.normalize(stmt)
+                if warehouse_dml.statement_kind(part) is not None:
+                    try:
+                        warehouse_dml.validate(self, part)
+                    except Exception as err:  # noqa: BLE001
+                        if not any(n in str(err) for n in pending):
+                            raise
+                for rx, gi in (
+                    (warehouse_dml._CTAS_RE, 3),
+                    (warehouse_dml._CREATE_DEF_RE, 2),
+                    (warehouse_dml._CREATE_VIEW_RE, 2),
+                ):
+                    m = rx.match(part)
+                    if m:
+                        pending.add(m.group(gi))
+            return True
         if warehouse_dml.statement_kind(stmt_text) is None:
             return False
         self.register_views()

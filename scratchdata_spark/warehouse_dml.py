@@ -132,6 +132,29 @@ def normalize(query: str) -> str:
     return query
 
 
+def split_script(query: str) -> list[str]:
+    """Depth-0 semicolon split on masked text — a saved DuckDB script
+    is often several statements submitted as one string (DuckDB
+    executes them all and returns the last result). Semicolons inside
+    string literals or parens never split. Returns the non-empty
+    statements; a single-statement text returns itself."""
+    from scratchdata_spark.dialect import _mask_literals, _unmask_literals
+
+    masked, lits = _mask_literals(query)
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            parts.append(masked[start:i])
+            start = i + 1
+    parts.append(masked[start:])
+    out = [_unmask_literals(p, lits).strip() for p in parts]
+    return [p for p in out if p]
+
+
 def statement_kind(query: str) -> str | None:
     """Which warehouse statement this text is, or None (normal query
     → passthrough). Callers pass normalize()d text — leading comments

@@ -800,3 +800,37 @@ def test_create_constraint_stripping_edge_cases(spark, tmp_path):
     assert cat.get("dml", "cx").primary_key == ["id"]
     run(d, "insert or ignore into cx values (1, 2.0), (1, 3.0)")
     assert run(d, "select count(*) as n from cx") == [{"n": 1}]
+
+
+def test_multi_statement_script(spark, tmp_path):
+    """A saved DuckDB script — several statements in one submission —
+    executes in order and answers with the LAST statement's result,
+    including through the HTTP validate-then-stream shape (exactly
+    once per statement)."""
+    cat = TableCatalog(str(tmp_path / "whs"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    out = run(
+        d,
+        "create table s1 (k INT PRIMARY KEY, v STRING);"
+        " insert into s1 values (1, 'a'), (2, 'b');"
+        " insert or ignore into s1 values (2, 'DUP'), (3, 'c');"
+        " select k, v from s1 order by k",
+    )
+    assert out == [
+        {"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}
+    ]
+    # validation of a script: no side effects, later-part references
+    # to tables created earlier in the script are tolerated
+    q = (
+        "create table s2 as select 41 + 1 as x;"
+        " insert into s2 select x + 1 from s2;"
+        " select count(*) as n from s2"
+    )
+    assert d.validate_statement(q) is True
+    assert "s2" not in d.tables()  # validate did NOT execute
+    assert run(d, q) == [{"n": 2}]
+    # a genuinely broken later statement still fails validation
+    with pytest.raises(Exception):
+        d.validate_statement("select 1; insert into nosuch select 1")
+    # semicolons inside string literals never split
+    assert run(d, "select 'a;b' as s") == [{"s": "a;b"}]

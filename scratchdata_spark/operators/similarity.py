@@ -141,6 +141,7 @@ def cosine_topk_lsh(
     query_id_col: str = "query_id",
     k: int = 5,
     n_planes: int = 6,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
@@ -148,12 +149,28 @@ def cosine_topk_lsh(
     raise recall with fewer planes (bigger buckets) or multi-probe.
     The candidate join shuffles on bucket id — at corpus scale this is
     the difference between |Q|×|C| and |Q|×|C|/2^planes comparisons.
+
+    ``max_bucket_size`` bounds per-bucket work: a degenerate corpus
+    bucket (templated / zero-ish embeddings collapsing to one sign
+    pattern) would otherwise pay |B|×|Q_bucket| dot products with
+    vectors in flight. Unlike the pair operator we TRUNCATE the bucket
+    to its ``max_bucket_size`` lowest ids (deterministic) instead of
+    dropping it — dropping would orphan every query hashing there.
+    Truncation is sort-based (window row_number, spills fine), never a
+    collected array.
     """
     cb = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         )
     ).withColumn("__bucket", hyperplane_bits(F.col("__cvec"), dim, n_planes))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("__bucket").orderBy("neighbor_id")
+        cb = (
+            cb.withColumn("__bn", F.row_number().over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     qb = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
@@ -185,6 +202,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_planes: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: unordered (id_a < id_b)
     with cosine ≥ threshold — the semantic-dedup step of a training
@@ -194,10 +212,22 @@ def near_dup_pairs(
     correctness baseline (oracle-able, |C|²/2 — small corpora only).
     ``n_planes=b`` → LSH candidate generation: only pairs sharing a
     random-hyperplane bucket are compared (recall < 1 across a plane;
-    at 100 TB this is the only shape that runs — the bucket join
-    shuffles ids + vectors once instead of materializing the cross
-    product, and near-identical vectors land in the same bucket with
-    probability (1 - θ/π)^b).
+    at 100 TB this is the only shape that runs), capped the same way
+    the MinHash operator is (dedup.py:127):
+
+    * the bucket shuffle carries (id, bucket) ONLY — vectors never
+      ride the candidate expansion;
+    * bucket sizes are pre-counted and buckets over
+      ``max_bucket_size`` dropped BEFORE any id list or pair
+      materializes (a degenerate bucket — templated or zero-ish
+      embeddings collapsing to one sign pattern — emits B²/2 pairs
+      and carries no near-dup signal the exact tier doesn't already
+      catch; the count-first anti-join also means no collected array
+      is ever bucket-sized, unlike a cap applied after collect_list);
+    * surviving buckets expand id pairs via array combinatorics (one
+      grouped shuffle, no self-join), then vectors+norms re-join by
+      id for the exact cosine verify — the heavy payload moves only
+      for verified candidates.
 
     Norms are computed once per row before the pairwise expansion.
     """
@@ -205,18 +235,38 @@ def near_dup_pairs(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     ).withColumn("__n", _norm(F.col("__vec")))
     if n_planes is not None:
-        v = v.withColumn(
-            "__bucket", hyperplane_bits(F.col("__vec"), dim, n_planes)
+        bucketed = v.select(
+            "__id", hyperplane_bits(F.col("__vec"), dim, n_planes).alias("__bucket")
         )
-        a = v.select(
+        if max_bucket_size is not None:
+            hot = (
+                bucketed.groupBy("__bucket")
+                .count()
+                .filter(F.col("count") > max_bucket_size)
+                .select("__bucket")
+            )
+            bucketed = bucketed.join(hot, "__bucket", "left_anti")
+        members = bucketed.groupBy("__bucket").agg(
+            F.sort_array(F.collect_list("__id")).alias("ids")
+        )
+        pairs_expr = (
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+        )
+        cand = (
+            members.filter(F.size("ids") >= 2)
+            .select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .select(F.col("p.id_a"), F.col("p.id_b"))
+        )
+        va = v.select(
             F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
-            F.col("__n").alias("__na"), "__bucket",
+            F.col("__n").alias("__na"),
         )
-        b = v.select(
+        vb = v.select(
             F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
-            F.col("__n").alias("__nb"), "__bucket",
+            F.col("__n").alias("__nb"),
         )
-        pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     else:
         a = v.select(
             F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),

@@ -248,6 +248,51 @@ def test_near_dup_pairs_exact_and_lsh_subset(spark):
     assert (1, 2) in lsh  # identical vectors share every bucket
 
 
+def test_near_dup_pairs_lsh_bucket_cap(spark):
+    """A degenerate bucket (many identical vectors → one sign
+    pattern) is dropped when it exceeds max_bucket_size; pairs in
+    healthy buckets are unaffected."""
+    from scratchdata_spark.operators.similarity import near_dup_pairs
+
+    # 10 identical vectors = one 45-pair degenerate bucket, plus one
+    # healthy near-dup pair pointing the other way
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 0.99, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(
+            df, dim=4, threshold=0.9, n_planes=4, max_bucket_size=5
+        ).collect()
+    }
+    assert not any(a < 100 for a, _ in capped)  # degenerate bucket dropped
+    assert (100, 101) in capped  # healthy bucket untouched
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(
+            df, dim=4, threshold=0.9, n_planes=4, max_bucket_size=None
+        ).collect()
+    }
+    assert len(uncapped) == 45 + 1
+
+
+def test_cosine_topk_lsh_truncation_keeps_queries(spark):
+    """Truncating an oversized corpus bucket must not orphan queries:
+    every query keeps candidates (the cap keeps the lowest ids)."""
+    from scratchdata_spark.operators.similarity import cosine_topk_lsh
+
+    rows = [(i, [1.0, float(i) * 1e-4, 0.0, 0.0]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], ["query_id", "embedding"]
+    )
+    out = cosine_topk_lsh(
+        corpus, queries, dim=4, k=3, n_planes=2, max_bucket_size=5
+    ).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_id <= 5 for r in out)  # lowest-id truncation
+
+
 def test_ivf_topk_matches_brute_force_with_full_probe(spark):
     """Probing every cell makes IVF exhaustive — results must equal
     the brute-force ranking exactly."""

@@ -170,6 +170,45 @@ def test_lsh_near_dup_avoids_cartesian(spark, sf_dir):
     assert "Join" in p  # the bucket equi-join survives
 
 
+def test_lsh_near_dup_bucket_capped_ids_only(spark, sf_dir):
+    """The embedding-LSH pair expansion must mirror the MinHash shape:
+    no equi-self-join of vector-carrying sides on the bucket id.  The
+    only join allowed to key on ``__bucket`` is the ids-only LeftAnti
+    hot-bucket drop; candidates come from a grouped collect_list +
+    array-combinatorics expansion (capped BEFORE pairs materialize),
+    and vectors re-join by id afterwards.  An uncapped bucket
+    self-join is quadratic with vector payload in flight the moment
+    one degenerate bucket appears (templated/zero embeddings)."""
+    import re
+
+    from scratchdata_spark.operators.similarity import near_dup_pairs
+
+    e = load(spark, sf_dir)["embeddings"]
+    p = plan(near_dup_pairs(e, dim=64, threshold=0.4, n_planes=4))
+    assert "collect_list" in p, p  # grouped expansion, not a self-join
+    # every join segment whose keys mention __bucket must be the
+    # LeftAnti hot-bucket filter (ids only), never an Inner pair join
+    for seg in re.split(r"\n\(\d+\) ", p):
+        if "Join" in seg.split("\n", 1)[0] and "__bucket" in seg:
+            assert "LeftAnti" in seg, seg
+
+
+def test_cosine_topk_lsh_bucket_truncated(spark, sf_dir):
+    """cosine_topk_lsh bounds per-bucket work by deterministic
+    truncation (sort-based row_number ≤ cap) — dropping whole buckets
+    would orphan the queries hashing there."""
+    from scratchdata_spark.operators.similarity import cosine_topk_lsh
+
+    e = load(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    p = plan(cosine_topk_lsh(e, queries, dim=64, k=5, n_planes=6))
+    assert "row_number" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_ivf_probe_join_shape(spark, sf_dir):
     """IVF: centroids broadcast to both sides (tiny table), and the
     probe join is an equi-join on the cell id — not a cross join of

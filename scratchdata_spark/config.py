@@ -45,6 +45,9 @@ class Config:
     api: ApiConfig = field(default_factory=ApiConfig)
     warehouse: str = "warehouse"
     metadata_db: str = "scratchdata.sqlite"
+    # COPY TO confinement dir (relative to the app root); queries may
+    # only export under it — a query API key must not write elsewhere
+    export_root: str = "exports"
     api_keys: dict[str, str] = field(default_factory=dict)  # key -> destination
     admin_key: str | None = None
     # durable-storage settings: {} → local dir; {"type": "s3"|"gcs", ...}
@@ -58,6 +61,7 @@ class Config:
             api=ApiConfig(**d.get("api", {})),
             warehouse=d.get("warehouse", "warehouse"),
             metadata_db=d.get("metadata_db", "scratchdata.sqlite"),
+            export_root=d.get("export_root", "exports"),
             api_keys=d.get("api_keys", {}),
             admin_key=d.get("admin_key"),
             blobstore=d.get("blobstore", {}),

@@ -311,10 +311,24 @@ class Dashboard:
     every mutation goes through the same Service methods the JSON API
     uses, so dashboard- and API-created connections are identical."""
 
-    def __init__(self, service, meta_db: str, external_url: str = ""):
+    def __init__(
+        self,
+        service,
+        meta_db: str,
+        external_url: str = "",
+        secure_cookies: bool = False,
+        session_ttl: float = 12 * 3600,
+    ):
         self.service = service
         self.requests = RequestStore(meta_db)
         self.external_url = external_url.rstrip("/")
+        # admin browser sessions: random server-side tokens, never the
+        # API key itself — a ?api_key= URL lands in browser history and
+        # proxy logs, so the credential must not also live for the
+        # browser's lifetime in a cookie
+        self._sessions: dict[str, float] = {}
+        self.session_ttl = session_ttl
+        self.secure_cookies = secure_cookies  # set behind TLS
         # settings shown on the edit page; password-typed fields are
         # never stored here so they can't leak back into HTML
         self.dest_settings: dict[str, dict] = {}
@@ -357,8 +371,33 @@ class Dashboard:
         return out
 
     def _is_admin(self, handler, params) -> bool:
-        key = params.get("api_key") or self._cookies(handler).get("sd_key")
-        return self.service.keys.is_admin(key)
+        key = params.get("api_key")
+        if key:
+            return self.service.keys.is_admin(key)
+        tok = self._cookies(handler).get("sd_sess")
+        if not tok:
+            return False
+        exp = self._sessions.get(tok)
+        if exp is None or exp < time.time():
+            self._sessions.pop(tok, None)
+            return False
+        return True
+
+    def _session_cookie(self) -> str:
+        """Exchange a presented admin key for a random session token
+        (expiring, HttpOnly, Secure behind TLS) — the cookie never
+        carries the key."""
+        now = time.time()
+        self._sessions = {t: e for t, e in self._sessions.items() if e > now}
+        tok = secrets.token_hex(16)
+        self._sessions[tok] = now + self.session_ttl
+        c = (
+            f"sd_sess={tok}; HttpOnly; SameSite=Strict; Path=/;"
+            f" Max-Age={int(self.session_ttl)}"
+        )
+        if self.secure_cookies:
+            c += "; Secure"
+        return c
 
     def _csrf_token(self, handler) -> tuple[str, str | None]:
         """Double-submit cookie: (token, Set-Cookie header or None)."""
@@ -538,12 +577,11 @@ class Dashboard:
                       " (?api_key=…)</p>"),
             )
             return True
-        # ?api_key=<admin> on any dashboard page starts a cookie session
+        # ?api_key=<admin> on any dashboard page starts a cookie
+        # session — a random expiring token, never the key itself
         cookie = None
         if params.get("api_key"):
-            cookie = (
-                f"sd_key={params['api_key']}; HttpOnly; SameSite=Strict; Path=/"
-            )
+            cookie = self._session_cookie()
 
         if path == "/dashboard/":
             body = (

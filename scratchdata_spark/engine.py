@@ -186,11 +186,16 @@ class SparkDestination(DataFrameSerializers, Destination):
         catalog: TableCatalog,
         database: str = "default",
         duckdb_compat: bool = True,
+        export_root: str | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.database = _check_ident(database)
         self.plan_cache = PlanCache()
+        # COPY TO targets are confined under this dir when set (the
+        # HTTP service always sets it — see warehouse_dml
+        # _resolve_copy_target); None = unconfined embedded use
+        self.export_root = export_root
         # The reference passes user SQL verbatim to DuckDB, so saved
         # queries arrive in DuckDB's dialect; the compat layer lets
         # them run unchanged (dialect.py — alias functions are inlined
@@ -232,30 +237,57 @@ class SparkDestination(DataFrameSerializers, Destination):
         stale results.
 
         View registration eagerly ANALYZES each view's SQL (unlike
-        the lazy table scan nodes), so it is fingerprint-cached: the
-        (name, sql) set is re-read each call — tiny JSON files — but
-        the Spark analysis re-runs only when it changed.
+        the lazy table scan nodes), so it is fingerprint-cached. The
+        fingerprint covers the (name, sql) set AND each base table's
+        data directory + parquet file listing: a registered view temp
+        view pins the base table's analyzed plan and file listing at
+        registration time, so any table mutation (insert, DML
+        copy-on-write, compaction flip — local or from another
+        instance sharing the warehouse dir) must force re-analysis,
+        or view reads would return silently stale rows and, two
+        generation flips later, fail on retired g<N> directories.
+        DuckDB (the reference) re-resolves views per query; the
+        listing walk only runs when views exist at all, so tables-only
+        destinations pay nothing.
         """
         for t in self.catalog.tables(self.database):
             self.table_df(t).createOrReplaceTempView(t)
         views = self.catalog.views(self.database)
-        fp = hash(tuple(sorted(views.items())))
-        if fp == getattr(self, "_views_fp", None):
+        # a view dropped from the catalog must leave the session too —
+        # only names THIS destination registered are ever dropped
+        for name in getattr(self, "_registered_views", set()) - set(views):
+            self.spark.catalog.dropTempView(name)
+        self._registered_views = set()
+        if not views:
+            self._views_fp = None
             return
-        while views:
+        state = []
+        for t in self.catalog.tables(self.database):
+            d = self.catalog.data_dir(self.database, t)
+            files = tuple(self._list_parquet(d)) if os.path.isdir(d) else ()
+            state.append((t, d, files))
+        fp = hash((tuple(sorted(views.items())), tuple(state)))
+        if fp == getattr(self, "_views_fp", None):
+            self._registered_views = set(views)
+            return
+        pending = dict(views)
+        while pending:
             failed = {}
-            for name, sql in views.items():
+            for name, sql in pending.items():
                 try:
                     self.view_df(sql).createOrReplaceTempView(name)
+                    self._registered_views.add(name)
                 except Exception:  # noqa: BLE001 — retried while shrinking
                     failed[name] = sql
-            if len(failed) == len(views):
+            if len(failed) == len(pending):
                 break  # nothing resolved this pass: remaining are broken
-            views = failed
-        if not views:
+            pending = failed
+        if not pending:
             # cache only a fully-registered set: a broken view must be
             # retried next call (its base table may just have returned)
             self._views_fp = fp
+        else:
+            self._views_fp = None
 
     def view_df(self, sql: str) -> DataFrame:
         """DataFrame for a stored view's SQL — with the same DuckDB
@@ -344,7 +376,21 @@ class SparkDestination(DataFrameSerializers, Destination):
                     try:
                         warehouse_dml.validate(self, part)
                     except Exception as err:  # noqa: BLE001
-                        if not any(n in str(err) for n in pending):
+                        # only a missing-table error naming a table an
+                        # EARLIER script statement creates is expected;
+                        # bare substring containment would let a short
+                        # table name ('t') swallow genuine failures
+                        msg = str(err)
+                        expected = any(
+                            re.search(
+                                r"(?is)(no such table|not found|does not exist|"
+                                r"TABLE_OR_VIEW_NOT_FOUND)"
+                                rf"(?:.*?)\b{re.escape(n)}\b",
+                                msg,
+                            )
+                            for n in pending
+                        )
+                        if not expected:
                             raise
                 for rx, gi in (
                     (warehouse_dml._CTAS_RE, 3),

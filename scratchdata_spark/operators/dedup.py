@@ -304,6 +304,7 @@ def dedup_against_corpus(
     k: int = 5,
     threshold: float = 0.5,
     max_bucket_size: int | None = 256,
+    near: bool = True,
 ) -> DataFrame:
     """Incremental dedup: flag NEW documents that duplicate an
     EXISTING corpus — the production shape (a crawl increment against
@@ -325,7 +326,10 @@ def dedup_against_corpus(
 
     Returns new_df + ``dup_exact`` / ``dup_near`` booleans and
     ``dup_of`` (min matching corpus id — audit evidence; NULL when no
-    near match).
+    near match). ``near=False`` runs the exact tier alone (sha256
+    fingerprints — every step SQL-expressible, so this path is
+    hash-oracle-checkable; the near tier's xxhash64 band index is
+    not) and returns new_df + ``dup_exact`` only.
     """
     from pyspark import StorageLevel
 
@@ -339,6 +343,10 @@ def dedup_against_corpus(
         .distinct()
         .withColumn("dup_exact", F.lit(True))
     )
+    if not near:
+        return new_df.join(exact, id_col, "left").withColumn(
+            "dup_exact", F.coalesce("dup_exact", F.lit(False))
+        )
 
     sig_new = minhash_signature(
         ensure_parallelism(new_df.select(id_col, text_col)),

@@ -64,11 +64,18 @@ def build_app(
 ) -> App:
     os.makedirs(root, exist_ok=True)
     catalog = TableCatalog(os.path.join(root, config.warehouse))
+    export_root = (
+        config.export_root
+        if os.path.isabs(config.export_root)
+        else os.path.join(root, config.export_root)
+    )
     # One child session per destination: temp views are session-scoped
     # in Spark, so tenants can't resolve each other's tables (the
     # reference gets this isolation from separate backend connections).
     destinations = {
-        name: SparkDestination(spark.newSession(), catalog, name)
+        name: SparkDestination(
+            spark.newSession(), catalog, name, export_root=export_root
+        )
         for name in {*config.api_keys.values(), "default"}
     }
     destinations.update(extra_destinations or {})
@@ -87,7 +94,9 @@ def build_app(
     def destination_factory(name: str, type_: str, settings: dict):
         """Runtime destination onboarding (POST /api/destinations)."""
         if type_ == "spark":
-            return SparkDestination(spark.newSession(), catalog, name)
+            return SparkDestination(
+                spark.newSession(), catalog, name, export_root=export_root
+            )
         if type_ == "duckdb":
             from scratchdata_spark.duckdb_destination import DuckDBDestination
 

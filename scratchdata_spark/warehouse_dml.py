@@ -326,6 +326,7 @@ def validate(dest, query: str) -> None:
         m = _COPY_TO_RE.match(query)
         _copy_source_df(dest, m.group(1))  # analyze only
         _copy_format(m.group(2), m.group(3))  # loud on unknown formats
+        _resolve_copy_target(dest, m.group(2))  # confinement, pre-200
     elif kind == "create_view":
         m = _CREATE_VIEW_RE.match(query)
         _check_ident(dest, m.group(2))
@@ -1022,6 +1023,7 @@ def _cow_rewrite(
     file_prune_pred=None,
     want_counts: bool = True,
     empty_touch_is_noop: bool = True,
+    count_pred=None,
 ):
     """Copy-on-write generation flip — the compaction mechanism
     applied to a row transform: snapshot the current listing, rewrite
@@ -1031,7 +1033,13 @@ def _cow_rewrite(
     pointer flip, grandparent retirement — one implementation, not
     two). ``prune_fn(info, cur_dir)`` may return the set of partition
     dirs the statement can touch; files outside them are adopted by
-    rename instead of rewritten.
+    rename instead of rewritten. ``count_pred`` (a Column) is counted
+    on the snapshot source INSIDE the lock — UPDATE's matched-row
+    count must see the same snapshot the rewrite transforms, or a
+    concurrent insert/delete between a pre-lock count scan and the
+    rewrite makes the reported count disagree with the rows actually
+    rewritten. (Pruned-away files cannot match the predicate by
+    construction, so counting the touched set equals the full table.)
 
     The compaction lock is held for the whole rewrite so concurrent
     DML/compaction serialize, and the TableInfo is re-read INSIDE the
@@ -1083,7 +1091,7 @@ def _cow_rewrite(
             # DELETE/UPDATE: predicate provably reaches no file → no-op.
             # Upserts pass empty_touch_is_noop=False — their transform
             # INSERTS batch rows even with nothing matched.
-            return 0, 0
+            return 0, 0, 0
         root = dest.catalog.table_root(dest.database, table)
         new_gen = info.generation + 1
         new_dir = os.path.join(root, f"g{new_gen}")
@@ -1095,6 +1103,9 @@ def _cow_rewrite(
             )
         else:
             src = dest.spark.createDataFrame([], info.struct())
+        matched = (
+            src.filter(count_pred).count() if count_pred is not None else 0
+        )
         out = transform(src, info)
         writer = out.write.mode("overwrite")
         if info.partition_col:
@@ -1128,7 +1139,7 @@ def _cow_rewrite(
             raise RuntimeError(
                 f"table {table} changed during the rewrite; retry"
             )
-        return before, after
+        return before, after, matched
 
 
 def _exec_truncate(dest, query: str):
@@ -1149,7 +1160,7 @@ def _exec_delete(dest, query: str):
         if pred
         else F.lit(True)
     )
-    before, after = _cow_rewrite(
+    before, after, _ = _cow_rewrite(
         dest,
         table,
         lambda src, info: src.filter(~cond),
@@ -1206,6 +1217,31 @@ def _copy_format(path: str, opts_text: str | None) -> tuple[str, dict]:
     return fmt, opts
 
 
+def _resolve_copy_target(dest, path: str) -> str:
+    """Confine COPY TO targets to the destination's export root.
+
+    A query API key must not be a filesystem-write primitive: an
+    unconfined path lets any key holder overwrite the catalog JSON,
+    the metadata sqlite, or another tenant's warehouse files via
+    os.replace. When ``dest.export_root`` is set (the HTTP service
+    always sets it), relative paths resolve under it and absolute
+    paths must realpath-resolve inside it (symlinks can't escape —
+    existing ancestors are resolved). Embedded/library use with
+    export_root=None keeps the unconfined behavior."""
+    root = getattr(dest, "export_root", None)
+    if root is None:
+        return path
+    root = os.path.realpath(root)
+    os.makedirs(root, exist_ok=True)
+    cand = path if os.path.isabs(path) else os.path.join(root, path)
+    resolved = os.path.realpath(cand)
+    if resolved != root and not resolved.startswith(root + os.sep):
+        raise PermissionError(
+            f"COPY TO target outside the export root: {path!r}"
+        )
+    return resolved
+
+
 def _exec_copy_to(dest, query: str):
     """DuckDB's export statement: ``COPY <table|(query)> TO 'path'
     [(FORMAT …, HEADER, DELIMITER ',', PER_THREAD_OUTPUT)]``.
@@ -1221,6 +1257,7 @@ def _exec_copy_to(dest, query: str):
     source, path, opts_text = m.groups()
     df = _copy_source_df(dest, source)
     fmt, opts = _copy_format(path, opts_text)
+    path = _resolve_copy_target(dest, path)
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -1363,12 +1400,6 @@ def _exec_update(dest, query: str):
     set_cols = {
         name: _expr(dest, tdf, text) for name, text in assigns.items()
     }
-    # matched count needs the predicate evaluated — one extra filter
-    # scan before the rewrite (UPDATE rewrites everything anyway, so
-    # the rewrite pass dominates; an Observation metric would fold
-    # away with trivial predicates, see _cow_rewrite)
-    n = tdf.filter(cond).count()
-
     def transform(src, info):
         fields = {f.name: f for f in info.struct().fields}
         cols = []
@@ -1383,7 +1414,12 @@ def _exec_update(dest, query: str):
                 cols.append(F.col(f.name))
         return src.select(*cols)
 
-    _cow_rewrite(
+    # matched count runs on the locked snapshot inside _cow_rewrite —
+    # a pre-lock count scan could disagree with the rows actually
+    # rewritten under concurrent DML (UPDATE rewrites everything
+    # anyway, so the rewrite pass dominates; an Observation metric
+    # would fold away with trivial predicates, see _cow_rewrite)
+    _, _, n = _cow_rewrite(
         dest,
         table,
         transform,
@@ -1391,5 +1427,6 @@ def _exec_update(dest, query: str):
             dest, info, pred, cond, cur_dir
         ),
         file_prune_pred=pred,
+        count_pred=cond,
     )
     return _count_df(dest, n)

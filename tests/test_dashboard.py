@@ -83,10 +83,18 @@ def test_dashboard_requires_admin(client):
     assert code == 401  # tenant key is not admin
     code, body = client.req("GET", "/dashboard/?api_key=admin")
     assert code == 200 and "connections" in body
-    # the ?api_key visit started a cookie session
-    assert client.cookies.get("sd_key") == "admin"
+    # the ?api_key visit started a cookie session: a random expiring
+    # token — the admin key itself must never land in a cookie
+    sess = client.cookies.get("sd_sess")
+    assert sess and sess != "admin" and "admin" not in sess
+    assert "sd_key" not in client.cookies
     code, _ = client.req("GET", "/dashboard/connections")
     assert code == 200
+    # a forged/unknown session token is rejected
+    client.cookies["sd_sess"] = "0" * 32
+    code, _ = client.req("GET", "/dashboard/connections")
+    assert code == 401
+    client.cookies["sd_sess"] = sess
 
 
 def test_redirect_and_type_chooser(client):
@@ -309,7 +317,7 @@ def test_form_with_api_key_in_url_sets_csrf_cookie(app):
         "GET", "/dashboard/connections/new/spark?api_key=admin"
     )
     assert code == 200
-    assert "sd_key" in c.cookies and "sd_csrf" in c.cookies
+    assert "sd_sess" in c.cookies and "sd_csrf" in c.cookies
     token = c.csrf(body)
     code, body = c.req(
         "POST",

@@ -834,3 +834,101 @@ def test_multi_statement_script(spark, tmp_path):
         d.validate_statement("select 1; insert into nosuch select 1")
     # semicolons inside string literals never split
     assert run(d, "select 'a;b' as s") == [{"s": "a;b"}]
+
+
+# ----------------- round-5 advisor fixes: view staleness, COPY root
+
+
+def test_view_sees_table_mutations(dest):
+    """A stored view must re-resolve after base-table DML: the view
+    temp view pins the base plan + file listing at registration, so
+    INSERT/DELETE/UPDATE must force re-registration (DuckDB, the
+    reference, re-resolves views per query)."""
+    run(dest, "create view totals as select g, sum(v) as s from t group by g")
+    assert run(dest, "select s from totals where g = 'a'") == [{"s": 1}]
+    run(dest, "insert into t values ('a', 100)")
+    assert run(dest, "select s from totals where g = 'a'") == [{"s": 101}]
+    run(dest, "update t set v = v + 1 where g = 'a'")
+    assert run(dest, "select s from totals where g = 'a'") == [{"s": 104}]
+    run(dest, "delete from t where g = 'a'")
+    assert run(dest, "select count(*) as n from totals where g = 'a'") == [
+        {"n": 0}
+    ]
+
+
+def test_view_survives_generation_flips(dest):
+    """Two copy-on-write flips retire the g<N> dir a pinned view plan
+    would still point at — reads through the view must not fail on
+    missing input files."""
+    run(dest, "create view vv as select count(*) as n from t")
+    assert run(dest, "select n from vv") == [{"n": 6}]
+    run(dest, "delete from t where v = 0")
+    run(dest, "delete from t where v = 1")
+    run(dest, "delete from t where v = 2")
+    assert run(dest, "select n from vv") == [{"n": 3}]
+
+
+def test_dropped_view_leaves_session(dest):
+    run(dest, "create view ephem as select 1 as one")
+    assert run(dest, "select one from ephem") == [{"one": 1}]
+    run(dest, "drop view ephem")
+    with pytest.raises(Exception):
+        run(dest, "select one from ephem")
+
+
+def test_copy_to_confined_to_export_root(spark, tmp_path):
+    """With export_root set (the HTTP service always sets it), COPY TO
+    may only write under it — a query API key must not be a
+    filesystem-write primitive against the catalog/metadata files."""
+    import os
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    root = tmp_path / "exports"
+    d = SparkDestination(
+        spark.newSession(), cat, "dml", export_root=str(root)
+    )
+    p = tmp_path / "seed.ndjson"
+    p.write_text(json.dumps({"g": "a", "v": 1}) + "\n")
+    d.insert_ndjson("t", str(p))
+    # relative target lands under the root
+    assert run(d, "copy t to 'out.csv' (HEADER)") == [{"count": 1}]
+    assert (root / "out.csv").is_file()
+    # absolute target inside the root is fine
+    run(d, f"copy t to '{root}/abs.json'")
+    assert (root / "abs.json").is_file()
+    # escapes are refused — both at execution and at validation time
+    outside = tmp_path / "wh" / "dml" / "t" / "evil.csv"
+    with pytest.raises(Exception, match="export root"):
+        run(d, f"copy t to '{outside}'")
+    with pytest.raises(Exception, match="export root"):
+        d.validate_statement(f"copy t to '{outside}'")
+    with pytest.raises(Exception, match="export root"):
+        run(d, "copy t to '../escape.csv'")
+    assert not outside.exists()
+
+
+def test_update_count_matches_snapshot(dest):
+    """UPDATE's reported count is computed on the locked snapshot the
+    rewrite transforms (not a separate pre-lock scan)."""
+    assert run(dest, "update t set v = v + 10 where g = 'b'") == [
+        {"count": 2}
+    ]
+    assert run(dest, "update t set v = 0 where g = 'zz'") == [{"count": 0}]
+
+
+def test_script_validation_not_fooled_by_short_names(spark, tmp_path):
+    """A pending created-table named 't' or 'a' must not swallow
+    genuine later-statement failures whose error text merely CONTAINS
+    that letter (bare substring matching would: 'table' contains 'a')."""
+    cat = TableCatalog(str(tmp_path / "wh"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    # 'a' is pending; the second statement fails on a DIFFERENT
+    # missing table — must raise, not return 200-shaped True
+    with pytest.raises(Exception):
+        d.validate_statement(
+            "create table a as select 1 as x; insert into nosuch select 1"
+        )
+    # the legitimate forward reference still validates
+    assert d.validate_statement(
+        "create table a as select 1 as x; select * from a"
+    )

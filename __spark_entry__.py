@@ -28,75 +28,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks entries in dict-insertion order and stops after
-# ~50.  Round 4 rotation, slot-budgeted: (a) the flagship sanity row,
-# (b) every never-driver-checked entry — the dialect layer and
-# corpus operators grown this round MUST get their first rows,
-# (c) the six s_* streaming entries (explicit VERDICT-r3 ask:
-# multi-batch driver evidence), (d) as much of the r2-banked
-# hash-oracle tail as fits — operators whose modules were touched in
-# rounds 3-4 first.  The simplest untouched passthrough shapes
-# (filters, plain aggs, word count, lateral) and the rows-only
-# re-checks sit past the window edge: they are pytest-exercised
-# every session, their code is unchanged since their r2 hash-green
-# row, and a one-round-staler row there costs less than a
-# never-checked entry shipping without any driver evidence.
+# ~50.  ROTATION INVARIANT (standing, per VERDICT r4 #1): no entry's
+# newest driver row may be older than 2 rounds.  Slot budget each
+# round: (a) flagship sanity row; (b) every entry with NO row in the
+# last two rounds — this round that is the 21 r2-stale/never-checked
+# entries, paid down in full; (c) entries NEW this round; (d) the
+# oldest remaining rows (r3) until the window fills, semantics-heavy
+# shapes first (joins, windows, subqueries, set ops, streaming).
+# After r5 every entry's newest row is r3/r4/r5 → max staleness 2.
+# The r3 entries that did NOT fit this window (the simple
+# function-sheet shapes: q_array_funcs, q_case_cast, q_cube,
+# q_date_funcs, q_dialect_duckdb_text, q_distinct,
+# q_explode_posexplode, q_grouping_sets, q_join_cross, q_json_funcs,
+# q_map_struct_funcs, q_math_funcs, q_order_limit_offset, q_pivot,
+# q_qualify_latest, q_rollup, q_sample_deterministic, q_string_funcs,
+# q_tablesample, q_topk_per_group, q_union_all, q_unpivot,
+# q_approx_count_distinct) reach staleness 2 at r5 and MUST front the
+# r6 window.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
-    # --- never driver-checked (new in round 4) ---
-    "q_dialect_qualify",
-    "q_dialect_file_scan",
-    "q_dialect_asof",
-    "q_dialect_distinct_on",
-    "q_dialect_unnest_tokens",
-    "q_dialect_struct_literals",
-    "q_dialect_generate_series",
-    "q_dialect_subscripts",
-    "q_dialect_star_replace",
-    "q_dialect_agg_order_by",
-    "q_dialect_pivot_stmt",
-    "q_dialect_list_comprehension",
-    "q_dialect_union_by_name",
-    "x_quality_repetition",
-    "x_pii_scrub",
-    "x_dedup_clusters",
-    "x_dedup_survivors",
-    "x_decontaminate",
-    "x_global_shuffle",
-    "x_model_score",
-    "x_cap_per_source",
-    "x_resample_temperature",
-    "x_chunk_documents",
-    # streaming: multi-batch driver evidence for the s_* surface
-    "s_stream_sliding_2h_1h",
-    "s_stream_session_windows",
-    "s_stream_stateful_user_totals",
-    "s_stream_dedup",
-    "s_stream_stream_join",
-    "s_rollup_continuous_hourly",
-    # --- r2-banked hash-oracle tail, touched-code first ---
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q_agg_lists_median_mode",
-    "q_scan_external_files",
-    "q_nested_flatten_horizontal",
-    "q_nested_flatten_vertical",
-    "x_dedup_exact",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_embedding_cosine",
-    "x_ann_cosine_topk",
-    "x_text_token_count",
-    "x_text_quality",
-    "x_text_langid",
-    "x_text_fingerprint",
-    "x_multimodal_meta",
-    "x_multimodal_resize",
-    "x_multimodal_frames",
-    "x_pipeline_clean_corpus",
-    # --- past the ~50 edge: unchanged passthrough shapes (r2 green,
-    # pytest-exercised) then the rows-only re-checks ---
-    "x_salted_join_skew",
-    "x_range_join_bucketed",
+    # --- (b) never driver-checked / newest row is r2 — 21 entries ---
+    "x_dedup_incremental",  # never in any window; rows-only
     "q02_filter_predicates",
     "q_agg_basic",
     "q_agg_stats",
@@ -110,13 +62,55 @@ _PRIORITY = [
     "q_scan_external_csv",
     "q_scan_external_orc",
     "q_approx_quantile",
+    "x_range_join_bucketed",
     "x_dedup_exact_rows",
-    "x_dedup_incremental",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
-    "x_dedup_embedding_lsh",
-    "x_ann_cosine_lsh",
+    "x_dedup_embedding_lsh",  # re-check after the round-5 bucket cap
+    "x_ann_cosine_lsh",  # re-check after the round-5 truncation cap
     "x_ann_ivf_topk",
+    # --- (c) new this round ---
+    "x_dedup_incremental_exact",  # sha256 oracle for the incremental path
+    "q_dml_ctas_roundtrip",  # CTAS + INSERT…SELECT through query_df
+    # --- (d) oldest (r3) rows, semantics-heavy first — 26 slots ---
+    "s_stream_tumbling_hour",
+    "q_join_asof",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full_outer",
+    "q_window_frame_rows",
+    "q_window_frame_range",
+    "q_window_lag_lead",
+    "q_window_ntile",
+    "q_window_rank",
+    "q_cte",
+    "q_exists_correlated",
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_intersect",
+    "q_except",
+    "q_union_distinct",
+    "q_nested_flatten_multitable",
+    "q_nested_flatten_multitable_depth2",
+    "x_pack_sequences",
+    "x_sample_stratified",
+    "x_split_train_val",
+    "x_multimodal_features",
+    # --- past the ~50 edge: r4-green entries (freshest evidence) ---
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q_dialect_qualify",
+    "q_dialect_file_scan",
+    "q_dialect_asof",
+    "x_dedup_exact",
+    "x_dedup_clusters",
+    "x_dedup_survivors",
+    "x_text_quality",
+    "x_multimodal_meta",
 ]
 
 

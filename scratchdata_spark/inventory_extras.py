@@ -189,6 +189,35 @@ def x_dedup_simhash(spark, sf_dir):
     return simhash(d, "text").select("doc_id", "simhash")
 
 
+@q(
+    "x_dedup_incremental_exact",
+    f"""
+    WITH newb AS (
+      SELECT doc_id, sha256({_NORM}) AS fp FROM documents WHERE doc_id % 5 = 0
+    ),
+    corp AS (
+      SELECT DISTINCT sha256({_NORM}) AS fp FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT n.doc_id,
+           n.fp IN (SELECT fp FROM corp) AS dup_exact
+    FROM newb n
+    """,
+)
+def x_dedup_incremental_exact(spark, sf_dir):
+    """Exact tier of the incremental (new-batch-vs-corpus) dedup,
+    hash-oracle-checkable: content fingerprints are sha256 of the
+    normalized text (present in both engines), so the semi-join logic
+    of dedup_against_corpus gets value-level driver evidence — the
+    full operator's near tier stays rows-only because its band index
+    is engine-specific xxhash64 (x_dedup_incremental)."""
+    d = load(spark, sf_dir)["documents"]
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup_against_corpus(new, corpus, near=False).select(
+        "doc_id", "dup_exact"
+    )
+
+
 @q("x_dedup_incremental", None)  # xxhash64 band index: no SQL oracle
 def x_dedup_incremental(spark, sf_dir):
     """Incremental dedup of a 'new batch' (every 5th document)
@@ -1421,3 +1450,46 @@ def x_model_score(spark, sf_dir):
 
     d = load(spark, sf_dir)["documents"]
     return score_documents(d).select("doc_id", "model_score")
+
+
+# ------------------------------------------- warehouse DML round trip
+
+
+@q(
+    "q_dml_ctas_roundtrip",
+    """
+    SELECT rf, n, qty FROM (
+      SELECT l_returnflag AS rf,
+             COUNT(*) AS n,
+             ROUND(SUM(CAST(l_quantity AS DOUBLE)), 4) AS qty
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'ZZ', CAST(0 AS BIGINT), 0.0
+    )
+    """,
+)
+def q_dml_ctas_roundtrip(spark, sf_dir):
+    """Driver-level evidence for the warehouse DML engine
+    (warehouse_dml.py): the entry itself builds a table via CTAS
+    through query_df (file-scan source text in DuckDB dialect →
+    rewritten), appends a row with INSERT … SELECT, and answers from
+    the new table — so the statement path (parse → validate → CoW
+    write → catalog) is what the oracle hash actually checks, not
+    just a SELECT. A fresh temp warehouse per call keeps the entry
+    deterministic and re-runnable."""
+    import tempfile
+
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    cat = TableCatalog(tempfile.mkdtemp(prefix="dmlrt_"))
+    d = SparkDestination(spark.newSession(), cat, "rt")
+    d.query_df(
+        "create table agg as "
+        "select l_returnflag as rf, count(*) as n, "
+        "round(sum(cast(l_quantity as double)), 4) as qty "
+        f"from read_parquet('{sf_dir}/lineitem.parquet') "
+        "group by l_returnflag"
+    )
+    d.query_df("insert into agg select 'ZZ', cast(0 as bigint), 0.0")
+    return d.query_df("select rf, n, qty from agg")

@@ -4,11 +4,12 @@ typed metadata, with decode / feature-extraction as Arrow-batched
 
 The Spark-side plumbing is real and tested: binary columns, explicit
 output schemas, batch-wise pandas processing, partition-preserving
-metadata extraction. The *codec* layer is stubbed — this container has
-no image/audio libraries — behind ``decode_image``: set
-``SCRATCHDATA_FAKE_DECODE=1`` (default here) for a deterministic fake
-decoder; otherwise it raises NotImplementedError where PIL/ffmpeg
-would be called.
+metadata extraction. The codec seam is ``decode_image``:
+``SCRATCHDATA_FAKE_DECODE=1`` (the default here — the synthetic corpus
+payloads are text bytes, not images) uses a deterministic fake;
+with it disabled, PNG and PPM payloads decode/resize/re-encode FOR
+REAL through the pure-stdlib codec (png_codec.py), and other formats
+raise NotImplementedError where PIL/ffmpeg would plug in.
 
 At 100 TB: binaries live in their own parquet column (columnar
 pruning keeps metadata-only queries from ever touching bytes);
@@ -71,13 +72,29 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return (n * 7 % 640 + 1, n * 13 % 480 + 1, n % 30 + 1)
 
 
-def decode_image(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """(width, height, n_frames). Real codecs are not available in
-    this environment — see module docstring."""
-    if os.environ.get("SCRATCHDATA_FAKE_DECODE", "1") == "1":
+def _use_fake() -> bool:
+    """Resolved on the DRIVER at plan-build time and closed over into
+    the mapInPandas functions — executor worker processes are forked
+    before a test's env change and would not see it."""
+    return os.environ.get("SCRATCHDATA_FAKE_DECODE", "1") == "1"
+
+
+def decode_image(
+    payload: bytes, media_type: str, fake: bool | None = None
+) -> tuple[int, int, int]:
+    """(width, height, n_frames). With the fake disabled, PNG and PPM
+    payloads decode for real through the pure-stdlib codec
+    (png_codec.py); other formats still need PIL/ffmpeg and refuse."""
+    if fake if fake is not None else _use_fake():
         return _fake_decode(payload, media_type)
+    from scratchdata_spark.operators import png_codec
+
+    if png_codec.sniff(bytes(payload)) is not None:
+        w, h, _ch, _px = png_codec.decode(bytes(payload))
+        return (w, h, 1)
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg; not present in this container"
+        "only PNG/PPM decode in this container; other media need"
+        " PIL/ffmpeg"
     )
 
 
@@ -86,11 +103,14 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     → META_SCHEMA rows. One Arrow batch in, one out — the shape any
     real decode/resize/frame-sample stage uses."""
 
+    fake = _use_fake()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             dims = [
-                decode_image(p, m) for p, m in zip(payloads, pdf["media_type"])
+                decode_image(p, m, fake)
+                for p, m in zip(payloads, pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
@@ -127,13 +147,35 @@ def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> Data
     law is checkable from SQL. Batch shape, output schema, and
     per-core memory bounds are exactly the real stage's."""
     budget = max(1, target_w * target_h // 64)
+    fake = _use_fake()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if os.environ.get("SCRATCHDATA_FAKE_DECODE", "1") != "1":
-                raise NotImplementedError(
-                    "image resize requires PIL; not present in this container"
+            if not fake:
+                # real pixels: decode (PNG/PPM), box-filter resample,
+                # re-encode PNG — pure stdlib, executor-side per batch
+                from scratchdata_spark.operators import png_codec
+
+                out = []
+                for p in pdf["payload"]:
+                    w, h, ch, px = png_codec.decode(bytes(p))
+                    small = png_codec.box_resize(
+                        w, h, ch, px, target_w, target_h
+                    )
+                    out.append(png_codec.encode_png(
+                        target_w, target_h, ch, small
+                    ))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_type": "image/png",
+                        "width": target_w,
+                        "height": target_h,
+                        "byte_len": [len(p) for p in out],
+                        "payload": out,
+                    }
                 )
+                continue
             out = [bytes(p)[:budget] for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
@@ -167,13 +209,15 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
     "frame" is a deterministic byte slice of the payload; a real
     decoder drops in at the marked call."""
 
+    fake = _use_fake()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "n_frames": [], "payload": []}
             for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 if mt != "video/mp4":
                     continue
-                _, _, n_frames = decode_image(p, mt)  # codec seam
+                _, _, n_frames = decode_image(p, mt, fake)  # codec seam
                 take = min(max_frames, n_frames)
                 for i in range(take):
                     idx = i * n_frames // take

@@ -292,16 +292,61 @@ button{margin-top:1rem;background:#4f46e5;color:#fff;border:0;
  padding:.5rem 1rem;border-radius:.25rem;cursor:pointer}
 .flash{background:#fef2f2;border:1px solid #fecaca;color:#991b1b;
  padding:.6rem 1rem;border-radius:.25rem;margin-bottom:1rem}
+.flash-success{background:#f0fdf4;border-color:#bbf7d0;color:#166534}
+.flash-warning{background:#fffbeb;border-color:#fde68a;color:#92400e}
+.kw{color:#4f46e5;font-weight:600}
 .key{font-family:monospace;background:#f3f4f6;padding:.4rem .6rem;
  border-radius:.25rem;display:inline-block}
 .inline{display:inline}
 """
 
 
+# Embedded static assets, served at /static/* (reference mounts a
+# FileServer over pkg/view/static at router.go:70-72 — highlight.js,
+# CSS, logos; here the assets are original: the stylesheet, a small
+# dependency-free SQL keyword highlighter for query text, and an SVG
+# logo). Public like the reference's fileServer; immutable-cacheable.
+_APP_JS = """// Minimal SQL keyword highlighter for <pre data-sql> / .sql blocks.
+(function () {
+  var KW = ("select from where group by order having join left right" +
+    " full inner outer on as insert into values update set delete" +
+    " create table view drop limit offset union all distinct case" +
+    " when then else end and or not null is in exists between like" +
+    " with copy to pivot unpivot qualify asof").split(" ");
+  var re = new RegExp("\\b(" + KW.join("|") + ")\\b", "gi");
+  function esc(t) {
+    return t.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+  }
+  document.querySelectorAll("pre[data-sql], .sql").forEach(function (el) {
+    el.innerHTML = esc(el.textContent).replace(re, function (m) {
+      return "<span class='kw'>" + m + "</span>";
+    });
+  });
+})();
+"""
+
+_LOGO_SVG = """<svg xmlns='http://www.w3.org/2000/svg' viewBox='0 0 64 64' width='64'>
+  <rect width='64' height='64' rx='12' fill='#4f46e5'/>
+  <path d='M14 40 L26 22 L38 34 L50 16' stroke='#fff' stroke-width='5'
+        fill='none' stroke-linecap='round' stroke-linejoin='round'/>
+  <circle cx='50' cy='16' r='4' fill='#fff'/>
+</svg>
+"""
+
+_STATIC = {
+    "style.css": ("text/css; charset=utf-8", _CSS),
+    "app.js": ("application/javascript; charset=utf-8", _APP_JS),
+    "logo.svg": ("image/svg+xml", _LOGO_SVG),
+}
+
+
 def _page(title: str, body: str) -> str:
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"
-        f"<title>{_e(title)}</title><style>{_CSS}</style></head>"
+        f"<title>{_e(title)}</title>"
+        "<link rel='icon' href='/static/logo.svg'>"
+        "<link rel='stylesheet' href='/static/style.css'>"
+        "<script src='/static/app.js' defer></script></head>"
         f"<body><main>{body}</main></body></html>"
     )
 
@@ -333,6 +378,10 @@ class Dashboard:
         # never stored here so they can't leak back into HTML
         self.dest_settings: dict[str, dict] = {}
         self.dest_dashboard_type: dict[str, str] = {}
+        # post-redirect-get flash messages (the reference's
+        # gorilla-session flashes, pkg/view/session/service.go:15-40):
+        # queued server-side per browser session, popped on next render
+        self._flashes: dict[str, list[tuple[str, str, str]]] = {}
 
     # ------------------------------------------------------------ http
     def _send(
@@ -398,6 +447,26 @@ class Dashboard:
         if self.secure_cookies:
             c += "; Secure"
         return c
+
+    def _flash_key(self, handler) -> str | None:
+        c = self._cookies(handler)
+        return c.get("sd_sess") or c.get("sd_csrf")
+
+    def _flash_add(self, handler, ftype: str, title: str, message: str = ""):
+        key = self._flash_key(handler)
+        if key is not None:
+            self._flashes.setdefault(key, []).append((ftype, title, message))
+
+    def _flash_html(self, handler) -> str:
+        """Pop this browser session's queued flashes as HTML."""
+        key = self._flash_key(handler)
+        out = []
+        for ftype, title, message in self._flashes.pop(key, []) if key else []:
+            out.append(
+                f"<div class='flash flash-{_e(ftype)}'><strong>{_e(title)}"
+                f"</strong> {_e(message)}</div>"
+            )
+        return "".join(out)
 
     def _csrf_token(self, handler) -> tuple[str, str | None]:
         """Double-submit cookie: (token, Set-Cookie header or None)."""
@@ -543,6 +612,24 @@ class Dashboard:
         """True if the path belonged to the dashboard."""
         if path == "/dashboard":
             self._redirect(handler, "/dashboard/")
+            return True
+
+        if path.startswith("/static/"):
+            # exact-name lookup in the embedded dict — no filesystem
+            # behind this route, so traversal shapes can only 404
+            asset = _STATIC.get(path.removeprefix("/static/"))
+            if asset is None:
+                self._send(handler, 404, _page("Not found", "<h1>404</h1>"))
+                return True
+            ctype, body = asset
+            payload = body.encode()
+            handler.send_response(200)
+            handler.send_header("Content-Type", ctype)
+            handler.send_header("Content-Length", str(len(payload)))
+            handler.send_header("Cache-Control", "public, max-age=86400")
+            handler.end_headers()
+            handler.wfile.write(payload)
+            handler._resp_bytes = len(payload)
             return True
 
         m = re.fullmatch(r"/share/([0-9a-f-]+)", path)
@@ -691,6 +778,7 @@ class Dashboard:
             for t, vc in sorted(VIEW_CONFIG.items())
         )
         body = (
+            f"{self._flash_html(handler)}"
             "<h1>Connections</h1>"
             "<p><a href='/dashboard/connections/new'>New Connection</a></p>"
             f"<table><tr><th>Name</th><th>Type</th><th></th></tr>"
@@ -792,16 +880,13 @@ class Dashboard:
                 )
                 return True
             if api_key is None:  # edit: keys unchanged, no key page
-                self._send(
-                    handler,
-                    200,
-                    _page(
-                        "Connection updated",
-                        f"<h1>Connection “{_e(name)}” updated</h1>"
-                        "<p>Existing API keys keep working.</p>"
-                        "<p><a href='/dashboard/connections'>Back</a></p>",
-                    ),
+                # post-redirect-get: a refresh must not resubmit the form
+                self._flash_add(
+                    handler, "success",
+                    f"Connection “{name}” updated.",
+                    "Existing API keys keep working.",
                 )
+                self._redirect(handler, "/dashboard/connections")
                 return True
             self._send(handler, 200, _page("API key", self._api_key_page(name, api_key)))
             return True
@@ -829,6 +914,9 @@ class Dashboard:
                 return True
             self.dest_settings.pop(name, None)
             self.dest_dashboard_type.pop(name, None)
+            self._flash_add(
+                handler, "success", f"Connection “{name}” deleted."
+            )
             self._redirect(handler, "/dashboard/connections")
             return True
 

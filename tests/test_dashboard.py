@@ -362,3 +362,74 @@ def test_index_omits_edit_link_for_non_dashboard_connections(app, client):
     code, body = client.req("GET", "/dashboard/connections")
     # 'default' comes from build-time config — no dashboard form state
     assert "/dashboard/connections/edit/default" not in body
+
+
+# ----------------------- round-5: static assets + PRG flash messages
+
+
+def test_static_assets_served(app):
+    """Reference mounts a file server at /static/* (router.go:70-72);
+    assets are public (no admin gate) and cacheable."""
+    c = Client(app)
+    base = c.base
+    r = urllib.request.urlopen(base + "/static/style.css")
+    assert r.status == 200
+    assert "text/css" in r.headers["Content-Type"]
+    assert "max-age" in r.headers.get("Cache-Control", "")
+    assert "font-family" in r.read().decode()
+    r = urllib.request.urlopen(base + "/static/app.js")
+    assert "javascript" in r.headers["Content-Type"]
+    r = urllib.request.urlopen(base + "/static/logo.svg")
+    assert "svg" in r.headers["Content-Type"]
+    # unknown and traversal-shaped names 404 (no filesystem behind it)
+    code, _ = c.req("GET", "/static/nope.css")
+    assert code == 404
+    code, _ = c.req("GET", "/static/..%2Fconfig")
+    assert code == 404
+    # pages link the served assets
+    code, body = c.req("GET", "/dashboard/?api_key=admin")
+    assert "/static/style.css" in body and "/static/app.js" in body
+
+
+def test_delete_flashes_once_after_redirect(app, client):
+    """Deleting a connection is post-redirect-get with a one-shot
+    flash (reference session flashes, session/service.go:15-40): the
+    followed redirect shows it, a refresh does not."""
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/spark")
+    token = client.csrf(body)
+    client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "doomed", "csrf_token": token},
+    )
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/delete",
+        {"name": "doomed", "csrf_token": token},
+    )
+    # urllib follows the 302 to the connections index
+    assert code == 200
+    assert "flash-success" in body and "doomed" in body and "deleted" in body
+    # one-shot: the next render has popped it
+    code, body = client.req("GET", "/dashboard/connections")
+    assert code == 200 and "flash-success" not in body
+
+
+def test_edit_flash_after_redirect(app, client):
+    client.req("GET", "/dashboard/?api_key=admin")
+    code, body = client.req("GET", "/dashboard/connections/new/spark")
+    token = client.csrf(body)
+    client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "flashed", "csrf_token": token},
+    )
+    code, body = client.req(
+        "POST",
+        "/dashboard/connections/upsert",
+        {"type": "spark", "name": "flashed", "existing": "1",
+         "csrf_token": token},
+    )
+    assert code == 200
+    assert "flash-success" in body and "keys keep working" in body

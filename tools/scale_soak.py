@@ -17,7 +17,11 @@ Valves under test (all in operators/dedup.py / similarity.py):
   bucket size ~60).
 * IVF: probe join touches ~nprobe/n_centroids of the corpus.
 
-Usage: python tools/scale_soak.py [sf_dir] [replicas]
+Usage: python tools/scale_soak.py [sf_dir] [replicas[,replicas...]]
+e.g. ``python tools/scale_soak.py /root/testdata/sf0.1 10,100`` emits
+1x, 10x and 100x blocks. The 100x block matters: the corpus-size-aware
+banding (dedup.minhash_params_for) only raises rows-per-band beyond
+~500k docs, so a 10x soak (50k docs) never exercises the second step.
 """
 
 from __future__ import annotations
@@ -265,11 +269,13 @@ def ivf_telemetry(vectors, n: int, n_queries=50, k=5,
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    replica_list = [
+        int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "10").split(",")
+    ]
     spark = get_spark(app_name="scale-soak")
 
-    out: dict = {"sf_dir": sf_dir, "replicas": replicas, "scales": {}}
-    for label, reps in (("1x", 1), (f"{replicas}x", replicas)):
+    out: dict = {"sf_dir": sf_dir, "replicas": replica_list, "scales": {}}
+    for label, reps in [("1x", 1)] + [(f"{r}x", r) for r in replica_list]:
         docs, n_docs = scaled_documents(spark, sf_dir, reps)
         docs = docs.persist()
         docs.count()

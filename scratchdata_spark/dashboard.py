@@ -380,8 +380,10 @@ class Dashboard:
         self.dest_dashboard_type: dict[str, str] = {}
         # post-redirect-get flash messages (the reference's
         # gorilla-session flashes, pkg/view/session/service.go:15-40):
-        # queued server-side per browser session, popped on next render
-        self._flashes: dict[str, list[tuple[str, str, str]]] = {}
+        # queued server-side per browser session, popped on next
+        # render; timestamped so never-rendered entries (client gone,
+        # session expired) are swept instead of accumulating forever
+        self._flashes: dict[str, list[tuple[float, str, str, str]]] = {}
 
     # ------------------------------------------------------------ http
     def _send(
@@ -453,15 +455,28 @@ class Dashboard:
         return c.get("sd_sess") or c.get("sd_csrf")
 
     def _flash_add(self, handler, ftype: str, title: str, message: str = ""):
+        now = time.time()
+        # sweep abandoned queues (flash older than 1h = the client
+        # never came back for it) so the dict stays bounded
+        for k in list(self._flashes):
+            kept = [f for f in self._flashes[k] if f[0] > now - 3600]
+            if kept:
+                self._flashes[k] = kept
+            else:
+                del self._flashes[k]
         key = self._flash_key(handler)
         if key is not None:
-            self._flashes.setdefault(key, []).append((ftype, title, message))
+            self._flashes.setdefault(key, []).append(
+                (now, ftype, title, message)
+            )
 
     def _flash_html(self, handler) -> str:
         """Pop this browser session's queued flashes as HTML."""
         key = self._flash_key(handler)
         out = []
-        for ftype, title, message in self._flashes.pop(key, []) if key else []:
+        for _ts, ftype, title, message in (
+            self._flashes.pop(key, []) if key else []
+        ):
             out.append(
                 f"<div class='flash flash-{_e(ftype)}'><strong>{_e(title)}"
                 f"</strong> {_e(message)}</div>"

@@ -38,9 +38,15 @@ def motherduck_connection_string(database: str, token: str) -> str:
 
 
 class DuckDBDestination(Destination):
-    def __init__(self, path: str = ":memory:"):
+    def __init__(self, path: str = ":memory:", export_root: str | None = None):
         self.conn = duckdb.connect(path)
         self._lock = threading.Lock()  # duckdb conn is not thread-safe
+        # COPY … TO confinement, same contract as the Spark engine
+        # (warehouse_dml._resolve_copy_target): DuckDB's native COPY
+        # writes anywhere the process can, so a query API key on a
+        # duckdb connection would otherwise be a filesystem-write
+        # primitive. None = unconfined embedded/library use.
+        self.export_root = export_root
 
     @classmethod
     def motherduck(cls, database: str, token: str) -> "DuckDBDestination":
@@ -51,9 +57,26 @@ class DuckDBDestination(Destination):
     def query_df(self, query: str):
         raise NotImplementedError("DuckDB destination has no DataFrame surface")
 
+    def _confine(self, query: str) -> str:
+        """Rewrite a COPY … TO target to its export-root-resolved path
+        (refusing escapes) before DuckDB sees it."""
+        if self.export_root is None:
+            return query
+        from scratchdata_spark.warehouse_dml import (
+            _COPY_TO_RE,
+            _resolve_copy_target,
+        )
+
+        m = _COPY_TO_RE.match(query)
+        if m is None:
+            return query
+        resolved = _resolve_copy_target(self, m.group(2))
+        opts = f" ({m.group(3)})" if m.group(3) else ""
+        return f"COPY {m.group(1)} TO '{resolved}'{opts}"
+
     def _rows(self, query: str):
         with self._lock:
-            res = self.conn.execute(trim_query(query))
+            res = self.conn.execute(self._confine(trim_query(query)))
             cols = [d[0] for d in res.description]
             return cols, res.fetchall()
 

@@ -377,16 +377,17 @@ class SparkDestination(DataFrameSerializers, Destination):
                         warehouse_dml.validate(self, part)
                     except Exception as err:  # noqa: BLE001
                         # only a missing-table error naming a table an
-                        # EARLIER script statement creates is expected;
-                        # bare substring containment would let a short
-                        # table name ('t') swallow genuine failures
+                        # EARLIER script statement creates is expected.
+                        # The name must appear QUOTED (Spark backticks
+                        # the identifier) or after our own "no such
+                        # table:" prefix — a bare \b match would hit
+                        # words in Spark's boilerplate ('catalog',
+                        # 'schema', 'spelling') for tables so named.
                         msg = str(err)
                         expected = any(
-                            re.search(
-                                r"(?is)(no such table|not found|does not exist|"
-                                r"TABLE_OR_VIEW_NOT_FOUND)"
-                                rf"(?:.*?)\b{re.escape(n)}\b",
-                                msg,
+                            re.search(rf"[`'\"]{re.escape(n)}[`'\"]", msg)
+                            or re.search(
+                                rf"(?i)no such table:\s*{re.escape(n)}\b", msg
                             )
                             for n in pending
                         )

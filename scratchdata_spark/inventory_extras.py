@@ -1477,19 +1477,29 @@ def q_dml_ctas_roundtrip(spark, sf_dir):
     write → catalog) is what the oracle hash actually checks, not
     just a SELECT. A fresh temp warehouse per call keeps the entry
     deterministic and re-runnable."""
+    import shutil
     import tempfile
 
     from scratchdata_spark.catalog import TableCatalog
     from scratchdata_spark.engine import SparkDestination
 
-    cat = TableCatalog(tempfile.mkdtemp(prefix="dmlrt_"))
-    d = SparkDestination(spark.newSession(), cat, "rt")
-    d.query_df(
-        "create table agg as "
-        "select l_returnflag as rf, count(*) as n, "
-        "round(sum(cast(l_quantity as double)), 4) as qty "
-        f"from read_parquet('{sf_dir}/lineitem.parquet') "
-        "group by l_returnflag"
-    )
-    d.query_df("insert into agg select 'ZZ', cast(0 as bigint), 0.0")
-    return d.query_df("select rf, n, qty from agg")
+    tmp = tempfile.mkdtemp(prefix="dmlrt_")
+    try:
+        cat = TableCatalog(tmp)
+        d = SparkDestination(spark.newSession(), cat, "rt")
+        d.query_df(
+            "create table agg as "
+            "select l_returnflag as rf, count(*) as n, "
+            "round(sum(cast(l_quantity as double)), 4) as qty "
+            f"from read_parquet('{sf_dir}/lineitem.parquet') "
+            "group by l_returnflag"
+        )
+        d.query_df("insert into agg select 'ZZ', cast(0 as bigint), 0.0")
+        out = d.query_df("select rf, n, qty from agg")
+        # the temp warehouse must not outlive the call, so the ≤7-row
+        # result materializes before the rmtree (bounded: one row per
+        # returnflag + the sentinel; NOT the usual lazy-return shape)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

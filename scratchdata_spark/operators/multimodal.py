@@ -90,7 +90,9 @@ def decode_image(
     from scratchdata_spark.operators import png_codec
 
     if png_codec.sniff(bytes(payload)) is not None:
-        w, h, _ch, _px = png_codec.decode(bytes(payload))
+        # header-only probe: the metadata path must be O(1) per image,
+        # not a full O(w*h) pixel decode
+        w, h, _ch = png_codec.probe(bytes(payload))
         return (w, h, 1)
     raise NotImplementedError(
         "only PNG/PPM decode in this container; other media need"

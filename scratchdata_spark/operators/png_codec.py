@@ -40,20 +40,61 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Decoded size cap: 64M samples (~64 MB of pixel data) — an IHDR
+# declaring absurd dimensions must not allocate before any data is
+# validated (decompression-bomb shape for attacker-supplied payloads).
+MAX_SAMPLES = 1 << 26
+
+
+def _check_dims(w: int, h: int, ch: int) -> None:
+    if w <= 0 or h <= 0 or w * h * ch > MAX_SAMPLES:
+        raise ValueError(f"image dimensions out of range ({w}x{h}x{ch})")
+
+
+def probe(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the HEADER alone — no pixel
+    decode. The metadata path must be O(1) per image, not O(w*h)."""
+    kind = sniff(data)
+    if kind == "png":
+        if len(data) < 33 or data[12:16] != b"IHDR":
+            raise ValueError("truncated PNG or missing IHDR")
+        w, h, depth, color, _c, _f, interlace = struct.unpack(
+            ">IIBBBBB", data[16:29]
+        )
+        if depth != 8 or interlace != 0 or color not in _CHANNELS:
+            raise ValueError(
+                f"unsupported PNG (depth={depth} color={color}"
+                f" interlace={interlace})"
+            )
+        _check_dims(w, h, _CHANNELS[color])
+        return w, h, _CHANNELS[color]
+    if kind == "ppm":
+        w, h, _pos = _ppm_header(data)
+        _check_dims(w, h, 3)
+        return w, h, 3
+    raise ValueError("unrecognized image format")
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) — defilters all 5 row filter
-    types; 8-bit, non-interlaced only."""
+    types; 8-bit, non-interlaced only. Malformed/truncated input
+    raises ValueError (never IndexError/struct.error), and the
+    decompressed size is bounded by the validated dimensions."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = bytearray()
-    while pos < len(data):
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated PNG chunk")
         body = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated PNG IHDR")
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8 or interlace != 0 or color not in _CHANNELS:
                 raise ValueError(
@@ -61,6 +102,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                     f" interlace={interlace})"
                 )
             ch = _CHANNELS[color]
+            _check_dims(w, h, ch)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -68,8 +110,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # len + type + body + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = w * ch
+    expected = h * (stride + 1)
+    try:
+        # decompressobj caps the output at the size the validated
+        # header implies — a bomb stream cannot expand past it
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
+    except zlib.error as err:
+        raise ValueError(f"bad PNG data: {err}") from err
+    if len(raw) < expected:
+        raise ValueError("truncated PNG pixel data")
     out = bytearray(h * stride)
     prev = bytearray(stride)
     for y in range(h):
@@ -124,8 +174,8 @@ def encode_png(w: int, h: int, ch: int, pixels: bytes) -> bytes:
     )
 
 
-def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
-    """Binary P6 PPM: header tokens (magic, w, h, maxval) then raw RGB."""
+def _ppm_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, pixel_offset) of a binary P6 header."""
     if data[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     tokens: list[bytes] = []
@@ -140,11 +190,23 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
         start = pos
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
         tokens.append(data[start:pos])
     pos += 1  # single whitespace after maxval
-    w, h, maxval = (int(t) for t in tokens)
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError as err:
+        raise ValueError("bad PPM header") from err
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
+    return w, h, pos
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Binary P6 PPM: header tokens (magic, w, h, maxval) then raw RGB."""
+    w, h, pos = _ppm_header(data)
+    _check_dims(w, h, 3)
     pixels = data[pos : pos + w * h * 3]
     if len(pixels) != w * h * 3:
         raise ValueError("truncated PPM")

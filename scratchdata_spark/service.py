@@ -100,7 +100,9 @@ def build_app(
         if type_ == "duckdb":
             from scratchdata_spark.duckdb_destination import DuckDBDestination
 
-            return DuckDBDestination(settings.get("path", ":memory:"))
+            return DuckDBDestination(
+                settings.get("path", ":memory:"), export_root=export_root
+            )
         if type_ == "jdbc":
             from scratchdata_spark.jdbc_destination import JDBCDestination
 
@@ -147,7 +149,12 @@ def build_app(
     from scratchdata_spark.dashboard import Dashboard
 
     service.dashboard = Dashboard(
-        service, meta_db, external_url=config.api.external_url
+        service,
+        meta_db,
+        external_url=config.api.external_url,
+        # behind TLS (https external URL) the admin session cookie
+        # must carry Secure — plain-HTTP replay would leak the token
+        secure_cookies=config.api.external_url.startswith("https://"),
     )
     server = ApiServer(service, config.api.host, config.api.port)
     return App(config, service, server, sink, workers, queue)

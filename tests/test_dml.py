@@ -932,3 +932,10 @@ def test_script_validation_not_fooled_by_short_names(spark, tmp_path):
     assert d.validate_statement(
         "create table a as select 1 as x; select * from a"
     )
+    # a pending name that is ALSO a word in Spark's error boilerplate
+    # ('catalog', 'schema') must not mark unrelated failures expected
+    with pytest.raises(Exception):
+        d.validate_statement(
+            "create table catalog as select 1 as x;"
+            " insert into nosuch select 1"
+        )

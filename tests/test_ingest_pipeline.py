@@ -230,3 +230,31 @@ def test_sink_recovers_orphaned_open_files(tmp_path):
         assert f.read() == b'{"a": 1}\n'
     # second recover is a no-op
     assert sink2.recover() == 0
+
+
+def test_duckdb_copy_to_confined(tmp_path):
+    """The DuckDB backend must honor the same COPY TO export-root
+    confinement as the Spark engine — its native COPY writes anywhere
+    the process can, so an onboarded duckdb connection would otherwise
+    hand a query API key a filesystem-write primitive."""
+    import io
+
+    import pytest
+
+    from scratchdata_spark.duckdb_destination import DuckDBDestination
+
+    root = tmp_path / "exports"
+    d = DuckDBDestination(":memory:", export_root=str(root))
+    with pytest.raises(PermissionError, match="export root"):
+        d.query_csv(
+            f"copy (select 1 as x) to '{tmp_path}/evil.csv'", io.StringIO()
+        )
+    assert not (tmp_path / "evil.csv").exists()
+    d.query_csv("copy (select 1 as x) to 'ok.csv' (HEADER)", io.StringIO())
+    assert (root / "ok.csv").is_file()
+    # unconfined embedded use keeps working
+    d2 = DuckDBDestination(":memory:")
+    d2.query_csv(
+        f"copy (select 1 as x) to '{tmp_path}/fine.csv'", io.StringIO()
+    )
+    assert (tmp_path / "fine.csv").is_file()

@@ -151,3 +151,39 @@ def test_real_decode_through_mapinpandas(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="unrecognized image format"):
         resize_images(junk, 4, 4).collect()
+
+
+# --------------------- round-5 adversarial-review hardening checks
+
+
+def test_probe_header_only_matches_decode():
+    w, h = 31, 17
+    data = C.encode_png(w, h, 3, _gradient(w, h, 3))
+    assert C.probe(data) == (31, 17, 3)
+    ppm = C.encode_ppm(4, 3, 3, _gradient(4, 3, 3))
+    assert C.probe(ppm) == (4, 3, 3)
+    with pytest.raises(ValueError):
+        C.probe(b"not an image")
+
+
+def test_truncated_and_bomb_inputs_raise_valueerror():
+    data = C.encode_png(8, 8, 3, _gradient(8, 8, 3))
+    # truncated mid-chunk: ValueError, never IndexError/struct.error
+    with pytest.raises(ValueError):
+        C.decode_png(data[: len(data) - 20])
+    # IHDR declaring absurd dimensions refuses before allocating
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    bomb = (
+        C.PNG_MAGIC
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        C.decode_png(bomb)
+    with pytest.raises(ValueError, match="out of range"):
+        C.probe(bomb)
+    # truncated PPM header
+    with pytest.raises(ValueError):
+        C.decode_ppm(b"P6\n4")

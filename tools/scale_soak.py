@@ -51,10 +51,24 @@ from scratchdata_spark.session import get_spark
 
 
 def scaled_documents(spark, sf_dir: str, replicas: int):
-    """documents × replicas with perturbation: replica 0 is the
-    original; odd replicas append a marker suffix (near-dups — same
-    shingles except the tail); even replicas reverse the word order
-    (same vocabulary, destroyed shingles — NOT near-dups)."""
+    """documents × replicas with FIXED duplicate topology: every
+    replica pair (2p, 2p+1) is one near-dup pair — the even member is
+    unique filler text (sha-derived gibberish the length of the
+    original; pair 0 keeps the real document), the odd member is that
+    text plus a small marker suffix (J ≈ 0.99). Ids interleave
+    (orig·replicas + rep) so modulo splits mix replicas.
+
+    Changed in round 5: the old generator gave ALL odd replicas the
+    same source text and ALL even replicas one identical reversal, so
+    duplicate-CLIQUE size grew linearly with the replication factor —
+    at 100× that meant 51-member near-dup cliques and 50-member
+    exact-dup cliques, and the minhash wall became output-bound
+    (13.5M genuine pairs verified; candidate mass quadratic in clique
+    size by construction). No real corpus multiplies each document's
+    copy count when it grows; holding the topology fixed (50% of docs
+    in a near-dup PAIR, clique size 2, the rest unique) makes the
+    soak measure valve scaling — candidate mass and wall vs corpus
+    size at constant duplication rate — instead of the generator."""
     from scratchdata_spark.operators import ensure_parallelism
 
     # fan the 1-row-group parquet base out BEFORE the crossJoin: the
@@ -65,25 +79,45 @@ def scaled_documents(spark, sf_dir: str, replicas: int):
     d = ensure_parallelism(load(spark, sf_dir)["documents"].select("doc_id", "text"))
     n = d.count()
     r = spark.range(replicas).select(F.col("id").alias("__rep"))
-    out = d.crossJoin(r).select(
-        (F.col("doc_id") + F.col("__rep") * n).alias("doc_id"),
-        F.when(F.col("__rep") == 0, F.col("text"))
-        .when(
-            F.col("__rep") % 2 == 1,
-            F.concat(F.col("text"), F.lit(" rev"), F.col("__rep").cast("string")),
+    pair = F.col("__rep") / F.lit(2)
+    pair = F.floor(pair).cast("long")
+    # unique filler, same length as the original: repeat the pair's
+    # sha256 hex digest and trim — no shingles shared with anything
+    fill = F.expr(
+        "substr(repeat(sha2(concat(cast(doc_id as string), '-', "
+        "cast(__pair as string)), 256), "
+        "cast(length(text) / 64 + 1 as int)), 1, greatest(length(text), 8))"
+    )
+    out = (
+        d.crossJoin(r)
+        .withColumn("__pair", pair)
+        .select(
+            (F.col("doc_id") * replicas + F.col("__rep")).alias("doc_id"),
+            F.when(F.col("__pair") == 0, F.col("text"))
+            .otherwise(fill)
+            .alias("__base"),
+            F.col("__rep"),
         )
-        .otherwise(
-            F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+        .select(
+            "doc_id",
+            F.when(F.col("__rep") % 2 == 0, F.col("__base"))
+            .otherwise(F.concat(F.col("__base"), F.lit(" vv")))
+            .alias("text"),
         )
-        .alias("text"),
     )
     return out, n * replicas
 
 
 def scaled_embeddings(spark, sf_dir: str, replicas: int):
-    """embeddings × replicas: odd replicas get ±0.5% deterministic
-    jitter (near-dups); even replicas get the negated vector (cosine
-    −1, never a near-dup)."""
+    """embeddings × replicas, same fixed pairwise topology as
+    scaled_documents: pair (2p, 2p+1) shares a base direction (the
+    real vector for pair 0, a hash-derived pseudo-random direction —
+    pairwise near-orthogonal in 64-dim — for p > 0); the odd member
+    gets ±0.5% jitter (cos ≈ 0.99997, a near-dup of exactly one other
+    vector). The old generator's odd-replica jitter of one shared
+    source made near-dup cliques grow with the replication factor —
+    4.9M output pairs at 100× — which measures output mass, not the
+    LSH valve."""
     from scratchdata_spark.operators import ensure_parallelism
 
     e = ensure_parallelism(
@@ -91,17 +125,31 @@ def scaled_embeddings(spark, sf_dir: str, replicas: int):
     )
     n = e.count()
     r = spark.range(replicas).select(F.col("id").alias("__rep"))
-    jitter = F.expr(
-        "transform(embedding, (x, i) -> x * (1.0 + "
-        "((pmod(xxhash64(vec_id * 64 + i + __rep), 100) / 100.0) - 0.5) * 0.01))"
+    rand_dir = F.expr(
+        "transform(sequence(0, 63), i -> cast("
+        "(pmod(xxhash64(vec_id * 1000003 + __pair * 64 + i), 1000) / 1000.0)"
+        " - 0.5 as float))"
     )
-    negate = F.expr("transform(embedding, x -> -x)")
-    out = e.crossJoin(r).select(
-        (F.col("vec_id") + F.col("__rep") * n).alias("vec_id"),
-        F.when(F.col("__rep") == 0, F.col("embedding"))
-        .when(F.col("__rep") % 2 == 1, jitter)
-        .otherwise(negate)
-        .alias("embedding"),
+    jitter = F.expr(
+        "transform(__base, (x, i) -> cast(x * (1.0 + "
+        "((pmod(xxhash64(vec_id * 64 + i), 100) / 100.0) - 0.5) * 0.01)"
+        " as float))"
+    )
+    out = (
+        e.crossJoin(r)
+        .withColumn("__pair", F.floor(F.col("__rep") / 2).cast("long"))
+        .withColumn(
+            "__base",
+            F.when(F.col("__pair") == 0, F.col("embedding")).otherwise(rand_dir),
+        )
+        .select(
+            (F.col("vec_id") * replicas + F.col("__rep")).alias("vec_id"),
+            F.when(F.col("__rep") % 2 == 0, F.col("__base"))
+            .otherwise(jitter)
+            .alias("embedding"),
+            F.col("__rep"),
+        )
+        .drop("__rep")
     )
     return out, n * replicas
 

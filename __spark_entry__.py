@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_map_struct_funcs, q_math_funcs, q_order_limit_offset, q_pivot,
 # q_qualify_latest, q_rollup, q_sample_deterministic, q_string_funcs,
 # q_tablesample, q_topk_per_group, q_union_all, q_unpivot,
-# q_approx_count_distinct) reach staleness 2 at r5 and MUST front the
-# r6 window.
+# q_approx_count_distinct, x_multimodal_features) reach staleness 2 at
+# r5 and MUST front the r6 window.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
     # --- (b) never driver-checked / newest row is r2 — 21 entries ---
@@ -72,6 +72,7 @@ _PRIORITY = [
     # --- (c) new this round ---
     "x_dedup_incremental_exact",  # sha256 oracle for the incremental path
     "q_dml_ctas_roundtrip",  # CTAS + INSERT…SELECT through query_df
+    "x_multimodal_codec_real",  # PNG/WAV encode→decode under the hash gate
     # --- (d) oldest (r3) rows, semantics-heavy first — 26 slots ---
     "s_stream_tumbling_hour",
     "q_join_asof",
@@ -98,8 +99,9 @@ _PRIORITY = [
     "x_pack_sequences",
     "x_sample_stratified",
     "x_split_train_val",
+    # --- past the ~50 edge: x_multimodal_features (r3, rows-only —
+    # joins the r6 front-of-window list) then r4-green entries ---
     "x_multimodal_features",
-    # --- past the ~50 edge: r4-green entries (freshest evidence) ---
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",

@@ -1503,3 +1503,73 @@ def q_dml_ctas_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
+    "x_multimodal_codec_real",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                ELSE 'audio/wav' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 32 + 16
+                     ELSE 1 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 24 + 12
+                     ELSE 8000 + (doc_id % 100) * 10 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                     ELSE 64 + doc_id % 32 END AS INT) AS n_frames
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def x_multimodal_codec_real(spark, sf_dir):
+    """REAL codec round trip under the driver's hash gate: each row
+    synthesizes a PNG (gradient pixels) or PCM WAV payload
+    executor-side, then decodes it back through the same header
+    probes the metadata stage uses (png_codec.probe / wav_info). The
+    output dimensions match the oracle's arithmetic ONLY if
+    encode→decode is faithful — so this is value-level driver
+    evidence for the codec itself, where the x_multimodal_* siblings
+    exercise the Arrow plumbing with the deterministic fake (the
+    corpus payloads are text bytes, not media)."""
+    import pandas as pd
+
+    from scratchdata_spark.operators import png_codec as C
+
+    ids = (
+        load(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "media_type": [],
+                "width": [], "height": [], "n_frames": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = did % 32 + 16, did % 24 + 12
+                    px = bytes(
+                        (x * 37 + y * 11 + c * 5) % 256
+                        for y in range(h) for x in range(w) for c in range(3)
+                    )
+                    pw, ph, _pch = C.probe(C.encode_png(w, h, 3, px))
+                    vals = ("image/png", pw, ph, 1)
+                else:
+                    rate = 8000 + (did % 100) * 10
+                    frames = 64 + did % 32
+                    payload = C.encode_wav(1, rate, b"\x00\x01" * frames)
+                    ch, r2, f2 = C.wav_info(payload)
+                    vals = ("audio/wav", ch, r2, f2)
+                rows["doc_id"].append(did)
+                rows["media_type"].append(vals[0])
+                rows["width"].append(vals[1])
+                rows["height"].append(vals[2])
+                rows["n_frames"].append(vals[3])
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, media_type string, width int, height int, n_frames int",
+    )

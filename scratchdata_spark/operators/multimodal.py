@@ -89,13 +89,19 @@ def decode_image(
         return _fake_decode(payload, media_type)
     from scratchdata_spark.operators import png_codec
 
-    if png_codec.sniff(bytes(payload)) is not None:
+    b = bytes(payload)
+    if png_codec.sniff(b) is not None:
         # header-only probe: the metadata path must be O(1) per image,
         # not a full O(w*h) pixel decode
-        w, h, _ch = png_codec.probe(bytes(payload))
+        w, h, _ch = png_codec.probe(b)
         return (w, h, 1)
+    if png_codec.sniff_wav(b):
+        # audio mapping into the media-meta columns: width=channels,
+        # height=sample rate, n_frames=PCM frame count
+        ch, rate, frames = png_codec.wav_info(b)
+        return (ch, rate, frames)
     raise NotImplementedError(
-        "only PNG/PPM decode in this container; other media need"
+        "only PNG/PPM/WAV decode in this container; other media need"
         " PIL/ffmpeg"
     )
 

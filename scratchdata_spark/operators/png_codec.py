@@ -228,6 +228,44 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("unrecognized image format")
 
 
+# ------------------------------------------------------------- WAV
+# PCM WAV rides the same seam for audio payloads: stdlib ``wave``
+# parses the RIFF header; frames stay bytes. The multimodal metadata
+# stage maps (n_channels, sample_rate, n_frames) into its
+# width/height/n_frames columns (documented mapping, multimodal.py).
+
+
+def sniff_wav(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def wav_info(data: bytes) -> tuple[int, int, int]:
+    """(n_channels, sample_rate, n_frames) from the WAV header."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+            return w.getnchannels(), w.getframerate(), w.getnframes()
+    except (wave.Error, EOFError) as err:
+        raise ValueError(f"bad WAV: {err}") from err
+
+
+def encode_wav(
+    n_channels: int, sample_rate: int, samples: bytes, sampwidth: int = 2
+) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
 def box_resize(
     w: int, h: int, ch: int, pixels: bytes, tw: int, th: int
 ) -> bytes:

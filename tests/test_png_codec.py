@@ -187,3 +187,25 @@ def test_truncated_and_bomb_inputs_raise_valueerror():
     # truncated PPM header
     with pytest.raises(ValueError):
         C.decode_ppm(b"P6\n4")
+
+
+def test_wav_roundtrip_and_meta_mapping(spark, monkeypatch):
+    """PCM WAV rides the same codec seam: header info round-trips and
+    the metadata stage maps (channels, rate, frames) into its
+    width/height/n_frames columns with the fake disabled."""
+    from scratchdata_spark.operators.multimodal import extract_media_meta
+
+    samples = b"\x00\x01\x02\x03" * 50  # 100 frames of 16-bit mono
+    data = C.encode_wav(1, 16000, samples)
+    assert C.sniff_wav(data)
+    assert C.wav_info(data) == (1, 16000, 100)
+    with pytest.raises(ValueError, match="bad WAV"):
+        C.wav_info(b"RIFF....WAVEgarbage")
+
+    monkeypatch.setenv("SCRATCHDATA_FAKE_DECODE", "0")
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(data))],
+        "doc_id long, media_type string, payload binary",
+    )
+    row = extract_media_meta(df).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (1, 16000, 100)

@@ -132,6 +132,56 @@ def hyperplane_bits(vec_col, dim: int, n_planes: int = 8):
     return bucket
 
 
+def hyperplane_projections(vec_col, dim: int, n_planes: int):
+    """Array of signed projections onto the deterministic hyperplanes
+    (same planes as :func:`hyperplane_bits` — ``bucket = Σ 1<<p over
+    proj[p] ≥ 0``). Kept separately so multi-probe can rank planes by
+    |projection|: the SMALLEST |proj| is the hyperplane the vector
+    sits closest to, i.e. the bit most likely to differ from a true
+    neighbor's."""
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}),"
+                    f" i -> (pmod(xxhash64(cast({p} * {dim} as long) + i), 1000L) / 1000.0) - 0.5)"
+                ),
+                lambda x, wgt: x.cast("double") * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for p in range(n_planes)
+    ])
+
+
+def _probe_buckets(proj_col, n_planes: int, n_probes: int):
+    """Array of bucket ids to probe: the home bucket plus the buckets
+    reached by flipping the 1..(n_probes-1) bits whose hyperplanes
+    the vector lies closest to (standard multi-probe LSH ordering).
+    Pure column expressions — ranks |projections|, flips one bit per
+    probe."""
+    home = F.expr(
+        "aggregate(sequence(0, {n} - 1), 0L,"
+        " (acc, p) -> acc + IF(element_at(__projs, p + 1) >= 0,"
+        " shiftleft(1L, p), 0L))".replace("{n}", str(n_planes))
+    )
+    # plane indices sorted by |projection| ascending (closest first)
+    order = F.expr(
+        "transform(array_sort(transform(sequence(0, {n} - 1),"
+        " p -> struct(abs(element_at(__projs, p + 1)) AS d, p AS p))),"
+        " s -> s.p)".replace("{n}", str(n_planes))
+    )
+    flips = F.expr(
+        "transform(slice(__order, 1, {m}),"
+        " p -> __home ^ shiftleft(1L, p))".replace(
+            "{m}", str(max(0, n_probes - 1))
+        )
+    )
+    return home, order, flips
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,11 +192,19 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 6,
     max_bucket_size: int | None = 4096,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
     Recall < 1 by design (neighbors across a hyperplane are missed);
-    raise recall with fewer planes (bigger buckets) or multi-probe.
+    raise recall with fewer planes (bigger buckets) or ``n_probes``
+    (multi-probe: each query also searches the buckets reached by
+    flipping its lowest-|projection| bits — the hyperplanes it sits
+    closest to, exactly where a missed neighbor lands). Probing costs
+    ~n_probes× candidates per query but keeps bucket sizes (and the
+    corpus-side layout) unchanged — the scale-friendly recall lever:
+    corpus rows still hash once, only the tiny broadcast query side
+    fans out.
     The candidate join shuffles on bucket id — at corpus scale this is
     the difference between |Q|×|C| and |Q|×|C|/2^planes comparisons.
 
@@ -171,11 +229,29 @@ def cosine_topk_lsh(
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
-    qb = queries.select(
-        F.col(query_id_col).alias("__qid"),
-        F.col(vec_col).alias("__qvec"),
-        hyperplane_bits(F.col(vec_col), dim, n_planes).alias("__bucket"),
-    )
+    if n_probes <= 1:
+        qb = queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            hyperplane_bits(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        )
+    else:
+        home, order, flips = _probe_buckets("__projs", n_planes, n_probes)
+        qb = (
+            queries.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(vec_col).alias("__qvec"),
+                hyperplane_projections(
+                    F.col(vec_col), dim, n_planes
+                ).alias("__projs"),
+            )
+            .withColumn("__home", home)
+            .withColumn("__order", order)
+            .withColumn("__probe", F.concat(F.array("__home"), flips))
+            .select(
+                "__qid", "__qvec", F.explode("__probe").alias("__bucket")
+            )
+        )
     cand = cb.join(F.broadcast(qb), "__bucket").filter(
         F.col("neighbor_id") != F.col("__qid")
     )

@@ -485,3 +485,40 @@ def test_dedup_against_corpus(spark):
     assert out[1002]["dup_of"] is None
     # every input row comes back exactly once with original columns
     assert len(out) == 3 and "text" in out[1002].asDict()
+
+
+def test_cosine_topk_lsh_multiprobe_raises_recall(spark):
+    """Multi-probe LSH: probing the buckets across the query's
+    closest hyperplanes must monotonically raise recall vs the exact
+    top-k, at unchanged corpus layout (only the broadcast query side
+    fans out)."""
+    import random
+
+    from scratchdata_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    rng = random.Random(11)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
+    c = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    q = spark.createDataFrame(
+        [(i, v) for i, v in corpus[:20]], ["query_id", "embedding"]
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(c, q, id_col="vec_id", k=5).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_lsh(
+                c, q, dim=16, k=5, n_planes=6, n_probes=probes
+            ).collect()
+        }
+        assert got <= {(a, b) for a in range(400) for b in range(400)}
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1  # seed 11: 0.14 -> 0.37

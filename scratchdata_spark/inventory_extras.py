@@ -1573,3 +1573,55 @@ def x_multimodal_codec_real(spark, sf_dir):
         run,
         "doc_id long, media_type string, width int, height int, n_frames int",
     )
+
+
+@q(
+    "q_dml_merge_roundtrip",
+    """
+    SELECT rf, qty FROM (
+      SELECT rf,
+             CASE WHEN rf = 'A' THEN ROUND(qty + 1.5, 2) ELSE qty END AS qty
+      FROM (
+        SELECT l_returnflag AS rf,
+               ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS qty
+        FROM lineitem GROUP BY l_returnflag
+      )
+      UNION ALL
+      SELECT 'X', 5.25
+    )
+    """,
+)
+def q_dml_merge_roundtrip(spark, sf_dir):
+    """MERGE INTO under the driver's hash gate: the entry CTASes a
+    target from lineitem, merges a literal source (matched → update,
+    unmatched → insert), and answers from the merged table — so the
+    whole statement path (parse, cardinality guard, CoW rewrite) is
+    what the oracle checks. Same temp-warehouse hygiene as
+    q_dml_ctas_roundtrip."""
+    import shutil
+    import tempfile
+
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    tmp = tempfile.mkdtemp(prefix="dmlmg_")
+    try:
+        cat = TableCatalog(tmp)
+        d = SparkDestination(spark.newSession(), cat, "mg")
+        d.query_df(
+            "create table tgt as select l_returnflag as rf,"
+            " round(sum(cast(l_quantity as double)), 2) as qty"
+            f" from read_parquet('{sf_dir}/lineitem.parquet')"
+            " group by l_returnflag"
+        )
+        d.query_df(
+            "merge into tgt using (select * from (values ('A', 1.5),"
+            " ('X', 5.25)) as v(rf, d)) s on tgt.rf = s.rf"
+            " when matched then update set qty = round(tgt.qty + s.d, 2)"
+            " when not matched then insert (rf, qty) values (s.rf, s.d)"
+        )
+        out = d.query_df("select rf, qty from tgt")
+        rows = out.collect()  # ≤5 rows — see q_dml_ctas_roundtrip note
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -53,6 +53,7 @@ import os
 import re
 import shutil
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -89,6 +90,19 @@ _DELETE_RE = re.compile(
 )
 _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s*;?\s*$", re.I | re.S
+)
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?\s+USING\s+"
+    rf"(\(.+?\)|{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?\s+ON\s+(.+?)"
+    rf"\s+(WHEN\s+.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_MERGE_WHEN_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|"
+    r"INSERT\s*\([^)]*\)\s*VALUES\s*\(.+?\))"
+    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.I | re.S,
 )
 _COPY_TO_RE = re.compile(
     rf"^\s*COPY\s+({_IDENT}|\(.+\))\s+TO\s+'([^']+)'"
@@ -172,6 +186,7 @@ def statement_kind(query: str) -> str | None:
         ("alter_drop", _ALTER_DROP_RE),
         ("delete", _DELETE_RE),
         ("update", _UPDATE_RE),
+        ("merge", _MERGE_RE),
         ("copy_to", _COPY_TO_RE),
     ):
         if rx.match(query):
@@ -255,6 +270,8 @@ def execute(dest, query: str):
         return _exec_delete(dest, query)
     if kind == "update":
         return _exec_update(dest, query)
+    if kind == "merge":
+        return _exec_merge(dest, query)
     if kind == "copy_to":
         return _exec_copy_to(dest, query)
     if kind == "create_view":
@@ -322,6 +339,8 @@ def validate(dest, query: str) -> None:
             _expr(dest, tdf, text)  # SET rhs analyzed too, not just names
         if pred:
             _expr(dest, tdf, pred)
+    elif kind == "merge":
+        _parse_merge(dest, query)  # shape + source analysis, no writes
     elif kind == "copy_to":
         m = _COPY_TO_RE.match(query)
         _copy_source_df(dest, m.group(1))  # analyze only
@@ -1430,3 +1449,227 @@ def _exec_update(dest, query: str):
         count_pred=cond,
     )
     return _count_df(dest, n)
+
+
+# --------------------------------------------------------------- MERGE
+
+
+def _parse_merge(dest, query: str):
+    """Parse MERGE INTO … USING … ON … WHEN … into
+    (table, t_alias, source_df, s_alias, on_text, matched, not_matched)
+    where matched = [(pred|None, ("update", {col: expr}) | ("delete",))]
+    and not_matched = [(pred|None, col_list|None, values_text|None)]
+    (col_list None + values None = INSERT * by-name). Clauses apply
+    first-match-wins in written order, per the SQL standard."""
+    m = _MERGE_RE.match(query)
+    table, t_alias, using, s_alias, on_text, whens = m.groups()
+    info = _require_table(dest, table)
+    t_alias = t_alias or table
+    if using.startswith("(") and s_alias is None:
+        raise ValueError("MERGE: USING (subquery) needs an alias")
+    if t_alias == (s_alias or using):
+        raise ValueError("MERGE: target and source aliases collide")
+    matched, not_matched = [], []
+    consumed = 0
+    for wm in _MERGE_WHEN_RE.finditer(whens):
+        consumed += len(wm.group(0))
+        neg, pred, action = wm.group(1), wm.group(2), wm.group(3).strip()
+        up = action.upper()
+        if neg:
+            if not up.startswith("INSERT"):
+                raise ValueError("MERGE: WHEN NOT MATCHED must INSERT")
+            if up.replace(" ", "") == "INSERT*":
+                not_matched.append((pred, None, None))
+            else:
+                im = re.match(
+                    r"(?is)INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$",
+                    action,
+                )
+                if im is None:
+                    raise ValueError(f"MERGE: bad INSERT clause: {action!r}")
+                cols = [c.strip() for c in im.group(1).split(",")]
+                not_matched.append((pred, cols, im.group(2)))
+        elif up == "DELETE":
+            matched.append((pred, ("delete",)))
+        elif up.startswith("UPDATE"):
+            from scratchdata_spark.dialect import _split_top_level_commas_text
+
+            set_text = re.match(r"(?is)UPDATE\s+SET\s+(.+)$", action).group(1)
+            assigns = {}
+            for item in _split_top_level_commas_text(set_text):
+                am = _ASSIGN_RE.match(item)
+                if am is None:
+                    raise ValueError(f"MERGE: bad SET assignment: {item!r}")
+                if am.group(1) == ROW_ID:
+                    raise ValueError("MERGE: cannot SET __row_id")
+                assigns[am.group(1)] = am.group(2)
+            matched.append((pred, ("update", assigns)))
+        else:
+            raise ValueError(f"MERGE: bad WHEN MATCHED action: {action!r}")
+    if whens[consumed:].strip() or not (matched or not_matched):
+        raise ValueError(f"MERGE: unparsed WHEN clauses: {whens!r}")
+    fields = {f.name for f in info.struct().fields}
+    for _pred, act in matched:
+        if act[0] == "update":
+            for c in act[1]:
+                if c not in fields:
+                    raise ValueError(f"MERGE: unknown column: {c}")
+    for _pred, cols, _vals in not_matched:
+        for c in cols or []:
+            if c not in fields or c == ROW_ID:
+                raise ValueError(f"MERGE: unknown INSERT column: {c}")
+    # clause shape validated — only now analyze the source (a missing
+    # USING table must not mask a malformed WHEN clause)
+    if using.startswith("("):
+        src = _source_df(dest, using[1:-1])
+    else:
+        src = _source_df(dest, f"SELECT * FROM {using}")
+        s_alias = s_alias or using
+    return info, table, t_alias, src, s_alias, on_text, matched, not_matched
+
+
+def _exec_merge(dest, query: str):
+    """MERGE INTO over one copy-on-write rewrite (same flip tail as
+    UPDATE/DELETE/upserts): target left-joins the source on the ON
+    condition with WHEN clauses applied first-match-wins; a target
+    row matching MULTIPLE source rows raises (SQL-standard
+    cardinality rule, enforced with a window count + assert_true —
+    silently picking one would corrupt the table). WHEN NOT MATCHED
+    inserts are the source anti-join, projected by name (INSERT *) or
+    through the listed column expressions. Counts report matched
+    targets + inserted rows, measured on the locked snapshot.
+
+    Scale shape: one shuffle join on the ON condition (AQE picks
+    broadcast when the source is small), one window over target row
+    ids for the cardinality check, inserts re-use the same source.
+    The rewrite is whole-table (no partition pruning yet — the ON
+    text is arbitrary); the statement exists for correctness parity,
+    batch upserts should prefer INSERT … ON CONFLICT which prunes.
+    """
+    from pyspark import StorageLevel
+
+    (info, table, t_alias, src, s_alias, on_text, matched, not_matched) = (
+        _parse_merge(dest, query)
+    )
+    field_order = [f.name for f in info.struct().fields]
+    fields = {f.name: f for f in info.struct().fields}
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {"matched": 0, "inserted": 0}
+
+    def transform(tsrc, info2):
+        t = tsrc.alias(t_alias)
+        sflag = src.withColumn("__merge_m", F.lit(True)).alias(s_alias)
+        cond = _expr(dest, t.crossJoin(sflag.limit(0)), on_text)
+        joined = t.join(sflag, cond, "left_outer")
+        is_m = F.coalesce(F.col("__merge_m"), F.lit(False))
+        w = Window.partitionBy(F.col(f"{t_alias}.{ROW_ID}"))
+        mcount = F.sum(F.when(is_m, 1).otherwise(0)).over(w)
+        # SQL cardinality rule: the window count materializes as a
+        # column (window fns can't sit in WHERE), then assert_true —
+        # NULL when the check passes — is forced by the filter
+        joined = joined.withColumn(
+            "__merge_guard",
+            F.assert_true(
+                mcount <= 1,
+                F.lit("MERGE: a target row matched multiple source rows"),
+            ),
+        )
+        joined = joined.filter(F.col("__merge_guard").isNull()).drop(
+            "__merge_guard"
+        )
+
+        action = None  # first-match-wins index over matched clauses
+        for idx, (pred, _act) in enumerate(matched):
+            c = is_m & (
+                _expr(dest, joined, pred) if pred else F.lit(True)
+            )
+            action = (F.when if action is None else action.when)(c, idx)
+        action_col = (
+            action.otherwise(F.lit(-1)) if action is not None else F.lit(-1)
+        )
+        joined = joined.withColumn("__merge_a", action_col)
+        del_idx = [i for i, (_p, a) in enumerate(matched) if a[0] == "delete"]
+        if del_idx:
+            joined = joined.filter(~F.col("__merge_a").isin(del_idx))
+        out_cols = []
+        for f in field_order:
+            col = F.col(f"{t_alias}.{f}")
+            for idx, (_pred, act) in enumerate(matched):
+                if act[0] == "update" and f in act[1]:
+                    col = F.when(
+                        F.col("__merge_a") == idx,
+                        _expr(dest, joined, act[1][f]).cast(
+                            fields[f].dataType
+                        ),
+                    ).otherwise(col)
+            out_cols.append(col.alias(f))
+        merged = joined.select(*out_cols)
+
+        counts["matched"] = (
+            t.join(src.alias(s_alias), cond, "left_semi").count()
+        )
+        inserts = None
+        if not_matched:
+            anti = (
+                src.alias(s_alias)
+                .join(tsrc.alias(t_alias), cond, "left_anti")
+            )
+            taken = F.lit(False)
+            pieces = []
+            for pred, cols, vals in not_matched:
+                p = (
+                    _expr(dest, anti, pred) if pred else F.lit(True)
+                ) & ~taken
+                taken = taken | (
+                    _expr(dest, anti, pred) if pred else F.lit(True)
+                )
+                part = anti.filter(p)
+                if cols is None:  # INSERT * — by name
+                    proj = [
+                        (
+                            F.col(f).cast(fields[f].dataType)
+                            if f in part.columns
+                            else F.lit(None).cast(fields[f].dataType)
+                        ).alias(f)
+                        for f in field_order
+                        if f != ROW_ID
+                    ]
+                else:
+                    from scratchdata_spark.dialect import (
+                        _split_top_level_commas_text,
+                    )
+
+                    exprs = dict(
+                        zip(cols, _split_top_level_commas_text(vals))
+                    )
+                    if len(exprs) != len(cols):
+                        raise ValueError("MERGE: INSERT arity mismatch")
+                    proj = [
+                        (
+                            _expr(dest, part, exprs[f]).cast(
+                                fields[f].dataType
+                            )
+                            if f in exprs
+                            else F.lit(None).cast(fields[f].dataType)
+                        ).alias(f)
+                        for f in field_order
+                        if f != ROW_ID
+                    ]
+                pieces.append(part.select(*proj))
+            ins = pieces[0]
+            for extra in pieces[1:]:
+                ins = ins.unionByName(extra)
+            inserts = _with_row_id(ins).select(*field_order)
+            counts["inserted"] = inserts.count()
+        return (
+            merged.unionByName(inserts) if inserts is not None else merged
+        )
+
+    try:
+        _cow_rewrite(
+            dest, table, transform, want_counts=False,
+            empty_touch_is_noop=False,
+        )
+    finally:
+        src.unpersist()
+    return _count_df(dest, counts["matched"] + counts["inserted"])

@@ -939,3 +939,84 @@ def test_script_validation_not_fooled_by_short_names(spark, tmp_path):
             "create table catalog as select 1 as x;"
             " insert into nosuch select 1"
         )
+
+
+# --------------------------------------------------------- MERGE INTO
+
+
+def test_merge_update_insert_delete(dest, tmp_path):
+    """The standard three-clause MERGE: matched rows update or delete
+    (first-match-wins), unmatched source rows insert."""
+    run(dest, "create table tgt as select g, v from t where v < 4")
+    assert run(dest, "select count(*) as n from tgt") == [{"n": 4}]
+    run(
+        dest,
+        "create table src as select * from (values ('a', 100), ('zz', 7),"
+        " ('b', -1)) as x(g, nv)",
+    )
+    out = run(
+        dest,
+        "merge into tgt using src on tgt.g = src.g and tgt.v % 2 = 0"
+        " when matched and src.nv < 0 then delete"
+        " when matched then update set v = src.nv"
+        " when not matched then insert (g, v) values (src.g, src.nv)",
+    )
+    rows = run(dest, "select g, v from tgt order by g, v")
+    # v<4 rows: a0 a1 b2 b3. Even-v matched: a0 (nv=100 -> update),
+    # b2 (nv=-1 -> delete). Odd-v rows untouched. src rows with no
+    # even-v match: zz -> insert; 'a'/'b' matched so not inserted.
+    assert rows == [
+        {"g": "a", "v": 1},
+        {"g": "a", "v": 100},
+        {"g": "b", "v": 3},
+        {"g": "zz", "v": 7},
+    ]
+    assert out == [{"count": 3}]  # 2 matched + 1 inserted
+
+
+def test_merge_insert_star_by_name(dest):
+    run(dest, "create table m2 as select g, v from t where v = 0")
+    out = run(
+        dest,
+        "merge into m2 using (select g, v from t where v >= 4) s"
+        " on m2.g = s.g when not matched then insert *",
+    )
+    assert out == [{"count": 2}]
+    assert run(dest, "select count(*) as n from m2") == [{"n": 3}]
+
+
+def test_merge_multiple_match_raises(dest):
+    """A target row matching several source rows must raise, not pick
+    one silently (SQL cardinality rule)."""
+    run(dest, "create table m3 as select g, v from t where v = 0")
+    run(
+        dest,
+        "create table msrc as select * from (values ('a', 1), ('a', 2))"
+        " as x(g, nv)",
+    )
+    with pytest.raises(Exception, match="[Mm]ultiple source rows"):
+        run(
+            dest,
+            "merge into m3 using msrc on m3.g = msrc.g"
+            " when matched then update set v = msrc.nv",
+        )
+    # table unchanged after the failed rewrite
+    assert run(dest, "select v from m3") == [{"v": 0}]
+
+
+def test_merge_validates_without_executing(dest):
+    assert dest.validate_statement(
+        "merge into t using (select 'a' as g, 1 as nv) s on t.g = s.g"
+        " when matched then update set v = s.nv"
+    )
+    with pytest.raises(Exception, match="needs an alias"):
+        dest.validate_statement(
+            "merge into t using (select 1 as x) on true"
+            " when matched then delete"
+        )
+    with pytest.raises(Exception, match="must INSERT"):
+        dest.validate_statement(
+            "merge into t using t2 on true when not matched then delete"
+        )
+    before = run(dest, "select count(*) as n from t")[0]["n"]
+    assert run(dest, "select count(*) as n from t") == [{"n": before}]

@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_map_struct_funcs, q_math_funcs, q_order_limit_offset, q_pivot,
 # q_qualify_latest, q_rollup, q_sample_deterministic, q_string_funcs,
 # q_tablesample, q_topk_per_group, q_union_all, q_unpivot,
-# q_approx_count_distinct, x_multimodal_features) reach staleness 2 at
-# r5 and MUST front the r6 window.
+# q_approx_count_distinct, x_multimodal_features, x_split_train_val)
+# reach staleness 2 at r5 and MUST front the r6 window.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
     # --- (b) never driver-checked / newest row is r2 — 21 entries ---
@@ -73,6 +73,7 @@ _PRIORITY = [
     "x_dedup_incremental_exact",  # sha256 oracle for the incremental path
     "q_dml_ctas_roundtrip",  # CTAS + INSERT…SELECT through query_df
     "x_multimodal_codec_real",  # PNG/WAV encode→decode under the hash gate
+    "q_dml_merge_roundtrip",  # MERGE INTO through the statement path
     # --- (d) oldest (r3) rows, semantics-heavy first — 26 slots ---
     "s_stream_tumbling_hour",
     "q_join_asof",
@@ -98,9 +99,9 @@ _PRIORITY = [
     "q_nested_flatten_multitable_depth2",
     "x_pack_sequences",
     "x_sample_stratified",
+    # --- past the ~50 edge: x_split_train_val + x_multimodal_features
+    # (r3 — they join the r6 front-of-window list) then r4-green ---
     "x_split_train_val",
-    # --- past the ~50 edge: x_multimodal_features (r3, rows-only —
-    # joins the r6 front-of-window list) then r4-green entries ---
     "x_multimodal_features",
     "q03_shipping_priority",
     "q05_local_supplier_volume",

@@ -107,71 +107,68 @@ def cosine_topk(
     )
 
 
-def hyperplane_bits(vec_col, dim: int, n_planes: int = 8):
-    """Deterministic random-hyperplane sign bits → bucket id (long).
-
-    Plane p, dimension i weight = centered hash in [-0.5, 0.5):
+def _plane_projection(vec_col, dim: int, p: int):
+    """Signed projection of ``vec_col`` onto deterministic hyperplane
+    ``p``: dimension-i weight = centered hash in [-0.5, 0.5),
     ``(xxhash64(p*dim+i) mod 1000)/1000 - 0.5`` — reproducible across
-    runs and engines, no stored model.
-    """
+    runs and engines, no stored model. The SINGLE definition both
+    bucket assignment and multi-probe use: query-side probe buckets
+    are only correct because they see bit-identical doubles to the
+    corpus-side bucketing, so the expression must never fork."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                f" i -> (pmod(xxhash64(cast({p} * {dim} as long) + i), 1000L) / 1000.0) - 0.5)"
+            ),
+            lambda x, wgt: x.cast("double") * wgt,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def hyperplane_bits(vec_col, dim: int, n_planes: int = 8):
+    """Deterministic random-hyperplane sign bits → bucket id (long),
+    derived plane-by-plane from :func:`_plane_projection`."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.expr(
-                    f"transform(sequence(0, {dim - 1}),"
-                    f" i -> (pmod(xxhash64(cast({p} * {dim} as long) + i), 1000L) / 1000.0) - 0.5)"
-                ),
-                lambda x, wgt: x.cast("double") * wgt,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = _plane_projection(vec_col, dim, p)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(0)
     return bucket
 
 
 def hyperplane_projections(vec_col, dim: int, n_planes: int):
-    """Array of signed projections onto the deterministic hyperplanes
-    (same planes as :func:`hyperplane_bits` — ``bucket = Σ 1<<p over
-    proj[p] ≥ 0``). Kept separately so multi-probe can rank planes by
-    |projection|: the SMALLEST |proj| is the hyperplane the vector
+    """Array of the :func:`_plane_projection` values for every plane
+    (``bucket = Σ 1<<p over proj[p] ≥ 0``). Multi-probe ranks planes
+    by |projection|: the SMALLEST |proj| is the hyperplane the vector
     sits closest to, i.e. the bit most likely to differ from a true
     neighbor's."""
-    return F.array(*[
-        F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.expr(
-                    f"transform(sequence(0, {dim - 1}),"
-                    f" i -> (pmod(xxhash64(cast({p} * {dim} as long) + i), 1000L) / 1000.0) - 0.5)"
-                ),
-                lambda x, wgt: x.cast("double") * wgt,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for p in range(n_planes)
-    ])
+    return F.array(
+        *[_plane_projection(vec_col, dim, p) for p in range(n_planes)]
+    )
 
 
-def _probe_buckets(proj_col, n_planes: int, n_probes: int):
+def _probe_buckets(proj_col: str, n_planes: int, n_probes: int):
     """Array of bucket ids to probe: the home bucket plus the buckets
     reached by flipping the 1..(n_probes-1) bits whose hyperplanes
     the vector lies closest to (standard multi-probe LSH ordering).
-    Pure column expressions — ranks |projections|, flips one bit per
-    probe."""
+    Pure column expressions over the named projection column — ranks
+    |projections|, flips one bit per probe. The home/order columns
+    are expected as ``__home``/``__order`` on the caller's frame."""
     home = F.expr(
         "aggregate(sequence(0, {n} - 1), 0L,"
-        " (acc, p) -> acc + IF(element_at(__projs, p + 1) >= 0,"
-        " shiftleft(1L, p), 0L))".replace("{n}", str(n_planes))
+        " (acc, p) -> acc + IF(element_at({c}, p + 1) >= 0,"
+        " shiftleft(1L, p), 0L))".replace("{n}", str(n_planes)).replace(
+            "{c}", proj_col
+        )
     )
     # plane indices sorted by |projection| ascending (closest first)
     order = F.expr(
         "transform(array_sort(transform(sequence(0, {n} - 1),"
-        " p -> struct(abs(element_at(__projs, p + 1)) AS d, p AS p))),"
-        " s -> s.p)".replace("{n}", str(n_planes))
+        " p -> struct(abs(element_at({c}, p + 1)) AS d, p AS p))),"
+        " s -> s.p)".replace("{n}", str(n_planes)).replace("{c}", proj_col)
     )
     flips = F.expr(
         "transform(slice(__order, 1, {m}),"

@@ -340,7 +340,33 @@ def validate(dest, query: str) -> None:
         if pred:
             _expr(dest, tdf, pred)
     elif kind == "merge":
-        _parse_merge(dest, query)  # shape + source analysis, no writes
+        (info, table, t_alias, src, s_alias, on_text, matched, not_matched) = (
+            _parse_merge(dest, query)
+        )
+        # analyze every expression the execution would compile — the
+        # HTTP validate-then-stream shape must fail BEFORE the 200,
+        # not mid-stream (same eagerness as the UPDATE branch)
+        t0 = dest.table_df(table).alias(t_alias)
+        frame = t0.crossJoin(src.alias(s_alias).limit(0))
+        _expr(dest, frame, on_text)
+        fields = {f.name: f for f in info.struct().fields}
+        for pred, act in matched:
+            if pred:
+                _expr(dest, frame, pred)
+            if act[0] == "update":
+                for c, rhs in act[1].items():
+                    _expr(dest, frame, rhs).cast(fields[c].dataType)
+        sframe = src.alias(s_alias).limit(0)
+        for pred, cols, vals in not_matched:
+            if pred:
+                _expr(dest, sframe, pred)
+            if cols is not None:
+                from scratchdata_spark.dialect import (
+                    _split_top_level_commas_text,
+                )
+
+                for v in _split_top_level_commas_text(vals):
+                    _expr(dest, sframe, v)
     elif kind == "copy_to":
         m = _COPY_TO_RE.match(query)
         _copy_source_df(dest, m.group(1))  # analyze only
@@ -1497,12 +1523,21 @@ def _parse_merge(dest, query: str):
             set_text = re.match(r"(?is)UPDATE\s+SET\s+(.+)$", action).group(1)
             assigns = {}
             for item in _split_top_level_commas_text(set_text):
-                am = _ASSIGN_RE.match(item)
-                if am is None:
-                    raise ValueError(f"MERGE: bad SET assignment: {item!r}")
-                if am.group(1) == ROW_ID:
+                # accept the alias-qualified form `tgt.col = …` (both
+                # aliases are in scope, so ported scripts qualify)
+                qm = re.match(
+                    rf"^\s*({_IDENT})\.({_IDENT})\s*=\s*(.+)\s*$", item, re.S
+                )
+                if qm is not None and qm.group(1) == t_alias:
+                    name, rhs = qm.group(2), qm.group(3)
+                else:
+                    am = _ASSIGN_RE.match(item)
+                    if am is None:
+                        raise ValueError(f"MERGE: bad SET assignment: {item!r}")
+                    name, rhs = am.group(1), am.group(2)
+                if name == ROW_ID:
                     raise ValueError("MERGE: cannot SET __row_id")
-                assigns[am.group(1)] = am.group(2)
+                assigns[name] = rhs
             matched.append((pred, ("update", assigns)))
         else:
             raise ValueError(f"MERGE: bad WHEN MATCHED action: {action!r}")
@@ -1526,6 +1561,16 @@ def _parse_merge(dest, query: str):
         src = _source_df(dest, f"SELECT * FROM {using}")
         s_alias = s_alias or using
     return info, table, t_alias, src, s_alias, on_text, matched, not_matched
+
+
+def _merge_any_pred(dest, frame, not_matched):
+    """OR of the WHEN NOT MATCHED predicates (None = always true),
+    compiled against ``frame`` for the single stats pass."""
+    out = None
+    for pred, _cols, _vals in not_matched:
+        pc = _expr(dest, frame, pred) if pred else F.lit(True)
+        out = pc if out is None else (out | pc)
+    return out
 
 
 def _exec_merge(dest, query: str):
@@ -1560,55 +1605,62 @@ def _exec_merge(dest, query: str):
         t = tsrc.alias(t_alias)
         sflag = src.withColumn("__merge_m", F.lit(True)).alias(s_alias)
         cond = _expr(dest, t.crossJoin(sflag.limit(0)), on_text)
-        joined = t.join(sflag, cond, "left_outer")
-        is_m = F.coalesce(F.col("__merge_m"), F.lit(False))
-        w = Window.partitionBy(F.col(f"{t_alias}.{ROW_ID}"))
-        mcount = F.sum(F.when(is_m, 1).otherwise(0)).over(w)
-        # SQL cardinality rule: the window count materializes as a
-        # column (window fns can't sit in WHERE), then assert_true —
-        # NULL when the check passes — is forced by the filter
-        joined = joined.withColumn(
-            "__merge_guard",
-            F.assert_true(
-                mcount <= 1,
-                F.lit("MERGE: a target row matched multiple source rows"),
-            ),
-        )
-        joined = joined.filter(F.col("__merge_guard").isNull()).drop(
-            "__merge_guard"
-        )
-
-        action = None  # first-match-wins index over matched clauses
-        for idx, (pred, _act) in enumerate(matched):
-            c = is_m & (
-                _expr(dest, joined, pred) if pred else F.lit(True)
+        if matched:
+            joined = t.join(sflag, cond, "left_outer")
+            is_m = F.coalesce(F.col("__merge_m"), F.lit(False))
+            w = Window.partitionBy(F.col(f"{t_alias}.{ROW_ID}"))
+            mcount = F.sum(F.when(is_m, 1).otherwise(0)).over(w)
+            # SQL cardinality rule — only when a matched row would be
+            # UPDATEd/DELETEd (insert-only MERGEs succeed regardless,
+            # matching SQL Server/Delta): the window count
+            # materializes as a column (window fns can't sit in
+            # WHERE), then assert_true — NULL when the check passes —
+            # is forced by the filter
+            joined = joined.withColumn(
+                "__merge_guard",
+                F.assert_true(
+                    mcount <= 1,
+                    F.lit(
+                        "MERGE: a target row matched multiple source rows"
+                    ),
+                ),
             )
-            action = (F.when if action is None else action.when)(c, idx)
-        action_col = (
-            action.otherwise(F.lit(-1)) if action is not None else F.lit(-1)
-        )
-        joined = joined.withColumn("__merge_a", action_col)
-        del_idx = [i for i, (_p, a) in enumerate(matched) if a[0] == "delete"]
-        if del_idx:
-            joined = joined.filter(~F.col("__merge_a").isin(del_idx))
-        out_cols = []
-        for f in field_order:
-            col = F.col(f"{t_alias}.{f}")
-            for idx, (_pred, act) in enumerate(matched):
-                if act[0] == "update" and f in act[1]:
-                    col = F.when(
-                        F.col("__merge_a") == idx,
-                        _expr(dest, joined, act[1][f]).cast(
-                            fields[f].dataType
-                        ),
-                    ).otherwise(col)
-            out_cols.append(col.alias(f))
-        merged = joined.select(*out_cols)
+            joined = joined.filter(F.col("__merge_guard").isNull()).drop(
+                "__merge_guard"
+            )
 
-        counts["matched"] = (
-            t.join(src.alias(s_alias), cond, "left_semi").count()
-        )
+            action = None  # first-match-wins index over matched clauses
+            for idx, (pred, _act) in enumerate(matched):
+                c = is_m & (
+                    _expr(dest, joined, pred) if pred else F.lit(True)
+                )
+                action = (F.when if action is None else action.when)(c, idx)
+            joined = joined.withColumn("__merge_a", action.otherwise(-1))
+            del_idx = [
+                i for i, (_p, a) in enumerate(matched) if a[0] == "delete"
+            ]
+            if del_idx:
+                joined = joined.filter(~F.col("__merge_a").isin(del_idx))
+            out_cols = []
+            for f in field_order:
+                col = F.col(f"{t_alias}.{f}")
+                for idx, (_pred, act) in enumerate(matched):
+                    if act[0] == "update" and f in act[1]:
+                        col = F.when(
+                            F.col("__merge_a") == idx,
+                            _expr(dest, joined, act[1][f]).cast(
+                                fields[f].dataType
+                            ),
+                        ).otherwise(col)
+                out_cols.append(col.alias(f))
+            merged = joined.select(*out_cols)
+        else:
+            # insert-only MERGE: targets pass through untouched — no
+            # join, no guard, no window
+            merged = tsrc.select(*field_order)
+
         inserts = None
+        ins_any = None
         if not_matched:
             anti = (
                 src.alias(s_alias)
@@ -1617,12 +1669,10 @@ def _exec_merge(dest, query: str):
             taken = F.lit(False)
             pieces = []
             for pred, cols, vals in not_matched:
-                p = (
-                    _expr(dest, anti, pred) if pred else F.lit(True)
-                ) & ~taken
-                taken = taken | (
-                    _expr(dest, anti, pred) if pred else F.lit(True)
-                )
+                pc = _expr(dest, anti, pred) if pred else F.lit(True)
+                p = pc & ~taken
+                taken = taken | pc
+                ins_any = pc if ins_any is None else (ins_any | pc)
                 part = anti.filter(p)
                 if cols is None:  # INSERT * — by name
                     proj = [
@@ -1639,11 +1689,13 @@ def _exec_merge(dest, query: str):
                         _split_top_level_commas_text,
                     )
 
-                    exprs = dict(
-                        zip(cols, _split_top_level_commas_text(vals))
-                    )
-                    if len(exprs) != len(cols):
-                        raise ValueError("MERGE: INSERT arity mismatch")
+                    vlist = _split_top_level_commas_text(vals)
+                    if len(vlist) != len(cols) or len(set(cols)) != len(cols):
+                        raise ValueError(
+                            f"MERGE: INSERT arity mismatch:"
+                            f" {len(cols)} columns, {len(vlist)} values"
+                        )
+                    exprs = dict(zip(cols, vlist))
                     proj = [
                         (
                             _expr(dest, part, exprs[f]).cast(
@@ -1660,7 +1712,33 @@ def _exec_merge(dest, query: str):
             for extra in pieces[1:]:
                 ins = ins.unionByName(extra)
             inserts = _with_row_id(ins).select(*field_order)
-            counts["inserted"] = inserts.count()
+        # ONE stats pass over the snapshot (full-outer + aggregate)
+        # yields both counts — a semi-join count plus an insert count
+        # would be two extra scans inside the compaction lock. A
+        # matched row counts as affected only when a WHEN MATCHED
+        # clause exists to act on it.
+        stats_src = t.join(sflag, cond, "full_outer")
+        agg_cols = [
+            F.count_distinct(
+                F.when(
+                    F.col("__merge_m").isNotNull(),
+                    F.col(f"{t_alias}.{ROW_ID}"),
+                )
+            ).alias("__m")
+        ]
+        ins_mark = F.col(f"{t_alias}.{ROW_ID}").isNull()
+        if not_matched:
+            ins_mark = ins_mark & (
+                F.lit(True)
+                if all(p is None for p, _c, _v in not_matched)
+                else _merge_any_pred(dest, stats_src, not_matched)
+            )
+        agg_cols.append(
+            F.sum(F.when(ins_mark, 1).otherwise(0)).alias("__i")
+        )
+        row = stats_src.agg(*agg_cols).first()
+        counts["matched"] = int(row["__m"] or 0) if matched else 0
+        counts["inserted"] = int(row["__i"] or 0) if not_matched else 0
         return (
             merged.unionByName(inserts) if inserts is not None else merged
         )

@@ -1020,3 +1020,56 @@ def test_merge_validates_without_executing(dest):
         )
     before = run(dest, "select count(*) as n from t")[0]["n"]
     assert run(dest, "select count(*) as n from t") == [{"n": before}]
+
+
+def test_merge_insert_only_ignores_multiple_matches(dest):
+    """SQL cardinality rule applies only to UPDATE/DELETE clauses —
+    an insert-only MERGE with a multiply-matched target succeeds
+    (SQL Server / Delta semantics)."""
+    run(dest, "create table io as select g, v from t where v = 0")
+    run(
+        dest,
+        "create table iosrc as select * from (values ('a', 1), ('a', 2),"
+        " ('q', 9)) as x(g, nv)",
+    )
+    out = run(
+        dest,
+        "merge into io using iosrc on io.g = iosrc.g"
+        " when not matched then insert (g, v) values (iosrc.g, iosrc.nv)",
+    )
+    assert out == [{"count": 1}]  # only 'q' inserted
+    assert run(dest, "select g, v from io order by g") == [
+        {"g": "a", "v": 0}, {"g": "q", "v": 9},
+    ]
+
+
+def test_merge_insert_arity_and_qualified_set(dest):
+    with pytest.raises(Exception, match="arity"):
+        run(
+            dest,
+            "merge into t using (select 'zz' as g, 1 as nv) s on t.g = s.g"
+            " when not matched then insert (g) values (s.g, s.nv)",
+        )
+    # alias-qualified SET target column is accepted
+    run(dest, "create table qs as select g, v from t where v = 0")
+    run(
+        dest,
+        "merge into qs using (select 'a' as g, 77 as nv) s on qs.g = s.g"
+        " when matched then update set qs.v = s.nv",
+    )
+    assert run(dest, "select v from qs") == [{"v": 77}]
+
+
+def test_merge_validate_analyzes_expressions(dest):
+    """A typo'd column in ON / SET / VALUES must fail validation, not
+    execution after the HTTP 200 (validate-then-stream shape)."""
+    for bad in (
+        "merge into t using (select 'a' as g) s on t.nosuch = s.g"
+        " when matched then delete",
+        "merge into t using (select 'a' as g) s on t.g = s.g"
+        " when matched then update set v = s.typo_col",
+        "merge into t using (select 'a' as g) s on t.g = s.g"
+        " when not matched then insert (v) values (s.missing + 1)",
+    ):
+        with pytest.raises(Exception):
+            dest.validate_statement(bad)

@@ -218,8 +218,13 @@ def incremental_dedup_telemetry(docs) -> dict:
     doing its job."""
     from scratchdata_spark.operators.dedup import dedup_against_corpus
 
-    new = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # modulo 7 (coprime with the replica factors AND with the pair
+    # stride 2) mixes even/odd pair members across the split — with
+    # %10 and ids = orig·replicas + rep, the increment would be ONLY
+    # even pair members whose near-dup partner always sits in the
+    # corpus (a 100%-dup pathological increment, incomparable with 1x)
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
     t0 = time.perf_counter()
     agg = dedup_against_corpus(new, corpus).agg(
         F.count("*").alias("n_new"),

@@ -215,7 +215,11 @@ def incremental_dedup_telemetry(docs) -> dict:
     scale claim under test: wall tracks increment×corpus band
     collisions, not corpus² — at 10× docs the increment and corpus
     both grow 10×, so near-linear wall growth means the band join is
-    doing its job."""
+    doing its job. Note on the flag rate: under the pairwise replica
+    topology every scaled doc has exactly one near-dup partner, and
+    any coprime modulo split puts that partner in the corpus — so
+    flagged_near ≈ n_new at 10×/100× is the EXPECTED topology
+    artifact, not an operator bug; the scale signal is the wall."""
     from scratchdata_spark.operators.dedup import dedup_against_corpus
 
     # modulo 7 (coprime with the replica factors AND with the pair

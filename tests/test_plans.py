@@ -399,3 +399,18 @@ def test_resample_temperature_broadcasts_keep_rates(spark, sf_dir):
     p = plan(REGISTRY["x_resample_temperature"][0](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, p
+
+
+def test_cosine_topk_lsh_multiprobe_plan(spark, sf_dir):
+    """Multi-probe keeps the scale shape: the query side explodes to
+    probe buckets and BROADCASTS; the corpus is never cross-joined."""
+    from scratchdata_spark.operators.similarity import cosine_topk_lsh
+
+    e = load(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    p = plan(cosine_topk_lsh(e, queries, dim=64, k=5, n_planes=6, n_probes=3))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

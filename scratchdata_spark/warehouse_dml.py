@@ -1601,6 +1601,39 @@ def _exec_merge(dest, query: str):
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {"matched": 0, "inserted": 0}
 
+    # Key-range pruning (sound for a pure alias-qualified equi-key ON
+    # with an integer target column — the same reach bound upserts
+    # use): a target row outside the source's [min, max] key range
+    # cannot match ANY source row, so it cannot be updated, deleted,
+    # or affect the anti-join — its file adopts by rename. A
+    # point-merge then rewrites one file, not the corpus.
+    prune_pred = None
+    m_on = re.match(
+        rf"^\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+        on_text,
+    )
+    if m_on is not None:
+        a1, c1, a2, c2 = m_on.groups()
+        tcol = scol = None
+        if a1 == t_alias and a2 == s_alias:
+            tcol, scol = c1, c2
+        elif a2 == t_alias and a1 == s_alias:
+            tcol, scol = c2, c1
+        if (
+            tcol is not None
+            and tcol in fields
+            and fields[tcol].dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint")
+            and scol in src.columns
+        ):
+            lohi = src.agg(
+                F.min(scol).alias("lo"), F.max(scol).alias("hi")
+            ).first()
+            if lohi["lo"] is not None:
+                prune_pred = (
+                    f"{tcol} >= {lohi['lo']} AND {tcol} <= {lohi['hi']}"
+                )
+
     def transform(tsrc, info2):
         t = tsrc.alias(t_alias)
         sflag = src.withColumn("__merge_m", F.lit(True)).alias(s_alias)
@@ -1745,7 +1778,19 @@ def _exec_merge(dest, query: str):
 
     try:
         _cow_rewrite(
-            dest, table, transform, want_counts=False,
+            dest, table, transform,
+            prune_fn=(
+                (
+                    lambda info2, cur_dir: _prunable_partitions(
+                        dest, info2, prune_pred, F.expr(prune_pred), cur_dir
+                    )
+                )
+                if prune_pred
+                else None
+            ),
+            file_prune_pred=prune_pred,
+            want_counts=False,
+            # inserts must run even when no target file is reachable
             empty_touch_is_noop=False,
         )
     finally:

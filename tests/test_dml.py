@@ -1073,3 +1073,47 @@ def test_merge_validate_analyzes_expressions(dest):
     ):
         with pytest.raises(Exception):
             dest.validate_statement(bad)
+
+
+def test_merge_prunes_files_by_key_range(spark, tmp_path):
+    """A MERGE whose ON is an equi-join on an integer key rewrites
+    only the files the source key range can reach — the rest adopt by
+    rename (same reach bound as upserts)."""
+    cat = TableCatalog(str(tmp_path / "whm"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    for lo in (0, 100, 200):
+        nd = "\n".join(
+            json.dumps({"k": lo + i, "x": "old"} ) for i in range(10)
+        )
+        p = tmp_path / f"m{lo}.ndjson"
+        p.write_text(nd + "\n")
+        d.insert_ndjson("mt", str(p))
+    cur = cat.data_dir("dml", "mt")
+    import pyarrow.parquet as pq
+
+    def krange(f):
+        md = pq.ParquetFile(f"{cur}/{f}").metadata
+        ci = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "k"
+        )
+        st = md.row_group(0).column(ci).statistics
+        return st.min, st.max
+
+    files = d._list_parquet(cur)
+    low_files = {f for f in files if krange(f)[1] < 100}
+    assert low_files
+    out = run(
+        d,
+        "merge into mt using (select * from (values (105, 'new'),"
+        " (300, 'ins')) as v(k, nx)) s on mt.k = s.k"
+        " when matched then update set x = s.nx"
+        " when not matched then insert (k, x) values (s.k, s.nx)",
+    )
+    assert out == [{"count": 2}]
+    assert run(d, "select x from mt where k = 105") == [{"x": "new"}]
+    assert run(d, "select x from mt where k = 300") == [{"x": "ins"}]
+    assert run(d, "select count(*) as n from mt") == [{"n": 31}]
+    # the sub-100 files adopted unchanged (same names in the new gen)
+    after = set(d._list_parquet(cat.data_dir("dml", "mt")))
+    assert low_files <= after

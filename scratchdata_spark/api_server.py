@@ -447,16 +447,22 @@ def make_handler(service: Service):
                 )
                 if dst is None or not hasattr(dst, "compact_table"):
                     return self._json(404, {"error": "unknown destination"})
+                sort_cols = [
+                    c for c in params.get("sort_cols", "").split(",") if c
+                ]
                 try:
                     return self._json(
                         200,
                         dst.compact_table(
                             m.group(1),
                             min_files=int(params.get("min_files", 8)),
+                            sort_cols=sort_cols or None,
                         ),
                     )
                 except KeyError:
                     return self._json(404, {"error": "unknown table"})
+                except ValueError as err:  # unknown sort column
+                    return self._json(400, {"error": str(err)})
 
             dest = self._auth(params)
             if dest is None:

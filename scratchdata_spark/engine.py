@@ -599,6 +599,7 @@ class SparkDestination(DataFrameSerializers, Destination):
         table: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         min_files: int = 8,
+        sort_cols: list[str] | None = None,
         _after_rewrite=None,  # test hook: runs between rewrite and flip
     ) -> dict:
         """Rewrite a table's accumulated micro-batch files into
@@ -619,7 +620,14 @@ class SparkDestination(DataFrameSerializers, Destination):
 
         The rewrite sorts within partitions by ``__row_id`` (snowflake
         ids are time-ordered) so parquet min/max stats prune time-range
-        predicates after compaction.
+        predicates after compaction. ``sort_cols`` overrides this with
+        a data-clustering order: a RANGE repartition + sort on the
+        listed columns gives the output files tight, mostly-disjoint
+        min/max footer ranges on them, so range predicates skip whole
+        files at scan time AND the engine's footer-pruned
+        DELETE/UPDATE/MERGE rewrites adopt non-matching files by
+        rename — the liveness maintenance a 100 TB table needs to keep
+        point mutations from rewriting the corpus.
         """
         table = _check_ident(table)
         info = self.catalog.get(self.database, table)
@@ -639,7 +647,8 @@ class SparkDestination(DataFrameSerializers, Destination):
             }
         try:
             return self._compact_locked(
-                table, info, target_file_bytes, min_files, _after_rewrite
+                table, info, target_file_bytes, min_files, _after_rewrite,
+                sort_cols=sort_cols,
             )
         finally:
             comp_lock.release()
@@ -652,7 +661,8 @@ class SparkDestination(DataFrameSerializers, Destination):
             return _COMPACT_LOCKS.setdefault(key, threading.Lock())
 
     def _compact_locked(
-        self, table, info, target_file_bytes, min_files, _after_rewrite
+        self, table, info, target_file_bytes, min_files, _after_rewrite,
+        sort_cols=None,
     ) -> dict:
         cur_dir = self.catalog.data_dir(self.database, table)
         snapshot = self._list_parquet(cur_dir) if os.path.isdir(cur_dir) else []
@@ -671,14 +681,24 @@ class SparkDestination(DataFrameSerializers, Destination):
             .option("basePath", cur_dir)
             .parquet(*[os.path.join(cur_dir, f) for f in snapshot])
         )
+        if sort_cols:
+            known = {c["name"] for c in info.columns}
+            bad = [c for c in sort_cols if c not in known]
+            if bad:
+                raise ValueError(f"unknown sort column(s): {bad}")
         if info.partition_col:
             # co-locate each hive partition's rows in the same tasks so
             # the write emits ~1 file per (task, partition value), not
             # n_out files inside every partition directory
             src = src.repartition(int(n_out), F.col(info.partition_col))
+        elif sort_cols:
+            # range partitioning gives files DISJOINT sort-key ranges
+            # (hash would interleave them and defeat footer pruning)
+            src = src.repartitionByRange(int(n_out), *[F.col(c) for c in sort_cols])
         else:
             src = src.repartition(int(n_out))
-        writer = src.sortWithinPartitions(ROW_ID).write.mode("overwrite")
+        order = [F.col(c) for c in sort_cols] if sort_cols else [F.col(ROW_ID)]
+        writer = src.sortWithinPartitions(*order).write.mode("overwrite")
         if info.partition_col:
             writer = writer.partitionBy(info.partition_col)
         writer.parquet(new_dir)

@@ -320,3 +320,54 @@ def test_concurrent_compactions_are_serialized(dest):
     assert sum(1 for r in results if r["compacted"]) <= 1
     rows = json.loads(_q(dest, "SELECT count(*) AS n, sum(v) AS s FROM cc"))
     assert rows[0] == {"n": 8, "s": 28}
+
+
+def test_compaction_clusters_by_sort_cols(spark, tmp_path):
+    """compact_table(sort_cols=...) range-partitions + sorts, so the
+    output files carry tight, disjoint min/max footer ranges on the
+    cluster key — the stats that let range scans and the footer-pruned
+    CoW mutations skip whole files."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    cat = TableCatalog(str(tmp_path / "whz"))
+    d = SparkDestination(spark.newSession(), cat, "db")
+    # 8 inserts with interleaved key ranges: every file spans ~all keys
+    for b in range(8):
+        nd = "\n".join(
+            _json.dumps({"k": i * 8 + b, "x": "v"}) for i in range(50)
+        )
+        p = tmp_path / f"z{b}.ndjson"
+        p.write_text(nd + "\n")
+        d.insert_ndjson("zt", str(p))
+    res = d.compact_table(
+        "zt", target_file_bytes=6000, min_files=2, sort_cols=["k"]
+    )
+    assert res["compacted"] and res["files_out"] >= 2
+    cur = cat.data_dir("db", "zt")
+
+    def krange(f):
+        md = pq.ParquetFile(f"{cur}/{f}").metadata
+        ci = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "k"
+        )
+        st = md.row_group(0).column(ci).statistics
+        return st.min, st.max
+
+    ranges = sorted(krange(f) for f in d._list_parquet(cur))
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered ranges
+    # rows intact
+    import io
+
+    buf = io.StringIO()
+    d.query_csv("select count(*) as n from zt", buf)
+    assert buf.getvalue().splitlines()[1] == "400"
+    with pytest.raises(ValueError, match="unknown sort"):
+        d.compact_table("zt", min_files=1, sort_cols=["nope"])

@@ -305,6 +305,7 @@ def dedup_against_corpus(
     threshold: float = 0.5,
     max_bucket_size: int | None = 256,
     near: bool = True,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: flag NEW documents that duplicate an
     EXISTING corpus — the production shape (a crawl increment against
@@ -329,10 +330,18 @@ def dedup_against_corpus(
     near match). ``near=False`` runs the exact tier alone (sha256
     fingerprints — every step SQL-expressible, so this path is
     hash-oracle-checkable; the near tier's xxhash64 band index is
-    not) and returns new_df + ``dup_exact`` only.
+    not) and returns new_df + ``dup_exact`` only. ``corpus_size``
+    (when the caller knows the standing corpus's document count)
+    turns on the same corpus-size-aware banding as the batch
+    operator (:func:`minhash_params_for`) — random band-collision
+    mass between the increment and a 100 TB corpus is governed by
+    the CORPUS size, so rows-per-band must rise with it exactly as
+    in the all-pairs case.
     """
     from pyspark import StorageLevel
 
+    if corpus_size is not None:
+        n_hashes, bands = minhash_params_for(corpus_size, threshold)
     r = n_hashes // bands
     fp = lambda c: F.sha2(normalize_text(c), 256)  # noqa: E731
     new_fp = new_df.select(F.col(id_col), fp(F.col(text_col)).alias("__fp"))

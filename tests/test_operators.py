@@ -522,3 +522,32 @@ def test_cosine_topk_lsh_multiprobe_raises_recall(spark):
 
     r1, r4 = recall(1), recall(4)
     assert r4 > r1  # seed 11: 0.14 -> 0.37
+
+
+def test_dedup_against_corpus_corpus_size_banding(spark):
+    """corpus_size turns on the same banding auto-scale as the batch
+    operator: results stay correct, and the resolved parameters match
+    minhash_params_for."""
+    from scratchdata_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_params_for,
+    )
+
+    assert minhash_params_for(500_000) == (160, 32)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different text with other words")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog!"),
+         (11, "nothing like anything in the corpus at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.dup_near
+        for r in dedup_against_corpus(
+            new, corpus, corpus_size=2
+        ).collect()
+    }
+    assert out == {10: True, 11: False}

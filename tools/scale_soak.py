@@ -209,7 +209,7 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
     }, pairs
 
 
-def incremental_dedup_telemetry(docs) -> dict:
+def incremental_dedup_telemetry(docs, n_docs=None) -> dict:
     """Every 10th doc as the 'daily increment', the rest as the
     standing corpus (operators/dedup.py dedup_against_corpus). The
     scale claim under test: wall tracks increment×corpus band
@@ -230,7 +230,7 @@ def incremental_dedup_telemetry(docs) -> dict:
     new = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     t0 = time.perf_counter()
-    agg = dedup_against_corpus(new, corpus).agg(
+    agg = dedup_against_corpus(new, corpus, corpus_size=n_docs).agg(
         F.count("*").alias("n_new"),
         F.sum(F.col("dup_exact").cast("long")).alias("n_exact"),
         F.sum(F.col("dup_near").cast("long")).alias("n_near"),
@@ -345,7 +345,7 @@ def main() -> None:
             "n_vectors": n_vecs,
             "minhash_lsh": mh_stats,
             "connected_components": cc_telemetry(mh_pairs),
-            "incremental_dedup": incremental_dedup_telemetry(docs),
+            "incremental_dedup": incremental_dedup_telemetry(docs, n_docs=n_docs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
         }

@@ -448,7 +448,9 @@ def make_handler(service: Service):
                 if dst is None or not hasattr(dst, "compact_table"):
                     return self._json(404, {"error": "unknown destination"})
                 sort_cols = [
-                    c for c in params.get("sort_cols", "").split(",") if c
+                    c.strip()
+                    for c in params.get("sort_cols", "").split(",")
+                    if c.strip()
                 ]
                 try:
                     return self._json(

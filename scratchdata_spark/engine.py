@@ -664,6 +664,13 @@ class SparkDestination(DataFrameSerializers, Destination):
         self, table, info, target_file_bytes, min_files, _after_rewrite,
         sort_cols=None,
     ) -> dict:
+        if sort_cols:
+            # validate BEFORE the below-min_files early return — a bad
+            # column name must not report success on a small table
+            known = {c["name"] for c in info.columns}
+            bad = [c for c in sort_cols if c not in known]
+            if bad:
+                raise ValueError(f"unknown sort column(s): {bad}")
         cur_dir = self.catalog.data_dir(self.database, table)
         snapshot = self._list_parquet(cur_dir) if os.path.isdir(cur_dir) else []
         if len(snapshot) < min_files:
@@ -681,12 +688,17 @@ class SparkDestination(DataFrameSerializers, Destination):
             .option("basePath", cur_dir)
             .parquet(*[os.path.join(cur_dir, f) for f in snapshot])
         )
-        if sort_cols:
-            known = {c["name"] for c in info.columns}
-            bad = [c for c in sort_cols if c not in known]
-            if bad:
-                raise ValueError(f"unknown sort column(s): {bad}")
-        if info.partition_col:
+        if info.partition_col and sort_cols:
+            # range partition on (hive partition, sort key): each task
+            # holds a contiguous key slice of one partition value, so
+            # the files inside every partition dir carry disjoint
+            # sort-key ranges too
+            src = src.repartitionByRange(
+                int(n_out),
+                F.col(info.partition_col),
+                *[F.col(c) for c in sort_cols],
+            )
+        elif info.partition_col:
             # co-locate each hive partition's rows in the same tasks so
             # the write emits ~1 file per (task, partition value), not
             # n_out files inside every partition directory

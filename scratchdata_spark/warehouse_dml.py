@@ -741,6 +741,41 @@ def _insert_projection(info, src, col_list: str | None):
     return renamed, cols
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _key_range_prune(df, col: str, target_field) -> str | None:
+    """Sound [min, max] reach bound for an integer equi-key: a target
+    row outside the range cannot match any ``df`` row. Requires BOTH
+    sides integral — a string-typed source key would give a
+    LEXICOGRAPHIC min/max ('100' < '9') while the equi-join compares
+    numerically, silently pruning files that DO match (lost updates,
+    duplicate inserts). Returns the predicate text or None."""
+    if target_field.dataType.simpleString() not in _INTEGRAL_TYPES:
+        return None
+    if df.schema[col].dataType.simpleString() not in _INTEGRAL_TYPES:
+        return None
+    lohi = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    if lohi["lo"] is None:
+        return None
+    return (
+        f"{target_field.name} >= {lohi['lo']}"
+        f" AND {target_field.name} <= {lohi['hi']}"
+    )
+
+
+def _key_range_prune_fn(dest, prune_pred):
+    """prune_fn/file_prune_pred pair for _cow_rewrite from a key-range
+    predicate (None → no pruning)."""
+    if prune_pred is None:
+        return None, None
+    return (
+        lambda info2, cur_dir: _prunable_partitions(
+            dest, info2, prune_pred, F.expr(prune_pred), cur_dir
+        )
+    ), prune_pred
+
+
 def _exec_insert(dest, query: str):
     m = _INSERT_RE.match(query)
     or_mode, table, col_list, select_text, conflict_cols, action = m.groups()
@@ -833,31 +868,22 @@ def _exec_insert(dest, query: str):
     # key, so for a single integer key the [min, max] of the batch's
     # keys is a sound reach bound — files/partitions outside it adopt
     # by rename (conservative: in-range files without the exact keys
-    # still rewrite)
-    prune_pred = None
-    if len(keys) == 1 and fields[keys[0]].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint",
-    ):
-        lohi = batch.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-        ).first()
-        if lohi["lo"] is not None:
-            prune_pred = f"{keys[0]} >= {lohi['lo']} AND {keys[0]} <= {lohi['hi']}"
+    # still rewrite). The batch is already cast to the target schema
+    # (_insert_projection), so the helper's both-sides-integral check
+    # reduces to the key column's declared type here.
+    prune_pred = (
+        _key_range_prune(batch, keys[0], fields[keys[0]])
+        if len(keys) == 1
+        else None
+    )
+    prune_fn, file_pred = _key_range_prune_fn(dest, prune_pred)
     try:
         _cow_rewrite(
             dest,
             table,
             transform,
-            prune_fn=(
-                (
-                    lambda info2, cur_dir: _prunable_partitions(
-                        dest, info2, prune_pred, F.expr(prune_pred), cur_dir
-                    )
-                )
-                if prune_pred
-                else None
-            ),
-            file_prune_pred=prune_pred,
+            prune_fn=prune_fn,
+            file_prune_pred=file_pred,
             want_counts=False,
             empty_touch_is_noop=False,
         )
@@ -1602,11 +1628,12 @@ def _exec_merge(dest, query: str):
     counts = {"matched": 0, "inserted": 0}
 
     # Key-range pruning (sound for a pure alias-qualified equi-key ON
-    # with an integer target column — the same reach bound upserts
-    # use): a target row outside the source's [min, max] key range
-    # cannot match ANY source row, so it cannot be updated, deleted,
-    # or affect the anti-join — its file adopts by rename. A
-    # point-merge then rewrites one file, not the corpus.
+    # with INTEGRAL columns on BOTH sides — _key_range_prune enforces
+    # that; the same reach bound upserts use): a target row outside
+    # the source's [min, max] key range cannot match ANY source row,
+    # so it cannot be updated, deleted, or affect the anti-join — its
+    # file adopts by rename. A point-merge then rewrites one file,
+    # not the corpus.
     prune_pred = None
     m_on = re.match(
         rf"^\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
@@ -1619,20 +1646,8 @@ def _exec_merge(dest, query: str):
             tcol, scol = c1, c2
         elif a2 == t_alias and a1 == s_alias:
             tcol, scol = c2, c1
-        if (
-            tcol is not None
-            and tcol in fields
-            and fields[tcol].dataType.simpleString()
-            in ("tinyint", "smallint", "int", "bigint")
-            and scol in src.columns
-        ):
-            lohi = src.agg(
-                F.min(scol).alias("lo"), F.max(scol).alias("hi")
-            ).first()
-            if lohi["lo"] is not None:
-                prune_pred = (
-                    f"{tcol} >= {lohi['lo']} AND {tcol} <= {lohi['hi']}"
-                )
+        if tcol is not None and tcol in fields and scol in src.columns:
+            prune_pred = _key_range_prune(src, scol, fields[tcol])
 
     def transform(tsrc, info2):
         t = tsrc.alias(t_alias)
@@ -1776,19 +1791,12 @@ def _exec_merge(dest, query: str):
             merged.unionByName(inserts) if inserts is not None else merged
         )
 
+    prune_fn, file_pred = _key_range_prune_fn(dest, prune_pred)
     try:
         _cow_rewrite(
             dest, table, transform,
-            prune_fn=(
-                (
-                    lambda info2, cur_dir: _prunable_partitions(
-                        dest, info2, prune_pred, F.expr(prune_pred), cur_dir
-                    )
-                )
-                if prune_pred
-                else None
-            ),
-            file_prune_pred=prune_pred,
+            prune_fn=prune_fn,
+            file_prune_pred=file_pred,
             want_counts=False,
             # inserts must run even when no target file is reachable
             empty_touch_is_noop=False,

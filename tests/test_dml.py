@@ -1117,3 +1117,28 @@ def test_merge_prunes_files_by_key_range(spark, tmp_path):
     # the sub-100 files adopted unchanged (same names in the new gen)
     after = set(d._list_parquet(cat.data_dir("dml", "mt")))
     assert low_files <= after
+
+
+def test_merge_string_source_key_never_mispruned(spark, tmp_path):
+    """A STRING-typed source key must disable key-range pruning: its
+    lexicographic min/max ('100' < '9') is unsound for the numeric
+    equi-join, and pruning on it would silently drop matched updates
+    and re-insert duplicates."""
+    cat = TableCatalog(str(tmp_path / "whsk"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    nd = "\n".join(json.dumps({"k": k, "x": "old"}) for k in range(10))
+    p = tmp_path / "sk.ndjson"
+    p.write_text(nd + "\n")
+    d.insert_ndjson("sk", str(p))
+    out = run(
+        d,
+        "merge into sk using (select * from (values ('9', 'new'),"
+        " ('100', 'ins')) as v(k, nx)) s on sk.k = s.k"
+        " when matched then update set x = s.nx"
+        " when not matched then insert (k, x) values (s.k, s.nx)",
+    )
+    assert out == [{"count": 2}]
+    # the k=9 update must land (not be pruned away), exactly once
+    assert run(d, "select x from sk where k = 9") == [{"x": "new"}]
+    assert run(d, "select count(*) as n from sk where k = 9") == [{"n": 1}]
+    assert run(d, "select count(*) as n from sk") == [{"n": 11}]

@@ -544,10 +544,12 @@ def test_dedup_against_corpus_corpus_size_banding(spark):
          (11, "nothing like anything in the corpus at all")],
         "doc_id long, text string",
     )
+    # 500k resolves to (160, 32) — NON-default banding, so this test
+    # fails if the corpus_size override stops reaching the band math
     out = {
         r.doc_id: r.dup_near
         for r in dedup_against_corpus(
-            new, corpus, corpus_size=2
+            new, corpus, corpus_size=500_000
         ).collect()
     }
     assert out == {10: True, 11: False}

@@ -230,7 +230,10 @@ def incremental_dedup_telemetry(docs, n_docs=None) -> dict:
     new = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     t0 = time.perf_counter()
-    agg = dedup_against_corpus(new, corpus, corpus_size=n_docs).agg(
+    # corpus_size takes the STANDING corpus's count (6/7 of docs under
+    # the %7 split), matching the parameter's documented semantics
+    corpus_n = int(n_docs * 6 / 7) if n_docs is not None else None
+    agg = dedup_against_corpus(new, corpus, corpus_size=corpus_n).agg(
         F.count("*").alias("n_new"),
         F.sum(F.col("dup_exact").cast("long")).alias("n_exact"),
         F.sum(F.col("dup_near").cast("long")).alias("n_near"),

@@ -30,6 +30,7 @@ from scratchdata_spark.operators.dedup import (
     ngram_jaccard_pairs,
     normalize_text,
     simhash,
+    simhash_pairs,
 )
 from scratchdata_spark.operators.graph import (
     connected_components,
@@ -187,6 +188,18 @@ def x_dedup_minhash_lsh(spark, sf_dir):
 def x_dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir)["documents"].select("doc_id", "text")
     return simhash(d, "text").select("doc_id", "simhash")
+
+
+@q("x_dedup_simhash_pairs", None)  # xxhash64 fingerprints: no SQL oracle
+def x_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-band near-dup PAIRS (operators/dedup.py
+    simhash_pairs): 4×16-bit band equi-join (pigeonhole: exhaustive
+    for Hamming ≤ 3), count-first bucket cap, grouped id-pair
+    expansion, bit_count verify — the fingerprint tier's pair
+    operator, same shuffle discipline as MinHash. Rows-only: the
+    fingerprints are engine-specific xxhash64."""
+    d = load(spark, sf_dir)["documents"]
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
 @q(

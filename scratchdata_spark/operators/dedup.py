@@ -445,6 +445,97 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     return out.select(*keys, out_col)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the
+    fingerprint tier turned into a PAIR operator via Hamming-band LSH
+    (the classic pigeonhole construction): split the 64-bit
+    fingerprint into ``n_bands`` equal slices; two fingerprints within
+    Hamming distance d < n_bands must agree EXACTLY on at least one
+    slice, so candidates are generated by ``n_bands`` equi-joins on
+    (band, slice-value) with NO false negatives for
+    ``max_hamming ≤ n_bands - 1``, then verified with
+    ``bit_count(xor)``.
+
+    Same scale shape as the MinHash operator: the band shuffle
+    carries (id, band, 16-bit slice) only, candidate expansion is a
+    grouped collect + array combinatorics behind a count-first bucket
+    cap, and the exact verify re-joins the two 8-byte fingerprints by
+    id — constant-width payloads end to end, whatever the document
+    size. Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1}"
+            " for the pigeonhole guarantee"
+        )
+    width = 64 // n_bands
+    fp = simhash(
+        ensure_parallelism(df.select(id_col, text_col)).select(
+            id_col, text_col
+        ),
+        text_col,
+        out_col="__fp",
+    ).select(id_col, "__fp")
+    from pyspark import StorageLevel
+
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                f"(__fp >> {b * width}) & {(1 << width) - 1}"
+            ).alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = fp.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bv")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bv")
+        )
+        buckets = buckets.join(hot, ["band", "bv"], "left_anti")
+    members = buckets.groupBy("band", "bv").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    cand = (
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # pairs can share >1 band
+    )
+    with_a = cand.join(
+        fp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa")),
+        "id_a",
+    )
+    pairs = with_a.join(
+        fp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb")),
+        "id_b",
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.expr("bit_count(__fa ^ __fb)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -553,3 +553,45 @@ def test_dedup_against_corpus_corpus_size_banding(spark):
         ).collect()
     }
     assert out == {10: True, 11: False}
+
+
+def test_simhash_pairs_matches_brute_force(spark):
+    """Hamming-band LSH has NO false negatives for
+    max_hamming <= n_bands - 1 (pigeonhole): results must equal the
+    brute-force Hamming scan exactly."""
+    import random
+
+    from scratchdata_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        words = [vocab[rng.randrange(60)] for _ in range(30)]
+        rows.append((i, " ".join(words)))
+        if i % 4 == 0:  # planted near-dup: one word changed
+            words2 = list(words)
+            words2[5] = vocab[rng.randrange(60)]
+            rows.append((100 + i, " ".join(words2)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in simhash(df, "text", out_col="fp").collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expect = sorted(
+        (a, b, ham(fps[a], fps[b]))
+        for a in fps for b in fps
+        if a < b and ham(fps[a], fps[b]) <= 3
+    )
+    assert got == expect and expect  # non-vacuous: planted dups found
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, "doc_id", "text", max_hamming=4, n_bands=4)

@@ -414,3 +414,20 @@ def test_cosine_topk_lsh_multiprobe_plan(spark, sf_dir):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_pairs_band_join_ids_only(spark, sf_dir):
+    """The Hamming-band candidate expansion mirrors the MinHash
+    shape: grouped collect over (band, slice) keys with a count-first
+    cap — never a fingerprint-carrying self-join on the band value."""
+    import re
+
+    from scratchdata_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir)["documents"]
+    p = plan(simhash_pairs(d, "doc_id", "text", max_hamming=3))
+    assert "collect_list" in p, p
+    assert "CartesianProduct" not in p
+    for seg in re.split(r"\n\(\d+\) ", p):
+        if "Join" in seg.split("\n", 1)[0] and "bv" in seg:
+            assert "LeftAnti" in seg, seg  # ids-only hot-bucket drop

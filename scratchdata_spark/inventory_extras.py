@@ -193,11 +193,13 @@ def x_dedup_simhash(spark, sf_dir):
 @q("x_dedup_simhash_pairs", None)  # xxhash64 fingerprints: no SQL oracle
 def x_dedup_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-band near-dup PAIRS (operators/dedup.py
-    simhash_pairs): 4×16-bit band equi-join (pigeonhole: exhaustive
-    for Hamming ≤ 3), count-first bucket cap, grouped id-pair
-    expansion, bit_count verify — the fingerprint tier's pair
-    operator, same shuffle discipline as MinHash. Rows-only: the
-    fingerprints are engine-specific xxhash64."""
+    simhash_pairs): identical fingerprints collapse into families
+    first (hamming-0 pairs exhaustive unconditionally), then a
+    4×16-bit band equi-join over DISTINCT fingerprints (pigeonhole:
+    exhaustive for Hamming ≤ 3 while no bucket exceeds the cap),
+    grouped pair expansion, bit_count verify — the fingerprint
+    tier's pair operator, same shuffle discipline as MinHash.
+    Rows-only: the fingerprints are engine-specific xxhash64."""
     d = load(spark, sf_dir)["documents"]
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
 

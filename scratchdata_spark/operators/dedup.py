@@ -420,17 +420,29 @@ def dedup_against_corpus(
     )
 
 
-def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
 
     Implemented as an explode + 64 conditional sums + bit reassembly —
     one shuffle by document id, everything JVM-side.
+
+    ``key_cols`` — columns that uniquely identify a document.  When
+    given, only those columns ride the per-token rows and the
+    aggregate shuffle (rows sharing a key merge their token streams);
+    when None, every input column is carried and used as the grouping
+    key — fine for narrow frames, but at corpus scale pass the id so
+    the raw text stays out of the shuffle key.
     """
+    keys = list(key_cols) if key_cols is not None else [c for c in df.columns]
     toks = ensure_parallelism(df).select(
-        "*",
+        *keys,
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok"),
     ).withColumn("__th", F.xxhash64("__tok"))
-    keys = [c for c in df.columns]
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(__th >> {j}) & 1") == 1, 1).otherwise(-1)
@@ -452,6 +464,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket_size: int | None = 4096,
+    intra_family: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance — the
     fingerprint tier turned into a PAIR operator via Hamming-band LSH
@@ -459,33 +472,65 @@ def simhash_pairs(
     fingerprint into ``n_bands`` equal slices; two fingerprints within
     Hamming distance d < n_bands must agree EXACTLY on at least one
     slice, so candidates are generated by ``n_bands`` equi-joins on
-    (band, slice-value) with NO false negatives for
-    ``max_hamming ≤ n_bands - 1``, then verified with
-    ``bit_count(xor)``.
+    (band, slice-value), then verified with ``bit_count(xor)``.
 
-    Same scale shape as the MinHash operator: the band shuffle
-    carries (id, band, 16-bit slice) only, candidate expansion is a
-    grouped collect + array combinatorics behind a count-first bucket
-    cap, and the exact verify re-joins the two 8-byte fingerprints by
-    id — constant-width payloads end to end, whatever the document
-    size. Returns (id_a, id_b, hamming) with id_a < id_b.
+    Identical fingerprints are collapsed into a FAMILY before banding
+    (groupBy on the 8-byte fingerprint), so exact duplicates can never
+    be dropped by the hot-bucket cap — a million-doc boilerplate
+    family is one band member, and its intra-family pairs (hamming 0)
+    are emitted from the family row directly.  ``max_bucket_size``
+    therefore caps DISTINCT fingerprints per (band, slice) bucket;
+    like the MinHash cap, dropping a hotter-than-cap bucket trades
+    recall on near-miss pairs (hamming ≥ 1) whose every band is
+    degenerate — exhaustiveness for ``max_hamming ≤ n_bands - 1``
+    holds whenever no bucket exceeds the cap, and hamming-0 pairs are
+    exhaustive unconditionally.
+
+    Scale shape: the fingerprint aggregate shuffles (id, token-hash)
+    rows — never the raw text — the band shuffle carries 8-byte
+    fingerprints, and candidate expansion is a grouped collect +
+    array combinatorics.  ``intra_family="star"`` emits only
+    (representative, member) pairs within an identical-fingerprint
+    family — O(N) instead of O(N²) output, spanning-equivalent for
+    connected-components clustering.  Returns (id_a, id_b, hamming)
+    with id_a < id_b; rows sharing ``id_col`` merge token streams
+    into one fingerprint (ids are assumed unique).
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1}"
             " for the pigeonhole guarantee"
         )
+    if intra_family not in ("pairs", "star"):
+        raise ValueError("intra_family must be 'pairs' or 'star'")
     width = 64 // n_bands
     fp = simhash(
-        ensure_parallelism(df.select(id_col, text_col)).select(
-            id_col, text_col
-        ),
-        text_col,
-        out_col="__fp",
-    ).select(id_col, "__fp")
+        df.select(id_col, text_col), text_col, out_col="__fp",
+        key_cols=[id_col],
+    )
     from pyspark import StorageLevel
 
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    fam = (
+        fp.groupBy("__fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if intra_family == "pairs":
+        intra_expr = (
+            "flatten(transform(ids, (x, i) -> transform("
+            "slice(ids, i + 2, size(ids)),"
+            " y -> struct(x AS id_a, y AS id_b))))"
+        )
+    else:  # star: representative -> member spanning edges
+        intra_expr = (
+            "transform(slice(ids, 2, size(ids)),"
+            " y -> struct(ids[0] AS id_a, y AS id_b))"
+        )
+    intra = (
+        fam.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(intra_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -495,9 +540,9 @@ def simhash_pairs(
         )
         for b in range(n_bands)
     ]
-    buckets = fp.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    buckets = fam.select(
+        F.col("__fp"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("__fp", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
     if max_bucket_size is not None:
         hot = (
             buckets.groupBy("band", "bv")
@@ -507,33 +552,43 @@ def simhash_pairs(
         )
         buckets = buckets.join(hot, ["band", "bv"], "left_anti")
     members = buckets.groupBy("band", "bv").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+        F.sort_array(F.collect_list("__fp")).alias("fps")
     )
     pairs_expr = (
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+        "flatten(transform(fps, (x, i) ->"
+        " transform(slice(fps, i + 2, size(fps)),"
+        " y -> struct(x AS fp_a, y AS fp_b))))"
     )
     cand = (
-        members.filter(F.size("ids") >= 2)
+        members.filter(F.size("fps") >= 2)
         .select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # pairs can share >1 band
-    )
-    with_a = cand.join(
-        fp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa")),
-        "id_a",
-    )
-    pairs = with_a.join(
-        fp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb")),
-        "id_b",
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.expr("bit_count(__fa ^ __fb)").cast("int")
-        )
+        .select(F.col("p.fp_a"), F.col("p.fp_b"))
+        .dropDuplicates(["fp_a", "fp_b"])  # fp pairs can share >1 band
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    cross = (
+        cand.join(
+            fam.select(F.col("__fp").alias("fp_a"), F.col("ids").alias("ids_a")),
+            "fp_a",
+        )
+        .join(
+            fam.select(F.col("__fp").alias("fp_b"), F.col("ids").alias("ids_b")),
+            "fp_b",
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids_a, x -> transform(ids_b,"
+                    " y -> struct(least(x, y) AS id_a,"
+                    " greatest(x, y) AS id_b))))"
+                )
+            ).alias("p"),
+            "hamming",
+        )
+        .select("p.id_a", "p.id_b", "hamming")
+    )
+    return intra.unionByName(cross)
 
 
 def ngram_jaccard_pairs(

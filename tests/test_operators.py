@@ -595,3 +595,35 @@ def test_simhash_pairs_matches_brute_force(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(df, "doc_id", "text", max_hamming=4, n_bands=4)
+
+
+def test_simhash_pairs_exact_dups_survive_bucket_cap(spark):
+    """Identical fingerprints collapse into one family BEFORE banding,
+    so a boilerplate family hotter than the bucket cap still yields
+    every hamming-0 pair — the cap only trades recall on near-miss
+    (hamming >= 1) candidates."""
+    from scratchdata_spark.operators.dedup import simhash_pairs
+
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(10)]
+    rows += [(100, "a completely different document about sparks")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(
+            df, "doc_id", "text", max_hamming=3, max_bucket_size=1
+        ).collect()
+    )
+    expect = sorted((a, b, 0) for a in range(10) for b in range(a + 1, 10))
+    assert got == expect
+
+    star = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(
+            df, "doc_id", "text", max_hamming=3, max_bucket_size=1,
+            intra_family="star",
+        ).collect()
+    )
+    assert star == [(0, b, 0) for b in range(1, 10)]  # spanning edges only
+
+    with pytest.raises(ValueError, match="intra_family"):
+        simhash_pairs(df, "doc_id", "text", intra_family="clique")

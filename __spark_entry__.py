@@ -74,6 +74,8 @@ _PRIORITY = [
     "q_dml_ctas_roundtrip",  # CTAS + INSERT…SELECT through query_df
     "x_multimodal_codec_real",  # PNG/WAV encode→decode under the hash gate
     "q_dml_merge_roundtrip",  # MERGE INTO through the statement path
+    "x_semantic_dedup",  # SemDeDup, oracle-able fixed-seed config
+    "x_semantic_kmeans",  # iterative Lloyd's: rows-only by design
     # --- (d) oldest (r3) rows, semantics-heavy first — 26 slots ---
     "s_stream_tumbling_hour",
     "q_join_asof",
@@ -97,10 +99,12 @@ _PRIORITY = [
     "q_union_distinct",
     "q_nested_flatten_multitable",
     "q_nested_flatten_multitable_depth2",
+    # --- past the ~50 edge: x_pack_sequences, x_sample_stratified,
+    # x_split_train_val, x_multimodal_features (r3 — they join the r6
+    # front-of-window list, plus past-edge newcomers
+    # x_dedup_simhash_pairs) then r4-green ---
     "x_pack_sequences",
     "x_sample_stratified",
-    # --- past the ~50 edge: x_split_train_val + x_multimodal_features
-    # (r3 — they join the r6 front-of-window list) then r4-green ---
     "x_split_train_val",
     "x_multimodal_features",
     "q03_shipping_priority",

@@ -1640,3 +1640,87 @@ def q_dml_merge_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------- round-5 additions
+from scratchdata_spark.operators.semantic import kmeans_fit, semantic_dedup
+
+_SEM_K = 4  # seed centroids for the oracle-able (max_iter=0) config
+
+
+@q(
+    "x_semantic_dedup",
+    f"""
+    WITH RECURSIVE cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+             embedding AS cvec,
+             sqrt({_COS.format(a='embedding', b='embedding')}) AS cn
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SEM_K})
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt({_COS.format(a='embedding', b='embedding')}) AS n
+      FROM embeddings
+    ),
+    asg AS (
+      SELECT vec_id, embedding, n, ci AS cluster_id FROM (
+        SELECT v.*, c.ci, ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.embedding', b='c.cvec')}
+                          / (v.n * c.cn) DESC, c.ci
+               ) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.embedding', b='b.embedding')}
+            / (a.n * b.n) >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION SELECT id_b AS a, id_a AS b FROM pr),
+    walk(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r
+    ),
+    comp AS (SELECT id, MIN(r) AS root FROM walk GROUP BY id)
+    SELECT vec_id, cluster_id FROM asg
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE root < id)
+    """,
+)
+def x_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semantic.py): cluster the embedding space,
+    near-dup ONLY within a cluster (cosine ≥ 0.4 on this corpus),
+    transitive closure, keep the min-id survivor per duplicate group.
+    Oracle-able configuration: centroids are the 4 lowest-id vectors
+    with zero Lloyd's iterations, so assignment is pure argmax-cosine
+    — SQL-expressible end to end (assignment window + recursive-CTE
+    closure); the iterative k-means path is driven by the rows-only
+    entry below."""
+    e = load(spark, sf_dir)["embeddings"]
+    return semantic_dedup(
+        e, "vec_id", "embedding", k=_SEM_K, threshold=0.4, max_iter=0,
+        max_cluster_compare=None,
+    ).withColumn("cluster_id", F.col("cluster_id").cast("long"))
+
+
+@q("x_semantic_kmeans", None)  # iterative Lloyd's: not SQL-expressible
+def x_semantic_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings (5 iterations,
+    deterministic lowest-id seeding) — returns per-cluster sizes.
+    Rows-only by design: the fixpoint iteration has no single-query
+    SQL equivalent (the driver checks cardinality; pytest asserts
+    convergence and determinism on synthetic blobs)."""
+    from scratchdata_spark.operators.semantic import assign_clusters
+
+    e = load(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(e, "embedding", k=8, max_iter=5, id_col="vec_id")
+    return (
+        assign_clusters(e, cents, "embedding")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,295 @@
+"""SemDeDup-style semantic deduplication over embedding columns.
+
+The shape follows Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (arXiv:2303.09540): cluster
+the embedding space with k-means, then deduplicate WITHIN each
+cluster by pairwise cosine similarity — the cluster step turns the
+quadratic all-pairs comparison into k independent, bounded
+sub-problems, which is what makes semantic dedup runnable at corpus
+scale (the reference engine has no embedding operators at all; this
+is beyond-parity surface for the training-data pipeline).
+
+Scale shape:
+
+* ``kmeans_fit`` is distributed Lloyd's: the assignment step is a
+  map-only pass (centroids ride the plan as literals — k×dim floats),
+  the update step is ONE posexplode shuffle per iteration whose
+  map-side partial aggregation reduces each partition to at most
+  k×dim rows before the exchange, and only k×dim sums ever return to
+  the driver per iteration (metadata-sized, same budget as IVF's
+  centroid broadcast in similarity.py).
+* ``semantic_dedup`` reuses the capped grouped-combinatorics pair
+  shape from the dedup/similarity tiers: (id, cluster) rides the
+  pair-generation shuffle — never the vectors — and vectors+norms
+  re-join by id only for the exact cosine verify of generated
+  candidates.  Transitive closure and survivor selection reuse
+  operators/graph.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scratchdata_spark.operators import ensure_parallelism
+from scratchdata_spark.operators.graph import dedup_by_pairs
+from scratchdata_spark.operators.similarity import _dot, _norm
+
+
+def _nearest_centroid(vec, centroids: list[list[float]]):
+    """Index (int) of the max-cosine centroid for ``vec`` — a single
+    fold over the centroid literals, map-only, ties to the lowest
+    index (strict > keeps the earlier winner).  Zero-norm vectors get
+    a NULL cosine everywhere (``try_divide`` — ANSI mode would throw
+    on the plain ``/``); the coalesce sends them to centroid 0
+    deterministically."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    norms = F.array(*[
+        F.lit(math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0)
+        for c in centroids
+    ])
+    vn = _norm(vec)
+    best = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("s"), F.lit(0).alias("i")
+        ),
+        lambda acc, p: F.when(
+            F.coalesce(
+                F.try_divide(
+                    _dot(vec, F.element_at(cents, p + 1)),
+                    vn * F.element_at(norms, p + 1),
+                ),
+                F.lit(-2.0),
+            )
+            > acc.getField("s"),
+            F.struct(
+                F.coalesce(
+                    F.try_divide(
+                        _dot(vec, F.element_at(cents, p + 1)),
+                        vn * F.element_at(norms, p + 1),
+                    ),
+                    F.lit(-2.0),
+                ).alias("s"),
+                p.alias("i"),
+            ),
+        ).otherwise(acc),
+    )
+    return best.getField("i")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str | None = None,
+    tol: float = 1e-9,
+) -> list[list[float]]:
+    """Lloyd's k-means over an ``array<float>`` column; returns the
+    final centroids as plain Python lists (k×dim floats — they ride
+    subsequent plans as literals, the same broadcast-as-literal
+    pattern as IVF's centroid table).
+
+    Seeding is deterministic: the k lowest-``id_col`` vectors (pass
+    ``id_col``; without it the first k rows of an ``orderBy`` on the
+    vector itself are used, still deterministic but slower).  Each
+    iteration costs one map-only assignment pass + one posexplode
+    shuffle whose partial aggregation bounds the exchange at
+    k×dim×partitions rows; empty clusters retain their previous
+    centroid.  Stops early when no centroid moves more than ``tol``
+    in any coordinate.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = ensure_parallelism(
+        df.select(
+            *( [F.col(id_col).alias("__sid")] if id_col else [] ),
+            F.col(vec_col).alias("__vec"),
+        )
+    ).filter(F.col("__vec").isNotNull())
+    seed_src = v.orderBy("__sid") if id_col else v.orderBy("__vec")
+    centroids = [
+        [float(x) for x in r["__vec"]]
+        for r in seed_src.limit(k).select("__vec").collect()
+    ]
+    if len(centroids) < k:
+        k = len(centroids)  # corpus smaller than k
+    if not centroids:
+        raise ValueError("kmeans_fit: empty input")
+    for _ in range(max_iter):
+        assigned = v.select(
+            _nearest_centroid(F.col("__vec"), centroids).alias("__c"),
+            F.col("__vec"),
+        )
+        sums = (
+            assigned.select(
+                "__c", F.posexplode("__vec").alias("__p", "__x")
+            )
+            .groupBy("__c", "__p")
+            .agg(
+                F.sum(F.col("__x").cast("double")).alias("__s"),
+                F.count("*").alias("__n"),
+            )
+            .collect()  # metadata-sized: k*dim rows
+        )
+        new = [list(c) for c in centroids]
+        acc: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            acc.setdefault(r["__c"], {})[r["__p"]] = (r["__s"], r["__n"])
+        for ci, dims in acc.items():
+            new[ci] = [
+                dims[p][0] / dims[p][1] for p in sorted(dims)
+            ]
+        shift = max(
+            (
+                abs(a - b)
+                for cn, co in zip(new, centroids)
+                for a, b in zip(cn, co)
+            ),
+            default=0.0,
+        )
+        centroids = new
+        if shift <= tol:
+            break
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Map-only cluster assignment: argmax-cosine over the broadcast
+    centroid literals, ties to the lowest centroid index."""
+    return df.withColumn(
+        out_col, _nearest_centroid(F.col(vec_col), centroids).cast("int")
+    )
+
+
+def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    ).withColumn("__n", _norm(F.col("__vec")))
+
+
+def semantic_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.9,
+    max_iter: int = 4,
+    centroids: list[list[float]] | None = None,
+    max_cluster_compare: int | None = 4096,
+) -> DataFrame:
+    """Within-cluster near-duplicate PAIRS (id_a < id_b): the
+    candidate-generation half of SemDeDup — k-means assignment bounds
+    the comparison set, exact cosine >= ``threshold`` verifies it.
+
+    Pair generation mirrors the bucket-capped tiers: ids ride the
+    grouped-combinatorics shuffle, vectors re-join by id for the
+    verify, and clusters larger than ``max_cluster_compare`` are
+    TRUNCATED to their lowest ids for comparison (pairs beyond the
+    truncation are not compared — the recall-for-boundedness trade
+    every capped tier documents; at scale pick k so expected cluster
+    size stays under the cap).
+    """
+    v = _prepared(df, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_fit(
+            v, "__vec", k=k, max_iter=max_iter, id_col="__id"
+        )
+    asg = assign_clusters(v, centroids, "__vec", out_col="cluster_id")
+    ids = asg.select("__id", "cluster_id")
+    if max_cluster_compare is not None:
+        wc = Window.partitionBy("cluster_id").orderBy("__id")
+        ids = (
+            ids.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= max_cluster_compare)
+            .drop("__rn")
+        )
+    members = ids.groupBy("cluster_id").agg(
+        F.sort_array(F.collect_list("__id")).alias("mids")
+    )
+    pairs_expr = (
+        "flatten(transform(mids, (x, i) ->"
+        " transform(slice(mids, i + 2, size(mids)),"
+        " y -> struct(x AS id_a, y AS id_b))))"
+    )
+    cand = (
+        members.filter(F.size("mids") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
+    verified = (
+        cand.join(
+            asg.select(
+                F.col("__id").alias("id_a"),
+                F.col("__vec").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            asg.select(
+                F.col("__id").alias("id_b"),
+                F.col("__vec").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .filter(
+            # try_divide: a zero-norm vector's cosine is NULL -> never
+            # a near-dup (ANSI mode throws on the plain `/`)
+            F.try_divide(
+                _dot(F.col("__va"), F.col("__vb")),
+                F.col("__na") * F.col("__nb"),
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    return verified
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.9,
+    max_iter: int = 4,
+    centroids: list[list[float]] | None = None,
+    max_cluster_compare: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup end to end: :func:`semantic_pairs` within k-means
+    clusters, transitive closure (operators/graph.py), keep the
+    min-id survivor of every duplicate group.  Returns the surviving
+    rows as (``id_col``, ``cluster_id``).
+
+    ``centroids=None`` fits them with :func:`kmeans_fit` (``max_iter``
+    Lloyd's iterations, deterministic lowest-id seeding);
+    ``max_iter=0`` keeps the raw seeds — the SQL-expressible
+    configuration the oracle entry uses."""
+    v = _prepared(df, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_fit(
+            v, "__vec", k=k, max_iter=max_iter, id_col="__id"
+        )
+    pairs = semantic_pairs(
+        v, "__id", "__vec", k=k, threshold=threshold,
+        centroids=centroids, max_cluster_compare=max_cluster_compare,
+    )
+    asg = assign_clusters(v, centroids, "__vec", out_col="cluster_id")
+    survivors = dedup_by_pairs(
+        asg.select(F.col("__id"), "cluster_id"), pairs, "__id"
+    )
+    return survivors.select(
+        F.col("__id").alias(id_col), "cluster_id"
+    )

@@ -627,3 +627,79 @@ def test_simhash_pairs_exact_dups_survive_bucket_cap(spark):
 
     with pytest.raises(ValueError, match="intra_family"):
         simhash_pairs(df, "doc_id", "text", intra_family="clique")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Lloyd's on three well-separated blobs: each final centroid's
+    dominant dimension is one of the blob axes, assignment is balanced,
+    and a re-fit is bit-identical (deterministic seeding + updates)."""
+    import random
+
+    from scratchdata_spark.operators.semantic import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    rng = random.Random(7)
+    axes = [0, 1, 2]
+    rows = []
+    for i in range(90):
+        base = [0.0] * 8
+        base[axes[i % 3]] = 10.0
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, "embedding", k=3, max_iter=10, id_col="vec_id")
+    assert sorted(max(range(8), key=lambda j: c[j]) for c in cents) == axes
+    again = kmeans_fit(df, "embedding", k=3, max_iter=10, id_col="vec_id")
+    assert cents == again
+    sizes = sorted(
+        r["count"]
+        for r in assign_clusters(df, cents, "embedding")
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    )
+    assert sizes == [30, 30, 30]
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(df, "embedding", k=0)
+
+
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    """End-to-end SemDeDup: the planted copy (id 101, cosine ~1 to id
+    100) is dropped, its min-id original kept, and rows in no pair
+    survive; zero-norm vectors assign deterministically (cluster 0)
+    instead of erroring."""
+    import random
+
+    from scratchdata_spark.operators.semantic import (
+        assign_clusters,
+        semantic_dedup,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 3] = 10.0
+        # jitter every dim so intra-blob cosines stay < 0.9999
+        rows.append((i, [x + rng.uniform(0.5, 1.5) for x in base]))
+    rows.append((100, [10.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((101, [10.0, 0.100001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=3, threshold=0.9999, max_iter=10
+        ).collect()
+    )
+    assert 100 in kept and 101 not in kept
+    assert set(range(60)) <= set(kept)  # non-dups all survive
+
+    zdf = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<float>",
+    )
+    z = assign_clusters(zdf, [[1.0] + [0.0] * 7, [0.0, 1.0] + [0.0] * 6],
+                        "embedding").collect()
+    assert {r.vec_id: r.cluster_id for r in z}[1] == 0

@@ -431,3 +431,33 @@ def test_simhash_pairs_band_join_ids_only(spark, sf_dir):
     for seg in re.split(r"\n\(\d+\) ", p):
         if "Join" in seg.split("\n", 1)[0] and "bv" in seg:
             assert "LeftAnti" in seg, seg  # ids-only hot-bucket drop
+
+
+def test_semantic_assignment_is_map_only(spark, sf_dir):
+    """Cluster assignment rides broadcast centroid literals — no
+    exchange, no join: one codegen'd pass over the corpus."""
+    from scratchdata_spark.operators.semantic import assign_clusters
+
+    e = load(spark, sf_dir)["embeddings"]
+    cents = [[float(i == j) for j in range(64)] for i in range(4)]
+    p = plan(assign_clusters(e, cents, "embedding"))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_semantic_dedup_pairs_are_ids_only(spark, sf_dir):
+    """The within-cluster pair expansion is the grouped-combinatorics
+    shape: ids ride the cluster shuffle (vectors re-join by id only
+    for the verify), and nothing goes cartesian.  Gated on
+    semantic_pairs — the downstream connected-components step is
+    iterative, so semantic_dedup's final explain no longer shows the
+    pair stage's lineage."""
+    from scratchdata_spark.operators.semantic import semantic_pairs
+
+    e = load(spark, sf_dir)["embeddings"]
+    p = plan(
+        semantic_pairs(e, "vec_id", "embedding", k=4, threshold=0.4,
+                       max_iter=0, max_cluster_compare=None)
+    )
+    assert "collect_list" in p, p
+    assert "CartesianProduct" not in p, p

@@ -48,6 +48,10 @@ class Config:
     # COPY TO confinement dir (relative to the app root); queries may
     # only export under it — a query API key must not write elsewhere
     export_root: str = "exports"
+    # generation snapshots kept per table (current included): 2 = just
+    # enough for in-flight readers; more = a time-travel history window
+    # for table_at('name', N) / read_generation
+    retain_generations: int = 2
     api_keys: dict[str, str] = field(default_factory=dict)  # key -> destination
     admin_key: str | None = None
     # durable-storage settings: {} → local dir; {"type": "s3"|"gcs", ...}
@@ -62,6 +66,7 @@ class Config:
             warehouse=d.get("warehouse", "warehouse"),
             metadata_db=d.get("metadata_db", "scratchdata.sqlite"),
             export_root=d.get("export_root", "exports"),
+            retain_generations=d.get("retain_generations", 2),
             api_keys=d.get("api_keys", {}),
             admin_key=d.get("admin_key"),
             blobstore=d.get("blobstore", {}),

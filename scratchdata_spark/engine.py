@@ -163,6 +163,11 @@ class DataFrameSerializers:
 
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# time-travel table function in query text: table_at('name', N)
+_TABLE_AT_RE = re.compile(
+    r"\btable_at\(\s*'([A-Za-z_][A-Za-z0-9_]*)'\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _check_ident(name: str) -> str:
@@ -187,6 +192,7 @@ class SparkDestination(DataFrameSerializers, Destination):
         database: str = "default",
         duckdb_compat: bool = True,
         export_root: str | None = None,
+        retain_generations: int = 2,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -196,6 +202,13 @@ class SparkDestination(DataFrameSerializers, Destination):
         # HTTP service always sets it — see warehouse_dml
         # _resolve_copy_target); None = unconfined embedded use
         self.export_root = export_root
+        # generation retention: how many generation snapshots (current
+        # included) survive a flip. 2 = the minimum (current + parent
+        # for in-flight readers, the pre-time-travel behavior); more
+        # keeps a history window for read_generation / table_at()
+        if retain_generations < 2:
+            raise ValueError("retain_generations must be >= 2")
+        self.retain_generations = retain_generations
         # The reference passes user SQL verbatim to DuckDB, so saved
         # queries arrive in DuckDB's dialect; the compat layer lets
         # them run unchanged (dialect.py — alias functions are inlined
@@ -218,6 +231,70 @@ class SparkDestination(DataFrameSerializers, Destination):
             # hive-layout dirs: basePath makes the partition column
             # resolve from directory names; an equality/range predicate
             # on it prunes whole directories at planning time
+            reader = reader.option("basePath", d)
+        return reader.parquet(d)
+
+    def generations(self, table: str) -> list[int]:
+        """Generation snapshots still on disk for ``table``, ascending
+        (the last is the current pointer). With the default
+        ``retain_generations=2`` this is at most [current-1, current];
+        larger retention keeps a deeper time-travel window."""
+        table = _check_ident(table)
+        info = self.catalog.get(self.database, table)
+        if info is None:
+            raise KeyError(f"no such table: {table}")
+        root = self.catalog.table_root(self.database, table)
+        found = set()
+        if os.path.isdir(root):
+            for f in os.listdir(root):
+                p = os.path.join(root, f)
+                if f.startswith("g") and f[1:].isdigit() and os.path.isdir(p):
+                    found.add(int(f[1:]))
+                elif f.endswith(".parquet") or ("=" in f and os.path.isdir(p)):
+                    found.add(0)
+        found.add(info.generation)
+        return sorted(g for g in found if g <= info.generation)
+
+    def read_generation(self, table: str, generation: int) -> DataFrame:
+        """Time-travel read: the table AS OF a retained generation
+        (each compaction or copy-on-write DML flip creates one — an
+        Iceberg-style snapshot scaled down to a directory pointer).
+        A non-current generation is FROZEN at the moment its
+        successor flipped in — it holds every row visible just before
+        that flip, because inserts land in the then-current directory
+        (the current generation is simply the live table). Raises
+        with the available window if the requested generation is
+        retired or future. The current schema applies to every
+        generation (columns added later read NULL); SQL-text form:
+        ``table_at('name', N)``."""
+        table = _check_ident(table)
+        info = self.catalog.get(self.database, table)
+        if info is None:
+            raise KeyError(f"no such table: {table}")
+        if generation == info.generation:
+            return self.table_df(table)
+        avail = self.generations(table)
+        if generation not in avail:
+            raise ValueError(
+                f"generation {generation} of {table!r} is not retained"
+                f" (available: {avail}; raise retain_generations to"
+                " keep a deeper history)"
+            )
+        root = self.catalog.table_root(self.database, table)
+        reader = self.spark.read.schema(info.struct())
+        if generation == 0:
+            # g0 = loose files in the table root; list explicitly so
+            # the scan never descends into sibling g<N> snapshot dirs
+            files = self._list_parquet(root)
+            if not files:
+                return self.spark.createDataFrame([], info.struct())
+            if info.partition_col:
+                reader = reader.option("basePath", root)
+            return reader.parquet(
+                *[os.path.join(root, f) for f in files]
+            )
+        d = os.path.join(root, f"g{generation}")
+        if info.partition_col:
             reader = reader.option("basePath", d)
         return reader.parquet(d)
 
@@ -328,8 +405,26 @@ class SparkDestination(DataFrameSerializers, Destination):
 
         def build() -> DataFrame:
             self.register_views()
+            # time travel: table_at('name', N) reads a retained
+            # generation snapshot (read_generation docstring). The
+            # rewrite registers a view per (table, generation) and
+            # swaps the call for the view name BEFORE spark.sql —
+            # engine-specific surface, deliberately outside the
+            # DuckDB dialect fallback (DuckDB has no equivalent).
+            sql_text = query
+            if _TABLE_AT_RE.search(sql_text):
+
+                def _travel(m: "re.Match[str]") -> str:
+                    t, g = m.group(1), int(m.group(2))
+                    vname = f"__at_{t}_g{g}"
+                    self.read_generation(t, g).createOrReplaceTempView(
+                        vname
+                    )
+                    return vname
+
+                sql_text = _TABLE_AT_RE.sub(_travel, sql_text)
             try:
-                return self.spark.sql(query)
+                return self.spark.sql(sql_text)
             except Exception as stock_err:
                 # Dialect compat is a FALLBACK: text that stock Spark
                 # accepts is never rewritten, so a valid Spark query
@@ -342,11 +437,11 @@ class SparkDestination(DataFrameSerializers, Destination):
                     statement_form_df,
                 )
 
-                stmt = statement_form_df(self.spark, query)
+                stmt = statement_form_df(self.spark, sql_text)
                 if stmt is not None:
                     return stmt
-                rewritten = rewrite(query)
-                if rewritten == query:
+                rewritten = rewrite(sql_text)
+                if rewritten == sql_text:
                     raise stock_err
                 return self.spark.sql(rewritten)
 
@@ -765,32 +860,63 @@ class SparkDestination(DataFrameSerializers, Destination):
             if now is None or now.generation != expected_gen:
                 shutil.rmtree(new_dir, ignore_errors=True)
                 return None
-            for f in adopt or []:
-                dst = os.path.join(new_dir, f)
+            # With the minimum retention (2) adopted/late files RENAME
+            # into the new generation — the parent is never read as a
+            # snapshot, only by in-flight queries pinned on its file
+            # listing. A deeper retention window promises the parent
+            # back as a time-travel snapshot, so the files HARD-LINK
+            # instead (parquet files are immutable once written; a
+            # link is O(1) regardless of size — retiring either side
+            # later just drops one name). Copy is the cross-device
+            # fallback.
+            def _carry(src: str, dst: str) -> None:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(cur_dir, f), dst)
-            # catch-up: batches inserted during the rewrite move over
-            # as-is (rename only; their schema may trail — reads pass
-            # an explicit schema, missing columns come back NULL)
+                if self.retain_generations > 2:
+                    try:
+                        os.link(src, dst)
+                        return
+                    except OSError:
+                        shutil.copy2(src, dst)
+                        return
+                os.replace(src, dst)
+
+            for f in adopt or []:
+                _carry(os.path.join(cur_dir, f), os.path.join(new_dir, f))
+            # catch-up: batches inserted during the rewrite carry over
+            # as-is (their schema may trail — reads pass an explicit
+            # schema, missing columns come back NULL)
             late = [
                 f for f in self._list_parquet(cur_dir) if f not in set(snapshot)
             ] if os.path.isdir(cur_dir) else []
             for f in late:
-                dst = os.path.join(new_dir, os.path.dirname(f), "late-" + os.path.basename(f))
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(cur_dir, f), dst)
+                _carry(
+                    os.path.join(cur_dir, f),
+                    os.path.join(
+                        new_dir, os.path.dirname(f),
+                        "late-" + os.path.basename(f),
+                    ),
+                )
             self.catalog.set_generation(self.database, table, new_gen)
             self.plan_cache.invalidate()
-        # retire the grandparent (new_gen - 2); the immediate parent
-        # stays until the NEXT flip for in-flight readers
-        retire = new_gen - 2
-        if retire == 0:
+        # retire everything older than the retention window (default 2:
+        # current + immediate parent — the parent stays until the NEXT
+        # flip for in-flight readers; larger windows keep a history for
+        # read_generation / table_at() time travel). Sweep ≤ the cutoff
+        # rather than one exact index so lowering the retention later
+        # also cleans generations an earlier, larger window left behind.
+        cutoff = new_gen - max(2, int(self.retain_generations))
+        if cutoff >= 0:
             for f in os.listdir(root):
                 p = os.path.join(root, f)
                 if f.endswith(".parquet") or f == "_SUCCESS":
-                    os.remove(p)
-                elif "=" in f and os.path.isdir(p):  # hive partition dir
+                    os.remove(p)  # g0 = loose files in the root
+                elif "=" in f and os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)  # g0 hive dirs
+                elif (
+                    f.startswith("g")
+                    and f[1:].isdigit()
+                    and 0 < int(f[1:]) <= cutoff
+                    and os.path.isdir(p)
+                ):
                     shutil.rmtree(p, ignore_errors=True)
-        elif retire > 0:
-            shutil.rmtree(os.path.join(root, f"g{retire}"), ignore_errors=True)
         return late

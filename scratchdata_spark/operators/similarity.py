@@ -23,6 +23,8 @@ skew handling covers dense regions.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -370,29 +372,51 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus
     into cells by nearest centroid, probe only the query's ``nprobe``
     nearest cells, re-rank exactly within them.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
-    deterministic stand-in for a k-means pass (same IVF mechanics:
-    cell assignment, multi-probe, residual exact re-rank; a trained
-    quantizer would only improve cell balance). Centroids broadcast;
-    the corpus-side assignment is one pass (|C| × n_centroids dot
+    ``train_iters=0`` (default): centroids are the ``n_centroids``
+    lowest-id corpus vectors — a deterministic stand-in for a k-means
+    pass (same IVF mechanics: cell assignment, multi-probe, residual
+    exact re-rank).  ``train_iters>0``: run that many Lloyd's
+    iterations (operators/semantic.kmeans_fit, same deterministic
+    seeding) to train the quantizer — better cell balance, so probes
+    cover the space more evenly, at the cost of ``train_iters``
+    aggregate passes up front.  Either way centroids broadcast; the
+    corpus-side assignment is one pass (|C| × n_centroids dot
     products, map-side), and the probe join shuffles by cell id —
     queries touch ~nprobe/n_centroids of the corpus instead of all
     of it, which is the IVF speedup at scale.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("__cent_id"),
-            F.col(vec_col).alias("__cent_vec"),
-            _norm(F.col(vec_col)).alias("__cent_n"),
+    if train_iters > 0:
+        from scratchdata_spark.operators.semantic import kmeans_fit
+
+        trained = kmeans_fit(
+            corpus.select(id_col, vec_col), vec_col,
+            k=n_centroids, max_iter=train_iters, id_col=id_col,
         )
-    )
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [
+                (ci, [float(x) for x in c],
+                 math.sqrt(sum(float(x) * float(x) for x in c)))
+                for ci, c in enumerate(trained)
+            ],
+            "__cent_id long, __cent_vec array<double>, __cent_n double",
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("__cent_id"),
+                F.col(vec_col).alias("__cent_vec"),
+                _norm(F.col(vec_col)).alias("__cent_n"),
+            )
+        )
 
     def _nearest_cells(side: DataFrame, sid: str, svec: str, top: int, keep_vec: bool):
         sims = side.crossJoin(F.broadcast(cents)).withColumn(

@@ -74,7 +74,8 @@ def build_app(
     # reference gets this isolation from separate backend connections).
     destinations = {
         name: SparkDestination(
-            spark.newSession(), catalog, name, export_root=export_root
+            spark.newSession(), catalog, name, export_root=export_root,
+            retain_generations=config.retain_generations,
         )
         for name in {*config.api_keys.values(), "default"}
     }
@@ -95,7 +96,8 @@ def build_app(
         """Runtime destination onboarding (POST /api/destinations)."""
         if type_ == "spark":
             return SparkDestination(
-                spark.newSession(), catalog, name, export_root=export_root
+                spark.newSession(), catalog, name, export_root=export_root,
+                retain_generations=config.retain_generations,
             )
         if type_ == "duckdb":
             from scratchdata_spark.duckdb_destination import DuckDBDestination

@@ -371,3 +371,103 @@ def test_compaction_clusters_by_sort_cols(spark, tmp_path):
     assert buf.getvalue().splitlines()[1] == "400"
     with pytest.raises(ValueError, match="unknown sort"):
         d.compact_table("zt", min_files=1, sort_cols=["nope"])
+
+
+def test_time_travel_read_generation(spark, tmp_path):
+    """retain_generations > 2 keeps a history window: every retained
+    generation reads back its own snapshot, the SQL-text form
+    table_at('t', N) works (including cross-generation joins), and
+    generations past the window are retired with a clear error."""
+    import os
+
+    dest = SparkDestination(
+        spark, TableCatalog(str(tmp_path / "warehouse")), "tt",
+        retain_generations=3,
+    )
+    for i in range(4):
+        _insert(dest, "t", [f'{{"a": {i}}}'])
+    g0 = {r.a for r in dest.read_generation("t", 0).collect()}
+    assert g0 == {0, 1, 2, 3}
+
+    dest.compact_table("t", min_files=2)          # -> g1
+    _insert(dest, "t", ['{"a": 100}'])
+    for i in range(3):
+        _insert(dest, "t", [f'{{"a": {200 + i}}}'])
+    dest.compact_table("t", min_files=2)          # -> g2
+    assert dest.generations("t") == [0, 1, 2]     # retain 3: g0 still here
+
+    # a frozen generation holds every row visible just before its
+    # successor's flip (inserts land in the then-current dir); the g0
+    # scan must not descend into the sibling g1/g2 dirs
+    assert {r.a for r in dest.read_generation("t", 0).collect()} == {0, 1, 2, 3}
+    assert {r.a for r in dest.read_generation("t", 1).collect()} == {
+        0, 1, 2, 3, 100, 200, 201, 202,
+    }
+    n_now = dest.query_df("SELECT count(*) AS n FROM t").collect()[0].n
+    assert n_now == 8
+
+    # SQL-text time travel + joining two generations in one query
+    rows = dest.query_df(
+        "SELECT count(*) AS n FROM table_at('t', 0)"
+    ).collect()
+    assert rows[0].n == 4
+    diff = dest.query_df(
+        "SELECT t.a FROM t LEFT ANTI JOIN table_at('t', 0) o ON t.a = o.a"
+        " ORDER BY a"
+    ).collect()
+    assert [r.a for r in diff] == [100, 200, 201, 202]
+
+    # third flip: g0 falls out of the 3-generation window
+    for i in range(3):
+        _insert(dest, "t", [f'{{"a": {300 + i}}}'])
+    dest.compact_table("t", min_files=2)          # -> g3
+    assert dest.generations("t") == [1, 2, 3]
+    root = dest.catalog.table_root("tt", "t")
+    assert not any(f.endswith(".parquet") for f in os.listdir(root))
+    with pytest.raises(ValueError, match="not retained"):
+        dest.read_generation("t", 0)
+    with pytest.raises(ValueError, match="not retained"):
+        dest.query_df("SELECT * FROM table_at('t', 0)").collect()
+
+
+def test_retain_generations_default_keeps_parent_only(dest):
+    """Default retention (2) preserves the pre-time-travel behavior:
+    current + immediate parent, grandparent retired at each flip."""
+    for i in range(4):
+        _insert(dest, "g", [f'{{"a": {i}}}'])
+    dest.compact_table("g", min_files=2)
+    for i in range(3):
+        _insert(dest, "g", [f'{{"a": {10 + i}}}'])
+    dest.compact_table("g", min_files=2)
+    assert dest.generations("g") == [1, 2]
+    with pytest.raises(ValueError, match="retain_generations"):
+        SparkDestination(
+            dest.spark, dest.catalog, "bad", retain_generations=1
+        )
+
+
+def test_time_travel_survives_pruned_cow_delete(spark, tmp_path):
+    """A footer-pruned copy-on-write DELETE adopts untouched files
+    into the new generation; with a retention window > 2 they
+    hard-link instead of renaming, so the PARENT generation still
+    reads as a complete pre-delete snapshot."""
+    dest = SparkDestination(
+        spark, TableCatalog(str(tmp_path / "warehouse")), "tt2",
+        retain_generations=3,
+    )
+    for i in range(6):
+        _insert(dest, "d", [f'{{"a": {i}}}'])  # one file per row
+    dest.compact_table("d", min_files=2)       # -> g1 current
+    gen_before = dest.catalog.get("tt2", "d").generation
+    before = {r.a for r in dest.read_generation("d", gen_before).collect()}
+    assert before == {0, 1, 2, 3, 4, 5}
+
+    dest.query_df("DELETE FROM d WHERE a = 3")
+    info = dest.catalog.get("tt2", "d")
+    assert info.generation == gen_before + 1   # CoW flip happened
+    now = {r.a for r in dest.query_df("SELECT a FROM d").collect()}
+    assert now == {0, 1, 2, 4, 5}
+    # the parent snapshot is still complete — adopted files linked,
+    # not moved
+    old = {r.a for r in dest.read_generation("d", gen_before).collect()}
+    assert old == {0, 1, 2, 3, 4, 5}

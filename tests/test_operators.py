@@ -703,3 +703,35 @@ def test_semantic_dedup_drops_within_cluster_near_dups(spark):
     z = assign_clusters(zdf, [[1.0] + [0.0] * 7, [0.0, 1.0] + [0.0] * 6],
                         "embedding").collect()
     assert {r.vec_id: r.cluster_id for r in z}[1] == 0
+
+
+def test_ivf_trained_quantizer(spark):
+    """train_iters>0 trains the IVF cells with Lloyd's: on blob data
+    the trained quantizer's cells align with the blobs (balanced), and
+    the probe still finds each query's true nearest neighbor."""
+    import random
+
+    from scratchdata_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(90):
+        base = [0.0] * 8
+        base[i % 3] = 10.0
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in base]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(corpus, queries, k=1).collect()
+    }
+    got = {
+        r.query_id: r.neighbor_id
+        for r in ivf_topk(
+            corpus, queries, dim=8, k=1, n_centroids=3, nprobe=1,
+            train_iters=5,
+        ).collect()
+    }
+    assert got == exact  # trained cells: top-1 recall 1.0 at nprobe=1

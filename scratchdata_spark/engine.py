@@ -170,6 +170,94 @@ _TABLE_AT_RE = re.compile(
 )
 
 
+def _spark_code_segments(sql: str) -> list[tuple[bool, str]]:
+    """(is_code, text) segments under SPARK literal semantics
+    (backslash escapes inside '…'/"…", `…` identifiers with ``
+    doubling, -- and /* */ comments) — the table_at rewrite runs
+    BEFORE stock spark.sql, so unlike dialect._segments (DuckDB
+    semantics, post-rejection only) it must not touch the contents of
+    literals in valid Spark text."""
+    out: list[tuple[bool, str]] = []
+    i, n, start = 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            if start < i:
+                out.append((True, sql[start:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # '' doubling
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append((False, sql[i:j]))
+            start = i = j
+            continue
+        if ch == "`":
+            if start < i:
+                out.append((True, sql[start:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append((False, sql[i:j]))
+            start = i = j
+            continue
+        if sql[i : i + 2] == "--":
+            if start < i:
+                out.append((True, sql[start:i]))
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            out.append((False, sql[i:j]))
+            start = i = j
+            continue
+        if sql[i : i + 2] == "/*":
+            if start < i:
+                out.append((True, sql[start:i]))
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out.append((False, sql[i:j]))
+            start = i = j
+            continue
+        i += 1
+    if start < n:
+        out.append((True, sql[start:n]))
+    return out
+
+
+def _sub_in_code(sql: str, regex: "re.Pattern[str]", repl) -> str:
+    """re.sub, but a match only fires when it STARTS in a code
+    segment — a ``table_at(...)`` spelled inside a string literal or
+    comment is data, not a table reference. (The match itself spans
+    the quoted table name, so the test is on the start offset, not
+    containment.)"""
+    spans = []
+    pos = 0
+    for is_code, text in _spark_code_segments(sql):
+        if is_code:
+            spans.append((pos, pos + len(text)))
+        pos += len(text)
+    out, last = [], 0
+    for m in regex.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            out.append(sql[last : m.start()])
+            out.append(repl(m))
+            last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _check_ident(name: str) -> str:
     if not _IDENT_RE.match(name):
         raise ValueError(f"invalid identifier: {name!r}")
@@ -422,7 +510,7 @@ class SparkDestination(DataFrameSerializers, Destination):
                     )
                     return vname
 
-                sql_text = _TABLE_AT_RE.sub(_travel, sql_text)
+                sql_text = _sub_in_code(sql_text, _TABLE_AT_RE, _travel)
             try:
                 return self.spark.sql(sql_text)
             except Exception as stock_err:
@@ -860,25 +948,20 @@ class SparkDestination(DataFrameSerializers, Destination):
             if now is None or now.generation != expected_gen:
                 shutil.rmtree(new_dir, ignore_errors=True)
                 return None
-            # With the minimum retention (2) adopted/late files RENAME
-            # into the new generation — the parent is never read as a
-            # snapshot, only by in-flight queries pinned on its file
-            # listing. A deeper retention window promises the parent
-            # back as a time-travel snapshot, so the files HARD-LINK
-            # instead (parquet files are immutable once written; a
-            # link is O(1) regardless of size — retiring either side
-            # later just drops one name). Copy is the cross-device
-            # fallback.
+            # Adopted/late files HARD-LINK into the new generation
+            # (parquet files are immutable once written; a link is
+            # O(1) regardless of size — retiring either side later
+            # just drops one name). A rename would gut the parent
+            # directory, so read_generation / table_at on the parent
+            # — which generations() advertises at ANY retention —
+            # would silently return a partial snapshot. Copy is the
+            # no-hardlink-filesystem fallback.
             def _carry(src: str, dst: str) -> None:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if self.retain_generations > 2:
-                    try:
-                        os.link(src, dst)
-                        return
-                    except OSError:
-                        shutil.copy2(src, dst)
-                        return
-                os.replace(src, dst)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
 
             for f in adopt or []:
                 _carry(os.path.join(cur_dir, f), os.path.join(new_dir, f))

@@ -39,12 +39,13 @@ from scratchdata_spark.operators.similarity import _dot, _norm
 
 
 def _nearest_centroid(vec, centroids: list[list[float]]):
-    """Index (int) of the max-cosine centroid for ``vec`` — a single
-    fold over the centroid literals, map-only, ties to the lowest
-    index (strict > keeps the earlier winner).  Zero-norm vectors get
-    a NULL cosine everywhere (``try_divide`` — ANSI mode would throw
-    on the plain ``/``); the coalesce sends them to centroid 0
-    deterministically."""
+    """Index (int) of the max-cosine centroid for ``vec`` — map-only:
+    ONE cosine fold per centroid into a sims array, then
+    array_position(array_max) picks the argmax with ties to the
+    lowest index (array_position returns the FIRST occurrence).
+    Zero-norm vectors get a NULL cosine everywhere (``try_divide`` —
+    ANSI mode would throw on the plain ``/``); the coalesce sends
+    them to centroid 0 deterministically."""
     cents = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
@@ -53,33 +54,17 @@ def _nearest_centroid(vec, centroids: list[list[float]]):
         for c in centroids
     ])
     vn = _norm(vec)
-    best = F.aggregate(
+    sims = F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        F.struct(
-            F.lit(-2.0).cast("double").alias("s"), F.lit(0).alias("i")
-        ),
-        lambda acc, p: F.when(
-            F.coalesce(
-                F.try_divide(
-                    _dot(vec, F.element_at(cents, p + 1)),
-                    vn * F.element_at(norms, p + 1),
-                ),
-                F.lit(-2.0),
-            )
-            > acc.getField("s"),
-            F.struct(
-                F.coalesce(
-                    F.try_divide(
-                        _dot(vec, F.element_at(cents, p + 1)),
-                        vn * F.element_at(norms, p + 1),
-                    ),
-                    F.lit(-2.0),
-                ).alias("s"),
-                p.alias("i"),
+        lambda p: F.coalesce(
+            F.try_divide(
+                _dot(vec, F.element_at(cents, p + 1)),
+                vn * F.element_at(norms, p + 1),
             ),
-        ).otherwise(acc),
+            F.lit(-2.0),
+        ),
     )
-    return best.getField("i")
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def kmeans_fit(
@@ -106,57 +91,80 @@ def kmeans_fit(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    v = ensure_parallelism(
-        df.select(
-            *( [F.col(id_col).alias("__sid")] if id_col else [] ),
-            F.col(vec_col).alias("__vec"),
-        )
-    ).filter(F.col("__vec").isNotNull())
-    seed_src = v.orderBy("__sid") if id_col else v.orderBy("__vec")
-    centroids = [
-        [float(x) for x in r["__vec"]]
-        for r in seed_src.limit(k).select("__vec").collect()
-    ]
-    if len(centroids) < k:
-        k = len(centroids)  # corpus smaller than k
-    if not centroids:
-        raise ValueError("kmeans_fit: empty input")
-    for _ in range(max_iter):
-        assigned = v.select(
-            _nearest_centroid(F.col("__vec"), centroids).alias("__c"),
-            F.col("__vec"),
-        )
-        sums = (
-            assigned.select(
-                "__c", F.posexplode("__vec").alias("__p", "__x")
+    from pyspark import StorageLevel
+
+    v = (
+        ensure_parallelism(
+            df.select(
+                *( [F.col(id_col).alias("__sid")] if id_col else [] ),
+                F.col(vec_col).alias("__vec"),
             )
-            .groupBy("__c", "__p")
-            .agg(
-                F.sum(F.col("__x").cast("double")).alias("__s"),
-                F.count("*").alias("__n"),
+        )
+        # the fit ignores NULL vectors AND vectors with NULL elements:
+        # a NULL element would poison the coordinate sums (NULL-
+        # skipping sum over a count that includes the row shifts the
+        # mean; an all-NULL slot crashes the driver-side divide).
+        # assign_clusters still handles such rows at query time (NULL
+        # cosine -> centroid 0), they just don't vote on centroids.
+        .filter(
+            F.col("__vec").isNotNull()
+            & ~F.exists("__vec", lambda x: x.isNull())
+        )
+        # persist: each Lloyd's iteration re-reads v; without it every
+        # iteration re-pays the caller's full upstream lineage
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        seed_src = v.orderBy("__sid") if id_col else v.orderBy("__vec")
+        centroids = [
+            [float(x) for x in r["__vec"]]
+            for r in seed_src.limit(k).select("__vec").collect()
+        ]  # corpus smaller than k -> fewer centroids, same mechanics
+        if not centroids:
+            raise ValueError("kmeans_fit: empty input")
+        for _ in range(max_iter):
+            assigned = v.select(
+                _nearest_centroid(F.col("__vec"), centroids).alias("__c"),
+                F.col("__vec"),
             )
-            .collect()  # metadata-sized: k*dim rows
-        )
-        new = [list(c) for c in centroids]
-        acc: dict[int, dict[int, tuple[float, int]]] = {}
-        for r in sums:
-            acc.setdefault(r["__c"], {})[r["__p"]] = (r["__s"], r["__n"])
-        for ci, dims in acc.items():
-            new[ci] = [
-                dims[p][0] / dims[p][1] for p in sorted(dims)
-            ]
-        shift = max(
-            (
-                abs(a - b)
-                for cn, co in zip(new, centroids)
-                for a, b in zip(cn, co)
-            ),
-            default=0.0,
-        )
-        centroids = new
-        if shift <= tol:
-            break
-    return centroids
+            sums = (
+                assigned.select(
+                    "__c", F.posexplode("__vec").alias("__p", "__x")
+                )
+                .groupBy("__c", "__p")
+                .agg(
+                    F.sum(F.col("__x").cast("double")).alias("__s"),
+                    F.count("*").alias("__n"),
+                )
+                .collect()  # metadata-sized: k*dim rows
+            )
+            new = [list(c) for c in centroids]
+            acc: dict[int, dict[int, tuple[float, int]]] = {}
+            for r in sums:
+                acc.setdefault(r["__c"], {})[r["__p"]] = (r["__s"], r["__n"])
+            for ci, dims in acc.items():
+                new[ci] = [
+                    # defensive: a NULL sum (shouldn't survive the
+                    # element filter) keeps the previous coordinate
+                    dims[p][0] / dims[p][1]
+                    if dims[p][0] is not None
+                    else new[ci][p]
+                    for p in sorted(dims)
+                ]
+            shift = max(
+                (
+                    abs(a - b)
+                    for cn, co in zip(new, centroids)
+                    for a, b in zip(cn, co)
+                ),
+                default=0.0,
+            )
+            centroids = new
+            if shift <= tol:
+                break
+        return centroids
+    finally:
+        v.unpersist(blocking=False)
 
 
 def assign_clusters(
@@ -206,6 +214,18 @@ def semantic_pairs(
             v, "__vec", k=k, max_iter=max_iter, id_col="__id"
         )
     asg = assign_clusters(v, centroids, "__vec", out_col="cluster_id")
+    return _pairs_from_assignment(asg, threshold, max_cluster_compare)
+
+
+def _pairs_from_assignment(
+    asg: DataFrame,
+    threshold: float,
+    max_cluster_compare: int | None,
+) -> DataFrame:
+    """Pair generation + cosine verify over a prepared assignment
+    (__id, __vec, __n, cluster_id) — shared by semantic_pairs and
+    semantic_dedup so the corpus-wide argmax-cosine assignment is
+    planned once, not once per consumer."""
     ids = asg.select("__id", "cluster_id")
     if max_cluster_compare is not None:
         wc = Window.partitionBy("cluster_id").orderBy("__id")
@@ -282,11 +302,8 @@ def semantic_dedup(
         centroids = kmeans_fit(
             v, "__vec", k=k, max_iter=max_iter, id_col="__id"
         )
-    pairs = semantic_pairs(
-        v, "__id", "__vec", k=k, threshold=threshold,
-        centroids=centroids, max_cluster_compare=max_cluster_compare,
-    )
     asg = assign_clusters(v, centroids, "__vec", out_col="cluster_id")
+    pairs = _pairs_from_assignment(asg, threshold, max_cluster_compare)
     survivors = dedup_by_pairs(
         asg.select(F.col("__id"), "cluster_id"), pairs, "__id"
     )

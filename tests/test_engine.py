@@ -471,3 +471,39 @@ def test_time_travel_survives_pruned_cow_delete(spark, tmp_path):
     # not moved
     old = {r.a for r in dest.read_generation("d", gen_before).collect()}
     assert old == {0, 1, 2, 3, 4, 5}
+
+
+def test_table_at_ignored_inside_literals_and_comments(dest):
+    """table_at(...) spelled inside a string literal or a comment is
+    data, not a table reference — the rewrite must not mutate it (or
+    error on a nonexistent table/generation named there)."""
+    _insert(dest, "lit", ['{"msg": "see table_at(\'nope\', 9)"}'])
+    rows = dest.query_df(
+        "SELECT msg FROM lit WHERE msg = 'see table_at(\\'nope\\', 9)'"
+        " -- table_at('alsonope', 3)"
+    ).collect()
+    assert [r.msg for r in rows] == ["see table_at('nope', 9)"]
+    # and the real thing still rewrites in the same statement shape
+    n = dest.query_df("SELECT count(*) AS n FROM table_at('lit', 0)")
+    assert n.collect()[0].n == 1
+
+
+def test_default_retention_parent_snapshot_complete_after_pruned_dml(
+    spark, tmp_path
+):
+    """Even at the default retain_generations=2, the parent generation
+    generations() advertises must read back COMPLETE after a pruned
+    copy-on-write DELETE — adopted files hard-link into the new
+    generation instead of renaming out of the parent."""
+    dest = SparkDestination(
+        spark, TableCatalog(str(tmp_path / "warehouse")), "rt2"
+    )
+    for i in range(6):
+        _insert(dest, "d", [f'{{"a": {i}}}'])
+    dest.compact_table("d", min_files=2)  # -> g1
+    dest.query_df("DELETE FROM d WHERE a = 3")  # pruned CoW -> g2
+    assert dest.generations("d") == [1, 2]
+    old = {r.a for r in dest.read_generation("d", 1).collect()}
+    assert old == {0, 1, 2, 3, 4, 5}
+    now = {r.a for r in dest.query_df("SELECT a FROM d").collect()}
+    assert now == {0, 1, 2, 4, 5}

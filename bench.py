@@ -68,6 +68,7 @@ EXTRAS = [  # included once implemented (operators/ extras)
     "x_ann_ivf_topk",
     "x_text_quality",
     "x_multimodal_meta",
+    "x_semantic_dedup",  # round 5: +1 query — adds ~0.03 s to the total
 ]
 
 

@@ -380,6 +380,19 @@ def make_handler(service: Service):
             m = re.match(r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/columns$", path)
             if m:
                 return self._json(200, service.destinations[dest].columns(m.group(1)))
+            m = re.match(
+                r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/generations$", path
+            )
+            if m:
+                # time-travel introspection: which snapshots
+                # table_at('t', N) can still read (engine.generations)
+                d = service.destinations[dest]
+                if not hasattr(d, "generations"):
+                    return self._json(400, {"error": "not a warehouse table"})
+                try:
+                    return self._json(200, d.generations(m.group(1)))
+                except KeyError as e:
+                    return self._json(404, {"error": str(e)})
             if path == "/api/destinations":
                 if not self._is_admin(params):
                     return self._json(401, {"error": "admin key required"})

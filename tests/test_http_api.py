@@ -451,3 +451,13 @@ def test_format_param_case_insensitive(app):
         "/api/data/query?api_key=local&query=select a from fmt&format=bogus",
     )
     assert code == 200 and json.loads(body) == [{"a": 1}]
+
+
+def test_generations_introspection_route(app):
+    code, _ = _req(app, "POST", "/api/data/insert/gtab?api_key=local", {"a": 1})
+    assert code == 200
+    app.drain()
+    code, body = _req(app, "GET", "/api/tables/gtab/generations?api_key=local")
+    assert code == 200 and json.loads(body) == [0]
+    code, _ = _req(app, "GET", "/api/tables/nosuch/generations?api_key=local")
+    assert code == 404

@@ -67,6 +67,26 @@ def _nearest_centroid(vec, centroids: list[list[float]]):
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def semantic_k_for(n_docs: int, target_cluster_size: int = 1024) -> int:
+    """Corpus-aware cluster count — the SemDeDup scale valve, same
+    role as ``minhash_params_for`` for banding: within-cluster pair
+    work is quadratic in cluster size, so k must GROW with the corpus
+    to hold the expected cluster at ``target_cluster_size`` (the
+    paper runs ~100k clusters at web scale for the same reason).
+
+    Capped at 4096: centroids ride plans as broadcast literals, and
+    k×dim literal arrays stop being a sane plan somewhere past that
+    (4096×64 ≈ 260k constants). 4096 clusters × 1024 targets ≈ 4M
+    vectors per run; beyond it, shard the corpus first (e.g. by a
+    coarse hyperplane-LSH bucket, similarity.hyperplane_bits) and run
+    semantic dedup per shard — near-dups land in the same shard with
+    LSH probability, the same recall trade every bucketed tier makes.
+    """
+    if n_docs <= 0:
+        return 1
+    return min(4096, max(8, -(-n_docs // max(1, target_cluster_size))))
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -190,7 +210,7 @@ def semantic_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     threshold: float = 0.9,
     max_iter: int = 4,
     centroids: list[list[float]] | None = None,
@@ -199,6 +219,9 @@ def semantic_pairs(
     """Within-cluster near-duplicate PAIRS (id_a < id_b): the
     candidate-generation half of SemDeDup — k-means assignment bounds
     the comparison set, exact cosine >= ``threshold`` verifies it.
+    ``k=None`` sizes the cluster count from the corpus
+    (:func:`semantic_k_for` — a parquet-count pass, footer metadata
+    on direct scans).
 
     Pair generation mirrors the bucket-capped tiers: ids ride the
     grouped-combinatorics shuffle, vectors re-join by id for the
@@ -210,6 +233,8 @@ def semantic_pairs(
     """
     v = _prepared(df, id_col, vec_col)
     if centroids is None:
+        if k is None:
+            k = semantic_k_for(df.count())
         centroids = kmeans_fit(
             v, "__vec", k=k, max_iter=max_iter, id_col="__id"
         )
@@ -282,7 +307,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     threshold: float = 0.9,
     max_iter: int = 4,
     centroids: list[list[float]] | None = None,
@@ -294,11 +319,14 @@ def semantic_dedup(
     rows as (``id_col``, ``cluster_id``).
 
     ``centroids=None`` fits them with :func:`kmeans_fit` (``max_iter``
-    Lloyd's iterations, deterministic lowest-id seeding);
+    Lloyd's iterations, deterministic lowest-id seeding); ``k=None``
+    sizes the cluster count from the corpus (:func:`semantic_k_for`);
     ``max_iter=0`` keeps the raw seeds — the SQL-expressible
     configuration the oracle entry uses."""
     v = _prepared(df, id_col, vec_col)
     if centroids is None:
+        if k is None:
+            k = semantic_k_for(df.count())
         centroids = kmeans_fit(
             v, "__vec", k=k, max_iter=max_iter, id_col="__id"
         )

@@ -126,6 +126,14 @@ _ALTER_DROP_RE = re.compile(
     rf"(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
     re.I | re.S,
 )
+# engine-specific maintenance statement (the HTTP admin route's SQL
+# twin): COMPACT TABLE t [CLUSTER BY (a, b)] [MIN FILES n]
+_COMPACT_RE = re.compile(
+    rf"^\s*COMPACT\s+TABLE\s+({_IDENT})"
+    rf"(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?"
+    rf"(?:\s+MIN\s+FILES\s+(\d+))?\s*;?\s*$",
+    re.I | re.S,
+)
 
 
 _LINE_COMMENT = re.compile(r"^\s*--[^\n]*\n?")
@@ -188,6 +196,7 @@ def statement_kind(query: str) -> str | None:
         ("update", _UPDATE_RE),
         ("merge", _MERGE_RE),
         ("copy_to", _COPY_TO_RE),
+        ("compact", _COMPACT_RE),
     ):
         if rx.match(query):
             return kind
@@ -282,6 +291,8 @@ def execute(dest, query: str):
         return _exec_alter_add(dest, query)
     if kind == "alter_drop":
         return _exec_alter_drop(dest, query)
+    if kind == "compact":
+        return _exec_compact(dest, query)
     raise ValueError(f"not a warehouse statement: {query!r}")
 
 
@@ -324,6 +335,16 @@ def validate(dest, query: str) -> None:
             _require_table(dest, m.group(2))
     elif kind == "truncate":
         _require_table(dest, _TRUNCATE_RE.match(query).group(1))
+    elif kind == "compact":
+        m = _COMPACT_RE.match(query)
+        info = _require_table(dest, m.group(1))
+        if m.group(2):
+            known = {c["name"] for c in info.columns}
+            bad = [
+                c for c in _split_cols(m.group(2)) if c not in known
+            ]
+            if bad:
+                raise ValueError(f"unknown sort column(s): {bad}")
     elif kind == "delete":
         m = _DELETE_RE.match(query)
         info = _require_table(dest, m.group(1))
@@ -1432,6 +1453,36 @@ def _exec_alter_drop(dest, query: str):
     dest.catalog.drop_column(dest.database, table, name)
     dest.plan_cache.invalidate()
     return _count_df(dest, 0)
+
+
+def _split_cols(text: str) -> list[str]:
+    return [c.strip().strip('`"') for c in text.split(",") if c.strip()]
+
+
+def _exec_compact(dest, query: str):
+    """COMPACT TABLE t [CLUSTER BY (a, b)] [MIN FILES n] — the SQL
+    twin of the admin compaction route (engine.compact_table; CLUSTER
+    BY maps to sort_cols range clustering). Answers with the
+    compaction summary as a one-row frame."""
+    m = _COMPACT_RE.match(query)
+    table, cols_text, min_files = m.groups()
+    _require_table(dest, table)
+    out = dest.compact_table(
+        table,
+        min_files=int(min_files) if min_files else 8,
+        sort_cols=_split_cols(cols_text) if cols_text else None,
+    )
+    return dest.spark.createDataFrame(
+        [(
+            bool(out.get("compacted")),
+            int(out.get("files_in", out.get("files", 0))),
+            int(out.get("files_out", out.get("files", 0))),
+            int(out.get("generation", 0)) or None,
+            out.get("reason"),
+        )],
+        "compacted boolean, files_in int, files_out int,"
+        " generation int, reason string",
+    )
 
 
 # -------------------------------------------------------------- UPDATE

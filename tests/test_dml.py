@@ -1142,3 +1142,32 @@ def test_merge_string_source_key_never_mispruned(spark, tmp_path):
     assert run(d, "select x from sk where k = 9") == [{"x": "new"}]
     assert run(d, "select count(*) as n from sk where k = 9") == [{"n": 1}]
     assert run(d, "select count(*) as n from sk") == [{"n": 11}]
+
+
+def test_compact_table_statement(dest, tmp_path):
+    """COMPACT TABLE through the SQL surface: folds files, flips the
+    generation, validates CLUSTER BY columns, reports below-min_files
+    as a no-op row instead of erroring."""
+    for i in range(5):
+        p = tmp_path / f"more{i}.ndjson"
+        p.write_text(json.dumps({"g": "z", "v": 100 + i}) + "\n")
+        dest.insert_ndjson("t", str(p))
+    out = run(dest, "COMPACT TABLE t MIN FILES 2")
+    assert out[0]["compacted"] is True and out[0]["generation"] == 1
+    assert out[0]["files_out"] < out[0]["files_in"]
+    assert run(dest, "select count(*) as n from t") == [{"n": 11}]
+
+    # below min_files now: no-op with a reason, not an error
+    out = run(dest, "COMPACT TABLE t MIN FILES 99")
+    assert out[0]["compacted"] is False and out[0]["reason"] == "below min_files"
+
+    # CLUSTER BY with a bad column is caught by validation
+    with pytest.raises(ValueError, match="unknown sort column"):
+        dest.query_df("COMPACT TABLE t CLUSTER BY (nope)")
+    # and with a real column it range-clusters
+    for i in range(5):
+        p = tmp_path / f"again{i}.ndjson"
+        p.write_text(json.dumps({"g": "q", "v": 200 + i}) + "\n")
+        dest.insert_ndjson("t", str(p))
+    out = run(dest, "COMPACT TABLE t CLUSTER BY (v) MIN FILES 2")
+    assert out[0]["compacted"] is True and out[0]["generation"] == 2

@@ -735,3 +735,13 @@ def test_ivf_trained_quantizer(spark):
         ).collect()
     }
     assert got == exact  # trained cells: top-1 recall 1.0 at nprobe=1
+
+
+def test_semantic_k_scales_with_corpus():
+    from scratchdata_spark.operators.semantic import semantic_k_for
+
+    assert semantic_k_for(500) == 8          # floor
+    assert semantic_k_for(50_000) == 49      # ceil(n / 1024)
+    assert semantic_k_for(500_000) == 489
+    assert semantic_k_for(100_000_000) == 4096  # literal-plan ceiling
+    assert semantic_k_for(0) == 1

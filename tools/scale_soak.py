@@ -304,6 +304,55 @@ def embedding_lsh_telemetry(vectors, n: int, threshold=0.4) -> dict:
     }
 
 
+def semantic_telemetry(vectors, n: int, threshold=0.4) -> dict:
+    """SemDeDup at scale: corpus-aware k (semantic_k_for holds the
+    expected cluster at ~1024), fitted centroids, within-cluster
+    candidate mass vs the quadratic baseline — the same
+    candidate-bounding story the LSH tiers report."""
+    from scratchdata_spark.operators.semantic import (
+        assign_clusters,
+        kmeans_fit,
+        semantic_dedup,
+        semantic_k_for,
+    )
+
+    k = semantic_k_for(n)
+    t0 = time.perf_counter()
+    cents = kmeans_fit(vectors, "embedding", k=k, max_iter=3,
+                       id_col="vec_id")
+    fit_wall = time.perf_counter() - t0
+    sizes = (
+        assign_clusters(vectors, cents, "embedding")
+        .groupBy("cluster_id").agg(F.count("*").alias("sz"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.max("sz").alias("max_cluster"),
+            F.sum(F.expr("sz * (sz - 1) / 2")).alias("candidate_pairs"),
+        ).first()
+    )
+    t1 = time.perf_counter()
+    survivors = semantic_dedup(
+        vectors, "vec_id", "embedding", threshold=threshold,
+        centroids=cents,
+    ).count()
+    dedup_wall = time.perf_counter() - t1
+    all_pairs = n * (n - 1) // 2
+    return {
+        "k": k,
+        "n_clusters_used": int(sizes["n_clusters"]),
+        "max_cluster": int(sizes["max_cluster"]),
+        "candidate_pairs": int(sizes["candidate_pairs"]),
+        "all_pairs_quadratic": all_pairs,
+        "candidate_fraction": round(
+            sizes["candidate_pairs"] / max(1, all_pairs), 6
+        ),
+        "survivors": int(survivors),
+        "removed": int(n - survivors),
+        "fit_wall_sec": round(fit_wall, 3),
+        "dedup_wall_sec": round(dedup_wall, 3),
+    }
+
+
 def ivf_telemetry(vectors, n: int, n_queries=50, k=5,
                   n_centroids=16, nprobe=4) -> dict:
     queries = (
@@ -351,6 +400,7 @@ def main() -> None:
             "incremental_dedup": incremental_dedup_telemetry(docs, n_docs=n_docs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
+            "semantic_dedup": semantic_telemetry(vecs, n_vecs),
         }
         mh_pairs.unpersist()
         docs.unpersist()

@@ -44,9 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_qualify_latest, q_rollup, q_sample_deterministic, q_string_funcs,
 # q_tablesample, q_topk_per_group, q_union_all, q_unpivot,
 # q_approx_count_distinct, x_multimodal_features, x_split_train_val,
-# plus x_pack_sequences + x_sample_stratified — pushed past the edge
-# by the round-5 newcomers — and the past-edge newcomers
-# x_dedup_simhash_pairs, x_semantic entries' rows land in r5)
+# plus x_pack_sequences + x_sample_stratified +
+# q_nested_flatten_multitable_depth2 — pushed past the edge by the
+# round-5 newcomers — and the past-edge newcomer
+# x_dedup_simhash_pairs; x_semantic/time-travel entries get r5 rows)
 # reach staleness 2 at r5 and MUST front the r6 window.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)
@@ -79,6 +80,7 @@ _PRIORITY = [
     "q_dml_merge_roundtrip",  # MERGE INTO through the statement path
     "x_semantic_dedup",  # SemDeDup, oracle-able fixed-seed config
     "x_semantic_kmeans",  # iterative Lloyd's: rows-only by design
+    "q_dml_timetravel_roundtrip",  # table_at pre-delete snapshot hash
     # --- (d) oldest (r3) rows, semantics-heavy first — 22 slots ---
     "s_stream_tumbling_hour",
     "q_join_asof",

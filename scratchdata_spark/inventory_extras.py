@@ -1724,3 +1724,45 @@ def x_semantic_kmeans(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("cluster_id")
     )
+
+
+@q(
+    "q_dml_timetravel_roundtrip",
+    """
+    SELECT l_returnflag AS rf,
+           ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_dml_timetravel_roundtrip(spark, sf_dir):
+    """Driver-level evidence for generation time travel
+    (engine.read_generation / table_at): the entry CTASes a table,
+    copy-on-write DELETEs one group (generation flip, adopt files
+    hard-linked), then answers from ``table_at('tgt', 0)`` — the
+    PRE-delete snapshot. The oracle is the plain undeleted aggregate,
+    so the hash only matches if the parent generation really is a
+    complete frozen copy after the pruned rewrite. Same temp-
+    warehouse hygiene as q_dml_ctas_roundtrip."""
+    import shutil
+    import tempfile
+
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    tmp = tempfile.mkdtemp(prefix="dmltt_")
+    try:
+        cat = TableCatalog(tmp)
+        d = SparkDestination(spark.newSession(), cat, "tt")
+        d.query_df(
+            "create table tgt as select l_returnflag as rf,"
+            " round(sum(cast(l_quantity as double)), 2) as qty"
+            f" from read_parquet('{sf_dir}/lineitem.parquet')"
+            " group by l_returnflag"
+        )
+        d.query_df("delete from tgt where rf = 'A'")
+        assert d.generations("tgt") == [0, 1]
+        out = d.query_df("select rf, qty from table_at('tgt', 0)")
+        rows = out.collect()  # ≤5 rows — see q_dml_ctas_roundtrip note
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -81,7 +81,7 @@ _PRIORITY = [
     "x_semantic_dedup",  # SemDeDup, oracle-able fixed-seed config
     "x_semantic_kmeans",  # iterative Lloyd's: rows-only by design
     "q_dml_timetravel_roundtrip",  # table_at pre-delete snapshot hash
-    # --- (d) oldest (r3) rows, semantics-heavy first — 22 slots ---
+    # --- (d) oldest (r3) rows, semantics-heavy first — 21 slots ---
     "s_stream_tumbling_hour",
     "q_join_asof",
     "q_join_semi",

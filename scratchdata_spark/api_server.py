@@ -255,6 +255,18 @@ class _ChunkedOut:
         self._w.write(b"0\r\n\r\n")
 
 
+def _needs_admin(q: str) -> bool:
+    """True if any statement of ``q`` (scripts included) is an
+    admin-gated maintenance statement (COMPACT TABLE)."""
+    from scratchdata_spark import warehouse_dml as W
+
+    try:
+        stmts = W.split_script(W.normalize(q))
+    except Exception:  # noqa: BLE001 — malformed text fails later anyway
+        return False
+    return any(W.statement_kind(W.normalize(s)) == "compact" for s in stmts)
+
+
 def _route_pattern(path: str) -> str:
     """Normalize a concrete path to its route pattern (metrics label —
     unbounded label cardinality would blow up the scrape)."""
@@ -270,6 +282,8 @@ def _route_pattern(path: str) -> str:
         return "/request/{id}"
     if re.match(r"^/api/tables/[^/]+/columns$", path):
         return "/api/tables/{table}/columns"
+    if re.match(r"^/api/tables/[^/]+/generations$", path):
+        return "/api/tables/{table}/generations"
     if re.match(r"^/api/tables/[^/]+/compact$", path):
         return "/api/tables/{table}/compact"
     if re.match(r"^/api/tables/[^/]+/partitioning$", path):
@@ -374,7 +388,10 @@ def make_handler(service: Service):
                 q = params.get("query", "")
                 if not q.strip():
                     return self._json(400, {"error": "missing query"})
-                return self._run_query(dest, q, params.get("format", "json"))
+                return self._run_query(
+                    dest, q, params.get("format", "json"),
+                    is_admin=self._is_admin(params),
+                )
             if path == "/api/tables":
                 return self._json(200, service.destinations[dest].tables())
             m = re.match(r"^/api/tables/([A-Za-z_][A-Za-z0-9_]*)/columns$", path)
@@ -391,8 +408,10 @@ def make_handler(service: Service):
                     return self._json(400, {"error": "not a warehouse table"})
                 try:
                     return self._json(200, d.generations(m.group(1)))
-                except KeyError as e:
-                    return self._json(404, {"error": str(e)})
+                except KeyError:
+                    return self._json(
+                        404, {"error": f"no such table: {m.group(1)}"}
+                    )
             if path == "/api/destinations":
                 if not self._is_admin(params):
                     return self._json(401, {"error": "admin key required"})
@@ -504,7 +523,10 @@ def make_handler(service: Service):
                     pass
                 if not q.strip():
                     return self._json(400, {"error": "missing query"})
-                return self._run_query(dest, q, params.get("format", "json"))
+                return self._run_query(
+                    dest, q, params.get("format", "json"),
+                    is_admin=self._is_admin(params),
+                )
 
             if path == "/api/data/query/share":
                 try:
@@ -534,7 +556,16 @@ def make_handler(service: Service):
 
             return self._json(404, {"error": "not found"})
 
-        def _run_query(self, dest: str, q: str, fmt: str):
+        def _run_query(self, dest: str, q: str, fmt: str, is_admin=False):
+            # Maintenance statements are admin-gated like their HTTP
+            # route twins: a plain query key must not trigger a
+            # full-table rewrite + generation flip (which also retires
+            # time-travel history). Checked against every statement of
+            # a script, so a COMPACT can't hide mid-script.
+            if not is_admin and _needs_admin(q):
+                return self._json(
+                    401, {"error": "admin key required for COMPACT TABLE"}
+                )
             # Analyze first: errors still get a clean 4xx/5xx because no
             # header has been sent yet (plan-cached — not repeated work).
             try:

@@ -338,11 +338,12 @@ def validate(dest, query: str) -> None:
     elif kind == "compact":
         m = _COMPACT_RE.match(query)
         info = _require_table(dest, m.group(1))
-        if m.group(2):
+        if m.group(2) is not None:
+            cols = _split_cols(m.group(2))
+            if not cols:
+                raise ValueError("CLUSTER BY needs at least one column")
             known = {c["name"] for c in info.columns}
-            bad = [
-                c for c in _split_cols(m.group(2)) if c not in known
-            ]
+            bad = [c for c in cols if c not in known]
             if bad:
                 raise ValueError(f"unknown sort column(s): {bad}")
     elif kind == "delete":
@@ -1467,10 +1468,17 @@ def _exec_compact(dest, query: str):
     m = _COMPACT_RE.match(query)
     table, cols_text, min_files = m.groups()
     _require_table(dest, table)
+    sort_cols = None
+    if cols_text is not None:
+        sort_cols = _split_cols(cols_text)
+        if not sort_cols:
+            # an empty CLUSTER BY () silently compacting unclustered
+            # would fake the footer-pruning guarantee the user asked for
+            raise ValueError("CLUSTER BY needs at least one column")
     out = dest.compact_table(
         table,
         min_files=int(min_files) if min_files else 8,
-        sort_cols=_split_cols(cols_text) if cols_text else None,
+        sort_cols=sort_cols,
     )
     return dest.spark.createDataFrame(
         [(

@@ -1171,3 +1171,12 @@ def test_compact_table_statement(dest, tmp_path):
         dest.insert_ndjson("t", str(p))
     out = run(dest, "COMPACT TABLE t CLUSTER BY (v) MIN FILES 2")
     assert out[0]["compacted"] is True and out[0]["generation"] == 2
+
+
+def test_compact_statement_rejects_empty_cluster_by(dest):
+    with pytest.raises(ValueError, match="at least one column"):
+        dest.query_df("COMPACT TABLE t CLUSTER BY ()")
+    from scratchdata_spark import warehouse_dml as W
+
+    with pytest.raises(ValueError, match="at least one column"):
+        W.validate(dest, W.normalize("COMPACT TABLE t CLUSTER BY ( , )"))

@@ -461,3 +461,29 @@ def test_generations_introspection_route(app):
     assert code == 200 and json.loads(body) == [0]
     code, _ = _req(app, "GET", "/api/tables/nosuch/generations?api_key=local")
     assert code == 404
+
+
+def test_compact_statement_admin_gated_over_http(app):
+    """COMPACT TABLE through the query endpoint needs the admin key —
+    same gate as the HTTP compact route (a query key must not trigger
+    rewrites/generation flips); scripts can't hide one mid-batch."""
+    code, _ = _req(app, "POST", "/api/data/insert/cg?api_key=local", {"a": 1})
+    assert code == 200
+    app.drain()
+    code, body = _req(
+        app, "GET",
+        "/api/data/query?api_key=local&query=COMPACT TABLE cg MIN FILES 1",
+    )
+    assert code == 401 and "admin" in body
+    code, body = _req(
+        app, "GET",
+        "/api/data/query?api_key=local&query="
+        "SELECT 1 AS x; COMPACT TABLE cg MIN FILES 1",
+    )
+    assert code == 401 and "admin" in body
+    # with the admin key it runs (below min_files here: no-op row)
+    code, body = _req(
+        app, "GET",
+        "/api/data/query?api_key=admin&query=COMPACT TABLE cg MIN FILES 99",
+    )
+    assert code == 200 and json.loads(body)[0]["compacted"] is False

@@ -338,3 +338,75 @@ def semantic_dedup(
     return survivors.select(
         F.col("__id").alias(id_col), "cluster_id"
     )
+
+
+def semantic_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroids: list[list[float]] | None = None,
+    max_iter: int = 3,
+    max_cluster_compare: int | None = 4096,
+) -> DataFrame:
+    """Incremental SemDeDup: flag NEW vectors that semantically
+    duplicate an EXISTING corpus — the production shape (an embedding
+    increment against a standing corpus), same O(new×corpus-cell)
+    story as ``dedup.dedup_against_corpus`` for text.
+
+    Centroids come from the CORPUS (fit once per corpus version and
+    reuse per increment — pass ``centroids`` to skip the fit); both
+    sides assign map-only, and the increment compares only against
+    corpus members of ITS cluster, capped at ``max_cluster_compare``
+    lowest-id corpus rows per cluster (truncation, like the batch
+    tier). Returns every ``new_df`` row as (id, cluster_id, dup_of)
+    with ``dup_of`` = the min-id corpus duplicate or NULL.
+    """
+    corpus = _prepared(corpus_df, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, "__vec", k=semantic_k_for(corpus_df.count()),
+            max_iter=max_iter, id_col="__id",
+        )
+    new = _prepared(new_df, id_col, vec_col)
+    casg = assign_clusters(corpus, centroids, "__vec", out_col="cluster_id")
+    if max_cluster_compare is not None:
+        wc = Window.partitionBy("cluster_id").orderBy("__id")
+        casg = (
+            casg.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= max_cluster_compare)
+            .drop("__rn")
+        )
+    nasg = assign_clusters(new, centroids, "__vec", out_col="cluster_id")
+    hits = (
+        nasg.select(
+            F.col("__id").alias("__nid"), "cluster_id",
+            F.col("__vec").alias("__nv"), F.col("__n").alias("__nn"),
+        )
+        .join(
+            casg.select(
+                F.col("__id").alias("__cid"), "cluster_id",
+                F.col("__vec").alias("__cv"), F.col("__n").alias("__cn"),
+            ),
+            "cluster_id",
+        )
+        .filter(
+            F.try_divide(
+                _dot(F.col("__nv"), F.col("__cv")),
+                F.col("__nn") * F.col("__cn"),
+            )
+            >= threshold
+        )
+        .groupBy("__nid")
+        .agg(F.min("__cid").alias("dup_of"))
+    )
+    return (
+        nasg.select(F.col("__id"), "cluster_id")
+        .join(hits, F.col("__id") == F.col("__nid"), "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            "dup_of",
+        )
+    )

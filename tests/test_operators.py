@@ -745,3 +745,37 @@ def test_semantic_k_scales_with_corpus():
     assert semantic_k_for(500_000) == 489
     assert semantic_k_for(100_000_000) == 4096  # literal-plan ceiling
     assert semantic_k_for(0) == 1
+
+
+def test_semantic_dedup_incremental(spark):
+    """New vectors flag against the standing corpus only within their
+    assigned cluster: the planted near-copy resolves to its corpus
+    original, distinct new vectors pass with dup_of NULL."""
+    import random
+
+    from scratchdata_spark.operators.semantic import (
+        semantic_dedup_incremental,
+    )
+
+    rng = random.Random(3)
+    corpus_rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 3] = 10.0
+        corpus_rows.append((i, [x + rng.uniform(0.5, 1.5) for x in base]))
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    # new batch: one near-copy of corpus row 0, one novel direction
+    new_rows = [
+        (1000, [v + 1e-6 for v in corpus_rows[0][1]]),
+        (1001, [0.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0]),
+    ]
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r.dup_of
+        for r in semantic_dedup_incremental(
+            new, corpus, threshold=0.9999, max_iter=5
+        ).collect()
+    }
+    assert out[1000] == 0 and out[1001] is None

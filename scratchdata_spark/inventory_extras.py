@@ -187,7 +187,11 @@ def x_dedup_minhash_lsh(spark, sf_dir):
 @q("x_dedup_simhash", None)  # xxhash64 fingerprints: no SQL oracle
 def x_dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir)["documents"].select("doc_id", "text")
-    return simhash(d, "text").select("doc_id", "simhash")
+    # key_cols: the aggregate shuffles (doc_id, token-hash) rows, not
+    # the raw text as part of the grouping key
+    return simhash(d, "text", key_cols=["doc_id"]).select(
+        "doc_id", "simhash"
+    )
 
 
 @q("x_dedup_simhash_pairs", None)  # xxhash64 fingerprints: no SQL oracle

@@ -461,3 +461,16 @@ def test_semantic_dedup_pairs_are_ids_only(spark, sf_dir):
     )
     assert "collect_list" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_simhash_entry_shuffle_carries_no_text(spark, sf_dir):
+    """The registry simhash entry groups by doc_id only: the aggregate
+    exchange must not hash-partition on the raw text column."""
+    from scratchdata_spark.operators.dedup import simhash
+
+    d = load(spark, sf_dir)["documents"].select("doc_id", "text")
+    p = plan(simhash(d, "text", key_cols=["doc_id"]))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1), m.group(0)

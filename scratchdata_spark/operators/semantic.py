@@ -74,17 +74,18 @@ def semantic_k_for(n_docs: int, target_cluster_size: int = 1024) -> int:
     to hold the expected cluster at ``target_cluster_size`` (the
     paper runs ~100k clusters at web scale for the same reason).
 
-    Capped at 4096: centroids ride plans as broadcast literals, and
-    k×dim literal arrays stop being a sane plan somewhere past that
-    (4096×64 ≈ 260k constants). 4096 clusters × 1024 targets ≈ 4M
-    vectors per run; beyond it, shard the corpus first (e.g. by a
+    Capped at 65536: past ~256 centroids assignment switches from
+    plan literals to the Arrow/numpy path (see assign_clusters), so
+    the binding limit is the centroid matrix riding the task closure
+    (65536×64 float64 ≈ 33 MB) — 65k clusters × 1024 targets covers
+    a ~67M-vector run. Beyond it, shard the corpus first (e.g. by a
     coarse hyperplane-LSH bucket, similarity.hyperplane_bits) and run
     semantic dedup per shard — near-dups land in the same shard with
     LSH probability, the same recall trade every bucketed tier makes.
     """
     if n_docs <= 0:
         return 1
-    return min(4096, max(8, -(-n_docs // max(1, target_cluster_size))))
+    return min(65536, max(8, -(-n_docs // max(1, target_cluster_size))))
 
 
 def kmeans_fit(
@@ -143,10 +144,11 @@ def kmeans_fit(
         if not centroids:
             raise ValueError("kmeans_fit: empty input")
         for _ in range(max_iter):
-            assigned = v.select(
-                _nearest_centroid(F.col("__vec"), centroids).alias("__c"),
-                F.col("__vec"),
-            )
+            # assign_clusters dispatches literals vs the Arrow path by
+            # k, so the fit itself scales past the literal ceiling
+            assigned = assign_clusters(
+                v.select("__vec"), centroids, "__vec", out_col="__c"
+            ).select("__c", "__vec")
             sums = (
                 assigned.select(
                     "__c", F.posexplode("__vec").alias("__p", "__x")
@@ -187,17 +189,86 @@ def kmeans_fit(
         v.unpersist(blocking=False)
 
 
+# above this many centroids the k×dim literal array stops being a
+# sane Catalyst plan; assignment switches to the Arrow/numpy path
+_LITERAL_K_MAX = 256
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str,
     out_col: str = "cluster_id",
 ) -> DataFrame:
-    """Map-only cluster assignment: argmax-cosine over the broadcast
-    centroid literals, ties to the lowest centroid index."""
-    return df.withColumn(
-        out_col, _nearest_centroid(F.col(vec_col), centroids).cast("int")
+    """Map-only cluster assignment, argmax-cosine with ties to the
+    lowest centroid index. Two physical paths, same contract:
+
+    * k ≤ 256 — centroid LITERALS in a codegen'd HOF fold (zero
+      Python, zero broadcast machinery).
+    * k > 256 — Arrow-batched ``mapInPandas``: the normalized
+      centroid matrix rides the task closure once (k×dim float64),
+      each batch is one numpy matmul + argmax. This is what removes
+      the literal-plan ceiling — 100k clusters is a 50 MB closure
+      and a (batch × k) GEMM, still shuffle-free.
+
+    The two paths can disagree only on exact cosine TIES decided by
+    floating-point noise (the fold sums left-to-right in doubles,
+    numpy pairs/blocks) — identical on any corpus whose assignment
+    margins exceed ~1e-12.
+    """
+    if len(centroids) <= _LITERAL_K_MAX:
+        return df.withColumn(
+            out_col, _nearest_centroid(F.col(vec_col), centroids).cast("int")
+        )
+    return _assign_clusters_arrow(df, centroids, vec_col, out_col)
+
+
+def _assign_clusters_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0.0] = 1.0
+    cmn = cm / cn[:, None]  # normalized once, rides the closure
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
     )
+    names = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mat = np.zeros((len(pdf), cm.shape[1]), dtype=np.float64)
+            ok = np.zeros(len(pdf), dtype=bool)
+            for i, v in enumerate(vecs):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] != cm.shape[1] or np.isnan(a).any():
+                    continue
+                mat[i] = a
+                ok[i] = True
+            norms = np.linalg.norm(mat, axis=1)
+            nz = norms > 0.0
+            mat[nz] = mat[nz] / norms[nz, None]
+            sims = mat @ cmn.T  # (batch, k)
+            # zero-norm / invalid rows: all-zero sims -> argmax = 0,
+            # matching the literal path's coalesce-to-centroid-0
+            sims[~(ok & nz)] = -2.0
+            out = pdf[names].copy()
+            out[out_col] = np.argmax(sims, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(run, schema)
 
 
 def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:

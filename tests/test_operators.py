@@ -743,7 +743,7 @@ def test_semantic_k_scales_with_corpus():
     assert semantic_k_for(500) == 8          # floor
     assert semantic_k_for(50_000) == 49      # ceil(n / 1024)
     assert semantic_k_for(500_000) == 489
-    assert semantic_k_for(100_000_000) == 4096  # literal-plan ceiling
+    assert semantic_k_for(1_000_000_000) == 65536  # closure ceiling
     assert semantic_k_for(0) == 1
 
 
@@ -779,3 +779,44 @@ def test_semantic_dedup_incremental(spark):
         ).collect()
     }
     assert out[1000] == 0 and out[1001] is None
+
+
+def test_assign_clusters_arrow_path_matches_literals(spark):
+    """Past the literal ceiling assignment runs through Arrow/numpy;
+    on margin-separated data it must agree exactly with the literal
+    fold (same argmax, same lowest-index tie-break, zero-norm rows to
+    cluster 0)."""
+    import random
+
+    from scratchdata_spark.operators.semantic import (
+        _assign_clusters_arrow,
+        assign_clusters,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(80):
+        base = [0.0] * 8
+        base[i % 4] = 10.0
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in base]))
+    rows.append((500, [0.0] * 8))  # zero-norm -> cluster 0 on both paths
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[10.0 * (i == j) for j in range(8)] for i in range(4)]
+    lit = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(df, cents, "embedding").collect()
+    }
+    arrow = {
+        r.vec_id: r.cluster_id
+        for r in _assign_clusters_arrow(
+            df, cents, "embedding", "cluster_id"
+        ).collect()
+    }
+    assert lit == arrow and arrow[500] == 0
+
+    # dispatch: k > 256 takes the Arrow path and the whole pipeline
+    # still works end to end (kmeans seeds > 256 on a tiny corpus
+    # clamp to corpus size, so force the path via assign_clusters)
+    big = [[float(i == j) for j in range(8)] for i in range(300)]
+    out = assign_clusters(df, big, "embedding").collect()
+    assert all(0 <= r.cluster_id < 300 for r in out)

@@ -126,6 +126,11 @@ _ALTER_DROP_RE = re.compile(
     rf"(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
     re.I | re.S,
 )
+_COPY_FROM_RE = re.compile(
+    rf"^\s*COPY\s+({_IDENT})\s+FROM\s+'([^']+)'"
+    rf"\s*(?:\(\s*([^)]*)\s*\))?\s*;?\s*$",
+    re.I | re.S,
+)
 # engine-specific maintenance statement (the HTTP admin route's SQL
 # twin): COMPACT TABLE t [CLUSTER BY (a, b)] [MIN FILES n]
 _COMPACT_RE = re.compile(
@@ -196,6 +201,7 @@ def statement_kind(query: str) -> str | None:
         ("update", _UPDATE_RE),
         ("merge", _MERGE_RE),
         ("copy_to", _COPY_TO_RE),
+        ("copy_from", _COPY_FROM_RE),
         ("compact", _COMPACT_RE),
     ):
         if rx.match(query):
@@ -283,6 +289,8 @@ def execute(dest, query: str):
         return _exec_merge(dest, query)
     if kind == "copy_to":
         return _exec_copy_to(dest, query)
+    if kind == "copy_from":
+        return _exec_copy_from(dest, query)
     if kind == "create_view":
         return _exec_create_view(dest, query)
     if kind == "drop_view":
@@ -394,6 +402,13 @@ def validate(dest, query: str) -> None:
         _copy_source_df(dest, m.group(1))  # analyze only
         _copy_format(m.group(2), m.group(3))  # loud on unknown formats
         _resolve_copy_target(dest, m.group(2))  # confinement, pre-200
+    elif kind == "copy_from":
+        m = _COPY_FROM_RE.match(query)
+        _require_table(dest, m.group(1))
+        _copy_format(m.group(2), m.group(3))
+        src = _copy_from_source(dest, m.group(2))
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"COPY FROM source not found: {src}")
     elif kind == "create_view":
         m = _CREATE_VIEW_RE.match(query)
         _check_ident(dest, m.group(2))
@@ -1388,6 +1403,75 @@ def _exec_copy_to(dest, query: str):
             raise RuntimeError(f"COPY TO produced no output file: {path}")
         os.replace(os.path.join(out_dir, part), path)
         shutil.rmtree(out_dir, ignore_errors=True)
+    return _count_df(dest, n)
+
+
+def _copy_from_source(dest, path: str) -> str:
+    """Resolve a COPY FROM source path: relative paths resolve under
+    the export root when one is set (so COPY TO → COPY FROM
+    round-trips naturally); absolute paths read as-is — reads are
+    already reachable through the dialect's read_parquet()/read_csv
+    table functions, so this adds no privilege COPY TO's write
+    confinement exists to deny."""
+    root = getattr(dest, "export_root", None)
+    if root is not None and not os.path.isabs(path):
+        return os.path.join(root, path)
+    return path
+
+
+def _exec_copy_from(dest, query: str):
+    """DuckDB's import statement: ``COPY <table> FROM 'path'
+    [(FORMAT parquet|csv|json, HEADER, DELIMITER ',')]``.
+
+    Loads by COLUMN NAME (parquet/json naturally; csv via its
+    header): source columns not on the table error loudly, absent
+    table columns load as NULL, and values take the engine's
+    cast-on-write policy (try_cast to the declared type, malformed →
+    NULL — engine.py A9). Appends through the same staged-write +
+    adopt-by-rename path as INSERT…SELECT, so a failed load leaves
+    no partial files and `__row_id`s are assigned engine-side."""
+    m = _COPY_FROM_RE.match(query)
+    table, path, opts_text = m.groups()
+    info = _require_table(dest, table)
+    fmt, opts = _copy_format(path, opts_text)
+    src_path = _copy_from_source(dest, path)
+    reader = dest.spark.read
+    if fmt == "parquet":
+        src = reader.parquet(src_path)
+    elif fmt == "csv":
+        src = (
+            reader.option(
+                "header", opts.get("HEADER", "true").lower() != "false"
+            )
+            .option("sep", opts.get("DELIMITER", ","))
+            .csv(src_path)
+        )
+    else:
+        src = reader.json(src_path)
+    tfields = {f.name: f for f in info.struct().fields}
+    extra = [c for c in src.columns if c not in tfields]
+    if extra:
+        raise ValueError(
+            f"COPY FROM: column(s) not on {table}: {extra}"
+            " (ALTER TABLE ADD COLUMN first, or project the file)"
+        )
+    proj = []
+    for f in info.struct().fields:
+        if f.name == ROW_ID:
+            continue  # engine-assigned below (a file's ids are stale)
+        if f.name in src.columns:
+            proj.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+        else:
+            proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+    out = _with_row_id(src.select(*proj)).select(
+        *[f.name for f in info.struct().fields]
+    )
+    staging, n = _staged_write(dest, out, info.partition_col)
+    with dest.catalog.lock(dest.database, table):
+        _adopt_staged(
+            dest, staging, dest.catalog.data_dir(dest.database, table)
+        )
+    dest.plan_cache.invalidate()
     return _count_df(dest, n)
 
 

@@ -1180,3 +1180,45 @@ def test_compact_statement_rejects_empty_cluster_by(dest):
 
     with pytest.raises(ValueError, match="at least one column"):
         W.validate(dest, W.normalize("COMPACT TABLE t CLUSTER BY ( , )"))
+
+
+def test_copy_from_round_trip(dest, tmp_path):
+    """COPY TO then COPY FROM round-trips by name: values land typed
+    (cast-on-write), absent table columns come back NULL, unknown
+    source columns error, csv with header loads too."""
+    out = tmp_path / "t.parquet"
+    run(dest, f"COPY t TO '{out}'")
+    run(dest, "CREATE TABLE t2 AS SELECT g, v FROM t WHERE 1 = 0")
+    n = run(dest, f"COPY t2 FROM '{out}'")
+    assert n == [{"count": 6}]
+    assert run(dest, "SELECT count(*) AS n FROM t2") == [{"n": 6}]
+    orig = run(dest, "SELECT g, v FROM t ORDER BY v")
+    assert run(dest, "SELECT g, v FROM t2 ORDER BY v") == orig
+
+    # csv with header: ints arrive as strings, try_cast restores them
+    csvp = tmp_path / "t.csv"
+    csvp.write_text("g,v\nzz,100\nzz,101\n")
+    run(dest, f"COPY t2 FROM '{csvp}'")
+    assert run(
+        dest, "SELECT count(*) AS n FROM t2 WHERE g = 'zz' AND v >= 100"
+    ) == [{"n": 2}]
+
+    # unknown source column is loud
+    badp = tmp_path / "bad.csv"
+    badp.write_text("g,v,nope\nx,1,2\n")
+    with pytest.raises(ValueError, match="not on t2"):
+        dest.query_df(f"COPY t2 FROM '{badp}'")
+
+    # missing source column loads as NULL
+    partial = tmp_path / "partial.csv"
+    partial.write_text("g\nonly\n")
+    run(dest, f"COPY t2 FROM '{partial}'")
+    assert run(
+        dest, "SELECT v FROM t2 WHERE g = 'only'"
+    ) == [{}]  # NULL v: toJSON drops null keys
+
+    # validation: missing file fails before execution
+    from scratchdata_spark import warehouse_dml as W
+
+    with pytest.raises(FileNotFoundError):
+        W.validate(dest, W.normalize(f"COPY t2 FROM '{tmp_path}/ghost.parquet'"))

@@ -139,17 +139,15 @@ def copy_data(
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        cols = []
-        for fld in info.struct().fields:
-            if fld.name in df.columns:
-                cols.append(F.col(fld.name).try_cast(fld.dataType).alias(fld.name))
-            else:
-                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        from scratchdata_spark.jtypes import conform_to_struct
+
         # Observation: the row count rides the write job itself — the
         # plan executes exactly once (a separate .count() would re-run
         # the whole source query; VERDICT r1 "What's wrong" #4).
         obs = Observation("copy_rows")
-        out = df.select(*cols).observe(obs, F.count(F.lit(1)).alias("n"))
+        out = conform_to_struct(df, info.struct()).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
         out.write.mode("append").parquet(
             dest.catalog.data_dir(dest.database, dest_table)
         )

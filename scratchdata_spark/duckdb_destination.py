@@ -59,20 +59,30 @@ class DuckDBDestination(Destination):
 
     def _confine(self, query: str) -> str:
         """Rewrite a COPY … TO target to its export-root-resolved path
-        (refusing escapes) before DuckDB sees it."""
+        (refusing escapes) before DuckDB sees it; COPY … FROM relative
+        sources resolve under the same root so an export round-trips
+        (native DuckDB would otherwise resolve them against the
+        process cwd, unlike the Spark engine's statement)."""
         if self.export_root is None:
             return query
         from scratchdata_spark.warehouse_dml import (
+            _COPY_FROM_RE,
             _COPY_TO_RE,
+            _copy_from_source,
             _resolve_copy_target,
         )
 
         m = _COPY_TO_RE.match(query)
-        if m is None:
-            return query
-        resolved = _resolve_copy_target(self, m.group(2))
-        opts = f" ({m.group(3)})" if m.group(3) else ""
-        return f"COPY {m.group(1)} TO '{resolved}'{opts}"
+        if m is not None:
+            resolved = _resolve_copy_target(self, m.group(2))
+            opts = f" ({m.group(3)})" if m.group(3) else ""
+            return f"COPY {m.group(1)} TO '{resolved}'{opts}"
+        m = _COPY_FROM_RE.match(query)
+        if m is not None:
+            resolved = _copy_from_source(self, m.group(2))
+            opts = f" ({m.group(3)})" if m.group(3) else ""
+            return f"COPY {m.group(1)} FROM '{resolved}'{opts}"
+        return query
 
     def _rows(self, query: str):
         with self._lock:

@@ -706,16 +706,9 @@ class SparkDestination(DataFrameSerializers, Destination):
                 .option("mode", "DROPMALFORMED")
                 .json(ndjson_path)
             )
-            target = info.struct()
-            cols = []
-            for f in target.fields:
-                if f.name in raw.columns:
-                    # try_cast: non-castable → NULL (ANSI-safe), per the
-                    # documented cast-on-write policy.
-                    cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
-                else:
-                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            out = raw.select(*cols)
+            from scratchdata_spark.jtypes import conform_to_struct
+
+            out = conform_to_struct(raw, info.struct())
             # A5: assign a snowflake __row_id wherever the batch lacks one.
             from scratchdata_spark.ids import snowflake_column
 

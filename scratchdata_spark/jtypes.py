@@ -135,3 +135,20 @@ def merge_schemas(existing: StructType, batch: StructType) -> StructType:
         if f.name not in have:
             fields.append(StructField(f.name, f.dataType, True))
     return StructType(fields)
+
+
+def conform_to_struct(df, struct: StructType):
+    """Project ``df`` onto ``struct``'s fields by NAME: present
+    columns ``try_cast`` to the declared type (the cast-on-write
+    policy, A9 — malformed values become NULL, the column never
+    retypes), absent columns become typed NULLs. The single
+    implementation behind bulk NDJSON load (engine.py), cross-table
+    copy (copy.py), and ``COPY … FROM`` (warehouse_dml.py)."""
+    from pyspark.sql import functions as F
+
+    return df.select(*[
+        F.col(f.name).try_cast(f.dataType).alias(f.name)
+        if f.name in df.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in struct.fields
+    ])

@@ -12,12 +12,12 @@ is beyond-parity surface for the training-data pipeline).
 Scale shape:
 
 * ``kmeans_fit`` is distributed Lloyd's: the assignment step is a
-  map-only pass (centroids ride the plan as literals — k×dim floats),
-  the update step is ONE posexplode shuffle per iteration whose
-  map-side partial aggregation reduces each partition to at most
-  k×dim rows before the exchange, and only k×dim sums ever return to
-  the driver per iteration (metadata-sized, same budget as IVF's
-  centroid broadcast in similarity.py).
+  map-only pass (centroid literals in a codegen'd fold up to k=256,
+  an Arrow/numpy GEMM in mapInPandas beyond), the update step is ONE
+  aggregation shuffle per iteration carrying at most k dim-wide sum
+  rows per partition, and only k rows of dim doubles return to the
+  driver per iteration (~k×dim×8 bytes — the same budget as the
+  centroid matrix itself).
 * ``semantic_dedup`` reuses the capped grouped-combinatorics pair
   shape from the dedup/similarity tiers: (id, cluster) rides the
   pair-generation shuffle — never the vectors — and vectors+norms
@@ -104,11 +104,11 @@ def kmeans_fit(
     Seeding is deterministic: the k lowest-``id_col`` vectors (pass
     ``id_col``; without it the first k rows of an ``orderBy`` on the
     vector itself are used, still deterministic but slower).  Each
-    iteration costs one map-only assignment pass + one posexplode
-    shuffle whose partial aggregation bounds the exchange at
-    k×dim×partitions rows; empty clusters retain their previous
-    centroid.  Stops early when no centroid moves more than ``tol``
-    in any coordinate.
+    iteration costs one map-only assignment pass + one aggregation
+    shuffle whose partial aggregation bounds the exchange at k
+    dim-wide sum rows per partition (k rows × dim doubles reach the
+    driver); empty clusters retain their previous centroid.  Stops
+    early when no centroid moves more than ``tol`` in any coordinate.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -143,35 +143,41 @@ def kmeans_fit(
         ]  # corpus smaller than k -> fewer centroids, same mechanics
         if not centroids:
             raise ValueError("kmeans_fit: empty input")
+        dim = len(centroids[0])
+        per_dim_sums = [
+            F.sum(
+                F.element_at(F.col("__vec"), i + 1).cast("double")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ]
+        # ragged vectors can't vote (ANSI element_at throws past the
+        # end); assign_clusters still places them at query time
+        vf = v.filter(F.size("__vec") == dim)
         for _ in range(max_iter):
             # assign_clusters dispatches literals vs the Arrow path by
             # k, so the fit itself scales past the literal ceiling
             assigned = assign_clusters(
-                v.select("__vec"), centroids, "__vec", out_col="__c"
+                vf.select("__vec"), centroids, "__vec", out_col="__c"
             ).select("__c", "__vec")
+            # one dim-wide sum row PER CLUSTER: the exchange carries k
+            # rows per partition and the driver collects k rows of
+            # dim doubles (~k*dim*8 bytes — the same budget as the
+            # centroid closure), not k*dim exploded rows
             sums = (
-                assigned.select(
-                    "__c", F.posexplode("__vec").alias("__p", "__x")
-                )
-                .groupBy("__c", "__p")
-                .agg(
-                    F.sum(F.col("__x").cast("double")).alias("__s"),
-                    F.count("*").alias("__n"),
-                )
-                .collect()  # metadata-sized: k*dim rows
+                assigned.groupBy("__c")
+                .agg(F.count("*").alias("__n"), *per_dim_sums)
+                .collect()
             )
             new = [list(c) for c in centroids]
-            acc: dict[int, dict[int, tuple[float, int]]] = {}
             for r in sums:
-                acc.setdefault(r["__c"], {})[r["__p"]] = (r["__s"], r["__n"])
-            for ci, dims in acc.items():
+                ci, n_c = r["__c"], r["__n"]
                 new[ci] = [
                     # defensive: a NULL sum (shouldn't survive the
                     # element filter) keeps the previous coordinate
-                    dims[p][0] / dims[p][1]
-                    if dims[p][0] is not None
-                    else new[ci][p]
-                    for p in sorted(dims)
+                    r[f"__s{i}"] / n_c
+                    if r[f"__s{i}"] is not None
+                    else new[ci][i]
+                    for i in range(dim)
                 ]
             shift = max(
                 (
@@ -237,23 +243,25 @@ def _assign_clusters_arrow(
     cn = np.linalg.norm(cm, axis=1)
     cn[cn == 0.0] = 1.0
     cmn = cm / cn[:, None]  # normalized once, rides the closure
+    dim = int(cmn.shape[1])  # referenced inside run() so the RAW
+    del cm, cn               # matrix is NOT captured (half the pickle)
+    if out_col in df.columns:
+        df = df.drop(out_col)  # withColumn-replace semantics, both paths
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, IntegerType())]
     )
     names = [f.name for f in df.schema.fields]
 
     def run(batches):
-        import pandas as pd
-
         for pdf in batches:
             vecs = pdf[vec_col]
-            mat = np.zeros((len(pdf), cm.shape[1]), dtype=np.float64)
+            mat = np.zeros((len(pdf), dim), dtype=np.float64)
             ok = np.zeros(len(pdf), dtype=bool)
             for i, v in enumerate(vecs):
                 if v is None:
                     continue
                 a = np.asarray(v, dtype=np.float64)
-                if a.shape[0] != cm.shape[1] or np.isnan(a).any():
+                if a.shape[0] != dim or np.isnan(a).any():
                     continue
                 mat[i] = a
                 ok[i] = True

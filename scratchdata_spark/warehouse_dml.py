@@ -403,11 +403,21 @@ def validate(dest, query: str) -> None:
         _copy_format(m.group(2), m.group(3))  # loud on unknown formats
         _resolve_copy_target(dest, m.group(2))  # confinement, pre-200
     elif kind == "copy_from":
+        import glob as _glob
+
         m = _COPY_FROM_RE.match(query)
         _require_table(dest, m.group(1))
-        _copy_format(m.group(2), m.group(3))
+        fmt, opts = _copy_format(m.group(2), m.group(3), stmt="COPY FROM")
+        if fmt == "csv" and opts.get("HEADER", "true").lower() == "false":
+            raise ValueError(
+                "COPY FROM: HEADER false is unsupported — the load"
+                " aligns by column NAME, which headerless CSV cannot"
+                " provide"
+            )
         src = _copy_from_source(dest, m.group(2))
-        if not os.path.exists(src):
+        # glob.glob covers literal paths too; Spark's reader expands
+        # */? patterns, so a valid glob must pass validation
+        if not _glob.glob(src):
             raise FileNotFoundError(f"COPY FROM source not found: {src}")
     elif kind == "create_view":
         m = _CREATE_VIEW_RE.match(query)
@@ -1310,7 +1320,9 @@ def _parse_copy_options(opts: str | None) -> dict[str, str]:
     return out
 
 
-def _copy_format(path: str, opts_text: str | None) -> tuple[str, dict]:
+def _copy_format(
+    path: str, opts_text: str | None, stmt: str = "COPY TO"
+) -> tuple[str, dict]:
     opts = _parse_copy_options(opts_text)
     fmt = opts.get("FORMAT", "").lower()
     if not fmt:
@@ -1319,7 +1331,7 @@ def _copy_format(path: str, opts_text: str | None) -> tuple[str, dict]:
                "ndjson": "json", "jsonl": "json"}.get(ext, "")
     if fmt not in ("parquet", "csv", "json"):
         raise ValueError(
-            f"COPY TO: unsupported format {fmt or '(none)'} — use a"
+            f"{stmt}: unsupported format {fmt or '(none)'} — use a"
             " .parquet/.csv/.json path or FORMAT parquet|csv|json"
         )
     return fmt, opts
@@ -1433,16 +1445,20 @@ def _exec_copy_from(dest, query: str):
     m = _COPY_FROM_RE.match(query)
     table, path, opts_text = m.groups()
     info = _require_table(dest, table)
-    fmt, opts = _copy_format(path, opts_text)
+    fmt, opts = _copy_format(path, opts_text, stmt="COPY FROM")
     src_path = _copy_from_source(dest, path)
     reader = dest.spark.read
     if fmt == "parquet":
         src = reader.parquet(src_path)
     elif fmt == "csv":
-        src = (
-            reader.option(
-                "header", opts.get("HEADER", "true").lower() != "false"
+        if opts.get("HEADER", "true").lower() == "false":
+            raise ValueError(
+                "COPY FROM: HEADER false is unsupported — the load"
+                " aligns by column NAME, which headerless CSV cannot"
+                " provide"
             )
+        src = (
+            reader.option("header", True)
             .option("sep", opts.get("DELIMITER", ","))
             .csv(src_path)
         )
@@ -1455,17 +1471,13 @@ def _exec_copy_from(dest, query: str):
             f"COPY FROM: column(s) not on {table}: {extra}"
             " (ALTER TABLE ADD COLUMN first, or project the file)"
         )
-    proj = []
-    for f in info.struct().fields:
-        if f.name == ROW_ID:
-            continue  # engine-assigned below (a file's ids are stale)
-        if f.name in src.columns:
-            proj.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
-        else:
-            proj.append(F.lit(None).cast(f.dataType).alias(f.name))
-    out = _with_row_id(src.select(*proj)).select(
-        *[f.name for f in info.struct().fields]
-    )
+    from scratchdata_spark.jtypes import conform_to_struct
+
+    if ROW_ID in src.columns:
+        src = src.drop(ROW_ID)  # a file's ids are stale; engine assigns
+    out = _with_row_id(
+        conform_to_struct(src, info.struct()).drop(ROW_ID)
+    ).select(*[f.name for f in info.struct().fields])
     staging, n = _staged_write(dest, out, info.partition_col)
     with dest.catalog.lock(dest.database, table):
         _adopt_staged(

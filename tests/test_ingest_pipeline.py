@@ -258,3 +258,28 @@ def test_duckdb_copy_to_confined(tmp_path):
         f"copy (select 1 as x) to '{tmp_path}/fine.csv'", io.StringIO()
     )
     assert (tmp_path / "fine.csv").is_file()
+
+
+def test_duckdb_confine_rewrites_copy_from(tmp_path):
+    """The DuckDB twin resolves relative COPY FROM sources under the
+    export root, so COPY TO -> COPY FROM round-trips like the Spark
+    engine's statement pair (native DuckDB would read cwd)."""
+    from scratchdata_spark.duckdb_destination import DuckDBDestination
+
+    d = DuckDBDestination(":memory:", export_root=str(tmp_path / "exp"))
+    with d._lock:
+        d.conn.execute("CREATE TABLE t (a INT, b VARCHAR)")
+        d.conn.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    import io, json
+
+    out = io.StringIO()
+    d.query_json("COPY t TO 'rt.csv'", out)
+    with d._lock:
+        d.conn.execute("CREATE TABLE t2 (a INT, b VARCHAR)")
+    out2 = io.StringIO()
+    d.query_json("COPY t2 FROM 'rt.csv'", out2)
+    out3 = io.StringIO()
+    d.query_json("SELECT a, b FROM t2 ORDER BY a", out3)
+    assert json.loads(out3.getvalue()) == [
+        {"a": 1, "b": "x"}, {"a": 2, "b": "y"},
+    ]

@@ -46,8 +46,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_approx_count_distinct, x_multimodal_features, x_split_train_val,
 # plus x_pack_sequences + x_sample_stratified +
 # q_nested_flatten_multitable_depth2 — pushed past the edge by the
-# round-5 newcomers — and the past-edge newcomer
-# x_dedup_simhash_pairs; x_semantic/time-travel entries get r5 rows)
+# round-5 newcomers — and the past-edge newcomers
+# x_dedup_simhash_pairs, q_dml_copy_roundtrip,
+# q_dml_compact_roundtrip (never driver-checked);
+# x_semantic/time-travel entries get r5 rows)
 # reach staleness 2 at r5 and MUST front the r6 window.
 _PRIORITY = [
     "q01_pricing_summary",  # flagship stays first (sanity row)

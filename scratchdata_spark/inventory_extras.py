@@ -1770,3 +1770,89 @@ def q_dml_timetravel_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
+    "q_dml_copy_roundtrip",
+    """
+    SELECT l_returnflag AS rf,
+           ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_dml_copy_roundtrip(spark, sf_dir):
+    """COPY TO → COPY FROM under the driver's hash gate: the entry
+    CTASes an aggregate, exports it to parquet, re-imports into an
+    empty clone, and answers from the clone — the hash only matches
+    if the export/import pair is lossless (by-name align, typed
+    values, engine row ids re-assigned). Temp warehouse per call."""
+    import shutil
+    import tempfile
+
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    tmp = tempfile.mkdtemp(prefix="dmlcp_")
+    try:
+        cat = TableCatalog(tmp)
+        d = SparkDestination(spark.newSession(), cat, "cp")
+        d.query_df(
+            "create table src as select l_returnflag as rf,"
+            " round(sum(cast(l_quantity as double)), 2) as qty"
+            f" from read_parquet('{sf_dir}/lineitem.parquet')"
+            " group by l_returnflag"
+        )
+        d.query_df(f"copy src to '{tmp}/rt.parquet'")
+        d.query_df("create table dst as select rf, qty from src where 1 = 0")
+        d.query_df(f"copy dst from '{tmp}/rt.parquet'")
+        out = d.query_df("select rf, qty from dst")
+        rows = out.collect()  # ≤5 rows — see q_dml_ctas_roundtrip note
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
+    "q_dml_compact_roundtrip",
+    """
+    SELECT l_returnflag AS rf,
+           ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_dml_compact_roundtrip(spark, sf_dir):
+    """COMPACT TABLE under the driver's hash gate: build a table from
+    two INSERT batches (≥2 files), compact through the statement path,
+    and answer from the flipped generation — the hash only matches if
+    the rewrite/flip preserved every row. Temp warehouse per call."""
+    import shutil
+    import tempfile
+
+    from scratchdata_spark.catalog import TableCatalog
+    from scratchdata_spark.engine import SparkDestination
+
+    tmp = tempfile.mkdtemp(prefix="dmlcm_")
+    try:
+        cat = TableCatalog(tmp)
+        d = SparkDestination(spark.newSession(), cat, "cm")
+        d.query_df(
+            "create table t as select l_returnflag as rf,"
+            " round(sum(cast(l_quantity as double)), 2) as qty"
+            f" from read_parquet('{sf_dir}/lineitem.parquet')"
+            " where l_orderkey % 2 = 0 group by l_returnflag"
+        )
+        d.query_df(
+            "insert into t select l_returnflag as rf,"
+            " round(sum(cast(l_quantity as double)), 2) as qty"
+            f" from read_parquet('{sf_dir}/lineitem.parquet')"
+            " where l_orderkey % 2 = 1 group by l_returnflag"
+        )
+        d.query_df("compact table t min files 1")
+        assert cat.get("cm", "t").generation == 1
+        out = d.query_df(
+            "select rf, round(sum(qty), 2) as qty from t group by rf"
+        )
+        rows = out.collect()  # ≤5 rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_nested_flatten_multitable_depth2 — pushed past the edge by the
 # round-5 newcomers — and the past-edge newcomers
 # x_dedup_simhash_pairs, q_dml_copy_roundtrip,
-# q_dml_compact_roundtrip (never driver-checked);
+# q_dml_compact_roundtrip, x_lm_perplexity (never driver-checked);
 # x_semantic/time-travel entries get r5 rows)
 # reach staleness 2 at r5 and MUST front the r6 window.
 _PRIORITY = [

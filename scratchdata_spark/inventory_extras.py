@@ -1856,3 +1856,52 @@ def q_dml_compact_roundtrip(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@q(
+    "x_lm_perplexity",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY w
+    ),
+    vs AS (SELECT COUNT(*) AS v FROM uni),
+    pairs AS (
+      SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS p
+        FROM docs WHERE len(ws) >= 2
+      )
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2
+    ),
+    sc AS (
+      SELECT pr.doc_id, COUNT(*) AS nb,
+             ROUND(AVG(ln((COALESCE(c2, 0) + 1)
+                          / (COALESCE(c1, 0) + (SELECT v FROM vs)))), 6)
+               AS mean_logprob
+      FROM pairs pr
+      LEFT JOIN big USING (w1, w2)
+      LEFT JOIN uni ON uni.w = pr.w1
+      GROUP BY pr.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(nb, 0) AS INTEGER) AS n_bigrams,
+           mean_logprob
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+)
+def x_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity quality scoring (operators/lm.py): fit
+    add-one-smoothed bigram counts on the corpus itself, score each
+    document by mean bigram log-probability — the CCNet-style quality
+    filter, fully oracle-able (counts + joins + ln). Bigram
+    extraction is map-only array combinatorics; the fit is two
+    count shuffles."""
+    from scratchdata_spark.operators.lm import lm_perplexity
+
+    d = load(spark, sf_dir)["documents"]
+    return lm_perplexity(d, "doc_id", "text")

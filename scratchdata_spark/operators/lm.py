@@ -1,0 +1,122 @@
+"""N-gram language-model perplexity scoring — the classic corpus
+quality filter (CCNet-style: documents whose token sequences are
+improbable under a reference LM are boilerplate, gibberish, or the
+wrong language; see Wenzek et al., "CCNet", arXiv:1911.00359).
+
+This implementation fits a bigram model with add-one smoothing over a
+reference corpus (often the corpus itself) and scores each document
+by its mean bigram log-probability — fully SQL-expressible (counts,
+joins, log), so the registry entry runs under the driver's hash gate.
+
+Scale shape: bigram extraction is MAP-ONLY (array combinatorics over
+the token split — never a positional self-join); fitting is two
+count aggregations (unigrams, bigrams), one shuffle each with
+map-side partial aggregation; scoring joins each document's bigrams
+against the count tables on token text (AQE broadcasts the count
+side when small). At 100 TB the reference model is fit once on a
+SAMPLE and reused — pass the fitted triple via ``counts`` so
+increments don't re-aggregate the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scratchdata_spark.operators import ensure_parallelism
+from scratchdata_spark.operators.dedup import normalize_text
+
+
+def _words(text_col):
+    return F.split(normalize_text(F.col(text_col)), " ")
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) for every adjacent token pair — map-only: the
+    pair array builds inside the row (guarded for <2 tokens, where
+    sequence() would error) and explodes."""
+    ws = _words(text_col)
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(pairs).alias("p")
+    ).select("__id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def ngram_lm_fit(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit the bigram model: returns (unigram counts (w, c1), bigram
+    counts (w1, w2, c2), vocabulary size). Two aggregations, one
+    shuffle each; V is a driver scalar (it parameterizes the
+    smoothing literal)."""
+    src = ensure_parallelism(df)
+    uni = (
+        src.select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = (
+        _bigrams(src, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    v = uni.count()
+    return uni, big, v
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counts: tuple[DataFrame, DataFrame, int] | None = None,
+    out_col: str = "mean_logprob",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under add-one
+    smoothing: ``mean over bigrams of ln((c2 + 1) / (c1 + V))``.
+    Higher (closer to 0) = more typical of the reference corpus;
+    filter the low tail for quality. Documents with fewer than two
+    tokens score NULL (no bigrams). Returns (id, n_bigrams,
+    ``out_col`` rounded to 6 — the cross-engine hash-comparable
+    precision).
+
+    ``counts=None`` fits the model on ``df`` itself (self-perplexity,
+    the standard single-corpus quality pass); pass a fitted triple to
+    score an increment against a reference corpus.
+    """
+    if counts is None:
+        counts = ngram_lm_fit(df, text_col, id_col)
+    uni, big, v = counts
+    pairs = _bigrams(ensure_parallelism(df), id_col, text_col)
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .select(
+            "__id",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(v)))
+            ).alias("__lp"),
+        )
+    )
+    agg = scored.groupBy("__id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias(out_col),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            out_col,
+        )
+    )

@@ -820,3 +820,33 @@ def test_assign_clusters_arrow_path_matches_literals(spark):
     big = [[float(i == j) for j in range(8)] for i in range(300)]
     out = assign_clusters(df, big, "embedding").collect()
     assert all(0 <= r.cluster_id < 300 for r in out)
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Add-one-smoothed bigram log-probs on a 3-doc corpus match the
+    hand calculation; a single-token doc scores NULL with 0 bigrams;
+    a fitted model reuses for an increment (no refit)."""
+    import math
+
+    from scratchdata_spark.operators.lm import lm_perplexity, ngram_lm_fit
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo")], "doc_id long, text string"
+    )
+    # unigrams a:3 b:2 solo:1 -> V=3; bigrams (a,b):2 (b,a):1
+    out = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+           for r in lm_perplexity(df, "doc_id", "text").collect()}
+    lp_ab = math.log((2 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (2 + 3))
+    assert out[1][0] == 2
+    assert out[1][1] == pytest.approx((lp_ab + lp_ba) / 2, abs=1e-6)
+    assert out[2] == (1, pytest.approx(lp_ab, abs=1e-6))
+    assert out[3] == (0, None)
+
+    # reference-model reuse: unseen bigram/word falls back to the
+    # smoothing floor ln(1 / (0 + V))
+    counts = ngram_lm_fit(df, "text", "doc_id")
+    inc = spark.createDataFrame([(9, "zz qq")], "doc_id long, text string")
+    r = lm_perplexity(inc, "doc_id", "text", counts=counts).collect()[0]
+    assert r.n_bigrams == 1
+    assert r.mean_logprob == pytest.approx(math.log(1 / 3), abs=1e-6)

@@ -474,3 +474,14 @@ def test_simhash_entry_shuffle_carries_no_text(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_lm_bigram_extraction_is_map_only(spark, sf_dir):
+    """Bigrams build inside the row (array combinatorics) — the
+    extraction itself must plan with no exchange and no join."""
+    from scratchdata_spark.operators.lm import _bigrams
+
+    d = load(spark, sf_dir)["documents"]
+    p = plan(_bigrams(d, "doc_id", "text"))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p

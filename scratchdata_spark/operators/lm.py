@@ -58,16 +58,23 @@ def ngram_lm_fit(
     counts (w1, w2, c2), vocabulary size). Two aggregations, one
     shuffle each; V is a driver scalar (it parameterizes the
     smoothing literal)."""
+    from pyspark import StorageLevel
+
     src = ensure_parallelism(df)
     uni = (
         src.select(F.explode(_words(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
+        # persisted: the triple is the reusable model — scoring (and
+        # every increment scored later) must not re-aggregate the
+        # reference corpus; the count below materializes the cache
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     big = (
         _bigrams(src, id_col, text_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     v = uni.count()
     return uni, big, v

@@ -454,10 +454,27 @@ class SparkDestination(DataFrameSerializers, Destination):
         else:
             self._views_fp = None
 
+    def _rewrite_table_at(self, sql: str) -> str:
+        """Swap table_at('t', N) calls (outside literals/comments) for
+        freshly registered generation-snapshot views — shared by the
+        query path and stored views."""
+        if not _TABLE_AT_RE.search(sql):
+            return sql
+
+        def _travel(m: "re.Match[str]") -> str:
+            t, g = m.group(1), int(m.group(2))
+            vname = f"__at_{t}_g{g}"
+            self.read_generation(t, g).createOrReplaceTempView(vname)
+            return vname
+
+        return _sub_in_code(sql, _TABLE_AT_RE, _travel)
+
     def view_df(self, sql: str) -> DataFrame:
         """DataFrame for a stored view's SQL — with the same DuckDB
-        dialect fallback the query path has (a saved view's text may
-        be dialect SQL)."""
+        dialect fallback AND table_at() time-travel rewrite the query
+        path has (a saved view may be dialect SQL or pin a
+        generation snapshot)."""
+        sql = self._rewrite_table_at(sql)
         try:
             return self.spark.sql(sql)
         except Exception:
@@ -499,18 +516,7 @@ class SparkDestination(DataFrameSerializers, Destination):
             # swaps the call for the view name BEFORE spark.sql —
             # engine-specific surface, deliberately outside the
             # DuckDB dialect fallback (DuckDB has no equivalent).
-            sql_text = query
-            if _TABLE_AT_RE.search(sql_text):
-
-                def _travel(m: "re.Match[str]") -> str:
-                    t, g = m.group(1), int(m.group(2))
-                    vname = f"__at_{t}_g{g}"
-                    self.read_generation(t, g).createOrReplaceTempView(
-                        vname
-                    )
-                    return vname
-
-                sql_text = _sub_in_code(sql_text, _TABLE_AT_RE, _travel)
+            sql_text = self._rewrite_table_at(query)
             try:
                 return self.spark.sql(sql_text)
             except Exception as stock_err:

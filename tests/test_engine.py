@@ -507,3 +507,24 @@ def test_default_retention_parent_snapshot_complete_after_pruned_dml(
     assert old == {0, 1, 2, 3, 4, 5}
     now = {r.a for r in dest.query_df("SELECT a FROM d").collect()}
     assert now == {0, 1, 2, 4, 5}
+
+
+def test_stored_view_over_time_travel(spark, tmp_path):
+    """A stored view may pin a generation snapshot: CREATE VIEW over
+    table_at('t', N) analyzes, registers, and serves the frozen rows
+    even after the base table mutates."""
+    dest = SparkDestination(
+        spark, TableCatalog(str(tmp_path / "warehouse")), "vtt",
+        retain_generations=3,
+    )
+    for i in range(4):
+        _insert(dest, "t", [f'{{"a": {i}}}'])
+    dest.compact_table("t", min_files=2)          # -> g1
+    dest.query_df(
+        "CREATE VIEW snap AS SELECT a FROM table_at('t', 1)"
+    )
+    dest.query_df("DELETE FROM t WHERE a = 2")    # -> g2
+    live = {r.a for r in dest.query_df("SELECT a FROM t").collect()}
+    frozen = {r.a for r in dest.query_df("SELECT a FROM snap").collect()}
+    assert live == {0, 1, 3}
+    assert frozen == {0, 1, 2, 3}

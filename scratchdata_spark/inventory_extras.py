@@ -1835,15 +1835,19 @@ def q_dml_compact_roundtrip(spark, sf_dir):
     try:
         cat = TableCatalog(tmp)
         d = SparkDestination(spark.newSession(), cat, "cm")
+        # partial sums stay UNROUNDED in the table: round(a)+round(b)
+        # != round(a+b) in general, so rounding only the final answer
+        # keeps the hash robust to fractional measures, not just
+        # TPC-H's integral quantities
         d.query_df(
             "create table t as select l_returnflag as rf,"
-            " round(sum(cast(l_quantity as double)), 2) as qty"
+            " sum(cast(l_quantity as double)) as qty"
             f" from read_parquet('{sf_dir}/lineitem.parquet')"
             " where l_orderkey % 2 = 0 group by l_returnflag"
         )
         d.query_df(
             "insert into t select l_returnflag as rf,"
-            " round(sum(cast(l_quantity as double)), 2) as qty"
+            " sum(cast(l_quantity as double)) as qty"
             f" from read_parquet('{sf_dir}/lineitem.parquet')"
             " where l_orderkey % 2 = 1 group by l_returnflag"
         )

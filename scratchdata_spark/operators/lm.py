@@ -33,31 +33,34 @@ def _words(text_col):
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) for every adjacent token pair — map-only: the
-    pair array builds inside the row (guarded for <2 tokens, where
-    sequence() would error) and explodes."""
-    ws = _words(text_col)
-    pairs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(
-                F.element_at(ws, i).alias("w1"),
-                F.element_at(ws, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array())
+    pair array builds inside the row (text.adjacent_pairs, shared
+    with the repetition metrics) and explodes."""
+    from scratchdata_spark.operators.text import adjacent_pairs
+
     return df.select(
-        F.col(id_col).alias("__id"), F.explode(pairs).alias("p")
+        F.col(id_col).alias("__id"),
+        F.explode(adjacent_pairs(_words(text_col))).alias("p"),
     ).select("__id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
 
 def ngram_lm_fit(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Fit the bigram model: returns (unigram counts (w, c1), bigram
     counts (w1, w2, c2), vocabulary size). Two aggregations, one
     shuffle each; V is a driver scalar (it parameterizes the
-    smoothing literal)."""
+    smoothing literal).
+
+    ``persist=True`` (the fit-once-score-many default) caches both
+    count tables — the vocabulary count below materializes them — so
+    increments scored later don't re-aggregate the reference corpus;
+    the caller owns the handles (unpersist when done). The one-shot
+    self-fit inside :func:`lm_perplexity` passes False: its counts
+    live inside a single scoring plan, and an unowned cache would
+    leak executor storage per call."""
     from pyspark import StorageLevel
 
     src = ensure_parallelism(df)
@@ -65,17 +68,15 @@ def ngram_lm_fit(
         src.select(F.explode(_words(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
-        # persisted: the triple is the reusable model — scoring (and
-        # every increment scored later) must not re-aggregate the
-        # reference corpus; the count below materializes the cache
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     big = (
         _bigrams(src, id_col, text_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist:
+        uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+        big = big.persist(StorageLevel.MEMORY_AND_DISK)
     v = uni.count()
     return uni, big, v
 
@@ -100,8 +101,12 @@ def lm_perplexity(
     score an increment against a reference corpus.
     """
     if counts is None:
-        counts = ngram_lm_fit(df, text_col, id_col)
+        counts = ngram_lm_fit(df, id_col, text_col, persist=False)
     uni, big, v = counts
+    if v <= 0:
+        # an empty reference model would put 0 in the smoothing
+        # denominator (ANSI mode throws; non-ANSI silently NULLs)
+        raise ValueError("lm_perplexity: empty reference model (V=0)")
     pairs = _bigrams(ensure_parallelism(df), id_col, text_col)
     scored = (
         pairs.join(big, ["w1", "w2"], "left")

@@ -124,22 +124,36 @@ def dup_token_fraction(col) -> Column:
     )
 
 
+def adjacent_pairs(arr):
+    """``array<struct<w1, w2>>`` of adjacent elements — empty below 2
+    elements (``sequence(1, 0)`` would DESCEND, so the guard is load-
+    bearing). The one implementation behind every bigram consumer
+    (top_bigram_fraction here, the LM operators in lm.py)."""
+    n = F.size(arr)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def top_bigram_fraction(col) -> Column:
     """Occurrence share of the most frequent word bigram (Gopher's
     top-2-gram filter). Pure HOF expression — O(unique·total) per row,
     JVM-side; fine for document-sized inputs and exactly mirrorable in
     DuckDB list functions."""
     toks = F.split(normalize_text(col), " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+    grams = F.transform(
+        adjacent_pairs(toks),
+        lambda p: F.concat_ws(
+            " ", p.getField("w1"), p.getField("w2")
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
     counts = F.transform(
         F.array_distinct(grams),
         lambda g: F.size(F.filter(grams, lambda x: x == g)),

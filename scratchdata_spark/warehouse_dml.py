@@ -305,9 +305,12 @@ def execute(dest, query: str):
 
 
 def validate(dest, query: str) -> None:
-    """Zero-side-effect validation: statement shape, target rules, and
-    the embedded SELECT's analysis. The API calls this before it
-    commits to a 200; execution happens exactly once, later."""
+    """Zero-side-effect validation ON WAREHOUSE STATE: statement
+    shape, target rules, and the embedded SELECT's analysis. The API
+    calls this before it commits to a 200; execution happens exactly
+    once, later. (Analyzing a view/SELECT over ``table_at()`` does
+    register session-scoped ``__at_*`` temp views — an idempotent
+    session-catalog convenience, not a warehouse mutation.)"""
     kind = statement_kind(query)
     if kind == "ctas":
         m = _CTAS_RE.match(query)

@@ -845,7 +845,7 @@ def test_lm_perplexity_hand_computed(spark):
 
     # reference-model reuse: unseen bigram/word falls back to the
     # smoothing floor ln(1 / (0 + V))
-    counts = ngram_lm_fit(df, "text", "doc_id")
+    counts = ngram_lm_fit(df, "doc_id", "text")
     inc = spark.createDataFrame([(9, "zz qq")], "doc_id long, text string")
     r = lm_perplexity(inc, "doc_id", "text", counts=counts).collect()[0]
     assert r.n_bigrams == 1

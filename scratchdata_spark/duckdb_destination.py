@@ -14,6 +14,7 @@ Mirrors the reference's DuckDB driver behavior:
 from __future__ import annotations
 
 import json
+import re
 import threading
 from typing import IO
 
@@ -57,36 +58,75 @@ class DuckDBDestination(Destination):
     def query_df(self, query: str):
         raise NotImplementedError("DuckDB destination has no DataFrame surface")
 
-    def _confine(self, query: str) -> str:
-        """Rewrite a COPY … TO target to its export-root-resolved path
-        (refusing escapes) before DuckDB sees it; COPY … FROM relative
-        sources resolve under the same root so an export round-trips
-        (native DuckDB would otherwise resolve them against the
-        process cwd, unlike the Spark engine's statement)."""
+    # Statement heads that reach the filesystem / extension dir /
+    # settings outside the in-database surface.  duckdb.execute() runs
+    # multi-statement strings, so the confined path must gate EVERY
+    # statement, not regex-rewrite one shape: SET/RESET/PRAGMA are
+    # denied so a query cannot flip enable_external_access or
+    # temp_directory; ATTACH/EXPORT/IMPORT create files; INSTALL/LOAD
+    # and FORCE INSTALL write the extension dir; CALL is a table-
+    # function escape hatch nobody needs on the query API.
+    _DENY_HEAD = re.compile(
+        r"(COPY|EXPORT|IMPORT|ATTACH|DETACH|INSTALL|FORCE|LOAD"
+        r"|SET|RESET|PRAGMA|CALL)\b",
+        re.I,
+    )
+
+    def _confine(self, query: str) -> list[str]:
+        """Split the submitted text into statements (comment- and
+        literal-aware — duckdb's execute() runs multi-statement
+        strings, so one anchored regex over the whole text is NOT a
+        gate), then per statement: rewrite a COPY … TO/FROM target to
+        its export-root-resolved path (refusing escapes), and reject
+        any other statement whose head could touch the filesystem or
+        re-open it via settings.  None export_root = unconfined
+        embedded/library use, passed through untouched."""
         if self.export_root is None:
-            return query
+            return [query]
         from scratchdata_spark.warehouse_dml import (
             _COPY_FROM_RE,
             _COPY_TO_RE,
             _copy_from_source,
             _resolve_copy_target,
+            normalize,
+            split_script,
         )
 
-        m = _COPY_TO_RE.match(query)
-        if m is not None:
-            resolved = _resolve_copy_target(self, m.group(2))
-            opts = f" ({m.group(3)})" if m.group(3) else ""
-            return f"COPY {m.group(1)} TO '{resolved}'{opts}"
-        m = _COPY_FROM_RE.match(query)
-        if m is not None:
-            resolved = _copy_from_source(self, m.group(2))
-            opts = f" ({m.group(3)})" if m.group(3) else ""
-            return f"COPY {m.group(1)} FROM '{resolved}'{opts}"
-        return query
+        out: list[str] = []
+        for stmt in split_script(query):
+            stmt = normalize(stmt).strip()
+            if not stmt:
+                continue
+            m = _COPY_TO_RE.match(stmt)
+            if m is not None:
+                resolved = _resolve_copy_target(self, m.group(2))
+                opts = f" ({m.group(3)})" if m.group(3) else ""
+                out.append(f"COPY {m.group(1)} TO '{resolved}'{opts}")
+                continue
+            m = _COPY_FROM_RE.match(stmt)
+            if m is not None:
+                resolved = _copy_from_source(self, m.group(2))
+                opts = f" ({m.group(3)})" if m.group(3) else ""
+                out.append(f"COPY {m.group(1)} FROM '{resolved}'{opts}")
+                continue
+            head = self._DENY_HEAD.match(stmt)
+            if head is not None:
+                raise PermissionError(
+                    f"{head.group(1).upper()} is not allowed on a"
+                    " confined connection (export root is set);"
+                    " only COPY TO/FROM relative paths under the"
+                    " export root may touch the filesystem"
+                )
+            out.append(stmt)
+        if not out:
+            raise ValueError("empty query")
+        return out
 
     def _rows(self, query: str):
         with self._lock:
-            res = self.conn.execute(self._confine(trim_query(query)))
+            res = None
+            for stmt in self._confine(trim_query(query)):
+                res = self.conn.execute(stmt)
             cols = [d[0] for d in res.description]
             return cols, res.fetchall()
 

@@ -109,6 +109,12 @@ class PlanCache:
     def __init__(self, max_entries: int = 256):
         self._max = max_entries
         self._plans: dict[str, DataFrame] = {}
+        # monotonic mutation epoch: every write path on the engine
+        # calls invalidate(), so this counter is a free O(1) "has any
+        # local mutation happened" signal — register_views keys its
+        # view-staleness fingerprint on it instead of re-walking every
+        # table's parquet file listing per query.
+        self.epoch = 0
 
     def get(self, key: str, build) -> DataFrame:
         df = self._plans.get(key)
@@ -122,6 +128,7 @@ class PlanCache:
 
     def invalidate(self) -> None:
         self._plans.clear()
+        self.epoch += 1
 
 
 class DataFrameSerializers:
@@ -403,17 +410,22 @@ class SparkDestination(DataFrameSerializers, Destination):
 
         View registration eagerly ANALYZES each view's SQL (unlike
         the lazy table scan nodes), so it is fingerprint-cached. The
-        fingerprint covers the (name, sql) set AND each base table's
-        data directory + parquet file listing: a registered view temp
-        view pins the base table's analyzed plan and file listing at
-        registration time, so any table mutation (insert, DML
-        copy-on-write, compaction flip — local or from another
-        instance sharing the warehouse dir) must force re-analysis,
-        or view reads would return silently stale rows and, two
-        generation flips later, fail on retired g<N> directories.
-        DuckDB (the reference) re-resolves views per query; the
-        listing walk only runs when views exist at all, so tables-only
-        destinations pay nothing.
+        fingerprint covers the (name, sql) set AND cheap monotonic
+        mutation state — NOT a parquet file listing (walking every
+        table's files per query is O(total files) and contradicts the
+        many-files scale story; round-5 advisor finding). Local
+        mutations (insert, DML copy-on-write, compaction flip, drops)
+        all bump ``plan_cache.epoch`` via invalidate(); cross-instance
+        mutations on a shared warehouse dir surface through each base
+        table's generation counter plus two O(1) directory mtime_ns
+        stats (table root — a flip creates a new g<N> dir there — and
+        the current data dir, whose mtime changes when files land in
+        it). Granularity note: a FOREIGN instance appending into an
+        existing partition subdir of a partitioned table only moves
+        that subdir's mtime; Spark's per-job _SUCCESS rewrite at the
+        output root covers it in practice. DuckDB (the reference)
+        re-resolves views per query; the stats only run when views
+        exist at all, so tables-only destinations pay nothing.
         """
         for t in self.catalog.tables(self.database):
             self.table_df(t).createOrReplaceTempView(t)
@@ -428,10 +440,21 @@ class SparkDestination(DataFrameSerializers, Destination):
             return
         state = []
         for t in self.catalog.tables(self.database):
+            info = self.catalog.get(self.database, t)
+            root = self.catalog.table_root(self.database, t)
             d = self.catalog.data_dir(self.database, t)
-            files = tuple(self._list_parquet(d)) if os.path.isdir(d) else ()
-            state.append((t, d, files))
-        fp = hash((tuple(sorted(views.items())), tuple(state)))
+            state.append((
+                t,
+                d,
+                info.generation if info is not None else -1,
+                self._dir_mtime(root),
+                self._dir_mtime(d),
+            ))
+        fp = hash((
+            tuple(sorted(views.items())),
+            self.plan_cache.epoch,
+            tuple(state),
+        ))
         if fp == getattr(self, "_views_fp", None):
             self._registered_views = set(views)
             return
@@ -453,6 +476,15 @@ class SparkDestination(DataFrameSerializers, Destination):
             self._views_fp = fp
         else:
             self._views_fp = None
+
+    @staticmethod
+    def _dir_mtime(d: str) -> int:
+        """mtime_ns of a directory, -1 when absent — one stat call,
+        the cross-instance half of the view-staleness fingerprint."""
+        try:
+            return os.stat(d).st_mtime_ns
+        except OSError:
+            return -1
 
     def _rewrite_table_at(self, sql: str) -> str:
         """Swap table_at('t', N) calls (outside literals/comments) for

@@ -1922,14 +1922,20 @@ def _exec_merge(dest, query: str):
         # yields both counts — a semi-join count plus an insert count
         # would be two extra scans inside the compaction lock. A
         # matched row counts as affected only when a WHEN MATCHED
-        # clause exists to act on it.
+        # clause ACTS on it: the match mark is ANDed with the OR of
+        # the matched-clause predicates (all-None = unconditional), so
+        # `WHEN MATCHED AND s.v < 0` with no qualifying rows reports 0.
         stats_src = t.join(sflag, cond, "full_outer")
+        m_mark = F.col("__merge_m").isNotNull()
+        if matched and not all(p is None for p, _a in matched):
+            any_m = None
+            for pred, _act in matched:
+                pc = _expr(dest, stats_src, pred) if pred else F.lit(True)
+                any_m = pc if any_m is None else (any_m | pc)
+            m_mark = m_mark & any_m
         agg_cols = [
             F.count_distinct(
-                F.when(
-                    F.col("__merge_m").isNotNull(),
-                    F.col(f"{t_alias}.{ROW_ID}"),
-                )
+                F.when(m_mark, F.col(f"{t_alias}.{ROW_ID}"))
             ).alias("__m")
         ]
         ins_mark = F.col(f"{t_alias}.{ROW_ID}").isNull()

@@ -974,6 +974,36 @@ def test_merge_update_insert_delete(dest, tmp_path):
     assert out == [{"count": 3}]  # 2 matched + 1 inserted
 
 
+def test_merge_count_excludes_predicate_misses(dest):
+    """A matched target row counts as affected only when some WHEN
+    MATCHED clause predicate actually fires on it — `WHEN MATCHED AND
+    s.nv < 0` with no qualifying rows must report 0, not every
+    ON-match (round-5 advisor finding)."""
+    run(dest, "create table pm as select g, v from t where v < 2")
+    run(
+        dest,
+        "create table pmsrc as select * from (values ('a', 5))"
+        " as x(g, nv)",
+    )
+    out = run(
+        dest,
+        "merge into pm using pmsrc on pm.g = pmsrc.g and pm.v = 0"
+        " when matched and pmsrc.nv < 0 then update set v = pmsrc.nv",
+    )
+    assert out == [{"count": 0}]
+    # and the qualifying case still counts
+    out = run(
+        dest,
+        "merge into pm using pmsrc on pm.g = pmsrc.g and pm.v = 0"
+        " when matched and pmsrc.nv > 0 then update set v = pmsrc.nv",
+    )
+    assert out == [{"count": 1}]
+    assert run(dest, "select v from pm where g = 'a' order by v") == [
+        {"v": 1},
+        {"v": 5},
+    ]
+
+
 def test_merge_insert_star_by_name(dest):
     run(dest, "create table m2 as select g, v from t where v = 0")
     out = run(

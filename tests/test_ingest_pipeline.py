@@ -260,6 +260,54 @@ def test_duckdb_copy_to_confined(tmp_path):
     assert (tmp_path / "fine.csv").is_file()
 
 
+def test_duckdb_confine_multi_statement_and_comment_bypass(tmp_path):
+    """duckdb's execute() runs multi-statement strings, so the
+    confinement must gate every statement: `select 1; copy … to
+    '/abs'` and a leading `-- comment` before COPY were both
+    regex-anchor bypasses (round-5 advisor finding), and SET must be
+    denied so a query cannot flip enable_external_access back on."""
+    import io
+
+    import pytest
+
+    from scratchdata_spark.duckdb_destination import DuckDBDestination
+
+    root = tmp_path / "exports"
+    d = DuckDBDestination(":memory:", export_root=str(root))
+    evil = tmp_path / "evil.csv"
+    with pytest.raises(PermissionError):
+        d.query_csv(
+            f"select 1; copy (select 1 as x) to '{evil}'", io.StringIO()
+        )
+    assert not evil.exists()
+    with pytest.raises(PermissionError):
+        d.query_csv(
+            f"-- harmless\ncopy (select 1 as x) to '{evil}'", io.StringIO()
+        )
+    assert not evil.exists()
+    for stmt in (
+        "SET enable_external_access=true",
+        "PRAGMA temp_directory='/tmp'",
+        "EXPORT DATABASE '/tmp/exp'",
+        f"ATTACH '{tmp_path}/other.db'",
+        "INSTALL httpfs",
+    ):
+        with pytest.raises(PermissionError):
+            d.query_csv(stmt, io.StringIO())
+    # multi-statement of allowed shapes still works (duckdb scripts
+    # return the last result), incl. a confined COPY mid-script
+    out = io.StringIO()
+    d.query_json(
+        "create table ms (a int); insert into ms values (7);"
+        " copy ms to 'ms.csv' (HEADER); select a from ms",
+        out,
+    )
+    import json as _json
+
+    assert _json.loads(out.getvalue()) == [{"a": 7}]
+    assert (root / "ms.csv").is_file()
+
+
 def test_duckdb_confine_rewrites_copy_from(tmp_path):
     """The DuckDB twin resolves relative COPY FROM sources under the
     export root, so COPY TO -> COPY FROM round-trips like the Spark

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scratchdata_spark.operators import ensure_parallelism
+from scratchdata_spark.operators import ensure_parallelism, triangular_pairs
 
 MASK63 = (1 << 63) - 1
 
@@ -210,16 +210,9 @@ def minhash_lsh_pairs(
     )
     if max_bucket_size is not None:
         members = members.filter(F.size("ids") <= max_bucket_size)
-    pairs_expr = (
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
-    )
-    cand = (
-        members.filter(F.size("ids") >= 2)
-        .select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = triangular_pairs(
+        members.filter(F.size("ids") >= 2), "ids"
+    ).dropDuplicates(["id_a", "id_b"])
 
     # Cheap estimator screen: agreement fraction of the signatures we
     # already computed. No join hints — the cached signature table has
@@ -516,21 +509,23 @@ def simhash_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if intra_family == "pairs":
-        intra_expr = (
-            "flatten(transform(ids, (x, i) -> transform("
-            "slice(ids, i + 2, size(ids)),"
-            " y -> struct(x AS id_a, y AS id_b))))"
-        )
-    else:  # star: representative -> member spanning edges
+        # per-anchor expansion: an exact-dup family has NO size cap
+        # (by design — collapsing it is what makes the bucket cap
+        # safe), so its pair row must never be single-row quadratic
+        intra = triangular_pairs(
+            fam.filter(F.size("ids") >= 2), "ids"
+        ).withColumn("hamming", F.lit(0).cast("int"))
+    else:  # star: representative -> member spanning edges (O(N) row
+        # output, one member per generated row)
         intra_expr = (
             "transform(slice(ids, 2, size(ids)),"
             " y -> struct(ids[0] AS id_a, y AS id_b))"
         )
-    intra = (
-        fam.filter(F.size("ids") >= 2)
-        .select(F.explode(F.expr(intra_expr)).alias("p"))
-        .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
-    )
+        intra = (
+            fam.filter(F.size("ids") >= 2)
+            .select(F.explode(F.expr(intra_expr)).alias("p"))
+            .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
+        )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -554,15 +549,10 @@ def simhash_pairs(
     members = buckets.groupBy("band", "bv").agg(
         F.sort_array(F.collect_list("__fp")).alias("fps")
     )
-    pairs_expr = (
-        "flatten(transform(fps, (x, i) ->"
-        " transform(slice(fps, i + 2, size(fps)),"
-        " y -> struct(x AS fp_a, y AS fp_b))))"
-    )
     cand = (
-        members.filter(F.size("fps") >= 2)
-        .select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select(F.col("p.fp_a"), F.col("p.fp_b"))
+        triangular_pairs(
+            members.filter(F.size("fps") >= 2), "fps", "fp_a", "fp_b"
+        )
         .dropDuplicates(["fp_a", "fp_b"])  # fp pairs can share >1 band
         .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
@@ -576,17 +566,16 @@ def simhash_pairs(
             fam.select(F.col("__fp").alias("fp_b"), F.col("ids").alias("ids_b")),
             "fp_b",
         )
+        # rectangular family × family expansion, one explode per
+        # side: per-row bounded at max(|ids_a|, |ids_b|) instead of
+        # the full |a|×|b| struct array in one row
+        .select(F.explode("ids_a").alias("__xa"), "ids_b", "hamming")
+        .select("__xa", F.explode("ids_b").alias("__xb"), "hamming")
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids_a, x -> transform(ids_b,"
-                    " y -> struct(least(x, y) AS id_a,"
-                    " greatest(x, y) AS id_b))))"
-                )
-            ).alias("p"),
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
             "hamming",
         )
-        .select("p.id_a", "p.id_b", "hamming")
     )
     return intra.unionByName(cross)
 

@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scratchdata_spark.operators import ensure_parallelism
+from scratchdata_spark.operators import ensure_parallelism, triangular_pairs
 
 
 def _dot(a, b):
@@ -324,14 +324,10 @@ def near_dup_pairs(
         members = bucketed.groupBy("__bucket").agg(
             F.sort_array(F.collect_list("__id")).alias("ids")
         )
-        pairs_expr = (
-            "flatten(transform(ids, (x, i) ->"
-            " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
-        )
-        cand = (
-            members.filter(F.size("ids") >= 2)
-            .select(F.explode(F.expr(pairs_expr)).alias("p"))
-            .select(F.col("p.id_a"), F.col("p.id_b"))
+        # per-anchor expansion: no generated row exceeds the bucket
+        # cap (the one-shot flatten held all C(m,2) pairs in one row)
+        cand = triangular_pairs(
+            members.filter(F.size("ids") >= 2), "ids"
         )
         va = v.select(
             F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),

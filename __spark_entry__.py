@@ -29,97 +29,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks entries in dict-insertion order and stops after
 # ~50.  ROTATION INVARIANT (standing, per VERDICT r4 #1): no entry's
-# newest driver row may be older than 2 rounds.  Slot budget each
-# round: (a) flagship sanity row; (b) every entry with NO row in the
-# last two rounds — this round that is the 21 r2-stale/never-checked
-# entries, paid down in full; (c) entries NEW this round; (d) the
-# oldest remaining rows (r3) until the window fills, semantics-heavy
-# shapes first (joins, windows, subqueries, set ops, streaming).
-# After r5 every entry's newest row is r3/r4/r5 → max staleness 2.
-# The r3 entries that did NOT fit this window (the simple
-# function-sheet shapes: q_array_funcs, q_case_cast, q_cube,
-# q_date_funcs, q_dialect_duckdb_text, q_distinct,
-# q_explode_posexplode, q_grouping_sets, q_join_cross, q_json_funcs,
-# q_map_struct_funcs, q_math_funcs, q_order_limit_offset, q_pivot,
-# q_qualify_latest, q_rollup, q_sample_deterministic, q_string_funcs,
-# q_tablesample, q_topk_per_group, q_union_all, q_unpivot,
-# q_approx_count_distinct, x_multimodal_features, x_split_train_val,
-# plus x_pack_sequences + x_sample_stratified +
-# q_nested_flatten_multitable_depth2 — pushed past the edge by the
-# round-5 newcomers — and the past-edge newcomers
-# x_dedup_simhash_pairs, q_dml_copy_roundtrip,
-# q_dml_compact_roundtrip, x_lm_perplexity (never driver-checked);
-# x_semantic/time-travel entries get r5 rows)
-# reach staleness 2 at r5 and MUST front the r6 window.
+# newest driver row may be older than 2 rounds.
+#
+# SLOT-BUDGET POLICY (standing, per VERDICT r5 #3).  The window is 50
+# slots; the flagship takes one every round, so sustained capacity is
+# 49 x 3 rounds = 147 entries at max staleness 2.  The registry holds
+# 133 (131 + the two r6 newcomers) — headroom is 14 entries, so NET
+# ADDITIONS ARE CAPPED AT ~4/ROUND; past 147 an addition must retire
+# or consolidate an existing entry (the paired rows-only/oracle
+# variants — e.g. x_dedup_exact_rows vs x_dedup_incremental_exact —
+# are first in line to share a slot on alternate rounds).  Window
+# composition each round, in order: (a) flagship sanity row;
+# (b) entries with NO driver row ever; (c) entries NEW this round;
+# (d) every entry whose newest row is 2 rounds old (MUST run —
+# invariant); (e) fill with the 1-round-old cohort, semantics-heavy
+# first (streaming, nested flatten, joins/windows/subqueries), so the
+# next round's mandatory cohort (d) shrinks below 49.
+#
+# r6 ledger: (b) = 4 never-checked r5 late newcomers
+# (x_dedup_simhash_pairs, q_dml_copy_roundtrip,
+# q_dml_compact_roundtrip, x_lm_perplexity — all judge-green in r5);
+# (c) = 2 (x_semantic_incremental, x_multimodal_codec_jpeg);
+# (d) = the 28 r3-newest entries (the function-sheet shapes +
+# x_pack_sequences, x_sample_stratified, x_split_train_val,
+# x_multimodal_features, q_nested_flatten_multitable_depth2);
+# (e) = 15 of the 49 r4-newest (streaming x6, nested flatten x2,
+# external files scan, q03/q05/q06, embedding-cosine, ngram-jaccard,
+# model-score), leaving 34 r4-era entries as r7's mandatory cohort
+# (fits: 34 + 1 flagship + <=4 new + 11 r5-era starts = 50).
 _PRIORITY = [
-    "q01_pricing_summary",  # flagship stays first (sanity row)
-    # --- (b) never driver-checked / newest row is r2 — 21 entries ---
-    "x_dedup_incremental",  # never in any window; rows-only
-    "q02_filter_predicates",
-    "q_agg_basic",
-    "q_agg_stats",
-    "q_count_distinct",
-    "q_percentile_exact",
-    "q_agg_filter",
-    "q_time_bucket_15min",
-    "q_window_first_last",
-    "q_lateral_join",
-    "q_word_count",
-    "q_scan_external_csv",
-    "q_scan_external_orc",
-    "q_approx_quantile",
-    "x_range_join_bucketed",
-    "x_dedup_exact_rows",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_dedup_embedding_lsh",  # re-check after the round-5 bucket cap
-    "x_ann_cosine_lsh",  # re-check after the round-5 truncation cap
-    "x_ann_ivf_topk",
+    "q01_pricing_summary",  # (a) flagship stays first (sanity row)
+    # --- (b) never driver-checked ---
+    "x_dedup_simhash_pairs",
+    "q_dml_copy_roundtrip",
+    "q_dml_compact_roundtrip",
+    "x_lm_perplexity",
     # --- (c) new this round ---
-    "x_dedup_incremental_exact",  # sha256 oracle for the incremental path
-    "q_dml_ctas_roundtrip",  # CTAS + INSERT…SELECT through query_df
-    "x_multimodal_codec_real",  # PNG/WAV encode→decode under the hash gate
-    "q_dml_merge_roundtrip",  # MERGE INTO through the statement path
-    "x_semantic_dedup",  # SemDeDup, oracle-able fixed-seed config
-    "x_semantic_kmeans",  # iterative Lloyd's: rows-only by design
-    "q_dml_timetravel_roundtrip",  # table_at pre-delete snapshot hash
-    # --- (d) oldest (r3) rows, semantics-heavy first — 21 slots ---
-    "s_stream_tumbling_hour",
-    "q_join_asof",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full_outer",
-    "q_window_frame_rows",
-    "q_window_frame_range",
-    "q_window_lag_lead",
-    "q_window_ntile",
-    "q_window_rank",
-    "q_cte",
-    "q_exists_correlated",
-    "q_in_subquery",
-    "q_scalar_subquery",
-    "q_intersect",
-    "q_except",
-    "q_union_distinct",
-    "q_nested_flatten_multitable",
+    "x_semantic_incremental",  # corpus-vs-new SemDeDup, fixed centroids
+    "x_multimodal_codec_jpeg",  # baseline JPEG decode under the hash gate
+    # --- (d) staleness-2 cohort (newest row r3) — 28 entries, all ---
+    "q_array_funcs",
+    "q_case_cast",
+    "q_cube",
+    "q_date_funcs",
+    "q_dialect_duckdb_text",
+    "q_distinct",
+    "q_explode_posexplode",
+    "q_grouping_sets",
+    "q_join_cross",
+    "q_json_funcs",
+    "q_map_struct_funcs",
+    "q_math_funcs",
     "q_nested_flatten_multitable_depth2",
-    # --- past the ~50 edge: x_pack_sequences, x_sample_stratified,
-    # x_split_train_val, x_multimodal_features (r3 — they join the r6
-    # front-of-window list, plus past-edge newcomers
-    # x_dedup_simhash_pairs) then r4-green ---
+    "q_order_limit_offset",
+    "q_pivot",
+    "q_qualify_latest",
+    "q_rollup",
+    "q_sample_deterministic",
+    "q_string_funcs",
+    "q_tablesample",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_unpivot",
+    "q_approx_count_distinct",
+    "x_multimodal_features",
     "x_pack_sequences",
     "x_sample_stratified",
     "x_split_train_val",
-    "x_multimodal_features",
+    # --- (e) r4-era fill, semantics-heavy first — 15 slots ---
+    "s_rollup_continuous_hourly",
+    "s_stream_dedup",
+    "s_stream_session_windows",
+    "s_stream_sliding_2h_1h",
+    "s_stream_stateful_user_totals",
+    "s_stream_stream_join",
+    "q_nested_flatten_horizontal",
+    "q_nested_flatten_vertical",
+    "q_scan_external_files",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
+    "x_dedup_embedding_cosine",
+    "x_dedup_ngram_jaccard",
+    "x_model_score",
+    # --- past the ~50 edge: r7's mandatory cohort is the remaining
+    # 34 r4-era entries (dialect sheet x13, q_agg_lists_median_mode,
+    # pipeline/text/multimodal x_ ops) — listed next so a driver that
+    # reads deeper than 50 still refreshes the stalest first ---
     "q_dialect_qualify",
     "q_dialect_file_scan",
     "q_dialect_asof",
+    "q_dialect_pivot_stmt",
+    "q_dialect_distinct_on",
+    "q_dialect_agg_order_by",
+    "q_dialect_generate_series",
+    "q_dialect_list_comprehension",
+    "q_dialect_star_replace",
+    "q_dialect_struct_literals",
+    "q_dialect_subscripts",
+    "q_dialect_union_by_name",
+    "q_dialect_unnest_tokens",
+    "q_agg_lists_median_mode",
     "x_dedup_exact",
     "x_dedup_clusters",
     "x_dedup_survivors",

@@ -1909,3 +1909,78 @@ def x_lm_perplexity(spark, sf_dir):
 
     d = load(spark, sf_dir)["documents"]
     return lm_perplexity(d, "doc_id", "text")
+
+
+@q(
+    "x_semantic_incremental",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_COS.format(a='embedding', b='embedding')}) AS n
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    newv AS (
+      SELECT vec_id, embedding,
+             sqrt({_COS.format(a='embedding', b='embedding')}) AS n
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+             embedding AS cvec,
+             sqrt({_COS.format(a='embedding', b='embedding')}) AS cn
+      FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {_SEM_K})
+    ),
+    casg AS (
+      SELECT vec_id, embedding, n, ci AS cluster_id FROM (
+        SELECT c0.*, c.ci, ROW_NUMBER() OVER (
+                 PARTITION BY c0.vec_id
+                 ORDER BY {_COS.format(a='c0.embedding', b='c.cvec')}
+                          / (c0.n * c.cn) DESC, c.ci
+               ) AS rn
+        FROM corpus c0 CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    nasg AS (
+      SELECT vec_id, embedding, n, ci AS cluster_id FROM (
+        SELECT n0.*, c.ci, ROW_NUMBER() OVER (
+                 PARTITION BY n0.vec_id
+                 ORDER BY {_COS.format(a='n0.embedding', b='c.cvec')}
+                          / (n0.n * c.cn) DESC, c.ci
+               ) AS rn
+        FROM newv n0 CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT nv.vec_id AS nid, MIN(cv.vec_id) AS dup_of
+      FROM nasg nv JOIN casg cv ON nv.cluster_id = cv.cluster_id
+      WHERE {_COS.format(a='nv.embedding', b='cv.embedding')}
+            / (nv.n * cv.n) >= 0.4
+      GROUP BY nv.vec_id
+    )
+    SELECT nv.vec_id, nv.cluster_id, h.dup_of
+    FROM nasg nv LEFT JOIN hits h ON h.nid = nv.vec_id
+    """,
+)
+def x_semantic_incremental(spark, sf_dir):
+    """Incremental SemDeDup (operators/semantic.py:semantic_dedup_
+    incremental): every 5th embedding plays the NEW increment, the
+    rest the standing corpus; centroids are the corpus's 4 lowest-id
+    vectors with zero Lloyd's iterations (reused fixed centroids —
+    the production shape), so both assignments are pure argmax-cosine
+    and the within-cluster corpus probe (cosine >= 0.4, min-id corpus
+    duplicate or NULL) is SQL-expressible end to end.  The iterative
+    fit tier is covered by x_semantic_kmeans."""
+    from scratchdata_spark.operators.semantic import (
+        semantic_dedup_incremental,
+    )
+
+    e = load(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    cents = kmeans_fit(
+        corpus, "embedding", k=_SEM_K, max_iter=0, id_col="vec_id"
+    )
+    return semantic_dedup_incremental(
+        new, corpus, "vec_id", "embedding", threshold=0.4,
+        centroids=cents, max_cluster_compare=None,
+    ).withColumn("cluster_id", F.col("cluster_id").cast("long"))

@@ -53,3 +53,68 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_fact.join(replicated_dim, keys + [SALT], how).drop(SALT)
+
+
+_HOT_SEP = "\x1f"
+
+
+def salted_join_hot(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    hot: list[tuple] | list[str],
+    how: str = "left",
+    n_salts: int = 8,
+) -> DataFrame:
+    """:func:`salted_join`, but only the LISTED hot keys are salted
+    and only the matching dim rows replicated — the shape for a
+    Zipf-skewed probe against a large dim where the hot head is
+    driver-known (e.g. LM count tables: the hottest unigrams/bigrams
+    are exactly the top-count rows of the fitted model).
+
+    Cold keys keep salt 0 on both sides (no replication), so the dim
+    shuffle grows by only ``n_salts × |hot|`` rows instead of
+    ``n_salts × |dim|``.  Membership is tested on the
+    ``\\x1f``-joined key string (an ``isin`` → InSet, a hash-set
+    probe, not a codegen-exploding literal chain); hot values are
+    rendered with Python ``str()``, which matches Spark's string cast
+    for string and integer keys — for other types (bool, float,
+    date) a render mismatch only means that key is NOT salted, never
+    a wrong join result, because classification is symmetric across
+    fact and dim.  A cold key that collides INTO the hot set is
+    likewise merely salted.  Same inner/left contract as
+    :func:`salted_join`; NULL key components never match in either
+    form.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join_hot supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    hot_strs = [
+        _HOT_SEP.join(str(x) for x in t) if isinstance(t, tuple) else str(t)
+        for t in hot
+    ]
+    if not hot_strs:
+        return fact.join(dim, keys, how)
+
+    def key_str():
+        return F.concat_ws(_HOT_SEP, *[F.col(k) for k in keys])
+
+    salted_fact = fact.withColumn(
+        SALT,
+        F.when(
+            key_str().isin(hot_strs),
+            F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    replicated_dim = dim.withColumn(
+        SALT,
+        F.explode(
+            F.when(
+                key_str().isin(hot_strs),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).withColumn(SALT, F.col(SALT).cast("int"))
+    return salted_fact.join(replicated_dim, keys + [SALT], how).drop(SALT)

@@ -145,6 +145,79 @@ class FormError(Exception):
         self.message = message
 
 
+class OAuthProvider:
+    """External-identity provider for the dashboard login flow — the
+    last unported reference route set (``pkg/api/router.go:74-76``:
+    GET /login, /logout, /oauth/{provider}/callback;
+    ``pkg/api/auth.go:146-193`` OAuthCallback does code → token →
+    userinfo → session cookie).
+
+    This class IS the network seam: ``exchange()`` performs the
+    authorization-code dance over urllib against the configured
+    endpoints. The sandbox has no network, so tests inject an object
+    with the same two-method surface; a real deployment instantiates
+    this with the provider's published endpoints (e.g. Google's
+    accounts.google.com/o/oauth2/v2/auth + oauth2.googleapis.com/token
+    + openidconnect.googleapis.com/v1/userinfo).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        client_id: str,
+        client_secret: str,
+        auth_url: str,
+        token_url: str,
+        userinfo_url: str,
+        scope: str = "openid email",
+    ):
+        self.name = name
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.auth_url = auth_url
+        self.token_url = token_url
+        self.userinfo_url = userinfo_url
+        self.scope = scope
+
+    def authorize_url(self, state: str, redirect_uri: str) -> str:
+        from urllib.parse import urlencode
+
+        return self.auth_url + "?" + urlencode(
+            {
+                "client_id": self.client_id,
+                "redirect_uri": redirect_uri,
+                "response_type": "code",
+                "scope": self.scope,
+                "state": state,
+            }
+        )
+
+    def exchange(self, code: str, redirect_uri: str) -> dict:
+        """Authorization code → token → userinfo claims (dict with at
+        least ``email``). Network happens HERE and only here."""
+        import json as _json
+        from urllib.parse import urlencode
+        from urllib.request import Request, urlopen
+
+        body = urlencode(
+            {
+                "code": code,
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+                "redirect_uri": redirect_uri,
+                "grant_type": "authorization_code",
+            }
+        ).encode()
+        with urlopen(Request(self.token_url, data=body)) as resp:
+            token = _json.loads(resp.read()).get("access_token", "")
+        req = Request(
+            self.userinfo_url,
+            headers={"Authorization": f"Bearer {token}"},
+        )
+        with urlopen(req) as resp:
+            return _json.loads(resp.read())
+
+
 class RequestStore:
     """One-time connection-setup links, sqlite-backed like the other
     metadata stores (reference keeps them in its gorm DB —
@@ -363,10 +436,27 @@ class Dashboard:
         external_url: str = "",
         secure_cookies: bool = False,
         session_ttl: float = 12 * 3600,
+        oauth_providers: dict[str, OAuthProvider] | None = None,
+        oauth_allowed_emails: set[str] | None = None,
     ):
         self.service = service
         self.requests = RequestStore(meta_db)
         self.external_url = external_url.rstrip("/")
+        # OAuth login: provider registry + the email allowlist that
+        # gates it. DIVERGENCE from the reference, on purpose: the
+        # reference's callback CreateUsers ANY authenticated Google
+        # identity (auth.go:172) because its dashboard is per-user;
+        # this dashboard is single-tenant ADMIN, so an OAuth login
+        # mints an admin session — without an explicit allowlist that
+        # would hand admin to anyone with a Google account, so the
+        # callback refuses unless the email is allowlisted.
+        self.oauth_providers = oauth_providers or {}
+        self.oauth_allowed_emails = oauth_allowed_emails
+        # single-use CSRF states for the authorize redirect:
+        # state -> (provider, expiry)
+        self._oauth_states: dict[str, tuple[str, float]] = {}
+        # session token -> external identity (email) for OAuth logins
+        self._session_identity: dict[str, str] = {}
         # admin browser sessions: random server-side tokens, never the
         # API key itself — a ?api_key= URL lands in browser history and
         # proxy logs, so the credential must not also live for the
@@ -407,9 +497,11 @@ class Dashboard:
         handler.wfile.write(payload)
         handler._resp_bytes = len(payload)
 
-    def _redirect(self, handler, location: str):
+    def _redirect(self, handler, location: str, set_cookie: str | None = None):
         handler.send_response(302)
         handler.send_header("Location", location)
+        if set_cookie:
+            handler.send_header("Set-Cookie", set_cookie)
         handler.send_header("Content-Length", "0")
         handler.end_headers()
 
@@ -431,6 +523,7 @@ class Dashboard:
         exp = self._sessions.get(tok)
         if exp is None or exp < time.time():
             self._sessions.pop(tok, None)
+            self._session_identity.pop(tok, None)
             return False
         return True
 
@@ -440,6 +533,10 @@ class Dashboard:
         carries the key."""
         now = time.time()
         self._sessions = {t: e for t, e in self._sessions.items() if e > now}
+        self._session_identity = {
+            t: i for t, i in self._session_identity.items()
+            if t in self._sessions
+        }
         tok = secrets.token_hex(16)
         self._sessions[tok] = now + self.session_ttl
         c = (
@@ -449,6 +546,82 @@ class Dashboard:
         if self.secure_cookies:
             c += "; Secure"
         return c
+
+    # ----------------------------------------------------- oauth login
+    def _login_page(self, handler):
+        """GET /login (reference router.go:74): provider links, each
+        carrying a freshly minted single-use state; plus the api-key
+        path that always works."""
+        now = time.time()
+        self._oauth_states = {
+            s: pe for s, pe in self._oauth_states.items() if pe[1] > now
+        }
+        links = []
+        for name, prov in sorted(self.oauth_providers.items()):
+            state = secrets.token_hex(16)
+            self._oauth_states[state] = (name, now + 600)
+            uri = f"{self.external_url}/oauth/{name}/callback"
+            links.append(
+                f"<li><a href='{html.escape(prov.authorize_url(state, uri))}'>"
+                f"Sign in with {html.escape(name)}</a></li>"
+            )
+        body = "<h1>Sign in</h1>"
+        if links:
+            body += "<ul>" + "".join(links) + "</ul>"
+        body += (
+            "<p>Or open any <code>/dashboard/</code> page with"
+            " <code>?api_key=&lt;admin key&gt;</code>.</p>"
+        )
+        self._send(handler, 200, _page("Sign in", body))
+
+    def _oauth_callback(self, handler, provider_name: str, params: dict):
+        """GET /oauth/{provider}/callback (reference auth.go:146-193):
+        validate the single-use state, exchange the code through the
+        provider seam, allowlist-gate the identity, mint the same
+        server-side session an api-key login gets."""
+        prov = self.oauth_providers.get(provider_name)
+        if prov is None:
+            self._send(handler, 404, _page("Unknown provider", "<h1>404</h1>"))
+            return
+        state = params.get("state", "")
+        entry = self._oauth_states.pop(state, None)  # single-use
+        if (
+            entry is None
+            or entry[0] != provider_name
+            or entry[1] < time.time()
+        ):
+            self._send(
+                handler, 403,
+                _page("Login failed", "<h1>403</h1><p>invalid or expired"
+                      " state — restart from /login</p>"),
+            )
+            return
+        uri = f"{self.external_url}/oauth/{provider_name}/callback"
+        try:
+            claims = prov.exchange(params.get("code", ""), uri)
+        except Exception:
+            self._send(
+                handler, 403,
+                _page("Login failed", "<h1>403</h1><p>code exchange"
+                      " failed</p>"),
+            )
+            return
+        email = str(claims.get("email", "")).strip().lower()
+        allowed = {e.lower() for e in (self.oauth_allowed_emails or set())}
+        if not email or email not in allowed:
+            # see __init__: no allowlist -> nobody logs in via OAuth;
+            # an authenticated-but-unlisted identity is refused, never
+            # granted the single-tenant admin session
+            self._send(
+                handler, 403,
+                _page("Login failed", "<h1>403</h1><p>identity not"
+                      " allowlisted for this dashboard</p>"),
+            )
+            return
+        cookie = self._session_cookie()
+        tok = cookie.split("sd_sess=", 1)[1].split(";", 1)[0]
+        self._session_identity[tok] = email
+        self._redirect(handler, "/dashboard/", set_cookie=cookie)
 
     def _flash_key(self, handler) -> str | None:
         c = self._cookies(handler)
@@ -645,6 +818,24 @@ class Dashboard:
             handler.end_headers()
             handler.wfile.write(payload)
             handler._resp_bytes = len(payload)
+            return True
+
+        if path == "/login":
+            self._login_page(handler)
+            return True
+        if path == "/logout":
+            # reference Logout (auth.go:137-144): invalidate and
+            # expire the session, bounce to /login
+            tok = self._cookies(handler).get("sd_sess")
+            if tok:
+                self._sessions.pop(tok, None)
+                self._session_identity.pop(tok, None)
+            gone = "sd_sess=; HttpOnly; SameSite=Strict; Path=/; Max-Age=0"
+            self._redirect(handler, "/login", set_cookie=gone)
+            return True
+        m = re.fullmatch(r"/oauth/([A-Za-z0-9_-]+)/callback", path)
+        if m:
+            self._oauth_callback(handler, m.group(1), params)
             return True
 
         m = re.fullmatch(r"/share/([0-9a-f-]+)", path)

@@ -1984,3 +1984,89 @@ def x_semantic_incremental(spark, sf_dir):
         new, corpus, "vec_id", "embedding", threshold=0.4,
         centroids=cents, max_cluster_compare=None,
     ).withColumn("cluster_id", F.col("cluster_id").cast("long"))
+
+
+@q(
+    "x_multimodal_codec_jpeg",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 24 + 9 AS INT) AS width,
+           CAST(doc_id % 16 + 8 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT)
+             AS n_channels,
+           TRUE AS within_tol
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def x_multimodal_codec_jpeg(spark, sf_dir):
+    """Baseline JPEG codec round trip under the driver's hash gate
+    (operators/jpeg_codec.py — written from ITU-T T.81; closes the
+    round-5 'JPEG remains env-gated' gap). Each row synthesizes a
+    smooth-gradient image executor-side, encodes it as baseline JPEG
+    (doc_id%3==0 grayscale, %3==1 RGB 4:4:4, %3==2 RGB 4:2:0),
+    probes the marker stream for dimensions, then fully decodes and
+    compares pixels against the source. The oracle predicts the
+    dimensional arithmetic AND within_tol=TRUE (max abs error <= 2
+    for 4:4:4 / grayscale, <= 8 for chroma-subsampled smooth
+    gradients) — a broken zigzag, Huffman table, DCT, or MCU layout
+    flips the boolean and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from scratchdata_spark.operators import jpeg_codec as J
+
+    ids = (
+        load(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "n_channels": [], "within_tol": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 24 + 9, did % 16 + 8
+                mode = did % 3
+                ch = 1 if mode == 0 else 3
+                if ch == 1:
+                    px = bytes((x * 3 + y * 5) % 256
+                               for y in range(h) for x in range(w))
+                else:
+                    px = bytes(
+                        v for y in range(h) for x in range(w)
+                        for v in (x * 4 % 250, y * 6 % 250, (x + y) * 3 % 250)
+                    )
+                enc = J.encode_jpeg(
+                    w, h, ch, px, subsample=2 if mode == 2 else 1
+                )
+                pw, ph, pch = J.probe_jpeg(enc)
+                dw, dh, dch, out = J.decode_jpeg(enc)
+                a = np.frombuffer(px, np.uint8).astype(int)
+                b = np.frombuffer(out, np.uint8).astype(int)
+                tol = 8 if mode == 2 else 2
+                ok = (
+                    (pw, ph, pch) == (w, h, ch)
+                    and (dw, dh, dch) == (w, h, ch)
+                    and int(np.abs(a - b).max()) <= tol
+                )
+                rows["doc_id"].append(did)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_channels"].append(pch)
+                rows["within_tol"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    import pyspark.sql.types as T_
+
+    schema = T_.StructType([
+        T_.StructField("doc_id", T_.LongType()),
+        T_.StructField("width", T_.IntegerType()),
+        T_.StructField("height", T_.IntegerType()),
+        T_.StructField("n_channels", T_.IntegerType()),
+        T_.StructField("within_tol", T_.BooleanType()),
+    ])
+    return ids.mapInPandas(run, schema=schema)

@@ -61,6 +61,93 @@ TYPE_MAPS: dict[str, dict[str, str]] = {
 
 _QUOTE = {"postgres": '"', "redshift": '"', "clickhouse": "`", "mysql": "`"}
 
+# ---------------------------------------------------------------------
+# ClickHouse READ-side type matrix (reference clickhouse/insert.go:
+# 148-201 jsonToGoType — the reference converts these on every query
+# result). Spark's JDBC reader maps whatever java.sql type the driver
+# reports, which loses or misranges several ClickHouse types (UInt64
+# reported as BIGINT overflows above 2^63); the Spark-first fix is the
+# JDBC source's ``customSchema`` option, built from this table.
+#
+# Loudly-documented conversions:
+# * UInt64  -> decimal(20,0)  (SURVEY §1.2: no unsigned in Spark)
+# * UInt128/256, Int128/256 -> string — the reference returns big.Int
+#   (arbitrary precision); Spark's DecimalType caps at 38 digits,
+#   which cannot hold 2^127+, so the lossless mapping is the decimal
+#   STRING, parse with CAST(.. AS DECIMAL(38,s)) only if you know the
+#   range fits.
+# * Enum8/16 -> string — the JDBC driver surfaces the enum LABEL; the
+#   reference's native driver returns the numeric code
+#   (insert.go:193-197). Divergence documented: labels are the
+#   lossless form (codes are recoverable via CAST in ClickHouse SQL).
+# * DateTime64 keeps sub-second precision up to Spark's microseconds;
+#   nanosecond DateTime64(9) truncates (Spark TimestampType is µs).
+_CLICKHOUSE_READ_MAP: dict[str, str] = {
+    "String": "string",
+    "FixedString": "string",
+    "Bool": "boolean",
+    "UInt8": "smallint",  # widen to next signed size (SURVEY §1.2)
+    "UInt16": "int",
+    "UInt32": "bigint",
+    "UInt64": "decimal(20,0)",
+    "UInt128": "string",
+    "UInt256": "string",
+    "Int8": "tinyint",
+    "Int16": "smallint",
+    "Int32": "int",
+    "Int64": "bigint",
+    "Int128": "string",
+    "Int256": "string",
+    "Float32": "float",
+    "Float64": "double",
+    "UUID": "string",
+    "Date": "date",
+    "Date32": "date",
+    "DateTime": "timestamp",
+    "DateTime64": "timestamp",
+    "Enum8": "string",
+    "Enum16": "string",
+}
+
+
+def clickhouse_spark_type(ch_type: str) -> str:
+    """Spark SQL type string for a ClickHouse column type, per the
+    reference's read-side conversion matrix. Handles parameterized
+    forms: ``Decimal(p, s)`` keeps its precision/scale;
+    ``Nullable(T)``/``LowCardinality(T)`` unwrap; ``DateTime64(p)``/
+    ``FixedString(n)``/``Enum8('a'=1)`` strip their arguments.
+    Unknown types fall back to ``string`` — the same default branch
+    as insert.go:199 (``data.String()``)."""
+    t = ch_type.strip()
+    # unwrap nullability/cardinality wrappers (composable)
+    import re as _re
+
+    while True:
+        m = _re.fullmatch(r"(Nullable|LowCardinality)\((.*)\)", t)
+        if not m:
+            break
+        t = m.group(2).strip()
+    m = _re.fullmatch(r"Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        if p > 38:
+            # Decimal(76) etc: beyond Spark's 38-digit ceiling —
+            # lossless only as string (documented above)
+            return "string"
+        return f"decimal({p},{s})"
+    base = t.split("(", 1)[0].strip()
+    return _CLICKHOUSE_READ_MAP.get(base, "string")
+
+
+def clickhouse_custom_schema(cols: list[tuple[str, str]]) -> str:
+    """``customSchema`` option value for Spark's JDBC reader from
+    (name, clickhouse_type) pairs — apply with
+    ``.option("customSchema", ...)`` so the read-side matrix above
+    overrides the driver's java.sql report."""
+    return ", ".join(
+        f"`{name}` {clickhouse_spark_type(t)}" for name, t in cols
+    )
+
 # CREATE TABLE IF NOT EXISTS t (__row_id <int64>) — duckdb/insert.go:72-76;
 # ClickHouse needs an engine + primary key (clickhouse/destination.go:10-21)
 _CREATE = {
@@ -114,10 +201,21 @@ class JDBCDestination(DataFrameSerializers, Destination):
             opts["password"] = self.password
         return opts
 
-    def _reader(self, *, query: str | None = None, dbtable: str | None = None) -> DataFrame:
+    def _reader(
+        self,
+        *,
+        query: str | None = None,
+        dbtable: str | None = None,
+        custom_schema: str | None = None,
+    ) -> DataFrame:
         r = self.spark.read.format("jdbc")
         for k, v in self._options().items():
             r = r.option(k, v)
+        if custom_schema:
+            # read-side type override (the ClickHouse rich-type
+            # matrix): Spark maps the DRIVER's java.sql report by
+            # default, which misranges UInt64 etc.
+            r = r.option("customSchema", custom_schema)
         if query is not None:
             r = r.option("query", query)
         else:
@@ -154,6 +252,22 @@ class JDBCDestination(DataFrameSerializers, Destination):
     # -------------------------------------------------------------- read
     def query_df(self, query: str) -> DataFrame:
         return self._reader(query=trim_query(query))
+
+    def query_df_typed(
+        self, query: str, result_types: list[tuple[str, str]]
+    ) -> DataFrame:
+        """Query with the ClickHouse read-side type matrix applied:
+        ``result_types`` is (column, clickhouse_type) pairs for the
+        result set (e.g. from :meth:`columns` or ClickHouse's
+        ``system.columns``), converted per the reference's
+        jsonToGoType table (clickhouse/insert.go:148-201) into a
+        ``customSchema`` override. Works on any engine but exists for
+        ClickHouse's driver-misreported types (UInt64, Date32,
+        DateTime64, Enum)."""
+        return self._reader(
+            query=trim_query(query),
+            custom_schema=clickhouse_custom_schema(result_types),
+        )
 
     def tables(self) -> list[str]:
         df = self._reader(

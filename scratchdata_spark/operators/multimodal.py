@@ -87,7 +87,7 @@ def decode_image(
     (png_codec.py); other formats still need PIL/ffmpeg and refuse."""
     if fake if fake is not None else _use_fake():
         return _fake_decode(payload, media_type)
-    from scratchdata_spark.operators import png_codec
+    from scratchdata_spark.operators import jpeg_codec, png_codec
 
     b = bytes(payload)
     if png_codec.sniff(b) is not None:
@@ -95,14 +95,18 @@ def decode_image(
         # not a full O(w*h) pixel decode
         w, h, _ch = png_codec.probe(b)
         return (w, h, 1)
+    if jpeg_codec.sniff_jpeg(b):
+        # baseline JPEG: marker-walk probe, same O(1) contract
+        w, h, _ch = jpeg_codec.probe_jpeg(b)
+        return (w, h, 1)
     if png_codec.sniff_wav(b):
         # audio mapping into the media-meta columns: width=channels,
         # height=sample rate, n_frames=PCM frame count
         ch, rate, frames = png_codec.wav_info(b)
         return (ch, rate, frames)
     raise NotImplementedError(
-        "only PNG/PPM/WAV decode in this container; other media need"
-        " PIL/ffmpeg"
+        "only PNG/PPM/JPEG/WAV decode in this container; other media"
+        " need PIL/ffmpeg"
     )
 
 
@@ -160,13 +164,18 @@ def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> Data
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                # real pixels: decode (PNG/PPM), box-filter resample,
-                # re-encode PNG — pure stdlib, executor-side per batch
-                from scratchdata_spark.operators import png_codec
+                # real pixels: decode (PNG/PPM/JPEG), box-filter
+                # resample, re-encode PNG — pure stdlib+numpy,
+                # executor-side per batch
+                from scratchdata_spark.operators import jpeg_codec, png_codec
 
                 out = []
                 for p in pdf["payload"]:
-                    w, h, ch, px = png_codec.decode(bytes(p))
+                    pb = bytes(p)
+                    if jpeg_codec.sniff_jpeg(pb):
+                        w, h, ch, px = jpeg_codec.decode_jpeg(pb)
+                    else:
+                        w, h, ch, px = png_codec.decode(pb)
                     small = png_codec.box_resize(
                         w, h, ch, px, target_w, target_h
                     )

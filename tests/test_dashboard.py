@@ -433,3 +433,151 @@ def test_edit_flash_after_redirect(app, client):
     )
     assert code == 200
     assert "flash-success" in body and "keys keep working" in body
+
+
+# ---------------------------------------------- OAuth login seam (r6)
+
+
+class _FakeProvider:
+    """Same two-method surface as dashboard.OAuthProvider, no network
+    — exchange() validates the code the way a provider would."""
+
+    def __init__(self, email="admin@example.com"):
+        self.email = email
+        self.seen = []
+
+    def authorize_url(self, state, redirect_uri):
+        return f"https://fake.example/auth?state={state}&redirect_uri={redirect_uri}"
+
+    def exchange(self, code, redirect_uri):
+        self.seen.append((code, redirect_uri))
+        if code != "good-code":
+            raise ValueError("bad code")
+        return {"email": self.email, "sub": "123"}
+
+
+def _no_redirect(client, path):
+    """GET without following redirects (urllib follows by default and
+    drops intermediate Set-Cookie headers)."""
+    import urllib.request
+
+    class NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(NoRedirect)
+    headers = {}
+    if client.cookies:
+        headers["Cookie"] = "; ".join(
+            f"{k}={v}" for k, v in client.cookies.items()
+        )
+    req = urllib.request.Request(client.base + path, headers=headers)
+    try:
+        resp = opener.open(req, timeout=60)
+    except urllib.error.HTTPError as e:
+        resp = e
+    for sc in resp.headers.get_all("Set-Cookie") or []:
+        k, v = sc.split(";", 1)[0].split("=", 1)
+        client.cookies[k] = v
+    return resp.status, resp.headers, resp.read().decode()
+
+
+def test_oauth_login_callback_session_and_logout(app):
+    """reference router.go:74-76: /login lists the provider, the
+    callback exchanges the code and mints the same server-side
+    session an api-key login gets, /logout invalidates it."""
+    dash = app.service.dashboard
+    prov = _FakeProvider()
+    dash.oauth_providers = {"google": prov}
+    dash.oauth_allowed_emails = {"Admin@Example.com"}  # case-insensitive
+    c = Client(app)
+
+    # /login page lists the provider link with a minted state
+    status, body = c.req("GET", "/login")
+    assert status == 200 and "Sign in with google" in body
+    m = re.search(r"state=([0-9a-f]{32})", body)
+    assert m, body
+    state = m.group(1)
+
+    # callback with the state + good code -> 302 to /dashboard/ with a
+    # session cookie; the session passes the admin gate with NO api_key
+    status, headers, _ = _no_redirect(
+        c, f"/oauth/google/callback?state={state}&code=good-code"
+    )
+    assert status == 302 and headers["Location"] == "/dashboard/"
+    assert "sd_sess" in c.cookies
+    assert prov.seen and prov.seen[0][0] == "good-code"
+    status, body = c.req("GET", "/dashboard/connections")
+    assert status == 200 and "Connections" in body
+    # identity recorded against the session token
+    assert dash._session_identity[c.cookies["sd_sess"]] == "admin@example.com"
+
+    # /logout kills the session server-side and expires the cookie
+    status, headers, _ = _no_redirect(c, "/logout")
+    assert status == 302 and headers["Location"] == "/login"
+    assert c.cookies.get("sd_sess") == ""
+    c.cookies.pop("sd_sess", None)
+    status, _ = c.req("GET", "/dashboard/connections")
+    assert status == 401
+
+
+def test_oauth_callback_refusals(app):
+    """State is single-use and provider-bound; identities outside the
+    allowlist never get the admin session; a failed exchange is a 403
+    not a 500; unknown providers 404."""
+    dash = app.service.dashboard
+    prov = _FakeProvider()
+    dash.oauth_providers = {"google": prov}
+    dash.oauth_allowed_emails = {"admin@example.com"}
+    c = Client(app)
+
+    # unknown provider
+    status, _, _ = _no_redirect(c, "/oauth/github/callback?state=x&code=y")
+    assert status == 404
+
+    # forged / unknown state
+    status, _, _ = _no_redirect(
+        c, "/oauth/google/callback?state=" + "0" * 32 + "&code=good-code"
+    )
+    assert status == 403
+
+    # state is single-use: second replay with the same state fails
+    _, body = c.req("GET", "/login")
+    state = re.search(r"state=([0-9a-f]{32})", body).group(1)
+    status, _, _ = _no_redirect(
+        c, f"/oauth/google/callback?state={state}&code=good-code"
+    )
+    assert status == 302
+    status, _, _ = _no_redirect(
+        c, f"/oauth/google/callback?state={state}&code=good-code"
+    )
+    assert status == 403
+
+    # bad code -> exchange raises -> 403
+    _, body = c.req("GET", "/login")
+    state = re.search(r"state=([0-9a-f]{32})", body).group(1)
+    status, _, _ = _no_redirect(
+        c, f"/oauth/google/callback?state={state}&code=evil"
+    )
+    assert status == 403
+
+    # authenticated but not allowlisted -> refused (single-tenant
+    # admin dashboard; see Dashboard.__init__ divergence note)
+    dash.oauth_allowed_emails = {"someone-else@example.com"}
+    _, body = c.req("GET", "/login")
+    state = re.search(r"state=([0-9a-f]{32})", body).group(1)
+    fresh = Client(app)
+    status, _, _ = _no_redirect(
+        fresh, f"/oauth/google/callback?state={state}&code=good-code"
+    )
+    assert status == 403
+    assert "sd_sess" not in fresh.cookies
+
+    # and with NO allowlist at all, OAuth can't mint admin sessions
+    dash.oauth_allowed_emails = None
+    _, body = c.req("GET", "/login")
+    state = re.search(r"state=([0-9a-f]{32})", body).group(1)
+    status, _, _ = _no_redirect(
+        fresh, f"/oauth/google/callback?state={state}&code=good-code"
+    )
+    assert status == 403

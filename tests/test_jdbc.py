@@ -131,3 +131,93 @@ def test_copy_spark_to_jdbc(spark, tmp_path):
     assert n == 2
     _, rows = dst.written[0]
     assert sorted(r["v2"] for r in rows) == [20, 40]
+
+
+# ---------------------- ClickHouse read-side type matrix (VERDICT r5 #6)
+
+
+def test_clickhouse_read_type_matrix_covers_reference():
+    """Every type the reference's jsonToGoType converts
+    (clickhouse/insert.go:148-201) has an explicit Spark mapping; the
+    documented widenings/escapes apply (UInt64 -> decimal(20,0),
+    128/256-bit ints -> string, enums -> string labels)."""
+    from scratchdata_spark.jdbc_destination import clickhouse_spark_type as cst
+
+    expected = {
+        "String": "string", "FixedString": "string", "Bool": "boolean",
+        "UInt8": "smallint", "UInt16": "int", "UInt32": "bigint",
+        "UInt64": "decimal(20,0)", "UInt128": "string", "UInt256": "string",
+        "Int8": "tinyint", "Int16": "smallint", "Int32": "int",
+        "Int64": "bigint", "Int128": "string", "Int256": "string",
+        "Float32": "float", "Float64": "double", "UUID": "string",
+        "Date": "date", "Date32": "date",
+        "DateTime": "timestamp", "DateTime64": "timestamp",
+        "Enum8": "string", "Enum16": "string",
+    }
+    for ch, sp in expected.items():
+        assert cst(ch) == sp, ch
+    # parameterized / wrapped forms
+    assert cst("Decimal(18, 4)") == "decimal(18,4)"
+    assert cst("Decimal(38,0)") == "decimal(38,0)"
+    assert cst("Decimal(76, 10)") == "string"  # beyond Spark's 38 digits
+    assert cst("Nullable(UInt64)") == "decimal(20,0)"
+    assert cst("LowCardinality(Nullable(String))") == "string"
+    assert cst("DateTime64(3)") == "timestamp"
+    assert cst("FixedString(16)") == "string"
+    assert cst("Enum8('a' = 1, 'b' = 2)") == "string"
+    assert cst("SomeFutureType") == "string"  # default branch parity
+
+
+def test_clickhouse_custom_schema_valid_spark_ddl(spark):
+    """The generated customSchema string parses as Spark DDL and the
+    mapped types hold the reference types' edge values (UInt64 max
+    does NOT fit BIGINT — the matrix exists precisely for that)."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.types import StructType
+
+    from scratchdata_spark.jdbc_destination import clickhouse_custom_schema
+
+    cols = [
+        ("id", "UInt64"), ("amount", "Decimal(18, 4)"), ("d", "Date32"),
+        ("ts", "DateTime64(3)"), ("label", "Enum8('x' = 1)"),
+        ("big", "UInt256"), ("r", "Float32"),
+    ]
+    ddl = clickhouse_custom_schema(cols)
+    schema = StructType.fromDDL(ddl)
+    assert [f.name for f in schema.fields] == [c for c, _ in cols]
+    umax = 2**64 - 1
+    u256 = str(2**255)  # survives only as string
+    row = (
+        Decimal(umax), Decimal("1234.5678"),
+        datetime.date(1890, 1, 2),  # pre-1970 (Date32's reason to exist)
+        datetime.datetime(2024, 5, 6, 7, 8, 9, 123000),
+        "x", u256, 1.5,
+    )
+    df = spark.createDataFrame([row], schema)
+    got = df.collect()[0]
+    assert got["id"] == Decimal(umax)  # > 2^63: BIGINT would overflow
+    assert got["amount"] == Decimal("1234.5678")
+    assert got["d"] == datetime.date(1890, 1, 2)
+    assert got["ts"].microsecond == 123000
+    assert got["big"] == u256
+
+
+def test_query_df_typed_passes_custom_schema(spark):
+    """query_df_typed threads the matrix into the JDBC reader as the
+    customSchema option (captured at the seam)."""
+    captured = {}
+
+    class CapturingJDBC(FakeJDBC):
+        def _reader(self, *, query=None, dbtable=None, custom_schema=None):
+            captured["query"] = query
+            captured["custom_schema"] = custom_schema
+            return spark.range(0)
+
+    d = CapturingJDBC(spark, engine="clickhouse")
+    d.query_df_typed(
+        "SELECT id, ts FROM t", [("id", "UInt64"), ("ts", "DateTime64(6)")]
+    )
+    assert captured["query"] == "SELECT id, ts FROM t"
+    assert captured["custom_schema"] == "`id` decimal(20,0), `ts` timestamp"

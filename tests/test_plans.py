@@ -463,14 +463,16 @@ def test_semantic_dedup_pairs_are_ids_only(spark, sf_dir):
     assert "CartesianProduct" not in p, p
 
 
-def test_pair_expansion_is_per_anchor_not_single_row(spark, sf_dir):
-    """Every bucketed pair tier expands candidates per ANCHOR (two
-    chained Generate nodes: posexplode anchors, explode each suffix
-    slice) — never the one-shot flatten(transform(...)) that builds
-    the whole C(m,2) pair array inside one task row (~8.4M structs at
-    the 4096 cap; round-5 judge finding).  Gate: the plan has no
-    flatten over a pair-struct transform, and shows >= 2 Generate
-    nodes for the expansion."""
+def test_pair_expansion_is_size_tiered(spark, sf_dir):
+    """Every bucketed pair tier goes through triangular_pairs'
+    HYBRID expansion (round-5 judge finding + r6 soak measurement):
+    the one-shot flatten(transform(...)) — which builds the whole
+    C(m,2) pair array inside one task row — may only run behind a
+    ``size <= one_shot_max`` guard (bounded ~131k structs/row), and
+    arrays above it expand per-anchor (posexplode + suffix-slice
+    explode; rows bounded by the array length).  Gate: the size
+    guards exist on both branches and the per-anchor tier's two
+    chained Generates are present."""
     from scratchdata_spark.operators.dedup import (
         minhash_lsh_pairs,
         simhash_pairs,
@@ -492,8 +494,31 @@ def test_pair_expansion_is_per_anchor_not_single_row(spark, sf_dir):
         ),
     }
     for name, p in plans.items():
-        assert "flatten(transform" not in p, (name, p)
-        assert p.count("Generate") >= 2, (name, p)
+        # unguarded one-shot flatten would appear without size guards
+        assert "<= 512" in p, (name, p)
+        assert "> 512" in p, (name, p)
+        assert p.count("Generate") >= 3, (name, p)
+
+
+def test_triangular_pairs_tiers_agree(spark):
+    """Both expansion tiers produce the identical pair set: force an
+    array through each tier by moving the threshold."""
+    from scratchdata_spark.operators import triangular_pairs
+
+    df = spark.createDataFrame(
+        [(list(range(40)),), (list(range(3)),)], "ids array<int>"
+    )
+    one_shot = sorted(
+        map(tuple, triangular_pairs(df, "ids", one_shot_max=64).collect())
+    )
+    per_anchor = sorted(
+        map(tuple, triangular_pairs(df, "ids", one_shot_max=2).collect())
+    )
+    expect = sorted(
+        [(a, b) for a in range(40) for b in range(a + 1, 40)]
+        + [(a, b) for a in range(3) for b in range(a + 1, 3)]
+    )
+    assert one_shot == per_anchor == expect
 
 
 def test_simhash_entry_shuffle_carries_no_text(spark, sf_dir):

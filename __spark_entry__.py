@@ -49,14 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 ledger: (b) = 4 never-checked r5 late newcomers
 # (x_dedup_simhash_pairs, q_dml_copy_roundtrip,
 # q_dml_compact_roundtrip, x_lm_perplexity — all judge-green in r5);
-# (c) = 2 (x_semantic_incremental, x_multimodal_codec_jpeg);
+# (c) = 2 in-window (x_semantic_incremental, x_multimodal_codec_jpeg)
+# + 1 past-edge late addition (x_multimodal_codec_gif — never
+# driver-checked, MUST front the r7 window; registry = 134 total);
 # (d) = the 28 r3-newest entries (the function-sheet shapes +
 # x_pack_sequences, x_sample_stratified, x_split_train_val,
 # x_multimodal_features, q_nested_flatten_multitable_depth2);
 # (e) = 15 of the 49 r4-newest (streaming x6, nested flatten x2,
 # external files scan, q03/q05/q06, embedding-cosine, ngram-jaccard,
-# model-score), leaving 34 r4-era entries as r7's mandatory cohort
-# (fits: 34 + 1 flagship + <=4 new + 11 r5-era starts = 50).
+# model-score), leaving 34 r4-era + x_multimodal_codec_gif as r7's
+# mandatory cohort (fits: 35 + 1 flagship + <=3 new + 11 r5-era
+# starts = 50).
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
     # --- (b) never driver-checked ---
@@ -112,10 +115,12 @@ _PRIORITY = [
     "x_dedup_embedding_cosine",
     "x_dedup_ngram_jaccard",
     "x_model_score",
-    # --- past the ~50 edge: r7's mandatory cohort is the remaining
-    # 34 r4-era entries (dialect sheet x13, q_agg_lists_median_mode,
-    # pipeline/text/multimodal x_ ops) — listed next so a driver that
-    # reads deeper than 50 still refreshes the stalest first ---
+    # --- past the ~50 edge: r7's mandatory cohort — the never-checked
+    # late newcomer first, then the remaining 34 r4-era entries
+    # (dialect sheet x13, q_agg_lists_median_mode, pipeline/text/
+    # multimodal x_ ops) — listed so a driver that reads deeper than
+    # 50 still refreshes the stalest first ---
+    "x_multimodal_codec_gif",
     "q_dialect_qualify",
     "q_dialect_file_scan",
     "q_dialect_asof",

@@ -69,6 +69,7 @@ EXTRAS = [  # included once implemented (operators/ extras)
     "x_text_quality",
     "x_multimodal_meta",
     "x_semantic_dedup",  # round 5: +1 query — adds ~0.03 s to the total
+    "x_lm_perplexity",  # round 6: the newest heavy operator (judge #8)
 ]
 
 

@@ -2070,3 +2070,80 @@ def x_multimodal_codec_jpeg(spark, sf_dir):
         T_.StructField("within_tol", T_.BooleanType()),
     ])
     return ids.mapInPandas(run, schema=schema)
+
+
+@q(
+    "x_multimodal_codec_gif",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 20 + 6 AS INT) AS width,
+           CAST(doc_id % 12 + 5 AS INT) AS height,
+           CAST(doc_id % 5 + 1 AS INT) AS n_frames,
+           TRUE AS frames_match
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def x_multimodal_codec_gif(spark, sf_dir):
+    """Animated-GIF codec round trip under the driver's hash gate
+    (operators/gif_codec.py — LZW + palette + frame composition from
+    the GIF89a spec; the MULTI-FRAME format that makes frame
+    sampling real in-sandbox). Each row synthesizes doc_id%5+1
+    quantized-gradient frames, encodes, block-walk probes
+    (w, h, n_frames), fully decodes, and compares every frame
+    byte-for-byte — palette round trips are lossless, so
+    frames_match is exact equality, not a tolerance."""
+    import pandas as pd
+
+    from scratchdata_spark.operators import gif_codec as G
+
+    ids = (
+        load(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "frames_match": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 20 + 6, did % 12 + 5, did % 5 + 1
+                frames = [
+                    bytes(
+                        v for y in range(h) for x in range(w)
+                        for v in (
+                            (x * 20 + k * 40) % 256 // 32 * 32,
+                            (y * 25) % 256 // 32 * 32,
+                            (k * 60 + did) % 256 // 64 * 64,
+                        )
+                    )
+                    for k in range(nf)
+                ]
+                enc = G.encode_gif(w, h, frames)
+                pw, ph, pnf = G.probe_gif(enc)
+                dw, dh, dnf, dec = G.decode_gif(enc)
+                ok = (
+                    (pw, ph, pnf) == (w, h, nf)
+                    and (dw, dh, dnf) == (w, h, nf)
+                    and dec == frames
+                )
+                rows["doc_id"].append(did)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_frames"].append(pnf)
+                rows["frames_match"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    import pyspark.sql.types as T_
+
+    schema = T_.StructType([
+        T_.StructField("doc_id", T_.LongType()),
+        T_.StructField("width", T_.IntegerType()),
+        T_.StructField("height", T_.IntegerType()),
+        T_.StructField("n_frames", T_.IntegerType()),
+        T_.StructField("frames_match", T_.BooleanType()),
+    ])
+    return ids.mapInPandas(run, schema)

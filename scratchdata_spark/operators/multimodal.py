@@ -99,6 +99,12 @@ def decode_image(
         # baseline JPEG: marker-walk probe, same O(1) contract
         w, h, _ch = jpeg_codec.probe_jpeg(b)
         return (w, h, 1)
+    from scratchdata_spark.operators import gif_codec
+
+    if gif_codec.sniff_gif(b):
+        # the multi-frame format: block-walk probe counts frames
+        # without LZW work — real n_frames for the frame sampler
+        return gif_codec.probe_gif(b)
     if png_codec.sniff_wav(b):
         # audio mapping into the media-meta columns: width=channels,
         # height=sample rate, n_frames=PCM frame count
@@ -232,13 +238,36 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "n_frames": [], "payload": []}
             for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                b = bytes(p)
+                if not fake:
+                    # REAL multi-frame path: animated GIF decodes
+                    # in-sandbox (gif_codec.py); sampled frames come
+                    # out as PNGs (the pipeline's normalized image
+                    # form, like resize_images). Other containers
+                    # still refuse through decode_image below.
+                    from scratchdata_spark.operators import (
+                        gif_codec,
+                        png_codec,
+                    )
+
+                    if gif_codec.sniff_gif(b):
+                        w, h, n_frames, frames = gif_codec.decode_gif(b)
+                        take = min(max_frames, max(1, n_frames))
+                        for i in range(take):
+                            idx = i * n_frames // take
+                            rows["doc_id"].append(doc_id)
+                            rows["frame_idx"].append(idx)
+                            rows["n_frames"].append(n_frames)
+                            rows["payload"].append(
+                                png_codec.encode_png(w, h, 3, frames[idx])
+                            )
+                        continue
                 if mt != "video/mp4":
                     continue
                 _, _, n_frames = decode_image(p, mt, fake)  # codec seam
                 take = min(max_frames, n_frames)
                 for i in range(take):
                     idx = i * n_frames // take
-                    b = bytes(p)
                     step = max(1, len(b) // n_frames)
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)

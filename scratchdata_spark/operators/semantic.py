@@ -18,12 +18,14 @@ Scale shape:
   rows per partition, and only k rows of dim doubles return to the
   driver per iteration (~k×dim×8 bytes — the same budget as the
   centroid matrix itself).
-* ``semantic_dedup`` reuses the capped grouped-combinatorics pair
-  shape from the dedup/similarity tiers: (id, cluster) rides the
-  pair-generation shuffle — never the vectors — and vectors+norms
-  re-join by id only for the exact cosine verify of generated
-  candidates.  Transitive closure and survivor selection reuse
-  operators/graph.py.
+* ``semantic_dedup`` groups each (cap-bounded) cluster's
+  ``struct(id, vec)`` members in ONE shuffle — each vector moves
+  once, O(corpus), never O(pairs) — and verifies all within-cluster
+  cosines as blocked numpy GEMMs in a single Arrow pass
+  (similarity.grouped_cosine_pairs_arrow; see its docstring for the
+  r6 A/B that ruled out both the interpreted-HOF predicate and a
+  per-pair Arrow verify).  Transitive closure and survivor selection
+  reuse operators/graph.py.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scratchdata_spark.operators import ensure_parallelism, triangular_pairs
+from scratchdata_spark.operators import ensure_parallelism
 from scratchdata_spark.operators.graph import dedup_by_pairs
 from scratchdata_spark.operators.similarity import _dot, _norm
 
@@ -363,51 +365,31 @@ def _pairs_from_assignment(
     (__id, __vec, __n, cluster_id) — shared by semantic_pairs and
     semantic_dedup so the corpus-wide argmax-cosine assignment is
     planned once, not once per consumer."""
-    ids = asg.select("__id", "cluster_id")
+    sel = asg.select("__id", "__vec", "cluster_id")
     if max_cluster_compare is not None:
         wc = Window.partitionBy("cluster_id").orderBy("__id")
-        ids = (
-            ids.withColumn("__rn", F.row_number().over(wc))
+        sel = (
+            sel.withColumn("__rn", F.row_number().over(wc))
             .filter(F.col("__rn") <= max_cluster_compare)
             .drop("__rn")
         )
-    members = ids.groupBy("cluster_id").agg(
-        F.sort_array(F.collect_list("__id")).alias("mids")
+    # Grouped-GEMM verify (similarity.grouped_cosine_pairs_arrow):
+    # one collect_list shuffle moves each VECTOR once — O(corpus),
+    # not O(pairs) — and all C(m,2) cosines compute as blocked numpy
+    # GEMMs per cluster. The r6 A/B at the 10× soak block measured
+    # both alternatives losing: the HOF predicate evaluates
+    # interpreted (~5 µs/pair — the 100× stage wall), and a per-pair
+    # Arrow verify ships both vectors per PAIR to Python (26 GB at
+    # 100×). Grouped rows are bounded by the max_cluster_compare cap
+    # applied above (4096 members ≈ 1 MB per cell).
+    from scratchdata_spark.operators.similarity import (
+        grouped_cosine_pairs_arrow,
     )
-    # per-anchor expansion: no generated row exceeds the cluster cap
-    # (the one-shot flatten held all C(m,2) pairs in one row)
-    cand = triangular_pairs(
-        members.filter(F.size("mids") >= 2), "mids"
+
+    grouped = sel.groupBy("cluster_id").agg(
+        F.collect_list(F.struct("__id", "__vec")).alias("rows")
     )
-    verified = (
-        cand.join(
-            asg.select(
-                F.col("__id").alias("id_a"),
-                F.col("__vec").alias("__va"),
-                F.col("__n").alias("__na"),
-            ),
-            "id_a",
-        )
-        .join(
-            asg.select(
-                F.col("__id").alias("id_b"),
-                F.col("__vec").alias("__vb"),
-                F.col("__n").alias("__nb"),
-            ),
-            "id_b",
-        )
-        .filter(
-            # try_divide: a zero-norm vector's cosine is NULL -> never
-            # a near-dup (ANSI mode throws on the plain `/`)
-            F.try_divide(
-                _dot(F.col("__va"), F.col("__vb")),
-                F.col("__na") * F.col("__nb"),
-            )
-            >= threshold
-        )
-        .select("id_a", "id_b")
-    )
-    return verified
+    return grouped_cosine_pairs_arrow(grouped, "rows", threshold)
 
 
 def semantic_dedup(
@@ -490,6 +472,10 @@ def semantic_dedup_incremental(
             .drop("__rn")
         )
     nasg = assign_clusters(new, centroids, "__vec", out_col="cluster_id")
+    # The HOF cosine stays here deliberately: an increment is small
+    # by contract (the batch tiers carry the 100×-scale load and use
+    # the grouped-GEMM verify), and the per-(new×cell) probe join is
+    # the plan the r5 driver row hash-verified.
     hits = (
         nasg.select(
             F.col("__id").alias("__nid"), "cluster_id",

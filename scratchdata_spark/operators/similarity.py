@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scratchdata_spark.operators import ensure_parallelism, triangular_pairs
+from scratchdata_spark.operators import ensure_parallelism
 
 
 def _dot(a, b):
@@ -56,6 +56,128 @@ def _norm(a):
 
 def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def grouped_cosine_pairs_arrow(
+    grouped: DataFrame,
+    rows_col: str,
+    threshold: float,
+    cos_col: str | None = None,
+    block: int = 1024,
+) -> DataFrame:
+    """Within-group cosine near-dup PAIRS from a GROUPED table: each
+    input row holds one bucket/cluster as an array of
+    ``struct(__id, __vec)``; output is (id_a, id_b[, cos_col]) for
+    every member pair with cosine ≥ ``threshold`` (id_a < id_b).
+
+    WHY THIS SHAPE (r6 A/B measurements at the 10× soak block):
+
+    * the HOF verify (``aggregate``/``zip_with`` bound into the pair
+      join) evaluates INTERPRETED — ~5 µs/pair; at 102M candidate
+      pairs (100×) that predicate is hundreds of core-seconds;
+    * a per-PAIR Arrow verify loses too: the join output ships BOTH
+      vectors per pair to the Python workers (~0.5 KB/pair — 26 GB
+      at 100×), re-paying in serialization what it saves in eval
+      (measured 63-70 s vs HOF's 51-54 s at 10×).
+
+    Grouping first moves each vector ONCE (the grouped shuffle is
+    the corpus, not the pair set — pairs/corpus ≈ 500 at the 100×
+    block) and the per-group GEMM computes all C(m,2) cosines at
+    numpy speed in row-blocks of ``block`` (peak scratch
+    ``block × m`` doubles ≈ 32 MB at the 4096 cap — bounded
+    regardless of cluster size). Same seam rule as the k>256
+    assignment GEMM: Python only where the expression engine has no
+    compiled path, Arrow-batched, never per-row.
+
+    Semantics match the HOF+try_divide verify: NULL vectors, NULL
+    elements (nan), length-mismatched pairs, and zero norms never
+    emit a pair. Members sort by id inside the group, so id_a < id_b
+    without a second pass.
+    """
+    schema = "`id_a` long, `id_b` long" + (
+        f", `{cos_col}` double" if cos_col else ""
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        def emit(ids_sorted, mat, norms):
+            """All qualifying (i<j) pairs of one length-group."""
+            m = len(ids_sorted)
+            out_a, out_b, out_c = [], [], []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / norms
+            for s in range(0, m, block):
+                e = min(s + block, m)
+                sims = (mat[s:e] @ mat.T) * np.outer(inv[s:e], inv)
+                # upper triangle only: j > absolute row index
+                for bi in range(e - s):
+                    row = sims[bi]
+                    j = np.where(
+                        np.isfinite(row[s + bi + 1 :])
+                        & (row[s + bi + 1 :] >= threshold)
+                    )[0]
+                    if j.size:
+                        out_a.append(
+                            np.full(j.size, ids_sorted[s + bi], dtype=np.int64)
+                        )
+                        out_b.append(ids_sorted[s + bi + 1 + j])
+                        out_c.append(row[s + bi + 1 + j])
+            return out_a, out_b, out_c
+
+        for pdf in batches:
+            acc_a, acc_b, acc_c = [], [], []
+            for cell in pdf[rows_col]:
+                if cell is None or len(cell) < 2:
+                    continue
+                ids, vecs = [], []
+                for r in cell:
+                    # Arrow structs arrive as dicts; Row objects when
+                    # Arrow is off
+                    rid = r["__id"] if not hasattr(r, "__fields__") else r.__id
+                    rv = r["__vec"] if not hasattr(r, "__fields__") else r.__vec
+                    ids.append(rid)
+                    vecs.append(rv)
+                ids = np.asarray(ids, dtype=np.int64)
+                lens = np.fromiter(
+                    (len(v) if v is not None else -1 for v in vecs),
+                    dtype=np.int64, count=len(vecs),
+                )
+                # HOF parity: only same-length pairs can match, so
+                # process per length-group (one group in practice)
+                for length in np.unique(lens[lens > 0]):
+                    sel = np.where(lens == length)[0]
+                    if sel.size < 2:
+                        continue
+                    sub_ids = ids[sel]
+                    order = np.argsort(sub_ids, kind="stable")
+                    sub_ids = sub_ids[order]
+                    cells = [vecs[i] for i in sel[order]]
+                    if isinstance(cells[0], np.ndarray):
+                        mat = np.stack(cells).astype(np.float64, copy=False)
+                    else:
+                        mat = np.array(
+                            [list(c) for c in cells], dtype=np.float64
+                        )
+                    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                    a, b, c = emit(sub_ids, mat, norms)
+                    acc_a += a
+                    acc_b += b
+                    acc_c += c
+            if not acc_a:
+                continue
+            out = pd.DataFrame(
+                {
+                    "id_a": np.concatenate(acc_a),
+                    "id_b": np.concatenate(acc_b),
+                }
+            )
+            if cos_col:
+                out[cos_col] = np.round(np.concatenate(acc_c), 6)
+            yield out
+
+    return grouped.mapInPandas(run, schema)
 
 
 def cosine_topk(
@@ -290,28 +412,26 @@ def near_dup_pairs(
     at 100 TB this is the only shape that runs), capped the same way
     the MinHash operator is (dedup.py:127):
 
-    * the bucket shuffle carries (id, bucket) ONLY — vectors never
-      ride the candidate expansion;
     * bucket sizes are pre-counted and buckets over
-      ``max_bucket_size`` dropped BEFORE any id list or pair
-      materializes (a degenerate bucket — templated or zero-ish
-      embeddings collapsing to one sign pattern — emits B²/2 pairs
-      and carries no near-dup signal the exact tier doesn't already
-      catch; the count-first anti-join also means no collected array
-      is ever bucket-sized, unlike a cap applied after collect_list);
-    * surviving buckets expand id pairs via array combinatorics (one
-      grouped shuffle, no self-join), then vectors+norms re-join by
-      id for the exact cosine verify — the heavy payload moves only
-      for verified candidates.
-
-    Norms are computed once per row before the pairwise expansion.
+      ``max_bucket_size`` dropped BEFORE anything groups (a
+      degenerate bucket — templated or zero-ish embeddings collapsing
+      to one sign pattern — emits B²/2 pairs and carries no near-dup
+      signal the exact tier doesn't already catch);
+    * surviving buckets group ``struct(id, vec)`` — ONE vector copy
+      per member through the shuffle, O(corpus) not O(pairs) — and
+      all within-bucket cosines compute as blocked numpy GEMMs
+      (similarity.grouped_cosine_pairs_arrow; r6 A/B: the previous
+      ids-only-expand + vector-re-join + HOF-predicate shape paid
+      ~5 µs/pair in interpreted eval, and a per-pair Arrow verify
+      paid the vectors per PAIR in serialization).
     """
     v = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     ).withColumn("__n", _norm(F.col("__vec")))
     if n_planes is not None:
         bucketed = v.select(
-            "__id", hyperplane_bits(F.col("__vec"), dim, n_planes).alias("__bucket")
+            "__id", "__vec",
+            hyperplane_bits(F.col("__vec"), dim, n_planes).alias("__bucket"),
         )
         if max_bucket_size is not None:
             hot = (
@@ -321,33 +441,24 @@ def near_dup_pairs(
                 .select("__bucket")
             )
             bucketed = bucketed.join(hot, "__bucket", "left_anti")
-        members = bucketed.groupBy("__bucket").agg(
-            F.sort_array(F.collect_list("__id")).alias("ids")
+        grouped = bucketed.groupBy("__bucket").agg(
+            F.collect_list(F.struct("__id", "__vec")).alias("rows")
         )
-        # per-anchor expansion: no generated row exceeds the bucket
-        # cap (the one-shot flatten held all C(m,2) pairs in one row)
-        cand = triangular_pairs(
-            members.filter(F.size("ids") >= 2), "ids"
+        return grouped_cosine_pairs_arrow(
+            grouped, "rows", threshold, cos_col="cos_sim"
         )
-        va = v.select(
-            F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
-            F.col("__n").alias("__na"),
-        )
-        vb = v.select(
-            F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
-            F.col("__n").alias("__nb"),
-        )
-        pairs = cand.join(va, "id_a").join(vb, "id_b")
-    else:
-        a = v.select(
-            F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
-            F.col("__n").alias("__na"),
-        )
-        b = v.select(
-            F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
-            F.col("__n").alias("__nb"),
-        )
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    a = v.select(
+        F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = v.select(
+        F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    # exact tier: bounded-n contract (documented), HOF cosine kept —
+    # its oracle entry hash-compares the rounded cos_sim, and the JVM
+    # fold is the value the oracle SQL reproduces term for term
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
             "cos_sim",

@@ -446,12 +446,12 @@ def test_semantic_assignment_is_map_only(spark, sf_dir):
 
 
 def test_semantic_dedup_pairs_are_ids_only(spark, sf_dir):
-    """The within-cluster pair expansion is the grouped-combinatorics
-    shape: ids ride the cluster shuffle (vectors re-join by id only
-    for the verify), and nothing goes cartesian.  Gated on
-    semantic_pairs — the downstream connected-components step is
-    iterative, so semantic_dedup's final explain no longer shows the
-    pair stage's lineage."""
+    """The within-cluster verify is the grouped single-shuffle shape:
+    one collect_list moves each (id, vec) struct once — never a pair
+    self-join — and nothing goes cartesian.  Gated on semantic_pairs
+    — the downstream connected-components step is iterative, so
+    semantic_dedup's final explain no longer shows the pair stage's
+    lineage."""
     from scratchdata_spark.operators.semantic import semantic_pairs
 
     e = load(spark, sf_dir)["embeddings"]
@@ -464,40 +464,56 @@ def test_semantic_dedup_pairs_are_ids_only(spark, sf_dir):
 
 
 def test_pair_expansion_is_size_tiered(spark, sf_dir):
-    """Every bucketed pair tier goes through triangular_pairs'
-    HYBRID expansion (round-5 judge finding + r6 soak measurement):
-    the one-shot flatten(transform(...)) — which builds the whole
-    C(m,2) pair array inside one task row — may only run behind a
-    ``size <= one_shot_max`` guard (bounded ~131k structs/row), and
-    arrays above it expand per-anchor (posexplode + suffix-slice
-    explode; rows bounded by the array length).  Gate: the size
-    guards exist on both branches and the per-anchor tier's two
-    chained Generates are present."""
+    """The TEXT pair tiers (minhash, simhash) go through
+    triangular_pairs' HYBRID expansion (round-5 judge finding + r6
+    soak measurement): the one-shot flatten(transform(...)) — which
+    builds the whole C(m,2) pair array inside one task row — may only
+    run behind a ``size <= one_shot_max`` guard (bounded ~131k
+    structs/row), and arrays above it expand per-anchor (posexplode +
+    suffix-slice explode; rows bounded by the array length).  The
+    cosine tiers (semantic, embedding-LSH) don't expand id pairs at
+    all any more — they verify via the grouped GEMM (next test)."""
     from scratchdata_spark.operators.dedup import (
         minhash_lsh_pairs,
         simhash_pairs,
     )
-    from scratchdata_spark.operators.semantic import semantic_pairs
-    from scratchdata_spark.operators.similarity import near_dup_pairs
 
-    t = load(spark, sf_dir)
-    d, e = t["documents"], t["embeddings"]
+    d = load(spark, sf_dir)["documents"]
     plans = {
         "minhash": plan(minhash_lsh_pairs(d, "doc_id", "text")),
         "simhash": plan(simhash_pairs(d, "doc_id", "text", max_hamming=3)),
-        "semantic": plan(
-            semantic_pairs(e, "vec_id", "embedding", k=4, threshold=0.4,
-                           max_iter=0)
-        ),
-        "embedding_lsh": plan(
-            near_dup_pairs(e, 64, "vec_id", "embedding", n_planes=12)
-        ),
     }
     for name, p in plans.items():
         # unguarded one-shot flatten would appear without size guards
         assert "<= 512" in p, (name, p)
         assert "> 512" in p, (name, p)
         assert p.count("Generate") >= 3, (name, p)
+
+
+def test_cosine_verify_is_grouped_gemm(spark, sf_dir):
+    """The cosine tiers (semantic, embedding-LSH) verify via ONE
+    grouped Arrow pass (similarity.grouped_cosine_pairs_arrow): the
+    plan shows the cluster/bucket collect_list feeding MapInPandas,
+    and — the load-bearing part — NO per-pair id join and NO
+    Generate-based pair explode (each vector crosses the wire once,
+    O(corpus); the r6 A/B measured both the interpreted-HOF join
+    predicate and a per-pair Arrow verify losing)."""
+    from scratchdata_spark.operators.semantic import semantic_pairs
+    from scratchdata_spark.operators.similarity import near_dup_pairs
+
+    e = load(spark, sf_dir)["embeddings"]
+    for name, df in {
+        "semantic": semantic_pairs(e, "vec_id", "embedding", k=4,
+                                   threshold=0.4, max_iter=0),
+        "embedding_lsh": near_dup_pairs(e, 64, "vec_id", "embedding",
+                                        n_planes=12),
+    }.items():
+        p = plan(df)
+        assert "MapInPandas" in p, (name, p)
+        assert "collect_list" in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+        # no pair-explode Generate between the grouping and the GEMM
+        assert "Generate" not in p, (name, p)
 
 
 def test_triangular_pairs_tiers_agree(spark):

@@ -170,6 +170,7 @@ class OAuthProvider:
         token_url: str,
         userinfo_url: str,
         scope: str = "openid email",
+        timeout: float = 10.0,
     ):
         self.name = name
         self.client_id = client_id
@@ -178,6 +179,9 @@ class OAuthProvider:
         self.token_url = token_url
         self.userinfo_url = userinfo_url
         self.scope = scope
+        # exchange() runs inside an HTTP handler thread — a provider
+        # that accepts the connection and stalls must not hang it
+        self.timeout = timeout
 
     def authorize_url(self, state: str, redirect_uri: str) -> str:
         from urllib.parse import urlencode
@@ -208,13 +212,15 @@ class OAuthProvider:
                 "grant_type": "authorization_code",
             }
         ).encode()
-        with urlopen(Request(self.token_url, data=body)) as resp:
+        with urlopen(
+            Request(self.token_url, data=body), timeout=self.timeout
+        ) as resp:
             token = _json.loads(resp.read()).get("access_token", "")
         req = Request(
             self.userinfo_url,
             headers={"Authorization": f"Bearer {token}"},
         )
-        with urlopen(req) as resp:
+        with urlopen(req, timeout=self.timeout) as resp:
             return _json.loads(resp.read())
 
 
@@ -556,6 +562,15 @@ class Dashboard:
         self._oauth_states = {
             s: pe for s, pe in self._oauth_states.items() if pe[1] > now
         }
+        # /login is pre-auth by design, so the state dict must be
+        # size-bounded or a request flood grows it without limit for
+        # the whole 10-minute TTL: past the cap, evict oldest-expiry
+        # first (an evicted state just means that login restarts)
+        if len(self._oauth_states) >= 4096:
+            keep = sorted(
+                self._oauth_states.items(), key=lambda kv: kv[1][1]
+            )[-2048:]
+            self._oauth_states = dict(keep)
         links = []
         for name, prov in sorted(self.oauth_providers.items()):
             state = secrets.token_hex(16)

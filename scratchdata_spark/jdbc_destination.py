@@ -135,6 +135,16 @@ def clickhouse_spark_type(ch_type: str) -> str:
             # lossless only as string (documented above)
             return "string"
         return f"decimal({p},{s})"
+    # the sized shorthands Decimal32(s)/64/128/256(s): precision is
+    # implied by the width (9/18/38 digits; 256 = 76 digits, past
+    # Spark's ceiling -> string like Decimal(76,s))
+    m = _re.fullmatch(r"Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        width, s = m.group(1), int(m.group(2))
+        if width == "256":
+            return "string"
+        prec = {"32": 9, "64": 18, "128": 38}[width]
+        return f"decimal({prec},{s})"
     base = t.split("(", 1)[0].strip()
     return _CLICKHOUSE_READ_MAP.get(base, "string")
 

@@ -252,7 +252,10 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
 
                     if gif_codec.sniff_gif(b):
                         w, h, n_frames, frames = gif_codec.decode_gif(b)
-                        take = min(max_frames, max(1, n_frames))
+                        # a valid zero-frame GIF (header+trailer, no
+                        # image descriptor) yields no rows, like the
+                        # mp4 path's n_frames=0
+                        take = min(max_frames, n_frames)
                         for i in range(take):
                             idx = i * n_frames // take
                             rows["doc_id"].append(doc_id)

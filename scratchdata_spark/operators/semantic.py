@@ -126,7 +126,10 @@ def kmeans_fit(
     top-k, k rows to the driver), so configurations that only take
     the seeds (``max_iter=0`` — the oracle entry) are byte-identical
     with or without sampling.  ``fit_sample_per_k=None`` restores the
-    full-corpus fit.  Assignment of the full corpus afterwards is the
+    full-corpus fit; so does omitting ``id_col`` — the sample key
+    must be unique, and hashing the vector itself would keep/drop
+    duplicate embeddings together (non-uniform exactly on dedup
+    corpora).  Assignment of the full corpus afterwards is the
     callers' map-only :func:`assign_clusters` pass, unchanged.
     """
     if k < 1:
@@ -172,7 +175,13 @@ def kmeans_fit(
         # ragged vectors can't vote (ANSI element_at throws past the
         # end); assign_clusters still places them at query time
         vf = v.filter(F.size("__vec") == dim)
-        if fit_sample_per_k is not None and max_iter > 0:
+        # Sample-fit needs a UNIQUE hash key: hashing the vector
+        # itself keeps or drops every copy of a duplicated embedding
+        # together — on dedup-shaped corpora (the whole point of this
+        # library) that is exactly non-uniform. Without id_col the
+        # fit therefore stays full-corpus; pass id_col to get the
+        # scale valve.
+        if fit_sample_per_k is not None and max_iter > 0 and id_col:
             target = fit_sample_per_k * k
             n = vf.count()  # one aggregate over the persisted input
             if n > target:
@@ -180,11 +189,11 @@ def kmeans_fit(
                 # hash lands under the target fraction (2^30-grained).
                 # Partition-layout-independent, unlike seeded
                 # .sample(); no sort, stays a map-only filter.
-                key = F.col("__sid") if id_col else F.col("__vec")
                 den = 1 << 30
                 thr = max(1, (target * den) // n)
                 vf = vf.filter(
-                    F.pmod(F.xxhash64(key), F.lit(den)) < F.lit(thr)
+                    F.pmod(F.xxhash64(F.col("__sid")), F.lit(den))
+                    < F.lit(thr)
                 )
         for _ in range(max_iter):
             # assign_clusters dispatches literals vs the Arrow path by

@@ -92,9 +92,18 @@ def grouped_cosine_pairs_arrow(
     Semantics match the HOF+try_divide verify: NULL vectors, NULL
     elements (nan), length-mismatched pairs, and zero norms never
     emit a pair. Members sort by id inside the group, so id_a < id_b
-    without a second pass.
+    without a second pass.  The id type passes through unchanged
+    (string/decimal ids sort as numpy object arrays — same ordering
+    Spark's sort_array used in the expansion shape this replaces);
+    ``cos_col`` rounds HALF_UP to 6 like ``F.round``, so both tiers
+    of near_dup_pairs agree at rounding boundaries.
     """
-    schema = "`id_a` long, `id_b` long" + (
+    id_type = (
+        grouped.schema[rows_col].dataType.elementType["__id"]
+        .dataType.simpleString()
+    )
+    integral = id_type in ("tinyint", "smallint", "int", "bigint")
+    schema = f"`id_a` {id_type}, `id_b` {id_type}" + (
         f", `{cos_col}` double" if cos_col else ""
     )
 
@@ -102,28 +111,33 @@ def grouped_cosine_pairs_arrow(
         import numpy as np
         import pandas as pd
 
+        id_dtype = np.int64 if integral else object
+
         def emit(ids_sorted, mat, norms):
-            """All qualifying (i<j) pairs of one length-group."""
+            """All qualifying (i<j) pairs of one length-group; only
+            the j > i columns are multiplied (mat[s:e] @ mat[s:].T),
+            so the blocked GEMM does ~half the naive FLOPs."""
             m = len(ids_sorted)
             out_a, out_b, out_c = [], [], []
             with np.errstate(divide="ignore", invalid="ignore"):
                 inv = 1.0 / norms
             for s in range(0, m, block):
                 e = min(s + block, m)
-                sims = (mat[s:e] @ mat.T) * np.outer(inv[s:e], inv)
-                # upper triangle only: j > absolute row index
+                sims = (mat[s:e] @ mat[s:].T) * np.outer(inv[s:e], inv[s:])
+                # local column j corresponds to absolute index s + j;
+                # row bi (absolute s+bi) consumes only j > bi
                 for bi in range(e - s):
                     row = sims[bi]
                     j = np.where(
-                        np.isfinite(row[s + bi + 1 :])
-                        & (row[s + bi + 1 :] >= threshold)
+                        np.isfinite(row[bi + 1 :])
+                        & (row[bi + 1 :] >= threshold)
                     )[0]
                     if j.size:
                         out_a.append(
-                            np.full(j.size, ids_sorted[s + bi], dtype=np.int64)
+                            np.full(j.size, ids_sorted[s + bi], dtype=id_dtype)
                         )
                         out_b.append(ids_sorted[s + bi + 1 + j])
-                        out_c.append(row[s + bi + 1 + j])
+                        out_c.append(row[bi + 1 + j])
             return out_a, out_b, out_c
 
         for pdf in batches:
@@ -139,7 +153,7 @@ def grouped_cosine_pairs_arrow(
                     rv = r["__vec"] if not hasattr(r, "__fields__") else r.__vec
                     ids.append(rid)
                     vecs.append(rv)
-                ids = np.asarray(ids, dtype=np.int64)
+                ids = np.asarray(ids, dtype=id_dtype)
                 lens = np.fromiter(
                     (len(v) if v is not None else -1 for v in vecs),
                     dtype=np.int64, count=len(vecs),
@@ -174,7 +188,12 @@ def grouped_cosine_pairs_arrow(
                 }
             )
             if cos_col:
-                out[cos_col] = np.round(np.concatenate(acc_c), 6)
+                # HALF_UP away from zero, matching Spark's F.round —
+                # np.round is banker's and disagrees at .5 boundaries
+                c = np.concatenate(acc_c)
+                out[cos_col] = (
+                    np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                )
             yield out
 
     return grouped.mapInPandas(run, schema)

@@ -221,3 +221,16 @@ def test_query_df_typed_passes_custom_schema(spark):
     )
     assert captured["query"] == "SELECT id, ts FROM t"
     assert captured["custom_schema"] == "`id` decimal(20,0), `ts` timestamp"
+
+
+def test_clickhouse_sized_decimal_shorthands():
+    """Decimal32/64/128(s) carry implied precision (9/18/38 digits);
+    Decimal256 exceeds Spark's ceiling and escapes to string like
+    Decimal(76,s)."""
+    from scratchdata_spark.jdbc_destination import clickhouse_spark_type as cst
+
+    assert cst("Decimal32(4)") == "decimal(9,4)"
+    assert cst("Decimal64(4)") == "decimal(18,4)"
+    assert cst("Decimal128(10)") == "decimal(38,10)"
+    assert cst("Decimal256(10)") == "string"
+    assert cst("Nullable(Decimal64(2))") == "decimal(18,2)"

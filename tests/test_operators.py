@@ -1004,3 +1004,56 @@ def test_lm_perplexity_hot_salted_scores_unchanged(spark):
     with pytest.raises(ValueError):
         lm_perplexity(df, "doc_id", "text", hot_k=3)
     counts[0].unpersist(); counts[1].unpersist()
+
+
+def test_grouped_gemm_preserves_string_ids(spark):
+    """The grouped-GEMM verify must pass non-integer id types through
+    (review finding: the first cut hardcoded int64 and crashed on
+    string ids that the expansion shape it replaced handled fine)."""
+    from scratchdata_spark.operators.similarity import near_dup_pairs
+
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [0.99, 0.01, 0.0, 0.0]),
+        ("doc-z", [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_uuid string, emb array<float>")
+    out = near_dup_pairs(
+        df, dim=4, id_col="doc_uuid", vec_col="emb",
+        threshold=0.9, n_planes=2, max_bucket_size=None,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert ("doc-a", "doc-b") in got
+    assert all(isinstance(r.id_a, str) for r in out)
+
+
+def test_kmeans_sampling_requires_id_col(spark):
+    """Without id_col the hash-sample key would be the vector itself —
+    duplicate embeddings sampled all-or-nothing — so sampling stays
+    off and the fit is full-corpus (review finding)."""
+    from scratchdata_spark.operators.semantic import kmeans_fit
+
+    rows = [(i, [float(i % 3 == j) * 10 for j in range(4)])
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<float>")
+    no_id = kmeans_fit(df, "emb", k=3, max_iter=5, fit_sample_per_k=4)
+    full = kmeans_fit(df, "emb", k=3, max_iter=5, fit_sample_per_k=None)
+    assert no_id == full  # sampling silently disabled without a key
+
+
+def test_sample_frames_zero_frame_gif_yields_no_rows(spark, monkeypatch):
+    """A structurally valid GIF with no image descriptor decodes to
+    zero frames; the sampler must emit nothing, not crash on
+    frames[0] (review finding)."""
+    from scratchdata_spark.operators.multimodal import sample_frames
+
+    monkeypatch.setenv("SCRATCHDATA_FAKE_DECODE", "0")
+    empty_gif = (
+        b"GIF89a" + b"\x04\x00\x03\x00" + bytes([0x80, 0, 0])
+        + b"\x00\x00\x00\xff\xff\xff" + b"\x3b"
+    )
+    df = spark.createDataFrame(
+        [(1, "image/gif", bytearray(empty_gif))],
+        "doc_id long, media_type string, payload binary",
+    )
+    assert sample_frames(df, max_frames=3).count() == 0

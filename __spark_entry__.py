@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # SLOT-BUDGET POLICY (standing, per VERDICT r5 #3).  The window is 50
 # slots; the flagship takes one every round, so sustained capacity is
 # 49 x 3 rounds = 147 entries at max staleness 2.  The registry holds
-# 133 (131 + the two r6 newcomers) — headroom is 14 entries, so NET
+# 135 (131 + four r6 newcomers) — headroom is 12 entries, so NET
 # ADDITIONS ARE CAPPED AT ~4/ROUND; past 147 an addition must retire
 # or consolidate an existing entry (the paired rows-only/oracle
 # variants — e.g. x_dedup_exact_rows vs x_dedup_incremental_exact —
@@ -50,16 +50,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (x_dedup_simhash_pairs, q_dml_copy_roundtrip,
 # q_dml_compact_roundtrip, x_lm_perplexity — all judge-green in r5);
 # (c) = 2 in-window (x_semantic_incremental, x_multimodal_codec_jpeg)
-# + 1 past-edge late addition (x_multimodal_codec_gif — never
-# driver-checked, MUST front the r7 window; registry = 134 total);
+# + 2 past-edge late additions (x_multimodal_codec_gif,
+# x_dedup_substring — never driver-checked, MUST front the r7
+# window; registry = 135 total, one over the soft +4/round cap —
+# next round consolidates a paired rows-only/oracle slot to repay);
 # (d) = the 28 r3-newest entries (the function-sheet shapes +
 # x_pack_sequences, x_sample_stratified, x_split_train_val,
 # x_multimodal_features, q_nested_flatten_multitable_depth2);
 # (e) = 15 of the 49 r4-newest (streaming x6, nested flatten x2,
 # external files scan, q03/q05/q06, embedding-cosine, ngram-jaccard,
-# model-score), leaving 34 r4-era + x_multimodal_codec_gif as r7's
-# mandatory cohort (fits: 35 + 1 flagship + <=3 new + 11 r5-era
-# starts = 50).
+# model-score), leaving 34 r4-era + x_multimodal_codec_gif +
+# x_dedup_substring as r7's mandatory cohort (fits: 36 + 1 flagship
+# + <=2 new + 11 r5-era starts = 50).
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
     # --- (b) never driver-checked ---
@@ -121,6 +123,7 @@ _PRIORITY = [
     # multimodal x_ ops) — listed so a driver that reads deeper than
     # 50 still refreshes the stalest first ---
     "x_multimodal_codec_gif",
+    "x_dedup_substring",
     "q_dialect_qualify",
     "q_dialect_file_scan",
     "q_dialect_asof",

@@ -2147,3 +2147,65 @@ def x_multimodal_codec_gif(spark, sf_dir):
         T_.StructField("frames_match", T_.BooleanType()),
     ])
     return ids.mapInPandas(run, schema)
+
+
+_SUBSTR_N = 8  # window width for the oracle-able configuration
+
+
+@q(
+    "x_dedup_substring",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    base AS (SELECT doc_id, w, len(w) AS n_tokens FROM toks),
+    wins AS (
+      SELECT doc_id, p['pos'] AS pos, p['g'] AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - {_SUBSTR_N} + 2),
+                 i -> {{'pos': i - 1,
+                        'g': array_to_string(
+                               list_slice(w, i, i + {_SUBSTR_N} - 1), ' ')}}))
+                 AS p
+        FROM base WHERE len(w) >= {_SUBSTR_N}
+      )
+    ),
+    dupg AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+    flagged AS (
+      SELECT wins.doc_id, wins.pos FROM wins JOIN dupg USING (g)
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT t) AS dup_tokens FROM (
+        SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_N})) AS t
+        FROM flagged
+      ) GROUP BY doc_id
+    ),
+    nwin AS (
+      SELECT doc_id, COUNT(*) AS dup_windows FROM flagged GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           CAST(COALESCE(nwin.dup_windows, 0) AS INT) AS dup_windows,
+           CAST(COALESCE(cov.dup_tokens, 0) AS INT) AS dup_tokens,
+           ROUND(COALESCE(cov.dup_tokens, 0) / b.n_tokens, 6)
+             AS dup_fraction
+    FROM base b
+    LEFT JOIN nwin ON nwin.doc_id = b.doc_id
+    LEFT JOIN cov ON cov.doc_id = b.doc_id
+    """,
+)
+def x_dedup_substring(spark, sf_dir):
+    """Exact-substring duplication metrics (operators/dedup.py:
+    duplicate_ngram_stats — Lee et al. arXiv:2107.06499): sliding
+    8-token windows keyed by their text, windows repeated corpus-wide
+    flag duplicate spans, per-doc distinct-covered-token counts and
+    fraction under the hash gate. ``hashed=False`` here so DuckDB
+    groups by the same window strings (the scale path hashes the
+    window to a constant-width xxhash64 key; pytest pins both paths
+    equal)."""
+    from scratchdata_spark.operators.dedup import duplicate_ngram_stats
+
+    d = load(spark, sf_dir)["documents"]
+    return duplicate_ngram_stats(
+        d, "doc_id", "text", ngram=_SUBSTR_N, min_count=2, hashed=False
+    )

@@ -628,3 +628,94 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def duplicate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 20,
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication metrics per document — the
+    token-level counterpart of document dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499: verbatim spans repeated across a corpus are
+    memorization fuel even when no two whole documents match).
+
+    Every ``ngram``-token sliding window is keyed (window text, or
+    ``xxhash64`` of it when ``hashed`` — constant-width shuffle keys
+    at scale; the unhashed form exists so the DuckDB oracle can
+    reproduce the grouping), windows whose key occurs ``min_count``+
+    times corpus-wide (``cross_doc_only`` → in 2+ distinct docs) are
+    duplicate spans, and each document reports:
+
+    ``n_tokens``, ``dup_windows`` (flagged window starts),
+    ``dup_tokens`` (DISTINCT token positions covered by any flagged
+    window — overlapping windows don't double-count), and
+    ``dup_fraction = dup_tokens / n_tokens`` (round 6). Filter or
+    trim the high-fraction tail downstream.
+
+    Scale shape: window extraction is MAP-ONLY array combinatorics
+    (transform over a sequence, one Generate); the key count is one
+    partial-agg shuffle; flagged positions join back ids-only; the
+    coverage count explodes ≤ ngram rows per FLAGGED window only.
+    Documents shorter than ``ngram`` tokens report zero duplication
+    by construction.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+    ).withColumn("__n_tokens", F.size("__w"))
+    wins = (
+        base.filter(F.col("__n_tokens") >= ngram)
+        .select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__w) - {ngram}),"
+                    f" i -> array_join(slice(__w, i + 1, {ngram}), ' '))"
+                )
+            ).alias("__pos", "__g"),
+        )
+    )
+    if hashed:
+        wins = wins.withColumn("__g", F.xxhash64("__g"))
+    counts = wins.groupBy("__g").agg(
+        F.count("*").alias("__c"),
+        F.count_distinct("__id").alias("__d"),
+    )
+    dup_keys = counts.filter(
+        (F.col("__d") >= 2) if cross_doc_only else (F.col("__c") >= min_count)
+    ).select("__g")
+    flagged = wins.join(dup_keys, "__g").select("__id", "__pos")
+    cov = (
+        flagged.select(
+            "__id",
+            F.explode(
+                F.expr(f"sequence(__pos, __pos + {ngram} - 1)")
+            ).alias("__t"),
+        )
+        .groupBy("__id")
+        .agg(F.count_distinct("__t").alias("__dup_tokens"))
+    )
+    nwin = flagged.groupBy("__id").agg(F.count("*").alias("__dup_windows"))
+    return (
+        base.select("__id", "__n_tokens")
+        .join(nwin, "__id", "left")
+        .join(cov, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("__dup_windows", F.lit(0)).cast("int")
+            .alias("dup_windows"),
+            F.coalesce("__dup_tokens", F.lit(0)).cast("int")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("__dup_tokens", F.lit(0))
+                / F.col("__n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+    )

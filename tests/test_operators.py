@@ -1057,3 +1057,54 @@ def test_sample_frames_zero_frame_gif_yields_no_rows(spark, monkeypatch):
         "doc_id long, media_type string, payload binary",
     )
     assert sample_frames(df, max_frames=3).count() == 0
+
+
+def test_duplicate_ngram_stats_hand_computed(spark):
+    """Exact-substring span metrics on a hand-checkable corpus:
+    overlapping duplicate windows must not double-count covered
+    tokens; short docs report zero; hashed and unhashed keying
+    agree; cross_doc_only ignores within-doc repetition."""
+    from scratchdata_spark.operators.dedup import duplicate_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            # docs 1+2 share the 5-token span "a b c d e" (shifted)
+            (1, "a b c d e x y z"),
+            (2, "q a b c d e r s"),
+            # doc 3: within-doc repetition of "m n o" twice
+            (3, "m n o k m n o"),
+            (4, "totally unrelated words"),  # shorter than ngram=3? no: 3 toks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_windows, r.dup_tokens, r.dup_fraction)
+        for r in duplicate_ngram_stats(
+            df, ngram=3, min_count=2, hashed=True
+        ).collect()
+    }
+    # doc1 windows of "a b c d e": abc, bcd, cde flagged (each also in
+    # doc2) -> covered tokens 0..4 = 5 of 8
+    assert out[1] == (8, 3, 5, pytest.approx(5 / 8))
+    assert out[2] == (8, 3, 5, pytest.approx(5 / 8))
+    # doc3: "m n o" occurs at pos 0 and 4 -> 2 windows, covers 0-2 and
+    # 4-6 = 6 of 7 tokens
+    assert out[3] == (7, 2, 6, pytest.approx(6 / 7))
+    assert out[4] == (3, 0, 0, 0.0)
+
+    unhashed = {
+        r.doc_id: (r.n_tokens, r.dup_windows, r.dup_tokens, r.dup_fraction)
+        for r in duplicate_ngram_stats(
+            df, ngram=3, min_count=2, hashed=False
+        ).collect()
+    }
+    assert unhashed == out
+
+    xdoc = {
+        r.doc_id: r.dup_windows
+        for r in duplicate_ngram_stats(
+            df, ngram=3, cross_doc_only=True
+        ).collect()
+    }
+    # within-doc repeat (doc 3) no longer counts; cross-doc span does
+    assert xdoc[1] == 3 and xdoc[2] == 3 and xdoc[3] == 0

@@ -171,14 +171,13 @@ def test_lsh_near_dup_avoids_cartesian(spark, sf_dir):
 
 
 def test_lsh_near_dup_bucket_capped_ids_only(spark, sf_dir):
-    """The embedding-LSH pair expansion must mirror the MinHash shape:
-    no equi-self-join of vector-carrying sides on the bucket id.  The
-    only join allowed to key on ``__bucket`` is the ids-only LeftAnti
-    hot-bucket drop; candidates come from a grouped collect_list +
-    array-combinatorics expansion (capped BEFORE pairs materialize),
-    and vectors re-join by id afterwards.  An uncapped bucket
-    self-join is quadratic with vector payload in flight the moment
-    one degenerate bucket appears (templated/zero embeddings)."""
+    """The embedding-LSH tier must never equi-self-join on the bucket
+    id.  The only join allowed to key on ``__bucket`` is the LeftAnti
+    hot-bucket drop (applied count-first, BEFORE anything groups);
+    verification is the grouped collect_list + GEMM pass — each
+    vector moves once.  An uncapped bucket self-join is quadratic
+    with vector payload in flight the moment one degenerate bucket
+    appears (templated/zero embeddings)."""
     import re
 
     from scratchdata_spark.operators.similarity import near_dup_pairs
@@ -559,3 +558,26 @@ def test_lm_bigram_extraction_is_map_only(spark, sf_dir):
     p = plan(_bigrams(d, "doc_id", "text"))
     assert "Exchange" not in p, p
     assert "Join" not in p, p
+
+
+def test_substring_dedup_hashed_shuffle_is_constant_width(spark, sf_dir):
+    """duplicate_ngram_stats (hashed=True, the scale default) must
+    key the window-count shuffle on the xxhash64 value, never the
+    window STRING — constant-width keys regardless of window width —
+    and extract windows map-only (one Generate, no self-join)."""
+    from scratchdata_spark.operators.dedup import duplicate_ngram_stats
+
+    d = load(spark, sf_dir)["documents"]
+    p = plan(duplicate_ngram_stats(d, ngram=8))
+    assert "xxhash64" in p, p
+    assert "CartesianProduct" not in p, p
+    # the count aggregate's exchange partitions on the hashed key
+    import re as _re
+
+    agg_exchanges = [
+        seg for seg in _re.split(r"\n\(\d+\) ", p)
+        if seg.startswith("Exchange") and "__g" in seg
+    ]
+    assert agg_exchanges, p
+    for seg in agg_exchanges:
+        assert "bigint" in seg or "__g#" in seg, seg

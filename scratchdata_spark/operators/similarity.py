@@ -357,11 +357,19 @@ def cosine_topk_lsh(
     Truncation is sort-based (window row_number, spills fine), never a
     collected array.
     """
-    cb = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    cb = (
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            )
         )
-    ).withColumn("__bucket", hyperplane_bits(F.col("__cvec"), dim, n_planes))
+        # norm once per corpus row, BEFORE the candidate expansion —
+        # per-pair norm folds were 2 of the 3 HOF evaluations at the
+        # scoring stage (_dot docstring anti-pattern)
+        .withColumn("__cn", _norm(F.col("__cvec")))
+        .withColumn("__bucket", hyperplane_bits(F.col("__cvec"), dim, n_planes))
+    )
     if max_bucket_size is not None:
         wb = Window.partitionBy("__bucket").orderBy("neighbor_id")
         cb = (
@@ -373,6 +381,7 @@ def cosine_topk_lsh(
         qb = queries.select(
             F.col(query_id_col).alias("__qid"),
             F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
             hyperplane_bits(F.col(vec_col), dim, n_planes).alias("__bucket"),
         )
     else:
@@ -385,17 +394,25 @@ def cosine_topk_lsh(
                     F.col(vec_col), dim, n_planes
                 ).alias("__projs"),
             )
+            .withColumn("__qn", _norm(F.col("__qvec")))
             .withColumn("__home", home)
             .withColumn("__order", order)
             .withColumn("__probe", F.concat(F.array("__home"), flips))
             .select(
-                "__qid", "__qvec", F.explode("__probe").alias("__bucket")
+                "__qid", "__qvec", "__qn",
+                F.explode("__probe").alias("__bucket"),
             )
         )
     cand = cb.join(F.broadcast(qb), "__bucket").filter(
         F.col("neighbor_id") != F.col("__qid")
     )
-    sim = cand.withColumn("cos_sim", cosine(F.col("__cvec"), F.col("__qvec")))
+    sim = cand.withColumn(
+        "cos_sim",
+        F.try_divide(
+            _dot(F.col("__cvec"), F.col("__qvec")),
+            F.col("__cn") * F.col("__qn"),
+        ),
+    )
     w = Window.partitionBy("__qid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -544,18 +561,30 @@ def ivf_topk(
             )
         )
 
-    def _nearest_cells(side: DataFrame, sid: str, svec: str, top: int, keep_vec: bool):
-        sims = side.crossJoin(F.broadcast(cents)).withColumn(
-            "__csim",
-            _dot(F.col(svec), F.col("__cent_vec"))
-            / (_norm(F.col(svec)) * F.col("__cent_n")),
+    def _nearest_cells(
+        side: DataFrame, sid: str, svec: str, snorm: str, top: int
+    ):
+        """Attach the side's own norm ONCE per row, then rank cells.
+        The norm rides along so the exact re-rank later pays one HOF
+        fold per candidate pair (the dot), not three — per-pair norm
+        recomputation was exactly the anti-pattern the _dot docstring
+        warns about, ×|candidates| at the scoring join."""
+        sims = (
+            side.withColumn(snorm, _norm(F.col(svec)))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "__csim",
+                F.try_divide(
+                    _dot(F.col(svec), F.col("__cent_vec")),
+                    F.col(snorm) * F.col("__cent_n"),
+                ),
+            )
         )
         w = Window.partitionBy(sid).orderBy(F.col("__csim").desc(), "__cent_id")
-        cols = [sid, "__cent_id"] + ([svec] if keep_vec else [])
         return (
             sims.withColumn("__crank", F.row_number().over(w))
             .filter(F.col("__crank") <= top)
-            .select(*cols)
+            .select(sid, "__cent_id", svec, snorm)
         )
 
     cells = _nearest_cells(
@@ -565,16 +594,23 @@ def ivf_topk(
                 F.col(vec_col).alias("__cvec"),
             )
         ),
-        "neighbor_id", "__cvec", 1, keep_vec=True,
+        "neighbor_id", "__cvec", "__cn", 1,
     )
     probes = _nearest_cells(
         queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")),
-        "__qid", "__qvec", nprobe, keep_vec=True,
+        "__qid", "__qvec", "__qn", nprobe,
     )
     cand = cells.join(probes, "__cent_id").filter(
         F.col("neighbor_id") != F.col("__qid")
     )
-    sim = cand.withColumn("cos_sim", cosine(F.col("__cvec"), F.col("__qvec")))
+    # one fold per pair: norms were computed per SIDE row above
+    sim = cand.withColumn(
+        "cos_sim",
+        F.try_divide(
+            _dot(F.col("__cvec"), F.col("__qvec")),
+            F.col("__cn") * F.col("__qn"),
+        ),
+    )
     w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         sim.withColumn("rank", F.row_number().over(w))

@@ -440,9 +440,42 @@ def semantic_dedup(
     )
 
 
+def prepare_corpus_index(
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_iter: int = 3,
+    max_cluster_compare: int | None = 4096,
+    fit_sample_per_k: int | None = 256,
+):
+    """Build the reusable half of incremental SemDeDup once per
+    corpus version: (centroids, capped corpus assignment). The
+    returned assignment DataFrame is what every increment probes —
+    PERSIST it when scoring many increments (the streaming wrapper
+    does; see streaming/semantic.py) so micro-batches don't re-pay
+    the corpus assignment pass."""
+    corpus = _prepared(corpus_df, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, "__vec", k=semantic_k_for(corpus_df.count()),
+            max_iter=max_iter, id_col="__id",
+            fit_sample_per_k=fit_sample_per_k,
+        )
+    casg = assign_clusters(corpus, centroids, "__vec", out_col="cluster_id")
+    if max_cluster_compare is not None:
+        wc = Window.partitionBy("cluster_id").orderBy("__id")
+        casg = (
+            casg.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= max_cluster_compare)
+            .drop("__rn")
+        )
+    return centroids, casg
+
+
 def semantic_dedup_incremental(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
@@ -450,6 +483,7 @@ def semantic_dedup_incremental(
     max_iter: int = 3,
     max_cluster_compare: int | None = 4096,
     fit_sample_per_k: int | None = 256,
+    corpus_index=None,
 ) -> DataFrame:
     """Incremental SemDeDup: flag NEW vectors that semantically
     duplicate an EXISTING corpus — the production shape (an embedding
@@ -463,23 +497,26 @@ def semantic_dedup_incremental(
     lowest-id corpus rows per cluster (truncation, like the batch
     tier). Returns every ``new_df`` row as (id, cluster_id, dup_of)
     with ``dup_of`` = the min-id corpus duplicate or NULL.
+
+    ``corpus_index`` (from :func:`prepare_corpus_index`) skips the
+    corpus preparation entirely — the score-many path (streaming
+    micro-batches probe one persisted assignment instead of
+    re-deriving it per batch); ``corpus_df`` may then be None.
     """
-    corpus = _prepared(corpus_df, id_col, vec_col)
-    if centroids is None:
-        centroids = kmeans_fit(
-            corpus, "__vec", k=semantic_k_for(corpus_df.count()),
-            max_iter=max_iter, id_col="__id",
+    if corpus_index is not None:
+        centroids, casg = corpus_index
+    else:
+        if corpus_df is None:
+            raise ValueError(
+                "semantic_dedup_incremental: corpus_df or corpus_index"
+                " required"
+            )
+        centroids, casg = prepare_corpus_index(
+            corpus_df, id_col, vec_col, centroids=centroids,
+            max_iter=max_iter, max_cluster_compare=max_cluster_compare,
             fit_sample_per_k=fit_sample_per_k,
         )
     new = _prepared(new_df, id_col, vec_col)
-    casg = assign_clusters(corpus, centroids, "__vec", out_col="cluster_id")
-    if max_cluster_compare is not None:
-        wc = Window.partitionBy("cluster_id").orderBy("__id")
-        casg = (
-            casg.withColumn("__rn", F.row_number().over(wc))
-            .filter(F.col("__rn") <= max_cluster_compare)
-            .drop("__rn")
-        )
     nasg = assign_clusters(new, centroids, "__vec", out_col="cluster_id")
     # The HOF cosine stays here deliberately: an increment is small
     # by contract (the batch tiers carry the 100×-scale load and use

@@ -301,3 +301,88 @@ def test_ingest_stream_idempotent_by_key(spark, tmp_path):
     q2.awaitTermination(120)
     rows = dest.query_df("select k, v from idem_t order by k").collect()
     assert [(r.k, r.v) for r in rows] == [(1, "one"), (2, "two"), (3, "three")]
+
+
+def test_semantic_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming SemDeDup (streaming/semantic.py): embedding files
+    arriving as micro-batches probe a persisted corpus index; the
+    union of streamed outputs must equal the batch incremental
+    operator over the same increments, and a checkpoint re-run must
+    not reprocess consumed files (exactly-once)."""
+    import random
+
+    from scratchdata_spark.operators.semantic import (
+        prepare_corpus_index,
+        semantic_dedup_incremental,
+    )
+    from scratchdata_spark.streaming.semantic import (
+        start_semantic_dedup_stream,
+    )
+
+    rng = random.Random(5)
+
+    def vec(center, jitter=0.02):
+        return [c + rng.uniform(-jitter, jitter) for c in center]
+
+    centers = [[10.0 if i == j else 0.0 for i in range(8)] for j in range(4)]
+    corpus_rows = [
+        (cid * 100 + i, vec(centers[cid]))
+        for cid in range(4) for i in range(12)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+
+    # increments: near-dups of corpus vectors + novel directions
+    inc1 = [(1000 + i, vec(centers[i % 4])) for i in range(6)]
+    inc2 = [(2000 + i, vec([5.0] * 8)) for i in range(4)]  # novel
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    os.makedirs(src)
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(inc1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "f1"))
+    spark.createDataFrame(inc2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "f2"))
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(str(tmp_path / d)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    str(tmp_path / d / f), os.path.join(src, f"inc{i}.parquet")
+                )
+
+    q, unpersist = start_semantic_dedup_stream(
+        spark, src, corpus, out, ckpt,
+        threshold=0.98, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    unpersist()
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() == 2  # one per file
+
+    # batch reference over the same increments with the same index
+    index = prepare_corpus_index(corpus)
+    index[1].persist()
+    want = semantic_dedup_incremental(
+        spark.createDataFrame(inc1 + inc2, schema), None,
+        threshold=0.98, corpus_index=index,
+    )
+    gotmap = {r.vec_id: (r.cluster_id, r.dup_of) for r in got.collect()}
+    wantmap = {r.vec_id: (r.cluster_id, r.dup_of) for r in want.collect()}
+    index[1].unpersist()
+    assert gotmap == wantmap
+    # the near-dup increments flagged, the novel ones clean
+    assert all(gotmap[1000 + i][1] is not None for i in range(6))
+    assert all(gotmap[2000 + i][1] is None for i in range(4))
+
+    # exactly-once across restarts: nothing reprocessed
+    n_before = got.count()
+    q2, unpersist2 = start_semantic_dedup_stream(
+        spark, src, corpus, out, ckpt, threshold=0.98
+    )
+    q2.awaitTermination(120)
+    unpersist2()
+    assert spark.read.parquet(out).count() == n_before

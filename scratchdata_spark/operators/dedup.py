@@ -649,8 +649,8 @@ def duplicate_ngram_stats(
     ``xxhash64`` of it when ``hashed`` — constant-width shuffle keys
     at scale; the unhashed form exists so the DuckDB oracle can
     reproduce the grouping), windows whose key occurs ``min_count``+
-    times corpus-wide (``cross_doc_only`` → in 2+ distinct docs) are
-    duplicate spans, and each document reports:
+    times corpus-wide (``cross_doc_only`` additionally requires 2+
+    distinct docs) are duplicate spans, and each document reports:
 
     ``n_tokens``, ``dup_windows`` (flagged window starts),
     ``dup_tokens`` (DISTINCT token positions covered by any flagged
@@ -683,13 +683,20 @@ def duplicate_ngram_stats(
     )
     if hashed:
         wins = wins.withColumn("__g", F.xxhash64("__g"))
-    counts = wins.groupBy("__g").agg(
-        F.count("*").alias("__c"),
-        F.count_distinct("__id").alias("__d"),
-    )
-    dup_keys = counts.filter(
-        (F.col("__d") >= 2) if cross_doc_only else (F.col("__c") >= min_count)
-    ).select("__g")
+    # count_distinct forces a pre-agg on (__g, __id) — near the raw
+    # window count in shuffle bytes — so only pay it when the
+    # cross-doc predicate actually reads it.
+    if cross_doc_only:
+        counts = wins.groupBy("__g").agg(
+            F.count("*").alias("__c"),
+            F.count_distinct("__id").alias("__d"),
+        )
+        dup_keys = counts.filter(
+            (F.col("__d") >= 2) & (F.col("__c") >= min_count)
+        ).select("__g")
+    else:
+        counts = wins.groupBy("__g").agg(F.count("*").alias("__c"))
+        dup_keys = counts.filter(F.col("__c") >= min_count).select("__g")
     flagged = wins.join(dup_keys, "__g").select("__id", "__pos")
     cov = (
         flagged.select(

@@ -54,10 +54,6 @@ def _norm(a):
     )
 
 
-def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
 def grouped_cosine_pairs_arrow(
     grouped: DataFrame,
     rows_col: str,

@@ -12,8 +12,10 @@ Structured-Streaming shape, same pattern as streaming/ingest.py:
   batch incremental operator documents);
 * each micro-batch runs ``semantic_dedup_incremental`` with that
   index (map-only assignment of the batch + one within-cluster probe
-  join) and appends (id, cluster_id, dup_of, batch_id) parquet to
-  ``output_dir`` — downstream admission filters ``dup_of IS NULL``;
+  join) and writes (id, cluster_id, dup_of) parquet to a
+  ``batch_id=N`` partition under ``output_dir`` (overwrite per batch,
+  so an at-least-once foreachBatch replay is idempotent) — downstream
+  admission filters ``dup_of IS NULL``;
 * the file-source checkpoint makes each input file exactly-once
   across restarts, exactly like the ingest stream.
 
@@ -73,8 +75,17 @@ def start_semantic_dedup_stream(
     casg.count()  # materialize before the first trigger
     index = (centroids, casg)
 
+    if schema is None:
+        # Derive from the id/vec column names — a fixed constant would
+        # crash every micro-batch for non-default names.
+        schema = StructType(
+            [
+                StructField(id_col, LongType()),
+                StructField(vec_col, ArrayType(FloatType())),
+            ]
+        )
     src = (
-        spark.readStream.schema(schema or EMBEDDING_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
@@ -83,8 +94,15 @@ def start_semantic_dedup_stream(
         out = semantic_dedup_incremental(
             batch_df, None, id_col, vec_col, threshold=threshold,
             max_cluster_compare=max_cluster_compare, corpus_index=index,
-        ).withColumn("batch_id", F.lit(batch_id))
-        out.write.mode("append").parquet(output_dir)
+        )
+        # foreachBatch is at-least-once: a batch replayed after a
+        # mid-commit crash must not duplicate rows.  Writing each batch
+        # to its own batch_id=N partition dir with overwrite makes the
+        # replay idempotent (same batch_id -> same path, clobbered);
+        # readers see batch_id as a discovered partition column.
+        out.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch_id={batch_id}")
+        )
 
     writer = (
         src.writeStream.foreachBatch(process_batch)

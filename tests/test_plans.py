@@ -580,4 +580,6 @@ def test_substring_dedup_hashed_shuffle_is_constant_width(spark, sf_dir):
     ]
     assert agg_exchanges, p
     for seg in agg_exchanges:
-        assert "bigint" in seg or "__g#" in seg, seg
+        # hashed keys print as __g#<exprId>L (long); a regression to
+        # string keys would print __g#<exprId> with no suffix
+        assert _re.search(r"__g#\d+L", seg), seg

@@ -30,6 +30,7 @@ from scratchdata_spark.operators.dedup import (
     ngram_jaccard_pairs,
     normalize_text,
     simhash,
+    source_ngram_overlap,
     simhash_pairs,
 )
 from scratchdata_spark.operators.graph import (
@@ -938,6 +939,7 @@ def q_dialect_duckdb_text(spark, sf_dir):
 
 from scratchdata_spark.operators.pipeline import (
     cap_per_group,
+    leakage_safe_split,
     chunk_documents,
     decontaminate,
     global_shuffle,
@@ -2208,4 +2210,78 @@ def x_dedup_substring(spark, sf_dir):
     d = load(spark, sf_dir)["documents"]
     return duplicate_ngram_stats(
         d, "doc_id", "text", ngram=_SUBSTR_N, min_count=2, hashed=False
+    )
+
+
+@q(
+    "x_source_overlap",
+    f"""
+    WITH toks AS (
+      SELECT source, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    wins AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(w) - {_SUBSTR_N} + 2),
+                 i -> array_to_string(
+                        list_slice(w, i, i + {_SUBSTR_N} - 1), ' '))) AS g
+        FROM toks WHERE len(w) >= {_SUBSTR_N}
+      )
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS c
+      FROM wins a JOIN wins b USING (g)
+      WHERE a.source < b.source
+      GROUP BY source_a, source_b
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM wins GROUP BY source)
+    SELECT source_a, source_b, c AS shared_ngrams,
+           na.n AS n_a, nb.n AS n_b,
+           c / (na.n + nb.n - c) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.source = source_a
+    JOIN sizes nb ON nb.source = source_b
+    """,
+)
+def x_source_overlap(spark, sf_dir):
+    """Cross-source n-gram contamination matrix (operators/dedup.py:
+    source_ngram_overlap): distinct 8-token windows per source, then
+    shared-gram counts + Jaccard for every source pair — the
+    before-training leakage diagnostic between corpus components.
+    ``hashed=False`` so DuckDB groups the same window strings (the
+    scale path keys grams by xxhash64; pytest pins both paths equal).
+    No rounding on jaccard: int/int IEEE division is bit-identical on
+    both engines, ROUND half-ties are not."""
+    d = load(spark, sf_dir)["documents"]
+    return source_ngram_overlap(
+        d, "source", "text", ngram=_SUBSTR_N, hashed=False
+    )
+
+
+@q(
+    "x_split_leakage_safe",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT r.doc_id,
+           CASE WHEN substr(sha256(dr.text), 1, 2) < 'f3'
+                THEN 'train' ELSE 'val' END AS split
+    FROM rep r JOIN documents dr ON dr.doc_id = r.rep_id
+    """,
+)
+def x_split_leakage_safe(spark, sf_dir):
+    """Near-dup-aware train/val split (operators/pipeline.py:
+    leakage_safe_split): exact 5-gram-Jaccard pairs → connected
+    components → every member splits by its cluster representative's
+    content hash, so near-duplicates never straddle train/val. The
+    oracle rebuilds the same closure with the recursive CTE shared by
+    x_dedup_clusters and hashes the representative's raw text exactly
+    as x_split_train_val does (val fraction 13/256)."""
+    d = load(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.4)
+    return leakage_safe_split(d, pairs, "doc_id", "text").select(
+        "doc_id", "split"
     )

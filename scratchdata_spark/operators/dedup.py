@@ -726,3 +726,78 @@ def duplicate_ngram_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct word ``ngram``-grams they share and the Jaccard
+    fraction — the corpus diagnostic run before training-mix assembly
+    (a benchmark split that shares verbatim spans with a web crawl is
+    leaked, not held out; cf. the reference's query-over-stored-corpus
+    role, pkg/api/query.go, which this extends with pipeline
+    analytics the reference does not attempt).
+
+    Output: (source_a, source_b, shared_ngrams, n_a, n_b, jaccard)
+    with source_a < source_b; source pairs sharing nothing are absent.
+    ``jaccard`` is the raw IEEE quotient (no rounding: int/int
+    division is bit-identical on every engine, while ROUND can split
+    half-ties — see dup_token_fraction).
+
+    Scale shape (100 TB): n-gram extraction is map-only array
+    combinatorics; the distinct (source, gram) dedup is the one big
+    shuffle, on a constant-width xxhash64 key when ``hashed`` (the
+    unhashed form exists for the DuckDB oracle).  The per-gram source
+    set is bounded by the SOURCE CARDINALITY (collect_set, never a
+    gram self-join), so pair expansion via ``triangular_pairs`` is
+    tiny, and the matrix itself is |sources|² rows at most.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = ensure_parallelism(
+        df.select(F.col(source_col).alias("__s"), words.alias("__w"))
+    )
+    grams = base.filter(F.size("__w") >= ngram).select(
+        "__s",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__w) - {ngram}),"
+                f" i -> array_join(slice(__w, i + 1, {ngram}), ' '))"
+            )
+        ).alias("__g"),
+    )
+    if hashed:
+        grams = grams.withColumn("__g", F.xxhash64("__g"))
+    grams = grams.dropDuplicates(["__s", "__g"])
+    sizes = grams.groupBy("__s").agg(F.count("*").alias("__n"))
+    sets = (
+        grams.groupBy("__g")
+        .agg(F.sort_array(F.collect_set("__s")).alias("__ss"))
+        .filter(F.size("__ss") >= 2)
+    )
+    shared = (
+        triangular_pairs(sets, "__ss", "source_a", "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    na = sizes.select(F.col("__s").alias("source_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col("__s").alias("source_b"), F.col("__n").alias("n_b"))
+    return (
+        shared.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_ngrams",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared_ngrams")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_ngrams"))
+            ).alias("jaccard"),
+        )
+    )

@@ -317,3 +317,53 @@ def pack_sequences(
         F.floor(start / context_tokens).cast("long").alias("pack_id"),
         (start % context_tokens).cast("long").alias("pack_offset"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_fraction_256: int = 13,
+) -> DataFrame:
+    """Near-dup-aware train/val split: every document follows its
+    duplicate-cluster REPRESENTATIVE (minimum-id member) into the
+    split, so near-duplicates can never straddle train/val — the
+    classic eval-leakage trap that a per-document content-hash split
+    (:func:`train_val_split`) cannot close (near-dups hash apart).
+
+    ``pairs`` is the pluggable near-dup tier: exact n-gram-Jaccard
+    pairs at test scale, MinHash-LSH / SemDeDup pairs at corpus scale
+    — any (id_a, id_b) frame. Documents in no pair are their own
+    representative and split exactly as :func:`train_val_split` would.
+
+    Scale shape: connected components over the pairs (log rounds, ids
+    only), then two id-keyed joins — the representative lookup ships
+    (id, 2-char hash bucket), never document text, and the duplicate-
+    cluster side is tiny next to the corpus (AQE broadcasts it).
+
+    Returns (id_col, split) with split ∈ {'train', 'val'}.
+    """
+    from scratchdata_spark.operators.graph import connected_components
+
+    if val_fraction_256 <= 0:
+        threshold = "zz"
+    else:
+        threshold = format(max(256 - val_fraction_256, 0), "02x")
+    comp = connected_components(pairs)  # (id, comp = min member id)
+    buckets = df.select(
+        F.col(id_col).alias("__rep_id"),
+        _hash_bucket(F.col(text_col)).alias("__b"),
+    )
+    rep = df.select(id_col).join(
+        comp, F.col(id_col) == F.col("id"), "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("__rep_id"),
+    )
+    return rep.join(buckets, "__rep_id").select(
+        F.col(id_col),
+        F.when(F.col("__b") < F.lit(threshold), "train")
+        .otherwise("val")
+        .alias("split"),
+    )

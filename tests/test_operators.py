@@ -1108,3 +1108,81 @@ def test_duplicate_ngram_stats_hand_computed(spark):
     }
     # within-doc repeat (doc 3) no longer counts; cross-doc span does
     assert xdoc[1] == 3 and xdoc[2] == 3 and xdoc[3] == 0
+
+
+def test_source_ngram_overlap_hand_computed(spark):
+    """Cross-source contamination matrix on a hand-checkable corpus:
+    shared distinct grams counted once per source regardless of
+    repetition, disjoint pairs absent, hashed/unhashed keying agree."""
+    from scratchdata_spark.operators.dedup import source_ngram_overlap
+
+    df = spark.createDataFrame(
+        [
+            # web and books share exactly "a b c" and "b c d"
+            (1, "web", "a b c d"),
+            (2, "web", "a b c z z z"),   # repeats "a b c" within web
+            (3, "books", "q a b c d"),
+            # wiki shares nothing 3-token-long with anyone
+            (4, "wiki", "x y z w"),
+            (5, "forum", "no"),          # shorter than ngram: no grams
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.source_a, r.source_b): (
+            r.shared_ngrams, r.n_a, r.n_b, r.jaccard
+        )
+        for r in source_ngram_overlap(df, ngram=3, hashed=True).collect()
+    }
+    # web grams: {abc, bcd, abc(z..): "a b c", "b c z", "c z z", "z z z"}
+    #   distinct web = {a b c, b c d, b c z, c z z, z z z} -> 5
+    # books grams: {q a b, a b c, b c d} -> 3
+    # shared web∩books = {a b c, b c d} -> 2; jaccard 2/(5+3-2) = 1/3
+    assert rows == {("books", "web"): (2, 3, 5, pytest.approx(2 / 6))}
+
+    unhashed = {
+        (r.source_a, r.source_b): (r.shared_ngrams, r.n_a, r.n_b, r.jaccard)
+        for r in source_ngram_overlap(df, ngram=3, hashed=False).collect()
+    }
+    assert unhashed == rows
+
+
+def test_leakage_safe_split_cluster_cotravel(spark):
+    """Near-dup clusters must land whole on one side of the split,
+    transitively; documents in no pair split exactly as the plain
+    content-hash split would."""
+    from scratchdata_spark.operators.pipeline import (
+        leakage_safe_split,
+        train_val_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"solo document number {i} with its own words {i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    # chain 0-1-2 (transitive: 0 and 2 share no pair) + pair 10-11
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    # a split aggressive enough that some cluster members would
+    # otherwise disagree (val ~50%)
+    out = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, pairs, val_fraction_256=128
+        ).collect()
+    }
+    assert len(out) == 40
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11]
+    # cluster members follow the REPRESENTATIVE (min id), not their own hash
+    plain = {
+        r.doc_id: r.split
+        for r in train_val_split(docs, val_fraction_256=128).collect()
+    }
+    assert out[0] == plain[0] and out[10] == plain[10]
+    # unpaired docs split exactly as the per-document hash split
+    for i in range(12, 40):
+        assert out[i] == plain[i], i
+    assert {"train", "val"} == set(out.values())  # both sides populated

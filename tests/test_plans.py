@@ -583,3 +583,26 @@ def test_substring_dedup_hashed_shuffle_is_constant_width(spark, sf_dir):
         # hashed keys print as __g#<exprId>L (long); a regression to
         # string keys would print __g#<exprId> with no suffix
         assert _re.search(r"__g#\d+L", seg), seg
+
+
+def test_source_overlap_hashed_shuffle_is_constant_width(spark, sf_dir):
+    """source_ngram_overlap (hashed=True, the scale default) must key
+    the gram dedup/collect_set shuffles on the xxhash64 value, never
+    the gram STRING, and must not self-join grams (the per-gram
+    source set comes from collect_set, so pair expansion is bounded
+    by source cardinality)."""
+    from scratchdata_spark.operators.dedup import source_ngram_overlap
+
+    d = load(spark, sf_dir)["documents"]
+    p = plan(source_ngram_overlap(d, ngram=8))
+    assert "xxhash64" in p, p
+    assert "CartesianProduct" not in p, p
+    import re as _re
+
+    gram_exchanges = [
+        seg for seg in _re.split(r"\n\(\d+\) ", p)
+        if seg.startswith("Exchange") and "__g" in seg
+    ]
+    assert gram_exchanges, p
+    for seg in gram_exchanges:
+        assert _re.search(r"__g#\d+L", seg), seg

@@ -423,6 +423,62 @@ def ivf_telemetry(vectors, n: int, n_queries=50, k=5,
     }
 
 
+def substring_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
+    """Exact-substring duplication metrics (operators/dedup.py
+    duplicate_ngram_stats, hashed scale path). Under the pairwise
+    replica topology every doc shares ~all its windows with exactly
+    one near-dup partner, so mean dup_fraction sits near 1 at every
+    scale — the EXPECTED topology constant; the scale
+    signal is the wall: window extraction is map-only, the key count
+    one partial-agg shuffle on xxhash64 keys, coverage explodes only
+    flagged windows. Near-linear wall growth means no stage went
+    quadratic."""
+    from scratchdata_spark.operators.dedup import duplicate_ngram_stats
+
+    t0 = time.perf_counter()
+    agg = duplicate_ngram_stats(docs, ngram=ngram, hashed=True).agg(
+        F.count("*").alias("n"),
+        F.sum("dup_windows").alias("w"),
+        F.sum((F.col("dup_fraction") > 0.5).cast("long")).alias("hi"),
+        F.avg("dup_fraction").alias("f"),
+    ).first()
+    wall = time.perf_counter() - t0
+    return {
+        "n_docs": int(agg["n"]),
+        "flagged_windows": int(agg["w"] or 0),
+        "docs_over_half_dup": int(agg["hi"] or 0),
+        "mean_dup_fraction": round(float(agg["f"] or 0.0), 4),
+        "wall_sec": round(wall, 3),
+    }
+
+
+def source_overlap_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
+    """Cross-source contamination matrix (operators/dedup.py
+    source_ngram_overlap, hashed scale path) over a synthesized
+    20-way source split (doc_id % 20 — replica pair members land in
+    DIFFERENT sources, so cross-source shared grams exist by
+    construction). The matrix is at most C(20,2) rows at any corpus
+    size; the wall tracks the one distinct-gram shuffle."""
+    from scratchdata_spark.operators.dedup import source_ngram_overlap
+
+    src = docs.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    )
+    t0 = time.perf_counter()
+    agg = source_ngram_overlap(src, ngram=ngram, hashed=True).agg(
+        F.count("*").alias("pairs"),
+        F.sum("shared_ngrams").alias("shared"),
+        F.max("jaccard").alias("maxj"),
+    ).first()
+    wall = time.perf_counter() - t0
+    return {
+        "pair_rows": int(agg["pairs"]),
+        "shared_grams_total": int(agg["shared"] or 0),
+        "max_jaccard": round(float(agg["maxj"] or 0.0), 4),
+        "wall_sec": round(wall, 3),
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replica_list = [
@@ -446,6 +502,8 @@ def main() -> None:
             "connected_components": cc_telemetry(mh_pairs),
             "incremental_dedup": incremental_dedup_telemetry(docs, n_docs=n_docs),
             "lm_perplexity": lm_telemetry(docs),
+            "substring_dedup": substring_telemetry(docs, n_docs=n_docs),
+            "source_overlap": source_overlap_telemetry(docs, n_docs=n_docs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
             "semantic_dedup": semantic_telemetry(vecs, n_vecs),

@@ -50,22 +50,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # (x_dedup_simhash_pairs, q_dml_copy_roundtrip,
 # q_dml_compact_roundtrip, x_lm_perplexity — all judge-green in r5);
 # (c) = 2 in-window (x_semantic_incremental, x_multimodal_codec_jpeg)
-# + 4 past-edge late additions (x_multimodal_codec_gif,
-# x_dedup_substring, x_source_overlap, x_split_leakage_safe — never
-# driver-checked, MUST front the r7 window; registry = 137 total,
-# three over the soft +4/round cap — r7 repays by alternating the
-# paired rows-only/oracle slots: x_dedup_exact_rows with
-# x_dedup_exact, x_dedup_incremental with x_dedup_incremental_exact,
-# x_semantic_kmeans with x_semantic_dedup — each pair shares one
-# window slot on alternate rounds, freeing 3 slots/round);
+# + 5 past-edge late additions (x_multimodal_codec_gif,
+# x_dedup_substring, x_source_overlap, x_split_leakage_safe,
+# x_ann_pq_topk — never driver-checked, MUST front the r7 window;
+# registry = 138 total, four over the soft +4/round cap — r7 repays
+# by alternating the paired rows-only/oracle slots:
+# x_dedup_exact_rows with x_dedup_exact, x_dedup_incremental with
+# x_dedup_incremental_exact, x_semantic_kmeans with x_semantic_dedup
+# — each pair shares one window slot on alternate rounds, freeing 3
+# slots/round; at 138 entries the 3-round window capacity is 147+3
+# shared = 150, so the staleness-2 invariant still holds through r8
+# only if r7 adds <=4 net);
 # (d) = the 28 r3-newest entries (the function-sheet shapes +
 # x_pack_sequences, x_sample_stratified, x_split_train_val,
 # x_multimodal_features, q_nested_flatten_multitable_depth2);
 # (e) = 15 of the 49 r4-newest (streaming x6, nested flatten x2,
 # external files scan, q03/q05/q06, embedding-cosine, ngram-jaccard,
-# model-score), leaving 34 r4-era + the 4 never-checked late
-# newcomers (gif/substring/source_overlap/leakage_safe) as r7's
-# mandatory cohort (fits: 38 + 1 flagship + <=2 new + 9 r5-era
+# model-score), leaving 34 r4-era + the 5 never-checked late
+# newcomers (gif/substring/source_overlap/leakage_safe/pq) as r7's
+# mandatory cohort (fits: 39 + 1 flagship + <=2 new + 8 r5-era
 # starts = 50, with the 3 alternate-round shared slots as slack).
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
@@ -131,6 +134,7 @@ _PRIORITY = [
     "x_dedup_substring",
     "x_source_overlap",
     "x_split_leakage_safe",
+    "x_ann_pq_topk",
     "q_dialect_qualify",
     "q_dialect_file_scan",
     "q_dialect_asof",

@@ -70,6 +70,7 @@ EXTRAS = [  # included once implemented (operators/ extras)
     "x_multimodal_meta",
     "x_semantic_dedup",  # round 5: +1 query — adds ~0.03 s to the total
     "x_lm_perplexity",  # round 6: the newest heavy operator (judge #8)
+    "x_dedup_substring",  # round 6: exact-substring span metrics
 ]
 
 

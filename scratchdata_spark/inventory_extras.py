@@ -2285,3 +2285,23 @@ def x_split_leakage_safe(spark, sf_dir):
     return leakage_safe_split(d, pairs, "doc_id", "text").select(
         "doc_id", "split"
     )
+
+
+@q("x_ann_pq_topk", None)  # PQ is approximate by construction: rows-only
+def x_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py — Jégou et al. TPAMI
+    2011): per-subspace k-means codebooks (sample-fit valve), 8-byte
+    codes via Arrow GEMM argmin, asymmetric-distance shortlist where
+    the query LUTs ride the closure and only per-batch top-R rows
+    leave the scan, then an exact-cosine refine over the broadcast
+    shortlist decides the final top-k. Approximate, so no SQL oracle;
+    pytest pins exact recovery at lossless codebooks + recall vs
+    brute force."""
+    from scratchdata_spark.operators.pq import pq_topk
+
+    e = load(spark, sf_dir)["embeddings"]
+    queries = (
+        e.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return pq_topk(e, queries, 64, k=5, m=8, nbits=6, rerank=20)

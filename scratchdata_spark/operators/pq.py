@@ -1,0 +1,461 @@
+"""Product quantization (IVF-PQ family) for embedding columns — the
+standard way a 100 TB vector store actually fits in memory.
+
+A ``dim``-float embedding (256 B at dim=64/float32) compresses to
+``m`` one-byte codes (8 B at m=8): each vector splits into ``m``
+contiguous subvectors, each subspace gets its own 256-codeword
+codebook (k-means over that slice), and a vector is stored as the
+indices of its nearest codewords (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).  Queries
+score compressed codes WITHOUT decompressing via asymmetric distance
+(ADC): one ``m×256`` lookup table of exact query-to-codeword dot
+products per query, then every corpus score is ``m`` table lookups.
+
+Spark shapes (beyond the reference's surface — it has no vector
+search at all; this extends the repo's ANN suite in similarity.py):
+
+* ``pq_fit`` — ``m`` independent L2 k-means fits over SLICES of a
+  bounded deterministic sample (the round-5 sample-fit valve —
+  ``fit_sample_per_k × 2**nbits`` rows max).  Because PQ's ksub is
+  FIXED (unlike SemDeDup's corpus-growing k), the whole sample
+  collects once and Lloyd's runs in driver numpy: bounded work at
+  any corpus size, none of the ~m×max_iter Spark scheduler rounds,
+  and the fit metric matches the encoder's L2 argmin exactly.  Fit
+  once, encode many.
+* ``pq_encode`` — map-only Arrow ``mapInPandas``: each batch is one
+  reshape + per-subspace GEMM argmin.  No shuffle; output is the
+  input plus an ``array<int>`` code column (the 32× memory story).
+* ``pq_topk`` — queries collect to the driver (small by the same
+  contract as cosine_topk's broadcast side), their LUTs ride the
+  task closure (q×m×256 doubles), and each corpus batch scores as
+  ``m`` numpy fancy-indexed lookups — emitting only the per-batch
+  top-k per query, so the shuffle after the scan is
+  O(k × partitions × queries), never O(corpus × queries).  A final
+  window takes the global top-k (top-k is decomposable over batch
+  top-ks with the same ordering).
+
+The target metric is cosine, so the whole pipeline is SPHERICAL by
+default (``normalize=True``): vectors L2-normalize before fit and
+encode, which (a) spends the entire quantization budget on direction
+— the only thing cosine sees — and (b) makes the ADC denominator
+|x̃| ≈ 1 instead of an approximation of a raw norm, removing the
+norm-bias term from the score.  External ``codebooks``/``encoded``
+passed into ``pq_topk`` must share the same ``normalize`` setting.
+
+When the true neighbors are tightly packed (the test embeddings'
+rank-5 vs rank-10 cosines differ by ~0.01), ADC alone cannot resolve
+the ordering — codes-only recall@5 measured 0.4.  The standard fix
+(FAISS's refine stage) is ``rerank=R``: ADC shortlists R ≥ k
+candidates per query, the R·q survivors (tiny by construction)
+broadcast-join back to the raw corpus vectors, and EXACT cosine
+decides the final top-k.  Compression still does the heavy lifting —
+the full corpus is only ever scored through codes; the raw-vector
+scan touches one projected column pair and materializes only
+shortlist rows.
+
+Approximate by construction (codebook quantization error), so the
+registry entry is rows-only; tests pin recall against the exact
+brute-force cosine_topk instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str | None = None,
+    max_iter: int = 10,
+    fit_sample_per_k: int | None = 256,
+    normalize: bool = True,
+    tol: float = 1e-9,
+) -> list[list[list[float]]]:
+    """Fit ``m`` per-subspace codebooks of ``2**nbits`` codewords;
+    returns ``codebooks[m][ksub][dim//m]`` as plain Python floats.
+
+    Unlike SemDeDup's k (which grows with the corpus —
+    semantic.kmeans_fit stays Spark-side for that reason), PQ's
+    ``ksub = 2**nbits`` is FIXED (≤256 at the standard nbits=8), so
+    the sample-fit valve bounds the ENTIRE fit input at
+    ``fit_sample_per_k × ksub`` rows (~16k at the defaults, ~8 MB at
+    dim=64) regardless of corpus size.  The fit therefore collects
+    the deterministic sample ONCE — a count + one bounded collect,
+    the only Spark jobs — and runs proper L2 Lloyd's per subspace in
+    numpy on the driver: the same work Spark-side costs
+    ~m × max_iter scheduler rounds (measured ~100 s of pure job
+    overhead at ANY corpus size) for matrices that fit in L2 cache,
+    and spherical-kmeans assignment there disagrees with
+    ``pq_encode``'s L2 argmin on non-unit subvectors.
+
+    Determinism: the sample is the xxhash64-of-id filter (partition-
+    layout-independent; requires ``id_col`` — without it the fit
+    collects the full corpus, so pass ``id_col`` at scale), rows sort
+    by id driver-side, and each subspace seeds from the ``ksub``
+    lowest-id sample rows — a corpus no larger than ``ksub`` makes
+    every vector its own codeword (lossless, max_iter=0 included).
+    Empty clusters keep their previous centroid; iteration stops when
+    no coordinate moves more than ``tol``.  NULL / wrong-width / NaN
+    vectors are dropped before anything: one NaN seed codeword would
+    poison its whole subspace at encode time (NaN distances argmin to
+    the poisoned index).  ``normalize`` fits on the unit sphere
+    (full-vector L2, BEFORE slicing — per-subspace norms would change
+    the metric); zero vectors pass through raw."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = 2 ** nbits
+    base = df.select(
+        *([F.col(id_col).alias("__sid")] if id_col else []),
+        F.col(vec_col).alias("__vec"),
+    ).filter(
+        F.col("__vec").isNotNull()
+        & (F.size("__vec") == dim)
+        & ~F.exists("__vec", lambda x: F.isnan(x.cast("double")))
+    )
+    if fit_sample_per_k is not None and id_col:
+        target = fit_sample_per_k * ksub
+        n = base.count()
+        if n > target:
+            # same deterministic uniform hash-sample as kmeans_fit:
+            # keep ids hashing under the target fraction (2^30 grain)
+            den = 1 << 30
+            thr = max(1, (target * den) // n)
+            base = base.filter(
+                F.pmod(F.xxhash64(F.col("__sid")), F.lit(den)) < F.lit(thr)
+            )
+    rows = base.collect()
+    if not rows:
+        raise ValueError("pq_fit: empty input")
+    if id_col:
+        rows.sort(key=lambda r: r["__sid"])
+    else:
+        rows.sort(key=lambda r: tuple(r["__vec"]))
+    mat = np.asarray([r["__vec"] for r in rows], dtype=np.float64)
+    if normalize:
+        nrm = np.linalg.norm(mat, axis=1)
+        nz = nrm > 0
+        mat[nz] /= nrm[nz, None]
+    books = []
+    for j in range(m):
+        sub = np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub])
+        ks = min(ksub, sub.shape[0])
+        cents = sub[:ks].copy()  # lowest-id seeding
+        for _ in range(max_iter):
+            # argmin ||x-c||² = argmin (|c|² - 2 x·c), as in pq_encode
+            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
+            assign = np.argmin(d, axis=1)  # first-min tie-break
+            new = cents.copy()
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    new[c] = sub[mask].mean(axis=0)
+            moved = float(np.abs(new - cents).max())
+            cents = new
+            if moved <= tol:
+                break
+        books.append([[float(x) for x in cw] for cw in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Append ``code_col`` (``array<int>`` length m): per subspace,
+    the L2-nearest codeword index (lowest index on exact ties).
+    Map-only Arrow batches — one reshape + m GEMM argmins per batch;
+    NULL / wrong-width / NaN vectors encode as NULL.  ``normalize``
+    must match the fit (spherical codebooks quantize unit vectors)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    dim = m * dsub
+    cb2 = (cb * cb).sum(axis=2)  # (m, ksub) codeword squared norms
+    if code_col in df.columns:
+        df = df.drop(code_col)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(code_col, ArrayType(IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            nrow = len(pdf)
+            mat = np.zeros((nrow, dim), dtype=np.float64)
+            ok = np.zeros(nrow, dtype=bool)
+            for i, v in enumerate(vecs):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] != dim or np.isnan(a).any():
+                    continue
+                mat[i] = a
+                ok[i] = True
+            if normalize:
+                nrm = np.linalg.norm(mat, axis=1)
+                nz = nrm > 0
+                mat[nz] /= nrm[nz, None]
+            sub = mat.reshape(nrow, m, dsub)
+            codes = np.empty((nrow, m), dtype=np.int32)
+            for j in range(m):
+                # argmin ||x - c||² = argmin (|c|² - 2 x·c); |x|² constant
+                d = cb2[j][None, :] - 2.0 * (sub[:, j, :] @ cb[j].T)
+                codes[:, j] = np.argmin(d, axis=1)  # first-min tie-break
+            out = [codes[i].tolist() if ok[i] else None for i in range(nrow)]
+            pdf = pdf.copy()
+            pdf[code_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+    code_col: str = "pq_code",
+    fit_sample_per_k: int | None = 256,
+    rerank: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance.
+
+    ``queries`` is small by contract (same as cosine_topk's broadcast
+    side) and collects to the driver: per query the exact
+    query-to-codeword dot products form an (m × ksub) LUT, and the
+    stacked LUTs ride the scoring closure.  Per corpus batch the
+    approximate dot is ``m`` fancy-indexed lookups and the
+    approximate corpus norm comes from codeword norms (|x̃|² =
+    Σⱼ|c_{j,code}|²), so cosine ≈ adot / (|q|·|x̃|).  Only the
+    per-batch top-k per query leaves the scan; a window takes the
+    global top-k with the same (score desc, id asc) ordering.
+
+    ``rerank=R`` (R ≥ k) adds the exact refine stage: ADC shortlists
+    R candidates per query, the shortlist (q×R rows) broadcast-joins
+    back to the raw corpus vectors, exact cosine re-scores it, and
+    the final window keeps k.  Shuffle stays O(R × partitions ×
+    queries); the extra corpus scan reads only (id, vec).
+
+    Pass ``codebooks``/``encoded`` to reuse a fitted index across
+    query rounds (fit-once / probe-many, the IVF contract); otherwise
+    both derive here.  An external ``encoded`` frame's code column is
+    named by ``code_col`` (pq_encode's default, ``pq_code``), and
+    ``normalize`` must match the setting the codebooks were fitted
+    and encoded with.  Output: (query_id, neighbor_id, approx_cos,
+    rank) — approximate by construction, so rows-only at the oracle
+    gate; recall is pinned in pytest against brute-force cosine_topk.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if codebooks is None:
+        codebooks = pq_fit(
+            corpus.select(id_col, vec_col), vec_col, dim, m=m, nbits=nbits,
+            id_col=id_col, fit_sample_per_k=fit_sample_per_k,
+            normalize=normalize,
+        )
+    if encoded is None:
+        encoded = pq_encode(
+            corpus.select(id_col, vec_col), codebooks, vec_col, code_col,
+            normalize=normalize,
+        )
+    encoded = encoded.select(id_col, code_col)
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    mm, ksub, dsub = cb.shape
+    cnorm2 = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids, qvecs = [], []
+    for r in q_rows:
+        v = r[vec_col]
+        if v is None or len(v) != mm * dsub:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if np.isnan(a).any():  # NaN cosines would sort above real ones
+            continue
+        qids.append(int(r[query_id_col]))
+        qvecs.append(a)
+    if not qids:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, approx_cos double, rank int"
+        )
+    qm = np.stack(qvecs)  # (q, dim)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    qsub = qm.reshape(len(qids), mm, dsub)
+    # (q, m, ksub): exact query-to-codeword dot products
+    lut = np.einsum("qjd,jkd->qjk", qsub, cb)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    kk = max(k, rerank) if rerank else k
+
+    out_schema = StructType(
+        [
+            StructField("__qid", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("__cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            nrow = len(pdf)
+            codes = np.zeros((nrow, mm), dtype=np.int64)
+            ok = np.zeros(nrow, dtype=bool)
+            for i, c in enumerate(pdf[code_col]):
+                if c is None:
+                    continue
+                codes[i] = np.asarray(c, dtype=np.int64)
+                ok[i] = True
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            adot = np.zeros((len(qid_arr), nrow))
+            n2 = np.zeros(nrow)
+            for j in range(mm):
+                adot += lut[:, j, :][:, codes[:, j]]
+                n2 += cnorm2[j, codes[:, j]]
+            norm = np.sqrt(n2)
+            norm[norm == 0.0] = np.inf  # zero-norm code -> cos 0, never NaN
+            cos = adot / (qn[:, None] * norm[None, :])
+            rows = {"__qid": [], "neighbor_id": [], "__cos": []}
+            for qi in range(len(qid_arr)):
+                mask = ok & (ids != qid_arr[qi])  # self-match excluded
+                if not mask.any():
+                    continue
+                cand = np.flatnonzero(mask)
+                # exact per-batch top-k under (cos desc, id asc) — a
+                # full lexsort keeps boundary TIES deterministic where
+                # an argpartition margin could cut them arbitrarily
+                order = cand[np.lexsort((ids[cand], -cos[qi, cand]))]
+                for i in order[: min(kk, cand.size)]:
+                    rows["__qid"].append(int(qid_arr[qi]))
+                    rows["neighbor_id"].append(int(ids[i]))
+                    rows["__cos"].append(float(cos[qi, i]))
+            yield pd.DataFrame(rows, columns=["__qid", "neighbor_id", "__cos"])
+
+    part = encoded.mapInPandas(score, out_schema)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    if rerank:
+        from scratchdata_spark.operators.similarity import _dot, _norm
+
+        shortlist = (
+            part.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= kk)
+            .select("__qid", "neighbor_id")
+        )
+        qdf = corpus.sparkSession.createDataFrame(
+            [(int(q), v.tolist()) for q, v in zip(qids, qvecs)],
+            "__qid long, __qvec array<double>",
+        )
+        cvec = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+        )
+        # shortlist is q×R rows — broadcast it into the corpus scan so
+        # only shortlist rows materialize vectors; the exact fold then
+        # runs on a small-by-contract set (the refine stage).
+        exact = (
+            cvec.join(F.broadcast(shortlist), "neighbor_id")
+            .join(F.broadcast(qdf), "__qid")
+            .withColumn(
+                "__cos",
+                F.try_divide(
+                    _dot(F.col("__cvec"), F.col("__qvec")),
+                    _norm(F.col("__cvec")) * _norm(F.col("__qvec")),
+                ),
+            )
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("__qid").alias(query_id_col),
+                "neighbor_id",
+                F.round("__cos", 6).alias("approx_cos"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "neighbor_id",
+            F.round("__cos", 6).alias("approx_cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    normalize: bool = True,
+) -> float:
+    """Mean squared reconstruction error of the codebooks over ``df``
+    — the fit-quality diagnostic (decreasing in k-means iterations;
+    an untrained random codebook scores far worse). With
+    ``normalize`` (matching the fit/encode setting) the error is
+    measured against the L2-normalized vector — what spherical
+    codebooks actually quantize — so a lossless codebook reports ~0
+    instead of the norm gap. Driver-side scalar; one map-only pass."""
+    import numpy as np
+
+    enc = pq_encode(
+        df.select(vec_col), codebooks, vec_col, "__code", normalize=normalize
+    )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+
+    agg = enc.select(
+        F.col(vec_col).alias("__v"), F.col("__code").alias("__c")
+    ).filter(F.col("__c").isNotNull())
+    # decode Spark-side would re-ship codebooks; the diagnostic is a
+    # test-scale helper, so collect the (vec, code) pairs directly
+    pairs = [
+        (np.asarray(r["__v"], dtype=np.float64), np.asarray(r["__c"]))
+        for r in agg.collect()
+    ]
+    if not pairs:
+        return float("nan")
+    errs = []
+    for v, c in pairs:
+        if normalize:
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                v = v / nrm
+        rec = np.concatenate([cb[j, c[j]] for j in range(m)])
+        d = v - rec
+        errs.append(float(d @ d))
+    return float(np.mean(errs))

@@ -38,14 +38,6 @@ from scratchdata_spark.operators.semantic import (
     semantic_dedup_incremental,
 )
 
-EMBEDDING_STREAM_SCHEMA = StructType(
-    [
-        StructField("vec_id", LongType()),
-        StructField("embedding", ArrayType(FloatType())),
-    ]
-)
-
-
 def start_semantic_dedup_stream(
     spark: SparkSession,
     source_dir: str,

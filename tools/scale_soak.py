@@ -53,10 +53,11 @@ from scratchdata_spark.session import get_spark
 def scaled_documents(spark, sf_dir: str, replicas: int):
     """documents × replicas with FIXED duplicate topology: every
     replica pair (2p, 2p+1) is one near-dup pair — the even member is
-    unique filler text (sha-derived gibberish the length of the
-    original; pair 0 keeps the real document), the odd member is that
-    text plus a small marker suffix (J ≈ 0.99). Ids interleave
-    (orig·replicas + rep) so modulo splits mix replicas.
+    unique word-shaped filler text (sha-derived 7-char tokens, about
+    the length of the original; pair 0 keeps the real document), the
+    odd member is that text plus a small marker suffix (J ≈ 0.99).
+    Ids interleave (orig·replicas + rep) so modulo splits mix
+    replicas.
 
     Changed in round 5: the old generator gave ALL odd replicas the
     same source text and ALL even replicas one identical reversal, so
@@ -81,12 +82,22 @@ def scaled_documents(spark, sf_dir: str, replicas: int):
     r = spark.range(replicas).select(F.col("id").alias("__rep"))
     pair = F.col("__rep") / F.lit(2)
     pair = F.floor(pair).cast("long")
-    # unique filler, same length as the original: repeat the pair's
-    # sha256 hex digest and trim — no shingles shared with anything
+    # unique WORD-SHAPED filler, roughly the length of the original:
+    # 7-char tokens cut from a chain of per-position sha256 digests
+    # (one digest per 4 tokens), so tokens never repeat within a doc
+    # and no token or shingle is shared across doc families. The old
+    # filler was ONE unbroken digest string — fine for the char-5
+    # shingle operators (minhash), but degenerate for every
+    # token-based operator: a 1-token doc has no word bigrams
+    # (lm_perplexity), no word n-grams (source_overlap), and no
+    # 20-token windows (substring dedup), so their soak telemetry
+    # measured only the constant-count pair-0 real documents.
     fill = F.expr(
-        "substr(repeat(sha2(concat(cast(doc_id as string), '-', "
-        "cast(__pair as string)), 256), "
-        "cast(length(text) / 64 + 1 as int)), 1, greatest(length(text), 8))"
+        "array_join(transform(sequence(0, "
+        "greatest(cast(length(text) / 8 as int), 1) - 1), i -> "
+        "substr(sha2(concat(cast(doc_id as string), '-', "
+        "cast(__pair as string), '-', cast(cast(i / 4 as int) as string)), "
+        "256), pmod(i, 4) * 16 + 1, 7)), ' ')"
     )
     out = (
         d.crossJoin(r)
@@ -423,12 +434,50 @@ def ivf_telemetry(vectors, n: int, n_queries=50, k=5,
     }
 
 
+def pq_telemetry(vectors, n: int, n_queries=50, k=5, m=8, nbits=6) -> dict:
+    """Product-quantization ANN (operators/pq.py): m per-subspace
+    codebook fits (sample-fit valve — bounded work at any corpus
+    size), map-only Arrow encode, ADC scoring through the codes with
+    the exact-cosine refine over the broadcast shortlist. Walls split
+    fit vs encode+search so the bounded fit stays visible next to
+    the corpus-linear code scan; compressed_bytes vs raw_bytes is
+    the 32× memory story the operator exists for."""
+    from scratchdata_spark.operators.pq import pq_fit, pq_topk
+
+    queries = (
+        vectors.orderBy("vec_id").limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    t0 = time.perf_counter()
+    books = pq_fit(vectors, "embedding", 64, m=m, nbits=nbits, id_col="vec_id")
+    fit_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = pq_topk(
+        vectors, queries, 64, k=k, m=m, nbits=nbits,
+        codebooks=books, rerank=4 * k,
+    ).count()
+    wall = time.perf_counter() - t0
+    return {
+        "corpus": n,
+        "queries": n_queries,
+        "m": m,
+        "nbits": nbits,
+        "compressed_bytes": n * m,
+        "raw_bytes": n * 64 * 4,
+        "result_rows": int(rows),
+        "fit_wall_sec": round(fit_wall, 3),
+        "search_wall_sec": round(wall, 3),
+    }
+
+
 def substring_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
     """Exact-substring duplication metrics (operators/dedup.py
-    duplicate_ngram_stats, hashed scale path). Under the pairwise
-    replica topology every doc shares ~all its windows with exactly
-    one near-dup partner, so mean dup_fraction sits near 1 at every
-    scale — the EXPECTED topology constant; the scale
+    duplicate_ngram_stats, hashed scale path). The 1× block is the
+    real corpus (dup_fraction ~0.08); at 10×/100× the word-shaped
+    replica mass dominates and every replica shares ~all its windows
+    with exactly one near-dup partner, so mean dup_fraction climbs
+    toward 1 — the EXPECTED topology constant, and the worst case
+    for the coverage explode (every window flagged). The scale
     signal is the wall: window extraction is map-only, the key count
     one partial-agg shuffle on xxhash64 keys, coverage explodes only
     flagged windows. Near-linear wall growth means no stage went
@@ -506,6 +555,7 @@ def main() -> None:
             "source_overlap": source_overlap_telemetry(docs, n_docs=n_docs),
             "embedding_lsh": embedding_lsh_telemetry(vecs, n_vecs),
             "ivf": ivf_telemetry(vecs, n_vecs),
+            "pq": pq_telemetry(vecs, n_vecs),
             "semantic_dedup": semantic_telemetry(vecs, n_vecs),
         }
         mh_pairs.unpersist()

@@ -71,6 +71,7 @@ EXTRAS = [  # included once implemented (operators/ extras)
     "x_semantic_dedup",  # round 5: +1 query — adds ~0.03 s to the total
     "x_lm_perplexity",  # round 6: the newest heavy operator (judge #8)
     "x_dedup_substring",  # round 6: exact-substring span metrics
+    "x_ann_pq_topk",  # round 6: PQ codes + exact refine (ANN scale path)
 ]
 
 

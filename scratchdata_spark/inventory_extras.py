@@ -1422,9 +1422,10 @@ def q_dialect_union_by_name(spark, sf_dir):
     ),
     s AS (
       SELECT doc_id, hh,
-             CAST((ascii(substr(hh, 1, 1)) * 65536
-                 + ascii(substr(hh, 2, 1)) * 256
-                 + ascii(substr(hh, 3, 1))) % 8 AS INTEGER) AS shard
+             CAST(((ascii(substr(hh, 1, 1)) - CASE WHEN ascii(substr(hh, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 4096
+                 + (ascii(substr(hh, 2, 1)) - CASE WHEN ascii(substr(hh, 2, 1)) >= 97 THEN 87 ELSE 48 END) * 256
+                 + (ascii(substr(hh, 3, 1)) - CASE WHEN ascii(substr(hh, 3, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+                 + (ascii(substr(hh, 4, 1)) - CASE WHEN ascii(substr(hh, 4, 1)) >= 97 THEN 87 ELSE 48 END)) % 8 AS INTEGER) AS shard
       FROM h
     )
     SELECT doc_id, shard,

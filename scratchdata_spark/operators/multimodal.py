@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -338,3 +339,123 @@ def extract_media_meta_native(df: DataFrame) -> DataFrame:
         (n * 13 % 480 + 1).cast("int").alias("height"),
         (n % 30 + 1).cast("int").alias("n_frames"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+        StructField("spectral_centroid_hz", DoubleType()),
+        StructField("dominant_freq_hz", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Signal-level audio features from PCM WAV payloads — the audio
+    analogue of :func:`extract_media_meta`: ``(doc_id, payload)`` →
+    one feature row per file, decoded FOR REAL through the stdlib
+    ``wave`` module (no external audio libraries; non-WAV or
+    unparseable payloads yield NULL features instead of failing the
+    batch, the same per-row containment as the image codecs).
+
+    Features, all computed in numpy inside the Arrow batch — one
+    vectorized pass + one rFFT per file, no per-sample Python:
+
+    * ``n_channels`` / ``sample_rate`` / ``duration_sec`` — header.
+    * ``rms`` — root-mean-square of the [-1, 1]-normalized mono mix
+      (loudness; digital silence → 0).
+    * ``zero_crossing_rate`` — sign changes per sample of the mono
+      mix (noisiness/voicing proxy).
+    * ``spectral_centroid_hz`` — magnitude-weighted mean frequency of
+      the rFFT (brightness). NULL for silence (no spectrum).
+    * ``dominant_freq_hz`` — the strongest non-DC rFFT bin; for a
+      pure tone this recovers the tone's frequency to bin precision
+      (sample_rate / n_samples).
+
+    These are the columns an audio quality filter keys on before
+    training (drop silence, clipping, test tones, ultrasonic junk) —
+    map-only, no shuffle, O(n log n) per file in the sample count.
+    The reference has no audio analysis surface (beyond-parity; its
+    media handling stops at blob storage)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from scratchdata_spark.operators import png_codec
+
+    def one(payload) -> tuple:
+        null7 = (None, None, None, None, None, None, None)
+        if payload is None:
+            return null7
+        b = bytes(payload)
+        if not png_codec.sniff_wav(b):
+            return null7
+        try:
+            with wave.open(io.BytesIO(b), "rb") as w:
+                ch, rate = w.getnchannels(), w.getframerate()
+                nf, width = w.getnframes(), w.getsampwidth()
+                raw = w.readframes(nf)
+        except (wave.Error, EOFError):
+            return null7
+        dur = float(nf) / rate if rate else 0.0
+        header_only = (ch, rate, dur, None, None, None, None)
+        try:
+            if width == 2:
+                raw = raw[: len(raw) - (len(raw) % 2)]  # truncated data chunk
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            elif width == 1:  # 8-bit WAV is unsigned, midpoint 128
+                x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            elif width == 4:
+                raw = raw[: len(raw) - (len(raw) % 4)]
+                x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+            else:  # 24-bit needs byte surgery; punt to NULL features
+                return header_only
+            if ch > 1:
+                x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+            if x.size == 0:
+                return header_only
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = (
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if x.size > 1
+                else 0.0
+            )
+            if rate <= 0:  # declared-0 framerate: no frequency axis
+                return (ch, rate, dur, rms, zcr, None, None)
+            mag = np.abs(np.fft.rfft(x))
+            mag[0] = 0.0  # DC carries no pitch information
+            total = float(mag.sum())
+            if total <= 0.0:
+                return (ch, rate, dur, rms, zcr, None, None)
+            freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+            centroid = float((freqs * mag).sum() / total)
+            dominant = float(freqs[int(np.argmax(mag))])
+            return (ch, rate, dur, rms, zcr, centroid, dominant)
+        except (ValueError, ZeroDivisionError):
+            # per-row containment: one corrupt file in a crawled
+            # corpus must never fail the task (docstring contract)
+            return header_only
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_channels": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "duration_sec": [r[2] for r in rows],
+                    "rms": [r[3] for r in rows],
+                    "zero_crossing_rate": [r[4] for r in rows],
+                    "spectral_centroid_hz": [r[5] for r in rows],
+                    "dominant_freq_hz": [r[6] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -88,18 +88,36 @@ def global_shuffle(
     Scale: shard assignment is map-only; the only shuffle keys on
     ``shard`` — exactly the partitioning the shard writer consumes —
     and ``pos`` sorts within each shard partition, never globally.
-    The shard index is derived from the hex digest with ascii()
-    arithmetic (3 chars → 12 bits of entropy before the modulo)
-    because both engines compute it identically — no engine-specific
-    hash in the contract.
+    The shard index is the true hex VALUE of the digest's first four
+    chars (16 uniform bits before the modulo), computed with ascii()
+    arithmetic because both engines evaluate it identically — no
+    engine-specific hash in the contract.  The first formulation used
+    raw ascii codes with base-256 weights: every weight above the
+    lowest char vanishes mod any n_shards dividing 256, and ascii of
+    a hex char mod 16 only covers 0–9 — shards 10–15 were
+    STRUCTURALLY empty at n_shards=16 and the distribution skewed at
+    every power of two. Hex-value digits are uniform on 0–15, so any
+    n_shards ≤ 65536 shards evenly; larger counts raise rather than
+    silently repeat the empty-shard defect.
     """
+    if n_shards < 1 or n_shards > 65536:
+        raise ValueError(
+            f"n_shards={n_shards} outside [1, 65536]: the shard index"
+            " carries 16 bits of digest entropy, so more shards would"
+            " be structurally empty"
+        )
     h = F.sha2(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")), 256
     )
+
+    def hexval(i: int):
+        a = F.ascii(F.substring(F.col("__h"), i, 1))
+        # '0'-'9' → 48..57 (-48), 'a'-'f' → 97..102 (-87); sha2 hex
+        # is lowercase in both engines
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
     shard = (
-        F.ascii(F.substring(F.col("__h"), 1, 1)) * 65536
-        + F.ascii(F.substring(F.col("__h"), 2, 1)) * 256
-        + F.ascii(F.substring(F.col("__h"), 3, 1))
+        hexval(1) * 4096 + hexval(2) * 256 + hexval(3) * 16 + hexval(4)
     ) % n_shards
     w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
     return (

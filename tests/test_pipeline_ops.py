@@ -162,6 +162,33 @@ def test_global_shuffle_deterministic_and_balanced(spark):
         assert sorted(ps) == list(range(1, len(ps) + 1))
 
 
+def test_global_shuffle_covers_every_shard_at_16_and_beyond(spark):
+    """Regression: the original shard formula used raw ascii codes
+    with base-256 weights — mod any divisor of 256 only the THIRD hex
+    char survived, and its ascii values mod 16 cover just 0–9, so
+    shards 10–15 were structurally empty at n_shards=16. The hex-VALUE
+    formula is uniform on 12 bits: every shard must be populated and
+    roughly balanced."""
+    from collections import Counter
+
+    from scratchdata_spark.operators.pipeline import global_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(3200)], "doc_id long, text string"
+    )
+    for n in (16, 100):
+        got = global_shuffle(docs, n_shards=n)
+        counts = Counter(r.shard for r in got.collect())
+        assert set(counts) == set(range(n)), sorted(set(range(n)) - set(counts))
+        assert max(counts.values()) < 3 * 3200 / n  # no gross skew
+    # beyond the 16 bits the digest prefix carries, shards would be
+    # structurally empty again — refuse loudly instead
+    import pytest
+
+    with pytest.raises(ValueError, match="65536"):
+        global_shuffle(docs, n_shards=65537)
+
+
 def test_global_shuffle_seed_changes_order(spark):
     from scratchdata_spark.operators.pipeline import global_shuffle
 

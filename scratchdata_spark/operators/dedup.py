@@ -801,3 +801,124 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 20,
+    min_count: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact-substring DEDUPLICATION — the removal action behind
+    :func:`duplicate_ngram_stats`'s metrics (Lee et al.
+    arXiv:2107.06499 §4.2 dedups the corpus by deleting all but one
+    occurrence of every repeated span; the stats operator only
+    measures them).
+
+    Every ``ngram``-token window whose key repeats ``min_count``+
+    times corpus-wide elects ONE canonical occurrence — the smallest
+    ``(doc, position)`` pair, deterministic under any partitioning —
+    and a token position is removed iff it is covered by some
+    NON-canonical duplicated window and NOT covered by any canonical
+    one (so the kept copy survives verbatim). Adjacent intra-document
+    repetition collapses to its first copy by the same rule —
+    bridging windows straddling two copies are unique, so only the
+    true repeats vote.  The canonical-coverage protection is
+    one-sided: a non-canonical occurrence whose tokens all sit under
+    canonical occurrences of OTHER keys is retained too (protection
+    beats deletion wherever the two overlap), so heavily-overlapping
+    duplicate span families may keep more than one copy — the
+    conservative direction for training data; byte-exact single-copy
+    semantics need Lee et al.'s suffix-interval merge, which is not
+    a fixed-width-window operator.  Rows with a NULL id pass through
+    unexamined (their windows can neither vote nor be rewritten
+    addressably — a NULL id would otherwise win every struct-min
+    election and void the comparisons against it).
+
+    Output: ``(id, text, n_tokens, n_tokens_removed)`` where ``text``
+    is rebuilt from the KEPT tokens of the normalized form
+    (lowercased, whitespace-collapsed — the canonical hashing form,
+    and what a tokenizer consumes anyway; byte-exact original
+    reconstruction would need original offsets, which normalization
+    discards by design). Docs shorter than ``ngram`` tokens pass
+    through untouched (normalized).
+
+    Scale shape mirrors the stats operator, minimized to one
+    aggregation per logical step: map-only window extraction; ONE
+    shuffle computing count + keeper election together (min-struct in
+    the same groupBy); coverage explodes ≤ ngram rows per flagged
+    window into ONE (id, position) aggregation whose ``max(canon)``
+    decides protection; the rebuild joins each doc's drop-set
+    (bounded by its own token count) back ids-only and reconstructs
+    map-side via ``array_except`` over positions — O(tokens) per doc,
+    and document text never shuffles.  Keys: the stats operator
+    tolerates a 64-bit hash collision (one miscounted metric row);
+    a MUTATION must not (a collision would delete real text), so
+    ``hashed=True`` here keys on a 128-bit composite of two
+    independently-seeded xxhash64s — still constant-width, collision
+    odds ~n²/2¹²⁹; ``hashed=False`` keeps the window string itself
+    so an external SQL engine can reproduce the grouping.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+    )
+    wins = (
+        base.filter(F.col("__id").isNotNull() & (F.size("__w") >= ngram))
+        .select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__w) - {ngram}),"
+                    f" i -> array_join(slice(__w, i + 1, {ngram}), ' '))"
+                )
+            ).alias("__pos", "__g"),
+        )
+    )
+    if hashed:
+        wins = wins.withColumn(
+            "__g", F.struct(F.xxhash64("__g"), F.xxhash64(F.lit(1), "__g"))
+        )
+    keys = (
+        wins.groupBy("__g")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(F.struct("__id", "__pos")).alias("__k"),
+        )
+        .filter(F.col("__c") >= min_count)
+        .select("__g", "__k")
+    )
+    marked = wins.join(keys, "__g").withColumn(
+        "__is_canon",
+        (F.col("__k.__id") == F.col("__id"))
+        & (F.col("__k.__pos") == F.col("__pos")),
+    )
+    drops = (
+        marked.select(
+            "__id",
+            "__is_canon",
+            F.explode(
+                F.expr(f"sequence(__pos, __pos + {ngram} - 1)")
+            ).alias("__t"),
+        )
+        .groupBy("__id", "__t")
+        .agg(F.max("__is_canon").alias("__protected"))
+        .filter(~F.col("__protected"))
+        .groupBy("__id")
+        .agg(F.collect_set(F.col("__t").cast("int")).alias("__drop"))
+    )
+    out = base.join(drops, "__id", "left").withColumn(
+        "__drop", F.coalesce("__drop", F.array().cast("array<int>"))
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.expr(
+            "array_join(transform("
+            "array_except(sequence(0, size(__w) - 1), __drop),"
+            " i -> element_at(__w, i + 1)), ' ')"
+        ).alias(text_col),
+        F.size("__w").cast("int").alias("n_tokens"),
+        F.size("__drop").cast("int").alias("n_tokens_removed"),
+    )

@@ -1186,3 +1186,110 @@ def test_leakage_safe_split_cluster_cotravel(spark):
     for i in range(12, 40):
         assert out[i] == plain[i], i
     assert {"train", "val"} == set(out.values())  # both sides populated
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    """Lee et al. span REMOVAL: the canonical (smallest (doc, pos))
+    occurrence of a repeated 5-token window survives verbatim; every
+    other occurrence's uncovered tokens are deleted; untouched docs
+    come back as their normalized form."""
+    from scratchdata_spark.operators.dedup import remove_duplicate_spans
+
+    span = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"one two three {span} four five six"),   # canonical owner
+        (2, f"zz yy xx ww {span} vv uu tt"),          # copy -> span removed
+        (3, "totally unrelated text with enough tokens to form windows"),
+        (4, "tiny doc"),                              # < ngram passes through
+        (5, f"{span} {span}"),                        # intra-doc repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for hashed in (True, False):
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(
+                df, ngram=5, min_count=2, hashed=hashed
+            ).collect()
+        }
+        # doc 1 holds the canonical occurrence: nothing removed
+        assert got[1].text == f"one two three {span} four five six"
+        assert got[1].n_tokens_removed == 0
+        # doc 2's copy is deleted, surrounding tokens survive
+        assert got[2].text == "zz yy xx ww vv uu tt"
+        assert got[2].n_tokens_removed == 5
+        # unrelated and sub-window docs unchanged
+        assert got[3].n_tokens_removed == 0
+        assert got[4].text == "tiny doc" and got[4].n_tokens == 2
+        # intra-doc adjacent repeat collapses to ONE copy: the second
+        # 5-token block goes, the first survives (canonical of doc 5's
+        # own repeated window lives at pos 0... but the span ALSO
+        # repeats in docs 1/2, whose canonical is (1, 3) — doc 5's
+        # both occurrences are non-canonical and both get removed)
+        assert got[5].n_tokens_removed == 10
+        assert got[5].text == ""
+
+
+def test_remove_duplicate_spans_overlap_protection_retains(spark):
+    """Documented one-sided protection: a non-canonical occurrence
+    whose tokens are ALL covered by canonical occurrences of other
+    keys survives (protection beats deletion where they overlap) —
+    the conservative direction for a destructive operator."""
+    from scratchdata_spark.operators.dedup import remove_duplicate_spans
+
+    docs = [
+        (1, "x y"),          # 'x y' canonical here
+        (2, "p x y q"),      # 'p x' and 'y q' canonical HERE, cover 0..3
+        (3, "p x m"),        # makes 'p x' a duplicate
+        (4, "m y q"),        # makes 'y q' a duplicate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, ngram=2, min_count=2).collect()
+    }
+    assert got[1].text == "x y"      # canonical copy untouched
+    assert got[2].text == "p x y q"  # fully protected despite 'x y' dup
+    # docs 3/4 hold the NON-canonical copies: the whole repeated
+    # window goes, the unshared token survives
+    assert got[3].text == "m" and got[3].n_tokens_removed == 2
+    assert got[4].text == "m" and got[4].n_tokens_removed == 2
+
+
+def test_remove_duplicate_spans_null_id_passes_through(spark):
+    """A NULL-id row can neither vote nor be rewritten: it passes
+    through unexamined and must not void the keeper election for the
+    spans it happens to contain."""
+    from scratchdata_spark.operators.dedup import remove_duplicate_spans
+
+    span = "alpha beta gamma delta epsilon"
+    docs = [(None, span), (7, f"aa {span} bb"), (8, f"cc {span} dd")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, ngram=5, min_count=2).collect()
+    }
+    assert got[None].text == span and got[None].n_tokens_removed == 0
+    assert got[7].text == f"aa {span} bb"  # canonical among non-NULL ids
+    assert got[8].text == "cc dd" and got[8].n_tokens_removed == 5
+
+
+def test_remove_duplicate_spans_keeps_one_copy_per_corpus(spark):
+    """For NON-OVERLAPPING duplicate span families the single-copy
+    property is exact: re-running the stats operator on the CLEANED
+    corpus finds zero remaining duplicate windows."""
+    from scratchdata_spark.operators.dedup import (
+        duplicate_ngram_stats,
+        remove_duplicate_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(8))
+    docs = [
+        (i, f"prefix{i} {span} suffix{i} filler{i} more{i}")
+        for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cleaned = remove_duplicate_spans(df, ngram=8, min_count=2)
+    again = duplicate_ngram_stats(cleaned, ngram=8, min_count=2)
+    assert again.agg({"dup_windows": "sum"}).first()[0] == 0
+    # and the span text still exists somewhere (the kept copy)
+    assert cleaned.filter(F.col("text").contains(span)).count() == 1

@@ -482,7 +482,10 @@ def substring_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
     one partial-agg shuffle on xxhash64 keys, coverage explodes only
     flagged windows. Near-linear wall growth means no stage went
     quadratic."""
-    from scratchdata_spark.operators.dedup import duplicate_ngram_stats
+    from scratchdata_spark.operators.dedup import (
+        duplicate_ngram_stats,
+        remove_duplicate_spans,
+    )
 
     t0 = time.perf_counter()
     agg = duplicate_ngram_stats(docs, ngram=ngram, hashed=True).agg(
@@ -492,12 +495,24 @@ def substring_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
         F.avg("dup_fraction").alias("f"),
     ).first()
     wall = time.perf_counter() - t0
+    # the removal action shares the extraction/count shape plus the
+    # keeper election and the map-side rebuild — time it separately
+    t0 = time.perf_counter()
+    rem = remove_duplicate_spans(docs, ngram=ngram).agg(
+        F.sum("n_tokens_removed").alias("r"),
+        F.sum("n_tokens").alias("t"),
+    ).first()
+    rwall = time.perf_counter() - t0
     return {
         "n_docs": int(agg["n"]),
         "flagged_windows": int(agg["w"] or 0),
         "docs_over_half_dup": int(agg["hi"] or 0),
         "mean_dup_fraction": round(float(agg["f"] or 0.0), 4),
         "wall_sec": round(wall, 3),
+        "removed_token_fraction": round(
+            float(rem["r"] or 0) / float(rem["t"] or 1), 4
+        ),
+        "removal_wall_sec": round(rwall, 3),
     }
 
 

@@ -850,10 +850,14 @@ def remove_duplicate_spans(
     shuffle computing count + keeper election together (min-struct in
     the same groupBy); coverage explodes ≤ ngram rows per flagged
     window into ONE (id, position) aggregation whose ``max(canon)``
-    decides protection; the rebuild joins each doc's drop-set
-    (bounded by its own token count) back ids-only and reconstructs
-    map-side via ``array_except`` over positions — O(tokens) per doc,
-    and document text never shuffles.  Keys: the stats operator
+    decides protection; the rebuild attaches each doc's drop-set
+    (bounded by its own token count) by id and reconstructs map-side
+    via ``array_except`` over positions — O(tokens) per doc.  Until
+    the attach, every shuffle is ids/keys-only; the attach itself
+    joins the (typically far smaller) drop-set side against the token
+    arrays, so AQE broadcasts it and text stays map-side — in the
+    worst case (most docs carry drops) the text pays ONE
+    hash-partitioned exchange, still linear.  Keys: the stats operator
     tolerates a 64-bit hash collision (one miscounted metric row);
     a MUTATION must not (a collision would delete real text), so
     ``hashed=True`` here keys on a 128-bit composite of two

@@ -448,15 +448,29 @@ def pq_telemetry(vectors, n: int, n_queries=50, k=5, m=8, nbits=6) -> dict:
         vectors.orderBy("vec_id").limit(n_queries)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    t0 = time.perf_counter()
-    books = pq_fit(vectors, "embedding", 64, m=m, nbits=nbits, id_col="vec_id")
-    fit_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rows = pq_topk(
-        vectors, queries, 64, k=k, m=m, nbits=nbits,
-        codebooks=books, rerank=4 * k,
-    ).count()
-    wall = time.perf_counter() - t0
+    # best-of-2, the repo's warm-measurement convention
+    # (tools/bench_duckdb.py is warm best-of-3): the pq stages are
+    # seconds-long, and a shared-JVM soak session occasionally lands
+    # a 10-40 s GC/worker stall on whichever short stage runs next —
+    # isolated A/B (r6) shows the operator itself steady at ~2-3 s
+    # per 10x block while single-shot in-soak readings ranged 2-42 s.
+    fit_wall = float("inf")
+    books = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        books = pq_fit(
+            vectors, "embedding", 64, m=m, nbits=nbits, id_col="vec_id"
+        )
+        fit_wall = min(fit_wall, time.perf_counter() - t0)
+    wall = float("inf")
+    rows = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rows = pq_topk(
+            vectors, queries, 64, k=k, m=m, nbits=nbits,
+            codebooks=books, rerank=4 * k,
+        ).count()
+        wall = min(wall, time.perf_counter() - t0)
     return {
         "corpus": n,
         "queries": n_queries,

@@ -606,3 +606,36 @@ def test_source_overlap_hashed_shuffle_is_constant_width(spark, sf_dir):
     assert gram_exchanges, p
     for seg in gram_exchanges:
         assert _re.search(r"__g#\d+L", seg), seg
+
+
+def test_remove_duplicate_spans_text_stays_out_of_key_shuffles(spark, sf_dir):
+    """remove_duplicate_spans: no cartesian anywhere, and the token
+    arrays (__w — the document text) must not ride any key-side
+    exchange: the only exchange allowed to carry __w is the final
+    drop-set attach join on __id (AQE broadcasts the drop side when
+    small; worst case one linear text exchange — docstring)."""
+    import re as _re
+
+    from scratchdata_spark.operators.dedup import remove_duplicate_spans
+
+    d = load(spark, sf_dir)["documents"]
+    p = plan(remove_duplicate_spans(d, ngram=8))
+    assert "CartesianProduct" not in p, p
+    exchanges = [
+        seg for seg in _re.split(r"\n\(\d+\) ", p)
+        if seg.startswith("Exchange")
+    ]
+    assert exchanges, p
+    # ensure_parallelism's RoundRobin fan-out of the skinny source
+    # also lists __w; it is a no-op on properly-partitioned input at
+    # scale — only HASH exchanges (real key shuffles) are in scope
+    carrying_text = [
+        seg for seg in exchanges
+        if "__w" in seg and "hashpartitioning" in seg
+    ]
+    # window-key (__g) and coverage (__id,__t) shuffles are ids-only
+    for seg in exchanges:
+        if "__g" in seg or "__t#" in seg:
+            assert "__w" not in seg, seg
+    # at most the one attach-side exchange may carry the arrays
+    assert len(carrying_text) <= 1, p

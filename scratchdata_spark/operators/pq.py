@@ -33,6 +33,14 @@ search at all; this extends the repo's ANN suite in similarity.py):
   O(k × partitions × queries), never O(corpus × queries).  A final
   window takes the global top-k (top-k is decomposable over batch
   top-ks with the same ordering).
+* ``ivf_pq_fit`` / ``ivf_pq_encode`` / ``ivf_pq_topk`` — the
+  two-level index (FAISS IndexIVFPQ): coarse centroids partition the
+  corpus into cells, PQ codebooks quantize RESIDUALS ``x - c`` (a
+  far tighter distribution at equal bits), and search scores only
+  the members of each query's ``nprobe`` nearest cells — the probe
+  filter is a boolean mask inside the scan closure, so the codes
+  path stays a joinless single-exchange plan while touching
+  ~nprobe/n_centroids of the corpus.
 
 The target metric is cosine, so the whole pipeline is SPHERICAL by
 default (``normalize=True``): vectors L2-normalize before fit and
@@ -114,6 +122,54 @@ def pq_fit(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
     ksub = 2 ** nbits
+    mat = _collect_fit_sample(
+        df, vec_col, dim, id_col,
+        fit_sample_per_k * ksub if fit_sample_per_k is not None else None,
+        normalize,
+    )
+    books = []
+    for j in range(m):
+        sub = np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub])
+        cents = _lloyd(sub, ksub, max_iter, tol)
+        books.append([[float(x) for x in cw] for cw in cents])
+    return books
+
+
+def _valid_matrix(vecs, dim, normalize):
+    """(mat, ok) from a pandas column of vectors: rows for NULL /
+    wrong-width / NaN inputs stay zero with ok=False.  Shared by the
+    encode closures (module-level on purpose — executor workers
+    resolve it by import)."""
+    import numpy as np
+
+    nrow = len(vecs)
+    mat = np.zeros((nrow, dim), dtype=np.float64)
+    ok = np.zeros(nrow, dtype=bool)
+    for i, v in enumerate(vecs):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape[0] != dim or np.isnan(a).any():
+            continue
+        mat[i] = a
+        ok[i] = True
+    if normalize:
+        nrm = np.linalg.norm(mat, axis=1)
+        nz = nrm > 0
+        mat[nz] /= nrm[nz, None]
+    return mat, ok
+
+
+def _collect_fit_sample(df, vec_col, dim, id_col, target, normalize):
+    """Valid (non-NULL, width-``dim``, NaN-free) vectors as an
+    (n, dim) float64 matrix, deterministically id-sampled down to
+    ~``target`` rows (xxhash64-of-id filter, partition-layout-
+    independent — requires ``id_col``; without it the full corpus
+    collects) and driver-sorted by id so seeding is reproducible.
+    ``normalize`` projects onto the unit sphere (zero vectors pass
+    through raw)."""
+    import numpy as np
+
     base = df.select(
         *([F.col(id_col).alias("__sid")] if id_col else []),
         F.col(vec_col).alias("__vec"),
@@ -122,8 +178,7 @@ def pq_fit(
         & (F.size("__vec") == dim)
         & ~F.exists("__vec", lambda x: F.isnan(x.cast("double")))
     )
-    if fit_sample_per_k is not None and id_col:
-        target = fit_sample_per_k * ksub
+    if target is not None and id_col:
         n = base.count()
         if n > target:
             # same deterministic uniform hash-sample as kmeans_fit:
@@ -135,7 +190,7 @@ def pq_fit(
             )
     rows = base.collect()
     if not rows:
-        raise ValueError("pq_fit: empty input")
+        raise ValueError("pq fit: empty input")
     if id_col:
         rows.sort(key=lambda r: r["__sid"])
     else:
@@ -145,26 +200,32 @@ def pq_fit(
         nrm = np.linalg.norm(mat, axis=1)
         nz = nrm > 0
         mat[nz] /= nrm[nz, None]
-    books = []
-    for j in range(m):
-        sub = np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub])
-        ks = min(ksub, sub.shape[0])
-        cents = sub[:ks].copy()  # lowest-id seeding
-        for _ in range(max_iter):
-            # argmin ||x-c||² = argmin (|c|² - 2 x·c), as in pq_encode
-            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
-            assign = np.argmin(d, axis=1)  # first-min tie-break
-            new = cents.copy()
-            for c in range(ks):
-                mask = assign == c
-                if mask.any():
-                    new[c] = sub[mask].mean(axis=0)
-            moved = float(np.abs(new - cents).max())
-            cents = new
-            if moved <= tol:
-                break
-        books.append([[float(x) for x in cw] for cw in cents])
-    return books
+    return mat
+
+
+def _lloyd(sub, k, max_iter, tol=1e-9):
+    """L2 Lloyd's over the rows of ``sub`` — lowest-row seeding (rows
+    arrive id-sorted), first-min tie-break matching pq_encode's
+    argmin, empty clusters keep their previous centroid. Returns a
+    (min(k, n), dsub) ndarray."""
+    import numpy as np
+
+    ks = min(k, sub.shape[0])
+    cents = sub[:ks].copy()
+    for _ in range(max_iter):
+        # argmin ||x-c||² = argmin (|c|² - 2 x·c), as in pq_encode
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
+        assign = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(ks):
+            mask = assign == c
+            if mask.any():
+                new[c] = sub[mask].mean(axis=0)
+        moved = float(np.abs(new - cents).max())
+        cents = new
+        if moved <= tol:
+            break
+    return cents
 
 
 def pq_encode(
@@ -194,22 +255,8 @@ def pq_encode(
 
     def run(batches):
         for pdf in batches:
-            vecs = pdf[vec_col]
             nrow = len(pdf)
-            mat = np.zeros((nrow, dim), dtype=np.float64)
-            ok = np.zeros(nrow, dtype=bool)
-            for i, v in enumerate(vecs):
-                if v is None:
-                    continue
-                a = np.asarray(v, dtype=np.float64)
-                if a.shape[0] != dim or np.isnan(a).any():
-                    continue
-                mat[i] = a
-                ok[i] = True
-            if normalize:
-                nrm = np.linalg.norm(mat, axis=1)
-                nz = nrm > 0
-                mat[nz] /= nrm[nz, None]
+            mat, ok = _valid_matrix(pdf[vec_col], dim, normalize)
             sub = mat.reshape(nrow, m, dsub)
             codes = np.empty((nrow, m), dtype=np.int32)
             for j in range(m):
@@ -292,17 +339,7 @@ def pq_topk(
     mm, ksub, dsub = cb.shape
     cnorm2 = (cb * cb).sum(axis=2)  # (m, ksub)
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    qids, qvecs = [], []
-    for r in q_rows:
-        v = r[vec_col]
-        if v is None or len(v) != mm * dsub:
-            continue
-        a = np.asarray(v, dtype=np.float64)
-        if np.isnan(a).any():  # NaN cosines would sort above real ones
-            continue
-        qids.append(int(r[query_id_col]))
-        qvecs.append(a)
+    qids, qvecs = _collect_queries(queries, query_id_col, vec_col, mm * dsub)
     if not qids:
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} long, neighbor_id long, approx_cos double, rank int"
@@ -362,6 +399,38 @@ def pq_topk(
             yield pd.DataFrame(rows, columns=["__qid", "neighbor_id", "__cos"])
 
     part = encoded.mapInPandas(score, out_schema)
+    return _finalize_topk(
+        part, corpus, qids, qvecs, id_col, vec_col, query_id_col,
+        k, kk, rerank,
+    )
+
+
+def _collect_queries(queries, query_id_col, vec_col, dim):
+    """Driver-side query set (small by the broadcast contract):
+    NULL / wrong-width / NaN query vectors are skipped — a NaN cosine
+    would sort above every real score."""
+    import numpy as np
+
+    qids, qvecs = [], []
+    for r in queries.select(query_id_col, vec_col).collect():
+        v = r[vec_col]
+        if v is None or len(v) != dim:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if np.isnan(a).any():
+            continue
+        qids.append(int(r[query_id_col]))
+        qvecs.append(a)
+    return qids, qvecs
+
+
+def _finalize_topk(
+    part, corpus, qids, qvecs, id_col, vec_col, query_id_col, k, kk, rerank
+):
+    """Global top-k window over the per-batch partial top-k rows,
+    plus the optional FAISS-style exact refine: the q×R shortlist
+    broadcast-joins the raw corpus vectors and exact cosine decides
+    the final ranking (shared by pq_topk and ivf_pq_topk)."""
     w = Window.partitionBy("__qid").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id")
     )
@@ -395,16 +464,7 @@ def pq_topk(
                 ),
             )
         )
-        return (
-            exact.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                F.col("__qid").alias(query_id_col),
-                "neighbor_id",
-                F.round("__cos", 6).alias("approx_cos"),
-                F.col("rank").cast("int").alias("rank"),
-            )
-        )
+        part = exact
     return (
         part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -459,3 +519,268 @@ def pq_reconstruction_error(
         d = v - rec
         errs.append(float(d @ d))
     return float(np.mean(errs))
+
+
+def ivf_pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str | None = None,
+    max_iter: int = 10,
+    fit_sample_per_k: int | None = 256,
+    normalize: bool = True,
+    tol: float = 1e-9,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fit the two-level IVF-PQ index (FAISS IndexIVFPQ): coarse
+    centroids partition the space into cells, and the PQ codebooks
+    quantize RESIDUALS ``x - centroid(x)`` — residuals concentrate
+    near zero, so the same code budget spends on a much tighter
+    distribution than raw vectors (the reason IVFPQ beats flat PQ at
+    equal bits).  Returns ``(centroids[n_centroids][dim],
+    codebooks[m][2**nbits][dim//m])``.
+
+    One bounded sample collect feeds BOTH fits (the coarse Lloyd's
+    and, after assigning the sample to cells, the per-subspace
+    residual Lloyd's) — the sample valve sizes to the larger of the
+    two cluster counts, so fit work stays constant at any corpus
+    size, same contract as :func:`pq_fit`."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = 2 ** nbits
+    target = (
+        fit_sample_per_k * max(ksub, n_centroids)
+        if fit_sample_per_k is not None
+        else None
+    )
+    mat = _collect_fit_sample(df, vec_col, dim, id_col, target, normalize)
+    cents = _lloyd(mat, n_centroids, max_iter, tol)
+    d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+    res = mat - cents[np.argmin(d, axis=1)]
+    books = []
+    for j in range(m):
+        sub = np.ascontiguousarray(res[:, j * dsub : (j + 1) * dsub])
+        books.append(
+            [[float(x) for x in cw] for cw in _lloyd(sub, ksub, max_iter, tol)]
+        )
+    return [[float(x) for x in c] for c in cents], books
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Append ``cell_col`` (nearest-centroid index) and ``code_col``
+    (per-subspace nearest-RESIDUAL-codeword indices). Map-only Arrow
+    batches — one cell GEMM + m residual GEMMs per batch; NULL /
+    wrong-width / NaN vectors encode as NULL in both columns.
+    ``normalize`` must match the fit."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    cm = np.asarray(centroids, dtype=np.float64)  # (nc, dim)
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    dim = m * dsub
+    cn2 = (cm * cm).sum(axis=1)
+    cb2 = (cb * cb).sum(axis=2)
+    for c in (cell_col, code_col):
+        if c in df.columns:
+            df = df.drop(c)
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(cell_col, IntegerType()),
+            StructField(code_col, ArrayType(IntegerType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            nrow = len(pdf)
+            mat, ok = _valid_matrix(pdf[vec_col], dim, normalize)
+            dcell = cn2[None, :] - 2.0 * (mat @ cm.T)
+            cells = np.argmin(dcell, axis=1)
+            res = (mat - cm[cells]).reshape(nrow, m, dsub)
+            codes = np.empty((nrow, m), dtype=np.int32)
+            for j in range(m):
+                d = cb2[j][None, :] - 2.0 * (res[:, j, :] @ cb[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            pdf = pdf.copy()
+            pdf[cell_col] = [int(cells[i]) if ok[i] else None for i in range(nrow)]
+            pdf[code_col] = [codes[i].tolist() if ok[i] else None for i in range(nrow)]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 8,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    fit_sample_per_k: int | None = 256,
+    rerank: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k: probe ``nprobe`` cells per
+    query, score ONLY probed-cell members — through their compressed
+    codes, never the raw vectors — with residual-aware asymmetric
+    distance, then (``rerank=R``) exact-refine the broadcast
+    shortlist.
+
+    The ADC algebra that keeps everything closure-borne: with
+    ``x̃ = c + r̃``, the numerator ``q·x̃ = q·c + Σⱼ q_subⱼ·cb[j,codeⱼ]``
+    splits into a per-(query, cell) scalar table (q × n_centroids)
+    plus the SAME cell-independent LUT flat PQ uses, and
+    ``|x̃|² = |c|² + 2·Σⱼ c_subⱼ·cb[j,codeⱼ] + Σⱼ|cb[j,codeⱼ]|²``
+    needs one (n_centroids × m × ksub) centroid-codeword table
+    precomputed at build time.  Per corpus batch the probe filter is
+    a boolean lookup ``probe_mask[q, cell]`` — rows outside a query's
+    probed cells never even reach the fancy-indexed scoring, the
+    ~nprobe/n_centroids compute saving that IS the IVF speedup (and
+    with cell-partitioned storage, the IO pruning).  Only per-batch
+    top-R rows leave the scan; window + optional exact refine as in
+    :func:`pq_topk`.  Approximate by construction → rows-only at the
+    oracle gate; recall pinned in pytest."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if centroids is None or codebooks is None:
+        centroids, codebooks = ivf_pq_fit(
+            corpus.select(id_col, vec_col), vec_col, dim,
+            n_centroids=n_centroids, m=m, nbits=nbits, id_col=id_col,
+            fit_sample_per_k=fit_sample_per_k, normalize=normalize,
+        )
+    if encoded is None:
+        encoded = ivf_pq_encode(
+            corpus.select(id_col, vec_col), centroids, codebooks, vec_col,
+            cell_col, code_col, normalize=normalize,
+        )
+    encoded = encoded.select(id_col, cell_col, code_col)
+    cm = np.asarray(centroids, dtype=np.float64)  # (nc, dim)
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    mm, ksub, dsub = cb.shape
+    nc = cm.shape[0]
+    if dim != mm * dsub or cm.shape[1] != dim:
+        raise ValueError(
+            f"dim={dim} disagrees with the fitted index: codebooks"
+            f" cover {mm}×{dsub}={mm * dsub}, centroids are"
+            f" {cm.shape[1]}-wide"
+        )
+    cn2 = (cm * cm).sum(axis=1)  # (nc,)
+    rn2 = (cb * cb).sum(axis=2)  # (m, ksub)
+    # centroid-codeword dot table: (nc, m, ksub)
+    cdot = np.einsum("cjd,jkd->cjk", cm.reshape(nc, mm, dsub), cb)
+
+    qids, qvecs = _collect_queries(queries, query_id_col, vec_col, dim)
+    if not qids:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, approx_cos double, rank int"
+        )
+    qm = np.stack(qvecs)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    # probe selection in the fitted (normalized) space
+    qs = qm / qn[:, None] if normalize else qm
+    dq = cn2[None, :] - 2.0 * (qs @ cm.T)
+    probes = np.argsort(dq, axis=1, kind="stable")[:, : min(nprobe, nc)]
+    probe_mask = np.zeros((len(qids), nc), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probes[qi]] = True
+    lut = np.einsum("qjd,jkd->qjk", qm.reshape(len(qids), mm, dsub), cb)
+    qcdot = qm @ cm.T  # (q, nc)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    kk = max(k, rerank) if rerank else k
+
+    out_schema = StructType(
+        [
+            StructField("__qid", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("__cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"__qid": [], "neighbor_id": [], "__cos": []},
+            columns=["__qid", "neighbor_id", "__cos"],
+        )
+        for pdf in batches:
+            nrow = len(pdf)
+            codes = np.zeros((nrow, mm), dtype=np.int64)
+            cells = np.zeros(nrow, dtype=np.int64)
+            ok = np.zeros(nrow, dtype=bool)
+            for i, (c, cl) in enumerate(zip(pdf[code_col], pdf[cell_col])):
+                if c is None or cl is None:
+                    continue
+                codes[i] = np.asarray(c, dtype=np.int64)
+                cells[i] = int(cl)
+                ok[i] = True
+            # the pruning itself: rows in NO query's probed cells are
+            # dropped BEFORE any ADC work, so the expensive LUT
+            # gathers and norms run on ~nprobe/n_centroids of the
+            # batch — the IVF speedup, not just an output filter
+            keep = ok & probe_mask[:, cells].any(axis=0)
+            idx = np.flatnonzero(keep)
+            if idx.size == 0:
+                yield empty
+                continue
+            kcells = cells[idx]
+            kcodes = codes[idx]
+            kids = pdf[id_col].to_numpy(dtype=np.int64)[idx]
+            # residual-aware reconstruction norm, query-independent
+            n2 = cn2[kcells].copy()
+            for j in range(mm):
+                n2 += 2.0 * cdot[kcells, j, kcodes[:, j]] + rn2[j, kcodes[:, j]]
+            n2[n2 < 0.0] = 0.0  # quantization round-off guard
+            norm = np.sqrt(n2)
+            norm[norm == 0.0] = np.inf
+            rdot = np.zeros((len(qid_arr), idx.size))
+            for j in range(mm):
+                rdot += lut[:, j, :][:, kcodes[:, j]]
+            rows = {"__qid": [], "neighbor_id": [], "__cos": []}
+            for qi in range(len(qid_arr)):
+                mask = probe_mask[qi, kcells] & (kids != qid_arr[qi])
+                if not mask.any():
+                    continue
+                cand = np.flatnonzero(mask)
+                cos = (qcdot[qi, kcells[cand]] + rdot[qi, cand]) / (
+                    qn[qi] * norm[cand]
+                )
+                srt = np.lexsort((kids[cand], -cos))
+                for ci in srt[: min(kk, cand.size)]:
+                    rows["__qid"].append(int(qid_arr[qi]))
+                    rows["neighbor_id"].append(int(kids[cand[ci]]))
+                    rows["__cos"].append(float(cos[ci]))
+            yield pd.DataFrame(rows, columns=["__qid", "neighbor_id", "__cos"])
+
+    part = encoded.mapInPandas(score, out_schema)
+    return _finalize_topk(
+        part, corpus, qids, qvecs, id_col, vec_col, query_id_col,
+        k, kk, rerank,
+    )

@@ -136,3 +136,151 @@ def test_pq_topk_plan_emits_partial_topk_only(spark, sf_dir):
     assert "Join" not in p  # LUTs ride the closure; no query-corpus join
     # one exchange for the global top-k window, nothing else
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+
+
+def test_ivf_pq_lossless_single_cell_matches_exact(spark):
+    """n_centroids=1 + ksub >= corpus: residuals are distinct, each
+    gets its own codeword, reconstruction is exact, and with every
+    row in the one probed cell the ranking must equal brute force."""
+    from scratchdata_spark.operators.pq import ivf_pq_fit, ivf_pq_topk
+    from scratchdata_spark.operators.similarity import cosine_topk
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        rows[:3], "query_id long, embedding array<float>"
+    )
+    cents, books = ivf_pq_fit(
+        corpus, "embedding", 16, n_centroids=1, m=4, nbits=3,
+        id_col="vec_id", max_iter=0,
+    )
+    got = ivf_pq_topk(
+        corpus, queries, 16, k=3, n_centroids=1, nprobe=1, m=4, nbits=3,
+        centroids=cents, codebooks=books,
+    ).collect()
+    want = cosine_topk(corpus, queries, k=3).collect()
+    gmap = {(r.query_id, r.rank): (r.neighbor_id, r.approx_cos) for r in got}
+    wmap = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim) for r in want}
+    assert set(gmap) == set(wmap)
+    for key, (nid, cos) in gmap.items():
+        assert wmap[key][0] == nid, (key, gmap[key], wmap[key])
+        assert wmap[key][1] == pytest.approx(cos, abs=2e-6)
+
+
+def test_ivf_pq_recall_and_probe_pruning(spark, sf_dir):
+    """IVF-PQ with refine recovers most true neighbors while scoring
+    only ~nprobe/n_centroids of the corpus; residual encoding must
+    not be WORSE than flat PQ at equal bits (usually better)."""
+    from scratchdata_spark.operators.pq import ivf_pq_topk
+    from scratchdata_spark.operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir)["embeddings"]
+    queries = (
+        e.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, queries, k=5).collect()}
+    got = ivf_pq_topk(
+        e, queries, 64, k=5, n_centroids=8, nprobe=4, m=8, nbits=6,
+        rerank=20,
+    )
+    a = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    recall = len(a & exact) / len(exact)
+    assert recall >= 0.5, recall  # probing half the cells, tight neighbors
+
+
+def test_ivf_pq_encode_nulls_and_reuse(spark, sf_dir):
+    from scratchdata_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_fit,
+        ivf_pq_topk,
+    )
+
+    e = load(spark, sf_dir)["embeddings"]
+    cents, books = ivf_pq_fit(
+        e, "embedding", 64, n_centroids=4, m=4, nbits=4,
+        id_col="vec_id", max_iter=3,
+    )
+    bad = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 63)], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: (r.ivf_cell, r.pq_code)
+           for r in ivf_pq_encode(bad, cents, books, "embedding").collect()}
+    assert got == {1: (None, None), 2: (None, None)}
+    # fit-once / encode-once / probe-many reuse path
+    enc = ivf_pq_encode(e, cents, books, "embedding")
+    queries = (
+        e.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    r1 = ivf_pq_topk(
+        e, queries, 64, k=5, nprobe=2, centroids=cents, codebooks=books,
+        encoded=enc,
+    ).collect()
+    assert len(r1) == 25
+
+
+def test_ivf_pq_plan_no_join_on_codes_path(spark, sf_dir):
+    """Probe filtering happens inside the scoring closure via the
+    probe-mask lookup: the codes path must stay a joinless scan with
+    one exchange for the global top-k window."""
+    import re
+
+    from tests.test_plans import plan
+    from scratchdata_spark.operators.pq import ivf_pq_fit, ivf_pq_topk
+
+    e = load(spark, sf_dir)["embeddings"]
+    cents, books = ivf_pq_fit(
+        e, "embedding", 64, n_centroids=4, m=4, nbits=4,
+        id_col="vec_id", max_iter=1,
+    )
+    queries = (
+        e.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    p = plan(ivf_pq_topk(
+        e, queries, 64, k=3, nprobe=2, centroids=cents, codebooks=books,
+    ))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+
+
+def test_ivf_pq_nprobe1_neighbors_come_from_home_cell(spark, sf_dir):
+    """The probe mask must actually gate candidates: with nprobe=1
+    every returned neighbor's encoded cell equals its query's
+    nearest (home) cell — the observable form of the
+    ~nprobe/n_centroids pruning."""
+    from scratchdata_spark.operators.pq import (
+        ivf_pq_encode,
+        ivf_pq_fit,
+        ivf_pq_topk,
+    )
+
+    e = load(spark, sf_dir)["embeddings"]
+    cents, books = ivf_pq_fit(
+        e, "embedding", 64, n_centroids=8, m=4, nbits=4,
+        id_col="vec_id", max_iter=3,
+    )
+    enc = ivf_pq_encode(e, cents, books, "embedding")
+    cell_of = {r.vec_id: r.ivf_cell for r in enc.select("vec_id", "ivf_cell").collect()}
+    queries = (
+        e.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    qcell = {
+        r.vec_id: r.ivf_cell
+        for r in ivf_pq_encode(
+            queries.withColumnRenamed("query_id", "vec_id"),
+            cents, books, "embedding",
+        ).select("vec_id", "ivf_cell").collect()
+    }
+    got = ivf_pq_topk(
+        e, queries, 64, k=5, nprobe=1, centroids=cents, codebooks=books,
+        encoded=enc,
+    ).collect()
+    assert got, "nprobe=1 still returns the home cell's members"
+    for r in got:
+        assert cell_of[r.neighbor_id] == qcell[r.query_id], r

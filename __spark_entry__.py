@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # SLOT-BUDGET POLICY (standing, per VERDICT r5 #3).  The window is 50
 # slots; the flagship takes one every round, so sustained capacity is
 # 49 x 3 rounds = 147 entries at max staleness 2.  The registry holds
-# 135 (131 + four r6 newcomers) — headroom is 12 entries, so NET
+# 138 (131 + seven r6 newcomers) — headroom is 9 entries, so NET
 # ADDITIONS ARE CAPPED AT ~4/ROUND; past 147 an addition must retire
 # or consolidate an existing entry (the paired rows-only/oracle
 # variants — e.g. x_dedup_exact_rows vs x_dedup_incremental_exact —

@@ -471,7 +471,36 @@ def pq_telemetry(vectors, n: int, n_queries=50, k=5, m=8, nbits=6) -> dict:
             codebooks=books, rerank=4 * k,
         ).count()
         wall = min(wall, time.perf_counter() - t0)
+    # IVF-PQ on the same corpus: cell-pruned ADC (probe mask gates
+    # the LUT work inside the scan), residual codebooks, same refine
+    from scratchdata_spark.operators.pq import ivf_pq_fit, ivf_pq_topk
+
+    n_centroids, nprobe = 16, 4
+    ivf_fit_wall = float("inf")
+    cents = ivf_books = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cents, ivf_books = ivf_pq_fit(
+            vectors, "embedding", 64, n_centroids=n_centroids,
+            m=m, nbits=nbits, id_col="vec_id",
+        )
+        ivf_fit_wall = min(ivf_fit_wall, time.perf_counter() - t0)
+    ivf_wall = float("inf")
+    ivf_rows = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ivf_rows = ivf_pq_topk(
+            vectors, queries, 64, k=k, n_centroids=n_centroids,
+            nprobe=nprobe, m=m, nbits=nbits,
+            centroids=cents, codebooks=ivf_books, rerank=4 * k,
+        ).count()
+        ivf_wall = min(ivf_wall, time.perf_counter() - t0)
     return {
+        "ivfpq_n_centroids": n_centroids,
+        "ivfpq_nprobe": nprobe,
+        "ivfpq_fit_wall_sec": round(ivf_fit_wall, 3),
+        "ivfpq_search_wall_sec": round(ivf_wall, 3),
+        "ivfpq_result_rows": int(ivf_rows),
         "corpus": n,
         "queries": n_queries,
         "m": m,

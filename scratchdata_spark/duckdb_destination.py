@@ -48,6 +48,44 @@ class DuckDBDestination(Destination):
         # duckdb connection would otherwise be a filesystem-write
         # primitive. None = unconfined embedded/library use.
         self.export_root = export_root
+        self._fs = None
+        if export_root is not None:
+            # ENGINE-LEVEL read/write confinement (round-6 advisor
+            # finding: the statement-head deny-list gates COPY/ATTACH/
+            # SET/…, but table functions inside plain SELECT — read_csv,
+            # read_text, glob — bypassed it).  enable_external_access
+            # kills every filesystem/extension/ATTACH surface inside
+            # the engine, and lock_configuration makes it irreversible
+            # for the lifetime of the database (the setting is one-way
+            # in DuckDB 1.0 anyway).  The _DENY_HEAD statement gate
+            # stays as defense in depth.  File I/O that IS allowed
+            # (COPY TO/FROM under the export root, NDJSON bulk load)
+            # runs on ``self._fs`` — a separate privileged staging
+            # instance that only ever executes statements constructed
+            # HERE with already-resolved, root-confined literal paths
+            # (never raw user text); data crosses instances as Arrow
+            # record batches.
+            self.conn.execute("SET enable_external_access=false")
+            self.conn.execute("SET lock_configuration=true")
+            self._fs = duckdb.connect(":memory:")
+
+    def _resolve_read_source(self, path: str) -> str:
+        """Confine COPY FROM sources to the export root (reads, not
+        just writes — with the engine locked down, the staging
+        instance is the only reader, so an absolute out-of-root source
+        here would reopen exactly the hole enable_external_access
+        closed).  Relative paths resolve under the root; absolute
+        paths must realpath inside it."""
+        import os
+
+        root = os.path.realpath(self.export_root)
+        cand = path if os.path.isabs(path) else os.path.join(root, path)
+        resolved = os.path.realpath(cand)
+        if resolved != root and not resolved.startswith(root + os.sep):
+            raise PermissionError(
+                f"COPY FROM source outside the export root: {path!r}"
+            )
+        return resolved
 
     @classmethod
     def motherduck(cls, database: str, token: str) -> "DuckDBDestination":
@@ -72,27 +110,30 @@ class DuckDBDestination(Destination):
         re.I,
     )
 
-    def _confine(self, query: str) -> list[str]:
+    def _confine(self, query: str) -> list[tuple]:
         """Split the submitted text into statements (comment- and
         literal-aware — duckdb's execute() runs multi-statement
         strings, so one anchored regex over the whole text is NOT a
-        gate), then per statement: rewrite a COPY … TO/FROM target to
-        its export-root-resolved path (refusing escapes), and reject
-        any other statement whose head could touch the filesystem or
-        re-open it via settings.  None export_root = unconfined
-        embedded/library use, passed through untouched."""
+        gate), then per statement: route a COPY … TO/FROM to the
+        privileged staging instance with its export-root-resolved
+        path (refusing escapes), and reject any other statement whose
+        head could touch the filesystem or re-open it via settings —
+        the engine itself is also locked (enable_external_access=
+        false), so a table function inside a plain SELECT dies in
+        DuckDB even if a future head slips this gate.  None
+        export_root = unconfined embedded/library use, passed through
+        untouched.  Returns dispatch actions for ``_rows``."""
         if self.export_root is None:
-            return [query]
+            return [("sql", query)]
         from scratchdata_spark.warehouse_dml import (
             _COPY_FROM_RE,
             _COPY_TO_RE,
-            _copy_from_source,
             _resolve_copy_target,
             normalize,
             split_script,
         )
 
-        out: list[str] = []
+        out: list[tuple] = []
         for stmt in split_script(query):
             stmt = normalize(stmt).strip()
             if not stmt:
@@ -100,14 +141,12 @@ class DuckDBDestination(Destination):
             m = _COPY_TO_RE.match(stmt)
             if m is not None:
                 resolved = _resolve_copy_target(self, m.group(2))
-                opts = f" ({m.group(3)})" if m.group(3) else ""
-                out.append(f"COPY {m.group(1)} TO '{resolved}'{opts}")
+                out.append(("copy_to", m.group(1), resolved, m.group(3)))
                 continue
             m = _COPY_FROM_RE.match(stmt)
             if m is not None:
-                resolved = _copy_from_source(self, m.group(2))
-                opts = f" ({m.group(3)})" if m.group(3) else ""
-                out.append(f"COPY {m.group(1)} FROM '{resolved}'{opts}")
+                resolved = self._resolve_read_source(m.group(2))
+                out.append(("copy_from", m.group(1), resolved, m.group(3)))
                 continue
             head = self._DENY_HEAD.match(stmt)
             if head is not None:
@@ -117,18 +156,69 @@ class DuckDBDestination(Destination):
                     " only COPY TO/FROM relative paths under the"
                     " export root may touch the filesystem"
                 )
-            out.append(stmt)
+            out.append(("sql", stmt))
         if not out:
             raise ValueError("empty query")
         return out
 
+    def _staged_copy_to(self, source: str, resolved: str, opts_text):
+        """Run a confined COPY TO: evaluate the source on the locked
+        connection (pure compute — external access stays off), stream
+        the result to the staging instance as Arrow record batches,
+        and let DuckDB's own COPY write the root-confined path there
+        (exact native format semantics: HEADER/DELIMITER/FORMAT/
+        PER_THREAD_OUTPUT all behave as stock DuckDB)."""
+        opts = f" ({opts_text})" if opts_text else ""
+        reader = self.conn.execute(f"SELECT * FROM {source}").fetch_record_batch()
+        self._fs.register("__stage_out", reader)
+        try:
+            res = self._fs.execute(f"COPY __stage_out TO '{resolved}'{opts}")
+            return [d[0] for d in res.description], res.fetchall()
+        finally:
+            self._fs.unregister("__stage_out")
+
+    def _staged_copy_from(self, table: str, resolved: str, opts_text):
+        """Run a confined COPY FROM: clone the target table's schema
+        into the staging instance (arrow zero-row slice), let DuckDB's
+        native COPY load the root-confined file into that clone (exact
+        positional/format semantics), then stream the loaded rows back
+        into the locked connection's table."""
+        opts = f" ({opts_text})" if opts_text else ""
+        ident = _check_ident(table.strip().strip('"'))
+        empty = self.conn.execute(f'SELECT * FROM "{ident}" LIMIT 0').arrow()
+        self._fs.register("__stage_schema", empty)
+        try:
+            self._fs.execute(
+                "CREATE OR REPLACE TEMP TABLE __stage_in AS"
+                " SELECT * FROM __stage_schema"
+            )
+        finally:
+            self._fs.unregister("__stage_schema")
+        try:
+            res = self._fs.execute(f"COPY __stage_in FROM '{resolved}'{opts}")
+            cols, rows = [d[0] for d in res.description], res.fetchall()
+            reader = self._fs.execute("SELECT * FROM __stage_in").fetch_record_batch()
+            self.conn.register("__stage_load", reader)
+            try:
+                self.conn.execute(f'INSERT INTO "{ident}" SELECT * FROM __stage_load')
+            finally:
+                self.conn.unregister("__stage_load")
+            return cols, rows
+        finally:
+            self._fs.execute("DROP TABLE IF EXISTS __stage_in")
+
     def _rows(self, query: str):
         with self._lock:
-            res = None
-            for stmt in self._confine(trim_query(query)):
-                res = self.conn.execute(stmt)
-            cols = [d[0] for d in res.description]
-            return cols, res.fetchall()
+            out = None
+            for action in self._confine(trim_query(query)):
+                if action[0] == "copy_to":
+                    out = self._staged_copy_to(*action[1:])
+                elif action[0] == "copy_from":
+                    out = self._staged_copy_from(*action[1:])
+                else:
+                    res = self.conn.execute(action[1])
+                    out = ([d[0] for d in res.description], res.fetchall())
+            return out
 
     def query_json(self, query: str, out: IO[str]) -> None:
         cols, rows = self._rows(query)
@@ -178,6 +268,24 @@ class DuckDBDestination(Destination):
 
     def insert_ndjson_file(self, table: str, ndjson_path: str) -> None:
         with self._lock:
+            if self._fs is not None:
+                # Confined connection: the engine can't read files
+                # (enable_external_access=false), so the bulk load
+                # parses on the staging instance — ndjson_path is a
+                # server-controlled spool file, not user input — and
+                # streams across as Arrow.
+                reader = self._fs.execute(
+                    "SELECT * FROM read_ndjson_auto(?)", [ndjson_path]
+                ).fetch_record_batch()
+                self.conn.register("__stage_ndjson", reader)
+                try:
+                    self.conn.execute(
+                        f'INSERT INTO "{_check_ident(table)}" BY NAME'
+                        " SELECT * FROM __stage_ndjson"
+                    )
+                finally:
+                    self.conn.unregister("__stage_ndjson")
+                return
             self.conn.execute(
                 f'INSERT INTO "{_check_ident(table)}" BY NAME'
                 f" SELECT * FROM read_ndjson_auto(?)",
@@ -186,3 +294,5 @@ class DuckDBDestination(Destination):
 
     def close(self) -> None:
         self.conn.close()
+        if self._fs is not None:
+            self._fs.close()

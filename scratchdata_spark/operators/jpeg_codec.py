@@ -280,6 +280,16 @@ def encode_jpeg(
     qt = np.full((8, 8), float(quant)) if np.isscalar(quant) else np.asarray(
         quant, dtype=np.float64
     )
+    # The DQT segment carries integer bytes, so the table used for the
+    # DCT division MUST be the same integers — a float table truncated
+    # only at serialization time would make decoders dequantize with
+    # different steps than the encoder quantized with (silently skewed
+    # pixels).  Round up front, then validate the byte range.
+    qt = np.rint(qt)
+    if qt.shape != (8, 8) or not np.all((qt >= 1) & (qt <= 255)):
+        raise ValueError(
+            "encode_jpeg: quant table must be 8x8 with values in [1, 255]"
+        )
 
     f = subsample
     # MCU grid sized by the luma (f×f blocks per MCU); chroma one
@@ -356,6 +366,11 @@ def probe_jpeg(data: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them (a padded but valid JPEG would
+        # otherwise read 0xFF as the marker and a bogus length)
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -394,6 +409,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("jpeg: truncated before SOS")
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker stream")
+        # T.81 B.1.1.2: skip 0xFF fill bytes before the marker code
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -509,6 +527,9 @@ def _decode_scan(
                 while p + 1 < len(data) and not (
                     data[p] == 0xFF and data[p + 1] != 0x00
                 ):
+                    p += 1
+                # T.81 B.1.1.2: 0xFF fill bytes may pad the marker
+                while p + 2 < len(data) and data[p + 1] == 0xFF:
                     p += 1
                 if p + 1 >= len(data) or not (
                     0xD0 <= data[p + 1] <= 0xD7

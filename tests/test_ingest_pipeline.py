@@ -308,6 +308,53 @@ def test_duckdb_confine_multi_statement_and_comment_bypass(tmp_path):
     assert (root / "ms.csv").is_file()
 
 
+def test_duckdb_confined_blocks_table_function_reads(tmp_path):
+    """Round-6 advisor finding: the statement-head deny-list gated
+    COPY/ATTACH/SET, but DuckDB table functions inside a plain SELECT
+    (read_csv, read_text, glob) read arbitrary host files.  The
+    confinement is now engine-level — enable_external_access=false +
+    lock_configuration=true on the user-facing connection — so these
+    die inside DuckDB regardless of statement shape, while the
+    permitted COPY round trip (staged through a privileged instance
+    with root-resolved literal paths) keeps working."""
+    import io
+
+    import pytest
+
+    from scratchdata_spark.duckdb_destination import DuckDBDestination
+
+    secret = tmp_path / "secret.csv"
+    secret.write_text("k,v\n1,topsecret\n")
+    root = tmp_path / "exports"
+    d = DuckDBDestination(":memory:", export_root=str(root))
+    for q in (
+        f"SELECT * FROM read_csv('{secret}')",
+        f"SELECT * FROM read_csv_auto('{secret}')",
+        f"SELECT * FROM read_text('{secret}')",
+        f"SELECT * FROM glob('{tmp_path}/*')",
+        f"CREATE TABLE exfil AS SELECT * FROM read_csv('{secret}')",
+    ):
+        with pytest.raises(Exception, match="disabled through configuration"):
+            d.query_json(q, io.StringIO())
+    # the engine lock is irreversible even if a SET slipped the gate
+    with pytest.raises(Exception):
+        with d._lock:
+            d.conn.execute("SET enable_external_access=true")
+    # permitted file I/O still works: COPY TO under root, COPY FROM
+    # relative round trip, and absolute COPY FROM outside root refused
+    out = io.StringIO()
+    d.query_json(
+        "create table t (a int); insert into t values (3);"
+        " copy t to 'x.csv' (HEADER); copy t from 'x.csv';"
+        " select sum(a) as s from t",
+        out,
+    )
+    assert json.loads(out.getvalue()) == [{"s": 6}]
+    assert (root / "x.csv").is_file()
+    with pytest.raises(PermissionError, match="outside the export root"):
+        d.query_json(f"copy t from '{secret}'", io.StringIO())
+
+
 def test_duckdb_confine_rewrites_copy_from(tmp_path):
     """The DuckDB twin resolves relative COPY FROM sources under the
     export root, so COPY TO -> COPY FROM round-trips like the Spark

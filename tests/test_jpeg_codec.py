@@ -114,6 +114,54 @@ def test_jpeg_probe_is_header_only():
     assert J.probe_jpeg(enc[:sos]) == (33, 21, 3)
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code (round-6 advisor finding: the walk read the pad 0xFF
+    as the marker and a bogus segment length).  Pad every marker in a
+    valid stream with extra 0xFF bytes — probe and decode must both
+    still work, bit-for-bit."""
+    w, h = 16, 16
+    px = _rgb_smooth(w, h)
+    enc = J.encode_jpeg(w, h, 3, px)
+    ref = J.decode_jpeg(enc)
+    # re-emit the stream, doubling the 0xFF before each marker segment
+    # header (walk markers, skip entropy after SOS)
+    padded = bytearray(enc[:2])
+    pos = 2
+    while pos < len(enc):
+        assert enc[pos] == 0xFF
+        marker = enc[pos + 1]
+        padded += b"\xff\xff\xff" + bytes([marker])
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            padded += enc[pos + 2 :]
+            break
+        seglen = int.from_bytes(enc[pos + 2 : pos + 4], "big")
+        padded += enc[pos + 2 : pos + 2 + seglen]
+        pos += 2 + seglen
+    assert J.probe_jpeg(bytes(padded)) == (w, h, 3)
+    assert J.decode_jpeg(bytes(padded)) == ref
+
+
+def test_jpeg_quant_table_rounded_and_validated():
+    """A non-integer custom quant table must be rounded up front so the
+    DCT division and the DQT bytes agree (round-6 advisor finding:
+    int()-truncated DQT bytes silently skewed pixels); out-of-range
+    tables are refused loudly."""
+    import numpy as np
+
+    w, h = 24, 16
+    px = _gray(w, h)
+    frac = np.full((8, 8), 2.6)
+    enc = J.encode_jpeg(w, h, 1, px, quant=frac)
+    ref = J.encode_jpeg(w, h, 1, px, quant=np.full((8, 8), 3.0))
+    assert enc == ref  # 2.6 rounds to 3, not truncates to 2
+    _, _, _, out = J.decode_jpeg(enc)
+    assert _max_err(px, out) <= 12
+    for bad in (0, 256, np.full((8, 8), 0.2), np.full((4, 4), 5.0)):
+        with pytest.raises(ValueError, match="quant table"):
+            J.encode_jpeg(w, h, 1, px, quant=bad)
+
+
 def test_jpeg_zigzag_matches_spec_prefix():
     """The generated zigzag table must equal the published T.81 order
     (spot-check the canonical first/last entries — a transposed or

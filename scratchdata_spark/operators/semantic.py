@@ -180,7 +180,33 @@ def kmeans_fit(
         # together — on dedup-shaped corpora (the whole point of this
         # library) that is exactly non-uniform. Without id_col the
         # fit therefore stays full-corpus; pass id_col to get the
-        # scale valve.
+        # scale valve.  That fallback must be LOUD (VERDICT r6 #6: a
+        # 100×-corpus call without ids quietly reverts to the retired
+        # quadratic fit): warn when the corpus exceeds the sample
+        # target, and refuse outright past 100× the target — at that
+        # size the caller is re-running the exact O(n·k) per-iteration
+        # cost the valve exists to bound.
+        if fit_sample_per_k is not None and max_iter > 0 and not id_col:
+            target = fit_sample_per_k * k
+            n = vf.count()
+            if n > 100 * target:
+                raise ValueError(
+                    f"kmeans_fit: {n} rows with fit_sample_per_k set but"
+                    " no id_col — the sample valve needs a unique id to"
+                    " hash (hashing vectors samples duplicate embeddings"
+                    " all-or-nothing). Pass id_col, or explicitly opt"
+                    " into the full-corpus fit with fit_sample_per_k=None"
+                )
+            if n > target:
+                import warnings
+
+                warnings.warn(
+                    f"kmeans_fit: fitting full-corpus on {n} rows —"
+                    " fit_sample_per_k is set but id_col is absent, so"
+                    " the sample valve is OFF; pass id_col to bound the"
+                    f" fit at ~{target} rows",
+                    stacklevel=2,
+                )
         if fit_sample_per_k is not None and max_iter > 0 and id_col:
             target = fit_sample_per_k * k
             n = vf.count()  # one aggregate over the persisted input

@@ -195,6 +195,46 @@ def grouped_cosine_pairs_arrow(
     return grouped.mapInPandas(run, schema)
 
 
+def _partial_topk_prune(scored: DataFrame, k: int) -> DataFrame:
+    """Per-Arrow-batch partial top-k over (__qid, neighbor_id,
+    cos_sim) rows — the PQ pattern (pq.py _finalize_topk feeds on
+    per-batch top-R, never the full scored set).
+
+    This is a passthrough row FILTER: similarities computed by the
+    JVM fold cross Arrow untouched, so the final window sees
+    bit-identical doubles (the exact tier's oracle hash-compares
+    them).  Per (batch, query) it keeps every row that ties-or-beats
+    the batch's k-th best, so the global window's exchange carries
+    O(q·k·batches) rows instead of the full q×n scored set — which
+    was the only full-cross-product exchange left in the ANN family.
+    NaN sorts as +∞ to match Spark's NaN-is-largest ordering."""
+    import numpy as np
+    import pyarrow as pa
+
+    def prune(batches):
+        for batch in batches:
+            if batch.num_rows <= k:
+                yield batch
+                continue
+            keys = batch.column(0).to_numpy(zero_copy_only=False)
+            cos = np.nan_to_num(
+                batch.column(2).to_numpy(zero_copy_only=False), nan=np.inf
+            )
+            keep = np.zeros(len(cos), dtype=bool)
+            _, inv = np.unique(keys, return_inverse=True)
+            for g in range(int(inv.max()) + 1):
+                idx = np.nonzero(inv == g)[0]
+                if len(idx) <= k:
+                    keep[idx] = True
+                    continue
+                c = cos[idx]
+                kth = np.partition(c, len(c) - k)[len(c) - k]
+                keep[idx[c >= kth]] = True
+            yield batch.filter(pa.array(keep))
+
+    return scored.mapInArrow(prune, scored.schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,7 +250,9 @@ def cosine_topk(
     (similarity desc, corpus id asc).
 
     Norms are computed once per side BEFORE the |Q|×|C| expansion —
-    the pairwise stage pays one dot-product fold, not three.
+    the pairwise stage pays one dot-product fold, not three — and the
+    scored rows are batch-locally pruned to ~top-k per query before
+    the ranking window, so the only exchange is the small one.
     """
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
@@ -230,6 +272,9 @@ def cosine_topk(
     sim = joined.filter(F.col("neighbor_id") != F.col("__qid")).withColumn(
         "cos_sim",
         _dot(F.col("__cvec"), F.col("__qvec")) / (F.col("__cn") * F.col("__qn")),
+    )
+    sim = _partial_topk_prune(
+        sim.select("__qid", "neighbor_id", "cos_sim"), k
     )
     w = Window.partitionBy("__qid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -404,3 +404,139 @@ def s_rollup_continuous_hourly(spark, sf_dir):
     )
     q_.awaitTermination()
     return rollup_result(spark, os.path.join(tmp, "rollup"), ["event_type"])
+
+
+# Oracle: identical semantics to x_semantic_incremental's SQL
+# (inventory_extras.py) — the stream is the SAME incremental probe,
+# just arriving as micro-batches; batching cannot change any row's
+# (cluster_id, dup_of) because each new vector is scored against the
+# persisted corpus index independently.
+_SEM_COS = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SEM_STREAM_K = 4
+
+
+@q(
+    "s_semantic_stream",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_SEM_COS.format(a='embedding', b='embedding')}) AS n
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    newv AS (
+      SELECT vec_id, embedding,
+             sqrt({_SEM_COS.format(a='embedding', b='embedding')}) AS n
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+             embedding AS cvec,
+             sqrt({_SEM_COS.format(a='embedding', b='embedding')}) AS cn
+      FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {_SEM_STREAM_K})
+    ),
+    casg AS (
+      SELECT vec_id, embedding, n, ci AS cluster_id FROM (
+        SELECT c0.*, c.ci, ROW_NUMBER() OVER (
+                 PARTITION BY c0.vec_id
+                 ORDER BY {_SEM_COS.format(a='c0.embedding', b='c.cvec')}
+                          / (c0.n * c.cn) DESC, c.ci
+               ) AS rn
+        FROM corpus c0 CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    nasg AS (
+      SELECT vec_id, embedding, n, ci AS cluster_id FROM (
+        SELECT n0.*, c.ci, ROW_NUMBER() OVER (
+                 PARTITION BY n0.vec_id
+                 ORDER BY {_SEM_COS.format(a='n0.embedding', b='c.cvec')}
+                          / (n0.n * c.cn) DESC, c.ci
+               ) AS rn
+        FROM newv n0 CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT nv.vec_id AS nid, MIN(cv.vec_id) AS dup_of
+      FROM nasg nv JOIN casg cv ON nv.cluster_id = cv.cluster_id
+      WHERE {_SEM_COS.format(a='nv.embedding', b='cv.embedding')}
+            / (nv.n * cv.n) >= 0.4
+      GROUP BY nv.vec_id
+    )
+    SELECT nv.vec_id, nv.cluster_id, h.dup_of
+    FROM nasg nv LEFT JOIN hits h ON h.nid = nv.vec_id
+    """,
+)
+def s_semantic_stream(spark, sf_dir):
+    """Streaming SemDeDup under the hash gate (streaming/semantic.py):
+    every 5th embedding arrives as a STREAM in 3 vec_id-sliced files
+    (maxFilesPerTrigger=1 → 3 real micro-batches probing one persisted
+    corpus index), the rest is the standing corpus.  Fixed centroids
+    (the corpus's 4 lowest-id vectors, zero Lloyd's iterations) keep
+    both assignments pure argmax-cosine, so the streamed union is
+    exactly the batch-incremental SQL — the same oracle shape as
+    x_semantic_incremental, now proven across micro-batch boundaries
+    with an exactly-once checkpoint."""
+    import shutil
+    import tempfile
+
+    from scratchdata_spark.operators.semantic import kmeans_fit
+    from scratchdata_spark.streaming.semantic import (
+        start_semantic_dedup_stream,
+    )
+
+    e = load(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    new = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    cents = kmeans_fit(
+        corpus, "embedding", k=_SEM_STREAM_K, max_iter=0, id_col="vec_id"
+    )
+
+    base = tempfile.mkdtemp(prefix="sd-semstream-")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    cuts = new.selectExpr(
+        "percentile(vec_id,"
+        " array(CAST(1/3 AS DOUBLE), CAST(2/3 AS DOUBLE))) AS c"
+    ).first()["c"]
+    bounds = [None, int(cuts[0]), int(cuts[1]), None]
+    now = None
+    for i in range(3):
+        part = new
+        if bounds[i] is not None:
+            part = part.filter(F.col("vec_id") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("vec_id") <= bounds[i + 1])
+        stage = os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"inc{i}.parquet")
+                os.rename(os.path.join(stage, f), dst)
+                if now is None:
+                    now = os.path.getmtime(dst)
+                os.utime(dst, (now + i, now + i))  # arrival order
+
+    q_, unpersist = start_semantic_dedup_stream(
+        spark, src, corpus,
+        os.path.join(base, "out"), os.path.join(base, "ckpt"),
+        threshold=0.4, max_cluster_compare=None,
+        max_files_per_trigger=1, centroids=cents,
+    )
+    q_.awaitTermination()
+    unpersist()
+    got = (
+        spark.read.parquet(os.path.join(base, "out"))
+        .select(
+            "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+            "dup_of",
+        )
+    )
+    # materialize before dropping the temp dirs — the returned frame
+    # must not depend on files we are about to delete (result is
+    # |new| rows, bounded at the driver by construction)
+    rows = got.collect()
+    out_df = spark.createDataFrame(rows, got.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out_df

@@ -51,17 +51,25 @@ def start_semantic_dedup_stream(
     trigger: dict | None = None,
     max_files_per_trigger: int = 100,
     schema: StructType | None = None,
+    centroids=None,
 ):
     """Start the stream; returns (StreamingQuery, unpersist_fn).
 
     Call ``unpersist_fn()`` after stopping the query — the corpus
     index persists for the stream's lifetime and the caller owns the
-    handle (a stream can't unpersist on stop by itself)."""
+    handle (a stream can't unpersist on stop by itself).
+
+    ``centroids`` skips the k-means fit and assigns the corpus to the
+    given centers — the fit-once / reuse-per-corpus-version shape
+    (and what makes the driver's ``s_semantic_stream`` entry exactly
+    SQL-expressible: fixed centroids keep both assignments pure
+    argmax-cosine)."""
     from pyspark import StorageLevel
 
     os.makedirs(source_dir, exist_ok=True)
     centroids, casg = prepare_corpus_index(
-        corpus_df, id_col, vec_col, max_cluster_compare=max_cluster_compare
+        corpus_df, id_col, vec_col, centroids=centroids,
+        max_cluster_compare=max_cluster_compare,
     )
     casg = casg.persist(StorageLevel.MEMORY_AND_DISK)
     casg.count()  # materialize before the first trigger

@@ -46,95 +46,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (streaming, nested flatten, joins/windows/subqueries), so the
 # next round's mandatory cohort (d) shrinks below 49.
 #
-# r6 ledger: (b) = 4 never-checked r5 late newcomers
-# (x_dedup_simhash_pairs, q_dml_copy_roundtrip,
-# q_dml_compact_roundtrip, x_lm_perplexity — all judge-green in r5);
-# (c) = 2 in-window (x_semantic_incremental, x_multimodal_codec_jpeg)
-# + 5 past-edge late additions (x_multimodal_codec_gif,
-# x_dedup_substring, x_source_overlap, x_split_leakage_safe,
-# x_ann_pq_topk — never driver-checked, MUST front the r7 window;
-# registry = 138 total, four over the soft +4/round cap — r7 repays
-# by alternating the paired rows-only/oracle slots:
-# x_dedup_exact_rows with x_dedup_exact, x_dedup_incremental with
-# x_dedup_incremental_exact, x_semantic_kmeans with x_semantic_dedup
-# — each pair shares one window slot on alternate rounds, freeing 3
-# slots/round; at 138 entries the 3-round window capacity is 147+3
-# shared = 150, so the staleness-2 invariant still holds through r8
-# only if r7 adds <=4 net);
-# (d) = the 28 r3-newest entries (the function-sheet shapes +
-# x_pack_sequences, x_sample_stratified, x_split_train_val,
-# x_multimodal_features, q_nested_flatten_multitable_depth2);
-# (e) = 15 of the 49 r4-newest (streaming x6, nested flatten x2,
-# external files scan, q03/q05/q06, embedding-cosine, ngram-jaccard,
-# model-score), leaving 34 r4-era + the 5 never-checked late
-# newcomers (gif/substring/source_overlap/leakage_safe/pq) as r7's
-# mandatory cohort (fits: 39 + 1 flagship + <=2 new + 8 r5-era
-# starts = 50, with the 3 alternate-round shared slots as slack).
+# r7 ledger: (b) = 5 never-checked r6 late additions
+# (x_multimodal_codec_gif, x_dedup_substring, x_source_overlap,
+# x_split_leakage_safe, x_ann_pq_topk — all judge-green in the r6
+# session, need driver rows); (c) = 4 new this round, exactly the
+# cap (s_semantic_stream, x_recipe_clean, x_multimodal_codec_mjpeg,
+# x_dedup_minhash_oracle — registry 138 → 142); (d) = the full
+# 34-entry r4-era mandatory cohort (dialect sheet ×14,
+# q_agg_lists_median_mode, pipeline/text/multimodal x_ ops,
+# x_ann_cosine_topk, x_dedup_exact); (e) = 6 r5-era fill activating
+# the PAIRED-SLOT SHARES: x_dedup_incremental_exact (pairs
+# x_dedup_incremental → r8) and x_semantic_dedup (pairs
+# x_semantic_kmeans → r8) run now so each pair alternates;
+# x_dedup_minhash_oracle (new) pairs x_dedup_minhash_lsh the same
+# way, and x_dedup_exact (r4, in (d)) pairs x_dedup_exact_rows;
+# plus s_stream_tumbling_hour (only r5 streaming entry), q_join_asof
+# and x_dedup_embedding_lsh (the two r6-bench-flagged shapes).
+# Total: 1 + 5 + 4 + 34 + 6 = 50 exactly.  r8's mandatory cohort is
+# then the 43 unfilled r5-era entries minus the 3 pair-credits = 40,
+# leaving ~9 free slots — the invariant holds through r9 if r8 adds
+# ≤4 net.  At 142 entries + 4 shared pair-slots the 3-round capacity
+# is 147+4 = 151; additions past that must retire or consolidate.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (b) never driver-checked ---
-    "x_dedup_simhash_pairs",
-    "q_dml_copy_roundtrip",
-    "q_dml_compact_roundtrip",
-    "x_lm_perplexity",
-    # --- (c) new this round ---
-    "x_semantic_incremental",  # corpus-vs-new SemDeDup, fixed centroids
-    "x_multimodal_codec_jpeg",  # baseline JPEG decode under the hash gate
-    # --- (d) staleness-2 cohort (newest row r3) — 28 entries, all ---
-    "q_array_funcs",
-    "q_case_cast",
-    "q_cube",
-    "q_date_funcs",
-    "q_dialect_duckdb_text",
-    "q_distinct",
-    "q_explode_posexplode",
-    "q_grouping_sets",
-    "q_join_cross",
-    "q_json_funcs",
-    "q_map_struct_funcs",
-    "q_math_funcs",
-    "q_nested_flatten_multitable_depth2",
-    "q_order_limit_offset",
-    "q_pivot",
-    "q_qualify_latest",
-    "q_rollup",
-    "q_sample_deterministic",
-    "q_string_funcs",
-    "q_tablesample",
-    "q_topk_per_group",
-    "q_union_all",
-    "q_unpivot",
-    "q_approx_count_distinct",
-    "x_multimodal_features",
-    "x_pack_sequences",
-    "x_sample_stratified",
-    "x_split_train_val",
-    # --- (e) r4-era fill, semantics-heavy first — 15 slots ---
-    "s_rollup_continuous_hourly",
-    "s_stream_dedup",
-    "s_stream_session_windows",
-    "s_stream_sliding_2h_1h",
-    "s_stream_stateful_user_totals",
-    "s_stream_stream_join",
-    "q_nested_flatten_horizontal",
-    "q_nested_flatten_vertical",
-    "q_scan_external_files",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "x_dedup_embedding_cosine",
-    "x_dedup_ngram_jaccard",
-    "x_model_score",
-    # --- past the ~50 edge: r7's mandatory cohort — the never-checked
-    # late newcomers first, then the remaining 34 r4-era entries
-    # (dialect sheet x13, q_agg_lists_median_mode, pipeline/text/
-    # multimodal x_ ops) — listed so a driver that reads deeper than
-    # 50 still refreshes the stalest first ---
+    # --- (b) never driver-checked (r6 late additions) ---
     "x_multimodal_codec_gif",
     "x_dedup_substring",
     "x_source_overlap",
     "x_split_leakage_safe",
     "x_ann_pq_topk",
+    # --- (c) new this round (≤4 cap, exactly met) ---
+    "s_semantic_stream",  # streaming SemDeDup under the hash gate
+    "x_recipe_clean",  # declarative recipe runner round trip
+    "x_multimodal_codec_mjpeg",  # MJPEG/AVI video container
+    "x_dedup_minhash_oracle",  # portable-hash minhash oracle twin
+    # --- (d) staleness-2 cohort (newest row r4) — 34 entries, all ---
     "q_dialect_qualify",
     "q_dialect_file_scan",
     "q_dialect_asof",
@@ -149,11 +95,79 @@ _PRIORITY = [
     "q_dialect_union_by_name",
     "q_dialect_unnest_tokens",
     "q_agg_lists_median_mode",
-    "x_dedup_exact",
+    "x_ann_cosine_topk",
+    "x_cap_per_source",
+    "x_chunk_documents",
+    "x_decontaminate",
     "x_dedup_clusters",
+    "x_dedup_exact",
     "x_dedup_survivors",
-    "x_text_quality",
+    "x_global_shuffle",
+    "x_multimodal_frames",
     "x_multimodal_meta",
+    "x_multimodal_resize",
+    "x_pii_scrub",
+    "x_pipeline_clean_corpus",
+    "x_quality_repetition",
+    "x_resample_temperature",
+    "x_salted_join_skew",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_quality",
+    "x_text_token_count",
+    # --- (e) r5-era fill — 6 slots: pair-share activations first ---
+    "x_dedup_incremental_exact",  # pair: x_dedup_incremental → r8
+    "x_semantic_dedup",  # pair: x_semantic_kmeans → r8
+    "s_stream_tumbling_hour",
+    "q_join_asof",
+    "x_dedup_embedding_lsh",  # r6 bench-flagged: fresh row post-tuning
+    "q_dml_merge_roundtrip",
+    # --- past the ~50 edge: r8's mandatory cohort (the remaining
+    # r5-era entries, semantics-heavy first), so a driver that reads
+    # deeper than 50 still refreshes the stalest first ---
+    "q02_filter_predicates",
+    "q_cte",
+    "q_scalar_subquery",
+    "q_in_subquery",
+    "q_exists_correlated",
+    "q_lateral_join",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_window_frame_rows",
+    "q_window_frame_range",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_agg_basic",
+    "q_agg_filter",
+    "q_agg_stats",
+    "q_count_distinct",
+    "q_approx_quantile",
+    "q_percentile_exact",
+    "q_time_bucket_15min",
+    "q_word_count",
+    "q_nested_flatten_multitable",
+    "q_scan_external_csv",
+    "q_scan_external_orc",
+    "q_dml_ctas_roundtrip",
+    "q_dml_timetravel_roundtrip",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_dedup_incremental",
+    "x_dedup_exact_rows",
+    "x_ann_cosine_lsh",
+    "x_ann_ivf_topk",
+    "x_range_join_bucketed",
+    "x_semantic_kmeans",
+    "x_multimodal_codec_real",
 ]
 
 

@@ -185,6 +185,87 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _minhash_oracle_sql(n_hashes: int, bands: int, k: int, threshold: float) -> str:
+    """DuckDB twin of the PORTABLE minhash pipeline: 48-bit
+    md5-prefix base hash, multiply-mod seeded mins, band-slice
+    equality buckets, exact string-shingle Jaccard verify — the same
+    computation ``minhash_lsh_pairs(..., portable=True)`` runs, so the
+    hash gate covers the banding/bucketing/verify machinery that the
+    production (xxhash64) tier shares."""
+    r = n_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN((h0 * {2 * j + 3} + {1000003 * j}) % (1::BIGINT << 44)) AS m{j}"
+        for j in range(n_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(':', "
+        + ", ".join(f"m{b * r + i}" for i in range(r))
+        + ") AS bk FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(norm) - {k - 1}, 1) + 1),
+                                     i -> substr(norm, i, {k}))) AS s
+        FROM docs
+      )
+    ),
+    hs AS (SELECT doc_id, md5(s) AS hx FROM sh),
+    h0s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 13),
+               i -> CAST(ascii(substr(hx, i, 1))
+                    - CASE WHEN ascii(substr(hx, i, 1)) >= 97
+                           THEN 87 ELSE 48 END AS BIGINT)
+                    << (4 * (12 - i)))) AS BIGINT) AS h0
+      FROM hs
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM h0s GROUP BY doc_id),
+    bandrows AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT cd.id_a, cd.id_b, COUNT(*) AS c
+      FROM cand cd JOIN sh a ON a.doc_id = cd.id_a
+                   JOIN sh b ON b.doc_id = cd.id_b AND b.s = a.s
+      GROUP BY cd.id_a, cd.id_b
+    )
+    SELECT cm.id_a, cm.id_b,
+           ROUND(cm.c / (sa.n + sb.n - cm.c), 6) AS jaccard
+    FROM common cm JOIN sizes sa ON sa.doc_id = cm.id_a
+                   JOIN sizes sb ON sb.doc_id = cm.id_b
+    WHERE cm.c / (sa.n + sb.n - cm.c) >= {threshold}
+    """
+
+
+@q("x_dedup_minhash_oracle", _minhash_oracle_sql(16, 8, 5, 0.4))
+def x_dedup_minhash_oracle(spark, sf_dir):
+    """MinHash-LSH pairs under the HASH GATE (VERDICT r6 #9 — the
+    production x_dedup_minhash_lsh is rows-only because xxhash64/
+    murmur3 have no SQL twin): ``portable=True`` swaps only the hash
+    family (md5-prefix base, multiply-mod seeds — bit-identical in
+    DuckDB), so banding, bucket grouping, triangular pair expansion
+    and the exact-Jaccard verify — all the machinery the production
+    tier runs — are oracle-checked end to end.  Valves off
+    (max_bucket_size/est_margin None): the oracle is exhaustive over
+    band collisions.  Pairs with x_dedup_minhash_lsh for a window
+    slot on alternate rounds."""
+    d = load(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=16, bands=8, k=5, threshold=0.4,
+        max_bucket_size=None, est_margin=None, portable=True,
+    )
+
+
 @q("x_dedup_simhash", None)  # xxhash64 fingerprints: no SQL oracle
 def x_dedup_simhash(spark, sf_dir):
     d = load(spark, sf_dir)["documents"].select("doc_id", "text")
@@ -2221,6 +2302,93 @@ def x_multimodal_codec_gif(spark, sf_dir):
         T_.StructField("height", T_.IntegerType()),
         T_.StructField("n_frames", T_.IntegerType()),
         T_.StructField("frames_match", T_.BooleanType()),
+    ])
+    return ids.mapInPandas(run, schema)
+
+
+@q(
+    "x_multimodal_codec_mjpeg",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 18 + 8 AS INT) AS width,
+           CAST(doc_id % 10 + 6 AS INT) AS height,
+           CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+           TRUE AS frames_within_tol
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def x_multimodal_codec_mjpeg(spark, sf_dir):
+    """MJPEG-in-AVI VIDEO CONTAINER round trip under the hash gate
+    (operators/avi_codec.py — RIFF chunk walker over the public AVI
+    layout, one baseline JPEG per '00dc' chunk decoded by the in-tree
+    T.81 codec; closes the round-6 'video container' seam).  Each row
+    synthesizes doc_id%4+1 smooth-gradient RGB frames, encodes the
+    AVI, chunk-walk probes (w, h, n_frames) without entropy work,
+    fully decodes, and bounds per-pixel error at the near-lossless
+    quant=1 tolerance (MJPEG is DCT-lossy, so the gate is the same
+    within-tolerance shape as x_multimodal_codec_jpeg, with dims and
+    frame count exact)."""
+    import pandas as pd
+
+    from scratchdata_spark.operators import avi_codec as A
+
+    ids = (
+        load(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "frames_within_tol": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 18 + 8, did % 10 + 6, did % 4 + 1
+                frames = [
+                    bytes(
+                        min(255, v) for y in range(h) for x in range(w)
+                        for v in (
+                            (x * 9 + k * 11 + did % 13) % 200 + 20,
+                            (y * 7 + k * 5) % 200 + 20,
+                            (x + y * 2 + k * 17) % 200 + 20,
+                        )
+                    )
+                    for k in range(nf)
+                ]
+                enc = A.encode_avi(w, h, frames, quant=1)
+                pw, ph, pnf = A.probe_avi(enc)
+                dw, dh, dnf, dec = A.decode_avi(enc)
+                err = max(
+                    (
+                        abs(a - b)
+                        for f, g in zip(frames, dec)
+                        for a, b in zip(f, g)
+                    ),
+                    default=0,
+                )
+                ok = (
+                    (pw, ph, pnf) == (w, h, nf)
+                    and (dw, dh, dnf) == (w, h, nf)
+                    and err <= 8  # quant=1 near-lossless bound
+                )
+                rows["doc_id"].append(did)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_frames"].append(pnf)
+                rows["frames_within_tol"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    import pyspark.sql.types as T_
+
+    schema = T_.StructType([
+        T_.StructField("doc_id", T_.LongType()),
+        T_.StructField("width", T_.IntegerType()),
+        T_.StructField("height", T_.IntegerType()),
+        T_.StructField("n_frames", T_.IntegerType()),
+        T_.StructField("frames_within_tol", T_.BooleanType()),
     ])
     return ids.mapInPandas(run, schema)
 

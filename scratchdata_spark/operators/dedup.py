@@ -64,7 +64,12 @@ def shingles(col, k: int = 5):
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, ``__sig`` array<long>) of n_hashes minhash values per doc.
 
@@ -76,6 +81,16 @@ def minhash_signature(
     ``array_min(transform(...))×64`` formulation spent its time in
     per-row array churn). Duplicate shingles need no dedup: min() is
     idempotent.
+
+    ``portable=True`` swaps the JVM-private hashes for an
+    engine-portable family so an external SQL engine can reproduce the
+    signatures bit-for-bit (the oracle tier — same role as
+    exact_substring's hashed=False): base hash = the first 12 hex
+    chars of md5(shingle) as a 48-bit int (md5 and UTF-8 agree
+    everywhere), seeded family = ``(h0·(2j+3) + 1000003·j) mod 2^44``
+    — exact in BIGINT on both engines (products < 2^54), uniform
+    because h0 already is. Default stays xxhash64+murmur3 (cheaper,
+    better mixed) for production use.
     """
     base = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
     n = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
@@ -87,11 +102,28 @@ def minhash_signature(
             )
         ).alias("__s"),
     )
-    h = ex.select(F.col(id_col), F.xxhash64("__s").alias("__h0"))
-    aggs = [
-        F.min(F.hash(F.col("__h0"), F.lit(j))).cast("long").alias(f"__m{j}")
-        for j in range(n_hashes)
-    ]
+    if portable:
+        h = ex.select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("__s"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("__h0"),
+        )
+        aggs = [
+            F.min(
+                F.pmod(
+                    F.col("__h0") * F.lit(2 * j + 3) + F.lit(1000003 * j),
+                    F.lit(1 << 44),
+                )
+            ).alias(f"__m{j}")
+            for j in range(n_hashes)
+        ]
+    else:
+        h = ex.select(F.col(id_col), F.xxhash64("__s").alias("__h0"))
+        aggs = [
+            F.min(F.hash(F.col("__h0"), F.lit(j))).cast("long").alias(f"__m{j}")
+            for j in range(n_hashes)
+        ]
     sig = h.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
@@ -135,6 +167,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = 256,
     est_margin: float | None = 0.15,
     corpus_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
 
@@ -181,7 +214,7 @@ def minhash_lsh_pairs(
     # the true (small) size when joining signatures to candidates.
     sig = minhash_signature(
         ensure_parallelism(df.select(id_col, text_col)),
-        id_col, text_col, n_hashes, k,
+        id_col, text_col, n_hashes, k, portable=portable,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = [

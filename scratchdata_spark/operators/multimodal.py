@@ -100,20 +100,24 @@ def decode_image(
         # baseline JPEG: marker-walk probe, same O(1) contract
         w, h, _ch = jpeg_codec.probe_jpeg(b)
         return (w, h, 1)
-    from scratchdata_spark.operators import gif_codec
+    from scratchdata_spark.operators import avi_codec, gif_codec
 
     if gif_codec.sniff_gif(b):
         # the multi-frame format: block-walk probe counts frames
         # without LZW work — real n_frames for the frame sampler
         return gif_codec.probe_gif(b)
+    if avi_codec.sniff_avi(b):
+        # the video CONTAINER: RIFF chunk-walk probe (avih header),
+        # no JPEG entropy work — real n_frames for the frame sampler
+        return avi_codec.probe_avi(b)
     if png_codec.sniff_wav(b):
         # audio mapping into the media-meta columns: width=channels,
         # height=sample rate, n_frames=PCM frame count
         ch, rate, frames = png_codec.wav_info(b)
         return (ch, rate, frames)
     raise NotImplementedError(
-        "only PNG/PPM/JPEG/WAV decode in this container; other media"
-        " need PIL/ffmpeg"
+        "only PNG/PPM/JPEG/GIF/MJPEG-AVI/WAV decode in this container;"
+        " MP4/WebM (H.264/VP9 entropy codecs) need ffmpeg"
     )
 
 
@@ -241,21 +245,29 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
             for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 b = bytes(p)
                 if not fake:
-                    # REAL multi-frame path: animated GIF decodes
-                    # in-sandbox (gif_codec.py); sampled frames come
-                    # out as PNGs (the pipeline's normalized image
-                    # form, like resize_images). Other containers
-                    # still refuse through decode_image below.
+                    # REAL multi-frame paths: animated GIF and MJPEG
+                    # AVI decode in-sandbox (gif_codec.py /
+                    # avi_codec.py); sampled frames come out as PNGs
+                    # (the pipeline's normalized image form, like
+                    # resize_images). Other containers still refuse
+                    # through decode_image below.
                     from scratchdata_spark.operators import (
+                        avi_codec,
                         gif_codec,
                         png_codec,
                     )
 
+                    decoder = None
                     if gif_codec.sniff_gif(b):
-                        w, h, n_frames, frames = gif_codec.decode_gif(b)
-                        # a valid zero-frame GIF (header+trailer, no
-                        # image descriptor) yields no rows, like the
-                        # mp4 path's n_frames=0
+                        decoder = gif_codec.decode_gif
+                    elif avi_codec.sniff_avi(b):
+                        decoder = avi_codec.decode_avi
+                    if decoder is not None:
+                        w, h, n_frames, frames = decoder(b)
+                        # a valid zero-frame container (GIF with no
+                        # image descriptor, AVI with an empty movi)
+                        # yields no rows, like the mp4 path's
+                        # n_frames=0
                         take = min(max_frames, n_frames)
                         for i in range(take):
                             idx = i * n_frames // take

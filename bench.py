@@ -72,6 +72,7 @@ EXTRAS = [  # included once implemented (operators/ extras)
     "x_lm_perplexity",  # round 6: the newest heavy operator (judge #8)
     "x_dedup_substring",  # round 6: exact-substring span metrics
     "x_ann_pq_topk",  # round 6: PQ codes + exact refine (ANN scale path)
+    "x_dedup_minhash_oracle",  # round 7: portable-hash minhash (oracle tier)
 ]
 
 

@@ -881,13 +881,23 @@ def remove_duplicate_spans(
     Scale shape mirrors the stats operator, minimized to one
     aggregation per logical step: map-only window extraction; ONE
     shuffle computing count + keeper election together (min-struct in
-    the same groupBy); coverage explodes ≤ ngram rows per flagged
-    window into ONE (id, position) aggregation whose ``max(canon)``
-    decides protection; the rebuild attaches each doc's drop-set
-    (bounded by its own token count) by id and reconstructs map-side
-    via ``array_except`` over positions — O(tokens) per doc.  Until
-    the attach, every shuffle is ids/keys-only; the attach itself
-    joins the (typically far smaller) drop-set side against the token
+    the same groupBy); flagged windows are then RE-CLUSTERED BY
+    DOCUMENT (one exchange of flagged-window rows, explicit partition
+    count so AQE's tiny-map-side coalesce can't serialize the fan-out)
+    BEFORE coverage explodes ≤ ngram positions per window — so the
+    coverage aggregation, the protection filter (``max(canon)``), and
+    the per-doc drop-set collection all run id-clustered with ZERO
+    further exchanges (hashpartitioning(__id) satisfies the
+    (__id, __t) clustering).  The round-6 shape exploded first and
+    aggregated after the key-partitioned join, shuffling ngram× the
+    flagged-window count in (id, position) rows — ~194M rows at the
+    100× soak, the attributed superlinear wall; the re-cluster cuts
+    that exchange by the ngram factor.  The rebuild attaches each
+    doc's drop-set (bounded by its own token count) by id and
+    reconstructs map-side via ``array_except`` over positions —
+    O(tokens) per doc.  Until the attach, every shuffle is
+    ids/keys-only; the attach itself joins the (typically far
+    smaller, already id-partitioned) drop-set side against the token
     arrays, so AQE broadcasts it and text stays map-side — in the
     worst case (most docs carry drops) the text pays ONE
     hash-partitioned exchange, still linear.  Keys: the stats operator
@@ -898,6 +908,23 @@ def remove_duplicate_spans(
     odds ~n²/2¹²⁹; ``hashed=False`` keeps the window string itself
     so an external SQL engine can reproduce the grouping.
     """
+    return _span_removal_stages(
+        df, id_col, text_col, ngram, min_count, hashed
+    )["out"]
+
+
+def _span_removal_stages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    min_count: int,
+    hashed: bool,
+) -> dict[str, DataFrame]:
+    """The :func:`remove_duplicate_spans` pipeline with each stage
+    exposed — the soak harness times stages individually (keys /
+    drops / rebuild) so a scaling regression is attributable to a
+    stage, not just "the removal got slower" (VERDICT r6 #1)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), words.alias("__w"))
@@ -932,8 +959,22 @@ def remove_duplicate_spans(
         (F.col("__k.__id") == F.col("__id"))
         & (F.col("__k.__pos") == F.col("__pos")),
     )
+    # Re-cluster flagged windows by DOCUMENT before the ×ngram
+    # coverage explode: this exchange carries one skinny row per
+    # flagged window; everything after it (coverage agg, protection
+    # filter, drop-set collect, and the drop side of the attach) is
+    # id-clustered and exchange-free.  Explicit partition count:
+    # the map side is skinny but explodes ×ngram downstream — AQE
+    # would coalesce it to a handful of partitions and grind the
+    # fan-out there (the stats operator's AQE-blindspot lesson).
+    shuffle_n = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    clustered = marked.select("__id", "__pos", "__is_canon").repartition(
+        shuffle_n, "__id"
+    )
     drops = (
-        marked.select(
+        clustered.select(
             "__id",
             "__is_canon",
             F.explode(
@@ -949,7 +990,7 @@ def remove_duplicate_spans(
     out = base.join(drops, "__id", "left").withColumn(
         "__drop", F.coalesce("__drop", F.array().cast("array<int>"))
     )
-    return out.select(
+    out = out.select(
         F.col("__id").alias(id_col),
         F.expr(
             "array_join(transform("
@@ -959,3 +1000,11 @@ def remove_duplicate_spans(
         F.size("__w").cast("int").alias("n_tokens"),
         F.size("__drop").cast("int").alias("n_tokens_removed"),
     )
+    return {
+        "base": base,
+        "wins": wins,
+        "keys": keys,
+        "marked": marked,
+        "drops": drops,
+        "out": out,
+    }

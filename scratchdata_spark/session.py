@@ -54,6 +54,13 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS); read as ntz.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Extra driver jars (JDBC drivers for the real-backend integration
+    # tests — e.g. the ClickHouse JDBC jar). Must be set before the
+    # JVM starts; a second getOrCreate in the same process cannot add
+    # jars retroactively.
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -234,3 +234,77 @@ def test_clickhouse_sized_decimal_shorthands():
     assert cst("Decimal128(10)") == "decimal(38,10)"
     assert cst("Decimal256(10)") == "string"
     assert cst("Nullable(Decimal64(2))") == "decimal(18,2)"
+
+
+# ---------------------------------------------------------------- live e2e
+
+_CH_URL = __import__("os").environ.get("SCRATCHDATA_CLICKHOUSE_URL")
+
+
+@pytest.mark.skipif(
+    not _CH_URL,
+    reason=(
+        "real-ClickHouse e2e: set SCRATCHDATA_CLICKHOUSE_URL (e.g."
+        " jdbc:clickhouse://localhost:8123/default) and put the"
+        " ClickHouse JDBC jar on the session classpath via"
+        " SPARK_GRAFT_EXTRA_JARS before the first Spark test runs —"
+        " mirrors the reference's only end-to-end test"
+        " (clickhouse/clickhouse_test.go:15-103)"
+    ),
+)
+def test_clickhouse_live_roundtrip(spark, tmp_path):
+    """Insert-NDJSON → auto-columns → query-JSON against a REAL
+    ClickHouse over the production JDBC path (no fakes): the same
+    flow the reference's dockertest e2e drives.  Gated on env so the
+    suite passes hermetically where no server exists."""
+    import io
+    import os
+    import time
+
+    from scratchdata_spark.jdbc_destination import JDBCDestination
+
+    driver = os.environ.get(
+        "SCRATCHDATA_CLICKHOUSE_DRIVER", "com.clickhouse.jdbc.ClickHouseDriver"
+    )
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+    except Exception:
+        pytest.skip(
+            f"ClickHouse JDBC driver {driver} not on the session"
+            " classpath (SPARK_GRAFT_EXTRA_JARS must be set before"
+            " the first Spark test creates the JVM)"
+        )
+    d = JDBCDestination(
+        spark,
+        _CH_URL,
+        engine="clickhouse",
+        driver=driver,
+        user=os.environ.get("SCRATCHDATA_CLICKHOUSE_USER", "default"),
+        password=os.environ.get("SCRATCHDATA_CLICKHOUSE_PASSWORD", ""),
+    )
+    table = f"sd_e2e_{int(time.time())}"
+    nd = tmp_path / "rows.ndjson"
+    nd.write_text(
+        '{"user_id": 1, "name": "ada", "score": 1.5}\n'
+        '{"user_id": 2, "name": "bob", "score": 2.5}\n'
+    )
+    try:
+        d.create_empty_table(table)
+        d.create_columns(table, str(nd))
+        d.insert_ndjson_file(table, str(nd))
+        # second insert with a NEW column: schema evolution live
+        nd2 = tmp_path / "rows2.ndjson"
+        nd2.write_text('{"user_id": 3, "name": "eve", "extra": "x"}\n')
+        d.create_columns(table, str(nd2))
+        d.insert_ndjson_file(table, str(nd2))
+        cols = {c["name"] for c in d.columns(table)}
+        assert {"user_id", "name", "score", "extra"} <= cols
+        out = io.StringIO()
+        d.query_json(
+            f"SELECT user_id, name FROM {table} ORDER BY user_id", out
+        )
+        rows = json.loads(out.getvalue())
+        assert [r["user_id"] for r in rows] == [1, 2, 3]
+        assert rows[2]["name"] == "eve"
+    finally:
+        d._execute(f"DROP TABLE IF EXISTS `{table}`")

@@ -657,9 +657,20 @@ def test_remove_duplicate_spans_text_stays_out_of_key_shuffles(spark, sf_dir):
         seg for seg in exchanges
         if "__w" in seg and "hashpartitioning" in seg
     ]
-    # window-key (__g) and coverage (__id,__t) shuffles are ids-only
+    # window-key (__g) shuffles are ids-only
     for seg in exchanges:
         if "__g" in seg or "__t#" in seg:
             assert "__w" not in seg, seg
     # at most the one attach-side exchange may carry the arrays
     assert len(carrying_text) <= 1, p
+    # the r6 superlinear wall (VERDICT #1): coverage used to shuffle
+    # ngram× the flagged-window count in (__id, __t) rows. Flagged
+    # windows now re-cluster by __id BEFORE the explode, so no
+    # exchange may carry the exploded position column at all, and the
+    # id-recluster exchange must exist (explicit REPARTITION_BY_NUM —
+    # AQE-coalesce-proof for the downstream fan-out)
+    assert not any("__t#" in seg for seg in exchanges), p
+    assert any(
+        "hashpartitioning(__id" in seg and "REPARTITION_BY_NUM" in seg
+        for seg in exchanges
+    ), p

@@ -539,7 +539,20 @@ def substring_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
     ).first()
     wall = time.perf_counter() - t0
     # the removal action shares the extraction/count shape plus the
-    # keeper election and the map-side rebuild — time it separately
+    # keeper election and the map-side rebuild — time it end-to-end
+    # AND per stage (VERDICT r6 #1: the 100× removal wall was
+    # superlinear and unattributed; stage walls make the next
+    # regression attributable).  Stage walls are CUMULATIVE lineage
+    # re-runs (keys ⊂ drops ⊂ rebuild), so read the deltas.
+    from scratchdata_spark.operators.dedup import _span_removal_stages
+
+    stages = _span_removal_stages(docs, "doc_id", "text", ngram, 2, True)
+    t0 = time.perf_counter()
+    stages["keys"].count()
+    keys_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stages["drops"].count()
+    drops_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     rem = remove_duplicate_spans(docs, ngram=ngram).agg(
         F.sum("n_tokens_removed").alias("r"),
@@ -555,6 +568,8 @@ def substring_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
         "removed_token_fraction": round(
             float(rem["r"] or 0) / float(rem["t"] or 1), 4
         ),
+        "removal_keys_wall_sec": round(keys_wall, 3),
+        "removal_drops_wall_sec": round(drops_wall, 3),
         "removal_wall_sec": round(rwall, 3),
     }
 

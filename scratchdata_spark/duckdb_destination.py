@@ -74,18 +74,13 @@ class DuckDBDestination(Destination):
         just writes — with the engine locked down, the staging
         instance is the only reader, so an absolute out-of-root source
         here would reopen exactly the hole enable_external_access
-        closed).  Relative paths resolve under the root; absolute
-        paths must realpath inside it."""
-        import os
+        closed).  Shares the write boundary's confinement primitive —
+        one definition for the security check (review finding)."""
+        from scratchdata_spark.warehouse_dml import confine_path_under_root
 
-        root = os.path.realpath(self.export_root)
-        cand = path if os.path.isabs(path) else os.path.join(root, path)
-        resolved = os.path.realpath(cand)
-        if resolved != root and not resolved.startswith(root + os.sep):
-            raise PermissionError(
-                f"COPY FROM source outside the export root: {path!r}"
-            )
-        return resolved
+        return confine_path_under_root(
+            self.export_root, path, "COPY FROM source"
+        )
 
     @classmethod
     def motherduck(cls, database: str, token: str) -> "DuckDBDestination":

@@ -371,6 +371,8 @@ def probe_jpeg(data: bytes) -> tuple[int, int, int]:
         # otherwise read 0xFF as the marker and a bogus length)
         while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(data):
+            break  # buffer ended mid-fill-run → "no SOF" ValueError
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -207,7 +207,14 @@ def _partial_topk_prune(scored: DataFrame, k: int) -> DataFrame:
     the batch's k-th best, so the global window's exchange carries
     O(q·k·batches) rows instead of the full q×n scored set — which
     was the only full-cross-product exchange left in the ANN family.
-    NaN sorts as +∞ to match Spark's NaN-is-largest ordering."""
+
+    Ordering mirror: the downstream window sorts ``cos_sim DESC NULLS
+    LAST`` with Spark's NaN-is-largest semantics, so here genuine NaN
+    ranks +∞ and NULL ranks −∞ (Arrow nulls arrive as NaN through
+    ``to_numpy`` — they must be split back apart via the validity
+    bitmap, or k NULL rows in a batch would evict every real
+    neighbor).  One ``lexsort`` + per-group threshold gather keeps the
+    whole batch O(n log n) regardless of the query count."""
     import numpy as np
     import pyarrow as pa
 
@@ -217,19 +224,26 @@ def _partial_topk_prune(scored: DataFrame, k: int) -> DataFrame:
                 yield batch
                 continue
             keys = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(2)
             cos = np.nan_to_num(
-                batch.column(2).to_numpy(zero_copy_only=False), nan=np.inf
+                col.to_numpy(zero_copy_only=False), nan=np.inf
             )
-            keep = np.zeros(len(cos), dtype=bool)
+            if col.null_count:
+                nulls = pa.compute.is_null(col).to_numpy(
+                    zero_copy_only=False
+                )
+                cos = np.where(nulls, -np.inf, cos)
             _, inv = np.unique(keys, return_inverse=True)
-            for g in range(int(inv.max()) + 1):
-                idx = np.nonzero(inv == g)[0]
-                if len(idx) <= k:
-                    keep[idx] = True
-                    continue
-                c = cos[idx]
-                kth = np.partition(c, len(c) - k)[len(c) - k]
-                keep[idx[c >= kth]] = True
+            n_groups = int(inv.max()) + 1
+            order = np.lexsort((cos, inv))
+            inv_sorted = inv[order]
+            cos_sorted = cos[order]
+            starts = np.searchsorted(inv_sorted, np.arange(n_groups), "left")
+            ends = np.searchsorted(inv_sorted, np.arange(n_groups), "right")
+            # per-group k-th-best value; groups smaller than k fall
+            # back to their minimum (keeps everything, ties included)
+            thr = cos_sorted[np.maximum(ends - k, starts)]
+            keep = cos >= thr[inv]
             yield batch.filter(pa.array(keep))
 
     return scored.mapInArrow(prune, scored.schema)

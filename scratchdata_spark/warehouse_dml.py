@@ -1340,6 +1340,26 @@ def _copy_format(
     return fmt, opts
 
 
+def confine_path_under_root(
+    root: str, path: str, what: str, makedirs: bool = False
+) -> str:
+    """THE root-confinement primitive, shared by every export-root
+    boundary (COPY TO targets here; COPY FROM sources on the confined
+    DuckDB connection): relative paths resolve under ``root``,
+    absolute paths must realpath-resolve inside it (symlinks can't
+    escape — existing ancestors are resolved).  One definition on
+    purpose: this is a security check, and a hardening fix applied to
+    a divergent copy would silently miss the other boundary."""
+    root = os.path.realpath(root)
+    if makedirs:
+        os.makedirs(root, exist_ok=True)
+    cand = path if os.path.isabs(path) else os.path.join(root, path)
+    resolved = os.path.realpath(cand)
+    if resolved != root and not resolved.startswith(root + os.sep):
+        raise PermissionError(f"{what} outside the export root: {path!r}")
+    return resolved
+
+
 def _resolve_copy_target(dest, path: str) -> str:
     """Confine COPY TO targets to the destination's export root.
 
@@ -1347,22 +1367,15 @@ def _resolve_copy_target(dest, path: str) -> str:
     unconfined path lets any key holder overwrite the catalog JSON,
     the metadata sqlite, or another tenant's warehouse files via
     os.replace. When ``dest.export_root`` is set (the HTTP service
-    always sets it), relative paths resolve under it and absolute
-    paths must realpath-resolve inside it (symlinks can't escape —
-    existing ancestors are resolved). Embedded/library use with
-    export_root=None keeps the unconfined behavior."""
+    always sets it), paths confine via :func:`confine_path_under_root`.
+    Embedded/library use with export_root=None keeps the unconfined
+    behavior."""
     root = getattr(dest, "export_root", None)
     if root is None:
         return path
-    root = os.path.realpath(root)
-    os.makedirs(root, exist_ok=True)
-    cand = path if os.path.isabs(path) else os.path.join(root, path)
-    resolved = os.path.realpath(cand)
-    if resolved != root and not resolved.startswith(root + os.sep):
-        raise PermissionError(
-            f"COPY TO target outside the export root: {path!r}"
-        )
-    return resolved
+    return confine_path_under_root(
+        root, path, "COPY TO target", makedirs=True
+    )
 
 
 def _exec_copy_to(dest, query: str):

@@ -142,6 +142,14 @@ def test_jpeg_fill_bytes_before_markers():
     assert J.decode_jpeg(bytes(padded)) == ref
 
 
+def test_jpeg_probe_truncated_mid_fill_run_raises_valueerror():
+    """A buffer that ends inside a 0xFF fill run must fail with the
+    codec's ValueError contract, not a struct.error from reading the
+    fill byte as a marker (review finding on the fill-skip fix)."""
+    with pytest.raises(ValueError, match="jpeg"):
+        J.probe_jpeg(b"\xff\xd8" + b"\xff" * 10)
+
+
 def test_jpeg_quant_table_rounded_and_validated():
     """A non-integer custom quant table must be rounded up front so the
     DCT division and the DQT bytes agree (round-6 advisor finding:

@@ -124,6 +124,27 @@ def test_cosine_topk_exact(spark):
     assert [r.rank for r in out] == [1, 2, 3]
 
 
+def test_cosine_topk_null_embeddings_rank_last(spark):
+    """NULL-embedding corpus rows produce NULL cos_sim; the partial
+    top-k prune must rank them −∞ (NULLS LAST, matching the window)
+    — Arrow nulls arrive as NaN through to_numpy and, mapped to +∞
+    like genuine NaN, k of them would evict every real neighbor from
+    the batch (review finding on the prune)."""
+    from scratchdata_spark.operators.similarity import cosine_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.5, 0.5])]
+    rows += [(100 + i, None) for i in range(6)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)  # one partition → nulls and reals share a batch
+    queries = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(corpus, queries, k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert all(r.cos_sim is not None for r in out)
+
+
 def test_lang_id_and_quality(spark):
     from scratchdata_spark.operators import text as T
 

@@ -1,0 +1,55 @@
+"""Merge two solo scale-soak runs into one BENCH_scale.json by taking
+the per-metric MINIMUM of every wall — best-of-two-runs at the run
+level.
+
+Why: single-shot walls inside a shared-JVM soak vary 2-4× under
+nondeterministic stalls and cache eviction from operator-internal
+persists (observed: lm score_wall 72.6 s vs 289.5 s for identical
+code on an idle box). Two independent JVM runs don't stall in the
+same place, so the elementwise minimum is the stable operator
+number; counts/fractions must be IDENTICAL across runs (asserted —
+a mismatch means nondeterminism worth investigating, not merging).
+
+Usage: python tools/merge_soak.py RUN_A.json RUN_B.json [OUT.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+WALL_SUFFIXES = ("_wall_sec", "wall_sec")
+
+
+def _merge(a, b, path=""):
+    if isinstance(a, dict):
+        assert isinstance(b, dict) and set(a) == set(b), f"key mismatch at {path}"
+        return {k: _merge(a[k], b[k], f"{path}.{k}") for k in a}
+    if isinstance(a, (int, float)) and not isinstance(a, bool):
+        leaf = path.rsplit(".", 1)[-1]
+        if any(leaf.endswith(s) for s in WALL_SUFFIXES):
+            return round(min(a, b), 3)
+        assert a == b, f"non-wall metric differs at {path}: {a} vs {b}"
+        return a
+    assert a == b, f"value mismatch at {path}: {a!r} vs {b!r}"
+    return a
+
+
+def main() -> None:
+    pa, pb = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scale.json"
+    a = json.load(open(pa))
+    b = json.load(open(pb))
+    merged = _merge(a, b)
+    merged["protocol"] = (
+        "walls are the per-metric minimum of two independent solo soak"
+        " runs (fresh JVM each; stage walls additionally warm best-of-2"
+        " in-run); counts are asserted identical across runs"
+    )
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(json.dumps({"merged": out_path, "from": [pa, pb]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -543,22 +543,36 @@ def substring_telemetry(docs, n_docs=None, ngram: int = 20) -> dict:
     # AND per stage (VERDICT r6 #1: the 100× removal wall was
     # superlinear and unattributed; stage walls make the next
     # regression attributable).  Stage walls are CUMULATIVE lineage
-    # re-runs (keys ⊂ drops ⊂ rebuild), so read the deltas.
+    # re-runs (keys ⊂ drops ⊂ rebuild), so read the deltas.  Warm
+    # best-of-2, the pq_telemetry convention: earlier blocks' leaked
+    # operator persists can evict the corpus cache, and a cold first
+    # execution then repays the whole replica-generation lineage —
+    # measured 68 s for a ~7 s stage — so single-shot walls here are
+    # eviction noise, not operator scaling.
     from scratchdata_spark.operators.dedup import _span_removal_stages
 
+    def best2(action):
+        best = float("inf")
+        for _ in range(2):
+            docs.count()  # re-warm the persisted corpus first
+            t0 = time.perf_counter()
+            action()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     stages = _span_removal_stages(docs, "doc_id", "text", ngram, 2, True)
-    t0 = time.perf_counter()
-    stages["keys"].count()
-    keys_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    stages["drops"].count()
-    drops_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rem = remove_duplicate_spans(docs, ngram=ngram).agg(
-        F.sum("n_tokens_removed").alias("r"),
-        F.sum("n_tokens").alias("t"),
-    ).first()
-    rwall = time.perf_counter() - t0
+    keys_wall = best2(lambda: stages["keys"].count())
+    drops_wall = best2(lambda: stages["drops"].count())
+    rem = None
+
+    def run_removal():
+        nonlocal rem
+        rem = remove_duplicate_spans(docs, ngram=ngram).agg(
+            F.sum("n_tokens_removed").alias("r"),
+            F.sum("n_tokens").alias("t"),
+        ).first()
+
+    rwall = best2(run_removal)
     return {
         "n_docs": int(agg["n"]),
         "flagged_windows": int(agg["w"] or 0),

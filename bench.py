@@ -21,6 +21,18 @@ r4 number was taken while the driver shared the box with other work;
 cause: machine load during measurement, not a plan or session
 regression. No code change was warranted.
 
+Round-7 drift investigation (VERDICT r6 #2): the r5→r6 +63%
+shared-query drift (0.848 → 1.383 s) did NOT reproduce on an idle
+box — a fresh best-of-5 run measured the same 22 shared queries at
+0.778 s, 8% BETTER than r5. Attribution: machine load during the r6
+measurement (same mechanism as the r4 drift, above). The one real
+per-query residual — x_dedup_embedding_lsh at 0.15-0.21 s vs r5's
+0.066 s, the grouped-GEMM verify's fixed ~0.15 s Arrow round trip at
+tiny scale (profiled: pre-Arrow stages 0.06 s) — is fixed by the
+corpus_size-hinted SIZE DISPATCH in near_dup_pairs (HOF verify at or
+under 20k rows, grouped-GEMM above — the tier that wins 31.2→2.5 s
+at the 10× soak keeps winning where it matters): 0.081 s after.
+
 Known floor: a PySpark query round trip (py4j submit + job schedule +
 Arrow collect socket) costs ~25 ms no matter how small the query —
 ``SELECT 1`` measures the same. Queries whose DuckDB time is below
@@ -72,7 +84,11 @@ EXTRAS = [  # included once implemented (operators/ extras)
     "x_lm_perplexity",  # round 6: the newest heavy operator (judge #8)
     "x_dedup_substring",  # round 6: exact-substring span metrics
     "x_ann_pq_topk",  # round 6: PQ codes + exact refine (ANN scale path)
-    "x_dedup_minhash_oracle",  # round 7: portable-hash minhash (oracle tier)
+    # x_dedup_minhash_oracle is deliberately NOT benched: it is the
+    # correctness twin with BOTH scale valves off (exhaustive bucket
+    # pairs, no estimator screen) and an md5-based portable hash —
+    # ~12 s at sf0.1 by design, ~100× the production tier. The
+    # performance path is x_dedup_minhash_lsh above.
 ]
 
 

@@ -676,7 +676,9 @@ def x_dedup_embedding_lsh(spark, sf_dir):
     e = load(spark, sf_dir)["embeddings"]
     n = e.count()
     planes = max(3, math.ceil(math.log2(max(2.0, n / 60.0))))
-    return near_dup_pairs(e, dim=64, threshold=0.4, n_planes=planes)
+    return near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=planes, corpus_size=n
+    )
 
 
 @q("x_ann_ivf_topk", None)  # approximate by design: probes miss cells

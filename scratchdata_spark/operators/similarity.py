@@ -491,6 +491,8 @@ def near_dup_pairs(
     threshold: float = 0.9,
     n_planes: int | None = None,
     max_bucket_size: int | None = 4096,
+    corpus_size: int | None = None,
+    small_corpus_rows: int = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: unordered (id_a < id_b)
     with cosine ≥ threshold — the semantic-dedup step of a training
@@ -515,6 +517,17 @@ def near_dup_pairs(
       ids-only-expand + vector-re-join + HOF-predicate shape paid
       ~5 µs/pair in interpreted eval, and a per-pair Arrow verify
       paid the vectors per PAIR in serialization).
+
+    SIZE DISPATCH (VERDICT r6 #3): the Arrow seam carries a fixed
+    ~0.15 s round-trip that exceeds the entire HOF verify on tiny
+    corpora, so when the caller supplies ``corpus_size`` (the same
+    hint ``minhash_lsh_pairs`` takes — a hint, never a count job
+    here: an in-operator count would re-execute the bucketing scan
+    at 100 TB) at or under ``small_corpus_rows``, the verify runs as
+    the ids-only triangular expansion + vector join + HOF predicate
+    instead.  Both tiers round cos_sim HALF_UP to 6 and agree on
+    NULL/zero-norm containment, so the dispatch is invisible in the
+    output.
     """
     v = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
@@ -532,6 +545,38 @@ def near_dup_pairs(
                 .select("__bucket")
             )
             bucketed = bucketed.join(hot, "__bucket", "left_anti")
+        if corpus_size is not None and corpus_size <= small_corpus_rows:
+            from scratchdata_spark.operators import triangular_pairs
+
+            members = bucketed.groupBy("__bucket").agg(
+                F.sort_array(F.collect_list("__id")).alias("ids")
+            )
+            cand = triangular_pairs(
+                members.filter(F.size("ids") >= 2), "ids"
+            ).dropDuplicates(["id_a", "id_b"])
+            va = v.select(
+                F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
+                F.col("__n").alias("__na"),
+            )
+            vb = v.select(
+                F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            )
+            return (
+                cand.join(va, "id_a")
+                .join(vb, "id_b")
+                .withColumn(
+                    "cos_sim",
+                    F.try_divide(
+                        _dot(F.col("__va"), F.col("__vb")),
+                        F.col("__na") * F.col("__nb"),
+                    ),
+                )
+                .filter(F.col("cos_sim") >= threshold)
+                .select(
+                    "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+                )
+            )
         grouped = bucketed.groupBy("__bucket").agg(
             F.collect_list(F.struct("__id", "__vec")).alias("rows")
         )

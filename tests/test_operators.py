@@ -124,6 +124,36 @@ def test_cosine_topk_exact(spark):
     assert [r.rank for r in out] == [1, 2, 3]
 
 
+def test_near_dup_pairs_size_dispatch_tiers_agree(spark):
+    """The LSH tier's verify dispatches by the corpus_size hint
+    (VERDICT r6 #3: the Arrow seam's fixed cost exceeds the whole HOF
+    verify on tiny corpora): HOF at/below small_corpus_rows,
+    grouped-GEMM above. Both tiers must emit identical pairs and
+    identical round-6 cosines — including NULL-vector containment."""
+    import random
+
+    from scratchdata_spark.operators.similarity import near_dup_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, base))
+        # near-dup partner for every 3rd vector
+        if i % 3 == 0:
+            rows.append((2 * i + 1, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    rows.append((999, None))  # NULL vector: neither tier emits it
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, threshold=0.8, n_planes=3)
+    hof = near_dup_pairs(df, corpus_size=len(rows), **kw)
+    gemm = near_dup_pairs(df, corpus_size=len(rows),
+                          small_corpus_rows=0, **kw)
+    a = sorted((r.id_a, r.id_b, r.cos_sim) for r in hof.collect())
+    b = sorted((r.id_a, r.id_b, r.cos_sim) for r in gemm.collect())
+    assert a == b and len(a) > 0
+    assert all(p[0] != 999 and p[1] != 999 for p in a)
+
+
 def test_cosine_topk_null_embeddings_rank_last(spark):
     """NULL-embedding corpus rows produce NULL cos_sim; the partial
     top-k prune must rank them −∞ (NULLS LAST, matching the window)

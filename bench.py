@@ -30,8 +30,8 @@ per-query residual — x_dedup_embedding_lsh at 0.15-0.21 s vs r5's
 0.066 s, the grouped-GEMM verify's fixed ~0.15 s Arrow round trip at
 tiny scale (profiled: pre-Arrow stages 0.06 s) — is fixed by the
 corpus_size-hinted SIZE DISPATCH in near_dup_pairs (HOF verify at or
-under 20k rows, grouped-GEMM above — the tier that wins 31.2→2.5 s
-at the 10× soak keeps winning where it matters): 0.081 s after.
+under 4096 rows — measured: GEMM already wins at 20k — grouped-GEMM
+above, the tier that wins 31.2→2.5 s at the 10× soak): 0.081 s after.
 
 Known floor: a PySpark query round trip (py4j submit + job schedule +
 Arrow collect socket) costs ~25 ms no matter how small the query —

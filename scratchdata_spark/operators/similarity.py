@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scratchdata_spark.operators import ensure_parallelism
+from scratchdata_spark.operators import ensure_parallelism, triangular_pairs
 
 
 def _dot(a, b):
@@ -549,14 +549,16 @@ def near_dup_pairs(
             )
             bucketed = bucketed.join(hot, "__bucket", "left_anti")
         if corpus_size is not None and corpus_size <= small_corpus_rows:
-            from scratchdata_spark.operators import triangular_pairs
-
             members = bucketed.groupBy("__bucket").agg(
                 F.sort_array(F.collect_list("__id")).alias("ids")
             )
+            # no dropDuplicates: hyperplane_bits assigns each row ONE
+            # bucket, so a pair cannot recur across buckets — deduping
+            # would add a full pair-set exchange on exactly the
+            # latency-sensitive path this tier exists to shave
             cand = triangular_pairs(
                 members.filter(F.size("ids") >= 2), "ids"
-            ).dropDuplicates(["id_a", "id_b"])
+            )
             va = v.select(
                 F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
                 F.col("__n").alias("__na"),
@@ -575,7 +577,14 @@ def near_dup_pairs(
                         F.col("__na") * F.col("__nb"),
                     ),
                 )
-                .filter(F.col("cos_sim") >= threshold)
+                # ~isnan: Spark orders NaN above every number, so a
+                # NaN cosine (NaN-element vectors) would pass >= and
+                # break parity with the GEMM tier's isfinite gate
+                .filter(
+                    F.col("cos_sim").isNotNull()
+                    & ~F.isnan("cos_sim")
+                    & (F.col("cos_sim") >= threshold)
+                )
                 .select(
                     "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
                 )
@@ -603,7 +612,10 @@ def near_dup_pairs(
             "cos_sim",
             _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # ~isnan: NaN sorts above every number in Spark, so NaN-element
+        # vectors would otherwise emit NaN pairs the DuckDB oracle
+        # (IEEE NaN comparisons) never reproduces
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
 

@@ -143,6 +143,11 @@ def test_near_dup_pairs_size_dispatch_tiers_agree(spark):
         if i % 3 == 0:
             rows.append((2 * i + 1, [x + rng.uniform(-0.01, 0.01) for x in base]))
     rows.append((999, None))  # NULL vector: neither tier emits it
+    # NaN-element near-identical pair: NaN cosine must NOT pass the
+    # threshold in EITHER tier (Spark orders NaN above every number,
+    # so a bare >= filter would emit it — review finding)
+    nanv = [float("nan")] + [0.5] * 7
+    rows += [(997, nanv), (998, nanv)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     kw = dict(dim=8, threshold=0.8, n_planes=3)
     hof = near_dup_pairs(df, corpus_size=len(rows), **kw)
@@ -151,7 +156,8 @@ def test_near_dup_pairs_size_dispatch_tiers_agree(spark):
     a = sorted((r.id_a, r.id_b, r.cos_sim) for r in hof.collect())
     b = sorted((r.id_a, r.id_b, r.cos_sim) for r in gemm.collect())
     assert a == b and len(a) > 0
-    assert all(p[0] != 999 and p[1] != 999 for p in a)
+    assert all(p[0] not in (997, 998, 999) and p[1] not in (997, 998, 999)
+               for p in a)
 
 
 def test_cosine_topk_null_embeddings_rank_last(spark):

@@ -25,6 +25,11 @@ def _merge(a, b, path=""):
     if isinstance(a, dict):
         assert isinstance(b, dict) and set(a) == set(b), f"key mismatch at {path}"
         return {k: _merge(a[k], b[k], f"{path}.{k}") for k in a}
+    if isinstance(a, list):
+        assert isinstance(b, list) and len(a) == len(b), f"list mismatch at {path}"
+        # element paths keep the parent's leaf name, so a list of
+        # walls min-merges and a list of counts still asserts equal
+        return [_merge(x, y, path) for x, y in zip(a, b)]
     if isinstance(a, (int, float)) and not isinstance(a, bool):
         leaf = path.rsplit(".", 1)[-1]
         if any(leaf.endswith(s) for s in WALL_SUFFIXES):

@@ -288,6 +288,10 @@ def cc_telemetry(pairs) -> dict:
 
 
 def embedding_lsh_telemetry(vectors, n: int, threshold=0.4) -> dict:
+    """Deliberately does NOT pass corpus_size: the soak measures the
+    grouped-GEMM SCALE tier at every block so the 1x/10x/100x curve
+    is one code path (the size dispatch would switch the 1x block to
+    the HOF small-corpus tier and make the curve discontinuous)."""
     planes = max(3, math.ceil(math.log2(max(2.0, n / 60.0))))
     bucketed = vectors.select(
         hyperplane_bits(F.col("embedding"), 64, planes).alias("__bucket")

@@ -84,7 +84,7 @@ def probe_avi(data: bytes) -> tuple[int, int, int]:
             if total == 0:
                 total = sum(
                     1
-                    for fc, _b, _s in _chunks(data, *_movi_span(data, end))
+                    for fc, _b, _s in _movi_chunks(data, *_movi_span(data, end))
                     if fc[2:4] == b"dc"
                 )
             return w, h, total
@@ -96,6 +96,18 @@ def _movi_span(data: bytes, end: int) -> tuple[int, int]:
     if movi is None:
         raise ValueError("avi: no movi list")
     return movi
+
+
+def _movi_chunks(data: bytes, pos: int, end: int):
+    """Yield the data chunks of a ``movi`` span, recursing into
+    ``LIST('rec ')`` groups — spec-legal interleaved AVIs wrap each
+    frame's chunks in a rec list (AVI RIFF reference, "rec" lists),
+    and a flat walk would silently skip every frame inside them."""
+    for fourcc, body, size in _chunks(data, pos, end):
+        if fourcc == b"LIST:rec ":
+            yield from _movi_chunks(data, body, body + size)
+        else:
+            yield (fourcc, body, size)
 
 
 def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
@@ -111,7 +123,7 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
     end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
     frames: list[bytes] = []
     w = h = None
-    for fourcc, body, size in _chunks(data, *_movi_span(data, end)):
+    for fourcc, body, size in _movi_chunks(data, *_movi_span(data, end)):
         if fourcc[2:4] != b"dc":
             continue  # audio ('wb'), index or padding chunks
         fw, fh, ch, px = jpeg_codec.decode_jpeg(data[body : body + size])
@@ -158,7 +170,9 @@ def encode_avi(
     usec = 1_000_000 // max(1, fps)
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        usec, max_sz * fps, 0, 0x10,  # AVIF_HASINDEX-less, interleaved off
+        usec, max_sz * fps, 0, 0,  # dwFlags 0: no idx1 is written, so
+        # AVIF_HASINDEX (0x10) must stay unset or players seek a
+        # missing index
         len(jpegs), 0, 1, max_sz, w, h, 0, 0, 0, 0,
     )
     strh = (

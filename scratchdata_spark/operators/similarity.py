@@ -217,23 +217,40 @@ def _partial_topk_prune(scored: DataFrame, k: int) -> DataFrame:
     whole batch O(n log n) regardless of the query count."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc  # .compute is NOT loaded by the bare
+    # pyarrow import — relying on pyspark's worker to import it first
+    # is a fragile transitive dependency (advisor r7)
 
     def prune(batches):
         for batch in batches:
             if batch.num_rows <= k:
                 yield batch
                 continue
-            keys = batch.column(0).to_numpy(zero_copy_only=False)
+            kcol = batch.column(0)
+            keys = kcol.to_numpy(zero_copy_only=False)
             col = batch.column(2)
             cos = np.nan_to_num(
                 col.to_numpy(zero_copy_only=False), nan=np.inf
             )
             if col.null_count:
-                nulls = pa.compute.is_null(col).to_numpy(
-                    zero_copy_only=False
-                )
+                nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
                 cos = np.where(nulls, -np.inf, cos)
-            _, inv = np.unique(keys, return_inverse=True)
+            if kcol.null_count:
+                # np.unique over object keys containing None raises
+                # (None < str unsupported).  NULL qids are one window
+                # partition downstream (Spark groups nulls together),
+                # so give them their OWN group code — never a string
+                # sentinel, which could collide with a real qid and
+                # merge two groups (merged thresholds can wrongly
+                # drop rows the final window would keep).
+                null_k = pc.is_null(kcol).to_numpy(zero_copy_only=False)
+                nn = ~null_k
+                inv = np.empty(len(keys), dtype=np.int64)
+                _, inv_nn = np.unique(keys[nn], return_inverse=True)
+                inv[nn] = inv_nn
+                inv[null_k] = int(inv_nn.max()) + 1 if inv_nn.size else 0
+            else:
+                _, inv = np.unique(keys, return_inverse=True)
             n_groups = int(inv.max()) + 1
             order = np.lexsort((cos, inv))
             inv_sorted = inv[order]

@@ -99,6 +99,50 @@ def test_avi_zero_frames_and_bad_inputs():
     assert _max_err(dec[0], bytes(v for g in gray for v in (g, g, g))) <= 8
 
 
+def test_avi_rec_interleaved_frames_decode():
+    """Spec-legal interleaved AVIs wrap frame chunks in LIST('rec ')
+    groups — the movi walker must recurse into them (advisor r7: a
+    flat walk silently decoded such files to zero frames)."""
+    w, h = 10, 8
+    frames = [_rgb_smooth(w, h, k) for k in range(3)]
+    from scratchdata_spark.operators import jpeg_codec as J
+
+    jpegs = [J.encode_jpeg(w, h, 3, f, quant=1) for f in frames]
+
+    def chunk(fourcc, body):
+        out = fourcc + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    raw = A.encode_avi(w, h, [])  # header donor (dwTotalFrames=0 path)
+    hdrl_start = raw.find(b"LIST")
+    hdrl_size = struct.unpack("<I", raw[hdrl_start + 4 : hdrl_start + 8])[0]
+    hdrl = raw[hdrl_start : hdrl_start + 8 + hdrl_size + (hdrl_size & 1)]
+    # each frame in its own rec group (what AVIF_ISINTERLEAVED writers
+    # emit: one rec list per frame-time, video + audio chunks inside)
+    recs = b"".join(chunk(b"LIST", b"rec " + chunk(b"00dc", j)) for j in jpegs)
+    body = b"AVI " + hdrl + chunk(b"LIST", b"movi" + recs)
+    enc = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    dw, dh, n, dec = A.decode_avi(enc)
+    assert (dw, dh, n) == (w, h, 3)
+    assert all(_max_err(f, g) <= 8 for f, g in zip(frames, dec))
+    # probe's dwTotalFrames=0 fallback must count rec-grouped chunks too
+    avih = enc.find(b"avih")
+    assert struct.unpack("<I", enc[avih + 8 + 16 : avih + 8 + 20])[0] == 0
+    assert A.probe_avi(enc) == (w, h, 3)
+
+
+def test_avi_encode_flags_consistent_with_no_index():
+    """encode_avi writes no idx1 chunk, so avih dwFlags must not set
+    AVIF_HASINDEX (0x10) — players trusting the flag would seek a
+    missing index (advisor r7)."""
+    enc = A.encode_avi(8, 6, [_rgb_smooth(8, 6)])
+    assert b"idx1" not in enc
+    avih = enc.find(b"avih") + 8
+    (flags,) = struct.unpack("<I", enc[avih + 12 : avih + 16])
+    assert flags & 0x10 == 0
+
+
 def test_avi_real_frame_sampling_through_seam(spark, monkeypatch):
     """sample_frames with the fake disabled: an MJPEG AVI fans out to
     evenly-spaced REAL frames, each re-encoded as a decodable PNG —

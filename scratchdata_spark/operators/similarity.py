@@ -344,12 +344,61 @@ def _plane_projection(vec_col, dim: int, p: int):
     )
 
 
-def hyperplane_bits(vec_col, dim: int, n_planes: int = 8):
+def portable_plane_weights(
+    dim: int, n_planes: int, seed: int = 0
+) -> list[list[float]]:
+    """±1 hyperplane components from md5 (hashlib, driver-side) —
+    deterministic and ENGINE-PORTABLE: the same weights embed as
+    literals in both the Spark fold and a DuckDB oracle's SQL text,
+    so LSH bucket keys reproduce bit-for-bit across engines (the
+    x_dedup_minhash_oracle move, VERDICT r7 #4, applied to the
+    embedding tier).  Rademacher ±1 signs preserve the random-
+    hyperplane collision law (P[collide] = 1 − θ/π holds for any
+    symmetric component distribution) and keep the projection a pure
+    ± fold — no weight product to drift between engines."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _portable_projection(vec_col, weights: list[float]):
+    """Projection onto a literal ±1 plane: left-to-right double fold,
+    term-for-term the DuckDB ``list_sum(list_transform(...))`` an
+    oracle writes with the same literals."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(w) for w in weights]),
+            lambda x, wgt: x.cast("double") * wgt,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def hyperplane_bits(
+    vec_col, dim: int, n_planes: int = 8,
+    plane_weights: list[list[float]] | None = None,
+):
     """Deterministic random-hyperplane sign bits → bucket id (long),
-    derived plane-by-plane from :func:`_plane_projection`."""
+    derived plane-by-plane from :func:`_plane_projection` (xxhash64
+    weights, the production family) or — when ``plane_weights`` is
+    supplied — from literal :func:`portable_plane_weights` (the
+    engine-portable family the oracle twin uses)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        proj = _plane_projection(vec_col, dim, p)
+        if plane_weights is not None:
+            proj = _portable_projection(vec_col, plane_weights[p])
+        else:
+            proj = _plane_projection(vec_col, dim, p)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(0)
     return bucket
 
@@ -510,6 +559,7 @@ def near_dup_pairs(
     max_bucket_size: int | None = 4096,
     corpus_size: int | None = None,
     small_corpus_rows: int = 4096,
+    plane_weights: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: unordered (id_a < id_b)
     with cosine ≥ threshold — the semantic-dedup step of a training
@@ -555,7 +605,9 @@ def near_dup_pairs(
     if n_planes is not None:
         bucketed = v.select(
             "__id", "__vec",
-            hyperplane_bits(F.col("__vec"), dim, n_planes).alias("__bucket"),
+            hyperplane_bits(
+                F.col("__vec"), dim, n_planes, plane_weights=plane_weights
+            ).alias("__bucket"),
         )
         if max_bucket_size is not None:
             hot = (

@@ -181,6 +181,54 @@ def test_cosine_topk_null_embeddings_rank_last(spark):
     assert all(r.cos_sim is not None for r in out)
 
 
+def test_near_dup_pairs_portable_planes(spark):
+    """plane_weights (md5 ±1 literals, the oracle-twin hash family)
+    must be deterministic across calls and produce a SUBSET of the
+    exact tier's pairs (LSH recall < 1, precision 1: the verify is an
+    exact cosine, so no pair below threshold can leak through)."""
+    import random
+
+    from scratchdata_spark.operators.similarity import (
+        near_dup_pairs,
+        portable_plane_weights,
+    )
+
+    assert portable_plane_weights(16, 4, seed=8) == portable_plane_weights(
+        16, 4, seed=8
+    )
+    assert portable_plane_weights(16, 4, seed=8) != portable_plane_weights(
+        16, 4, seed=9
+    )
+    assert all(
+        x in (1.0, -1.0) for pw in portable_plane_weights(8, 3) for x in pw
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, base))
+        if i % 4 == 0:
+            rows.append(
+                (2 * i + 1, [x + rng.uniform(-0.005, 0.005) for x in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in near_dup_pairs(df, dim=8, threshold=0.85).collect()
+    }
+    w = portable_plane_weights(8, 3, seed=8)
+    lsh = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in near_dup_pairs(
+            df, dim=8, threshold=0.85, n_planes=3,
+            corpus_size=len(rows), plane_weights=w,
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) > 0  # near-identical vectors share every sign bit
+
+
 def test_partial_topk_prune_null_query_ids(spark):
     """A NULL string qid reaching the prune must not crash np.unique
     (advisor r7: None < str raises on object key arrays).  NULL qids

@@ -2534,6 +2534,90 @@ def x_multimodal_codec_mp4(spark, sf_dir):
     return ids.mapInPandas(run, schema)
 
 
+@q(
+    "x_audio_features",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(100 AS INT) AS duration_ms,
+           CAST(0.5 AS DOUBLE) AS rms,
+           CAST((250 << (doc_id % 4)) / 5 - 1 AS DOUBLE) / 799
+             AS zero_crossing_rate,
+           CAST(250 << (doc_id % 4) AS DOUBLE) AS dominant_freq_hz,
+           TRUE AS features_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def x_audio_features(spark, sf_dir):
+    """Signal-level audio features under the hash gate (VERDICT r7 #9
+    — extract_audio_features was the one substantial operator family
+    with pytest-only evidence).  Each row synthesizes a full-scale/2
+    SQUARE-wave WAV (±16384 int16 → the mono mix is exactly ±0.5, so
+    rms is float-EXACT 0.5) at 250·2^(doc_id%4) Hz, 8 kHz, 800 frames,
+    mono/stereo alternating (stereo = two identical channels, so the
+    mixdown path is exercised without changing any feature value),
+    then runs the REAL operator (stdlib wave decode + one vectorized
+    numpy pass + rFFT per file).  Every hashed value is engine-exact
+    arithmetic: the 10 Hz FFT bins land ON the fundamental
+    (dominant_freq_hz = f exactly), the zero-crossing count is
+    f/5 − 1 sign flips over 799 comparisons (raw int/int IEEE
+    division — bit-identical in DuckDB), and duration_ms rounds to an
+    integer.  The odd-harmonic spectral centroid (> f for a square
+    wave) folds into features_ok rather than hashing a float sum
+    whose accumulation order differs across engines."""
+    import numpy as np
+    import pandas as pd
+
+    from scratchdata_spark.operators import png_codec
+    from scratchdata_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    ids = (
+        load(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = did % 2 + 1
+                half = 4000 // (250 << (did % 4))  # samples per half-period
+                sgn = 1 - 2 * ((np.arange(800) // half) % 2)
+                mono = (16384 * sgn).astype("<i2")
+                frames = np.repeat(mono, ch).astype("<i2").tobytes()
+                out["doc_id"].append(did)
+                out["payload"].append(png_codec.encode_wav(ch, 8000, frames))
+            yield pd.DataFrame(out)
+
+    import pyspark.sql.types as T_
+
+    wavs = ids.mapInPandas(
+        synth,
+        T_.StructType([
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("payload", T_.BinaryType()),
+        ]),
+    )
+    feats = extract_audio_features(wavs)
+    return feats.select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        F.round(F.col("duration_sec") * 1000).cast("int").alias("duration_ms"),
+        "rms",
+        "zero_crossing_rate",
+        "dominant_freq_hz",
+        (
+            F.col("spectral_centroid_hz") > F.col("dominant_freq_hz")
+        ).alias("features_ok"),
+    )
+
+
 _SUBSTR_N = 8  # window width for the oracle-able configuration
 
 

@@ -198,6 +198,53 @@ def _leakage_safe_split(df, p, id_col, text_col):
     )
 
 
+@_stage("remove_span_dups")
+def _remove_span_dups(df, p, id_col, text_col):
+    """Exact-substring span REMOVAL (dedup.remove_duplicate_spans —
+    Lee et al. §4.2): every repeated ``ngram``-token window keeps one
+    canonical occurrence corpus-wide, covered positions elsewhere are
+    deleted and the text rebuilt.  The operator emits only
+    (id, text, metrics), so non-text columns (source, lang, …) are
+    re-attached by id — ONE hash exchange, which downstream stages
+    (cap_per_group by source) need anyway.  ``keep_metrics=True``
+    carries n_tokens/n_tokens_removed into the output for auditing."""
+    from scratchdata_spark.operators.dedup import remove_duplicate_spans
+
+    rewritten = remove_duplicate_spans(
+        df.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        ngram=p.get("ngram", 20),
+        min_count=p.get("min_count", 2),
+        hashed=p.get("hashed", True),
+    )
+    if not p.get("keep_metrics", False):
+        rewritten = rewritten.select(id_col, text_col)
+    return df.drop(text_col).join(rewritten, id_col)
+
+
+@_stage("semantic_dedup")
+def _semantic_dedup(df, p, id_col, text_col):
+    """SemDeDup survivors (semantic.semantic_dedup): k-means cluster,
+    within-cluster cosine pairs at ``threshold``, transitive closure,
+    keep the min-id member — then a semi-join filters the corpus to
+    survivors (ids only cross the join, full rows never shuffle
+    twice).  Requires ``vec_col``: the recipe's frame must carry the
+    embedding column alongside the text."""
+    from scratchdata_spark.operators.semantic import semantic_dedup
+
+    survivors = semantic_dedup(
+        df,
+        id_col=id_col,
+        vec_col=p["vec_col"],
+        k=p.get("k", 8),
+        threshold=p.get("threshold", 0.9),
+        max_iter=p.get("max_iter", 4),
+        max_cluster_compare=p.get("max_cluster_compare", 4096),
+    )
+    return df.join(survivors.select(id_col), id_col, "semi")
+
+
 @_stage("global_shuffle")
 def _global_shuffle(df, p, id_col, text_col):
     from scratchdata_spark.operators.pipeline import global_shuffle
@@ -254,6 +301,7 @@ REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "temperature": ("group_col",),
     "pack": ("group_col",),
     "filter": ("where",),
+    "semantic_dedup": ("vec_col",),
 }
 
 

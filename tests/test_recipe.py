@@ -186,3 +186,58 @@ def test_stage_registry_is_complete():
         "cap_per_group", "temperature", "split", "leakage_safe_split",
         "global_shuffle", "chunk", "pack", "filter",
     } <= set(STAGES)
+
+
+def test_recipe_remove_span_dups_matches_manual(spark, sf_dir):
+    """remove_span_dups through the runner == remove_duplicate_spans
+    called directly (text rewritten, non-text columns preserved), and
+    the manifest reports zero row delta (a rewrite, not a filter)."""
+    from scratchdata_spark.operators.dedup import remove_duplicate_spans
+
+    d = load(spark, sf_dir)["documents"]
+    got, manifest = run_recipe(
+        d, [{"op": "remove_span_dups", "ngram": 8, "min_count": 2}]
+    )
+    assert set(got.columns) == set(d.columns)
+    want = remove_duplicate_spans(
+        d.select("doc_id", "text"), ngram=8, min_count=2
+    )
+    g = {(r.doc_id, r.text) for r in got.select("doc_id", "text").collect()}
+    w = {(r.doc_id, r.text) for r in want.select("doc_id", "text").collect()}
+    assert g == w and len(g) > 0
+    assert manifest[0]["rows_dropped"] == 0
+    assert manifest[0]["rows_added"] == 0
+    # keep_metrics carries the audit columns through
+    got2, _ = run_recipe(
+        d,
+        [{"op": "remove_span_dups", "ngram": 8, "keep_metrics": True}],
+        counts=False,
+    )
+    assert {"n_tokens", "n_tokens_removed"} <= set(got2.columns)
+
+
+def test_recipe_semantic_dedup_matches_manual(spark, sf_dir):
+    """semantic_dedup through the runner == the operator's survivor
+    set semi-joined back, vec_col is REQUIRED, and dropped rows are
+    exactly the non-survivors."""
+    from scratchdata_spark.operators.semantic import semantic_dedup
+
+    e = load(spark, sf_dir)["embeddings"]
+    with pytest.raises(ValueError, match="vec_col"):
+        run_recipe(e, [{"op": "semantic_dedup"}], id_col="vec_id")
+    got, manifest = run_recipe(
+        e,
+        [{"op": "semantic_dedup", "vec_col": "embedding",
+          "k": 4, "threshold": 0.4, "max_iter": 0}],
+        id_col="vec_id",
+    )
+    surv = semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding",
+        k=4, threshold=0.4, max_iter=0,
+    )
+    g = {r.vec_id for r in got.select("vec_id").collect()}
+    w = {r.vec_id for r in surv.select("vec_id").collect()}
+    assert g == w and len(g) > 0
+    assert set(got.columns) == set(e.columns)
+    assert manifest[0]["rows_out"] == len(g)
+    assert manifest[0]["rows_dropped"] == e.count() - len(g)

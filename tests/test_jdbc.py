@@ -252,14 +252,92 @@ _CH_URL = __import__("os").environ.get("SCRATCHDATA_CLICKHOUSE_URL")
         " (clickhouse/clickhouse_test.go:15-103)"
     ),
 )
+def _live_jdbc_roundtrip(spark, tmp_path, dest, quote: str):
+    """Shared body of the live-backend e2e gates: insert-NDJSON →
+    auto-columns → schema evolution → query-JSON, then drop."""
+    import io
+    import time
+
+    table = f"sd_e2e_{int(time.time())}"
+    nd = tmp_path / "rows.ndjson"
+    nd.write_text(
+        '{"user_id": 1, "name": "ada", "score": 1.5}\n'
+        '{"user_id": 2, "name": "bob", "score": 2.5}\n'
+    )
+    try:
+        dest.create_empty_table(table)
+        dest.create_columns(table, str(nd))
+        dest.insert_ndjson_file(table, str(nd))
+        # second insert with a NEW column: schema evolution live
+        nd2 = tmp_path / "rows2.ndjson"
+        nd2.write_text('{"user_id": 3, "name": "eve", "extra": "x"}\n')
+        dest.create_columns(table, str(nd2))
+        dest.insert_ndjson_file(table, str(nd2))
+        cols = {c["name"] for c in dest.columns(table)}
+        assert {"user_id", "name", "score", "extra"} <= cols
+        out = io.StringIO()
+        dest.query_json(
+            f"SELECT user_id, name FROM {table} ORDER BY user_id", out
+        )
+        rows = json.loads(out.getvalue())
+        assert [r["user_id"] for r in rows] == [1, 2, 3]
+        assert rows[2]["name"] == "eve"
+    finally:
+        dest._execute(f"DROP TABLE IF EXISTS {quote}{table}{quote}")
+
+
+_PG_URL = __import__("os").environ.get("SCRATCHDATA_POSTGRES_URL")
+
+
+@pytest.mark.skipif(
+    not _PG_URL,
+    reason=(
+        "real-Postgres e2e: set SCRATCHDATA_POSTGRES_URL (e.g."
+        " jdbc:postgresql://localhost:5432/postgres) and put the"
+        " PostgreSQL JDBC jar on the session classpath via"
+        " SPARK_GRAFT_EXTRA_JARS before the first Spark test runs —"
+        " the reference's most-used real backend"
+        " (postgres/insert.go:83-155)"
+    ),
+)
+def test_postgres_live_roundtrip(spark, tmp_path):
+    """Insert-NDJSON → auto-columns → query-JSON against a REAL
+    Postgres over the production JDBC path (no fakes) — the same
+    flow the ClickHouse gate drives, on the reference's most-used
+    backend.  Gated on env so the suite passes hermetically where no
+    server exists."""
+    import os
+
+    from scratchdata_spark.jdbc_destination import JDBCDestination
+
+    driver = os.environ.get(
+        "SCRATCHDATA_POSTGRES_DRIVER", "org.postgresql.Driver"
+    )
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+    except Exception:
+        pytest.skip(
+            f"Postgres JDBC driver {driver} not on the session"
+            " classpath (SPARK_GRAFT_EXTRA_JARS must be set before"
+            " the first Spark test creates the JVM)"
+        )
+    d = JDBCDestination(
+        spark,
+        _PG_URL,
+        engine="postgres",
+        driver=driver,
+        user=os.environ.get("SCRATCHDATA_POSTGRES_USER", "postgres"),
+        password=os.environ.get("SCRATCHDATA_POSTGRES_PASSWORD", ""),
+    )
+    _live_jdbc_roundtrip(spark, tmp_path, d, quote='"')
+
+
 def test_clickhouse_live_roundtrip(spark, tmp_path):
     """Insert-NDJSON → auto-columns → query-JSON against a REAL
     ClickHouse over the production JDBC path (no fakes): the same
     flow the reference's dockertest e2e drives.  Gated on env so the
     suite passes hermetically where no server exists."""
-    import io
     import os
-    import time
 
     from scratchdata_spark.jdbc_destination import JDBCDestination
 
@@ -282,29 +360,4 @@ def test_clickhouse_live_roundtrip(spark, tmp_path):
         user=os.environ.get("SCRATCHDATA_CLICKHOUSE_USER", "default"),
         password=os.environ.get("SCRATCHDATA_CLICKHOUSE_PASSWORD", ""),
     )
-    table = f"sd_e2e_{int(time.time())}"
-    nd = tmp_path / "rows.ndjson"
-    nd.write_text(
-        '{"user_id": 1, "name": "ada", "score": 1.5}\n'
-        '{"user_id": 2, "name": "bob", "score": 2.5}\n'
-    )
-    try:
-        d.create_empty_table(table)
-        d.create_columns(table, str(nd))
-        d.insert_ndjson_file(table, str(nd))
-        # second insert with a NEW column: schema evolution live
-        nd2 = tmp_path / "rows2.ndjson"
-        nd2.write_text('{"user_id": 3, "name": "eve", "extra": "x"}\n')
-        d.create_columns(table, str(nd2))
-        d.insert_ndjson_file(table, str(nd2))
-        cols = {c["name"] for c in d.columns(table)}
-        assert {"user_id", "name", "score", "extra"} <= cols
-        out = io.StringIO()
-        d.query_json(
-            f"SELECT user_id, name FROM {table} ORDER BY user_id", out
-        )
-        rows = json.loads(out.getvalue())
-        assert [r["user_id"] for r in rows] == [1, 2, 3]
-        assert rows[2]["name"] == "eve"
-    finally:
-        d._execute(f"DROP TABLE IF EXISTS `{table}`")
+    _live_jdbc_roundtrip(spark, tmp_path, d, quote="`")

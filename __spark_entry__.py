@@ -46,85 +46,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (streaming, nested flatten, joins/windows/subqueries), so the
 # next round's mandatory cohort (d) shrinks below 49.
 #
-# r7 ledger: (b) = 5 never-checked r6 late additions
-# (x_multimodal_codec_gif, x_dedup_substring, x_source_overlap,
-# x_split_leakage_safe, x_ann_pq_topk — all judge-green in the r6
-# session, need driver rows); (c) = 4 new this round, exactly the
-# cap (s_semantic_stream, x_recipe_clean, x_multimodal_codec_mjpeg,
-# x_dedup_minhash_oracle — registry 138 → 142); (d) = the full
-# 34-entry r4-era mandatory cohort (dialect sheet ×14,
-# q_agg_lists_median_mode, pipeline/text/multimodal x_ ops,
-# x_ann_cosine_topk, x_dedup_exact); (e) = 6 r5-era fill activating
-# the PAIRED-SLOT SHARES: x_dedup_incremental_exact (pairs
-# x_dedup_incremental → r8) and x_semantic_dedup (pairs
-# x_semantic_kmeans → r8) run now so each pair alternates;
-# x_dedup_minhash_oracle (new) pairs x_dedup_minhash_lsh the same
-# way, and x_dedup_exact (r4, in (d)) pairs x_dedup_exact_rows;
-# plus s_stream_tumbling_hour (only r5 streaming entry), q_join_asof
-# and x_dedup_embedding_lsh (the two r6-bench-flagged shapes).
-# Total: 1 + 5 + 4 + 34 + 6 = 50 exactly.  r8's mandatory cohort is
-# then the 43 unfilled r5-era entries minus the 3 pair-credits = 40,
-# leaving ~9 free slots — the invariant holds through r9 if r8 adds
-# ≤4 net.  At 142 entries + 4 shared pair-slots the 3-round capacity
-# is 147+4 = 151; additions past that must retire or consolidate.
+# r8 ledger: (a) flagship; (b) none — every entry has a driver row;
+# (c) = 3 new this round, inside the ≤4 cap (x_multimodal_codec_mp4,
+# x_dedup_embedding_oracle, x_audio_features — registry 142 → 145);
+# (d) = the r5-era mandatory cohort: 43 entries whose newest row is
+# r5, minus 2 PAIR-CREDITS — x_dedup_exact_rows skips (its pair
+# x_dedup_exact ran r7) and x_dedup_minhash_lsh skips (its portable
+# oracle twin x_dedup_minhash_oracle ran r7); x_dedup_incremental and
+# x_semantic_kmeans RUN (it is their side of the pair's alternation)
+# — so 41 entries, all mandatory; (e) = 5 r6-era fill, streaming
+# first (the heaviest semantics in r9's cohort).
+# Total: 1 + 3 + 41 + 5 = 50 exactly.
+#
+# SLOT CONSOLIDATION (VERDICT r7 #2, before the r9 capacity wall):
+# two pairs added this round — q_tablesample now PAIRS
+# q_sample_deterministic (same TABLESAMPLE surface; the deterministic
+# twin is the stronger hash gate and runs r9, q_tablesample r10), and
+# x_dedup_embedding_oracle (new) pairs x_dedup_embedding_lsh (the
+# minhash pattern).  Pair roster (6): exact_rows/exact,
+# incremental/incremental_exact, kmeans/semantic_dedup,
+# minhash_lsh/minhash_oracle, embedding_lsh/embedding_oracle,
+# tablesample/sample_deterministic.  Effective 3-round slot demand =
+# 145 − 6 shared = 139 vs 49×3 = 147 capacity → margin 8 ≈ two full
+# rounds of ≤4 net adds (VERDICT r7 #2's "≥1 round" bar met).
+# r9's mandatory cohort: 49 r6-era entries − 5 filled here −
+# q_tablesample (pair-credit) = 43, + flagship = 44 → 6 free slots.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (b) never driver-checked (r6 late additions) ---
-    "x_multimodal_codec_gif",
-    "x_dedup_substring",
-    "x_source_overlap",
-    "x_split_leakage_safe",
-    "x_ann_pq_topk",
-    # --- (c) new this round (≤4 cap, exactly met) ---
-    "s_semantic_stream",  # streaming SemDeDup under the hash gate
-    "x_recipe_clean",  # declarative recipe runner round trip
-    "x_multimodal_codec_mjpeg",  # MJPEG/AVI video container
-    "x_dedup_minhash_oracle",  # portable-hash minhash oracle twin
-    # --- (d) staleness-2 cohort (newest row r4) — 34 entries, all ---
-    "q_dialect_qualify",
-    "q_dialect_file_scan",
-    "q_dialect_asof",
-    "q_dialect_pivot_stmt",
-    "q_dialect_distinct_on",
-    "q_dialect_agg_order_by",
-    "q_dialect_generate_series",
-    "q_dialect_list_comprehension",
-    "q_dialect_star_replace",
-    "q_dialect_struct_literals",
-    "q_dialect_subscripts",
-    "q_dialect_union_by_name",
-    "q_dialect_unnest_tokens",
-    "q_agg_lists_median_mode",
-    "x_ann_cosine_topk",
-    "x_cap_per_source",
-    "x_chunk_documents",
-    "x_decontaminate",
-    "x_dedup_clusters",
-    "x_dedup_exact",
-    "x_dedup_survivors",
-    "x_global_shuffle",
-    "x_multimodal_frames",
-    "x_multimodal_meta",
-    "x_multimodal_resize",
-    "x_pii_scrub",
-    "x_pipeline_clean_corpus",
-    "x_quality_repetition",
-    "x_resample_temperature",
-    "x_salted_join_skew",
-    "x_text_fingerprint",
-    "x_text_langid",
-    "x_text_quality",
-    "x_text_token_count",
-    # --- (e) r5-era fill — 6 slots: pair-share activations first ---
-    "x_dedup_incremental_exact",  # pair: x_dedup_incremental → r8
-    "x_semantic_dedup",  # pair: x_semantic_kmeans → r8
-    "s_stream_tumbling_hour",
-    "q_join_asof",
-    "x_dedup_embedding_lsh",  # r6 bench-flagged: fresh row post-tuning
-    "q_dml_merge_roundtrip",
-    # --- past the ~50 edge: r8's mandatory cohort (the remaining
-    # r5-era entries, semantics-heavy first), so a driver that reads
-    # deeper than 50 still refreshes the stalest first ---
+    # --- (c) new this round (≤4 cap: 3 used) ---
+    "x_multimodal_codec_mp4",  # ISO-BMFF box-walk probe
+    "x_dedup_embedding_oracle",  # portable ±1-plane oracle twin
+    "x_audio_features",  # WAV features, engine-exact values
+    # --- (d) staleness cohort (newest row r5) — 41 entries, all ---
     "q02_filter_predicates",
     "q_cte",
     "q_scalar_subquery",
@@ -159,15 +112,71 @@ _PRIORITY = [
     "q_scan_external_orc",
     "q_dml_ctas_roundtrip",
     "q_dml_timetravel_roundtrip",
-    "x_dedup_minhash_lsh",
     "x_dedup_simhash",
-    "x_dedup_incremental",
-    "x_dedup_exact_rows",
+    "x_dedup_incremental",  # pair-turn (x_dedup_incremental_exact r7)
     "x_ann_cosine_lsh",
     "x_ann_ivf_topk",
     "x_range_join_bucketed",
-    "x_semantic_kmeans",
+    "x_semantic_kmeans",  # pair-turn (x_semantic_dedup ran r7)
     "x_multimodal_codec_real",
+    # --- (e) r6-era fill — 5 slots, streaming first (shrinks r9's
+    # mandatory cohort from 49 to 43 with the q_tablesample credit) ---
+    "s_stream_sliding_2h_1h",
+    "s_stream_session_windows",
+    "s_stream_stateful_user_totals",
+    "s_stream_dedup",
+    "s_stream_stream_join",
+    # --- past the ~50 edge: r9's mandatory cohort (remaining r6-era
+    # entries, semantics-heavy first), so a driver that reads deeper
+    # than 50 still refreshes the stalest first.  PAIR-SKIPPED at r8:
+    # x_dedup_exact_rows, x_dedup_minhash_lsh (listed last). ---
+    "s_rollup_continuous_hourly",
+    "q_nested_flatten_horizontal",
+    "q_nested_flatten_vertical",
+    "q_nested_flatten_multitable_depth2",
+    "q_dialect_duckdb_text",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q_topk_per_group",
+    "q_qualify_latest",
+    "q_grouping_sets",
+    "q_rollup",
+    "q_cube",
+    "q_join_cross",
+    "q_order_limit_offset",
+    "q_union_all",
+    "q_distinct",
+    "q_approx_count_distinct",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_funcs",
+    "q_case_cast",
+    "q_pivot",
+    "q_unpivot",
+    "q_sample_deterministic",  # pair-runner for q_tablesample (r9)
+    "q_array_funcs",
+    "q_explode_posexplode",
+    "q_map_struct_funcs",
+    "q_scan_external_files",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash_pairs",
+    "x_dedup_embedding_cosine",
+    "x_multimodal_features",
+    "x_multimodal_codec_jpeg",
+    "x_split_train_val",
+    "x_sample_stratified",
+    "x_pack_sequences",
+    "x_model_score",
+    "x_lm_perplexity",
+    "x_semantic_incremental",
+    "q_dml_copy_roundtrip",
+    "q_dml_compact_roundtrip",
+    "q_tablesample",  # r10 via pair q_sample_deterministic
+    "x_dedup_exact_rows",  # r9 pair-turn (x_dedup_exact ran r7)
+    "x_dedup_minhash_lsh",  # r9 pair-turn (oracle twin ran r7)
+    "x_dedup_embedding_lsh",  # r9/r10 alternation with oracle twin
 ]
 
 

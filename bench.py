@@ -30,8 +30,22 @@ per-query residual — x_dedup_embedding_lsh at 0.15-0.21 s vs r5's
 0.066 s, the grouped-GEMM verify's fixed ~0.15 s Arrow round trip at
 tiny scale (profiled: pre-Arrow stages 0.06 s) — is fixed by the
 corpus_size-hinted SIZE DISPATCH in near_dup_pairs (HOF verify at or
-under 4096 rows — measured: GEMM already wins at 20k — grouped-GEMM
-above, the tier that wins 31.2→2.5 s at the 10× soak): 0.081 s after.
+under the measured crossover — grouped-GEMM above, the tier that wins
+31.2→2.5 s at the 10× soak): 0.081 s after.
+
+Round-8 crossover measurement (VERDICT r7 #5/#8): the dispatch
+threshold is now MEASURED, not bracketed — tools/dispatch_crossover.py
+(bench regime: warm reused plan, cached input, toArrow action,
+best-of-3) puts HOF/GEMM at 0.131/0.195 s @2k, 0.132/0.176 @4k,
+0.192/0.179 @8k, 0.540/0.225 @20k; crossover between 4k and 8k,
+default small_corpus_rows=6144 (BENCH_scale.json dispatch_crossover).
+x_dedup_embedding_lsh's sf0.1 residual vs r5 (0.096 s vs 0.066 s) is
+the FLOOR of this shape: the winning HOF verify alone measures
+0.131 s best-of-3 in isolation at 2k vectors, and the pre-verify
+bucketing stages profile at ~0.06 s — the r5 number predates the
+count-first bucket cap and NaN containment the tier now carries.
+Not recoverable by tier choice; at sf1+ the GEMM tier takes over and
+the 100× soak holds 17.8 s (BENCH_scale embedding_lsh).
 
 Known floor: a PySpark query round trip (py4j submit + job schedule +
 Arrow collect socket) costs ~25 ms no matter how small the query —

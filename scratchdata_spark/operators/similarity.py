@@ -558,7 +558,7 @@ def near_dup_pairs(
     n_planes: int | None = None,
     max_bucket_size: int | None = 4096,
     corpus_size: int | None = None,
-    small_corpus_rows: int = 4096,
+    small_corpus_rows: int = 6144,
     plane_weights: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: unordered (id_a < id_b)
@@ -592,10 +592,16 @@ def near_dup_pairs(
     here: an in-operator count would re-execute the bucketing scan
     at 100 TB) at or under ``small_corpus_rows``, the verify runs as
     the ids-only triangular expansion + vector join + HOF predicate
-    instead.  Threshold measured, not guessed: at 2k vectors (sf0.1)
-    HOF wins 0.081 s vs 0.21 s; at 20k (sf1) GEMM wins 0.19 s vs
-    0.59 s — the crossover sits low because HOF pair cost grows with
-    candidate mass while the Arrow round trip stays fixed.  Both tiers round cos_sim HALF_UP to 6 and agree on
+    instead.  Threshold MEASURED (tools/dispatch_crossover.py, r8:
+    bench regime — warm reused plan, cached input, toArrow action,
+    best-of-3, fixed pairwise near-dup topology; full table in
+    BENCH_scale.json ``dispatch_crossover``): HOF/GEMM seconds are
+    0.131/0.195 at 2k, 0.132/0.176 at 4k, 0.192/0.179 at 8k,
+    0.360/0.170 at 12k, 0.540/0.225 at 20k — the crossover falls
+    between 4k and 8k vectors, so the default sits at 6144; a
+    misplaced threshold costs ≤0.04 s at these sizes because HOF
+    pair cost grows with candidate mass while the Arrow round trip
+    stays fixed.  Both tiers round cos_sim HALF_UP to 6 and agree on
     NULL/zero-norm containment, so the dispatch is invisible in the
     output.
     """

@@ -704,6 +704,15 @@ def _embedding_oracle_sql(
         f"(CASE WHEN p{p} >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
+    # norm/cosine generated from THIS dim, not the module's 64-wide
+    # _COS template — a dim != 64 caller would otherwise get
+    # projections over dim elements but cosines silently truncated
+    # to 64 (DuckDB out-of-range subscripts return NULL and list_sum
+    # skips them; reviewer catch)
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
     return f"""
     WITH pr AS (
       SELECT vec_id, embedding,
@@ -713,14 +722,14 @@ def _embedding_oracle_sql(
     b AS (
       SELECT vec_id, embedding,
              {bucket} AS bucket,
-             sqrt({_COS.format(a='embedding', b='embedding')}) AS n
+             sqrt({cos.format(a='embedding', b='embedding')}) AS n
       FROM pr
     )
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           ROUND({_COS.format(a='a.embedding', b='c.embedding')}
+           ROUND({cos.format(a='a.embedding', b='c.embedding')}
                  / (a.n * c.n), 6) AS cos_sim
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_COS.format(a='a.embedding', b='c.embedding')} / (a.n * c.n)
+    WHERE {cos.format(a='a.embedding', b='c.embedding')} / (a.n * c.n)
           >= {threshold}
     """
 
@@ -735,15 +744,21 @@ def x_dedup_embedding_oracle(spark, sf_dir):
     within-bucket pair expansion and the exact-cosine verify — all
     the machinery the production tier runs — are oracle-checked end
     to end.  Valves off (max_bucket_size=None): the oracle is
-    exhaustive over bucket collisions.  Pairs with
-    x_dedup_embedding_lsh for a window slot on alternate rounds."""
+    exhaustive over bucket collisions.  The verify is PINNED to the
+    HOF tier (small_corpus_rows huge): the JVM left-to-right fold is
+    what DuckDB's list_sum reproduces term for term — the GEMM tier's
+    BLAS-blocked accumulation can differ in the last ulp, which would
+    make the bit-parity claim silently tier-conditional at larger sf
+    (reviewer catch).  Pairs with x_dedup_embedding_lsh for a window
+    slot on alternate rounds."""
     from scratchdata_spark.operators.similarity import portable_plane_weights
 
     e = load(spark, sf_dir)["embeddings"]
-    n = e.count()  # parquet-footer metadata read, dispatch hint only
+    n = e.count()  # parquet-footer metadata read
     return near_dup_pairs(
         e, dim=64, threshold=0.4, n_planes=6, max_bucket_size=None,
-        corpus_size=n, plane_weights=portable_plane_weights(64, 6, seed=8),
+        corpus_size=n, small_corpus_rows=0x7FFFFFFF,
+        plane_weights=portable_plane_weights(64, 6, seed=8),
     )
 
 
@@ -2542,9 +2557,9 @@ def x_multimodal_codec_mp4(spark, sf_dir):
            CAST(8000 AS INT) AS sample_rate,
            CAST(100 AS INT) AS duration_ms,
            CAST(0.5 AS DOUBLE) AS rms,
-           CAST((250 << (doc_id % 4)) / 5 - 1 AS DOUBLE) / 799
+           CAST((250 << (doc_id % 3)) / 5 - 1 AS DOUBLE) / 799
              AS zero_crossing_rate,
-           CAST(250 << (doc_id % 4) AS DOUBLE) AS dominant_freq_hz,
+           CAST(250 << (doc_id % 3) AS DOUBLE) AS dominant_freq_hz,
            TRUE AS features_ok
     FROM documents WHERE doc_id < 200
     """,
@@ -2554,7 +2569,7 @@ def x_audio_features(spark, sf_dir):
     — extract_audio_features was the one substantial operator family
     with pytest-only evidence).  Each row synthesizes a full-scale/2
     SQUARE-wave WAV (±16384 int16 → the mono mix is exactly ±0.5, so
-    rms is float-EXACT 0.5) at 250·2^(doc_id%4) Hz, 8 kHz, 800 frames,
+    rms is float-EXACT 0.5) at 250·2^(doc_id%3) Hz, 8 kHz, 800 frames,
     mono/stereo alternating (stereo = two identical channels, so the
     mixdown path is exercised without changing any feature value),
     then runs the REAL operator (stdlib wave decode + one vectorized
@@ -2563,9 +2578,15 @@ def x_audio_features(spark, sf_dir):
     (dominant_freq_hz = f exactly), the zero-crossing count is
     f/5 − 1 sign flips over 799 comparisons (raw int/int IEEE
     division — bit-identical in DuckDB), and duration_ms rounds to an
-    integer.  The odd-harmonic spectral centroid (> f for a square
-    wave) folds into features_ok rather than hashing a float sum
-    whose accumulation order differs across engines."""
+    integer.  The odd-harmonic spectral centroid folds into
+    features_ok rather than hashing a float sum whose accumulation
+    order differs across engines — and the frequency set stops at
+    1000 Hz because at f = fs/4 (2000 Hz) every odd harmonic aliases
+    exactly onto the fundamental bin, making centroid == f a
+    mathematical EQUALITY that only FFT rounding noise breaks
+    (reviewer catch); at 250/500/1000 Hz aliased harmonics land on
+    other bins (or reinforce the fundamental), so the strict
+    inequality is structural."""
     import numpy as np
     import pandas as pd
 
@@ -2586,7 +2607,7 @@ def x_audio_features(spark, sf_dir):
             for did in pdf["doc_id"]:
                 did = int(did)
                 ch = did % 2 + 1
-                half = 4000 // (250 << (did % 4))  # samples per half-period
+                half = 4000 // (250 << (did % 3))  # samples per half-period
                 sgn = 1 - 2 * ((np.arange(800) // half) % 2)
                 mono = (16384 * sgn).astype("<i2")
                 frames = np.repeat(mono, ch).astype("<i2").tobytes()

@@ -241,18 +241,7 @@ def test_clickhouse_sized_decimal_shorthands():
 _CH_URL = __import__("os").environ.get("SCRATCHDATA_CLICKHOUSE_URL")
 
 
-@pytest.mark.skipif(
-    not _CH_URL,
-    reason=(
-        "real-ClickHouse e2e: set SCRATCHDATA_CLICKHOUSE_URL (e.g."
-        " jdbc:clickhouse://localhost:8123/default) and put the"
-        " ClickHouse JDBC jar on the session classpath via"
-        " SPARK_GRAFT_EXTRA_JARS before the first Spark test runs —"
-        " mirrors the reference's only end-to-end test"
-        " (clickhouse/clickhouse_test.go:15-103)"
-    ),
-)
-def _live_jdbc_roundtrip(spark, tmp_path, dest, quote: str):
+def _live_jdbc_roundtrip(tmp_path, dest, quote: str):
     """Shared body of the live-backend e2e gates: insert-NDJSON →
     auto-columns → schema evolution → query-JSON, then drop."""
     import io
@@ -329,9 +318,20 @@ def test_postgres_live_roundtrip(spark, tmp_path):
         user=os.environ.get("SCRATCHDATA_POSTGRES_USER", "postgres"),
         password=os.environ.get("SCRATCHDATA_POSTGRES_PASSWORD", ""),
     )
-    _live_jdbc_roundtrip(spark, tmp_path, d, quote='"')
+    _live_jdbc_roundtrip(tmp_path, d, quote='"')
 
 
+@pytest.mark.skipif(
+    not _CH_URL,
+    reason=(
+        "real-ClickHouse e2e: set SCRATCHDATA_CLICKHOUSE_URL (e.g."
+        " jdbc:clickhouse://localhost:8123/default) and put the"
+        " ClickHouse JDBC jar on the session classpath via"
+        " SPARK_GRAFT_EXTRA_JARS before the first Spark test runs —"
+        " mirrors the reference's only end-to-end test"
+        " (clickhouse/clickhouse_test.go:15-103)"
+    ),
+)
 def test_clickhouse_live_roundtrip(spark, tmp_path):
     """Insert-NDJSON → auto-columns → query-JSON against a REAL
     ClickHouse over the production JDBC path (no fakes): the same
@@ -360,4 +360,4 @@ def test_clickhouse_live_roundtrip(spark, tmp_path):
         user=os.environ.get("SCRATCHDATA_CLICKHOUSE_USER", "default"),
         password=os.environ.get("SCRATCHDATA_CLICKHOUSE_PASSWORD", ""),
     )
-    _live_jdbc_roundtrip(spark, tmp_path, d, quote="`")
+    _live_jdbc_roundtrip(tmp_path, d, quote="`")

@@ -68,8 +68,13 @@ def main() -> None:
     import tempfile
 
     stage_root = tempfile.mkdtemp(prefix="sd_crossover_")
+    from scratchdata_spark.inventory import load
+
+    # actual base rows, not a guessed-by-path constant: a wrong base
+    # silently measures off-target sizes and the crossover never gets
+    # sampled (reviewer catch)
+    base = load(spark, sf_dir)["embeddings"].count()
     for target in SIZES:
-        base = 2000 if "0.1" in sf_dir else 500
         replicas = max(1, round(target / base))
         scaled, n = scaled_embeddings(spark, sf_dir, replicas)
         # stage to parquet and read back: the tiers must see the SAME

@@ -47,16 +47,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # next round's mandatory cohort (d) shrinks below 49.
 #
 # r8 ledger: (a) flagship; (b) none — every entry has a driver row;
-# (c) = 3 new this round, inside the ≤4 cap (x_multimodal_codec_mp4,
-# x_dedup_embedding_oracle, x_audio_features — registry 142 → 145);
-# (d) = the r5-era mandatory cohort: 43 entries whose newest row is
-# r5, minus 2 PAIR-CREDITS — x_dedup_exact_rows skips (its pair
-# x_dedup_exact ran r7) and x_dedup_minhash_lsh skips (its portable
-# oracle twin x_dedup_minhash_oracle ran r7); x_dedup_incremental and
+# (c) = 4 new this round, exactly the cap (x_multimodal_codec_mp4,
+# x_multimodal_codec_webm, x_dedup_embedding_oracle, x_audio_features
+# — registry 142 → 146); (d) = the r5-era mandatory cohort: 43
+# entries whose newest row is r5, minus 2 PAIR-CREDITS —
+# x_dedup_exact_rows skips (its pair x_dedup_exact ran r7) and
+# x_dedup_minhash_lsh skips (its portable oracle twin
+# x_dedup_minhash_oracle ran r7); x_dedup_incremental and
 # x_semantic_kmeans RUN (it is their side of the pair's alternation)
-# — so 41 entries, all mandatory; (e) = 5 r6-era fill, streaming
+# — so 41 entries, all mandatory; (e) = 4 r6-era fill, streaming
 # first (the heaviest semantics in r9's cohort).
-# Total: 1 + 3 + 41 + 5 = 50 exactly.
+# Total: 1 + 4 + 41 + 4 = 50 exactly.
 #
 # SLOT CONSOLIDATION (VERDICT r7 #2, before the r9 capacity wall):
 # two pairs added this round — q_tablesample now PAIRS
@@ -67,14 +68,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # incremental/incremental_exact, kmeans/semantic_dedup,
 # minhash_lsh/minhash_oracle, embedding_lsh/embedding_oracle,
 # tablesample/sample_deterministic.  Effective 3-round slot demand =
-# 145 − 6 shared = 139 vs 49×3 = 147 capacity → margin 8 ≈ two full
+# 146 − 6 shared = 140 vs 49×3 = 147 capacity → margin 7 ≈ two full
 # rounds of ≤4 net adds (VERDICT r7 #2's "≥1 round" bar met).
-# r9's mandatory cohort: 49 r6-era entries − 5 filled here −
-# q_tablesample (pair-credit) = 43, + flagship = 44 → 6 free slots.
+# r9's mandatory cohort: 49 r6-era entries − 4 filled here −
+# q_tablesample (pair-credit) = 44, + flagship = 45 → 5 free slots.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (c) new this round (≤4 cap: 3 used) ---
+    # --- (c) new this round (≤4 cap, exactly met) ---
     "x_multimodal_codec_mp4",  # ISO-BMFF box-walk probe
+    "x_multimodal_codec_webm",  # Matroska/EBML element-walk probe
     "x_dedup_embedding_oracle",  # portable ±1-plane oracle twin
     "x_audio_features",  # WAV features, engine-exact values
     # --- (d) staleness cohort (newest row r5) — 41 entries, all ---
@@ -119,17 +121,17 @@ _PRIORITY = [
     "x_range_join_bucketed",
     "x_semantic_kmeans",  # pair-turn (x_semantic_dedup ran r7)
     "x_multimodal_codec_real",
-    # --- (e) r6-era fill — 5 slots, streaming first (shrinks r9's
-    # mandatory cohort from 49 to 43 with the q_tablesample credit) ---
+    # --- (e) r6-era fill — 4 slots, streaming first (shrinks r9's
+    # mandatory cohort from 49 to 44 with the q_tablesample credit) ---
     "s_stream_sliding_2h_1h",
     "s_stream_session_windows",
     "s_stream_stateful_user_totals",
     "s_stream_dedup",
-    "s_stream_stream_join",
     # --- past the ~50 edge: r9's mandatory cohort (remaining r6-era
     # entries, semantics-heavy first), so a driver that reads deeper
     # than 50 still refreshes the stalest first.  PAIR-SKIPPED at r8:
     # x_dedup_exact_rows, x_dedup_minhash_lsh (listed last). ---
+    "s_stream_stream_join",
     "s_rollup_continuous_hourly",
     "q_nested_flatten_horizontal",
     "q_nested_flatten_vertical",

@@ -2550,6 +2550,79 @@ def x_multimodal_codec_mp4(spark, sf_dir):
 
 
 @q(
+    "x_multimodal_codec_webm",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 20 + 16 AS INT) AS width,
+           CAST(doc_id % 12 + 10 AS INT) AS height,
+           CAST(doc_id % 6 + 1 AS INT) AS n_frames,
+           CAST((doc_id % 6 + 1) * 100 AS BIGINT) AS duration_ms,
+           TRUE AS probe_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def x_multimodal_codec_webm(spark, sf_dir):
+    """WebM/Matroska (EBML) container PROBE under the hash gate
+    (operators/webm_codec.py — RFC 8794 VINT walk: Tracks/Video dims,
+    Info timescale+duration, per-cluster block counting with lacing;
+    completes the MP4/WebM metadata seam from VERDICT r7 #3).  Each
+    row synthesizes a structurally-valid WebM shell (real EBML
+    layout, opaque SimpleBlock payloads — the probe never reads the
+    bitstream) at doc_id-derived dims and frame count @10 fps, probes
+    it, and cross-checks webm_info against the encode parameters.
+    Frame DECODE stays env-gated (VP8/VP9/AV1 entropy work is out of
+    sandbox scope) — like the MP4 twin, this gates the metadata path
+    real pipelines run at 100 TB scale."""
+    import pandas as pd
+
+    from scratchdata_spark.operators import webm_codec as W
+
+    ids = (
+        load(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "duration_ms": [], "probe_ok": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 20 + 16, did % 12 + 10, did % 6 + 1
+                enc = W.encode_webm_shell(w, h, nf, fps=10)
+                pw, ph, pnf = W.probe_webm(enc)
+                info = W.webm_info(enc)
+                ok = (
+                    (pw, ph, pnf) == (w, h, nf)
+                    and info["doctype"] == "webm"
+                    and info["codec"] == "V_VP9"
+                    and info["duration_ms"] == nf * 100
+                )
+                rows["doc_id"].append(did)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_frames"].append(pnf)
+                rows["duration_ms"].append(info["duration_ms"])
+                rows["probe_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    import pyspark.sql.types as T_
+
+    schema = T_.StructType([
+        T_.StructField("doc_id", T_.LongType()),
+        T_.StructField("width", T_.IntegerType()),
+        T_.StructField("height", T_.IntegerType()),
+        T_.StructField("n_frames", T_.IntegerType()),
+        T_.StructField("duration_ms", T_.LongType()),
+        T_.StructField("probe_ok", T_.BooleanType()),
+    ])
+    return ids.mapInPandas(run, schema)
+
+
+@q(
     "x_audio_features",
     """
     SELECT doc_id,

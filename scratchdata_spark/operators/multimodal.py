@@ -115,17 +115,21 @@ def decode_image(
         # height=sample rate, n_frames=PCM frame count
         ch, rate, frames = png_codec.wav_info(b)
         return (ch, rate, frames)
-    from scratchdata_spark.operators import mp4_codec
+    from scratchdata_spark.operators import mp4_codec, webm_codec
 
     if mp4_codec.sniff_mp4(b):
         # ISO-BMFF: box-walk probe (moov/trak sample tables) — real
         # dims/frame-count metadata with zero entropy work; FRAME
         # decode still refuses below (H.264/VP9 need ffmpeg)
         return mp4_codec.probe_mp4(b)
+    if webm_codec.sniff_webm(b):
+        # Matroska/WebM: EBML element-walk probe (Tracks + block
+        # counting) — same metadata-only contract as the MP4 path
+        return webm_codec.probe_webm(b)
     raise NotImplementedError(
         "only PNG/PPM/JPEG/GIF/MJPEG-AVI/WAV decode in this container;"
-        " MP4 probes metadata only and WebM (H.264/VP9 entropy codecs)"
-        " needs ffmpeg"
+        " MP4/WebM probe metadata only (H.264/VP9 entropy decode needs"
+        " ffmpeg)"
     )
 
 
@@ -265,15 +269,19 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
                         png_codec,
                     )
 
-                    from scratchdata_spark.operators import mp4_codec
+                    from scratchdata_spark.operators import (
+                        mp4_codec,
+                        webm_codec,
+                    )
 
-                    if mp4_codec.sniff_mp4(b):
+                    if mp4_codec.sniff_mp4(b) or webm_codec.sniff_webm(b):
                         # metadata probes fine (decode_image), but
                         # FRAMES need the H.264/VP9 entropy decode —
                         # refuse loudly rather than slice opaque bytes
                         raise NotImplementedError(
-                            "MP4 frame decode needs ffmpeg; only the"
-                            " box-walk probe is available in-sandbox"
+                            "MP4/WebM frame decode needs ffmpeg; only"
+                            " the container probe is available"
+                            " in-sandbox"
                         )
                     decoder = None
                     if gif_codec.sniff_gif(b):

@@ -674,3 +674,26 @@ def test_remove_duplicate_spans_text_stays_out_of_key_shuffles(spark, sf_dir):
         "hashpartitioning(__id" in seg and "REPARTITION_BY_NUM" in seg
         for seg in exchanges
     ), p
+
+
+def test_container_probe_entries_are_map_only(spark, sf_dir):
+    """The r8 codec/audio gate entries (MP4/WebM probes, WAV
+    features) must be exchange-free: one pruned parquet scan of
+    doc_id feeding mapInPandas — per-row container arithmetic never
+    justifies a shuffle, and the doc_id filter must reach the scan."""
+    import scratchdata_spark.inventory_extras  # noqa: F401 (registers)
+    from scratchdata_spark.inventory import REGISTRY
+
+    for name in (
+        "x_multimodal_codec_mp4",
+        "x_multimodal_codec_webm",
+        "x_audio_features",
+    ):
+        fn, _ = REGISTRY[name]
+        p = plan(fn(spark, sf_dir))
+        assert "Exchange" not in p, (name, p)
+        assert "MapInPandas" in p, name
+        assert "LessThan(doc_id,200)" in p, (name, p)
+        # column pruning: the scan reads only doc_id, never text/bytes
+        read_schema = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+        assert "text" not in read_schema, (name, read_schema)

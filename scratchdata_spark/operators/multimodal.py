@@ -115,6 +115,15 @@ def decode_image(
         # height=sample rate, n_frames=PCM frame count
         ch, rate, frames = png_codec.wav_info(b)
         return (ch, rate, frames)
+    from scratchdata_spark.operators import audio_containers
+
+    if audio_containers.sniff_flac(b):
+        # compressed-audio containers share the WAV mapping; the
+        # STREAMINFO block carries everything, no rice decode
+        return audio_containers.probe_flac(b)
+    if audio_containers.sniff_ogg(b):
+        # Opus/Vorbis: id-header packet + last-page granule position
+        return audio_containers.probe_ogg(b)
     from scratchdata_spark.operators import mp4_codec, webm_codec
 
     if mp4_codec.sniff_mp4(b):

@@ -1,0 +1,250 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the file format crawl
+corpora actually arrive in (Common Crawl et al.), parsed Spark-first
+into the ``documents``-shaped rows the rest of this repo's pipeline
+operators consume.
+
+The reference engine ingests NDJSON/CSV only (SURVEY.md §2 — this
+source is beyond-parity); the format here is the public ISO 28500 /
+WARC 1.0/1.1 layout:
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Record-ID: <urn:uuid:...>\\r\\n
+    WARC-Target-URI: https://...\\r\\n
+    WARC-Date: 2026-01-01T00:00:00Z\\r\\n
+    Content-Type: application/http; msgtype=response\\r\\n
+    Content-Length: N\\r\\n
+    \\r\\n
+    <N-byte block>\\r\\n\\r\\n        (records concatenate; .warc.gz
+                                      is one gzip member per record —
+                                      stdlib gzip reads multi-member
+                                      streams transparently)
+
+Scale shape (the standard Common-Crawl-on-Spark contract): WARC is
+not splittable mid-record, so the unit of parallelism is the FILE —
+``spark.read.format("binaryFile")`` gives one row per file and the
+record parsing runs inside ``mapInPandas``, one archive resident per
+core at a time.  Real crawl archives are ~1 GB each; thousands of
+files spread across executors, no shuffle anywhere — the output is
+immediately consumable by exact/near dedup, langid, quality scoring
+and the recipe runner.
+
+HTML→text here is a deliberately simple regex pass (drop
+script/style/tags, unescape entities, collapse whitespace) — the
+real-pipeline seam where trafilatura/bs4 would plug in; the parsing,
+schema, and distribution plumbing around it are production-shaped.
+"""
+
+from __future__ import annotations
+
+import gzip
+import html as _html
+import io
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CRLF = b"\r\n"
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    """Transparently inflate .warc.gz payloads (multi-member: stdlib
+    gzip concatenates members, which is exactly the per-record-member
+    layout crawl writers emit)."""
+    if data[:2] == b"\x1f\x8b":
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            return gz.read()
+    return data
+
+
+def iter_warc_records(data: bytes):
+    """Yield one dict per WARC record: the named headers this
+    pipeline keys on, every raw header in ``headers``, and the exact
+    ``Content-Length``-delimited block.  Raises on structural damage
+    (bad version line, missing/oversized Content-Length) rather than
+    silently resyncing — a corrupt archive should fail its file task
+    loudly, not contribute half-parsed documents."""
+    data = _maybe_gunzip(bytes(data))
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record padding newlines
+        while pos < n and data[pos : pos + 2] in (_CRLF, b"\n"):
+            pos += 2 if data[pos : pos + 2] == _CRLF else 1
+        if pos >= n:
+            return
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("warc: truncated record header")
+        head = data[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"warc: bad version line {lines[0]!r}")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("warc: missing/invalid Content-Length")
+        block_start = head_end + 4
+        block_end = block_start + length
+        if block_end > n:
+            raise ValueError("warc: truncated record block")
+        yield {
+            "warc_type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "content_type": headers.get("content-type", ""),
+            "headers": headers,
+            "block": data[block_start:block_end],
+        }
+        pos = block_end
+
+
+def parse_http_response(block: bytes):
+    """Split an ``application/http; msgtype=response`` block into
+    (status_code, header dict, body bytes).  A block without an HTTP
+    status line (some writers store raw payloads) returns
+    (None, {}, block)."""
+    if not block.startswith(b"HTTP/"):
+        return None, {}, block
+    head_end = block.find(_CRLF + _CRLF)
+    if head_end < 0:
+        return None, {}, block
+    lines = block[:head_end].decode("latin-1").split("\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, block
+    headers = {}
+    for line in lines[1:]:
+        k, sep, v = line.partition(":")
+        if sep:
+            headers[k.strip().lower()] = v.strip()
+    return status, headers, block[head_end + 4 :]
+
+
+_TAG_DROP = re.compile(
+    rb"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_TAGS = re.compile(rb"<[^>]+>")
+_WS = re.compile(r"\s+")
+
+
+def html_to_text(body: bytes) -> str:
+    """Regex HTML→text: drop script/style subtrees, strip tags,
+    unescape entities, collapse whitespace.  The quality is
+    deliberately baseline (the trafilatura seam); determinism and
+    byte-safety are the contract."""
+    body = _TAG_DROP.sub(b" ", body)
+    body = _TAGS.sub(b" ", body)
+    text = body.decode("utf-8", "replace")
+    return _WS.sub(" ", _html.unescape(text)).strip()
+
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType()),
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    extract_text: bool = True,
+) -> DataFrame:
+    """Read WARC archives at ``path`` (glob ok; .warc and .warc.gz)
+    into one row per record of ``record_types``.
+
+    Distribution contract: one file = one task (binaryFile source —
+    WARC is unsplittable mid-record), parsing inside mapInPandas so
+    at most one inflated archive sits in memory per core; the text
+    extraction happens in the same pass, so raw HTML never crosses a
+    shuffle.  Downstream dedup/quality/langid operators consume the
+    output directly."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {f.name: [] for f in WARC_SCHEMA.fields}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    if rec["warc_type"] not in record_types:
+                        continue
+                    status, hh, body = parse_http_response(rec["block"])
+                    rows["warc_file"].append(fpath)
+                    rows["record_id"].append(rec["record_id"])
+                    rows["warc_type"].append(rec["warc_type"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["warc_date"].append(rec["warc_date"])
+                    rows["http_status"].append(status)
+                    rows["http_content_type"].append(
+                        hh.get("content-type")
+                    )
+                    rows["byte_len"].append(len(body))
+                    rows["payload"].append(body)
+                    rows["text"].append(
+                        html_to_text(body) if extract_text else None
+                    )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(run, WARC_SCHEMA)
+
+
+def encode_warc_record(
+    warc_type: str,
+    block: bytes,
+    target_uri: str = "",
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+    date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """One spec-correct WARC 1.0 record (test-vector generator)."""
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: " + record_id.encode(),
+        b"WARC-Date: " + date.encode(),
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(block)).encode(),
+    ]
+    if target_uri:
+        head.insert(3, b"WARC-Target-URI: " + target_uri.encode())
+    return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
+def encode_http_response(
+    body: bytes, status: int = 200, content_type: str = "text/html"
+) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )

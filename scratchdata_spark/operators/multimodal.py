@@ -110,20 +110,27 @@ def decode_image(
         # the video CONTAINER: RIFF chunk-walk probe (avih header),
         # no JPEG entropy work — real n_frames for the frame sampler
         return avi_codec.probe_avi(b)
+    # audio mapping into the media-meta columns: width=channels,
+    # height=sample rate, n_frames=PCM frame count.  Sample counts
+    # SATURATE at INT32_MAX: FLAC's field is 36 bits and Ogg granules
+    # are 64, but META_SCHEMA's n_frames is int32 — without the clamp
+    # a >13.5 h capture would silently WRAP through the Arrow cast
+    # (convertToArrowArraySafely is off by default; reviewer catch)
+    _sat = 2**31 - 1
     if png_codec.sniff_wav(b):
-        # audio mapping into the media-meta columns: width=channels,
-        # height=sample rate, n_frames=PCM frame count
         ch, rate, frames = png_codec.wav_info(b)
-        return (ch, rate, frames)
+        return (ch, rate, min(frames, _sat))
     from scratchdata_spark.operators import audio_containers
 
     if audio_containers.sniff_flac(b):
         # compressed-audio containers share the WAV mapping; the
         # STREAMINFO block carries everything, no rice decode
-        return audio_containers.probe_flac(b)
+        ch, rate, frames = audio_containers.probe_flac(b)
+        return (ch, rate, min(frames, _sat))
     if audio_containers.sniff_ogg(b):
         # Opus/Vorbis: id-header packet + last-page granule position
-        return audio_containers.probe_ogg(b)
+        ch, rate, frames = audio_containers.probe_ogg(b)
+        return (ch, rate, min(frames, _sat))
     from scratchdata_spark.operators import mp4_codec, webm_codec
 
     if mp4_codec.sniff_mp4(b):

@@ -76,9 +76,14 @@ def iter_warc_records(data: bytes):
     pos = 0
     n = len(data)
     while pos < n:
-        # tolerate inter-record padding newlines
-        while pos < n and data[pos : pos + 2] in (_CRLF, b"\n"):
-            pos += 2 if data[pos : pos + 2] == _CRLF else 1
+        # tolerate inter-record padding newlines (CRLF or bare LF)
+        while pos < n:
+            if data[pos : pos + 2] == _CRLF:
+                pos += 2
+            elif data[pos : pos + 1] == b"\n":
+                pos += 1
+            else:
+                break
         if pos >= n:
             return
         head_end = data.find(_CRLF + _CRLF, pos)
@@ -97,6 +102,10 @@ def iter_warc_records(data: bytes):
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             raise ValueError("warc: missing/invalid Content-Length")
+        if length < 0:
+            # a negative length would walk pos BACKWARDS and loop the
+            # generator forever on the same record (reviewer catch)
+            raise ValueError("warc: negative Content-Length")
         block_start = head_end + 4
         block_end = block_start + length
         if block_end > n:
@@ -113,11 +122,40 @@ def iter_warc_records(data: bytes):
         pos = block_end
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing: <hex size>\\r\\n<chunk>
+    \\r\\n ... 0\\r\\n[trailers]\\r\\n.  Malformed framing raises (the
+    caller degrades to the raw body rather than scoring frame noise
+    as document text)."""
+    out = []
+    pos = 0
+    while True:
+        line_end = body.find(_CRLF, pos)
+        if line_end < 0:
+            raise ValueError("http: truncated chunk-size line")
+        size_token = body[pos:line_end].split(b";", 1)[0].strip()
+        size = int(size_token, 16)
+        if size == 0:
+            return b"".join(out)
+        start = line_end + 2
+        if start + size > len(body):
+            raise ValueError("http: truncated chunk")
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+
+
 def parse_http_response(block: bytes):
     """Split an ``application/http; msgtype=response`` block into
     (status_code, header dict, body bytes).  A block without an HTTP
     status line (some writers store raw payloads) returns
-    (None, {}, block)."""
+    (None, {}, block).
+
+    Transfer-Encoding: chunked is de-framed and Content-Encoding:
+    gzip/deflate inflated — both are routine in real crawl captures,
+    and skipping them would feed hex chunk-size lines or compressed
+    bytes to the text extractor as 'document text' (reviewer catch).
+    Undecodable bodies degrade to the raw bytes instead of failing
+    the archive."""
     if not block.startswith(b"HTTP/"):
         return None, {}, block
     head_end = block.find(_CRLF + _CRLF)
@@ -134,7 +172,29 @@ def parse_http_response(block: bytes):
         k, sep, v = line.partition(":")
         if sep:
             headers[k.strip().lower()] = v.strip()
-    return status, headers, block[head_end + 4 :]
+    body = block[head_end + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            pass  # keep raw framing rather than drop the record
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    elif enc == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:  # raw-deflate servers (no zlib wrapper) are common
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return status, headers, body
 
 
 _TAG_DROP = re.compile(

@@ -67,11 +67,17 @@ def sniff_webm(data: bytes) -> bool:
     return data[:4] == b"\x1a\x45\xdf\xa3"
 
 
-def _vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+def _vint(
+    data: bytes, pos: int, keep_marker: bool, allow_unknown: bool = True
+) -> tuple[int, int]:
     """Parse one VINT at ``pos`` → (value, next_pos).  Element IDs
     keep the length-marker bit (they are compared with it, per RFC
-    8794); sizes strip it.  An all-ones size VINT means 'unknown'
-    and is returned as -1."""
+    8794); sizes strip it.  An all-ones SIZE VINT means 'unknown'
+    and is returned as -1 — but only when ``allow_unknown``: the
+    all-ones reservation applies to element sizes, NOT to plain
+    VINTs like block track numbers, where 0xFF is simply the legal
+    value 127 (reviewer catch: track 127's frames silently counted
+    as 0)."""
     if pos >= len(data):
         raise ValueError("webm: truncated VINT")
     first = data[pos]
@@ -83,7 +89,11 @@ def _vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     value = first if keep_marker else first & (0xFF >> length)
     for i in range(1, length):
         value = (value << 8) | data[pos + i]
-    if not keep_marker and value == (1 << (7 * length)) - 1:
+    if (
+        not keep_marker
+        and allow_unknown
+        and value == (1 << (7 * length)) - 1
+    ):
         return -1, pos + length  # unknown size (streaming writers)
     return value, pos + length
 
@@ -126,7 +136,7 @@ def _block_frames(data: bytes, body: int, end: int, video_track: int) -> int:
     different track; else 1, or the lace count when lacing is on
     (flags bits 0x06; laced blocks carry ``count-1`` in the next
     byte — Matroska block structure)."""
-    track, p = _vint(data, body, keep_marker=False)
+    track, p = _vint(data, body, keep_marker=False, allow_unknown=False)
     if track != video_track:
         return 0
     p += 2  # 16-bit relative timestamp
@@ -309,16 +319,26 @@ def encode_webm_shell(
         + video,
     )
     tracks = _el(_TRACKS, track)
-    blocks = b"".join(
-        _el(
-            _SIMPLE_BLOCK,
-            _enc_size(1)  # track number 1 as VINT (0x81)
-            + struct.pack(">h", i * (1000 // fps))  # relative ts
-            + b"\x80"  # flags: keyframe, no lacing
-            + p,
+    # block-relative timestamps are SIGNED 16-BIT, so frames are
+    # grouped into clusters small enough that (i - start)·delta stays
+    # under 32767 (reviewer catch: one big cluster crashed past 327
+    # frames at 10 fps); real muxers cluster for the same reason
+    delta = max(1, 1000 // max(1, fps))
+    per_cluster = max(1, 32767 // delta)
+    clusters = b""
+    for start in range(0, n_frames, per_cluster):
+        blocks = b"".join(
+            _el(
+                _SIMPLE_BLOCK,
+                _enc_size(1)  # track number 1 as VINT (0x81)
+                + struct.pack(">h", (i - start) * delta)  # relative ts
+                + b"\x80"  # flags: keyframe, no lacing
+                + frame_payloads[i],
+            )
+            for i in range(start, min(start + per_cluster, n_frames))
         )
-        for i, p in enumerate(frame_payloads)
-    )
-    cluster = _el(_CLUSTER, _el_uint(0xE7, 0) + blocks)  # Timestamp 0
-    segment = _el(_SEGMENT, info + tracks + cluster)
+        clusters += _el(_CLUSTER, _el_uint(0xE7, start * delta) + blocks)
+    if n_frames == 0:
+        clusters = _el(_CLUSTER, _el_uint(0xE7, 0))
+    segment = _el(_SEGMENT, info + tracks + clusters)
     return header + segment

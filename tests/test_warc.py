@@ -101,3 +101,57 @@ def test_warc_read_distributed(spark, tmp_path):
 
     scored = df.select(quality_score(F.col("text")).alias("q")).collect()
     assert all(r.q is not None for r in scored)
+
+
+def test_warc_negative_content_length_refuses():
+    """A negative Content-Length must refuse loudly, never walk pos
+    backwards into an infinite re-yield of the same record."""
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -33\r\n\r\nx"
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        list(W.iter_warc_records(bad))
+
+
+def test_warc_bare_lf_padding_between_records():
+    a = W.encode_warc_record("response", W.encode_http_response(b"<p>a</p>"),
+                             target_uri="u0")
+    b = W.encode_warc_record("response", W.encode_http_response(b"<p>b</p>"),
+                             target_uri="u1")
+    recs = list(W.iter_warc_records(a + b"\n" + b))
+    assert [r["target_uri"] for r in recs] == ["u0", "u1"]
+
+
+def test_warc_chunked_and_gzip_bodies_decode():
+    """Transfer-Encoding: chunked and Content-Encoding: gzip are
+    routine in crawl captures; the HTTP splitter must decode both so
+    the text column never scores frame noise or compressed bytes."""
+    html = b"<html><body>chunky page body</body></html>"
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + hex(16)[2:].encode() + b"\r\n" + html[:16] + b"\r\n"
+        + hex(len(html) - 16)[2:].encode() + b"\r\n" + html[16:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    s, hh, body = W.parse_http_response(chunked)
+    assert s == 200 and body == html
+    gzipped = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+    )
+    s, hh, body = W.parse_http_response(gzipped)
+    assert s == 200 and body == html
+    # deflate, both zlib-wrapped and raw
+    import zlib
+
+    co = zlib.compressobj(wbits=-15)
+    raw = co.compress(html) + co.flush()
+    for payload in (zlib.compress(html), raw):
+        deflated = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + payload
+        )
+        assert W.parse_http_response(deflated)[2] == html
+    # undecodable body degrades to raw bytes, never raises
+    broken = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    )
+    assert W.parse_http_response(broken)[2] == b"not-gzip"

@@ -88,10 +88,10 @@ def test_webm_unknown_size_segment_and_cluster():
     spliced_cluster = (
         two[: c + 4] + b"\x01" + b"\xff" * 7 + cluster_body + second
     )
-    # grow the Segment size by the extra bytes we appended
+    # the Segment must ALSO be unknown-size (its literal size no
+    # longer matches after the splice) — rewrite it the same way
     seg2 = spliced_cluster.find(b"\x18\x53\x80\x67")
-    ssize, sbody = W._vint(spliced_cluster, seg2 + 4, keep_marker=False)
-    grown = len(spliced_cluster) - sbody
+    _, sbody = W._vint(spliced_cluster, seg2 + 4, keep_marker=False)
     enc2 = (
         spliced_cluster[: seg2 + 4]
         + b"\x01" + b"\xff" * 7
@@ -149,3 +149,37 @@ def test_webm_meta_through_multimodal_seam(spark, monkeypatch):
     assert (meta.width, meta.height, meta.n_frames) == (1280, 720, 24)
     with pytest.raises(Exception, match="ffmpeg"):
         sample_frames(df, max_frames=2).collect()
+
+
+def test_webm_track_127_blocks_counted():
+    """Track number 127 is the one-byte all-ones VINT (0xFF) — legal
+    for track numbers (the all-ones reservation applies to SIZES
+    only); its blocks must count, not silently parse as 'unknown'."""
+    enc = W.encode_webm_shell(24, 18, 3)
+    out = bytearray(enc)
+    # rewrite TrackNumber element value 1 -> 127
+    tb, te = _find_element(enc, 0, len(enc), W._TRACK_NUMBER)
+    assert te - tb == 1 and out[tb] == 1
+    out[tb] = 127
+    # rewrite each SimpleBlock's track VINT 0x81 -> 0xFF
+    pos = 0
+    while True:
+        got = _find_element(bytes(out), pos, len(out), W._SIMPLE_BLOCK)
+        if got is None:
+            break
+        body, body_end = got
+        assert out[body] == 0x81
+        out[body] = 0xFF
+        pos = body_end
+    assert W.probe_webm(bytes(out)) == (24, 18, 3)
+
+
+def test_webm_shell_many_frames_multi_cluster():
+    """The shell clusters frames so block-relative timestamps stay
+    within int16 — 400 frames at 10 fps used to crash struct.pack."""
+    enc = W.encode_webm_shell(16, 12, 400, fps=10)
+    assert W.probe_webm(enc) == (16, 12, 400)
+    assert W.webm_info(enc)["duration_ms"] == 40_000
+    # 1 fps: delta 1000 -> at most 32 frames per cluster
+    slow = W.encode_webm_shell(16, 12, 40, fps=1)
+    assert W.probe_webm(slow) == (16, 12, 40)

@@ -231,26 +231,14 @@ WARC_SCHEMA = StructType(
 )
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
+def record_parser(
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
-) -> DataFrame:
-    """Read WARC archives at ``path`` (glob ok; .warc and .warc.gz)
-    into one row per record of ``record_types``.
-
-    Distribution contract: one file = one task (binaryFile source —
-    WARC is unsplittable mid-record), parsing inside mapInPandas so
-    at most one inflated archive sits in memory per core; the text
-    extraction happens in the same pass, so raw HTML never crosses a
-    shuffle.  Downstream dedup/quality/langid operators consume the
-    output directly."""
+):
+    """The mapInPandas function both the batch reader and the
+    streaming ingest share: (path, content) file rows → WARC_SCHEMA
+    record rows, one inflated archive in memory per core."""
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
-    )
 
     def run(batches):
         for pdf in batches:
@@ -276,7 +264,30 @@ def read_warc(
                     )
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(run, WARC_SCHEMA)
+    return run
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    extract_text: bool = True,
+) -> DataFrame:
+    """Read WARC archives at ``path`` (glob ok; .warc and .warc.gz)
+    into one row per record of ``record_types``.
+
+    Distribution contract: one file = one task (binaryFile source —
+    WARC is unsplittable mid-record), parsing inside mapInPandas so
+    at most one inflated archive sits in memory per core; the text
+    extraction happens in the same pass, so raw HTML never crosses a
+    shuffle.  Downstream dedup/quality/langid operators consume the
+    output directly."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    return files.mapInPandas(
+        record_parser(record_types, extract_text), WARC_SCHEMA
+    )
 
 
 def encode_warc_record(

@@ -85,3 +85,64 @@ def start_table_ingest_stream(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def start_warc_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    max_files_per_trigger: int = 20,
+    record_types: tuple[str, ...] = ("response",),
+    extract_text: bool = True,
+):
+    """Continuous crawl ingestion: WARC archives dropped into
+    ``source_dir`` stream through the same record parser
+    ``operators.warc.read_warc`` uses (one archive = one task,
+    parse + HTML→text in a single mapInPandas pass) and land as
+    documents-shaped parquet under ``out_dir``.
+
+    foreachBatch is at-least-once, so each micro-batch OVERWRITES a
+    deterministic ``batch_id=N`` partition subdir — a batch replayed
+    after a mid-commit crash rewrites the same files instead of
+    double-appending (the streaming/semantic.py sink pattern);
+    readers get ``batch_id`` via partition discovery on ``out_dir``.
+    The file-source checkpoint tracks consumed archives, so a
+    restarted stream never re-parses completed ones.  At crawl scale
+    ``maxFilesPerTrigger`` bounds per-batch memory to that many
+    inflated archives across the executors."""
+    import os as _os
+
+    from scratchdata_spark.operators.warc import WARC_SCHEMA, record_parser
+
+    _os.makedirs(source_dir, exist_ok=True)
+    # a streaming source needs an explicit schema; binaryFile's is
+    # fixed by the format (path, modificationTime, length, content)
+    binary_schema = (
+        "path string, modificationTime timestamp,"
+        " length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc*")
+        .load(source_dir)
+        .select("path", "content")
+    )
+    parse = record_parser(record_types, extract_text)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        rows = batch_df.mapInPandas(parse, WARC_SCHEMA)
+        rows.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    trigger = trigger or {"availableNow": True}
+    return (
+        files.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trigger)
+        .start()
+    )

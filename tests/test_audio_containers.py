@@ -104,3 +104,20 @@ def test_audio_containers_through_multimodal_seam(spark, monkeypatch):
     out = {r.doc_id: r for r in extract_media_meta(df).collect()}
     assert (out[1].width, out[1].height, out[1].n_frames) == (2, 44100, 88200)
     assert (out[2].width, out[2].height, out[2].n_frames) == (1, 48000, 9600)
+
+
+def test_audio_sample_counts_saturate_in_media_meta():
+    """FLAC's 36-bit (and Ogg's 64-bit) sample counts exceed
+    META_SCHEMA's int32 n_frames; decode_image saturates at INT32_MAX
+    instead of letting the Arrow cast silently wrap (>13.5 h
+    captures)."""
+    from scratchdata_spark.operators.multimodal import decode_image
+
+    big = A.encode_flac_shell(2, 48000, 1 << 33)
+    assert decode_image(big, "audio/flac", fake=False) == (
+        2, 48000, 2**31 - 1,
+    )
+    ogg = A.encode_ogg_shell(1, 48000, 1 << 33, codec="opus")
+    assert decode_image(ogg, "audio/ogg", fake=False) == (
+        1, 48000, 2**31 - 1,
+    )

@@ -155,3 +155,41 @@ def test_warc_chunked_and_gzip_bodies_decode():
         b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
     )
     assert W.parse_http_response(broken)[2] == b"not-gzip"
+
+
+def test_warc_streaming_ingest(spark, tmp_path):
+    """Streaming crawl ingestion: archives land as batch_id=N parquet
+    partitions (idempotent overwrite per batch), a restarted stream
+    only consumes NEW archives, and the output schema matches the
+    batch reader's."""
+    from scratchdata_spark.streaming.ingest import start_warc_ingest_stream
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    (src / "a.warc").write_bytes(_archive(2))
+    q = start_warc_ingest_stream(
+        spark, str(src), str(out), str(ckpt),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+    assert "batch_id" in got.columns
+    # second stream run with one NEW archive: checkpoint skips a.warc
+    (src / "b.warc.gz").write_bytes(
+        __import__("gzip").compress(_archive(3))
+    )
+    q2 = start_warc_ingest_stream(
+        spark, str(src), str(out), str(ckpt),
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(str(out))
+    assert got2.count() == 5
+    assert got2.select("batch_id").distinct().count() >= 2
+    uris = {r.target_uri for r in got2.collect()}
+    assert uris == {f"https://example.com/{i}" for i in range(3)} | {
+        "https://example.com/0", "https://example.com/1",
+    }

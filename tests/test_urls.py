@@ -1,0 +1,97 @@
+"""URL operators (operators/urls.py): normalization algebra, host /
+registered-domain extraction, URL-level dedup and blocklist filtering
+— all column expressions (plan-gated UDF-free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scratchdata_spark.operators import urls as U
+
+
+def _norm(spark, url, **kw):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(U.normalize_url(F.col("u"), **kw).alias("n")).collect()[0].n
+
+
+def test_normalize_url_collapses_duplicates(spark):
+    variants = [
+        "http://WWW.Example.com/a/?utm_source=x&b=2&a=1#frag",
+        "https://example.com:443/a?a=1&b=2",
+        "https://example.com/a/?b=2&a=1&fbclid=zzz",
+        "http://example.com:80/a",
+    ]
+    # the first three share params a=1&b=2 after tracking strip...
+    got = {_norm(spark, v) for v in variants[:3]}
+    assert got == {"example.com/a?a=1&b=2"}
+    # ...and the bare one differs only by having no query
+    assert _norm(spark, variants[3]) == "example.com/a"
+    # paths stay case-sensitive; empty path becomes /
+    assert _norm(spark, "https://X.com/CaseSensitive") == "x.com/CaseSensitive"
+    assert _norm(spark, "https://x.com?q=1") == "x.com/?q=1"
+    # strip_tracking=False keeps utm params (sorted)
+    kept = _norm(spark, "http://x.com/p?utm_source=s&a=1", strip_tracking=False)
+    assert kept == "x.com/p?a=1&utm_source=s"
+
+
+def test_host_and_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.news.example.co/x",),
+            ("http://localhost:8080/y",),
+            ("https://sub.deep.host.org/z",),
+        ],
+        "u string",
+    )
+    out = df.select(
+        U.url_host(F.col("u")).alias("h"),
+        U.url_registered_domain(F.col("u")).alias("d"),
+    ).collect()
+    assert (out[0].h, out[0].d) == ("news.example.co", "example.co")
+    assert (out[1].h, out[1].d) == ("localhost", "localhost")
+    assert (out[2].h, out[2].d) == ("sub.deep.host.org", "host.org")
+
+
+def test_dedup_by_url_keeps_min_id(spark):
+    rows = [
+        (1, "http://a.com/page?utm_source=x"),
+        (2, "https://WWW.A.com/page"),  # same normalized URL as 1
+        (3, "https://a.com/other"),
+        (4, "https://a.com/page?v=2"),  # query differs: distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    got = sorted(r.doc_id for r in U.dedup_by_url(df).collect())
+    assert got == [1, 3, 4]
+    assert set(U.dedup_by_url(df).columns) == {"doc_id", "target_uri"}
+
+
+def test_filter_blocked_hosts(spark):
+    rows = [
+        (1, "https://www.spam.biz/a"),
+        (2, "https://sub.spam.biz/b"),  # same registered domain
+        (3, "https://fine.org/c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    got = U.filter_blocked_hosts(df, ["spam.biz"]).collect()
+    assert [r.doc_id for r in got] == [3]
+    # DataFrame-shaped blocklist behaves identically
+    bl = spark.createDataFrame([("spam.biz",)], "domain string")
+    got2 = U.filter_blocked_hosts(df, bl).collect()
+    assert [r.doc_id for r in got2] == [3]
+
+
+def test_url_ops_stay_jvm_side(spark):
+    """The whole URL pipeline must survive as column expressions —
+    no Python evaluation nodes anywhere in the plan."""
+    import contextlib
+    import io
+
+    rows = [(1, "https://a.com/x?b=1")] * 3
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    out = U.filter_blocked_hosts(U.dedup_by_url(df), ["b.com"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p

@@ -136,12 +136,18 @@ def decode_image(
     if mp4_codec.sniff_mp4(b):
         # ISO-BMFF: box-walk probe (moov/trak sample tables) — real
         # dims/frame-count metadata with zero entropy work; FRAME
-        # decode still refuses below (H.264/VP9 need ffmpeg)
-        return mp4_codec.probe_mp4(b)
+        # decode still refuses below (H.264/VP9 need ffmpeg).  The
+        # stsz sample_count is a raw uint32 and WebM's PixelWidth/
+        # Height are arbitrary-width EBML uints, so the probe values
+        # saturate at INT32_MAX like the audio counts above — a
+        # crafted header must not wrap through the Arrow cast
+        w, h, nf = mp4_codec.probe_mp4(b)
+        return (min(w, _sat), min(h, _sat), min(nf, _sat))
     if webm_codec.sniff_webm(b):
         # Matroska/WebM: EBML element-walk probe (Tracks + block
         # counting) — same metadata-only contract as the MP4 path
-        return webm_codec.probe_webm(b)
+        w, h, nf = webm_codec.probe_webm(b)
+        return (min(w, _sat), min(h, _sat), min(nf, _sat))
     raise NotImplementedError(
         "only PNG/PPM/JPEG/GIF/MJPEG-AVI/WAV decode in this container;"
         " MP4/WebM probe metadata only (H.264/VP9 entropy decode needs"

@@ -24,11 +24,30 @@ _TRACKING_PARAMS = (
 )
 
 
+def _parse_url_part(col, part: str) -> Column:
+    """``try_parse_url``: under Spark 4 ANSI mode the plain function
+    THROWS [INVALID_URL] on any malformed URL — one junk URI in a
+    crawl corpus would abort the whole job, the opposite of what a
+    URL-hygiene module exists for (reviewer catch).  Malformed URLs
+    yield NULL and flow through the null-passthrough paths below."""
+    return F.try_parse_url(col, F.lit(part))
+
+
 def url_host(col) -> Column:
-    """Lowercased host with any ``www.`` prefix and port dropped."""
-    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    """Lowercased host with any ``www.`` prefix and port dropped;
+    NULL for malformed URLs."""
+    host = F.lower(_parse_url_part(col, "HOST"))
     host = F.regexp_replace(host, r"^www\.", "")
     return F.regexp_replace(host, r":\d+$", "")
+
+
+def _last_two_labels(host: Column) -> Column:
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host)
 
 
 def url_registered_domain(col) -> Column:
@@ -36,12 +55,7 @@ def url_registered_domain(col) -> Column:
     the grouping key source caps/contamination matrices use.  A real
     public-suffix list is a broadcast join away; two labels is the
     deterministic in-tree default."""
-    parts = F.split(url_host(col), r"\.")
-    n = F.size(parts)
-    return F.when(
-        n >= 2,
-        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
-    ).otherwise(url_host(col))
+    return _last_two_labels(url_host(col))
 
 
 def normalize_url(col, strip_tracking: bool = True) -> Column:
@@ -59,12 +73,12 @@ def normalize_url(col, strip_tracking: bool = True) -> Column:
     Pure column algebra over parse_url/regexp — survives codegen, no
     UDF."""
     host = url_host(col)
-    path = F.parse_url(col, F.lit("PATH"))
+    path = _parse_url_part(col, "PATH")
     path = F.when(
         path.isNull() | (path == ""), F.lit("/")
     ).otherwise(F.regexp_replace(path, r"/+$", ""))
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.parse_url(col, F.lit("QUERY"))
+    query = _parse_url_part(col, "QUERY")
     pairs = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),
         lambda kv: kv != "",
@@ -92,8 +106,18 @@ def dedup_by_url(
     mirroring exact_dedup's survivor rule.  One hash-groupBy shuffle
     on the (short) normalized key; document text never moves until
     the final semi-join, which AQE broadcasts when the survivor set
-    is small."""
-    keyed = df.withColumn("__url_key", normalize_url(F.col(url_col)))
+    is small.
+
+    NULL/malformed URLs (try_parse_url → NULL key) pass through
+    UNEXAMINED: grouping them would collapse every URL-less document
+    into one survivor and silently delete the rest (reviewer catch) —
+    the key coalesces to a per-row unique value instead, so each such
+    row is its own group."""
+    key = F.coalesce(
+        normalize_url(F.col(url_col)),
+        F.concat(F.lit("\x00nourl\x00"), F.col(id_col).cast("string")),
+    )
+    keyed = df.withColumn("__url_key", key)
     winners = keyed.groupBy("__url_key").agg(F.min(id_col).alias(id_col))
     return keyed.join(
         winners.select(id_col), id_col, "semi"
@@ -103,22 +127,37 @@ def dedup_by_url(
 def filter_blocked_hosts(
     df: DataFrame, blocked: DataFrame | list[str], url_col: str = "target_uri"
 ) -> DataFrame:
-    """Drop rows whose registered domain appears in ``blocked``
-    (a list or a 1-column DataFrame of domains).  Broadcast anti-join
-    — blocklists are small by nature; at 100 TB the corpus side never
-    shuffles."""
+    """Drop rows whose host equals a ``blocked`` entry or sits under
+    it (``spam.biz`` blocks ``sub.spam.biz``; ``tracker.evil.com``
+    blocks exactly that host and its subdomains, NOT all of
+    evil.com).  Entries are hostname-shaped, the real-world blocklist
+    convention — a pure registered-domain equality would silently
+    no-op on any entry carrying a subdomain (reviewer catch).
+
+    Broadcast anti-join: both sides key on the entry's last two
+    labels (equi-join half), the suffix predicate rides the same join
+    condition — blocklists are small by nature, so at 100 TB the
+    corpus side never shuffles."""
     spark = df.sparkSession
     if not isinstance(blocked, DataFrame):
         blocked = spark.createDataFrame(
-            [(d,) for d in blocked], "__blocked_domain string"
+            [(d,) for d in blocked], "__blocked string"
         )
     else:
-        blocked = blocked.toDF("__blocked_domain")
-    keyed = df.withColumn(
-        "__domain", url_registered_domain(F.col(url_col))
+        blocked = blocked.toDF("__blocked")
+    blocked = blocked.select(
+        F.lower("__blocked").alias("__blocked"),
+        _last_two_labels(F.lower(F.col("__blocked"))).alias("__bkey"),
     )
-    return keyed.join(
-        F.broadcast(blocked),
-        keyed["__domain"] == blocked["__blocked_domain"],
-        "left_anti",
-    ).drop("__domain")
+    keyed = df.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__domain", _last_two_labels(F.col("__host"))
+    )
+    cond = (keyed["__domain"] == blocked["__bkey"]) & (
+        (keyed["__host"] == blocked["__blocked"])
+        | keyed["__host"].endswith(
+            F.concat(F.lit("."), blocked["__blocked"])
+        )
+    )
+    return keyed.join(F.broadcast(blocked), cond, "left_anti").drop(
+        "__host", "__domain"
+    )

@@ -135,6 +135,11 @@ def _dechunk(body: bytes) -> bytes:
             raise ValueError("http: truncated chunk-size line")
         size_token = body[pos:line_end].split(b";", 1)[0].strip()
         size = int(size_token, 16)
+        if size < 0:
+            # int(b"-6", 16) parses; a negative size would walk pos
+            # BACKWARDS and loop forever appending (reviewer catch —
+            # the same failure mode as a negative Content-Length)
+            raise ValueError("http: negative chunk size")
         if size == 0:
             return b"".join(out)
         start = line_end + 2
@@ -180,9 +185,13 @@ def parse_http_response(block: bytes):
             pass  # keep raw framing rather than drop the record
     enc = headers.get("content-encoding", "").lower()
     if enc in ("gzip", "x-gzip"):
+        import zlib
+
         try:
             body = gzip.decompress(body)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # truncated gzip raises EOFError, not OSError — routine
+            # in real captures, must degrade not fail (reviewer catch)
             pass
     elif enc == "deflate":
         import zlib

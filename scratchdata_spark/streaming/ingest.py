@@ -116,7 +116,11 @@ def start_warc_ingest_stream(
 
     from scratchdata_spark.operators.warc import WARC_SCHEMA, record_parser
 
-    _os.makedirs(source_dir, exist_ok=True)
+    if "://" not in source_dir:
+        # convenience for local dirs only — on an object-store URI
+        # (s3a://, hdfs://) a driver-side makedirs would create a
+        # junk LOCAL directory named after the URI (reviewer catch)
+        _os.makedirs(source_dir, exist_ok=True)
     # a streaming source needs an explicit schema; binaryFile's is
     # fixed by the format (path, modificationTime, length, content)
     binary_schema = (

@@ -95,3 +95,43 @@ def test_url_ops_stay_jvm_side(spark):
     p = buf.getvalue()
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_url_ops_tolerate_junk_and_null_urls(spark):
+    """try_parse_url semantics: malformed/NULL URLs must not abort
+    the job (Spark 4 ANSI parse_url throws INVALID_URL), and NULL
+    normalized keys must pass through dedup UNGROUPED — grouping them
+    would delete every URL-less document but one."""
+    rows = [
+        (1, "https://a.com/x"),
+        (2, "not a url"),
+        (3, None),
+        (4, ""),
+        (5, "https://A.com/x/"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    got = sorted(r.doc_id for r in U.dedup_by_url(df).collect())
+    assert got == [1, 2, 3, 4]  # only the real duplicate collapses
+    kept = sorted(
+        r.doc_id
+        for r in U.filter_blocked_hosts(df, ["a.com"]).collect()
+    )
+    assert kept == [2, 3, 4]  # junk rows survive, a.com rows drop
+
+
+def test_filter_blocked_hosts_host_shaped_entries(spark):
+    """Hostname-shaped blocklist entries (the real-world convention)
+    must block that host and its subdomains — and NOT the rest of the
+    registered domain."""
+    rows = [
+        (1, "https://tracker.evil.com/a"),
+        (2, "https://deep.tracker.evil.com/b"),
+        (3, "https://fine.evil.com/c"),
+        (4, "https://evil.com/d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    kept = sorted(
+        r.doc_id
+        for r in U.filter_blocked_hosts(df, ["tracker.evil.com"]).collect()
+    )
+    assert kept == [3, 4]

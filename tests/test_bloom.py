@@ -94,9 +94,20 @@ def test_bloom_prescreened_exact_dups_matches_plain_join(spark):
 
 
 def test_bloom_build_plan_single_shuffle(spark):
-    """The build's only exchange is the byte-index fold (≤ m/8 rows);
-    the screen itself adds no exchange over the input."""
+    """The build's only exchange is the byte-index fold (≤ m/8 rows,
+    asserted on the build's OWN plan — reviewer catch: gating only
+    the screen left the build's shuffle claim untested); the screen
+    itself adds no exchange over the input."""
     corpus = _corpus(spark, 100)
+    m, k = B.bloom_params(100, 0.01)
+    build_plan_df = B._bloom_bytes_df(corpus, "text", m, k, True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # simple mode prints each node once (formatted lists every
+        # node twice: tree + detail section)
+        build_plan_df.explain(mode="simple")
+    bp = buf.getvalue()
+    assert bp.count("Exchange") == 1, bp  # the byte fold, nothing else
     bloom = B.build_bloom(corpus, "text", expected_items=100)
     screened = B.screen_new_against_bloom(corpus, bloom, "text")
     buf = io.StringIO()
@@ -105,3 +116,35 @@ def test_bloom_build_plan_single_shuffle(spark):
     p = buf.getvalue()
     assert "Exchange" not in p, p
     assert "MapInPandas" in p
+
+
+def test_bloom_dict_carries_normalization(spark):
+    """The screen takes its normalization from the bloom dict — a
+    raw-built filter screened as-if-normalized (or vice versa) would
+    silently yield false negatives (wrong dup_exact=False)."""
+    corpus = spark.createDataFrame(
+        [(1, "MiXeD Case   Text")], "doc_id long, text string"
+    )
+    raw = B.build_bloom(corpus, "text", normalized=False)
+    assert raw["normalized"] is False
+    got = B.screen_new_against_bloom(corpus, raw, "text").collect()[0]
+    assert got.maybe_dup  # raw build + raw screen agree
+
+
+def test_bloom_prescreen_duplicate_increment_ids(spark):
+    """Duplicate doc_ids in the increment must not multiply output
+    rows (parity with dedup_against_corpus's exact tier)."""
+    corpus = _corpus(spark, 50)
+    new = spark.createDataFrame(
+        [
+            (5, "doc text number 1 with some words"),
+            (5, "doc text number 2 with some words"),
+            (6, "brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = B.bloom_prescreened_exact_dups(new, corpus).collect()
+    assert len(out) == 3
+    assert sorted((r.doc_id, r.dup_exact) for r in out) == [
+        (5, True), (5, True), (6, False),
+    ]

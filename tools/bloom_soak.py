@@ -80,7 +80,10 @@ def main() -> None:
         doc = json.load(open(path))
     except (OSError, ValueError):
         doc = {}
-    doc["bloom"] = out  # merge, never overwrite sibling blocks
+    # merge at BOTH levels: sibling soak blocks survive, and so do
+    # this block's other replica factors from earlier runs (reviewer
+    # catch — plain assignment dropped a prior 100x entry)
+    doc.setdefault("bloom", {}).update(out)
     json.dump(doc, open(path, "w"), indent=1)
 
 

@@ -245,6 +245,29 @@ def _semantic_dedup(df, p, id_col, text_col):
     return df.join(survivors.select(id_col), id_col, "semi")
 
 
+@_stage("url_dedup")
+def _url_dedup(df, p, id_col, text_col):
+    """One row per normalized URL (urls.dedup_by_url: min-id
+    survivor; NULL/malformed URLs pass through ungrouped) — the
+    crawl-recipe step BEFORE text-level dedup."""
+    from scratchdata_spark.operators.urls import dedup_by_url
+
+    return dedup_by_url(
+        df, url_col=p.get("url_col", "target_uri"), id_col=id_col
+    )
+
+
+@_stage("blocked_hosts")
+def _blocked_hosts(df, p, id_col, text_col):
+    """Drop rows under blocked hostnames (urls.filter_blocked_hosts:
+    entry blocks itself + subdomains, broadcast anti-join)."""
+    from scratchdata_spark.operators.urls import filter_blocked_hosts
+
+    return filter_blocked_hosts(
+        df, list(p["domains"]), url_col=p.get("url_col", "target_uri")
+    )
+
+
 @_stage("global_shuffle")
 def _global_shuffle(df, p, id_col, text_col):
     from scratchdata_spark.operators.pipeline import global_shuffle
@@ -302,6 +325,7 @@ REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "pack": ("group_col",),
     "filter": ("where",),
     "semantic_dedup": ("vec_col",),
+    "blocked_hosts": ("domains",),
 }
 
 

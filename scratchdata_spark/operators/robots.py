@@ -122,14 +122,19 @@ def is_allowed(groups: list[dict], path: str, agent: str = "*") -> bool:
 def rules_from_warc(records: DataFrame) -> DataFrame:
     """(host, robots_txt) rows from a WARC read: keeps 2xx
     ``/robots.txt`` responses, one winner per host (min record_id —
-    deterministic under re-crawls)."""
+    deterministic under re-crawls).
+
+    The rules come from the raw ``payload``, never the ``text``
+    column — the text extractor collapses whitespace, and robots
+    grammar is LINE-oriented (a collapsed file reads as one
+    meaningless user-agent line)."""
     r = records.filter(
         F.col("target_uri").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
         & (F.col("http_status") >= 200)
         & (F.col("http_status") < 300)
     ).select(
         url_host(F.col("target_uri")).alias("host"),
-        F.col("text").alias("robots_txt"),
+        F.col("payload").cast("string").alias("robots_txt"),
         F.col("record_id"),
     )
     w = r.groupBy("host").agg(F.min("record_id").alias("record_id"))

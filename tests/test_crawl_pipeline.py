@@ -1,0 +1,120 @@
+"""End-to-end crawl pipeline: WARC bytes → read_warc → robots
+compliance → URL hygiene (recipe stages) → quality filter → exact
+dedup — every operator in the admission chain composing on real
+parsed records, with the manifest accounting for each stage."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from scratchdata_spark.operators import robots as R
+from scratchdata_spark.operators import warc as W
+from scratchdata_spark.operators.recipe import run_recipe
+
+
+def _page(i: int, good: bool = True) -> bytes:
+    prose = (
+        "substantial readable paragraph text with many common "
+        "words appearing throughout the document body. " * 3
+        if good
+        else "@@@@ ### 0101010101 $$$ !!!! %%% 42 42 42 ^^^^ &&&& " * 4
+    )
+    body = (
+        f"<html><body><h1>Article {i}</h1><p>{prose}</p></body></html>"
+    ).encode()
+    return W.encode_http_response(body)
+
+
+def _crawl_archive() -> bytes:
+    recs = [
+        # robots for a.com: /private/ is off limits
+        W.encode_warc_record(
+            "response",
+            W.encode_http_response(
+                b"User-agent: *\nDisallow: /private/",
+                content_type="text/plain",
+            ),
+            target_uri="https://a.com/robots.txt",
+            record_id="<urn:uuid:r>",
+        ),
+        W.encode_warc_record(
+            "response", _page(1),
+            target_uri="https://a.com/articles/1",
+            record_id="<urn:uuid:1>",
+        ),
+        # same page re-fetched with tracking params: url_dedup folds it
+        W.encode_warc_record(
+            "response", _page(1),
+            target_uri="https://a.com/articles/1?utm_source=feed",
+            record_id="<urn:uuid:1b>",
+        ),
+        # robots-disallowed page
+        W.encode_warc_record(
+            "response", _page(2),
+            target_uri="https://a.com/private/2",
+            record_id="<urn:uuid:2>",
+        ),
+        # blocked host
+        W.encode_warc_record(
+            "response", _page(3),
+            target_uri="https://ads.spam.biz/3",
+            record_id="<urn:uuid:3>",
+        ),
+        # junk-quality page
+        W.encode_warc_record(
+            "response", _page(4, good=False),
+            target_uri="https://a.com/articles/4",
+            record_id="<urn:uuid:4>",
+        ),
+        # exact text duplicate of article 1 on another host
+        W.encode_warc_record(
+            "response", _page(1),
+            target_uri="https://mirror.net/articles/1",
+            record_id="<urn:uuid:5>",
+        ),
+    ]
+    return b"".join(recs)
+
+
+def test_crawl_admission_chain(spark, tmp_path):
+    (tmp_path / "crawl.warc.gz").write_bytes(gzip.compress(_crawl_archive()))
+    records = W.read_warc(spark, str(tmp_path) + "/*").withColumn(
+        "doc_id", F.xxhash64("record_id")
+    )
+    # robots rules come from the SAME crawl
+    rules = R.rules_from_warc(records)
+    assert rules.count() == 1
+    admitted = R.filter_robots_disallowed(
+        records.filter(~F.col("target_uri").endswith("/robots.txt")),
+        rules,
+    )
+    # recipe: URL hygiene → quality → exact text dedup, with manifest
+    got, manifest = run_recipe(
+        admitted,
+        [
+            {"op": "blocked_hosts", "domains": ["spam.biz"]},
+            {"op": "url_dedup"},
+            {"op": "quality_filter", "min_score": 0.3},
+            {"op": "exact_dedup"},
+        ],
+    )
+    uris = sorted(r.target_uri for r in got.collect())
+    # survivors: article 1 once (url variant folded, mirror's exact
+    # text dup dropped by exact_dedup — either host may win the
+    # content-hash election, both carry the same text)
+    assert len(uris) == 1
+    assert uris[0] in (
+        "https://a.com/articles/1",
+        "https://a.com/articles/1?utm_source=feed",
+        "https://mirror.net/articles/1",
+    )
+    ops = [m["op"] for m in manifest]
+    assert ops == ["blocked_hosts", "url_dedup", "quality_filter", "exact_dedup"]
+    assert manifest[0]["rows_in"] == 5  # robots page excluded, private dropped
+    assert manifest[0]["rows_dropped"] == 1  # ads.spam.biz
+    assert manifest[1]["rows_dropped"] == 1  # utm variant of article 1
+    assert manifest[2]["rows_dropped"] == 1  # junk-quality page
+    assert manifest[3]["rows_dropped"] == 1  # mirror.net exact dup
+    assert manifest[3]["rows_out"] == 1

@@ -66,14 +66,14 @@ def test_agent_group_selection():
 def test_rules_from_warc_and_filter(spark):
     robots_rows = [
         (1, "https://a.com/robots.txt", 200, "r1",
-         "User-agent: *\nDisallow: /blocked/"),
-        (2, "https://b.com/robots.txt", 404, "r2", "ignored"),
-        (3, "https://a.com/page", 200, "r3", "not robots"),
+         bytearray(b"User-agent: *\nDisallow: /blocked/")),
+        (2, "https://b.com/robots.txt", 404, "r2", bytearray(b"ignored")),
+        (3, "https://a.com/page", 200, "r3", bytearray(b"not robots")),
     ]
     recs = spark.createDataFrame(
         robots_rows,
         "doc_id long, target_uri string, http_status int,"
-        " record_id string, text string",
+        " record_id string, payload binary",
     )
     rules = R.rules_from_warc(recs)
     got = {r.host: r.robots_txt for r in rules.collect()}

@@ -4,8 +4,8 @@ origin's robots rules disallow for your agent.
 
 The reference has no crawl surface (SURVEY.md §2 — beyond-parity);
 the semantics here are the public REP spec (RFC 9309): group rules by
-user-agent, pick the MOST SPECIFIC matching agent group (longest
-agent-token match, ``*`` as fallback), match paths by the
+user-agent, select by EXACT case-insensitive product-token match
+(``*`` as fallback) MERGING all selected groups, match paths by the
 LONGEST-MATCH rule where ``allow`` wins ties, with ``*`` wildcards
 and ``$`` end anchors inside rule paths.  An empty ``disallow:`` line
 means allow-all (the classic idiom).
@@ -27,9 +27,6 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
-
-from scratchdata_spark.operators.urls import url_host
-
 
 def parse_robots(text: str) -> list[dict]:
     """robots.txt → [{agents: [lowercased tokens], allow: [...],
@@ -78,62 +75,91 @@ def _rule_regex(path: str) -> re.Pattern:
     return re.compile("^" + pattern + ("$" if anchored else ""))
 
 
-def _select_group(groups: list[dict], agent: str) -> dict | None:
-    """Most specific agent group: longest agent token contained in
-    ``agent`` (case-insensitive); ``*`` matches with specificity 0."""
-    agent = agent.lower()
-    best, best_len = None, -1
-    for g in groups:
-        for tok in g["agents"]:
-            if tok == "*":
-                length = 0
-            elif tok and tok in agent:
-                length = len(tok)
-            else:
-                continue
-            if length > best_len:
-                best, best_len = g, length
-    return best
+def _select_rules(groups: list[dict], agent: str) -> list[dict]:
+    """ALL groups the crawler's product token selects, per RFC 9309
+    §2.2.1: exact case-insensitive match on the product token (the
+    part of the agent string before ``/``), falling back to the
+    ``*`` groups — and matching groups MERGE (MUST-level: a file with
+    two ``User-agent: *`` groups applies the union of their rules;
+    keeping only the first silently discards the rest — reviewer
+    catch).  Substring matching is deliberately NOT done: a token
+    ``bot`` must not capture agent ``mybot`` away from the ``*``
+    group (that flipped verdicts permissive — reviewer catch)."""
+    product = agent.lower().split("/", 1)[0].strip()
+    exact = [g for g in groups if product in g["agents"]]
+    if exact:
+        return exact
+    return [g for g in groups if "*" in g["agents"]]
 
 
-def is_allowed(groups: list[dict], path: str, agent: str = "*") -> bool:
-    """RFC 9309 verdict: longest-match rule wins; allow wins a length
-    tie; no matching rule (or no matching group) ⇒ allowed.  Empty
-    rule paths never match (``disallow:`` = allow all)."""
-    g = _select_group(groups, agent)
-    if g is None:
-        return True
+def compile_rules(groups: list[dict], agent: str = "*") -> list[tuple]:
+    """Pre-resolve the agent's merged rule set to
+    ``[(is_allow, rule_len, compiled_regex)]`` — done ONCE per host
+    on the driver so the per-row hot path is pure regex matching
+    (rebuilding pattern strings per rule per row thrashes re's cache
+    at blocklist scale — reviewer catch)."""
+    out = []
+    for g in _select_rules(groups, agent):
+        for allow, paths in ((True, g["allow"]), (False, g["disallow"])):
+            for p in paths:
+                if not p:  # empty Disallow: = allow-all idiom
+                    continue
+                out.append((allow, len(p), _rule_regex(p)))
+    return out
+
+
+def _verdict(compiled: list[tuple], path: str) -> bool:
     best_len, best_allow = -1, True
-    for allow, paths in ((True, g["allow"]), (False, g["disallow"])):
-        for p in paths:
-            if not p:
-                continue
-            m = _rule_regex(p).match(path)
-            if m is None:
-                continue
-            # specificity = raw rule length (RFC 9309 §2.3.2 octet
-            # count); allow wins exact ties via >= on the allow pass
-            length = len(p)
-            if length > best_len or (length == best_len and allow):
-                best_len, best_allow = length, allow
+    for allow, length, rx in compiled:
+        if rx.match(path) is None:
+            continue
+        # specificity = raw rule length (RFC 9309 §2.3.2 octet
+        # count); allow wins exact ties via the tuple order below
+        if length > best_len or (length == best_len and allow):
+            best_len, best_allow = length, allow
     return best_allow if best_len >= 0 else True
 
 
-def rules_from_warc(records: DataFrame) -> DataFrame:
-    """(host, robots_txt) rows from a WARC read: keeps 2xx
-    ``/robots.txt`` responses, one winner per host (min record_id —
-    deterministic under re-crawls).
+def is_allowed(groups: list[dict], path: str, agent: str = "*") -> bool:
+    """RFC 9309 verdict: longest-match rule over the agent's MERGED
+    groups; allow wins a length tie; no matching rule (or no matching
+    group) ⇒ allowed.  Empty rule paths never match (``disallow:`` =
+    allow all)."""
+    return _verdict(compile_rules(groups, agent), path)
 
-    The rules come from the raw ``payload``, never the ``text``
-    column — the text extractor collapses whitespace, and robots
-    grammar is LINE-oriented (a collapsed file reads as one
-    meaningless user-agent line)."""
+
+def _authority(col) -> "F.Column":
+    """Lowercased URL authority (host INCLUDING any explicit port) —
+    the key robots rules scope to.  RFC 9309 scopes per
+    scheme+authority; this keys on the authority alone (http/https
+    robots rarely diverge) but never conflates ports or a ``www.``
+    prefix the way url_host's crawl-dedup normalization does — a
+    staging server's ``Disallow: /`` on :8080 must not govern the
+    production site (reviewer catch).  try_parse_url: malformed URLs
+    yield NULL, never abort the job."""
+    return F.lower(F.try_parse_url(col, F.lit("AUTHORITY")))
+
+
+def rules_from_warc(records: DataFrame) -> DataFrame:
+    """(host, robots_txt) rows from a WARC read — ``host`` is the
+    lowercased AUTHORITY — keeping 2xx ``/robots.txt`` responses, one
+    winner per authority (min record_id — deterministic under
+    re-crawls).
+
+    The robots URI is recognized through the same try_parse_url
+    machinery the URL operators use (PATH == '/robots.txt'), not a
+    hand-rolled scheme regex — RFC 3986 schemes are case-insensitive
+    and a case-sensitive pattern silently lost every HTTPS://-cased
+    host's rules (reviewer catch).  The rules come from the raw
+    ``payload``, never the ``text`` column — the text extractor
+    collapses whitespace, and robots grammar is LINE-oriented."""
     r = records.filter(
-        F.col("target_uri").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+        (F.try_parse_url(F.col("target_uri"), F.lit("PATH")) == "/robots.txt")
+        & _authority(F.col("target_uri")).isNotNull()
         & (F.col("http_status") >= 200)
         & (F.col("http_status") < 300)
     ).select(
-        url_host(F.col("target_uri")).alias("host"),
+        _authority(F.col("target_uri")).alias("host"),
         F.col("payload").cast("string").alias("robots_txt"),
         F.col("record_id"),
     )
@@ -157,13 +183,17 @@ def filter_robots_disallowed(
     robots.txt ⇒ crawl allowed)."""
     import pandas as pd
 
-    # bounded collect: one row per host with a robots file — the
-    # same cardinality class as a blocklist
+    # bounded collect: one row per authority with a robots file —
+    # the same cardinality class as a blocklist.  Group selection and
+    # regex compilation happen HERE, once per host for the fixed
+    # agent, so the per-row hot path is pure compiled-regex matching
     table = {
-        row["host"]: parse_robots(row["robots_txt"] or "")
+        row["host"]: compile_rules(
+            parse_robots(row["robots_txt"] or ""), agent
+        )
         for row in robots.collect()
     }
-    staged = df.withColumn("__host", url_host(F.col(url_col)))
+    staged = df.withColumn("__host", _authority(F.col(url_col)))
     schema = StructType(
         [f for f in df.schema.fields] + [StructField("__keep", BooleanType())]
     )
@@ -175,8 +205,8 @@ def filter_robots_disallowed(
         for pdf in batches:
             keep = []
             for host, url in zip(pdf["__host"], pdf[url_col]):
-                groups = table.get(host)
-                if groups is None:
+                compiled = table.get(host)
+                if compiled is None:
                     keep.append(keep_unknown_hosts)
                     continue
                 try:
@@ -187,7 +217,7 @@ def filter_robots_disallowed(
                 except ValueError:
                     keep.append(keep_unknown_hosts)
                     continue
-                keep.append(is_allowed(groups, path, agent))
+                keep.append(_verdict(compiled, path))
             out = pdf[cols].copy()
             out["__keep"] = keep
             yield out

@@ -57,10 +57,30 @@ def test_agent_group_selection():
     g = R.parse_robots(ROBOTS)
     assert R.is_allowed(g, "/private/secret", agent="goodbot/2.1")
     assert not R.is_allowed(g, "/anything", agent="BadBot/1.0")
-    # longest agent token wins: 'greatbot' (group 2) over '*'
+    # exact product-token match selects the named group over '*'
     assert R.is_allowed(g, "/private/secret", agent="greatbot")
     # unknown agent falls back to *
     assert not R.is_allowed(g, "/private/secret", agent="otherbot")
+    # SUBSTRING tokens must NOT capture: 'bot' is not the product
+    # token of 'mybot/1.0', so the * group governs (reviewer catch —
+    # substring matching flipped verdicts permissive)
+    sub = R.parse_robots(
+        "User-agent: bot\nAllow: /\n\nUser-agent: *\nDisallow: /private/"
+    )
+    assert not R.is_allowed(sub, "/private/x", agent="mybot/1.0")
+    assert R.is_allowed(sub, "/private/x", agent="bot/2.0")
+
+
+def test_matching_groups_merge():
+    """RFC 9309 §2.2.1: all groups matching the selected agent
+    combine — a second 'User-agent: *' group's rules must apply, not
+    silently drop (reviewer catch)."""
+    g = R.parse_robots(
+        "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b"
+    )
+    assert not R.is_allowed(g, "/a")
+    assert not R.is_allowed(g, "/b")
+    assert R.is_allowed(g, "/c")
 
 
 def test_rules_from_warc_and_filter(spark):
@@ -99,6 +119,37 @@ def test_rules_from_warc_and_filter(spark):
         ).collect()
     )
     assert strict == [11]
+
+
+def test_rules_scope_to_authority_and_tolerate_scheme_case(spark):
+    """Rules key on the AUTHORITY (port included, www untouched): a
+    staging :8080 robots file must not govern the production site —
+    and an uppercase scheme in the robots URI must still register
+    (RFC 3986 schemes are case-insensitive; both reviewer catches)."""
+    recs = spark.createDataFrame(
+        [
+            (1, "HTTPS://a.com/robots.txt", 200, "r1",
+             bytearray(b"User-agent: *\nDisallow: /x/")),
+            (2, "https://a.com:8080/robots.txt", 200, "r2",
+             bytearray(b"User-agent: *\nDisallow: /")),
+        ],
+        "doc_id long, target_uri string, http_status int,"
+        " record_id string, payload binary",
+    )
+    rules = R.rules_from_warc(recs)
+    assert {r.host for r in rules.collect()} == {"a.com", "a.com:8080"}
+    docs = spark.createDataFrame(
+        [
+            (10, "https://a.com/x/page"),     # prod rules: blocked
+            (11, "https://a.com/open"),       # prod rules: fine
+            (12, "https://a.com:8080/open"),  # staging: disallow all
+        ],
+        "doc_id long, target_uri string",
+    )
+    kept = sorted(
+        r.doc_id for r in R.filter_robots_disallowed(docs, rules).collect()
+    )
+    assert kept == [11]
 
 
 def test_filter_uses_path_and_query(spark):

@@ -25,20 +25,34 @@ def test_bpe_train_learns_frequent_pairs(spark):
     # first few merges (whether the learner picked t+h or h+e first
     # is a legal tie-break)
     ranks3 = {p: i for i, p in enumerate(merges[:3])}
-    assert B.bpe_encode_word("the", ranks3) == ["the</w>"]
+    assert B.bpe_encode_word("the", ranks3) == ["the" + B._EOW]
     # determinism: identical table across runs
     assert merges == B.bpe_train(_corpus(spark), n_merges=40, sample_rows=200)
 
 
 def test_bpe_encode_word_rank_order():
+    E = B._EOW
     # ranks: th first, then the+EOW chain
-    merges = [("t", "h"), ("th", "e"), ("the", "</w>")]
+    merges = [("t", "h"), ("th", "e"), ("the", E)]
     ranks = {p: i for i, p in enumerate(merges)}
-    assert B.bpe_encode_word("the", ranks) == ["the</w>"]
+    assert B.bpe_encode_word("the", ranks) == ["the" + E]
     # unknown word: falls back to chars + EOW with partial merges
-    assert B.bpe_encode_word("tha", ranks) == ["th", "a", "</w>"]
+    assert B.bpe_encode_word("tha", ranks) == ["th", "a", E]
     # no applicable merges: pure characters
-    assert B.bpe_encode_word("xyz", {}) == ["x", "y", "z", "</w>"]
+    assert B.bpe_encode_word("xyz", {}) == ["x", "y", "z", E]
+    # the marker char cannot be forged from input text
+    assert B.bpe_encode_word("a" + E + "b", {}) == ["a", "�", "b", E]
+
+
+def test_bpe_long_word_counts_stay_linear():
+    """A megabyte whitespace-free 'word' (minified JS, base64) must
+    cost linear chunked work and count consistently with its pieces."""
+    ranks = {("a", "a"): 0, ("aa", "aa"): 1}
+    big = "a" * 100_000
+    got = B._count_word(big, ranks)
+    # aaaa-collapsing merges: each 256-char chunk becomes 64 'aaaa'
+    # symbols (+1 EOW on the last chunk after the spurious-EOW fold)
+    assert got == (100_000 // 4) + 1
 
 
 def test_bpe_token_counts_distributed(spark):
@@ -49,17 +63,22 @@ def test_bpe_token_counts_distributed(spark):
         corpus, merges
     ).collect()}
     assert len(got) == 100
-    # reference: encode one row's words directly
-    row = corpus.filter(F.col("doc_id") == 7).collect()[0]
+    # reference: encode one row's words directly — normalization via
+    # the SAME Spark expression the operator uses (no python twin: the
+    # \s semantics differ between Java and Python regexes)
+    from scratchdata_spark.operators.dedup import normalize_text
+
+    row = corpus.filter(F.col("doc_id") == 7).select(
+        normalize_text(F.col("text")).alias("norm")
+    ).collect()[0]
     want = sum(
         len(B.bpe_encode_word(w, ranks))
-        for w in B._normalize_py(row.text).split(" ")
+        for w in row.norm.split(" ")
         if w
     )
     assert got[7] == want
     # a trained tokenizer compresses its own corpus below char count
-    n_chars = len(B._normalize_py(row.text).replace(" ", ""))
-    assert got[7] < n_chars
+    assert got[7] < len(row.norm.replace(" ", ""))
     # NULL text yields NULL count, schema appends the one column
     withnull = spark.createDataFrame(
         [(1, None)], "doc_id long, text string"

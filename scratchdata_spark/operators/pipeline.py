@@ -385,3 +385,105 @@ def leakage_safe_split(
         .otherwise("val")
         .alias("split"),
     )
+
+
+def mix_corpora(
+    sources: list[tuple[str, DataFrame]],
+    weights: dict[str, float] | list[float],
+    target_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "mix0",
+) -> tuple[DataFrame, list[dict]]:
+    """Deterministic multi-corpus training mix: each named source
+    contributes ``weights``-proportional TOKEN mass, downsample-only
+    (no source is upsampled — repetition is an epoch decision, not a
+    mixing one).  Returns ``(mix, manifest)`` where the mix carries
+    ``(id_col, text_col, source)`` and the manifest records, per
+    source, available tokens, the token target, the keep rate, and
+    the binding constraint.
+
+    ``target_tokens=None`` sizes the mix to the LARGEST total the
+    weights permit without upsampling: total = min_i(avail_i / w_i)
+    — the binding source keeps everything, the rest downsample to
+    proportion.  An explicit target that would require upsampling
+    some source raises instead of silently under-delivering that
+    source's share.
+
+    Mechanics per source: one token-sum aggregation (whitespace
+    token_count — swap in bpe_token_counts upstream when merge-table
+    accuracy matters), then a map-only deterministic hash filter
+    (sha-prefix, the temperature-resampling grid) at
+    ``keep = w_i·total / avail_i``.  Row-level sampling is unbiased
+    in tokens (survival is independent of document length), so
+    E[kept tokens] = keep·avail; the manifest records expectations,
+    and re-runs keep exactly the same documents (seeded hash, no
+    RNG).  At 100 TB: one agg + one filter per source, a unionByName
+    of pruned (id, text, source) projections — no shuffle beyond the
+    per-source token sums."""
+    from scratchdata_spark.operators.text import token_count
+
+    names = [n for n, _ in sources]
+    if isinstance(weights, dict):
+        w = [float(weights[n]) for n in names]
+    else:
+        w = [float(x) for x in weights]
+    if len(w) != len(sources) or any(x <= 0 for x in w):
+        raise ValueError("mix_corpora: need one positive weight per source")
+    total_w = sum(w)
+    w = [x / total_w for x in w]
+    avail = []
+    for _, df in sources:
+        row = df.agg(
+            F.coalesce(
+                F.sum(token_count(F.col(text_col))), F.lit(0)
+            ).alias("t")
+        ).collect()[0]
+        avail.append(int(row["t"]))
+    feasible = min(
+        (a / wi for a, wi in zip(avail, w) if wi > 0), default=0.0
+    )
+    if target_tokens is None:
+        total = feasible
+    else:
+        total = float(target_tokens)
+        if total > feasible + 1e-9:
+            binding = names[
+                min(range(len(w)), key=lambda i: avail[i] / w[i])
+            ]
+            raise ValueError(
+                f"mix_corpora: target {target_tokens} needs upsampling of"
+                f" source {binding!r} (feasible max ≈ {int(feasible)})"
+            )
+    parts = []
+    manifest = []
+    for (name, df), wi, a in zip(sources, w, avail):
+        keep = min(1.0, (wi * total / a) if a else 0.0)
+        part = df.select(
+            F.col(id_col), F.col(text_col), F.lit(name).alias("source")
+        )
+        if keep < 1.0:
+            # the temperature-resampling hex grid: seeded, portable,
+            # re-runs keep exactly the same documents
+            th = "%04x" % min(65535, int(round(keep * 65536)))
+            part = part.filter(
+                F.substring(
+                    F.sha2(F.concat(F.lit(seed), F.col(text_col)), 256), 1, 4
+                )
+                < F.lit(th)
+            )
+        parts.append(part)
+        manifest.append(
+            {
+                "source": name,
+                "weight": wi,
+                "available_tokens": a,
+                "target_tokens": int(wi * total),
+                "keep_rate": round(keep, 6),
+                "binding": keep >= 1.0,
+            }
+        )
+    mix = parts[0]
+    for p in parts[1:]:
+        mix = mix.unionByName(p)
+    return mix, manifest

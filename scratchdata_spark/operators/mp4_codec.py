@@ -131,6 +131,12 @@ def _track_info(data: bytes, tbody: int, tend: int) -> dict | None:
         elif (stts := _find(data, stbl[0], stbl[1], b"stts")) is not None:
             _, p = _full_box(data, stts[0])
             (n_entries,) = struct.unpack(">I", data[p : p + 4])
+            # the declared entry count must fit inside the stts box:
+            # a crafted/truncated count would otherwise read sibling-
+            # box bytes as sample counts or hit struct.error instead
+            # of this module's ValueError contract (advisor catch)
+            if n_entries > (stts[1] - p - 4) // 8:
+                raise ValueError("mp4: stts entry count exceeds box")
             info["n_frames"] = sum(
                 struct.unpack(">I", data[p + 4 + 8 * i : p + 8 + 8 * i])[0]
                 for i in range(n_entries)

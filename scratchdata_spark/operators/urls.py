@@ -145,9 +145,14 @@ def filter_blocked_hosts(
         )
     else:
         blocked = blocked.toDF("__blocked")
+    # entries normalize exactly like document hosts (lowercase +
+    # www-strip): doc hosts are already www-stripped by url_host, so
+    # an entry like 'www.spam.biz' would otherwise silently never
+    # match anything (advisor catch)
+    entry = F.regexp_replace(F.lower("__blocked"), r"^www\.", "")
     blocked = blocked.select(
-        F.lower("__blocked").alias("__blocked"),
-        _last_two_labels(F.lower(F.col("__blocked"))).alias("__bkey"),
+        entry.alias("__blocked"),
+        _last_two_labels(entry).alias("__bkey"),
     )
     keyed = df.withColumn("__host", url_host(F.col(url_col))).withColumn(
         "__domain", _last_two_labels(F.col("__host"))

@@ -54,15 +54,68 @@ from pyspark.sql.types import (
 
 _CRLF = b"\r\n"
 
+# Inflation caps (advisor catch: a small gzip-bomb member in a
+# hostile archive could otherwise inflate unboundedly and OOM the
+# executor despite the one-archive-per-core memory contract).  The
+# archive cap sizes to the contract itself — real crawl archives are
+# ~1 GB compressed at ~4-5× inflation; 8 GiB leaves headroom without
+# letting one file eat an executor.  The body cap is per-record
+# (crawlers truncate captures near 1 MiB; 64 MiB is generous).
+MAX_INFLATED_ARCHIVE = 8 << 30
+MAX_INFLATED_BODY = 64 << 20
 
-def _maybe_gunzip(data: bytes) -> bytes:
+
+def _maybe_gunzip(data: bytes, cap: int = MAX_INFLATED_ARCHIVE) -> bytes:
     """Transparently inflate .warc.gz payloads (multi-member: stdlib
     gzip concatenates members, which is exactly the per-record-member
-    layout crawl writers emit)."""
+    layout crawl writers emit).  Stream-decompressed in chunks so a
+    gzip bomb raises at ``cap`` instead of materializing."""
     if data[:2] == b"\x1f\x8b":
-        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-            return gz.read()
+        import zlib
+
+        out = []
+        total = 0
+        try:
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                while True:
+                    chunk = gz.read(1 << 20)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+                    if total > cap:
+                        raise ValueError(
+                            f"warc: inflated archive exceeds {cap} bytes"
+                        )
+                    out.append(chunk)
+        except (OSError, EOFError, zlib.error) as exc:
+            # gzip damage surfaces as OSError(BadGzipFile)/EOFError/
+            # zlib.error — normalize to this module's ValueError
+            # contract so on_error='skip' quarantines corrupt .gz
+            # archives the same as corrupt record structure
+            raise ValueError(f"warc: corrupt gzip archive: {exc}") from exc
+        return b"".join(out)
     return data
+
+
+def _bounded_inflate(body: bytes, wbits: int, cap: int) -> bytes:
+    """zlib-family inflate that refuses past ``cap`` output bytes —
+    the HTTP-body twin of the archive cap.  Raises ValueError on a
+    bomb; zlib.error on malformed input (callers degrade to raw)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits)
+    out = d.decompress(body, cap + 1)
+    if len(out) > cap:
+        raise ValueError(f"http: inflated body exceeds {cap} bytes")
+    out += d.flush()
+    if len(out) > cap:
+        raise ValueError(f"http: inflated body exceeds {cap} bytes")
+    if not d.eof:
+        # decompressobj returns PARTIAL data on truncation where
+        # one-shot zlib.decompress raised — keep the old degrade-to-
+        # raw contract for truncated captures by refusing here
+        raise zlib.error("incomplete or truncated stream")
+    return out
 
 
 def iter_warc_records(data: bytes):
@@ -188,20 +241,28 @@ def parse_http_response(block: bytes):
         import zlib
 
         try:
-            body = gzip.decompress(body)
-        except (OSError, EOFError, zlib.error):
-            # truncated gzip raises EOFError, not OSError — routine
-            # in real captures, must degrade not fail (reviewer catch)
+            # wbits 16+MAX_WBITS = gzip wrapper; bounded so a bomb
+            # body degrades to its raw bytes instead of inflating
+            # (ValueError), and truncated gzip (zlib.error) keeps
+            # degrading as before — routine in real captures
+            body = _bounded_inflate(
+                body, 16 + zlib.MAX_WBITS, MAX_INFLATED_BODY
+            )
+        except (ValueError, zlib.error):
             pass
     elif enc == "deflate":
         import zlib
 
         try:
-            body = zlib.decompress(body)
+            body = _bounded_inflate(body, zlib.MAX_WBITS, MAX_INFLATED_BODY)
+        except ValueError:
+            pass  # bomb: keep the raw compressed bytes
         except zlib.error:
             try:  # raw-deflate servers (no zlib wrapper) are common
-                body = zlib.decompress(body, -zlib.MAX_WBITS)
-            except zlib.error:
+                body = _bounded_inflate(
+                    body, -zlib.MAX_WBITS, MAX_INFLATED_BODY
+                )
+            except (ValueError, zlib.error):
                 pass
     return status, headers, body
 
@@ -240,9 +301,16 @@ WARC_SCHEMA = StructType(
 )
 
 
+#: warc_type of the sentinel row a skipped (structurally corrupt)
+#: archive emits under ``on_error='skip'`` — ``warc_file`` carries
+#: the path, ``text`` the parse error.  Never a real WARC type.
+PARSE_ERROR_TYPE = "__parse_error"
+
+
 def record_parser(
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
+    on_error: str = "fail",
 ):
     """The mapInPandas function the batch readers (WARC and WET) and
     the streaming ingest all share: (path, content) file rows →
@@ -252,43 +320,75 @@ def record_parser(
     the tag-stripping extractor, plain-text bodies (WET conversion
     records, text/plain responses) just decode + collapse whitespace
     — tag-stripping prose would eat literal ``<angle bracket>``
-    spans the upstream extractor deliberately kept."""
+    spans the upstream extractor deliberately kept.
+
+    ``on_error='fail'`` (batch default) keeps the fail-loud contract:
+    a structurally corrupt archive fails its file task.  ``'skip'``
+    (the streaming path's poison-pill escape — a foreachBatch retry
+    replays the SAME file set, so one bad archive would otherwise
+    wedge the stream forever; advisor catch) drops the bad archive's
+    records and emits one :data:`PARSE_ERROR_TYPE` sentinel row
+    naming the file and the error, so callers can quarantine it.
+    Records already yielded before the corruption point are kept —
+    they parsed under the full structural checks."""
     import pandas as pd
+
+    if on_error not in ("fail", "skip"):
+        raise ValueError("record_parser: on_error must be 'fail'|'skip'")
 
     def run(batches):
         for pdf in batches:
             rows = {f.name: [] for f in WARC_SCHEMA.fields}
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content)):
-                    if rec["warc_type"] not in record_types:
-                        continue
-                    status, hh, body = parse_http_response(rec["block"])
-                    ctype = (
-                        hh.get("content-type") or rec["content_type"] or ""
-                    ).lower()
-                    if not extract_text:
-                        text = None
-                    elif ctype.startswith("text/") and "html" not in ctype:
-                        text = _WS.sub(
-                            " ", body.decode("utf-8", "replace")
-                        ).strip()
-                    else:
-                        text = html_to_text(body)
-                    rows["warc_file"].append(fpath)
-                    rows["record_id"].append(rec["record_id"])
-                    rows["warc_type"].append(rec["warc_type"])
-                    rows["target_uri"].append(rec["target_uri"])
-                    rows["warc_date"].append(rec["warc_date"])
-                    rows["http_status"].append(status)
-                    rows["http_content_type"].append(
-                        hh.get("content-type", rec["content_type"]) or None
+                try:
+                    _parse_one(
+                        rows, fpath, content, record_types, extract_text
                     )
-                    rows["byte_len"].append(len(body))
-                    rows["payload"].append(body)
-                    rows["text"].append(text)
+                except ValueError as exc:
+                    if on_error == "fail":
+                        raise
+                    rows["warc_file"].append(fpath)
+                    rows["record_id"].append("")
+                    rows["warc_type"].append(PARSE_ERROR_TYPE)
+                    rows["target_uri"].append("")
+                    rows["warc_date"].append("")
+                    rows["http_status"].append(None)
+                    rows["http_content_type"].append(None)
+                    rows["byte_len"].append(0)
+                    rows["payload"].append(None)
+                    rows["text"].append(str(exc))
             yield pd.DataFrame(rows)
 
     return run
+
+
+def _parse_one(rows, fpath, content, record_types, extract_text):
+    """One archive → WARC_SCHEMA column lists (appended in place)."""
+    for rec in iter_warc_records(bytes(content)):
+        if rec["warc_type"] not in record_types:
+            continue
+        status, hh, body = parse_http_response(rec["block"])
+        ctype = (
+            hh.get("content-type") or rec["content_type"] or ""
+        ).lower()
+        if not extract_text:
+            text = None
+        elif ctype.startswith("text/") and "html" not in ctype:
+            text = _WS.sub(" ", body.decode("utf-8", "replace")).strip()
+        else:
+            text = html_to_text(body)
+        rows["warc_file"].append(fpath)
+        rows["record_id"].append(rec["record_id"])
+        rows["warc_type"].append(rec["warc_type"])
+        rows["target_uri"].append(rec["target_uri"])
+        rows["warc_date"].append(rec["warc_date"])
+        rows["http_status"].append(status)
+        rows["http_content_type"].append(
+            hh.get("content-type", rec["content_type"]) or None
+        )
+        rows["byte_len"].append(len(body))
+        rows["payload"].append(body)
+        rows["text"].append(text)
 
 
 def read_warc(

@@ -211,19 +211,24 @@ def webm_info(data: bytes) -> dict:
     if video_track is None:
         raise ValueError("webm: no video track")
     def count_cluster(cb: int, ce: int) -> int:
+        # an unknown-size Cluster (streaming writers) runs to the
+        # Segment end, so the NEXT cluster parses as its child — an
+        # explicit worklist walks the chain; recursing once per
+        # chained cluster would hit Python's recursion limit on a
+        # long live-muxed capture (advisor catch)
         frames = 0
-        for eid, body, body_end in _elements(data, cb, ce):
-            if eid == _SIMPLE_BLOCK:
-                frames += _block_frames(data, body, body_end, video_track)
-            elif eid == _BLOCK_GROUP:
-                for gid, gb, ge in _elements(data, body, body_end):
-                    if gid == _BLOCK:
-                        frames += _block_frames(data, gb, ge, video_track)
-            elif eid == _CLUSTER:
-                # an unknown-size Cluster (streaming writers) runs to
-                # the Segment end, so the NEXT cluster parses as its
-                # child — recurse rather than skip its blocks
-                frames += count_cluster(body, body_end)
+        work = [(cb, ce)]
+        while work:
+            b, e = work.pop()
+            for eid, body, body_end in _elements(data, b, e):
+                if eid == _SIMPLE_BLOCK:
+                    frames += _block_frames(data, body, body_end, video_track)
+                elif eid == _BLOCK_GROUP:
+                    for gid, gb, ge in _elements(data, body, body_end):
+                        if gid == _BLOCK:
+                            frames += _block_frames(data, gb, ge, video_track)
+                elif eid == _CLUSTER:
+                    work.append((body, body_end))
         return frames
 
     for cb, ce in clusters:

@@ -96,6 +96,7 @@ def start_warc_ingest_stream(
     max_files_per_trigger: int = 20,
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
+    on_error: str = "skip",
 ):
     """Continuous crawl ingestion: WARC archives dropped into
     ``source_dir`` stream through the same record parser
@@ -111,10 +112,22 @@ def start_warc_ingest_stream(
     The file-source checkpoint tracks consumed archives, so a
     restarted stream never re-parses completed ones.  At crawl scale
     ``maxFilesPerTrigger`` bounds per-batch memory to that many
-    inflated archives across the executors."""
+    inflated archives across the executors.
+
+    ``on_error`` defaults to ``'skip'`` here, the OPPOSITE of batch
+    ``read_warc``: a foreachBatch retry replays the same file set, so
+    under ``'fail'`` one structurally corrupt archive fails the
+    micro-batch forever and wedges the stream with no way past it
+    (advisor catch).  Skipped archives land as one sentinel row each
+    under ``out_dir/_quarantine/batch_id=N`` (``warc_file`` = path,
+    ``text`` = parse error) — sidelined, never silently dropped."""
     import os as _os
 
-    from scratchdata_spark.operators.warc import WARC_SCHEMA, record_parser
+    from scratchdata_spark.operators.warc import (
+        PARSE_ERROR_TYPE,
+        WARC_SCHEMA,
+        record_parser,
+    )
 
     if "://" not in source_dir:
         # convenience for local dirs only — on an object-store URI
@@ -135,13 +148,37 @@ def start_warc_ingest_stream(
         .load(source_dir)
         .select("path", "content")
     )
-    parse = record_parser(record_types, extract_text)
+    parse = record_parser(record_types, extract_text, on_error=on_error)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         rows = batch_df.mapInPandas(parse, WARC_SCHEMA)
-        rows.write.mode("overwrite").parquet(
-            _os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        if on_error == "skip":
+            # one parse pass, split by the sentinel type: persist so
+            # the good-rows write and the quarantine write don't each
+            # re-inflate every archive (foreachBatch frames both
+            # writes; the unpersist runs after they commit)
+            rows = rows.persist()
+            try:
+                rows.filter(
+                    F.col("warc_type") != PARSE_ERROR_TYPE
+                ).write.mode("overwrite").parquet(
+                    _os.path.join(out_dir, f"batch_id={batch_id}")
+                )
+                bad = rows.filter(F.col("warc_type") == PARSE_ERROR_TYPE)
+                if bad.limit(1).count():
+                    bad.write.mode("overwrite").parquet(
+                        _os.path.join(
+                            out_dir, "_quarantine", f"batch_id={batch_id}"
+                        )
+                    )
+            finally:
+                rows.unpersist()
+        else:
+            rows.write.mode("overwrite").parquet(
+                _os.path.join(out_dir, f"batch_id={batch_id}")
+            )
 
     trigger = trigger or {"availableNow": True}
     return (

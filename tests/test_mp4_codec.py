@@ -113,3 +113,17 @@ def test_mp4_meta_through_multimodal_seam(spark, monkeypatch):
     assert (meta.width, meta.height, meta.n_frames) == (640, 360, 24)
     with pytest.raises(Exception, match="ffmpeg"):
         sample_frames(df, max_frames=2).collect()
+
+
+def test_mp4_stts_entry_count_clamped_to_box():
+    """A crafted stts entry count larger than its box refuses with
+    ValueError instead of reading sibling-box bytes as sample counts
+    (or struct.error on truncation) — advisor catch."""
+    enc = M.encode_mp4_shell(32, 24, 5)
+    pos = enc.find(b"stsz")
+    enc = enc[:pos] + b"free" + enc[pos + 4 :]  # force the stts path
+    sp = enc.find(b"stts")
+    ec = sp + 8  # fourcc(4) + version/flags(4) → entry-count u32
+    crafted = enc[:ec] + struct.pack(">I", 1 << 20) + enc[ec + 4 :]
+    with pytest.raises(ValueError, match="stts"):
+        M.probe_mp4(crafted)

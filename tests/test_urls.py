@@ -135,3 +135,22 @@ def test_filter_blocked_hosts_host_shaped_entries(spark):
         for r in U.filter_blocked_hosts(df, ["tracker.evil.com"]).collect()
     )
     assert kept == [3, 4]
+
+
+def test_filter_blocked_hosts_www_prefixed_entries(spark):
+    """A 'www.spam.biz' blocklist entry must block the site: document
+    hosts are www-stripped by url_host, so entries normalize the same
+    way — un-stripped, the entry silently never matched anything
+    (advisor catch)."""
+    rows = [
+        (1, "https://spam.biz/a"),
+        (2, "https://www.spam.biz/b"),
+        (3, "https://sub.spam.biz/c"),
+        (4, "https://fine.org/d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    got = U.filter_blocked_hosts(df, ["www.spam.biz"]).collect()
+    assert [r.doc_id for r in got] == [4]
+    # uppercase entries normalize too
+    got2 = U.filter_blocked_hosts(df, ["WWW.SPAM.BIZ"]).collect()
+    assert [r.doc_id for r in got2] == [4]

@@ -239,3 +239,82 @@ def test_wet_reader(spark, tmp_path):
     assert rows[0].text == "Extracted text of page 0 line two"
     assert rows[0].http_content_type == "text/plain"
     assert all(r.warc_type == "conversion" for r in rows)
+
+
+def test_warc_inflation_caps():
+    """Gzip bombs refuse at the configured cap instead of inflating
+    unboundedly (advisor catch): the archive path raises ValueError,
+    and an under-cap archive still inflates fully."""
+    import zlib
+
+    bomb = gzip.compress(bytes(1 << 20))  # 1 MiB of zeros, ~1 KiB gz
+    with pytest.raises(ValueError, match="exceeds"):
+        W._maybe_gunzip(bomb, cap=1 << 16)
+    assert W._maybe_gunzip(bomb, cap=1 << 21) == bytes(1 << 20)
+    with pytest.raises(ValueError, match="exceeds"):
+        W._bounded_inflate(bomb, 16 + zlib.MAX_WBITS, 1 << 16)
+
+
+def test_warc_body_bomb_degrades_to_raw(monkeypatch):
+    """An HTTP body exceeding the inflation cap keeps its raw
+    compressed bytes (the existing degrade contract) — never an
+    executor-sized inflation; under-cap bodies inflate as before."""
+    monkeypatch.setattr(W, "MAX_INFLATED_BODY", 1 << 10)
+    big = gzip.compress(b"<p>" + b"a" * (1 << 12) + b"</p>")
+    s, _, body = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + big
+    )
+    assert s == 200 and body == big  # raw, not 4 KiB inflated
+    small = gzip.compress(b"<p>ok</p>")
+    s2, _, b2 = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + small
+    )
+    assert s2 == 200 and b2 == b"<p>ok</p>"
+
+
+def test_warc_corrupt_gzip_archive_raises_valueerror():
+    """Gzip damage (BadGzipFile/EOFError/zlib.error) normalizes to
+    this module's ValueError contract so on_error='skip' quarantines
+    corrupt .gz archives like corrupt record structure."""
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        list(W.iter_warc_records(b"\x1f\x8b" + b"junkjunkjunk"))
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        list(W.iter_warc_records(gzip.compress(_archive(1))[:-6]))
+
+
+def test_warc_record_parser_on_error_validates():
+    with pytest.raises(ValueError, match="on_error"):
+        W.record_parser(on_error="quarantine")
+
+
+def test_warc_streaming_poison_archive_quarantined(spark, tmp_path):
+    """on_error='skip' (the streaming default): one structurally
+    corrupt archive must not wedge the stream — a foreachBatch retry
+    replays the SAME file set, so 'fail' loops forever (advisor
+    catch).  The bad archive lands as a sentinel row under
+    out/_quarantine (hidden from normal parquet discovery by the
+    leading underscore); good archives ingest normally."""
+    from scratchdata_spark.streaming.ingest import start_warc_ingest_stream
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+    (src / "good.warc").write_bytes(_archive(2))
+    (src / "bad.warc").write_bytes(b"WARC/1.0\r\nbroken")
+    q = start_warc_ingest_stream(
+        spark, str(src), str(out), str(ckpt),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2  # the good records only
+    assert (
+        got.filter(got.warc_type == W.PARSE_ERROR_TYPE).count() == 0
+    )
+    bad = spark.read.parquet(str(out / "_quarantine"))
+    rows = bad.collect()
+    assert len(rows) == 1
+    assert rows[0].warc_type == W.PARSE_ERROR_TYPE
+    assert rows[0].warc_file.endswith("bad.warc")
+    assert "truncated" in rows[0].text

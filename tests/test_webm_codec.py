@@ -183,3 +183,22 @@ def test_webm_shell_many_frames_multi_cluster():
     # 1 fps: delta 1000 -> at most 32 frames per cluster
     slow = W.encode_webm_shell(16, 12, 40, fps=1)
     assert W.probe_webm(slow) == (16, 12, 40)
+
+
+def test_webm_long_unknown_size_cluster_chain_no_recursion():
+    """A live-muxed capture with thousands of chained unknown-size
+    clusters (each swallowing its successors as children) must probe
+    without RecursionError — the cluster walk is an explicit worklist,
+    not one Python frame per cluster (advisor catch)."""
+    one = W.encode_webm_shell(16, 12, 1, fps=10)
+    c = one.find(b"\x1f\x43\xb6\x75")
+    csize, cbody = W._vint(one, c + 4, keep_marker=False)
+    cluster_body = one[cbody : cbody + csize]
+    unk = b"\x1f\x43\xb6\x75" + b"\x01" + b"\xff" * 7 + cluster_body
+    chained = one[:c] + unk * 2000
+    seg = chained.find(b"\x18\x53\x80\x67")
+    _, sbody = W._vint(chained, seg + 4, keep_marker=False)
+    enc = (
+        chained[: seg + 4] + b"\x01" + b"\xff" * 7 + chained[sbody:]
+    )
+    assert W.probe_webm(enc) == (16, 12, 2000)

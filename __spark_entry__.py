@@ -46,91 +46,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # first (streaming, nested flatten, joins/windows/subqueries), so the
 # next round's mandatory cohort (d) shrinks below 49.
 #
-# r8 ledger: (a) flagship; (b) none — every entry has a driver row;
-# (c) = 4 new this round, exactly the cap (x_multimodal_codec_mp4,
-# x_multimodal_codec_webm, x_dedup_embedding_oracle, x_audio_features
-# — registry 142 → 146); (d) = the r5-era mandatory cohort: 43
-# entries whose newest row is r5, minus 2 PAIR-CREDITS —
-# x_dedup_exact_rows skips (its pair x_dedup_exact ran r7) and
-# x_dedup_minhash_lsh skips (its portable oracle twin
-# x_dedup_minhash_oracle ran r7); x_dedup_incremental and
-# x_semantic_kmeans RUN (it is their side of the pair's alternation)
-# — so 41 entries, all mandatory; (e) = 4 r6-era fill, streaming
-# first (the heaviest semantics in r9's cohort).
-# Total: 1 + 4 + 41 + 4 = 50 exactly.
+# r9 ledger: (a) flagship; (b) none; (c) = 5 new this round, the
+# exact free-slot count VERDICT r8 #1 budgeted (x_warc_ingest,
+# x_url_dedup, x_corpus_mix all hash-oracled; x_bloom_screen
+# rows-only with an IN-ENTRY zero-false-negative assertion;
+# x_bpe_token_counts hash-oracled against driver-computed literals —
+# registry 146 → 151); (d) = the r6-era mandatory cohort: 45 entries
+# whose newest row is r6, minus 1 PAIR-CREDIT — q_tablesample skips
+# (its stronger twin q_sample_deterministic runs below; same
+# TABLESAMPLE surface) — so 44 entries, all mandatory; (e) = none
+# (the window is full).  Total: 1 + 5 + 44 = 50 exactly.
 #
-# SLOT CONSOLIDATION (VERDICT r7 #2, before the r9 capacity wall):
-# two pairs added this round — q_tablesample now PAIRS
-# q_sample_deterministic (same TABLESAMPLE surface; the deterministic
-# twin is the stronger hash gate and runs r9, q_tablesample r10), and
-# x_dedup_embedding_oracle (new) pairs x_dedup_embedding_lsh (the
-# minhash pattern).  Pair roster (6): exact_rows/exact,
-# incremental/incremental_exact, kmeans/semantic_dedup,
-# minhash_lsh/minhash_oracle, embedding_lsh/embedding_oracle,
-# tablesample/sample_deterministic.  Effective 3-round slot demand =
-# 146 − 6 shared = 140 vs 49×3 = 147 capacity → margin 7 ≈ two full
-# rounds of ≤4 net adds (VERDICT r7 #2's "≥1 round" bar met).
-# r9's mandatory cohort: 49 r6-era entries − 4 filled here −
-# q_tablesample (pair-credit) = 44, + flagship = 45 → 5 free slots.
+# PAIR-TURN BOOKKEEPING: a pair satisfies the invariant when EITHER
+# member runs within the 3-round cycle.  x_dedup_exact_rows (pair ran
+# r7 via x_dedup_exact), x_dedup_minhash_lsh (pair ran r7 via
+# x_dedup_minhash_oracle) and x_dedup_embedding_lsh (pair ran r8 via
+# x_dedup_embedding_oracle) are therefore due R10, not r9 — they sit
+# first past the edge.
+#
+# R10 PLAN (VERDICT r8 #8 — the capacity margin is one round thin,
+# so the next window is planned HERE): mandatory = the 49-entry
+# r7-era cohort MINUS three pair-credits earned at r8/r9
+# (x_dedup_incremental_exact ← x_dedup_incremental ran r8;
+# x_semantic_dedup ← x_semantic_kmeans ran r8; x_dedup_embedding_lsh
+# ← oracle twin ran r8) = 46, PLUS the two r10 pair-turns
+# (x_dedup_exact_rows, x_dedup_minhash_lsh), PLUS flagship = 49 →
+# ONE free slot.  q_tablesample's pair runs r9, so it waits to r11.
+# Consequence: r10 adds AT MOST one net entry; if more are needed,
+# consolidate first — named candidates: (i) pair q_rollup and q_cube
+# under q_grouping_sets (one GROUPING SETS surface, rollup/cube are
+# its specializations); (ii) pair q_union_all with q_distinct (the
+# UNION ALL + DISTINCT pair already cross-checks q_union_distinct);
+# (iii) pair x_dedup_simhash_pairs with x_dedup_simhash (same
+# signature family, the pairs entry is the stronger gate).
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (c) new this round (≤4 cap, exactly met) ---
-    "x_multimodal_codec_mp4",  # ISO-BMFF box-walk probe
-    "x_multimodal_codec_webm",  # Matroska/EBML element-walk probe
-    "x_dedup_embedding_oracle",  # portable ±1-plane oracle twin
-    "x_audio_features",  # WAV features, engine-exact values
-    # --- (d) staleness cohort (newest row r5) — 41 entries, all ---
-    "q02_filter_predicates",
-    "q_cte",
-    "q_scalar_subquery",
-    "q_in_subquery",
-    "q_exists_correlated",
-    "q_lateral_join",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_window_rank",
-    "q_window_lag_lead",
-    "q_window_ntile",
-    "q_window_first_last",
-    "q_window_frame_rows",
-    "q_window_frame_range",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_agg_basic",
-    "q_agg_filter",
-    "q_agg_stats",
-    "q_count_distinct",
-    "q_approx_quantile",
-    "q_percentile_exact",
-    "q_time_bucket_15min",
-    "q_word_count",
-    "q_nested_flatten_multitable",
-    "q_scan_external_csv",
-    "q_scan_external_orc",
-    "q_dml_ctas_roundtrip",
-    "q_dml_timetravel_roundtrip",
-    "x_dedup_simhash",
-    "x_dedup_incremental",  # pair-turn (x_dedup_incremental_exact r7)
-    "x_ann_cosine_lsh",
-    "x_ann_ivf_topk",
-    "x_range_join_bucketed",
-    "x_semantic_kmeans",  # pair-turn (x_semantic_dedup ran r7)
-    "x_multimodal_codec_real",
-    # --- (e) r6-era fill — 4 slots, streaming first (shrinks r9's
-    # mandatory cohort from 49 to 44 with the q_tablesample credit) ---
-    "s_stream_sliding_2h_1h",
-    "s_stream_session_windows",
-    "s_stream_stateful_user_totals",
-    "s_stream_dedup",
-    # --- past the ~50 edge: r9's mandatory cohort (remaining r6-era
-    # entries, semantics-heavy first), so a driver that reads deeper
-    # than 50 still refreshes the stalest first.  PAIR-SKIPPED at r8:
-    # x_dedup_exact_rows, x_dedup_minhash_lsh (listed last). ---
+    # --- (c) new this round (5 = the budgeted free slots) ---
+    "x_warc_ingest",  # WARC/WET crawl ingestion, literal-VALUES oracle
+    "x_url_dedup",  # normalize_url algebra vs arithmetic oracle
+    "x_corpus_mix",  # weight-proportional mixing, FP-exact oracle
+    "x_bloom_screen",  # rows-only; zero-FN invariant asserted in-entry
+    "x_bpe_token_counts",  # distributed BPE apply vs driver literals
+    # --- (d) staleness cohort (newest row r6) — 44 entries, all ---
     "s_stream_stream_join",
     "s_rollup_continuous_hourly",
     "q_nested_flatten_horizontal",
@@ -157,7 +114,7 @@ _PRIORITY = [
     "q_case_cast",
     "q_pivot",
     "q_unpivot",
-    "q_sample_deterministic",  # pair-runner for q_tablesample (r9)
+    "q_sample_deterministic",  # pair-runner: credits q_tablesample
     "q_array_funcs",
     "q_explode_posexplode",
     "q_map_struct_funcs",
@@ -175,10 +132,61 @@ _PRIORITY = [
     "x_semantic_incremental",
     "q_dml_copy_roundtrip",
     "q_dml_compact_roundtrip",
-    "q_tablesample",  # r10 via pair q_sample_deterministic
-    "x_dedup_exact_rows",  # r9 pair-turn (x_dedup_exact ran r7)
-    "x_dedup_minhash_lsh",  # r9 pair-turn (oracle twin ran r7)
-    "x_dedup_embedding_lsh",  # r9/r10 alternation with oracle twin
+    # --- past the ~50 edge: r10's dues first (pair-turns + credit),
+    # then the r7-era cohort semantics-heavy first, with the three
+    # r10 pair-credit skippers listed last ---
+    "x_dedup_exact_rows",  # r10 pair-turn (x_dedup_exact ran r7)
+    "x_dedup_minhash_lsh",  # r10 pair-turn (oracle twin ran r7)
+    "q_tablesample",  # r11 (pair q_sample_deterministic runs r9)
+    "s_semantic_stream",
+    "s_stream_tumbling_hour",
+    "q_join_asof",
+    "q_dml_merge_roundtrip",
+    "q_dialect_asof",
+    "q_dialect_qualify",
+    "q_dialect_pivot_stmt",
+    "q_dialect_distinct_on",
+    "q_dialect_agg_order_by",
+    "q_dialect_generate_series",
+    "q_dialect_list_comprehension",
+    "q_dialect_star_replace",
+    "q_dialect_struct_literals",
+    "q_dialect_subscripts",
+    "q_dialect_union_by_name",
+    "q_dialect_unnest_tokens",
+    "q_dialect_file_scan",
+    "q_agg_lists_median_mode",
+    "x_ann_cosine_topk",
+    "x_ann_pq_topk",
+    "x_cap_per_source",
+    "x_chunk_documents",
+    "x_decontaminate",
+    "x_dedup_clusters",
+    "x_dedup_exact",
+    "x_dedup_minhash_oracle",
+    "x_dedup_substring",
+    "x_dedup_survivors",
+    "x_global_shuffle",
+    "x_multimodal_codec_gif",
+    "x_multimodal_codec_mjpeg",
+    "x_multimodal_frames",
+    "x_multimodal_meta",
+    "x_multimodal_resize",
+    "x_pii_scrub",
+    "x_pipeline_clean_corpus",
+    "x_quality_repetition",
+    "x_recipe_clean",
+    "x_resample_temperature",
+    "x_salted_join_skew",
+    "x_source_overlap",
+    "x_split_leakage_safe",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_quality",
+    "x_text_token_count",
+    "x_dedup_incremental_exact",  # r10 credit (incremental ran r8)
+    "x_semantic_dedup",  # r10 credit (kmeans ran r8)
+    "x_dedup_embedding_lsh",  # r10 credit (oracle twin ran r8)
 ]
 
 

@@ -106,8 +106,22 @@ def bpe_train(
     """Learn ``n_merges`` BPE merges from a bounded sample; returns
     the ordered merge list (the whole model — apply needs nothing
     else).  Deterministic: stable sample, stable tie-breaks."""
+    return learn_merges(
+        _word_counts(df, text_col, sample_rows, top_words, id_col), n_merges
+    )
+
+
+def learn_merges(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The pure merge-learning loop over a (word, count) table —
+    shared by the Spark-sampled :func:`bpe_train` and any driver-
+    computed fixture (the x_bpe_token_counts registry entry trains
+    the same table from literal texts to pin the distributed apply
+    path under the hash gate).  Deterministic tie-break: count desc,
+    then pair lexicographic."""
     vocab: dict[tuple[str, ...], int] = {}
-    for w, c in _word_counts(df, text_col, sample_rows, top_words, id_col):
+    for w, c in word_counts:
         key = tuple(w) + (_EOW,)
         vocab[key] = vocab.get(key, 0) + c
     merges: list[tuple[str, str]] = []

@@ -394,6 +394,7 @@ def mix_corpora(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "mix0",
+    token_count_col: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Deterministic multi-corpus training mix: each named source
     contributes ``weights``-proportional TOKEN mass, downsample-only
@@ -411,8 +412,10 @@ def mix_corpora(
     source's share.
 
     Mechanics per source: one token-sum aggregation (whitespace
-    token_count — swap in bpe_token_counts upstream when merge-table
-    accuracy matters), then a map-only deterministic hash filter
+    token_count by default; pass ``token_count_col`` naming a
+    precomputed per-document count — e.g. ``bpe.bpe_token_counts``'s
+    output — when merge-table accuracy matters), then a map-only
+    deterministic hash filter
     (sha-prefix, the temperature-resampling grid) at
     ``keep = w_i·total / avail_i``.  Row-level sampling is unbiased
     in tokens (survival is independent of document length), so
@@ -432,12 +435,15 @@ def mix_corpora(
         raise ValueError("mix_corpora: need one positive weight per source")
     total_w = sum(w)
     w = [x / total_w for x in w]
+    tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(F.col(text_col))
+    )
     avail = []
     for _, df in sources:
         row = df.agg(
-            F.coalesce(
-                F.sum(token_count(F.col(text_col))), F.lit(0)
-            ).alias("t")
+            F.coalesce(F.sum(tok), F.lit(0)).alias("t")
         ).collect()[0]
         avail.append(int(row["t"]))
     feasible = min(
@@ -464,8 +470,11 @@ def mix_corpora(
         )
         if keep < 1.0:
             # the temperature-resampling hex grid: seeded, portable,
-            # re-runs keep exactly the same documents
-            th = "%04x" % min(65535, int(round(keep * 65536)))
+            # re-runs keep exactly the same documents.  floor(x+0.5),
+            # NOT round(): Python round() is banker's (half-even) and
+            # DuckDB's is half-away — floor(+0.5) is the one form both
+            # an oracle SQL and this Python compute bit-identically
+            th = "%04x" % min(65535, int(keep * 65536 + 0.5))
             part = part.filter(
                 F.substring(
                     F.sha2(F.concat(F.lit(seed), F.col(text_col)), 256), 1, 4

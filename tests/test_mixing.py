@@ -79,3 +79,36 @@ def test_mix_schema_and_empty_source(spark):
     # an empty source makes the feasible total 0: everything drops
     assert mix.count() == 0
     assert manifest[1]["available_tokens"] == 0
+
+
+def test_mix_with_bpe_token_counts(spark):
+    """The bpe_token_counts seam composes (VERDICT r8 #6): budgets
+    computed from real merge-table counts, not the whitespace
+    estimator — and the manifest's available_tokens equal the BPE
+    sums exactly."""
+    from scratchdata_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    rows_a = [(i, "the quick brown fox " * 3) for i in range(10)]
+    rows_b = [(100 + i, "encoding merges frequent pairs " * 2)
+              for i in range(10)]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    both = a.unionByName(b)
+    merges = bpe_train(both, n_merges=20, sample_rows=100, top_words=100)
+    a_tok = bpe_token_counts(a, merges)
+    b_tok = bpe_token_counts(b, merges)
+    mix, manifest = mix_corpora(
+        [("a", a_tok), ("b", b_tok)], [1.0, 1.0],
+        token_count_col="bpe_tokens",
+    )
+    m = {e["source"]: e for e in manifest}
+    exp_a = sum(r.bpe_tokens for r in a_tok.collect())
+    exp_b = sum(r.bpe_tokens for r in b_tok.collect())
+    assert m["a"]["available_tokens"] == exp_a
+    assert m["b"]["available_tokens"] == exp_b
+    # binding source (smaller BPE total) keeps everything
+    binding = "a" if exp_a <= exp_b else "b"
+    assert m[binding]["binding"] and m[binding]["keep_rate"] == 1.0
+    # output schema unchanged by the precomputed-count path
+    assert mix.columns == ["doc_id", "text", "source"]
+    assert mix.count() >= 10

@@ -202,6 +202,33 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    return _minhash_stages(
+        df, id_col, text_col, n_hashes, bands, k, threshold,
+        max_bucket_size, est_margin, corpus_size, portable,
+    )["pairs"]
+
+
+def _minhash_stages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    max_bucket_size: int | None,
+    est_margin: float | None,
+    corpus_size: int | None,
+    portable: bool,
+) -> dict:
+    """:func:`minhash_lsh_pairs`'s pipeline with each stage exposed —
+    ``sig`` (signature build, persisted), ``cand`` (bucket build +
+    cap + triangular expansion + estimator screen, persisted) and
+    ``pairs`` (exact-Jaccard verify) — the ``_span_removal_stages``
+    pattern, so the soak can attribute the 100× wall per stage
+    (VERDICT r8 #4: 104.5 s/500k docs was the largest unattributed
+    soak block).  Stage walls read CUMULATIVELY: counting ``cand``
+    reuses the persisted ``sig``; counting ``pairs`` reuses both."""
     from pyspark import StorageLevel
 
     if corpus_size is not None:
@@ -313,11 +340,12 @@ def minhash_lsh_pairs(
     ).join(half, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    verified = (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return {"sig": sig, "cand": cand, "pairs": verified}
 
 
 def dedup_against_corpus(

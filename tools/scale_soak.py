@@ -167,16 +167,59 @@ def scaled_embeddings(spark, sf_dir: str, replicas: int):
 
 def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
                       max_bucket_size=256, est_margin=0.15) -> dict:
-    """Re-derives the operator's candidate pipeline stage by stage to
-    count what each valve removes (same formulas as
-    dedup.minhash_lsh_pairs; counts only, so one extra pass).
-    Banding comes from minhash_params_for(n_docs) — the same
-    corpus-size-aware resolution the operator applies."""
-    from scratchdata_spark.operators.dedup import minhash_params_for
+    """Stage-attributed minhash telemetry (VERDICT r8 #4).
+
+    ORDER MATTERS: the stage pipeline (dedup._minhash_stages) runs
+    FIRST, on a cache-cold plan, so sig/cand/verify walls measure
+    real work — Spark's CacheManager matches persisted plans by
+    LOGICAL PLAN, so any identically-parameterized sig/cand persisted
+    earlier in the JVM would silently turn the stage counts into
+    cache reads (measured: 0.18 s for a million-candidate stage).
+    Stage caches are dropped before the end-to-end run, which
+    therefore rebuilds everything — the headline wall stays
+    comparable with earlier rounds.  The valve-statistics block runs
+    LAST and plan-matches the operator's leaked persists, so its
+    extra pass is nearly free."""
+    from scratchdata_spark.operators.dedup import (
+        _minhash_stages,
+        minhash_params_for,
+    )
 
     n_docs = n_docs if n_docs is not None else docs.count()
     n_hashes, bands = minhash_params_for(n_docs, threshold)
     r = n_hashes // bands
+
+    # 1) stage walls, cumulative (sig persists at its count, cand at
+    # its; read the deltas — the _span_removal_stages convention)
+    stages = _minhash_stages(
+        docs, "doc_id", "text", 64, 16, k, threshold,
+        max_bucket_size, est_margin, n_docs, False,
+    )
+    t0 = time.perf_counter()
+    stages["sig"].count()
+    sig_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stages["cand"].count()
+    cand_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stages["pairs"].count()
+    verify_wall = time.perf_counter() - t0
+    stages["sig"].unpersist()
+    stages["cand"].unpersist()
+
+    # 2) end-to-end wall on a fresh operator run (stage caches are
+    # gone, so this pays the full pipeline like every prior round)
+    docs.count()  # re-warm the corpus cache
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=k,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+        est_margin=est_margin, corpus_size=n_docs,
+    ).persist()
+    final_pairs = pairs.count()
+    wall = time.perf_counter() - t0
+
+    # 3) valve statistics (counts only; plan-matches leaked caches)
     sig = minhash_signature(docs, "doc_id", "text", n_hashes, k).persist()
     band_cols = [
         F.struct(
@@ -200,14 +243,6 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
         ).alias("capped_pairs"),
         F.max("sz").alias("max_bucket"),
     ).first()
-    t0 = time.perf_counter()
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", k=k,
-        threshold=threshold, max_bucket_size=max_bucket_size,
-        est_margin=est_margin, corpus_size=n_docs,
-    ).persist()
-    final_pairs = pairs.count()
-    wall = time.perf_counter() - t0
     sig.unpersist()
     members.unpersist()
     return {
@@ -217,6 +252,9 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
         "candidate_pairs_after_bucket_cap": int(stats["capped_pairs"]),
         "final_pairs": int(final_pairs),
         "wall_sec": round(wall, 3),
+        "sig_wall_sec": round(sig_wall, 3),
+        "cand_wall_sec": round(cand_wall, 3),
+        "verify_wall_sec": round(verify_wall, 3),
     }, pairs
 
 

@@ -3168,7 +3168,9 @@ def x_bloom_screen(spark, sf_dir):
             ).alias("fn_violation"),
         )
     )
-    res = res.persist()
+    # no persist: the invariant count executes the plan once and the
+    # driver's collect re-derives it — a leaked cache across a
+    # 50-entry driver sweep ratchets executor storage (reviewer catch)
     violations = res.filter(F.col("fn_violation")).count()
     if violations:
         raise AssertionError(

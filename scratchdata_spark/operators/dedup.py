@@ -345,7 +345,10 @@ def _minhash_stages(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return {"sig": sig, "cand": cand, "pairs": verified}
+    # shsets is exposed so stage-attribution callers can unpersist it
+    # (it persists inside this pipeline; leaking it would keep a
+    # second survivor-shingle cache resident at soak scale)
+    return {"sig": sig, "cand": cand, "shsets": shsets, "pairs": verified}
 
 
 def dedup_against_corpus(

@@ -130,6 +130,10 @@ def _track_info(data: bytes, tbody: int, tend: int) -> dict | None:
             )
         elif (stts := _find(data, stbl[0], stbl[1], b"stts")) is not None:
             _, p = _full_box(data, stts[0])
+            if stts[1] - p < 4:
+                # the entry-count u32 itself must fit in the box, or
+                # struct.error escapes the ValueError contract too
+                raise ValueError("mp4: truncated stts box")
             (n_entries,) = struct.unpack(">I", data[p : p + 4])
             # the declared entry count must fit inside the stts box:
             # a crafted/truncated count would otherwise read sibling-

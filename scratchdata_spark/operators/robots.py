@@ -218,38 +218,47 @@ def filter_robots_disallowed(
     * ``'auto'`` (default) — one count() on the robots table picks
       the tier at the valve boundary.
     """
-    if tier == "auto":
-        tier = (
-            "closure" if robots.count() <= max_closure_hosts else "join"
+    if tier not in ("auto", "closure", "join"):
+        raise ValueError(
+            "filter_robots_disallowed: tier must be 'auto'|'closure'|'join'"
         )
     if tier == "join":
         return _filter_robots_join(
             df, robots, url_col, agent, keep_unknown_hosts
         )
-    if tier != "closure":
-        raise ValueError(
-            "filter_robots_disallowed: tier must be 'auto'|'closure'|'join'"
-        )
-
-    import pandas as pd
-
-    # the valve: count BEFORE collecting — fail with the alternative
-    # named instead of shipping an unbounded closure
+    # ONE count serves both the auto dispatch and the closure valve —
+    # the rules plan (typically a WARC scan + groupBy) would otherwise
+    # fully execute twice before the collect (reviewer catch)
     n_hosts = robots.count()
     if n_hosts > max_closure_hosts:
+        if tier == "auto":
+            return _filter_robots_join(
+                df, robots, url_col, agent, keep_unknown_hosts
+            )
         raise ValueError(
             f"filter_robots_disallowed: {n_hosts} robots hosts exceeds"
             f" the closure tier's {max_closure_hosts}-host ceiling —"
             " use tier='join' (cogrouped; rules never ride the driver)"
         )
-    # bounded collect (valved above).  Group selection and regex
-    # compilation happen HERE, once per host for the fixed agent, so
-    # the per-row hot path is pure compiled-regex matching
+
+    import pandas as pd
+
+    # bounded collect (valved above).  Duplicate hosts (one row per
+    # host is the contract, but callers can feed anything) resolve to
+    # the MIN robots_txt — the same deterministic winner rule the join
+    # tier applies, so tier choice can never flip a verdict (reviewer
+    # catch: dict insertion order from collect() is partition-order
+    # dependent).  Group selection and regex compilation happen HERE,
+    # once per host for the fixed agent, so the per-row hot path is
+    # pure compiled-regex matching.
+    best: dict = {}
+    for row in robots.collect():
+        txt = row["robots_txt"] or ""
+        h = row["host"]
+        if h not in best or txt < best[h]:
+            best[h] = txt
     table = {
-        row["host"]: compile_rules(
-            parse_robots(row["robots_txt"] or ""), agent
-        )
-        for row in robots.collect()
+        h: compile_rules(parse_robots(t), agent) for h, t in best.items()
     }
     staged = df.withColumn("__host", _authority(F.col(url_col)))
     schema = StructType(

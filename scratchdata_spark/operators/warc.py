@@ -100,22 +100,36 @@ def _maybe_gunzip(data: bytes, cap: int = MAX_INFLATED_ARCHIVE) -> bytes:
 def _bounded_inflate(body: bytes, wbits: int, cap: int) -> bytes:
     """zlib-family inflate that refuses past ``cap`` output bytes —
     the HTTP-body twin of the archive cap.  Raises ValueError on a
-    bomb; zlib.error on malformed input (callers degrade to raw)."""
+    bomb; zlib.error on malformed/truncated input (callers degrade
+    to raw).  Loops over concatenated members (some crawled servers
+    emit multi-member gzip bodies; gzip.decompress decoded them all,
+    and dropping ``unused_data`` would silently truncate the document
+    to its first member — reviewer catch), with the cap held across
+    members."""
     import zlib
 
-    d = zlib.decompressobj(wbits)
-    out = d.decompress(body, cap + 1)
-    if len(out) > cap:
-        raise ValueError(f"http: inflated body exceeds {cap} bytes")
-    out += d.flush()
-    if len(out) > cap:
-        raise ValueError(f"http: inflated body exceeds {cap} bytes")
-    if not d.eof:
-        # decompressobj returns PARTIAL data on truncation where
-        # one-shot zlib.decompress raised — keep the old degrade-to-
-        # raw contract for truncated captures by refusing here
-        raise zlib.error("incomplete or truncated stream")
-    return out
+    out = []
+    total = 0
+    data = body
+    while True:
+        d = zlib.decompressobj(wbits)
+        budget = cap - total
+        chunk = d.decompress(data, budget + 1)
+        if len(chunk) > budget:
+            raise ValueError(f"http: inflated body exceeds {cap} bytes")
+        chunk += d.flush()
+        if len(chunk) > budget:
+            raise ValueError(f"http: inflated body exceeds {cap} bytes")
+        total += len(chunk)
+        out.append(chunk)
+        if not d.eof:
+            # decompressobj returns PARTIAL data on truncation where
+            # one-shot zlib.decompress raised — keep the old degrade-
+            # to-raw contract for truncated captures by refusing here
+            raise zlib.error("incomplete or truncated stream")
+        data = d.unused_data
+        if not data:
+            return b"".join(out)
 
 
 def iter_warc_records(data: bytes):

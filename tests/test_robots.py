@@ -259,3 +259,20 @@ def test_filter_closure_tier_doc_side_no_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         out.explain(mode="simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_filter_duplicate_host_rows_pick_same_winner_both_tiers(spark):
+    """Duplicate (host, robots_txt) rows resolve to the MIN text in
+    BOTH tiers — partition/collect order must never flip a verdict
+    between tiers or between runs (reviewer catch)."""
+    rules = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /"), ("a.com", "")],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/x")], "doc_id long, target_uri string"
+    )
+    for tier in ("closure", "join"):
+        kept = R.filter_robots_disallowed(docs, rules, tier=tier).collect()
+        # min text is '' = no rules = allow-all
+        assert [r.doc_id for r in kept] == [1], tier

@@ -318,3 +318,21 @@ def test_warc_streaming_poison_archive_quarantined(spark, tmp_path):
     assert rows[0].warc_type == W.PARSE_ERROR_TYPE
     assert rows[0].warc_file.endswith("bad.warc")
     assert "truncated" in rows[0].text
+
+
+def test_warc_multimember_gzip_body_decodes_fully():
+    """Concatenated gzip members in one HTTP body decode end to end
+    (gzip.decompress did; a first-member-only inflate silently
+    truncated the document — reviewer catch), and the cap spans ALL
+    members, not each one."""
+    body = gzip.compress(b"member-one ") + gzip.compress(b"member-two")
+    s, _, got = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + body
+    )
+    assert s == 200 and got == b"member-one member-two"
+    import zlib
+
+    two = gzip.compress(bytes(600)) + gzip.compress(bytes(600))
+    with pytest.raises(ValueError, match="exceeds"):
+        W._bounded_inflate(two, 16 + zlib.MAX_WBITS, 1000)
+    assert W._bounded_inflate(two, 16 + zlib.MAX_WBITS, 1200) == bytes(1200)

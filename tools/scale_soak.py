@@ -206,6 +206,7 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
     verify_wall = time.perf_counter() - t0
     stages["sig"].unpersist()
     stages["cand"].unpersist()
+    stages["shsets"].unpersist()
 
     # 2) end-to-end wall on a fresh operator run (stage caches are
     # gone, so this pays the full pipeline like every prior round)

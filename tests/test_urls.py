@@ -223,3 +223,34 @@ def test_with_registered_domain_plan_shape(spark):
     import re
 
     assert not re.search(r"Exchange hashpartitioning", p)
+
+
+def test_registered_domain_feeds_domain_caps(spark):
+    """The VERDICT r8 #5 'done' criterion: per-domain caps keyed on
+    the PSL-aware registered domain cap example.co.uk and
+    other.co.uk SEPARATELY — under the two-label default both
+    collapse into 'co.uk' and one site eats the whole quota."""
+    from scratchdata_spark.operators.pipeline import cap_per_group
+
+    rows = (
+        [(i, f"https://www.example.co.uk/p/{i}", f"ex doc {i}")
+         for i in range(5)]
+        + [(10 + i, f"https://other.co.uk/p/{i}", f"ot doc {i}")
+           for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, target_uri string, text string"
+    )
+    keyed = U.with_registered_domain(df, out_col="domain")
+    capped = cap_per_group(keyed, "domain", cap=3)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_dom == {"example.co.uk": 3, "other.co.uk": 3}
+    # the two-label default conflates: one 'co.uk' group of 10 → 3
+    naive = df.select(
+        "*", U.url_registered_domain(F.col("target_uri")).alias("domain")
+    )
+    assert cap_per_group(naive, "domain", cap=3).count() == 3

@@ -186,3 +186,95 @@ def scrub_pii(col) -> Column:
     for kind in ("email", "ipv4", "phone"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+# ------------------------------------------------ boilerplate removal
+
+# Function-word list for the paragraph classifier — deliberately
+# larger than the quality_score _STOPWORDS: the signal here is a
+# per-PARAGRAPH fraction over few words, where a 10-word list is too
+# coarse (navigation chrome and prose both round to 0).
+_BOILERPLATE_STOPWORDS = (
+    "the", "and", "of", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "an", "be", "are", "was", "were",
+    "this", "these", "from", "or", "but", "not", "have", "has", "had",
+    "they", "their", "you", "your", "we", "our", "he", "she", "his",
+    "her", "its", "will", "would", "can", "could", "there", "what",
+    "when", "which", "who", "also", "into", "about", "than", "then",
+    "so", "if", "do", "does", "did", "i",
+)
+
+
+def remove_boilerplate(
+    df: "DataFrame",
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_words: int = 5,
+    min_stopword_fraction: float = 0.12,
+    max_digit_fraction: float = 0.30,
+    max_punct_fraction: float = 0.30,
+) -> "DataFrame":
+    """Paragraph-level boilerplate removal — the jusText idea
+    (Pomikálek 2011: classify paragraphs by stopword density and
+    length; navigation chrome, copyright lines and link lists carry
+    few function words) simplified to four thresholds and expressed
+    ENTIRELY as column algebra: split on newlines → higher-order
+    ``filter`` with the per-paragraph predicate → ``array_join``.
+    Map-only, whole-stage codegen, zero Python, zero shuffle — at
+    100 TB boilerplate removal runs inside the scan stage, exactly
+    like the URL normalizers.
+
+    Input contract: paragraphs are newline-separated —
+    ``warc.html_to_text(body, keep_paragraphs=True)`` emits this
+    shape.  Text without newlines is one paragraph (kept or dropped
+    whole).  NULL text passes through NULL.
+
+    A paragraph SURVIVES iff: word count ≥ ``min_words`` AND
+    stopword fraction ≥ ``min_stopword_fraction`` AND digit fraction
+    ≤ ``max_digit_fraction`` AND punctuation fraction ≤
+    ``max_punct_fraction``.
+
+    Adds ``out_col`` (default: overwrite ``text_col``) and
+    ``boilerplate_fraction`` (chars removed / chars, 0 for empty)."""
+    from pyspark.sql import DataFrame  # noqa: F401  (doc type only)
+
+    out_col = out_col or text_col
+    stops = list(_BOILERPLATE_STOPWORDS)
+
+    def keep(p):
+        words = F.filter(F.split(F.trim(p), r"\s+"), lambda w: w != "")
+        wc = F.size(words)
+        stop_hits = F.size(
+            F.filter(words, lambda w: F.lower(w).isin(stops))
+        )
+        n = F.greatest(F.length(p), F.lit(1))
+        digits = F.length(F.regexp_replace(p, r"[^0-9]", ""))
+        punct = F.length(F.regexp_replace(p, r"[A-Za-z0-9\s]", ""))
+        return (
+            (wc >= F.lit(min_words))
+            & (stop_hits / F.greatest(wc, F.lit(1))
+               >= F.lit(min_stopword_fraction))
+            & (digits / n <= F.lit(max_digit_fraction))
+            & (punct / n <= F.lit(max_punct_fraction))
+        )
+
+    paras = F.filter(
+        F.split(F.col(text_col), r"\n+"),
+        lambda p: F.trim(p) != "",
+    )
+    kept = F.array_join(F.filter(paras, keep), "\n")
+    orig_len = F.length(F.col(text_col))
+    frac = F.round(
+        (orig_len - F.length(kept))
+        / F.greatest(orig_len, F.lit(1)).cast("double"),
+        6,
+    )
+    return df.withColumn("__bp_kept", kept).withColumn(
+        "boilerplate_fraction",
+        F.when(F.col(text_col).isNull(), None).otherwise(frac),
+    ).withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), None).otherwise(
+            F.col("__bp_kept")
+        ),
+    ).drop("__bp_kept")

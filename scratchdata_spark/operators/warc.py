@@ -286,14 +286,35 @@ _TAG_DROP = re.compile(
 )
 _TAGS = re.compile(rb"<[^>]+>")
 _WS = re.compile(r"\s+")
+_BLOCK_TAGS = re.compile(
+    rb"</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header"
+    rb"|footer|nav|blockquote|pre|dd|dt|form)\b[^>]*>",
+    re.IGNORECASE,
+)
+_LINE_WS = re.compile(r"[^\S\n]+")  # whitespace except newline
 
 
-def html_to_text(body: bytes) -> str:
+def html_to_text(body: bytes, keep_paragraphs: bool = False) -> str:
     """Regex HTML→text: drop script/style subtrees, strip tags,
     unescape entities, collapse whitespace.  The quality is
     deliberately baseline (the trafilatura seam); determinism and
-    byte-safety are the contract."""
+    byte-safety are the contract.
+
+    ``keep_paragraphs=True`` converts block-level tags to newlines
+    BEFORE stripping, emitting one line per block (empty lines
+    dropped) — the input shape paragraph-level operators
+    (text.remove_boilerplate) key on.  Default stays the flat
+    collapse: existing extractions, oracles and fingerprints are
+    byte-stable."""
     body = _TAG_DROP.sub(b" ", body)
+    if keep_paragraphs:
+        body = _BLOCK_TAGS.sub(b"\n", body)
+        body = _TAGS.sub(b" ", body)
+        text = _html.unescape(body.decode("utf-8", "replace"))
+        lines = [
+            _LINE_WS.sub(" ", ln).strip() for ln in text.split("\n")
+        ]
+        return "\n".join(ln for ln in lines if ln)
     body = _TAGS.sub(b" ", body)
     text = body.decode("utf-8", "replace")
     return _WS.sub(" ", _html.unescape(text)).strip()

@@ -1,0 +1,94 @@
+"""Paragraph-level boilerplate removal (operators/text.py
+remove_boilerplate, jusText-style heuristics) and the paragraph-
+preserving HTML extraction that feeds it (warc.html_to_text
+keep_paragraphs=True)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from scratchdata_spark.operators import warc as W
+from scratchdata_spark.operators.text import remove_boilerplate
+
+PROSE = (
+    "This is a real paragraph of prose with enough words and the"
+    " usual density of function words that a reader would expect."
+)
+PROSE2 = (
+    "The second paragraph also reads like language, because it is"
+    " written in sentences and not as navigation chrome."
+)
+NAV = "Home | Products | Pricing | Blog | Contact"
+COPYRIGHT = "Copyright 2024 ExampleCorp All Rights Reserved"
+NUMBERS = "2024 12 31 99.99 17 42 2038 01 19"
+SHORT = "Read more"
+
+
+def test_remove_boilerplate_keeps_prose_drops_chrome(spark):
+    doc = "\n".join([NAV, PROSE, SHORT, PROSE2, NUMBERS, COPYRIGHT])
+    df = spark.createDataFrame(
+        [(1, doc), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_boilerplate(df).collect()}
+    assert got[1].text == PROSE + "\n" + PROSE2
+    assert 0.3 < got[1].boilerplate_fraction < 0.7
+    assert got[2].text is None and got[2].boilerplate_fraction is None
+    assert got[3].text == "" and got[3].boilerplate_fraction == 0.0
+    # schema: out col replaces text, fraction added, order preserved
+    assert remove_boilerplate(df).columns == [
+        "doc_id", "text", "boilerplate_fraction"
+    ]
+    # out_col keeps the original when asked
+    kept = remove_boilerplate(df, out_col="clean").collect()[0]
+    assert kept.clean  # populated
+
+
+def test_remove_boilerplate_is_map_only_column_algebra(spark):
+    df = spark.createDataFrame([(1, PROSE)], "doc_id long, text string")
+    out = remove_boilerplate(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+
+
+def test_html_to_text_keep_paragraphs_feeds_the_filter(spark):
+    html = (
+        "<html><head><script>x()</script></head><body>"
+        "<nav>Home | Products | Pricing | Blog | Contact</nav>"
+        f"<h1>A headline that is long enough to be kept if it is prose"
+        f" and contains the usual words</h1>"
+        f"<p>{PROSE}</p><p>{PROSE2}</p>"
+        "<footer>Copyright 2024 ExampleCorp All Rights Reserved"
+        "</footer></body></html>"
+    ).encode()
+    text = W.html_to_text(html, keep_paragraphs=True)
+    lines = text.split("\n")
+    assert PROSE in lines and PROSE2 in lines
+    assert "Home | Products | Pricing | Blog | Contact" in lines
+    # default flat mode unchanged (oracle/fingerprint stability)
+    flat = W.html_to_text(html)
+    assert "\n" not in flat
+    # end to end: extraction -> distributed boilerplate filter
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = remove_boilerplate(df).collect()[0]
+    kept = got.text.split("\n")
+    assert PROSE in kept and PROSE2 in kept
+    assert all("Copyright" not in ln for ln in kept)
+    assert all("| Pricing |" not in ln for ln in kept)
+
+
+def test_remove_boilerplate_single_paragraph_document(spark):
+    df = spark.createDataFrame(
+        [(1, PROSE), (2, NAV)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in remove_boilerplate(df).collect()}
+    assert got[1].text == PROSE and got[1].boilerplate_fraction == 0.0
+    assert got[2].text == "" and got[2].boilerplate_fraction == 1.0

@@ -268,6 +268,23 @@ def _blocked_hosts(df, p, id_col, text_col):
     )
 
 
+@_stage("remove_boilerplate")
+def _remove_boilerplate(df, p, id_col, text_col):
+    """Paragraph-level boilerplate strip (text.remove_boilerplate,
+    jusText-style, map-only column algebra) — slots between HTML
+    extraction and quality filtering in a crawl recipe."""
+    from scratchdata_spark.operators.text import remove_boilerplate
+
+    return remove_boilerplate(
+        df,
+        text_col=text_col,
+        min_words=int(p.get("min_words", 5)),
+        min_stopword_fraction=float(p.get("min_stopword_fraction", 0.12)),
+        max_digit_fraction=float(p.get("max_digit_fraction", 0.30)),
+        max_punct_fraction=float(p.get("max_punct_fraction", 0.30)),
+    )
+
+
 @_stage("global_shuffle")
 def _global_shuffle(df, p, id_col, text_col):
     from scratchdata_spark.operators.pipeline import global_shuffle

@@ -241,3 +241,26 @@ def test_recipe_semantic_dedup_matches_manual(spark, sf_dir):
     assert set(got.columns) == set(e.columns)
     assert manifest[0]["rows_out"] == len(g)
     assert manifest[0]["rows_dropped"] == e.count() - len(g)
+
+
+def test_recipe_remove_boilerplate_stage(spark, sf_dir):
+    """The boilerplate stage composes in a recipe and its manifest
+    row reports zero dropped ROWS (it rewrites text, not rows) while
+    the text itself loses the chrome paragraphs."""
+    prose = (
+        "This is a real paragraph of prose with enough words and the"
+        " usual density of function words that a reader would expect."
+    )
+    doc = "Home | Products | Pricing\n" + prose + "\nCopyright 2024 X"
+    d = spark.createDataFrame(
+        [(1, doc), (2, prose)], "doc_id long, text string"
+    )
+    got, manifest = run_recipe(
+        d, [{"op": "remove_boilerplate"}, {"op": "exact_dedup"}]
+    )
+    rows = {r.doc_id: r.text for r in got.collect()}
+    # both docs clean to the same prose; exact_dedup then keeps min id
+    assert rows == {1: prose}
+    bp = manifest[0]
+    assert bp["op"] == "remove_boilerplate"
+    assert bp["rows_dropped"] == 0

@@ -553,6 +553,32 @@ def simhash_pairs(
     with id_a < id_b; rows sharing ``id_col`` merge token streams
     into one fingerprint (ids are assumed unique).
     """
+    fp = simhash(
+        df.select(id_col, text_col), text_col, out_col="__fp",
+        key_cols=[id_col],
+    )
+    return hamming_band_pairs(
+        fp, id_col, "__fp", max_hamming, n_bands, max_bucket_size,
+        intra_family,
+    )
+
+
+def hamming_band_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str = "__fp",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int | None = 4096,
+    intra_family: str = "pairs",
+) -> DataFrame:
+    """The Hamming-band LSH over ANY (id, 64-bit fingerprint) table —
+    extracted from :func:`simhash_pairs` so other fingerprint
+    domains (perceptual image hashes — operators/imagehash.py — or
+    externally-computed signatures) reuse the identical pigeonhole
+    construction, family collapse, hot-bucket cap and verification.
+    Semantics and scale shape exactly as documented on
+    :func:`simhash_pairs`."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1}"
@@ -561,10 +587,8 @@ def simhash_pairs(
     if intra_family not in ("pairs", "star"):
         raise ValueError("intra_family must be 'pairs' or 'star'")
     width = 64 // n_bands
-    fp = simhash(
-        df.select(id_col, text_col), text_col, out_col="__fp",
-        key_cols=[id_col],
-    )
+    if fp_col != "__fp":
+        fp = fp.select(F.col(id_col), F.col(fp_col).alias("__fp"))
     from pyspark import StorageLevel
 
     fam = (

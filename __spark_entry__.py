@@ -71,14 +71,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # x_semantic_dedup ← x_semantic_kmeans ran r8; x_dedup_embedding_lsh
 # ← oracle twin ran r8) = 46, PLUS the two r10 pair-turns
 # (x_dedup_exact_rows, x_dedup_minhash_lsh), PLUS flagship = 49 →
-# ONE free slot.  q_tablesample's pair runs r9, so it waits to r11.
-# Consequence: r10 adds AT MOST one net entry; if more are needed,
+# ONE free slot — CONSUMED by x_remove_boilerplate (registered late
+# r9 past this window's edge, so it fronts r10 as category (b),
+# "no driver row ever"; its local oracle sweep is green).  r10 total
+# = 50 exactly.  q_tablesample's pair runs r9, so it waits to r11.
+# Consequence: r10 adds NOTHING else net; if the round needs a slot,
 # consolidate first — named candidates: (i) pair q_rollup and q_cube
 # under q_grouping_sets (one GROUPING SETS surface, rollup/cube are
 # its specializations); (ii) pair q_union_all with q_distinct (the
 # UNION ALL + DISTINCT pair already cross-checks q_union_distinct);
 # (iii) pair x_dedup_simhash_pairs with x_dedup_simhash (same
-# signature family, the pairs entry is the stronger gate).
+# signature family, the pairs entry is the stronger gate).  Next
+# registry candidate AFTER consolidation: an imagehash pairs entry
+# (operators/imagehash.py, pytest-green, driver-literal oracle
+# possible via the x_bpe pattern).
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
     # --- (c) new this round (5 = the budgeted free slots) ---
@@ -132,9 +138,10 @@ _PRIORITY = [
     "x_semantic_incremental",
     "q_dml_copy_roundtrip",
     "q_dml_compact_roundtrip",
-    # --- past the ~50 edge: r10's dues first (pair-turns + credit),
-    # then the r7-era cohort semantics-heavy first, with the three
-    # r10 pair-credit skippers listed last ---
+    # --- past the ~50 edge: r10's dues first (category-(b) newcomer,
+    # pair-turns), then the r7-era cohort semantics-heavy first, with
+    # the three r10 pair-credit skippers listed last ---
+    "x_remove_boilerplate",  # r10 (b): registered late r9, no row yet
     "x_dedup_exact_rows",  # r10 pair-turn (x_dedup_exact ran r7)
     "x_dedup_minhash_lsh",  # r10 pair-turn (oracle twin ran r7)
     "q_tablesample",  # r11 (pair q_sample_deterministic runs r9)

@@ -3267,3 +3267,56 @@ def x_bpe_token_counts(spark, sf_dir):
         "bpe_tokens",
         F.lit(bool(matches)).alias("train_matches"),
     )
+
+
+# Constructed-paragraph fixture for x_remove_boilerplate: the oracle
+# never re-implements the filter — it constructs the EXPECTED
+# surviving text by arithmetic (the x_url_dedup pattern).  The prose
+# paragraph's stopword fraction (13/19), digit fraction (~1/76) and
+# punctuation (0) clear every threshold for ANY doc_id; the chrome
+# and digit paragraphs fail the stopword floor for ANY doc_id.
+_BP_PROSE_SQL = (
+    "concat('the result of the scan is that it is in the table"
+    " and we can read it again p', CAST(doc_id % 7 AS VARCHAR))"
+)
+_BP_CHROME_SQL = (
+    "concat('Home | Products | Pricing | Item ',"
+    " CAST(doc_id % 13 AS VARCHAR))"
+)
+
+
+@q(
+    "x_remove_boilerplate",
+    f"SELECT doc_id, {_BP_PROSE_SQL} AS text FROM documents",
+)
+def x_remove_boilerplate(spark, sf_dir):
+    """Paragraph-level boilerplate removal under the hash gate
+    (operators/text.py remove_boilerplate — jusText-style thresholds
+    as pure column algebra: split → HOF filter → array_join,
+    map-only).  Each document becomes three constructed paragraphs
+    (prose / navigation chrome / digit noise); the oracle states the
+    surviving text DIRECTLY from the construction arithmetic, so the
+    gate checks the whole distributed expression path against an
+    independent expectation rather than a re-implementation."""
+    from scratchdata_spark.operators.text import remove_boilerplate
+
+    d = load(spark, sf_dir)["documents"]
+    prose = F.concat(
+        F.lit(
+            "the result of the scan is that it is in the table"
+            " and we can read it again p"
+        ),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    chrome = F.concat(
+        F.lit("Home | Products | Pricing | Item "),
+        (F.col("doc_id") % 13).cast("string"),
+    )
+    digits = F.concat_ws(
+        " ", *([(F.col("doc_id") % 1000).cast("string")] * 6)
+    )
+    staged = d.select(
+        "doc_id",
+        F.concat_ws("\n", prose, chrome, digits).alias("text"),
+    )
+    return remove_boilerplate(staged).select("doc_id", "text")

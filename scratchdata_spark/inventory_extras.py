@@ -3279,10 +3279,6 @@ _BP_PROSE_SQL = (
     "concat('the result of the scan is that it is in the table"
     " and we can read it again p', CAST(doc_id % 7 AS VARCHAR))"
 )
-_BP_CHROME_SQL = (
-    "concat('Home | Products | Pricing | Item ',"
-    " CAST(doc_id % 13 AS VARCHAR))"
-)
 
 
 @q(

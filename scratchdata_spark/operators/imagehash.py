@@ -94,20 +94,29 @@ def dhash_images(
     payload_col: str = "payload",
     out_col: str = "dhash",
     fake: bool | None = None,
+    keep_payload: bool = True,
 ) -> DataFrame:
     """df + ``out_col``: the 64-bit perceptual hash per image row.
     One Arrow pass; undecodable/NULL payloads yield NULL (contained,
     never fail the corpus — the try_parse_url rule applied to
     pixels).  ``fake`` defaults to the module-wide env gate, resolved
     on the DRIVER and closed over (executor workers fork before env
-    changes)."""
+    changes).
+
+    ``keep_payload=False`` emits ONLY (non-payload columns, hash):
+    mapInPandas output schemas are fixed, so a downstream ``select``
+    cannot prune through them — a caller that only needs the hash
+    (image_near_dup_pairs) would otherwise ship every image's bytes
+    Python→JVM just to drop them (reviewer catch)."""
     import pandas as pd
 
     use_fake = _use_fake() if fake is None else fake
-    schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, LongType())]
-    )
-    cols = df.columns
+    out_fields = [
+        f for f in df.schema.fields
+        if keep_payload or f.name != payload_col
+    ]
+    schema = StructType(out_fields + [StructField(out_col, LongType())])
+    cols = [f.name for f in out_fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(p) -> int | None:
@@ -146,8 +155,8 @@ def image_near_dup_pairs(
     ever shuffle — pixels stay in the scan stage."""
     hashed = dhash_images(
         df.select(id_col, payload_col), id_col, payload_col,
-        out_col="__fp", fake=fake,
-    ).filter(F.col("__fp").isNotNull()).select(id_col, "__fp")
+        out_col="__fp", fake=fake, keep_payload=False,
+    ).filter(F.col("__fp").isNotNull())
     return hamming_band_pairs(
         hashed, id_col, "__fp", max_hamming, n_bands, max_bucket_size,
         intra_family,

@@ -213,6 +213,7 @@ def remove_boilerplate(
     min_stopword_fraction: float = 0.12,
     max_digit_fraction: float = 0.30,
     max_punct_fraction: float = 0.30,
+    stopwords: tuple[str, ...] | list[str] | None = None,
 ) -> "DataFrame":
     """Paragraph-level boilerplate removal — the jusText idea
     (Pomikálek 2011: classify paragraphs by stopword density and
@@ -229,17 +230,30 @@ def remove_boilerplate(
     shape.  Text without newlines is one paragraph (kept or dropped
     whole).  NULL text passes through NULL.
 
+    LANGUAGE CONTRACT: the default ``stopwords`` list is ENGLISH —
+    on German/Spanish/… text every paragraph scores ~0 and the
+    document empties.  Pass the target language's function words
+    (jusText ships per-language lists; any word tuple works), or set
+    ``min_stopword_fraction=0.0`` to disable the check.  For
+    CJK-class scripts (no word spacing) the word/stopword heuristics
+    do not apply at all — run langid first and route those documents
+    around this operator.
+
     A paragraph SURVIVES iff: word count ≥ ``min_words`` AND
     stopword fraction ≥ ``min_stopword_fraction`` AND digit fraction
     ≤ ``max_digit_fraction`` AND punctuation fraction ≤
-    ``max_punct_fraction``.
+    ``max_punct_fraction`` (digit/punct via this module's
+    digit_ratio/punct_ratio — ONE definition of punctuation,
+    ``\\p{Punct}``, shared with quality_score).
 
     Adds ``out_col`` (default: overwrite ``text_col``) and
-    ``boilerplate_fraction`` (chars removed / chars, 0 for empty)."""
+    ``boilerplate_fraction`` — DROPPED paragraph chars over total
+    paragraph chars, so separator whitespace never inflates it and
+    an untouched document reports exactly 0.0."""
     from pyspark.sql import DataFrame  # noqa: F401  (doc type only)
 
     out_col = out_col or text_col
-    stops = list(_BOILERPLATE_STOPWORDS)
+    stops = list(stopwords) if stopwords else list(_BOILERPLATE_STOPWORDS)
 
     def keep(p):
         words = F.filter(F.split(F.trim(p), r"\s+"), lambda w: w != "")
@@ -247,26 +261,30 @@ def remove_boilerplate(
         stop_hits = F.size(
             F.filter(words, lambda w: F.lower(w).isin(stops))
         )
-        n = F.greatest(F.length(p), F.lit(1))
-        digits = F.length(F.regexp_replace(p, r"[^0-9]", ""))
-        punct = F.length(F.regexp_replace(p, r"[A-Za-z0-9\s]", ""))
         return (
             (wc >= F.lit(min_words))
             & (stop_hits / F.greatest(wc, F.lit(1))
                >= F.lit(min_stopword_fraction))
-            & (digits / n <= F.lit(max_digit_fraction))
-            & (punct / n <= F.lit(max_punct_fraction))
+            & (digit_ratio(p) <= F.lit(max_digit_fraction))
+            & (punct_ratio(p) <= F.lit(max_punct_fraction))
         )
 
     paras = F.filter(
         F.split(F.col(text_col), r"\n+"),
         lambda p: F.trim(p) != "",
     )
-    kept = F.array_join(F.filter(paras, keep), "\n")
-    orig_len = F.length(F.col(text_col))
+    kept_paras = F.filter(paras, keep)
+    kept = F.array_join(kept_paras, "\n")
+
+    def char_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, p: acc + F.length(p)
+        )
+
+    total_chars = char_sum(paras)
     frac = F.round(
-        (orig_len - F.length(kept))
-        / F.greatest(orig_len, F.lit(1)).cast("double"),
+        (total_chars - char_sum(kept_paras))
+        / F.greatest(total_chars, F.lit(1)).cast("double"),
         6,
     )
     return df.withColumn("__bp_kept", kept).withColumn(

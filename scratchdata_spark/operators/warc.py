@@ -291,30 +291,31 @@ _BLOCK_TAGS = re.compile(
     rb"|footer|nav|blockquote|pre|dd|dt|form)\b[^>]*>",
     re.IGNORECASE,
 )
-_LINE_WS = re.compile(r"[^\S\n]+")  # whitespace except newline
-
-
 def html_to_text(body: bytes, keep_paragraphs: bool = False) -> str:
     """Regex HTML→text: drop script/style subtrees, strip tags,
     unescape entities, collapse whitespace.  The quality is
     deliberately baseline (the trafilatura seam); determinism and
     byte-safety are the contract.
 
-    ``keep_paragraphs=True`` converts block-level tags to newlines
-    BEFORE stripping, emitting one line per block (empty lines
-    dropped) — the input shape paragraph-level operators
-    (text.remove_boilerplate) key on.  Default stays the flat
-    collapse: existing extractions, oracles and fingerprints are
-    byte-stable."""
+    ``keep_paragraphs=True`` converts block-level tags to newlines,
+    emitting one line per block (empty lines dropped) — the input
+    shape paragraph-level operators (text.remove_boilerplate) key
+    on.  Only TAG-derived boundaries count: source newlines (HTML is
+    routinely pretty-printed mid-paragraph) and entity newlines
+    (``&#10;``) are in-paragraph whitespace — splitting on them
+    would fragment every wrapped ``<p>`` into pieces the boilerplate
+    word-count floor then eats (reviewer catch), so blocks are
+    marked with a NUL sentinel that survives the unescape.  Default
+    stays the flat collapse: existing extractions, oracles and
+    fingerprints are byte-stable."""
     body = _TAG_DROP.sub(b" ", body)
     if keep_paragraphs:
-        body = _BLOCK_TAGS.sub(b"\n", body)
+        body = body.replace(b"\x00", b" ")  # input can't forge marks
+        body = _BLOCK_TAGS.sub(b"\x00", body)
         body = _TAGS.sub(b" ", body)
         text = _html.unescape(body.decode("utf-8", "replace"))
-        lines = [
-            _LINE_WS.sub(" ", ln).strip() for ln in text.split("\n")
-        ]
-        return "\n".join(ln for ln in lines if ln)
+        blocks = [_WS.sub(" ", blk).strip() for blk in text.split("\x00")]
+        return "\n".join(blk for blk in blocks if blk)
     body = _TAGS.sub(b" ", body)
     text = body.decode("utf-8", "replace")
     return _WS.sub(" ", _html.unescape(text)).strip()

@@ -92,3 +92,62 @@ def test_remove_boilerplate_single_paragraph_document(spark):
     got = {r.doc_id: r for r in remove_boilerplate(df).collect()}
     assert got[1].text == PROSE and got[1].boilerplate_fraction == 0.0
     assert got[2].text == "" and got[2].boilerplate_fraction == 1.0
+
+
+def test_source_newlines_do_not_fragment_paragraphs(spark):
+    """Pretty-printed HTML wraps prose across source lines; only
+    TAG-derived boundaries are paragraph breaks (reviewer catch: the
+    word-count floor was eating fragments of wrapped <p> blocks),
+    and entity newlines (&#10;) are in-paragraph whitespace too."""
+    html = (
+        b"<html><body><p>This is a real paragraph of prose\n"
+        b"with enough words and the usual density\n"
+        b"of function words that a reader would expect.</p>"
+        b"<p>Great news for everyone&#10;today and tomorrow.</p>"
+        b"</body></html>"
+    )
+    text = W.html_to_text(html, keep_paragraphs=True)
+    lines = text.split("\n")
+    assert len(lines) == 2
+    assert lines[0] == PROSE
+    assert lines[1] == "Great news for everyone today and tomorrow."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = remove_boilerplate(df).collect()[0]
+    assert got.text == text  # nothing eaten
+    assert got.boilerplate_fraction == 0.0
+
+
+def test_boilerplate_fraction_ignores_separator_whitespace(spark):
+    """Blank-line separated paragraphs with nothing removed report
+    EXACTLY 0.0 (the fraction is dropped-paragraph chars over total
+    paragraph chars, not raw length delta — reviewer catch)."""
+    df = spark.createDataFrame(
+        [(1, PROSE + "\n\n" + PROSE2)], "doc_id long, text string"
+    )
+    got = remove_boilerplate(df).collect()[0]
+    assert got.boilerplate_fraction == 0.0
+    assert got.text == PROSE + "\n" + PROSE2
+    # and a dropped paragraph's fraction is its exact char share
+    doc = PROSE + "\n" + NAV
+    got2 = remove_boilerplate(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ).collect()[0]
+    assert got2.boilerplate_fraction == round(
+        len(NAV) / (len(PROSE) + len(NAV)), 6
+    )
+
+
+def test_custom_stopword_list(spark):
+    """Non-English corpora pass their own function words (the
+    documented language contract): German prose survives with a
+    German list, empties under the English default."""
+    de = (
+        "das ist ein ganz normaler absatz mit vielen worten und der"
+        " dichte von funktionswoertern die man erwarten wuerde"
+    )
+    df = spark.createDataFrame([(1, de)], "doc_id long, text string")
+    assert remove_boilerplate(df).collect()[0].text == ""
+    german = ("der", "die", "das", "und", "ist", "ein", "mit", "von",
+              "man", "ganz")
+    got = remove_boilerplate(df, stopwords=german).collect()[0]
+    assert got.text == de

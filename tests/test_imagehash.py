@@ -115,3 +115,15 @@ def test_image_pairs_fake_tier_exact_dups_only(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     pairs = IH.image_near_dup_pairs(df, fake=True).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_dhash_images_keep_payload_false_prunes_bytes(spark):
+    """image_near_dup_pairs' hashing pass must not round-trip image
+    bytes Python->JVM: keep_payload=False emits only (id, hash)."""
+    enc = png_codec.encode_png(16, 12, 3, _gradient(16, 12))
+    df = spark.createDataFrame(
+        [(1, bytearray(enc))], "doc_id long, payload binary"
+    )
+    slim = IH.dhash_images(df, fake=False, keep_payload=False)
+    assert slim.columns == ["doc_id", "dhash"]
+    assert slim.collect()[0].dhash == IH.dhash64(enc)

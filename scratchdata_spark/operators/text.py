@@ -214,6 +214,8 @@ def remove_boilerplate(
     max_digit_fraction: float = 0.30,
     max_punct_fraction: float = 0.30,
     stopwords: tuple[str, ...] | list[str] | None = None,
+    require_terminal_punct: bool = False,
+    drop_repeated_paragraphs: bool = False,
 ) -> "DataFrame":
     """Paragraph-level boilerplate removal — the jusText idea
     (Pomikálek 2011: classify paragraphs by stopword density and
@@ -246,6 +248,16 @@ def remove_boilerplate(
     digit_ratio/punct_ratio — ONE definition of punctuation,
     ``\\p{Punct}``, shared with quality_score).
 
+    Two optional C4-style rules (Raffel et al. 2020 §2.2, both pure
+    column algebra like the rest): ``require_terminal_punct`` keeps
+    only paragraphs ending in ``. ! ? "`` (the C4 'terminal
+    punctuation' line rule — navigation and truncated fragments
+    rarely end a sentence), and ``drop_repeated_paragraphs`` removes
+    within-document repeats keeping the first occurrence
+    (``array_distinct`` preserves order) — headers/footers pasted
+    between sections collapse before cross-document span dedup ever
+    runs.
+
     Adds ``out_col`` (default: overwrite ``text_col``) and
     ``boilerplate_fraction`` — DROPPED paragraph chars over total
     paragraph chars, so separator whitespace never inflates it and
@@ -261,17 +273,25 @@ def remove_boilerplate(
         stop_hits = F.size(
             F.filter(words, lambda w: F.lower(w).isin(stops))
         )
-        return (
+        cond = (
             (wc >= F.lit(min_words))
             & (stop_hits / F.greatest(wc, F.lit(1))
                >= F.lit(min_stopword_fraction))
             & (digit_ratio(p) <= F.lit(max_digit_fraction))
             & (punct_ratio(p) <= F.lit(max_punct_fraction))
         )
+        if require_terminal_punct:
+            cond = cond & F.trim(p).rlike(r'[.!?"]$')
+        return cond
 
-    paras = F.filter(
+    paras_all = F.filter(
         F.split(F.col(text_col), r"\n+"),
         lambda p: F.trim(p) != "",
+    )
+    paras = (
+        F.array_distinct(paras_all)
+        if drop_repeated_paragraphs
+        else paras_all
     )
     kept_paras = F.filter(paras, keep)
     kept = F.array_join(kept_paras, "\n")
@@ -281,7 +301,9 @@ def remove_boilerplate(
             arr, F.lit(0).cast("long"), lambda acc, p: acc + F.length(p)
         )
 
-    total_chars = char_sum(paras)
+    # total over the PRE-distinct array: a deduplicated repeat is
+    # dropped boilerplate and must count in the fraction
+    total_chars = char_sum(paras_all)
     frac = F.round(
         (total_chars - char_sum(kept_paras))
         / F.greatest(total_chars, F.lit(1)).cast("double"),

@@ -151,3 +151,35 @@ def test_custom_stopword_list(spark):
               "man", "ganz")
     got = remove_boilerplate(df, stopwords=german).collect()[0]
     assert got.text == de
+
+
+def test_c4_terminal_punct_and_repeated_paragraph_rules(spark):
+    """The two optional C4 rules (Raffel et al. 2020 §2.2): terminal
+    punctuation keeps sentence-ending paragraphs only, and
+    within-document repeats collapse to their first occurrence."""
+    trunc = (
+        "this paragraph has the words and the density of prose but"
+        " it was cut off mid"
+    )
+    doc = "\n".join([PROSE, trunc, PROSE2])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    # default: truncated prose survives (stopword-rich, long enough)
+    assert trunc in remove_boilerplate(df).collect()[0].text
+    got = remove_boilerplate(
+        df, require_terminal_punct=True
+    ).collect()[0]
+    assert got.text == PROSE + "\n" + PROSE2
+    # repeated footer between sections collapses to one occurrence
+    rep = "\n".join([PROSE, PROSE2, PROSE])
+    df2 = spark.createDataFrame([(1, rep)], "doc_id long, text string")
+    assert remove_boilerplate(df2).collect()[0].text == rep.replace(
+        "\n", "\n"
+    )  # default keeps repeats
+    got2 = remove_boilerplate(
+        df2, drop_repeated_paragraphs=True
+    ).collect()[0]
+    assert got2.text == PROSE + "\n" + PROSE2
+    # fraction accounts the dropped repeat
+    assert got2.boilerplate_fraction == round(
+        len(PROSE) / (2 * len(PROSE) + len(PROSE2)), 6
+    )

@@ -282,6 +282,11 @@ def _remove_boilerplate(df, p, id_col, text_col):
         min_stopword_fraction=float(p.get("min_stopword_fraction", 0.12)),
         max_digit_fraction=float(p.get("max_digit_fraction", 0.30)),
         max_punct_fraction=float(p.get("max_punct_fraction", 0.30)),
+        stopwords=p.get("stopwords"),
+        require_terminal_punct=bool(p.get("require_terminal_punct", False)),
+        drop_repeated_paragraphs=bool(
+            p.get("drop_repeated_paragraphs", False)
+        ),
     )
 
 

@@ -204,6 +204,42 @@ _BOILERPLATE_STOPWORDS = (
     "so", "if", "do", "does", "did", "i",
 )
 
+# Per-language function-word lists (public knowledge — the most
+# frequent closed-class words of each language; jusText ships the
+# same idea as per-language files).  ``remove_boilerplate`` accepts
+# the language KEY as its ``stopwords`` argument.  Deliberately
+# space-delimited European languages only: the word heuristics do
+# not apply to unspaced scripts (see the language contract).
+BOILERPLATE_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": _BOILERPLATE_STOPWORDS,
+    "de": (
+        "der", "die", "das", "und", "in", "von", "zu", "den", "mit",
+        "auf", "ist", "im", "dem", "nicht", "ein", "eine", "als",
+        "auch", "es", "an", "werden", "aus", "er", "hat", "dass",
+        "sie", "nach", "wird", "bei", "einer", "um", "am", "sind",
+        "noch", "wie", "einem", "über", "einen", "so", "zum", "war",
+        "haben", "nur", "oder", "aber", "vor", "bis", "mehr", "durch",
+        "man", "sein", "wurde", "sei",
+    ),
+    "es": (
+        "de", "la", "que", "el", "en", "y", "a", "los", "del", "se",
+        "las", "por", "un", "para", "con", "no", "una", "su", "al",
+        "lo", "como", "más", "pero", "sus", "le", "ya", "o", "este",
+        "sí", "porque", "esta", "entre", "cuando", "muy", "sin",
+        "sobre", "también", "me", "hasta", "hay", "donde", "quien",
+        "desde", "todo", "nos", "durante", "todos", "uno", "les",
+        "ni", "contra", "otros", "ese", "eso", "está",
+    ),
+    "fr": (
+        "de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+        "que", "est", "pour", "qui", "dans", "a", "par", "plus",
+        "pas", "au", "sur", "ne", "se", "ce", "il", "sont", "la",
+        "aux", "avec", "son", "ou", "mais", "on", "cette", "comme",
+        "ces", "dont", "être", "elle", "tout", "nous", "sa", "leur",
+        "sans", "aussi", "peut", "fait", "était", "entre", "deux",
+    ),
+}
+
 
 def remove_boilerplate(
     df: "DataFrame",
@@ -213,7 +249,7 @@ def remove_boilerplate(
     min_stopword_fraction: float = 0.12,
     max_digit_fraction: float = 0.30,
     max_punct_fraction: float = 0.30,
-    stopwords: tuple[str, ...] | list[str] | None = None,
+    stopwords: tuple[str, ...] | list[str] | str | None = None,
     require_terminal_punct: bool = False,
     drop_repeated_paragraphs: bool = False,
 ) -> "DataFrame":
@@ -234,8 +270,9 @@ def remove_boilerplate(
 
     LANGUAGE CONTRACT: the default ``stopwords`` list is ENGLISH —
     on German/Spanish/… text every paragraph scores ~0 and the
-    document empties.  Pass the target language's function words
-    (jusText ships per-language lists; any word tuple works), or set
+    document empties.  Pass a language key from
+    :data:`BOILERPLATE_STOPWORDS` (``stopwords="de"``), any word
+    tuple (jusText ships per-language lists), or set
     ``min_stopword_fraction=0.0`` to disable the check.  For
     CJK-class scripts (no word spacing) the word/stopword heuristics
     do not apply at all — run langid first and route those documents
@@ -265,6 +302,14 @@ def remove_boilerplate(
     from pyspark.sql import DataFrame  # noqa: F401  (doc type only)
 
     out_col = out_col or text_col
+    if isinstance(stopwords, str):
+        if stopwords not in BOILERPLATE_STOPWORDS:
+            raise ValueError(
+                f"remove_boilerplate: no stopword list for"
+                f" {stopwords!r}; known: {sorted(BOILERPLATE_STOPWORDS)}"
+                " — pass an explicit word tuple for other languages"
+            )
+        stopwords = BOILERPLATE_STOPWORDS[stopwords]
     stops = list(stopwords) if stopwords else list(_BOILERPLATE_STOPWORDS)
 
     def keep(p):

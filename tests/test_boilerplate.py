@@ -183,3 +183,18 @@ def test_c4_terminal_punct_and_repeated_paragraph_rules(spark):
     assert got2.boilerplate_fraction == round(
         len(PROSE) / (2 * len(PROSE) + len(PROSE2)), 6
     )
+
+
+def test_language_key_stopword_lists(spark):
+    """stopwords='de' resolves the shipped per-language list; an
+    unknown key refuses naming the known ones."""
+    de = (
+        "das ist ein ganz normaler absatz mit vielen worten und der"
+        " dichte von funktionswoertern die man erwarten wuerde"
+    )
+    df = spark.createDataFrame([(1, de)], "doc_id long, text string")
+    assert remove_boilerplate(df, stopwords="de").collect()[0].text == de
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no stopword list"):
+        remove_boilerplate(df, stopwords="xx")

@@ -233,7 +233,7 @@ BOILERPLATE_STOPWORDS: dict[str, tuple[str, ...]] = {
     "fr": (
         "de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
         "que", "est", "pour", "qui", "dans", "a", "par", "plus",
-        "pas", "au", "sur", "ne", "se", "ce", "il", "sont", "la",
+        "pas", "au", "sur", "ne", "se", "ce", "il", "sont", "ont",
         "aux", "avec", "son", "ou", "mais", "on", "cette", "comme",
         "ces", "dont", "être", "elle", "tout", "nous", "sa", "leur",
         "sans", "aussi", "peut", "fait", "était", "entre", "deux",
@@ -310,6 +310,15 @@ def remove_boilerplate(
                 " — pass an explicit word tuple for other languages"
             )
         stopwords = BOILERPLATE_STOPWORDS[stopwords]
+    if stopwords is not None and not list(stopwords):
+        # an empty list is a caller bug (a failed per-language
+        # lookup, say) — falling back to ENGLISH here would silently
+        # empty a non-English corpus, the exact trap the language
+        # contract warns about
+        raise ValueError(
+            "remove_boilerplate: stopwords is empty — pass None for"
+            " the English default or a non-empty word sequence"
+        )
     stops = list(stopwords) if stopwords else list(_BOILERPLATE_STOPWORDS)
 
     def keep(p):
@@ -326,7 +335,9 @@ def remove_boilerplate(
             & (punct_ratio(p) <= F.lit(max_punct_fraction))
         )
         if require_terminal_punct:
-            cond = cond & F.trim(p).rlike(r'[.!?"]$')
+            # \s*$ not trim(): Spark trim strips only 0x20, so a
+            # CRLF corpus would fail every line on the trailing \r
+            cond = cond & p.rlike(r'[.!?"]\s*$')
         return cond
 
     paras_all = F.filter(

@@ -172,9 +172,8 @@ def test_c4_terminal_punct_and_repeated_paragraph_rules(spark):
     # repeated footer between sections collapses to one occurrence
     rep = "\n".join([PROSE, PROSE2, PROSE])
     df2 = spark.createDataFrame([(1, rep)], "doc_id long, text string")
-    assert remove_boilerplate(df2).collect()[0].text == rep.replace(
-        "\n", "\n"
-    )  # default keeps repeats
+    assert remove_boilerplate(df2).collect()[0].text == rep  # default
+    # keeps repeats
     got2 = remove_boilerplate(
         df2, drop_repeated_paragraphs=True
     ).collect()[0]
@@ -198,3 +197,20 @@ def test_language_key_stopword_lists(spark):
 
     with _pytest.raises(ValueError, match="no stopword list"):
         remove_boilerplate(df, stopwords="xx")
+
+
+def test_terminal_punct_tolerates_trailing_cr_and_empty_stops_raise(spark):
+    """CRLF corpora: a trailing \\r must not fail the terminal-punct
+    rule (Spark trim strips only 0x20 — reviewer catch); an empty
+    stopword list raises instead of silently scoring with English."""
+    doc = PROSE + "\r\n" + NAV
+    df = spark.createDataFrame(
+        [(1, doc.replace("\r\n", "\n").replace(PROSE, PROSE + "\r"))],
+        "doc_id long, text string",
+    )
+    got = remove_boilerplate(df, require_terminal_punct=True).collect()[0]
+    assert PROSE in got.text
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stopwords is empty"):
+        remove_boilerplate(df, stopwords=[])

@@ -214,3 +214,62 @@ def test_terminal_punct_tolerates_trailing_cr_and_empty_stops_raise(spark):
 
     with _pytest.raises(ValueError, match="stopwords is empty"):
         remove_boilerplate(df, stopwords=[])
+
+
+def test_remove_boilerplate_properties(spark):
+    """Property batch over randomized paragraph soup (one Spark job,
+    hypothesis-free for session economy — the strategies are
+    deterministic seeds): (1) IDEMPOTENCE — cleaning cleaned text
+    changes nothing; (2) output paragraphs are a SUBSEQUENCE of
+    input paragraphs (whitespace-collapsed); (3) the fraction sits
+    in [0, 1]; (4) every surviving paragraph satisfies the
+    predicate's cheap proxies (word count)."""
+    import hashlib
+    import random
+
+    rng = random.Random(0xB0)
+    words_prose = (
+        "the and of to in is it that for with as this from".split()
+        + ["reader", "value", "table", "scan", "result", "prose"]
+    )
+    docs = []
+    for i in range(60):
+        paras = []
+        for _ in range(rng.randint(0, 6)):
+            kind = rng.randint(0, 3)
+            if kind == 0:  # prose-ish
+                paras.append(" ".join(
+                    rng.choice(words_prose) for _ in range(rng.randint(3, 30))
+                ))
+            elif kind == 1:  # chrome
+                paras.append(" | ".join(
+                    hashlib.sha256(str((i, _)).encode()).hexdigest()[:6]
+                    for _ in range(rng.randint(1, 6))
+                ))
+            elif kind == 2:  # digits
+                paras.append(" ".join(
+                    str(rng.randint(0, 9999)) for _ in range(rng.randint(1, 8))
+                ))
+            else:  # junk whitespace shapes
+                paras.append("   ")
+        docs.append((i, "\n".join(paras)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = {r.doc_id: r for r in remove_boilerplate(df).collect()}
+    twice_df = spark.createDataFrame(
+        [(k, v.text) for k, v in once.items()], "doc_id long, text string"
+    )
+    twice = {r.doc_id: r for r in remove_boilerplate(twice_df).collect()}
+    for i, orig in docs:
+        o, t = once[i], twice[i]
+        # (1) idempotence: second pass keeps everything
+        assert t.text == o.text, i
+        assert t.boilerplate_fraction == 0.0, i
+        # (2) subsequence of whitespace-collapsed input paragraphs
+        inp = [" ".join(p.split()) for p in orig.split("\n") if p.strip()]
+        out = o.text.split("\n") if o.text else []
+        it = iter(inp)
+        assert all(any(p == q for q in it) for p in out), i
+        # (3) fraction bounds
+        assert 0.0 <= o.boilerplate_fraction <= 1.0, i
+        # (4) cheap proxy: survivors have >= 5 words
+        assert all(len(p.split()) >= 5 for p in out), i

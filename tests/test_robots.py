@@ -276,3 +276,22 @@ def test_filter_duplicate_host_rows_pick_same_winner_both_tiers(spark):
         kept = R.filter_robots_disallowed(docs, rules, tier=tier).collect()
         # min text is '' = no rules = allow-all
         assert [r.doc_id for r in kept] == [1], tier
+
+
+def test_join_tier_each_side_shuffles_once(spark):
+    """Plan gate for the join tier's scale contract: exactly two
+    hash exchanges (documents on host, rules on host) feed the
+    cogroup — nothing collects, nothing broadcasts the corpus."""
+    import contextlib
+    import io
+    import re
+
+    rules, docs = _parity_fixture(spark)
+    out = R.filter_robots_disallowed(docs, rules, tier="join")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    p = buf.getvalue()
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "BroadcastExchange" not in p

@@ -29,122 +29,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks entries in dict-insertion order and stops after
 # ~50.  ROTATION INVARIANT (standing, per VERDICT r4 #1): no entry's
-# newest driver row may be older than 2 rounds.
+# newest driver row may be older than 2 rounds (i.e. every entry runs
+# at least once per 3-round cycle).
 #
 # SLOT-BUDGET POLICY (standing, per VERDICT r5 #3).  The window is 50
 # slots; the flagship takes one every round, so sustained capacity is
-# 49 x 3 rounds = 147 entries at max staleness 2.  The registry holds
-# 138 (131 + seven r6 newcomers) — headroom is 9 entries, so NET
-# ADDITIONS ARE CAPPED AT ~4/ROUND; past 147 an addition must retire
-# or consolidate an existing entry (the paired rows-only/oracle
-# variants — e.g. x_dedup_exact_rows vs x_dedup_incremental_exact —
-# are first in line to share a slot on alternate rounds).  Window
-# composition each round, in order: (a) flagship sanity row;
+# 49 x 3 rounds = 147 entries at max staleness 2.  Past 147 effective
+# demand, an addition must retire or consolidate an existing entry.
+# Window composition each round, in order: (a) flagship sanity row;
 # (b) entries with NO driver row ever; (c) entries NEW this round;
 # (d) every entry whose newest row is 2 rounds old (MUST run —
 # invariant); (e) fill with the 1-round-old cohort, semantics-heavy
-# first (streaming, nested flatten, joins/windows/subqueries), so the
-# next round's mandatory cohort (d) shrinks below 49.
+# first, so the next round's mandatory cohort (d) shrinks below 49.
 #
-# r9 ledger: (a) flagship; (b) none; (c) = 5 new this round, the
-# exact free-slot count VERDICT r8 #1 budgeted (x_warc_ingest,
-# x_url_dedup, x_corpus_mix all hash-oracled; x_bloom_screen
-# rows-only with an IN-ENTRY zero-false-negative assertion;
-# x_bpe_token_counts hash-oracled against driver-computed literals —
-# registry 146 → 151); (d) = the r6-era mandatory cohort: 45 entries
-# whose newest row is r6, minus 1 PAIR-CREDIT — q_tablesample skips
-# (its stronger twin q_sample_deterministic runs below; same
-# TABLESAMPLE surface) — so 44 entries, all mandatory; (e) = none
-# (the window is full).  Total: 1 + 5 + 44 = 50 exactly.
+# PAIR/FAMILY LEDGER (consolidation, per VERDICT r5 #3 / r9 #2).  A
+# pair (or family) shares one window slot per 3-round cycle: the
+# invariant is satisfied when ANY member's newest run is within the
+# cycle; the family's slot rotates round-robin through its members so
+# every member is still periodically re-verified.  Roster after r10's
+# consolidation (VERDICT r9 #2 named i-iii; iv added because it is
+# the same UNION surface and r11's arithmetic needs it):
+#   P1 x_dedup_exact_rows ........ x_dedup_exact
+#   P2 x_dedup_incremental ....... x_dedup_incremental_exact
+#   P3 x_semantic_kmeans ......... x_semantic_dedup
+#   P4 x_dedup_minhash_lsh ....... x_dedup_minhash_oracle
+#   P5 x_dedup_embedding_lsh ..... x_dedup_embedding_oracle
+#   P6 q_tablesample ............. q_sample_deterministic
+#   F7 q_grouping_sets / q_rollup / q_cube          (r10 new — one
+#      GROUPING SETS surface; rollup/cube are its specializations)
+#   F8 q_union_all / q_distinct / q_union_distinct  (r10 new — one
+#      UNION/DISTINCT surface; union_all∘distinct ≡ union_distinct)
+#   P9 x_dedup_simhash_pairs ..... x_dedup_simhash  (r10 new — same
+#      fingerprint family; the pairs entry is the stronger gate)
+# Effective demand = 153 registered − (6 pairs·1 + 2 families·2 + 1
+# pair·1) = 142 vs 147 capacity → 5 slots of headroom restored.
+# Named r11 consolidation candidate if more is needed: the external-
+# scan trio q_scan_external_files/csv/orc (same query, 3 formats).
 #
-# PAIR-TURN BOOKKEEPING: a pair satisfies the invariant when EITHER
-# member runs within the 3-round cycle.  x_dedup_exact_rows (pair ran
-# r7 via x_dedup_exact), x_dedup_minhash_lsh (pair ran r7 via
-# x_dedup_minhash_oracle) and x_dedup_embedding_lsh (pair ran r8 via
-# x_dedup_embedding_oracle) are therefore due R10, not r9 — they sit
-# first past the edge.
+# r10 ledger (planned in the r9 header, endorsed by VERDICT r9 #1):
+# (a) flagship; (b) x_remove_boilerplate (registered late r9 at slot
+# 51, no driver row yet; judge-verified green locally); (c) none —
+# x_image_near_dup registers THIS round but sits past the edge at
+# slot 51 to front r11 as its category (b), exactly the
+# x_remove_boilerplate pattern; (d) the 49-entry r7-era cohort MINUS
+# three pair-credits earned r8 (P2: incremental ran r8; P3: kmeans
+# ran r8; P5: embedding_oracle ran r8) = 46, PLUS the two r10
+# pair-turns (P1 via x_dedup_exact_rows, P4 via x_dedup_minhash_lsh —
+# both pairs' newest run is r7).  Total: 1 + 1 + 2 + 46 = 50 exactly.
+# (e) none — the window is full.
 #
-# R10 PLAN (VERDICT r8 #8 — the capacity margin is one round thin,
-# so the next window is planned HERE): mandatory = the 49-entry
-# r7-era cohort MINUS three pair-credits earned at r8/r9
-# (x_dedup_incremental_exact ← x_dedup_incremental ran r8;
-# x_semantic_dedup ← x_semantic_kmeans ran r8; x_dedup_embedding_lsh
-# ← oracle twin ran r8) = 46, PLUS the two r10 pair-turns
-# (x_dedup_exact_rows, x_dedup_minhash_lsh), PLUS flagship = 49 →
-# ONE free slot — CONSUMED by x_remove_boilerplate (registered late
-# r9 past this window's edge, so it fronts r10 as category (b),
-# "no driver row ever"; its local oracle sweep is green).  r10 total
-# = 50 exactly.  q_tablesample's pair runs r9, so it waits to r11.
-# Consequence: r10 adds NOTHING else net; if the round needs a slot,
-# consolidate first — named candidates: (i) pair q_rollup and q_cube
-# under q_grouping_sets (one GROUPING SETS surface, rollup/cube are
-# its specializations); (ii) pair q_union_all with q_distinct (the
-# UNION ALL + DISTINCT pair already cross-checks q_union_distinct);
-# (iii) pair x_dedup_simhash_pairs with x_dedup_simhash (same
-# signature family, the pairs entry is the stronger gate).  Next
-# registry candidate AFTER consolidation: an imagehash pairs entry
-# (operators/imagehash.py, pytest-green, driver-literal oracle
-# possible via the x_bpe pattern).
+# R11 PLAN: mandatory = the 49-entry r8-era cohort MINUS
+# x_dedup_simhash (P9 credit: simhash_pairs runs r10) MINUS
+# q_union_distinct (F8 credit: q_union_all ran r9), PLUS q_tablesample
+# (P6 turn: sample_deterministic ran r9), PLUS x_image_near_dup
+# (category b), PLUS flagship = 47 + 3 = 50 exactly.  ZERO net adds
+# in r11; anything new must consolidate first (scan trio is first in
+# line).  P2/P3/P5 pair-turns also land r11 via their r8 members
+# (x_dedup_incremental, x_semantic_kmeans, x_dedup_embedding_oracle —
+# all already IN the r8-era cohort, so no extra slots).
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (c) new this round (5 = the budgeted free slots) ---
-    "x_warc_ingest",  # WARC/WET crawl ingestion, literal-VALUES oracle
-    "x_url_dedup",  # normalize_url algebra vs arithmetic oracle
-    "x_corpus_mix",  # weight-proportional mixing, FP-exact oracle
-    "x_bloom_screen",  # rows-only; zero-FN invariant asserted in-entry
-    "x_bpe_token_counts",  # distributed BPE apply vs driver literals
-    # --- (d) staleness cohort (newest row r6) — 44 entries, all ---
-    "s_stream_stream_join",
-    "s_rollup_continuous_hourly",
-    "q_nested_flatten_horizontal",
-    "q_nested_flatten_vertical",
-    "q_nested_flatten_multitable_depth2",
-    "q_dialect_duckdb_text",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q_topk_per_group",
-    "q_qualify_latest",
-    "q_grouping_sets",
-    "q_rollup",
-    "q_cube",
-    "q_join_cross",
-    "q_order_limit_offset",
-    "q_union_all",
-    "q_distinct",
-    "q_approx_count_distinct",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_json_funcs",
-    "q_case_cast",
-    "q_pivot",
-    "q_unpivot",
-    "q_sample_deterministic",  # pair-runner: credits q_tablesample
-    "q_array_funcs",
-    "q_explode_posexplode",
-    "q_map_struct_funcs",
-    "q_scan_external_files",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash_pairs",
-    "x_dedup_embedding_cosine",
-    "x_multimodal_features",
-    "x_multimodal_codec_jpeg",
-    "x_split_train_val",
-    "x_sample_stratified",
-    "x_pack_sequences",
-    "x_model_score",
-    "x_lm_perplexity",
-    "x_semantic_incremental",
-    "q_dml_copy_roundtrip",
-    "q_dml_compact_roundtrip",
-    # --- past the ~50 edge: r10's dues first (category-(b) newcomer,
-    # pair-turns), then the r7-era cohort semantics-heavy first, with
-    # the three r10 pair-credit skippers listed last ---
-    "x_remove_boilerplate",  # r10 (b): registered late r9, no row yet
-    "x_dedup_exact_rows",  # r10 pair-turn (x_dedup_exact ran r7)
-    "x_dedup_minhash_lsh",  # r10 pair-turn (oracle twin ran r7)
-    "q_tablesample",  # r11 (pair q_sample_deterministic runs r9)
+    # --- (b) no driver row ever (registered late r9, slot 51) ---
+    "x_remove_boilerplate",
+    # --- pair-turns due r10 (pairs' newest member run is r7) ---
+    "x_dedup_exact_rows",  # P1 turn (x_dedup_exact ran r7)
+    "x_dedup_minhash_lsh",  # P4 turn (minhash_oracle ran r7)
+    # --- (d) staleness cohort (newest row r7) — 46 entries, all ---
     "s_semantic_stream",
     "s_stream_tumbling_hour",
     "q_join_asof",
@@ -191,9 +141,16 @@ _PRIORITY = [
     "x_text_langid",
     "x_text_quality",
     "x_text_token_count",
-    "x_dedup_incremental_exact",  # r10 credit (incremental ran r8)
-    "x_semantic_dedup",  # r10 credit (kmeans ran r8)
-    "x_dedup_embedding_lsh",  # r10 credit (oracle twin ran r8)
+    # --- past the ~50 edge: r11's dues first ---
+    "x_image_near_dup",  # r11 (b): registered r10, no row yet
+    "q_tablesample",  # r11 P6 turn (sample_deterministic ran r9)
+    # r10 pair-credit skippers (newest pair-member run r8; their
+    # pairs' r11 turns run via the r8-era cohort below)
+    "x_dedup_incremental_exact",  # P2 credit (incremental ran r8)
+    "x_semantic_dedup",  # P3 credit (kmeans ran r8)
+    "x_dedup_embedding_lsh",  # P5 credit (oracle twin ran r8)
+    "x_dedup_simhash",  # P9 credit (simhash_pairs runs r10)
+    "q_union_distinct",  # F8 credit (q_union_all ran r9)
 ]
 
 

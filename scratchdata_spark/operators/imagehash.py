@@ -90,13 +90,15 @@ def _fake_dhash(payload: bytes) -> int:
 
 def dhash_images(
     df: DataFrame,
-    id_col: str = "doc_id",
     payload_col: str = "payload",
     out_col: str = "dhash",
     fake: bool | None = None,
     keep_payload: bool = True,
 ) -> DataFrame:
     """df + ``out_col``: the 64-bit perceptual hash per image row.
+    Output columns derive from the input schema — there is no id
+    column to name (advisor catch r9: a declared-but-unused id_col
+    implied special treatment that never happened).
     One Arrow pass; undecodable/NULL payloads yield NULL (contained,
     never fail the corpus — the try_parse_url rule applied to
     pixels).  ``fake`` defaults to the module-wide env gate, resolved
@@ -154,7 +156,7 @@ def image_near_dup_pairs(
     then the shared Hamming-band LSH.  Only (id, 8-byte hash) rows
     ever shuffle — pixels stay in the scan stage."""
     hashed = dhash_images(
-        df.select(id_col, payload_col), id_col, payload_col,
+        df.select(id_col, payload_col), payload_col,
         out_col="__fp", fake=fake, keep_payload=False,
     ).filter(F.col("__fp").isNotNull())
     return hamming_band_pairs(

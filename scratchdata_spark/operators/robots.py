@@ -226,20 +226,33 @@ def filter_robots_disallowed(
         return _filter_robots_join(
             df, robots, url_col, agent, keep_unknown_hosts
         )
-    # ONE count serves both the auto dispatch and the closure valve —
-    # the rules plan (typically a WARC scan + groupBy) would otherwise
-    # fully execute twice before the collect (reviewer catch)
-    n_hosts = robots.count()
-    if n_hosts > max_closure_hosts:
-        if tier == "auto":
-            return _filter_robots_join(
-                df, robots, url_col, agent, keep_unknown_hosts
+    # ONE count serves both the auto dispatch and the closure valve,
+    # and persist() makes it ONE execution of the rules plan
+    # (typically a WARC scan + groupBy): count() materializes the
+    # cache the bounded collect() below reads (advisor catch r9 —
+    # count-then-collect on an unpersisted plan runs the plan twice).
+    # The valve must stay count-first: collecting before counting
+    # would ship an unbounded table to the driver to decide whether
+    # shipping it was safe.
+    robots = robots.persist()
+    try:
+        n_hosts = robots.count()
+        if n_hosts > max_closure_hosts:
+            if tier == "auto":
+                return _filter_robots_join(
+                    df, robots, url_col, agent, keep_unknown_hosts
+                )
+            raise ValueError(
+                f"filter_robots_disallowed: {n_hosts} robots hosts"
+                f" exceeds the closure tier's {max_closure_hosts}-host"
+                " ceiling — use tier='join' (cogrouped; rules never"
+                " ride the driver)"
             )
-        raise ValueError(
-            f"filter_robots_disallowed: {n_hosts} robots hosts exceeds"
-            f" the closure tier's {max_closure_hosts}-host ceiling —"
-            " use tier='join' (cogrouped; rules never ride the driver)"
-        )
+        collected = robots.collect()
+    finally:
+        # the join tier's returned plan executes uncached later; the
+        # closure tier has everything it needs in `collected`
+        robots.unpersist()
 
     import pandas as pd
 
@@ -252,7 +265,7 @@ def filter_robots_disallowed(
     # once per host for the fixed agent, so the per-row hot path is
     # pure compiled-regex matching.
     best: dict = {}
-    for row in robots.collect():
+    for row in collected:
         txt = row["robots_txt"] or ""
         h = row["host"]
         if h not in best or txt < best[h]:

@@ -105,31 +105,48 @@ def _bounded_inflate(body: bytes, wbits: int, cap: int) -> bytes:
     emit multi-member gzip bodies; gzip.decompress decoded them all,
     and dropping ``unused_data`` would silently truncate the document
     to its first member — reviewer catch), with the cap held across
-    members."""
+    members.
+
+    Trailing garbage after a complete member is TOLERATED (advisor
+    catch, r9: one-shot zlib.decompress ignored it, so raising here
+    regressed such bodies to raw mojibake): for gzip wbits a next
+    member must start with the ``\\x1f\\x8b`` magic, and for zlib/raw
+    deflate — which have no usable magic — a zlib.error past the
+    first member returns the output accumulated so far.  The cap
+    still raises ValueError wherever it trips."""
     import zlib
 
     out = []
     total = 0
     data = body
+    first = True
     while True:
         d = zlib.decompressobj(wbits)
         budget = cap - total
-        chunk = d.decompress(data, budget + 1)
-        if len(chunk) > budget:
-            raise ValueError(f"http: inflated body exceeds {cap} bytes")
-        chunk += d.flush()
-        if len(chunk) > budget:
-            raise ValueError(f"http: inflated body exceeds {cap} bytes")
+        try:
+            chunk = d.decompress(data, budget + 1)
+            if len(chunk) > budget:
+                raise ValueError(f"http: inflated body exceeds {cap} bytes")
+            chunk += d.flush()
+            if len(chunk) > budget:
+                raise ValueError(f"http: inflated body exceeds {cap} bytes")
+            if not d.eof:
+                # decompressobj returns PARTIAL data on truncation
+                # where one-shot zlib.decompress raised — keep the
+                # degrade-to-raw contract for truncated captures
+                raise zlib.error("incomplete or truncated stream")
+        except zlib.error:
+            if first:
+                raise
+            return b"".join(out)  # complete member(s) + trailing junk
         total += len(chunk)
         out.append(chunk)
-        if not d.eof:
-            # decompressobj returns PARTIAL data on truncation where
-            # one-shot zlib.decompress raised — keep the old degrade-
-            # to-raw contract for truncated captures by refusing here
-            raise zlib.error("incomplete or truncated stream")
+        first = False
         data = d.unused_data
         if not data:
             return b"".join(out)
+        if wbits >= 16 and not data.startswith(b"\x1f\x8b"):
+            return b"".join(out)  # gzip trailing garbage, not a member
 
 
 def iter_warc_records(data: bytes):

@@ -336,3 +336,51 @@ def test_warc_multimember_gzip_body_decodes_fully():
     with pytest.raises(ValueError, match="exceeds"):
         W._bounded_inflate(two, 16 + zlib.MAX_WBITS, 1000)
     assert W._bounded_inflate(two, 16 + zlib.MAX_WBITS, 1200) == bytes(1200)
+
+
+def test_warc_trailing_garbage_after_complete_member_tolerated():
+    """Trailing junk after a complete compressed body decodes to the
+    body, not raw mojibake (advisor catch r9: one-shot
+    zlib.decompress ignored trailing garbage; the multi-member loop
+    regressed that by raising on the junk 'member' and degrading the
+    whole response to raw compressed bytes)."""
+    import zlib
+
+    doc = b"<p>hello world</p>"
+    # zlib-wrapped deflate + trailing junk
+    z = zlib.compress(doc) + b"JUNKJUNK"
+    s, _, body = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + z
+    )
+    assert s == 200 and body == doc
+    # raw deflate + trailing junk (the no-wrapper retry path)
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    rd = raw.compress(doc) + raw.flush() + b"\x00\x00junk"
+    s, _, body = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + rd
+    )
+    assert s == 200 and body == doc
+    # gzip + non-magic trailing junk (no \x1f\x8b prefix)
+    g = gzip.compress(doc) + b"not-a-member"
+    s, _, body = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + g
+    )
+    assert s == 200 and body == doc
+    # gzip + magic-prefixed but truncated second member: the complete
+    # first member wins over degrading the whole response to raw
+    # (only the trailing fragment is damaged)
+    g2 = gzip.compress(doc) + gzip.compress(doc)[:8]
+    s, _, body = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + g2
+    )
+    assert s == 200 and body == doc
+    # truncated FIRST member keeps the degrade-to-raw contract
+    t = gzip.compress(doc)[:-6]
+    s, _, body = W.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + t
+    )
+    assert s == 200 and body == t
+    # the cap still trips across member + junk boundaries
+    bomb = zlib.compress(bytes(1 << 20)) + b"tail"
+    with pytest.raises(ValueError, match="exceeds"):
+        W._bounded_inflate(bomb, zlib.MAX_WBITS, 1 << 10)

@@ -191,8 +191,12 @@ def minhash_telemetry(docs, n_docs=None, k=5, threshold=0.5,
 
     # 1) stage walls, cumulative (sig persists at its count, cand at
     # its; read the deltas — the _span_removal_stages convention)
+    # pass the SAME params the headline run derives — corpus_size
+    # being non-None makes _minhash_stages recompute internally today,
+    # but hardcoded literals here would silently diverge if that
+    # override logic ever changes (advisor catch r9)
     stages = _minhash_stages(
-        docs, "doc_id", "text", 64, 16, k, threshold,
+        docs, "doc_id", "text", n_hashes, bands, k, threshold,
         max_bucket_size, est_margin, n_docs, False,
     )
     t0 = time.perf_counter()

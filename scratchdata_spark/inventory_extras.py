@@ -3316,3 +3316,125 @@ def x_remove_boilerplate(spark, sf_dir):
         F.concat_ws("\n", prose, chrome, digits).alias("text"),
     )
     return remove_boilerplate(staged).select("doc_id", "text")
+
+
+# ------------------------------------------ r10: image near-dup pairs
+# (VERDICT r9 #3: the only first-class LLM-pipeline component with no
+# registry entry.  Oracle = the x_warc_ingest pattern: a deterministic
+# in-entry fixture whose EXPECTED pairs are brute-forced on the driver
+# with the same integer-exact codecs the executors run, embedded as
+# literal VALUES.  The banding math — max_hamming=6 < n_bands=8 —
+# pigeonhole-guarantees the LSH finds every brute-force pair, and the
+# verify filter admits nothing else, so LSH output == brute force
+# EXACTLY, making the approximate-looking operator hash-gateable.)
+
+
+def _image_fixture() -> list[tuple]:
+    """Deterministic (doc_id, payload) image rows: 8 radial-pattern
+    scenes (monotone gradients are dHash-degenerate — every bit
+    equal), each as a base PNG, a 2x box-upscale PNG and a JPEG
+    recompression (near-dups of the base); two exact byte duplicates
+    (family collapse); two NULL payloads and one corrupt header
+    (NULL-hash containment — dropped, never failed)."""
+    from scratchdata_spark.operators import jpeg_codec, png_codec
+
+    w, h = 36, 28
+    m = w * w + h * h
+
+    def radial(seed: int) -> bytes:
+        cx, cy = (seed * 7) % w, (seed * 5) % h
+
+        def rad(px, py, x, y):
+            return 255 - ((x - px) ** 2 + (y - py) ** 2) * 255 // m
+
+        return bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                rad(cx, cy, x, y),
+                rad(w - 1 - cx, cy, x, y),
+                rad(cx, h - 1 - cy, x, y),
+            )
+        )
+
+    rows: list[tuple] = []
+    for s in range(8):
+        px = radial(s)
+        base = png_codec.encode_png(w, h, 3, px)
+        rows.append((f"img{s}-base", base))
+        up = png_codec.box_resize(w, h, 3, px, w * 2, h * 2)
+        rows.append(
+            (f"img{s}-up", png_codec.encode_png(w * 2, h * 2, 3, up))
+        )
+        rows.append(
+            (f"img{s}-jpg", jpeg_codec.encode_jpeg(w, h, 3, px, quant=2))
+        )
+        if s < 2:  # exact byte duplicates -> hamming-0 family pairs
+            rows.append((f"img{s}-copy", base))
+    rows.append(("img-null-0", None))
+    rows.append(("img-null-1", None))
+    rows.append(("img-corrupt", b"\x89PNG\r\n\x1a\nnot really a png"))
+    return rows
+
+
+_IMG_MAX_HAMMING = 6
+_IMG_N_BANDS = 8
+
+
+def _image_oracle_sql() -> str:
+    """Brute-force expected pairs on the driver: same codecs, same
+    integer luma/resample/gradient arithmetic as the executors, but
+    NONE of the banding/bucketing machinery under test."""
+    from scratchdata_spark.operators.imagehash import dhash64
+
+    fps: list[tuple[str, int]] = []
+    for doc_id, payload in _image_fixture():
+        if payload is None:
+            continue
+        try:
+            fps.append((doc_id, dhash64(payload)))
+        except (ValueError, NotImplementedError):
+            continue  # corrupt fixture row: NULL hash, not a pair
+    pairs = []
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (ia, fa), (ib, fb) = fps[i], fps[j]
+            ham = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+            if ham <= _IMG_MAX_HAMMING:
+                a, b = sorted((ia, ib))
+                pairs.append((a, b, ham))
+    vals = ",\n      ".join(
+        f"('{a}', '{b}', CAST({n} AS INT))" for a, b, n in sorted(pairs)
+    )
+    return (
+        "SELECT * FROM (VALUES\n      " + vals + "\n    ) AS t"
+        "(id_a, id_b, hamming)"
+    )
+
+
+@q("x_image_near_dup", _image_oracle_sql())
+def x_image_near_dup(spark, sf_dir):
+    """Perceptual image near-dup pairs under the hash gate
+    (operators/imagehash.py image_near_dup_pairs: one Arrow dHash
+    pass with keep_payload=False so pixels never leave the scan
+    stage, then the shared Hamming-band LSH — dedup.py
+    hamming_band_pairs — over (id, 8-byte hash) rows only).  Real
+    decode tier pinned (fake=False): the in-tree PNG/JPEG codecs are
+    integer-exact, so driver and executors hash identically.
+    max_bucket_size=None — the correctness gate must not let the
+    hot-bucket valve drop a true pair (production keeps the cap)."""
+    from scratchdata_spark.operators.imagehash import image_near_dup_pairs
+
+    df = spark.createDataFrame(
+        _image_fixture(), "doc_id string, payload binary"
+    )
+    return image_near_dup_pairs(
+        df,
+        "doc_id",
+        "payload",
+        max_hamming=_IMG_MAX_HAMMING,
+        n_bands=_IMG_N_BANDS,
+        max_bucket_size=None,
+        fake=False,
+    )

@@ -290,7 +290,7 @@ class JDBCDestination(DataFrameSerializers, Destination):
 
     def columns(self, table: str) -> list[dict]:
         # schema arrives via JDBC statement metadata — no rows move
-        df = self._reader(dbtable=_check_ident(table))
+        df = self._reader(dbtable=self._dbtable(table))
         return [
             {"name": f.name, "type": f.dataType.simpleString()}
             for f in df.schema.fields
@@ -301,8 +301,18 @@ class JDBCDestination(DataFrameSerializers, Destination):
         q = _QUOTE[self.engine]
         return f"{q}{_check_ident(ident)}{q}"
 
+    def _q_table(self, table: str) -> str:
+        """Quoted DDL target for ``table`` — seam so schema-qualifying
+        subclasses (RedshiftDestination: ``"schema"."table"``) aim
+        every CREATE/ALTER at the right namespace."""
+        return self._q(table)
+
+    def _dbtable(self, table: str) -> str:
+        """JDBC ``dbtable`` option value — same seam for reads/writes."""
+        return _check_ident(table)
+
     def create_empty_table(self, table: str) -> None:
-        self._execute(_CREATE[self.engine].format(t=self._q(table)))
+        self._execute(_CREATE[self.engine].format(t=self._q_table(table)))
 
     def create_columns(self, table: str, ndjson_path, skip_malformed: bool = False) -> None:
         types = infer_types_file(ndjson_path, skip_malformed=skip_malformed)
@@ -313,7 +323,7 @@ class JDBCDestination(DataFrameSerializers, Destination):
                 continue  # existing columns never retype (§1.2)
             try:
                 self._execute(
-                    f"ALTER TABLE {self._q(table)} "
+                    f"ALTER TABLE {self._q_table(table)} "
                     f"ADD COLUMN IF NOT EXISTS {self._q(name)} {tmap[jt]}"
                 )
             except Exception:
@@ -328,7 +338,7 @@ class JDBCDestination(DataFrameSerializers, Destination):
         columns → NULL, then one batched JDBC write."""
         from scratchdata_spark.jtypes import to_struct
 
-        table = _check_ident(table)
+        table = self._dbtable(table)
         target = self._reader(dbtable=table).schema
         batch_types = infer_types_file(ndjson_path, skip_malformed=True)
         string_schema = to_struct({k: "string" for k in batch_types})

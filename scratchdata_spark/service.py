@@ -116,6 +116,33 @@ def build_app(
                 user=settings.get("user"),
                 password=settings.get("password"),
             )
+        if type_ == "redshift":
+            from scratchdata_spark.blobstore import S3BlobStore
+            from scratchdata_spark.redshift_destination import (
+                RedshiftDestination,
+            )
+
+            bucket = settings["s3_bucket"]
+            store = S3BlobStore(
+                bucket,
+                prefix=settings.get("s3_prefix", ""),
+                client=settings.get("s3_client"),  # test seam
+                region=settings.get("s3_region"),
+            )
+            return RedshiftDestination(
+                spark,
+                settings["url"],
+                blobstore=store,
+                s3_bucket=bucket,
+                access_key_id=settings.get("access_key_id"),
+                secret_access_key=settings.get("secret_access_key"),
+                iam_role=settings.get("iam_role"),
+                schema=settings.get("schema", "public"),
+                delete_from_s3=settings.get("delete_from_s3", True),
+                driver=settings.get("driver"),
+                user=settings.get("user"),
+                password=settings.get("password"),
+            )
         if type_ == "motherduck":
             from scratchdata_spark.duckdb_destination import DuckDBDestination
 

@@ -60,33 +60,46 @@ def entry(spark: SparkSession) -> DataFrame:
 #   F8 q_union_all / q_distinct / q_union_distinct  (r10 new — one
 #      UNION/DISTINCT surface; union_all∘distinct ≡ union_distinct)
 #   P9 x_dedup_simhash_pairs ..... x_dedup_simhash  (r10 new — same
-#      fingerprint family; the pairs entry is the stronger gate)
+#      fingerprint family; the pairs entry is the stronger gate.
+#      Newest member run: simhash_pairs r9 — NOT r10; the pair is due
+#      again r12, and x_dedup_simhash skips r11 on the r9 credit)
 # Effective demand = 153 registered − (6 pairs·1 + 2 families·2 + 1
 # pair·1) = 142 vs 147 capacity → 5 slots of headroom restored.
 # Named r11 consolidation candidate if more is needed: the external-
 # scan trio q_scan_external_files/csv/orc (same query, 3 formats).
 #
-# r10 ledger (planned in the r9 header, endorsed by VERDICT r9 #1):
+# r10 ledger (planned in the r9 header, endorsed by VERDICT r9 #1,
+# then CORRECTED by this round's review pass — the endorsed plan ran
+# BOTH members of P1 and P4: the twins on pair-turn AND x_dedup_exact
+# / x_dedup_minhash_oracle inside the r7-era cohort.  Pair policy
+# credits the cohort members when their twins run, so those 2 slots
+# are freed and spent as category-(e) fill on two r8-era streaming
+# entries, shrinking r11's mandatory cohort):
 # (a) flagship; (b) x_remove_boilerplate (registered late r9 at slot
 # 51, no driver row yet; judge-verified green locally); (c) none —
 # x_image_near_dup registers THIS round but sits past the edge at
 # slot 51 to front r11 as its category (b), exactly the
 # x_remove_boilerplate pattern; (d) the 49-entry r7-era cohort MINUS
 # three pair-credits earned r8 (P2: incremental ran r8; P3: kmeans
-# ran r8; P5: embedding_oracle ran r8) = 46, PLUS the two r10
-# pair-turns (P1 via x_dedup_exact_rows, P4 via x_dedup_minhash_lsh —
-# both pairs' newest run is r7).  Total: 1 + 1 + 2 + 46 = 50 exactly.
-# (e) none — the window is full.
+# ran r8; P5: embedding_oracle ran r8) MINUS two pair-credits earned
+# THIS round (P1: exact_rows runs below; P4: minhash_lsh runs below)
+# = 44, PLUS the two r10 pair-turns (P1 via x_dedup_exact_rows, P4
+# via x_dedup_minhash_lsh — both pairs' newest run is r7); (e) two
+# r8-era fills, streaming-first per policy (s_stream_session_windows,
+# s_stream_stateful_user_totals).  Total: 1 + 1 + 2 + 44 + 2 = 50.
 #
-# R11 PLAN: mandatory = the 49-entry r8-era cohort MINUS
-# x_dedup_simhash (P9 credit: simhash_pairs runs r10) MINUS
-# q_union_distinct (F8 credit: q_union_all ran r9), PLUS q_tablesample
-# (P6 turn: sample_deterministic ran r9), PLUS x_image_near_dup
-# (category b), PLUS flagship = 47 + 3 = 50 exactly.  ZERO net adds
-# in r11; anything new must consolidate first (scan trio is first in
-# line).  P2/P3/P5 pair-turns also land r11 via their r8 members
+# R11 PLAN: mandatory = the 49-entry r8-era cohort MINUS the two (e)
+# fills above (run r10) MINUS x_dedup_simhash (P9 credit: pairs twin
+# ran r9, within cycle at r11) MINUS q_union_distinct (F8 credit:
+# q_union_all ran r9), PLUS q_tablesample (P6 turn:
+# sample_deterministic ran r9), PLUS x_image_near_dup (category b),
+# PLUS flagship = 45 + 3 = 48 → TWO free slots for r11 adds.
+# P2/P3/P5 pair-turns also land r11 via their r8 members
 # (x_dedup_incremental, x_semantic_kmeans, x_dedup_embedding_oracle —
-# all already IN the r8-era cohort, so no extra slots).
+# all already IN the r8-era cohort, so no extra slots).  P1/P4's
+# cohort members (x_dedup_exact, x_dedup_minhash_oracle, newest own
+# row r7) next take their pairs' turns r13 — within the 6-round
+# per-member cadence pair alternation has always implied.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
     # --- (b) no driver row ever (registered late r9, slot 51) ---
@@ -94,7 +107,8 @@ _PRIORITY = [
     # --- pair-turns due r10 (pairs' newest member run is r7) ---
     "x_dedup_exact_rows",  # P1 turn (x_dedup_exact ran r7)
     "x_dedup_minhash_lsh",  # P4 turn (minhash_oracle ran r7)
-    # --- (d) staleness cohort (newest row r7) — 46 entries, all ---
+    # --- (d) staleness cohort (newest row r7) — 44 entries (the
+    # cohort's P1/P4 members ride their twins' r10 runs, below) ---
     "s_semantic_stream",
     "s_stream_tumbling_hour",
     "q_join_asof",
@@ -119,8 +133,6 @@ _PRIORITY = [
     "x_chunk_documents",
     "x_decontaminate",
     "x_dedup_clusters",
-    "x_dedup_exact",
-    "x_dedup_minhash_oracle",
     "x_dedup_substring",
     "x_dedup_survivors",
     "x_global_shuffle",
@@ -141,6 +153,9 @@ _PRIORITY = [
     "x_text_langid",
     "x_text_quality",
     "x_text_token_count",
+    # --- (e) r8-era fill, streaming-first (frees r11 slots) ---
+    "s_stream_session_windows",
+    "s_stream_stateful_user_totals",
     # --- past the ~50 edge: r11's dues first ---
     "x_image_near_dup",  # r11 (b): registered r10, no row yet
     "q_tablesample",  # r11 P6 turn (sample_deterministic ran r9)
@@ -149,6 +164,8 @@ _PRIORITY = [
     "x_dedup_incremental_exact",  # P2 credit (incremental ran r8)
     "x_semantic_dedup",  # P3 credit (kmeans ran r8)
     "x_dedup_embedding_lsh",  # P5 credit (oracle twin ran r8)
+    "x_dedup_exact",  # P1 credit (exact_rows runs r10, review catch)
+    "x_dedup_minhash_oracle",  # P4 credit (minhash_lsh runs r10)
     "x_dedup_simhash",  # P9 credit (simhash_pairs runs r10)
     "q_union_distinct",  # F8 credit (q_union_all ran r9)
 ]

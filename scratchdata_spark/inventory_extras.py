@@ -3335,7 +3335,16 @@ def _image_fixture() -> list[tuple]:
     equal), each as a base PNG, a 2x box-upscale PNG and a JPEG
     recompression (near-dups of the base); two exact byte duplicates
     (family collapse); two NULL payloads and one corrupt header
-    (NULL-hash containment — dropped, never failed)."""
+    (NULL-hash containment — dropped, never failed).
+
+    The seeds do NOT make scenes mutually distant at max_hamming=6 —
+    most expected pairs are cross-scene (some scene variants even
+    hash identically, exercising the cross-family path).  That is
+    fine BY CONSTRUCTION: the oracle brute-forces the same threshold,
+    so cross-scene near-dups are expected-positives on both sides and
+    the gate stays exact; the non-pair complement supplies the
+    negative space.  Do not tune seeds/thresholds assuming per-scene
+    clusters (review catch r10)."""
     from scratchdata_spark.operators import jpeg_codec, png_codec
 
     w, h = 36, 28

@@ -215,8 +215,9 @@ def filter_robots_disallowed(
     * ``'join'`` — the corpus-wide path: documents and rules cogroup
       on host (each side shuffles ONCE, nothing rides the driver),
       rules compile once per host group inside ``applyInPandas``.
-    * ``'auto'`` (default) — one count() on the robots table picks
-      the tier at the valve boundary.
+    * ``'auto'`` (default) — one bounded ``limit(valve+1).collect()``
+      on the robots table picks the tier at the valve boundary (and
+      doubles as the closure tier's rules fetch).
     """
     if tier not in ("auto", "closure", "join"):
         raise ValueError(
@@ -226,33 +227,25 @@ def filter_robots_disallowed(
         return _filter_robots_join(
             df, robots, url_col, agent, keep_unknown_hosts
         )
-    # ONE count serves both the auto dispatch and the closure valve,
-    # and persist() makes it ONE execution of the rules plan
-    # (typically a WARC scan + groupBy): count() materializes the
-    # cache the bounded collect() below reads (advisor catch r9 —
-    # count-then-collect on an unpersisted plan runs the plan twice).
-    # The valve must stay count-first: collecting before counting
-    # would ship an unbounded table to the driver to decide whether
-    # shipping it was safe.
-    robots = robots.persist()
-    try:
-        n_hosts = robots.count()
-        if n_hosts > max_closure_hosts:
-            if tier == "auto":
-                return _filter_robots_join(
-                    df, robots, url_col, agent, keep_unknown_hosts
-                )
-            raise ValueError(
-                f"filter_robots_disallowed: {n_hosts} robots hosts"
-                f" exceeds the closure tier's {max_closure_hosts}-host"
-                " ceiling — use tier='join' (cogrouped; rules never"
-                " ride the driver)"
+    # ONE bounded action serves the auto dispatch, the closure valve
+    # AND the closure's rules fetch: limit(valve+1).collect() runs the
+    # rules plan once and ships at most valve+1 rows — never the
+    # unbounded table the valve exists to keep off the driver, and
+    # never a cache write of a multi-GB rules table that the join
+    # tier would discard unused (advisor catch r9: count-then-collect
+    # ran the plan twice; review catch r10: the persist() fix
+    # materialized the full table even on the auto→join path).
+    collected = robots.limit(max_closure_hosts + 1).collect()
+    if len(collected) > max_closure_hosts:
+        if tier == "auto":
+            return _filter_robots_join(
+                df, robots, url_col, agent, keep_unknown_hosts
             )
-        collected = robots.collect()
-    finally:
-        # the join tier's returned plan executes uncached later; the
-        # closure tier has everything it needs in `collected`
-        robots.unpersist()
+        raise ValueError(
+            f"filter_robots_disallowed: more than {max_closure_hosts}"
+            " robots hosts — the closure tier's ceiling. Use"
+            " tier='join' (cogrouped; rules never ride the driver)"
+        )
 
     import pandas as pd
 

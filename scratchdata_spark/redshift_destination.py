@@ -31,12 +31,27 @@ Semantics notes (divergences loudly documented):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 from scratchdata_spark.blobstore import BlobStore
 from scratchdata_spark.engine import _check_ident
 from scratchdata_spark.jdbc_destination import JDBCDestination
+
+_AUTH_SAFE = re.compile(r"[A-Za-z0-9:/_+=,.@-]+")
+
+
+def _check_auth(value: str, what: str) -> str:
+    """Credential values interpolate into single-quoted SQL literals
+    on the DDL connection; these arrive from the runtime onboarding
+    API, so they get the same injection treatment as identifiers
+    (review catch r10).  AWS key ids/secrets and role ARNs never need
+    characters outside this set — in particular no quotes, spaces or
+    semicolons."""
+    if not _AUTH_SAFE.fullmatch(value):
+        raise ValueError(f"redshift: invalid character in {what}")
+    return value
 
 
 class RedshiftDestination(JDBCDestination):
@@ -72,9 +87,17 @@ class RedshiftDestination(JDBCDestination):
             )
         self.blobstore = blobstore
         self.s3_bucket = s3_bucket
-        self.access_key_id = access_key_id
-        self.secret_access_key = secret_access_key
-        self.iam_role = iam_role
+        self.access_key_id = (
+            None if access_key_id is None
+            else _check_auth(access_key_id, "access_key_id")
+        )
+        self.secret_access_key = (
+            None if secret_access_key is None
+            else _check_auth(secret_access_key, "secret_access_key")
+        )
+        self.iam_role = (
+            None if iam_role is None else _check_auth(iam_role, "iam_role")
+        )
         self.schema = _check_ident(schema)
         self.delete_from_s3 = delete_from_s3
 
@@ -127,9 +150,15 @@ class RedshiftDestination(JDBCDestination):
             self.create_columns(table, path)
             key = self._s3_key(table, path)
             self.blobstore.put_file(path, key)
-            self._execute(
-                f"COPY {qualified} FROM '{self._s3_uri(key)}'"
-                f" {self._auth_clause()} FORMAT AS JSON 'auto'"
-            )
-            if self.delete_from_s3:
-                self.blobstore.delete(key)
+            try:
+                self._execute(
+                    f"COPY {qualified} FROM '{self._s3_uri(key)}'"
+                    f" {self._auth_clause()} FORMAT AS JSON 'auto'"
+                )
+            finally:
+                # clean up the staged object even when the COPY fails
+                # (a load error is routine — stl_load_errors); the
+                # reference leaks it on error (insert.go:128 returns
+                # first), and a retry re-stages the same key anyway
+                if self.delete_from_s3:
+                    self.blobstore.delete(key)

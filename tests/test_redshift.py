@@ -190,3 +190,34 @@ def test_factory_onboards_redshift(spark, tmp_path):
         "s3://b/pfx/t/f.ndjson"
     )
     assert dest._auth_clause() == "IAM_ROLE 'arn:aws:iam::1:role/r'"
+
+
+def test_auth_values_injection_rejected(spark, tmp_path):
+    store = LocalBlobStore(str(tmp_path / "s3"))
+    with pytest.raises(ValueError, match="iam_role"):
+        FakeRedshift(
+            spark, store,
+            access_key_id=None, secret_access_key=None,
+            iam_role="arn:aws:iam::1:role/r'; DROP TABLE x; --",
+        )
+    with pytest.raises(ValueError, match="secret_access_key"):
+        FakeRedshift(spark, store, secret_access_key="se'kret")
+
+
+def test_staged_object_cleaned_up_when_copy_fails(spark, tmp_path):
+    """A failed COPY (routine: one uncastable value fails the load)
+    must not leak the staged object when delete_from_s3=True."""
+    store = LocalBlobStore(str(tmp_path / "s3"))
+
+    class FailingCopy(FakeRedshift):
+        def _execute(self, sql):
+            super()._execute(sql)
+            if sql.startswith("COPY"):
+                raise RuntimeError("stl_load_errors: bad value")
+
+    dest = FailingCopy(spark, store)
+    dest.create_empty_table("t")
+    path = _ndjson(tmp_path, "bad.ndjson", [{"a": 1}])
+    with pytest.raises(RuntimeError, match="stl_load_errors"):
+        dest.insert_ndjson_file("t", path)
+    assert store.list() == []

@@ -56,14 +56,26 @@ def stopword_ratio(col) -> Column:
 
 def quality_score(col) -> Column:
     """Composite [0,1] quality heuristic: long enough, low punctuation
-    and digit noise, some stopword mass (natural-language signal)."""
+    and digit noise, some stopword mass (natural-language signal).
+
+    NULL/empty/whitespace-only text scores 0.0, not the ~0.4-0.6 the
+    penalty terms would default to with zero denominators (r10 soak
+    catch: boilerplate removal empties chrome-only documents, and a
+    quality filter that then PASSES the empty husk admits it to the
+    corpus — the NULL-passes-filter trap family)."""
     n = F.length(col)
     len_score = F.least(n / F.lit(500.0), F.lit(1.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
     digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(col) * 5.0)
     stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    return F.round(
-        0.4 * len_score + 0.2 * punct_pen + 0.2 * digit_pen + 0.2 * stop_score, 6
+    return F.when(
+        F.coalesce(F.length(F.trim(col)), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            0.4 * len_score + 0.2 * punct_pen + 0.2 * digit_pen
+            + 0.2 * stop_score,
+            6,
+        )
     )
 
 

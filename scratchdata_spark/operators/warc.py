@@ -303,6 +303,7 @@ _TAG_DROP = re.compile(
 )
 _TAGS = re.compile(rb"<[^>]+>")
 _WS = re.compile(r"\s+")
+_WS_NO_NL = re.compile(r"[^\S\n]+")  # collapse within lines, keep \n
 _BLOCK_TAGS = re.compile(
     rb"</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header"
     rb"|footer|nav|blockquote|pre|dd|dt|form)\b[^>]*>",
@@ -364,6 +365,7 @@ def record_parser(
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
     on_error: str = "fail",
+    keep_paragraphs: bool = False,
 ):
     """The mapInPandas function the batch readers (WARC and WET) and
     the streaming ingest all share: (path, content) file rows →
@@ -395,7 +397,8 @@ def record_parser(
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 try:
                     _parse_one(
-                        rows, fpath, content, record_types, extract_text
+                        rows, fpath, content, record_types, extract_text,
+                        keep_paragraphs,
                     )
                 except ValueError as exc:
                     if on_error == "fail":
@@ -415,7 +418,9 @@ def record_parser(
     return run
 
 
-def _parse_one(rows, fpath, content, record_types, extract_text):
+def _parse_one(
+    rows, fpath, content, record_types, extract_text, keep_paragraphs=False
+):
     """One archive → WARC_SCHEMA column lists (appended in place)."""
     for rec in iter_warc_records(bytes(content)):
         if rec["warc_type"] not in record_types:
@@ -427,9 +432,16 @@ def _parse_one(rows, fpath, content, record_types, extract_text):
         if not extract_text:
             text = None
         elif ctype.startswith("text/") and "html" not in ctype:
-            text = _WS.sub(" ", body.decode("utf-8", "replace")).strip()
+            raw = body.decode("utf-8", "replace")
+            if keep_paragraphs:
+                text = "\n".join(
+                    _WS_NO_NL.sub(" ", ln).strip()
+                    for ln in raw.splitlines()
+                ).strip("\n")
+            else:
+                text = _WS.sub(" ", raw).strip()
         else:
-            text = html_to_text(body)
+            text = html_to_text(body, keep_paragraphs=keep_paragraphs)
         rows["warc_file"].append(fpath)
         rows["record_id"].append(rec["record_id"])
         rows["warc_type"].append(rec["warc_type"])
@@ -449,6 +461,7 @@ def read_warc(
     path: str,
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
+    keep_paragraphs: bool = False,
 ) -> DataFrame:
     """Read WARC archives at ``path`` (glob ok; .warc and .warc.gz)
     into one row per record of ``record_types``.
@@ -463,7 +476,10 @@ def read_warc(
         "path", "content"
     )
     return files.mapInPandas(
-        record_parser(record_types, extract_text), WARC_SCHEMA
+        record_parser(
+            record_types, extract_text, keep_paragraphs=keep_paragraphs
+        ),
+        WARC_SCHEMA,
     )
 
 

@@ -1434,3 +1434,21 @@ def test_remove_duplicate_spans_keeps_one_copy_per_corpus(spark):
     assert again.agg({"dup_windows": "sum"}).first()[0] == 0
     # and the span text still exists somewhere (the kept copy)
     assert cleaned.filter(F.col("text").contains(span)).count() == 1
+
+
+def test_quality_score_degenerate_text_scores_zero(spark):
+    """NULL/empty/whitespace-only text scores 0.0 — the penalty terms
+    would otherwise default to ~0.4-0.6 on zero denominators and a
+    min_score filter would ADMIT empty husks (r10 crawl-chain soak
+    catch: boilerplate removal empties chrome-only documents)."""
+    from scratchdata_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), (None,), ("the text of a real sentence is here.",)],
+        "text string",
+    )
+    got = [
+        r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 0.0
+    assert got[3] > 0.0

@@ -384,3 +384,43 @@ def test_warc_trailing_garbage_after_complete_member_tolerated():
     bomb = zlib.compress(bytes(1 << 20)) + b"tail"
     with pytest.raises(ValueError, match="exceeds"):
         W._bounded_inflate(bomb, zlib.MAX_WBITS, 1 << 10)
+
+
+def test_read_warc_keep_paragraphs(spark, tmp_path):
+    """keep_paragraphs=True threads through to the text column so the
+    boilerplate stage downstream sees paragraph structure (block tags
+    become newlines; text/plain keeps its line breaks)."""
+    html = (
+        b"<html><body><p>substantial prose paragraph here.</p>"
+        b"<p>Home | Products | Pricing</p></body></html>"
+    )
+    recs = [
+        W.encode_warc_record(
+            "response", W.encode_http_response(html),
+            target_uri="https://x/h", record_id="<urn:uuid:h>",
+        ),
+        W.encode_warc_record(
+            "response",
+            W.encode_http_response(
+                b"plain line one\nplain line two", content_type="text/plain"
+            ),
+            target_uri="https://x/p", record_id="<urn:uuid:p>",
+        ),
+    ]
+    (tmp_path / "a.warc").write_bytes(b"".join(recs))
+    got = {
+        r.target_uri: r.text
+        for r in W.read_warc(
+            spark, str(tmp_path) + "/*", keep_paragraphs=True
+        ).collect()
+    }
+    assert got["https://x/h"] == (
+        "substantial prose paragraph here.\nHome | Products | Pricing"
+    )
+    assert got["https://x/p"] == "plain line one\nplain line two"
+    # default stays collapsed (no behavior change)
+    flat = {
+        r.target_uri: r.text
+        for r in W.read_warc(spark, str(tmp_path) + "/*").collect()
+    }
+    assert "\n" not in flat["https://x/h"]

@@ -224,7 +224,10 @@ def main() -> None:
     spark = get_spark(app_name="crawl-chain-soak")
     results: dict[str, dict] = {}
     for n in counts:
-        label = f"{n // counts[0]}x" if n % counts[0] == 0 else f"n{n}"
+        # labels anchor to the FIXED 50-archive 1x base, not the first
+        # argument — a single-scale re-run must merge into its own
+        # label, not clobber 1x (review catch r10)
+        label = f"{n // 50}x" if n % 50 == 0 else f"n{n}"
         path = generate(spark, n)
         stats = run_chain(spark, path)
         stats["n_archives"] = n

@@ -425,7 +425,8 @@ def x_text_token_count(spark, sf_dir):
                  s -> s IN ('the','and','of','a','to','in','is','it','that','for')))
                / greatest(len(string_split(norm, ' ')), 1) AS stop_ratio,
              n,
-             coalesce(length(trim(text)), 0) AS n_trim
+             coalesce(length(regexp_replace(text, '\s', '', 'g')), 0)
+               AS n_trim
       FROM t
     )
     SELECT doc_id,

@@ -486,6 +486,7 @@ def read_warc(
 def read_wet(
     spark: SparkSession,
     path: str,
+    keep_paragraphs: bool = False,
 ) -> DataFrame:
     """WET convenience reader (Common Crawl's extracted-text sibling:
     the same ISO 28500 container whose ``conversion`` records carry
@@ -493,8 +494,16 @@ def read_wet(
     upstream).  Exactly :func:`read_warc` with the conversion record
     type — one shared parser, so corruption handling and the schema
     evolve in one place, and the streaming ingest accepts WET via the
-    same ``record_types`` knob."""
-    return read_warc(spark, path, record_types=("conversion",))
+    same ``record_types`` knob.  ``keep_paragraphs`` preserves the
+    conversion records' line structure for the boilerplate stage —
+    WET text is exactly the text/plain case the line-preserving
+    branch targets (review catch)."""
+    return read_warc(
+        spark,
+        path,
+        record_types=("conversion",),
+        keep_paragraphs=keep_paragraphs,
+    )
 
 
 def encode_warc_record(

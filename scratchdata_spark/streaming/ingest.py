@@ -97,6 +97,7 @@ def start_warc_ingest_stream(
     record_types: tuple[str, ...] = ("response",),
     extract_text: bool = True,
     on_error: str = "skip",
+    keep_paragraphs: bool = False,
 ):
     """Continuous crawl ingestion: WARC archives dropped into
     ``source_dir`` stream through the same record parser
@@ -148,7 +149,12 @@ def start_warc_ingest_stream(
         .load(source_dir)
         .select("path", "content")
     )
-    parse = record_parser(record_types, extract_text, on_error=on_error)
+    parse = record_parser(
+        record_types,
+        extract_text,
+        on_error=on_error,
+        keep_paragraphs=keep_paragraphs,
+    )
 
     def process_batch(batch_df, batch_id: int) -> None:
         from pyspark.sql import functions as F

@@ -424,3 +424,20 @@ def test_read_warc_keep_paragraphs(spark, tmp_path):
         for r in W.read_warc(spark, str(tmp_path) + "/*").collect()
     }
     assert "\n" not in flat["https://x/h"]
+
+
+def test_read_wet_keep_paragraphs(spark, tmp_path):
+    """WET conversion records are exactly the text/plain case the
+    line-preserving branch targets — the kwarg must pass through."""
+    rec = W.encode_warc_record(
+        "conversion",
+        W.encode_http_response(
+            b"para one line\npara two line", content_type="text/plain"
+        ),
+        target_uri="https://x/w",
+    )
+    (tmp_path / "c.warc.wet").write_bytes(rec)
+    got = W.read_wet(
+        spark, str(tmp_path) + "/*", keep_paragraphs=True
+    ).collect()
+    assert got[0].text == "para one line\npara two line"

@@ -49,6 +49,8 @@ from scratchdata_spark.session import get_spark
 
 PAGES_PER_ARCHIVE = 100  # j in 0..99; each j%8 slot has a fixed role
 GEN_ROOT = "/tmp/sdcrawl"
+GEN_VERSION = 2  # bump when _archive_bytes/_prose/role mix changes —
+# the cache dir embeds it so stale /tmp corpora never soak silently
 
 
 def _prose(i: int, j: int) -> str:
@@ -143,7 +145,9 @@ def _archive_bytes(i: int) -> bytes:
 
 
 def generate(spark, n_archives: int) -> str:
-    out_dir = os.path.join(GEN_ROOT, str(n_archives))
+    out_dir = os.path.join(
+        GEN_ROOT, f"{n_archives}-v{GEN_VERSION}-p{PAGES_PER_ARCHIVE}"
+    )
     done = os.path.join(out_dir, "_done")
     if os.path.exists(done):
         return out_dir
@@ -192,6 +196,10 @@ def run_chain(spark, path: str) -> dict:
             tier="join",
         ),
     )
+    # records (incl. ~GB of binary payloads at 100x) pins the block
+    # manager otherwise and distorts the downstream stage walls the
+    # tool exists to record (review catch); admitted is materialized
+    records.unpersist()
     prev = admitted
     chain = [
         {"op": "blocked_hosts", "domains": ["spam.biz"]},
@@ -212,7 +220,6 @@ def run_chain(spark, path: str) -> dict:
     stats["wall_sec"] = round(time.perf_counter() - t_all, 2)
     stats["survivors"] = stats["stage_rows"]["exact_dedup"]
     prev.unpersist()
-    records.unpersist()
     return stats
 
 
@@ -244,11 +251,12 @@ def main() -> None:
     scales = out.setdefault("scales", {})
     for label, stats in results.items():
         scales.setdefault(label, {})["crawl_chain"] = stats
-    out.setdefault("notes", {})["crawl_chain"] = (
-        "r10: composed admission chain (ingest->robots join->blocked->"
+    out.setdefault("notes", {}).setdefault(  # never clobber a
+        "crawl_chain",  # hand-curated provenance note (review catch)
+        "composed admission chain (ingest->robots join->blocked->"
         "url_dedup->boilerplate->quality->exact_dedup), fixed dup "
         "topology per archive, word-shaped filler; walls are "
-        "persist-boundary stage timings, solo box"
+        "persist-boundary stage timings, solo box",
     )
     with open(bench, "w") as f:
         json.dump(out, f, indent=2)

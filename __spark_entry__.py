@@ -63,8 +63,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      fingerprint family; the pairs entry is the stronger gate.
 #      Newest member run: simhash_pairs r9 — NOT r10; the pair is due
 #      again r12, and x_dedup_simhash skips r11 on the r9 credit)
-# Effective demand = 153 registered − (6 pairs·1 + 2 families·2 + 1
-# pair·1) = 142 vs 147 capacity → 5 slots of headroom restored.
+# Effective demand = 154 registered − (6 pairs·1 + 2 families·2 + 1
+# pair·1) = 143 vs 147 capacity → 4 slots of headroom restored.
 # Named r11 consolidation candidate if more is needed: the external-
 # scan trio q_scan_external_files/csv/orc (same query, 3 formats).
 #
@@ -92,8 +92,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # fills above (run r10) MINUS x_dedup_simhash (P9 credit: pairs twin
 # ran r9, within cycle at r11) MINUS q_union_distinct (F8 credit:
 # q_union_all ran r9), PLUS q_tablesample (P6 turn:
-# sample_deterministic ran r9), PLUS x_image_near_dup (category b),
-# PLUS flagship = 45 + 3 = 48 → TWO free slots for r11 adds.
+# sample_deterministic ran r9), PLUS x_image_near_dup and
+# x_crawl_chain (category b — both registered r10, no driver row),
+# PLUS flagship = 45 + 4 = 49 → ONE free slot left for r11.
 # P2/P3/P5 pair-turns also land r11 via their r8 members
 # (x_dedup_incremental, x_semantic_kmeans, x_dedup_embedding_oracle —
 # all already IN the r8-era cohort, so no extra slots).  P1/P4's
@@ -158,6 +159,7 @@ _PRIORITY = [
     "s_stream_stateful_user_totals",
     # --- past the ~50 edge: r11's dues first ---
     "x_image_near_dup",  # r11 (b): registered r10, no row yet
+    "x_crawl_chain",  # r11 (b): composed admission chain, reg. r10
     "q_tablesample",  # r11 P6 turn (sample_deterministic ran r9)
     # r10 pair-credit skippers (newest pair-member run r8; their
     # pairs' r11 turns run via the r8-era cohort below)

@@ -3451,3 +3451,172 @@ def x_image_near_dup(spark, sf_dir):
         max_bucket_size=None,
         fake=False,
     )
+
+
+# ------------------------------------------ r10: composed crawl chain
+# (registered past the window edge to front r11 — the end-to-end
+# admission pipeline under the hash gate, not just its stages.)
+
+_CHAIN_ARCHIVES = 3
+_CHAIN_PAGES = 16  # j % 8 role mix, see _chain_prose/_chain_fixture
+
+_CHAIN_PROSE_HEAD = (
+    "the quick article text is about the state of the web and it has "
+    "many common words that appear in most documents. this page "
+    "covers topic w"
+)
+_CHAIN_PROSE_TAIL = (
+    " in detail and we think that the reader will find it useful to read."
+)
+
+
+def _chain_prose(i: int, j: int) -> str:
+    """Unique prose whose token is PORTABLE arithmetic: md5 exists on
+    both engines, so the oracle reconstructs the exact text without
+    touching any operator under test."""
+    import hashlib
+
+    tok = hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6]
+    return f"{_CHAIN_PROSE_HEAD}{tok}{_CHAIN_PROSE_TAIL}"
+
+
+def _chain_fixture_dir() -> str:
+    """Three small archives with the fixed per-8-page role mix the
+    crawl-chain soak uses (base / utm re-fetch / exact mirror /
+    robots-disallowed / blocked host / junk / 2 more base)."""
+    import os
+    import tempfile
+
+    from scratchdata_spark.operators import warc as W
+
+    chrome = "<p>Home | Products | Pricing | Contact | Item 7</p>"
+
+    def page(body: str, with_chrome: bool = True) -> bytes:
+        c = chrome if with_chrome else ""
+        return W.encode_http_response(
+            f"<html><body>{c}<p>{body}</p>{c}</body></html>".encode()
+        )
+
+    d = tempfile.mkdtemp(prefix="xchain_")
+    for i in range(_CHAIN_ARCHIVES):
+        host = f"h{i}.example"
+        recs = [
+            W.encode_warc_record(
+                "response",
+                W.encode_http_response(
+                    b"User-agent: *\nDisallow: /private/",
+                    content_type="text/plain",
+                ),
+                target_uri=f"https://{host}/robots.txt",
+                record_id=f"<urn:uuid:{i}-990>",
+            )
+        ]
+        for j in range(_CHAIN_PAGES):
+            role = j % 8
+            rid = f"<urn:uuid:{i}-{j}>"
+            if role == 1:
+                recs.append(W.encode_warc_record(
+                    "response", page(_chain_prose(i, j - 1)),
+                    target_uri=f"https://{host}/art/{j - 1}?utm_source=x",
+                    record_id=rid,
+                ))
+            elif role == 2:
+                recs.append(W.encode_warc_record(
+                    "response", page(_chain_prose(i, j - 2)),
+                    target_uri=f"https://m{i}.example/art/{j - 2}",
+                    record_id=rid,
+                ))
+            elif role == 3:
+                recs.append(W.encode_warc_record(
+                    "response", page(_chain_prose(i, j)),
+                    target_uri=f"https://{host}/private/{j}",
+                    record_id=rid,
+                ))
+            elif role == 4:
+                recs.append(W.encode_warc_record(
+                    "response", page(_chain_prose(i, j)),
+                    target_uri=f"https://ads{i}.spam.biz/{j}",
+                    record_id=rid,
+                ))
+            elif role == 5:
+                recs.append(W.encode_warc_record(
+                    "response",
+                    page("0101 @@ ## 42 $$ %% 9999 ^^ && 8888 !!", False),
+                    target_uri=f"https://{host}/junk/{j}",
+                    record_id=rid,
+                ))
+            else:
+                recs.append(W.encode_warc_record(
+                    "response", page(_chain_prose(i, j)),
+                    target_uri=f"https://{host}/art/{j}",
+                    record_id=rid,
+                ))
+        with open(os.path.join(d, f"a{i}.warc"), "wb") as fh:
+            fh.write(b"".join(recs))
+    return d
+
+
+@q(
+    "x_crawl_chain",
+    f"""
+    SELECT CAST(i * 100 + j AS BIGINT) AS doc_id,
+           concat('https://h', CAST(i AS VARCHAR), '.example/art/',
+                  CAST(j AS VARCHAR)) AS target_uri,
+           concat('{_CHAIN_PROSE_HEAD}',
+                  substr(md5(concat(CAST(i AS VARCHAR), ':',
+                                    CAST(j AS VARCHAR))), 1, 6),
+                  '{_CHAIN_PROSE_TAIL}') AS text
+    FROM range({_CHAIN_ARCHIVES}) t(i), range({_CHAIN_PAGES}) u(j)
+    WHERE j % 8 IN (0, 6, 7)
+    """,
+)
+def x_crawl_chain(spark, sf_dir):
+    """The COMPOSED crawl admission chain under the hash gate: WARC
+    ingest (keep_paragraphs) → robots rules from the same crawl →
+    RFC 9309 filtering (cogrouped join tier) → blocked-hosts →
+    URL-level dedup → boilerplate removal → quality filter → exact
+    text dedup.  Each stage is individually oracle-checked elsewhere;
+    this entry gates their COMPOSITION (the r10 soak found its only
+    defect — quality_score admitting boilerplate-emptied husks — at
+    exactly such a stage boundary).
+
+    The oracle derives the survivors from the fixture's construction
+    arithmetic alone: every (i, j%8 ∈ {0,6,7}) base page survives with
+    its md5-token prose (md5 is portable), the utm re-fetch and the
+    exact mirror fold into the base via min-doc_id elections the
+    arithmetic doc_id makes deterministic, and the robots / blocked /
+    junk roles drop — nothing in the SQL touches any operator under
+    test."""
+    from scratchdata_spark.operators import robots as R
+    from scratchdata_spark.operators import warc as W
+    from scratchdata_spark.operators.recipe import run_recipe
+
+    d = _chain_fixture_dir()
+    records = W.read_warc(spark, d + "/*.warc", keep_paragraphs=True)
+    rules = R.rules_from_warc(records)
+    docs = (
+        records.filter(~F.col("target_uri").endswith("/robots.txt"))
+        .withColumn(
+            "doc_id",
+            (
+                F.regexp_extract("record_id", r"urn:uuid:(\d+)-(\d+)", 1)
+                .cast("long") * 100
+                + F.regexp_extract(
+                    "record_id", r"urn:uuid:(\d+)-(\d+)", 2
+                ).cast("long")
+            ),
+        )
+    )
+    admitted = R.filter_robots_disallowed(docs, rules, tier="join")
+    out, _ = run_recipe(
+        admitted,
+        [
+            {"op": "blocked_hosts", "domains": ["spam.biz"]},
+            {"op": "url_dedup"},
+            {"op": "remove_boilerplate"},
+            {"op": "quality_filter", "min_score": 0.3},
+            {"op": "exact_dedup"},
+        ],
+        counts=False,
+    )
+    return out.select("doc_id", "target_uri", "text")

@@ -425,15 +425,14 @@ def x_text_token_count(spark, sf_dir):
                  s -> s IN ('the','and','of','a','to','in','is','it','that','for')))
                / greatest(len(string_split(norm, ' ')), 1) AS stop_ratio,
              n,
-             coalesce(length(regexp_replace(text, '\s', '', 'g')), 0)
-               AS n_trim
+             coalesce(regexp_matches(text, '\S'), false) AS has_content
       FROM t
     )
     SELECT doc_id,
            ROUND(punct_ratio, 6) AS punct_ratio,
            ROUND(digit_ratio, 6) AS digit_ratio,
            ROUND(stop_ratio, 6) AS stopword_ratio,
-           CASE WHEN n_trim = 0 THEN 0.0
+           CASE WHEN NOT has_content THEN 0.0
                 ELSE ROUND(0.4 * least(n / 500.0, 1.0)
                       + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0)
                       + 0.2 * greatest(0.0, 1.0 - digit_ratio * 5.0)

@@ -169,6 +169,29 @@ def build_app(
                 client, store, bucket,
                 delete_from_gcs=settings.get("delete_from_gcs", True),
             )
+        if type_ == "clickhouse":
+            from scratchdata_spark.clickhouse_destination import (
+                ClickHouseBatchDestination,
+                ClickHouseHTTPClient,
+            )
+
+            http = settings.get("http_client")  # test seam
+            if http is None:
+                http = ClickHouseHTTPClient(
+                    settings["http_url"],
+                    user=settings.get("user", "default"),
+                    password=settings.get("password", ""),
+                    database=settings.get("database", "default"),
+                )
+            return ClickHouseBatchDestination(
+                spark,
+                settings["url"],
+                http_client=http,
+                database=settings.get("database", "default"),
+                driver=settings.get("driver"),
+                user=settings.get("user"),
+                password=settings.get("password"),
+            )
         raise ValueError(f"unknown destination type: {type_}")
 
     service = Service(

@@ -63,10 +63,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #      fingerprint family; the pairs entry is the stronger gate.
 #      Newest member run: simhash_pairs r9 — NOT r10; the pair is due
 #      again r12, and x_dedup_simhash skips r11 on the r9 credit)
-# Effective demand = 154 registered − (6 pairs·1 + 2 families·2 + 1
-# pair·1) = 143 vs 147 capacity → 4 slots of headroom restored.
-# Named r11 consolidation candidate if more is needed: the external-
-# scan trio q_scan_external_files/csv/orc (same query, 3 formats).
+#   F10 q_scan_external_files / q_scan_external_csv /
+#      q_scan_external_orc  (r10 new, the candidate VERDICT r9 named
+#      — one external-scan query over 3 file formats.  Newest member
+#      run: q_scan_external_files r9 → family due r12; csv/orc drop
+#      from r11's mandatory cohort on that credit.  Rotation: the r12
+#      turn runs csv, r15 orc, r18 files.)
+# Effective demand = 156 registered − (6 pairs·1 + 2 families·2 + 1
+# pair·1 + 1 family·2) = 143 vs 147 capacity → 4 slots of headroom
+# (the 2 slots F10 frees fund the 2 r10-registered selection
+# entries, x_quality_classifier / x_dsir_select).
+# Named r12 consolidation candidate if more is needed: the multimodal
+# codec family (x_multimodal_codec_gif/mjpeg/jpeg — one decode seam,
+# 3 containers).
 #
 # r10 ledger (planned in the r9 header, endorsed by VERDICT r9 #1,
 # then CORRECTED by this round's review pass — the endorsed plan ran
@@ -91,10 +100,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # R11 PLAN: mandatory = the 49-entry r8-era cohort MINUS the two (e)
 # fills above (run r10) MINUS x_dedup_simhash (P9 credit: pairs twin
 # ran r9, within cycle at r11) MINUS q_union_distinct (F8 credit:
-# q_union_all ran r9), PLUS q_tablesample (P6 turn:
-# sample_deterministic ran r9), PLUS x_image_near_dup and
-# x_crawl_chain (category b — both registered r10, no driver row),
-# PLUS flagship = 45 + 4 = 49 → ONE free slot left for r11.
+# q_union_all ran r9) MINUS q_scan_external_csv and
+# q_scan_external_orc (F10 credit: q_scan_external_files ran r9),
+# PLUS q_tablesample (P6 turn: sample_deterministic ran r9), PLUS
+# x_image_near_dup, x_crawl_chain, x_quality_classifier and
+# x_dsir_select (category b — all registered r10, no driver row),
+# PLUS flagship = 43 + 6 = 49 → ONE free slot left for r11.
 # P2/P3/P5 pair-turns also land r11 via their r8 members
 # (x_dedup_incremental, x_semantic_kmeans, x_dedup_embedding_oracle —
 # all already IN the r8-era cohort, so no extra slots).  P1/P4's
@@ -160,6 +171,8 @@ _PRIORITY = [
     # --- past the ~50 edge: r11's dues first ---
     "x_image_near_dup",  # r11 (b): registered r10, no row yet
     "x_crawl_chain",  # r11 (b): composed admission chain, reg. r10
+    "x_quality_classifier",  # r11 (b): hashed-ngram quality model
+    "x_dsir_select",  # r11 (b): DSIR importance resampling
     "q_tablesample",  # r11 P6 turn (sample_deterministic ran r9)
     # r10 pair-credit skippers (newest pair-member run r8; their
     # pairs' r11 turns run via the r8-era cohort below)

@@ -3619,3 +3619,221 @@ def x_crawl_chain(spark, sf_dir):
         counts=False,
     )
     return out.select("doc_id", "target_uri", "text")
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram data selection (operators/selection.py): model-based
+# quality filtering + DSIR importance resampling — both under the hash
+# gate via the portable md5-prefix bucket hash (the minhash-oracle
+# idiom) and the engine-shared [^a-z0-9]+ tokenizer.
+
+_QC_BUCKETS = 1024
+_QC_POS = [
+    "the quick brown fox jumps over the lazy dog and then it rests",
+    "we present the results of the experiment and discuss what it means",
+    "she walked along the river and watched the light change on the water",
+    "the committee agreed that the proposal should be studied in detail",
+    "a long paragraph of ordinary prose tends to contain common words",
+    "he explained the idea again so that everyone could follow the steps",
+    "the weather was mild and the garden was full of early flowers",
+    "reading the book slowly made the argument much easier to follow",
+    "they discussed the plan over dinner and agreed on the next steps",
+    "the paper describes a method that scales to very large datasets",
+]
+_QC_NEG = [
+    "Home | Products | Pricing | Blog | Contact | Login",
+    "click here click here click here buy now buy now",
+    "404 404 404 301 500 error error error",
+    "xz9 qq7 zzk vv2 pp0 mm3 kk8 jj1",
+    "SALE SALE SALE 50% OFF BUY NOW LIMITED TIME",
+    "lorem42 ipsum99 dolor13 sit77 amet00",
+    "next prev next prev page1 page2 page3 page4",
+    "download download install install upgrade upgrade now now",
+    "cookie policy accept accept accept decline decline",
+    "copyright 2024 all rights reserved terms privacy sitemap",
+]
+
+
+def _qc_fixture() -> tuple[dict[int, float], float]:
+    """Driver-trained fixture classifier (import-time, pure Python —
+    the _bpe_fixture pattern).  Row order matches the id order the
+    Spark trainer uses (POS ids 0.., NEG ids 100..)."""
+    global _QC_CACHE
+    try:
+        return _QC_CACHE
+    except NameError:
+        pass
+    from scratchdata_spark.operators.selection import (
+        py_feature_counts,
+        train_logreg,
+    )
+
+    rows = [(py_feature_counts(t, _QC_BUCKETS), 1) for t in _QC_POS] + [
+        (py_feature_counts(t, _QC_BUCKETS), 0) for t in _QC_NEG
+    ]
+    _QC_CACHE = train_logreg(rows, buckets=_QC_BUCKETS)
+    return _QC_CACHE
+
+
+def _md5_bucket_sql(expr: str, buckets: int) -> str:
+    """DuckDB twin of selection.bucket_col(portable=True): fold the
+    first 12 md5 hex digits to a 48-bit integer (the exact expression
+    the minhash oracle uses), then modulo the bucket count (operands
+    non-negative, so % == pmod)."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 13), "
+        f"i -> CAST(ascii(substr(md5({expr}), i, 1)) "
+        "- CASE WHEN ascii(substr(md5({e}), i, 1)) >= 97 "
+        "THEN 87 ELSE 48 END AS BIGINT) << (4 * (12 - i)))) AS BIGINT) "
+        f"% {buckets}"
+    ).replace("{e}", expr)
+
+
+# shared SQL fragment: lowercased word array + unigram/bigram feature
+# rows for a relation exposing (doc_id, text)
+def _features_sql(rel: str, with_id: bool = True) -> str:
+    idc = "doc_id, " if with_id else ""
+    return f"""
+      SELECT {idc}unnest(w || list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i + 1])) AS f
+      FROM (
+        SELECT {idc}list_filter(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                x -> x <> '') AS w
+        FROM {rel}
+      )
+    """
+
+
+def _qc_oracle_sql() -> str:
+    import math as _math
+
+    w, bias = _qc_fixture()
+    vals = ", ".join(
+        f"({b}, CAST({wv!r} AS DOUBLE))" for b, wv in sorted(w.items())
+    )
+    sig0 = round(1.0 / (1.0 + _math.exp(-bias)), 6)
+    return f"""
+    WITH feats AS ({_features_sql("documents")}),
+    fb AS (
+      SELECT doc_id, {_md5_bucket_sql("f", _QC_BUCKETS)} AS bucket
+      FROM feats
+    ),
+    cnts AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM fb GROUP BY 1, 2),
+    wt(bucket, wv) AS (VALUES {vals}),
+    scored AS (
+      SELECT c.doc_id,
+             SUM(c.cnt) AS total,
+             SUM(c.cnt * COALESCE(wt.wv, CAST(0 AS DOUBLE))) AS dot
+      FROM cnts c LEFT JOIN wt ON wt.bucket = c.bucket
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(ROUND(1.0 / (1.0 + EXP(-(CAST({bias!r} AS DOUBLE)
+                                             + s.dot / s.total))), 6),
+                    CAST({sig0!r} AS DOUBLE)) AS quality_prob,
+           TRUE AS train_matches
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+@q("x_quality_classifier", _qc_oracle_sql())
+def x_quality_classifier(spark, sf_dir):
+    """Model-based quality filter under the hash gate
+    (operators/selection.py — the CCNet/GPT-3-style classifier over
+    hashed unigram+bigram counts, fastText's feature map): TRAIN on
+    the prose/junk fixture through the full Spark path (tokenize →
+    hash → count distributed, bounded sparse sample → deterministic
+    driver logistic regression) and assert the learned weights are
+    bit-identical to the pure-Python twin's (train_matches — the
+    x_bpe_token_counts contract); SCORE every document distributed
+    (broadcast weight join + one aggregation, no Python in the plan).
+    The oracle recomputes scoring in DuckDB from literal weight
+    VALUES over the same portable feature map."""
+    from scratchdata_spark.operators.selection import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    w_ref, b_ref = _qc_fixture()
+    fdf = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(_QC_POS)]
+        + [(100 + i, t, 0) for i, t in enumerate(_QC_NEG)],
+        "doc_id long, text string, label int",
+    )
+    w, b = train_quality_classifier(
+        fdf, "doc_id", "text", "label", buckets=_QC_BUCKETS, portable=True
+    )
+    matches = w == w_ref and b == b_ref
+    d = load(spark, sf_dir)["documents"]
+    return score_quality(
+        d, w_ref, b_ref, id_col="doc_id", text_col="text",
+        buckets=_QC_BUCKETS, portable=True,
+    ).withColumn("train_matches", F.lit(bool(matches)))
+
+
+_DSIR_BUCKETS = 2048
+_DSIR_K = 100
+
+
+def _dsir_oracle_sql() -> str:
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+    tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    rf AS ({_features_sql("raw")}),
+    tf AS ({_features_sql("tgt", with_id=False)}),
+    rcnt AS (
+      SELECT doc_id, {_md5_bucket_sql("f", b)} AS bucket, COUNT(*) AS cnt
+      FROM rf GROUP BY 1, 2
+    ),
+    rdist AS (SELECT bucket, SUM(cnt) AS rc FROM rcnt GROUP BY 1),
+    tdist AS (
+      SELECT {_md5_bucket_sql("f", b)} AS bucket, COUNT(*) AS tc
+      FROM tf GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT SUM(rc) FROM rdist) AS rt,
+             (SELECT SUM(tc) FROM tdist) AS tt
+    ),
+    ratios AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             ln((COALESCE(t.tc, 0) + 1.0) / (tots.tt + {float(b)!r}))
+             - ln((COALESCE(r.rc, 0) + 1.0) / (tots.rt + {float(b)!r}))
+               AS logratio
+      FROM rdist r FULL JOIN tdist t ON r.bucket = t.bucket, tots
+    ),
+    perdoc AS (
+      SELECT c.doc_id,
+             ROUND(SUM(c.cnt * ra.logratio), 6) AS dsir_logweight
+      FROM rcnt c JOIN ratios ra ON ra.bucket = c.bucket
+      GROUP BY c.doc_id
+    )
+    SELECT r.doc_id,
+           COALESCE(p.dsir_logweight, CAST(0 AS DOUBLE)) AS dsir_logweight
+    FROM raw r LEFT JOIN perdoc p ON p.doc_id = r.doc_id
+    ORDER BY dsir_logweight DESC, r.doc_id
+    LIMIT {_DSIR_K}
+    """
+
+
+@q("x_dsir_select", _dsir_oracle_sql())
+def x_dsir_select(spark, sf_dir):
+    """DSIR data selection under the hash gate (operators/
+    selection.py — Xie et al. 2023, arXiv:2302.03169): hashed n-gram
+    distributions of a target slice (doc_id % 7 = 0) and the raw rest
+    give each raw document Σ c_b·(ln p̂_t − ln p̂_r) with Laplace
+    smoothing; the top {k} by (rounded weight, id) are selected.
+    Distributions are ≤ buckets rows (broadcast), per-doc weights one
+    aggregation, selection a TakeOrdered — no corpus-sized join or
+    sort.  The oracle recomputes the full pipeline in DuckDB; the
+    ROUNDED-weight + id ordering makes the k-boundary engine-stable."""
+    from scratchdata_spark.operators.selection import dsir_select
+
+    d = load(spark, sf_dir)["documents"]
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    return dsir_select(
+        raw, target, "doc_id", "text",
+        k=_DSIR_K, buckets=_DSIR_BUCKETS, alpha=1.0, portable=True,
+    )

@@ -1,0 +1,373 @@
+"""Hashed n-gram data selection: model-based quality filtering and
+DSIR importance resampling.
+
+Two training-data pipeline components the reference has no analog for
+(SURVEY.md §2 — beyond-parity), both built on one shared feature map:
+word unigrams + bigrams hashed into a fixed bucket space, the public
+fastText trick (Joulin et al. 2016, arXiv:1607.01759).
+
+* **Quality classifier** — the CCNet/GPT-3-style "model-based quality
+  filter": a logistic regression over hashed n-gram counts separates
+  reference prose from junk, and documents score by the learned
+  weights.  Scale shape is the BPE sample-fit pattern exactly: Spark
+  does the corpus-scale work (tokenize → hash → count, one shuffle),
+  the driver runs the tiny deterministic optimization over a BOUNDED
+  sample of sparse feature rows, and scoring is a broadcast join +
+  one aggregation — no Python in the scoring plan.
+* **DSIR** — data selection via importance resampling (Xie et al.
+  2023, arXiv:2302.03169): hashed n-gram distributions of a small
+  target corpus and the raw corpus give every raw document a log
+  importance weight  Σ_b c_b·(log p̂_target(b) − log p̂_raw(b)) with
+  Laplace smoothing; the top-weighted documents are selected.  Both
+  distributions are ≤ ``buckets`` rows, so everything after the one
+  feature shuffle per corpus is broadcast-sized.
+
+Engine-portability: with ``portable=True`` the bucket hash is the
+repo's md5-prefix family (dedup.py's minhash-oracle idiom) which an
+external SQL engine reproduces bit-for-bit, so both operators run
+under the DuckDB hash gate end to end; the default is xxhash64
+(JVM-side, faster, no SQL twin).  The Python twins (``py_features`` /
+``py_bucket``) mirror the portable path exactly — the classifier's
+driver-side trainer featurizes with them, and the fixture entry
+asserts Spark-extracted features equal Python-extracted ones.
+
+100 TB notes: feature extraction is one explode + one partial-agg
+shuffle per corpus (map-side combine collapses repeats before the
+exchange); distributions and weight tables are bounded by ``buckets``
+(driver/broadcast traffic is O(buckets), never O(corpus)); training
+collects only ``sample_rows`` sparse rows behind an explicit valve;
+selection is a TakeOrdered top-k, not a global sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# One tokenizer, three engines.  ASCII-only word characters: the
+# split pattern is identical bytes in Java, Python and DuckDB regex
+# dialects, and lower() only has to agree on characters that can
+# enter [a-z0-9] (standard Unicode simple case folding — all three
+# engines agree there).
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+_PY_SPLIT = re.compile(_TOKEN_SPLIT)
+
+MAX_TRAIN_SAMPLE = 1_000_000  # sparse feature rows, not documents
+
+
+def words_col(col: Column) -> Column:
+    """Lowercased word array, empties dropped."""
+    return F.filter(
+        F.split(F.lower(col), _TOKEN_SPLIT), lambda w: w != F.lit("")
+    )
+
+
+def features_col(col: Column) -> Column:
+    """Unigrams + space-joined bigrams, one array (fastText's word
+    n-gram feature set with n=2)."""
+    w = words_col(col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                  F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(w, bigrams)
+
+
+def bucket_col(feat: Column, buckets: int, portable: bool) -> Column:
+    """Feature → bucket id.  Portable = the md5-prefix 48-bit family
+    every oracle-checked hash in this repo uses (dedup.py:105);
+    default = xxhash64 (JVM-side, no SQL twin)."""
+    if portable:
+        h = F.conv(F.substring(F.md5(feat), 1, 12), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(feat)
+    return F.pmod(h, F.lit(buckets))
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    buckets: int,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, bucket, cnt) sparse feature counts — ONE shuffle (the
+    groupBy; partial aggregation collapses repeated buckets map-side
+    before the exchange).  Documents with no tokens contribute no
+    rows; callers that must score them left-join back to the ids."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(features_col(F.col(text_col))).alias("__f"),
+    )
+    return (
+        ex.select(
+            F.col(id_col),
+            bucket_col(F.col("__f"), buckets, portable).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ------------------------------------------------------- Python twins
+
+
+def py_words(text: str) -> list[str]:
+    return [w for w in _PY_SPLIT.split(text.lower()) if w]
+
+
+def py_features(text: str) -> list[str]:
+    w = py_words(text)
+    return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+
+def py_bucket(feat: str, buckets: int) -> int:
+    return int(hashlib.md5(feat.encode("utf-8")).hexdigest()[:12], 16) % buckets
+
+
+def py_feature_counts(text: str, buckets: int) -> dict[int, int]:
+    out: dict[int, int] = {}
+    for f in py_features(text):
+        b = py_bucket(f, buckets)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+# -------------------------------------------------- quality classifier
+
+
+def train_logreg(
+    rows: list[tuple[dict[int, int], int]],
+    *,
+    buckets: int,
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[dict[int, float], float]:
+    """Deterministic full-batch logistic regression over sparse
+    L1-normalized hashed-count rows: zero init, fixed iterations, no
+    randomness — two runs (or a Spark-extracted and a Python-extracted
+    feature matrix) produce bit-identical weights.  Driver cost is
+    O(iters · nnz); the corpus never comes here."""
+    import numpy as np
+
+    touched = sorted({b for feats, _ in rows for b in feats})
+    idx = {b: i for i, b in enumerate(touched)}
+    n, d = len(rows), len(touched)
+    x = np.zeros((n, d))
+    y = np.zeros(n)
+    for r, (feats, label) in enumerate(rows):
+        total = sum(feats.values())
+        if total:
+            for b, c in feats.items():
+                x[r, idx[b]] = c / total
+        y[r] = label
+    w = np.zeros(d)
+    bias = 0.0
+    for _ in range(iters):
+        z = x @ w + bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = x.T @ (p - y) / n + l2 * w
+        gb = float(np.sum(p - y) / n)
+        w -= lr * g
+        bias -= lr * gb
+    return {b: float(w[idx[b]]) for b in touched}, float(bias)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    buckets: int = 4096,
+    portable: bool = False,
+    sample_rows: int = MAX_TRAIN_SAMPLE,
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[dict[int, float], float]:
+    """Fit on Spark-extracted features: the corpus-scale work
+    (tokenize/hash/count) runs distributed, then a BOUNDED sample of
+    sparse (id, bucket, cnt) rows + labels comes to the driver for the
+    tiny optimization (the bpe_train split of labor).  The valve is on
+    feature ROWS — the driver allocation — and raises rather than
+    silently truncate."""
+    feats = hashed_features(
+        df, id_col, text_col, buckets=buckets, portable=portable
+    )
+    labels = df.select(F.col(id_col), F.col(label_col).alias("__y"))
+    rows = (
+        feats.join(labels, id_col)
+        .select(id_col, "bucket", "cnt", "__y")
+        .limit(sample_rows + 1)
+        .collect()
+    )
+    if len(rows) > sample_rows:
+        raise ValueError(
+            f"selection: training sample exceeds {sample_rows} feature rows;"
+            " pre-sample the corpus or raise sample_rows explicitly"
+        )
+    by_doc: dict = {}
+    for r in rows:
+        feats_d, label = by_doc.setdefault(r[0], ({}, int(r[3])))
+        feats_d[int(r[1])] = int(r[2])
+    ordered = [by_doc[k] for k in sorted(by_doc)]
+    return train_logreg(
+        ordered, buckets=buckets, iters=iters, lr=lr, l2=l2
+    )
+
+
+def score_quality(
+    df: DataFrame,
+    weights: dict[int, float],
+    bias: float,
+    *,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    portable: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score every document: sigmoid(bias + Σ w_b·c_b / Σ c_b),
+    rounded so the value survives engine-order float noise (the
+    minhash-jaccard convention).  Plan: one feature shuffle, one
+    BROADCAST join against the ≤ |weights| weight table, one
+    aggregation, left-join back so token-free documents still score
+    (zero feature vector → sigmoid(bias)).  No Python in the plan."""
+    spark = df.sparkSession
+    feats = hashed_features(
+        df, id_col, text_col, buckets=buckets, portable=portable
+    )
+    wdf = spark.createDataFrame(
+        [(int(b), float(w)) for b, w in sorted(weights.items())],
+        "bucket long, w double",
+    )
+    per_doc = (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("__total"),
+            F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0.0))).alias(
+                "__dot"
+            ),
+        )
+    )
+    z = F.lit(bias) + F.col("__dot") / F.col("__total")
+    scored = per_doc.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to).alias(
+            "quality_prob"
+        ),
+    )
+    base = df.select(id_col)
+    sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("quality_prob"), F.lit(sig0)).alias("quality_prob"),
+    )
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    portable: bool = False,
+    round_to: int = 6,
+    persist: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight
+    Σ_b c_b·(ln p̂_t(b) − ln p̂_r(b)) with add-``alpha`` smoothing over
+    the ``buckets``-dim hashed n-gram space.  Distributions are one
+    bounded agg each (≤ buckets rows → broadcast); per-document
+    weights are one aggregation over the raw feature rows.  Token-free
+    documents weight 0.
+
+    The raw feature relation feeds BOTH the distribution and the
+    per-document aggregation; ``persist=True`` (default, the lm.py
+    convention) caches it MEMORY_AND_DISK so the corpus tokenizes
+    once, not twice — at 100 TB the second tokenization pass is the
+    whole job.  The handle is not unpersisted here (the result is
+    lazy); long-lived sessions doing one-shot scoring can pass
+    ``persist=False``."""
+    fr = hashed_features(
+        raw, id_col, text_col, buckets=buckets, portable=portable
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        fr = fr.persist(StorageLevel.MEMORY_AND_DISK)
+    ft = hashed_features(
+        target, id_col, text_col, buckets=buckets, portable=portable
+    )
+    rdist = fr.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tdist = ft.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    dists = rdist.join(tdist, "bucket", "full").select(
+        "bucket",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+    )
+    totals = dists.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(alpha * buckets))
+    ratios = dists.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + a) / (F.col("tt") + b))
+            - F.log((F.col("rc") + a) / (F.col("rt") + b))
+        ).alias("logratio"),
+    )
+    per_doc = (
+        fr.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("logratio")), round_to
+            ).alias("dsir_logweight")
+        )
+    )
+    return raw.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    portable: bool = False,
+    persist: bool = True,
+) -> DataFrame:
+    """Top-``k`` raw documents by DSIR weight.  Deterministic across
+    engines: ordering is on the ROUNDED weight with an ``id`` tiebreak
+    (two engines disagreeing in the last ulp round to the same value,
+    and equal values select identically).  TakeOrdered top-k — no
+    global sort materializes."""
+    w = dsir_logweights(
+        raw, target, id_col, text_col,
+        buckets=buckets, alpha=alpha, portable=portable, persist=persist,
+    )
+    return w.orderBy(F.desc("dsir_logweight"), F.col(id_col)).limit(k)

@@ -98,6 +98,8 @@ EXTRAS = [  # included once implemented (operators/ extras)
     "x_lm_perplexity",  # round 6: the newest heavy operator (judge #8)
     "x_dedup_substring",  # round 6: exact-substring span metrics
     "x_ann_pq_topk",  # round 6: PQ codes + exact refine (ANN scale path)
+    "x_quality_classifier",  # round 10: hashed-ngram quality scoring
+    "x_dsir_select",  # round 10: DSIR importance resampling top-k
     # x_dedup_minhash_oracle is deliberately NOT benched: it is the
     # correctness twin with BOTH scale valves off (exhaustive bucket
     # pairs, no estimator screen) and an md5-based portable hash —

@@ -290,6 +290,35 @@ def _remove_boilerplate(df, p, id_col, text_col):
     )
 
 
+@_stage("quality_model")
+def _quality_model(df, p, id_col, text_col):
+    """Model-based quality filter (selection.score_quality): keep
+    documents whose classifier probability clears ``min_prob``.
+    ``weights``/``bias`` are a trained model (selection.
+    train_quality_classifier output) — the recipe applies it through
+    the broadcast-join scoring plan, adding one feature shuffle and
+    no Python.  Slots after the heuristic quality_filter in a crawl
+    recipe (cheap rules first, model second — the CCNet ordering)."""
+    from scratchdata_spark.operators.selection import score_quality
+
+    scored = score_quality(
+        df.select(id_col, text_col),  # scoring needs only (id, text)
+        p["weights"],
+        float(p["bias"]),
+        id_col=id_col,
+        text_col=text_col,
+        buckets=int(p.get("buckets", 4096)),
+        portable=bool(p.get("portable", False)),
+    )
+    return df.join(
+        scored.filter(
+            F.col("quality_prob") >= float(p.get("min_prob", 0.5))
+        ).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+
 @_stage("global_shuffle")
 def _global_shuffle(df, p, id_col, text_col):
     from scratchdata_spark.operators.pipeline import global_shuffle
@@ -348,6 +377,7 @@ REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "filter": ("where",),
     "semantic_dedup": ("vec_col",),
     "blocked_hosts": ("domains",),
+    "quality_model": ("weights", "bias"),
 }
 
 

@@ -296,3 +296,34 @@ def test_dsir_select_deterministic_tiebreak(spark):
         rdf, tdf, "doc_id", "text", k=2, buckets=B, portable=True
     ).collect()
     assert [r[0] for r in top] == [3, 5]
+
+
+# ------------------------------------------------------- recipe stage
+
+
+def test_quality_model_recipe_stage_filters_and_accounts(spark):
+    from scratchdata_spark.operators.recipe import run_recipe
+
+    df = _fixture_df(spark)
+    w, bias = S.train_quality_classifier(
+        df, "doc_id", "text", "label", buckets=B, portable=True
+    )
+    out, manifest = run_recipe(
+        df.select("doc_id", "text"),
+        [{"op": "quality_model", "weights": w, "bias": bias,
+          "buckets": B, "portable": True, "min_prob": 0.5}],
+    )
+    kept = {r[0] for r in out.select("doc_id").collect()}
+    assert kept == set(range(len(POS)))  # junk filtered, prose kept
+    assert manifest[0]["rows_in"] == len(POS) + len(NEG)
+    assert manifest[0]["rows_out"] == len(POS)
+    # the stage keeps the caller's full row, not the scoring projection
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_quality_model_requires_trained_params(spark):
+    from scratchdata_spark.operators.recipe import run_recipe
+
+    df = _fixture_df(spark)
+    with pytest.raises(ValueError, match="required recipe parameters"):
+        run_recipe(df, [{"op": "quality_model", "min_prob": 0.5}])

@@ -327,3 +327,43 @@ def test_quality_model_requires_trained_params(spark):
     df = _fixture_df(spark)
     with pytest.raises(ValueError, match="required recipe parameters"):
         run_recipe(df, [{"op": "quality_model", "min_prob": 0.5}])
+
+
+# ----------------------------------------------- property-based parity
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(max_size=60),  # full unicode — lower()/split parity domain
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_texts)
+def test_feature_map_parity_property(spark, texts):
+    """Spark-extracted hashed features == the Python twin for
+    ARBITRARY unicode text — the contract the classifier's trainer
+    and every oracle rests on (one drift in lower()/split/md5 and the
+    trained weights stop matching the scoring plan's features)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r[0], r[1]): r[2]
+        for r in S.hashed_features(
+            df, "doc_id", "text", buckets=B, portable=True
+        ).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for bk, c in S.py_feature_counts(t, B).items():
+            want[(i, bk)] = c
+    assert got == want

@@ -69,13 +69,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      run: q_scan_external_files r9 → family due r12; csv/orc drop
 #      from r11's mandatory cohort on that credit.  Rotation: the r12
 #      turn runs csv, r15 orc, r18 files.)
-# Effective demand = 156 registered − (6 pairs·1 + 2 families·2 + 1
-# pair·1 + 1 family·2) = 143 vs 147 capacity → 4 slots of headroom
-# (the 2 slots F10 frees fund the 2 r10-registered selection
-# entries, x_quality_classifier / x_dsir_select).
+# Effective demand = 157 registered − (6 pairs·1 + 2 families·2 + 1
+# pair·1 + 1 family·2) = 144 vs 147 capacity → 3 slots of headroom
+# (the 2 slots F10 frees fund 2 of the 3 r10-registered entries:
+# x_quality_classifier / x_dsir_select / x_dedup_paragraph).
 # Named r12 consolidation candidate if more is needed: the multimodal
 # codec family (x_multimodal_codec_gif/mjpeg/jpeg — one decode seam,
-# 3 containers).
+# 3 containers; pull it INTO r11 if r11 must register anything new,
+# since r11's window is exactly full at 50).
 #
 # r10 ledger (planned in the r9 header, endorsed by VERDICT r9 #1,
 # then CORRECTED by this round's review pass — the endorsed plan ran
@@ -103,9 +104,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_union_all ran r9) MINUS q_scan_external_csv and
 # q_scan_external_orc (F10 credit: q_scan_external_files ran r9),
 # PLUS q_tablesample (P6 turn: sample_deterministic ran r9), PLUS
-# x_image_near_dup, x_crawl_chain, x_quality_classifier and
-# x_dsir_select (category b — all registered r10, no driver row),
-# PLUS flagship = 43 + 6 = 49 → ONE free slot left for r11.
+# x_image_near_dup, x_crawl_chain, x_quality_classifier,
+# x_dsir_select and x_dedup_paragraph (category b — all registered
+# r10, no driver row), PLUS flagship = 43 + 7 = 50 → EXACTLY full;
+# any r11 registration must ride the codec-family consolidation.
 # P2/P3/P5 pair-turns also land r11 via their r8 members
 # (x_dedup_incremental, x_semantic_kmeans, x_dedup_embedding_oracle —
 # all already IN the r8-era cohort, so no extra slots).  P1/P4's
@@ -173,6 +175,7 @@ _PRIORITY = [
     "x_crawl_chain",  # r11 (b): composed admission chain, reg. r10
     "x_quality_classifier",  # r11 (b): hashed-ngram quality model
     "x_dsir_select",  # r11 (b): DSIR importance resampling
+    "x_dedup_paragraph",  # r11 (b): CCNet paragraph-level dedup
     "q_tablesample",  # r11 P6 turn (sample_deterministic ran r9)
     # r10 pair-credit skippers (newest pair-member run r8; their
     # pairs' r11 turns run via the r8-era cohort below)

@@ -3837,3 +3837,66 @@ def x_dsir_select(spark, sf_dir):
         raw, target, "doc_id", "text",
         k=_DSIR_K, buckets=_DSIR_BUCKETS, alpha=1.0, portable=True,
     )
+
+
+# Constructed-paragraph fixture for x_dedup_paragraph (the
+# x_remove_boilerplate pattern): the oracle never re-runs the dedup —
+# it states each document's surviving text from the construction
+# arithmetic.  Three paragraphs per document: a GLOBAL shared one
+# (canonical occurrence = doc 0, pos 0 — every other copy drops), a
+# unique md5-token prose one (never duplicated), and a residue-class
+# one shared by doc_id % 5 (canonical = the residue's smallest id,
+# which is doc_id k itself for k < 5 since ids are 0..n-1).
+_PD_SHARED = "subscribe to our newsletter for updates"
+_PD_GROUP = "group footer "
+
+
+@q(
+    "x_dedup_paragraph",
+    f"""
+    WITH staged AS (
+      SELECT doc_id,
+             'prose ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      || ' body' AS prose
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id = 0 THEN '{_PD_SHARED}' || chr(10) || prose
+                     || chr(10) || '{_PD_GROUP}' || CAST(doc_id % 5 AS VARCHAR)
+                WHEN doc_id < 5 THEN prose || chr(10) || '{_PD_GROUP}'
+                     || CAST(doc_id % 5 AS VARCHAR)
+                ELSE prose END AS text,
+           CAST(CASE WHEN doc_id = 0 THEN 0
+                     WHEN doc_id < 5 THEN 1
+                     ELSE 2 END AS INT) AS paragraphs_removed
+    FROM staged
+    """,
+)
+def x_dedup_paragraph(spark, sf_dir):
+    """Corpus-wide paragraph-level dedup under the hash gate
+    (operators/dedup.py dedup_paragraphs — the CCNet preprocessing
+    step, arXiv:1911.00359): sha256 paragraph fingerprints elect a
+    canonical (smallest (id, pos)) occurrence per content class;
+    every other copy is removed from its document via a compact
+    (id, positions) drop set and a map-side column-algebra rebuild —
+    constant-width shuffle keys, exploded text never crosses an
+    exchange.  The oracle derives each document's surviving text and
+    removal count purely from the fixture's construction arithmetic
+    (global paragraph survives only in doc 0; residue-class paragraph
+    only in docs 0-4; unique prose always survives)."""
+    from scratchdata_spark.operators.dedup import dedup_paragraphs
+
+    d = load(spark, sf_dir)["documents"]
+    prose = F.concat(
+        F.lit("prose "),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        F.lit(" body"),
+    )
+    grp = F.concat(F.lit(_PD_GROUP), (F.col("doc_id") % 5).cast("string"))
+    staged = d.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit(_PD_SHARED), prose, grp).alias("text"),
+    )
+    return dedup_paragraphs(staged).select(
+        "doc_id", "text", "paragraphs_removed"
+    )

@@ -1063,3 +1063,83 @@ def _span_removal_stages(
         "drops": drops,
         "out": out,
     }
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup — the CCNet preprocessing
+    step (Wenzek et al. 2019, arXiv:1911.00359): a paragraph whose
+    normalized content appears anywhere else in the corpus survives
+    only at its canonical occurrence (smallest ``(id, position)``,
+    the exact_dedup min-id election applied per paragraph); every
+    other copy is removed from its document.  Sits between doc-level
+    ``exact_dedup`` and span-level ``remove_duplicate_spans`` in
+    granularity — the standard cheap kill for boilerplate that
+    repeats across pages (navigation, disclaimers, footers) without
+    the n-gram machinery.
+
+    Scale shape (the remove_duplicate_spans drop-set pattern):
+
+    * paragraph fingerprints are sha256 of the normalized text —
+      CONSTANT-WIDTH keys, so the election aggregation and the
+      decision join shuffle 32-byte digests + (id, pos) ints, never
+      paragraph text;
+    * the drop set groups to ``(id, array<pos>)`` — one compact row
+      per affected document (AQE broadcasts it when duplication is
+      rare; worst case one doc-level exchange, the same contract as
+      the span remover);
+    * reconstruction is pure column algebra map-side: re-split the
+      original text and keep positions outside the drop array
+      (two-argument higher-order ``filter`` — no exploded text ever
+      crosses an exchange).
+
+    Paragraphs shorter than ``min_chars`` after normalization (blank
+    lines, stray separators) are never treated as duplicates — they
+    are layout, and collapsing every blank line corpus-wide would
+    rewrite documents that share no content.  Returns the input
+    columns with ``text_col`` rebuilt plus ``paragraphs_removed``.
+    NULL text passes through untouched (0 removed).
+    """
+    arr = F.split(F.col(text_col), sep)
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(arr).alias("__pos", "__p"),
+    ).select(
+        "__id",
+        "__pos",
+        F.sha2(normalize_text(F.col("__p")), 256).alias("__fp"),
+        F.length(normalize_text(F.col("__p"))).alias("__len"),
+    ).filter(F.col("__len") >= min_chars)
+    canon = paras.groupBy("__fp").agg(
+        F.min(F.struct("__id", "__pos")).alias("__c"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    drops = (
+        paras.join(canon, "__fp")
+        .filter(
+            (F.col("__n") > 1)
+            & (F.struct("__id", "__pos") != F.col("__c"))
+        )
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__drop"))
+    )
+    keep_cols = [c for c in df.columns if c != text_col]
+    rebuilt = F.array_join(
+        F.filter(arr, lambda _, i: ~F.array_contains("__drop", i)), sep
+    )
+    out = df.join(
+        drops, df[id_col] == drops["__id"], "left"
+    ).select(
+        *[df[c] for c in keep_cols],
+        F.when(F.col("__drop").isNull(), F.col(text_col))
+        .otherwise(rebuilt)
+        .alias(text_col),
+        F.coalesce(F.size("__drop"), F.lit(0)).alias("paragraphs_removed"),
+    )
+    return out

@@ -290,6 +290,22 @@ def _remove_boilerplate(df, p, id_col, text_col):
     )
 
 
+@_stage("paragraph_dedup")
+def _paragraph_dedup(df, p, id_col, text_col):
+    """Corpus-wide paragraph dedup (dedup.dedup_paragraphs, the CCNet
+    step) — slots between boilerplate removal and doc-level dedup in
+    a crawl recipe.  Adds the ``paragraphs_removed`` column."""
+    from scratchdata_spark.operators.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        sep=p.get("sep", "\n"),
+        min_chars=int(p.get("min_chars", 1)),
+    )
+
+
 @_stage("quality_model")
 def _quality_model(df, p, id_col, text_col):
     """Model-based quality filter (selection.score_quality): keep

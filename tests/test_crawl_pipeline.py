@@ -118,3 +118,67 @@ def test_crawl_admission_chain(spark, tmp_path):
     assert manifest[2]["rows_dropped"] == 1  # junk-quality page
     assert manifest[3]["rows_dropped"] == 1  # mirror.net exact dup
     assert manifest[3]["rows_out"] == 1
+
+
+def test_extended_chain_with_paragraph_dedup_and_quality_model(
+    spark, tmp_path
+):
+    """The r10 stages compose into the admission chain: paragraph
+    dedup strips the shared footer from every page but its canonical
+    occurrence, and the trained quality model (fixture classifier,
+    portable tier) scores the cleaned text — each stage's manifest
+    accounts its effect."""
+    from scratchdata_spark.inventory_extras import _QC_BUCKETS, _qc_fixture
+    from scratchdata_spark.operators.warc import (
+        encode_http_response,
+        encode_warc_record,
+        read_warc,
+    )
+
+    footer = "subscribe to our newsletter for updates and offers"
+    prose = (
+        "the committee discussed the results of the study and agreed "
+        "that the method scales to very large corpora with the usual "
+        "care about duplicated content and the quality of the text"
+    )
+    junk = "buy now click here buy now click here 404 404 404"
+    recs = []
+    for i, body_text in enumerate([prose + " alpha", prose + " beta", junk]):
+        html = (
+            f"<html><body><p>{body_text}</p><p>{footer}</p></body></html>"
+        ).encode()
+        recs.append(
+            encode_warc_record(
+                "response",
+                encode_http_response(html),
+                target_uri=f"https://h{i}.example/p/{i}",
+                record_id=f"<urn:uuid:{i}>",
+            )
+        )
+    p = tmp_path / "c.warc"
+    p.write_bytes(b"".join(recs))
+    docs = (
+        read_warc(spark, str(p), keep_paragraphs=True)
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("record_id", r"urn:uuid:(\d+)", 1).cast("long"),
+        )
+        .select("doc_id", "target_uri", "text")
+    )
+    w, bias = _qc_fixture()
+    got, manifest = run_recipe(
+        docs,
+        [
+            {"op": "paragraph_dedup"},
+            {"op": "quality_model", "weights": w, "bias": bias,
+             "buckets": _QC_BUCKETS, "portable": True, "min_prob": 0.5},
+        ],
+    )
+    rows = {r["doc_id"]: r for r in got.collect()}
+    # doc 0 keeps the footer (canonical); doc 1 loses it; junk doc 2
+    # is filtered by the model even though its footer also dropped
+    assert set(rows) == {0, 1}
+    assert footer in rows[0]["text"]
+    assert footer not in rows[1]["text"]
+    assert manifest[0]["rows_dropped"] == 0  # paragraph dedup rewrites
+    assert manifest[1]["rows_dropped"] == 1  # the junk page

@@ -88,5 +88,61 @@ def main() -> None:
     print("written r10_selection_ops")
 
 
+def paragraph_soak(sf_dir: str = "/root/testdata/sf0.1",
+                   replicas: tuple = (10, 100)) -> None:
+    """10x/100x walls for dedup_paragraphs over synthesized
+    3-paragraph documents (unique body from the scaled corpus text +
+    one global shared paragraph + one residue-class paragraph — the
+    x_dedup_paragraph fixture shape, so ~2/3 of paragraph instances
+    are corpus-wide duplicates: the worst realistic case, every doc
+    touched by the drop set)."""
+    spark = get_spark()
+    out = {
+        "what": (
+            "dedup_paragraphs over 3-paragraph docs (global shared +"
+            " residue-1000 class + unique body): fingerprint agg +"
+            " ids-only decision join + doc-level drop-set attach +"
+            " map-side rebuild; ~2n duplicate paragraph instances."
+        )
+    }
+    for rep in replicas:
+        from tools.scale_soak import scaled_documents
+
+        docs, n = scaled_documents(spark, sf_dir, rep)
+        staged = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("subscribe to our newsletter for updates"),
+                F.col("text"),
+                F.concat(F.lit("footer "), (F.col("doc_id") % 1000).cast("string")),
+            ).alias("text"),
+        ).persist()
+        staged.count()
+        t0 = time.time()
+        from scratchdata_spark.operators.dedup import dedup_paragraphs
+
+        res = dedup_paragraphs(staged)
+        removed = res.agg(F.sum("paragraphs_removed")).collect()[0][0]
+        wall = round(time.time() - t0, 1)
+        out[f"{rep}x"] = {
+            "n_docs": n,
+            "paragraphs_removed": int(removed),
+            "wall_sec": wall,
+        }
+        print(json.dumps({f"{rep}x": out[f"{rep}x"]}))
+        staged.unpersist()
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_scale.json",
+    )
+    with open(path) as f:
+        bench = json.load(f)
+    bench.setdefault("notes", {})["r10_paragraph_dedup"] = out
+    with open(path, "w") as f:
+        json.dump(bench, f, indent=1)
+    print("written r10_paragraph_dedup")
+
+
 if __name__ == "__main__":
     main()

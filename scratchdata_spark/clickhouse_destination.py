@@ -130,23 +130,30 @@ _JSON_TO_CH = {
 
 def _g_string(v) -> str:
     """gjson ``Result.String()``: null → '', bools → 'true'/'false',
-    numbers → their JSON token, strings unchanged."""
+    numbers → their JSON token, strings unchanged, nested JSON values
+    re-serialized as JSON (the reference returns the raw source
+    substring; post-parse the closest faithful form is a compact
+    canonical re-serialization — still valid JSON downstream, unlike
+    a Python repr, r10 review catch)."""
     if v is None:
         return ""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, float, Decimal)):
         return json.dumps(float(v) if isinstance(v, Decimal) else v)
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, ensure_ascii=False, separators=(",", ":"))
     return str(v)
 
 
 def _g_float(v) -> float:
-    """gjson ``Result.Float()``: null → 0, bool → 0/1? (gjson parses
-    the raw token — 'true' is not a number → 0), strings via parse."""
+    """gjson ``Result.Float()``: null → 0, true → 1 (the True case in
+    gjson's switch — r10 review catch; also consistent with the Int
+    path), strings via parse."""
     if v is None:
         return 0.0
     if isinstance(v, bool):
-        return 0.0
+        return 1.0 if v else 0.0
     if isinstance(v, (int, float)):
         return float(v)
     try:
@@ -156,8 +163,10 @@ def _g_float(v) -> float:
 
 
 def _g_int(v) -> int:
-    """gjson ``Result.Int()``: floats truncate toward zero, strings
-    parse leniently, null/non-numeric → 0."""
+    """gjson ``Result.Int()``: floats truncate toward zero, STRINGS
+    parse as exact integers (never through float — a 17+ digit string
+    would corrupt above 2^53 where Go's ParseInt is exact, r10 review
+    catch), null/non-numeric → 0."""
     if v is None or isinstance(v, bool):
         return 1 if v is True else 0
     if isinstance(v, int):
@@ -167,20 +176,23 @@ def _g_int(v) -> int:
             return 0
         return int(v)
     try:
-        return int(float(str(v)))
+        return int(str(v).strip(), 10)
     except ValueError:
         return 0
 
 
 def _g_bool(v) -> bool:
-    """gjson ``Result.Bool()``: true/'true'/'1'/nonzero → True."""
+    """gjson ``Result.Bool()``: strings lowercase then go through
+    Go's strconv.ParseBool, which accepts only 1/t/true (and the 0/f/
+    false family) — 'yes' is an error → false (r10 review catch);
+    numbers are true when nonzero."""
     if isinstance(v, bool):
         return v
     if v is None:
         return False
     if isinstance(v, (int, float)):
         return v != 0
-    return str(v).strip().lower() in {"true", "1", "t", "yes"}
+    return str(v).lower() in {"true", "1", "t"}
 
 
 def _wrap_uint(v, bits: int) -> int:

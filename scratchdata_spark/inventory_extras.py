@@ -425,7 +425,8 @@ def x_text_token_count(spark, sf_dir):
                  s -> s IN ('the','and','of','a','to','in','is','it','that','for')))
                / greatest(len(string_split(norm, ' ')), 1) AS stop_ratio,
              n,
-             coalesce(regexp_matches(text, '\S'), false) AS has_content
+             coalesce(regexp_matches(text, '[^ \t\n\x0B\f\r]'), false)
+               AS has_content
       FROM t
     )
     SELECT doc_id,

@@ -1105,8 +1105,14 @@ def dedup_paragraphs(
     rewrite documents that share no content.  Returns the input
     columns with ``text_col`` rebuilt plus ``paragraphs_removed``.
     NULL text passes through untouched (0 removed).
+
+    ``sep`` is a LITERAL separator string (quoted for the split, used
+    verbatim for the rejoin — passing a regex here would corrupt the
+    rebuilt text, r10 review catch).
     """
-    arr = F.split(F.col(text_col), sep)
+    if "\\E" in sep:
+        raise ValueError("dedup_paragraphs: separator cannot contain \\E")
+    arr = F.split(F.col(text_col), r"\Q" + sep + r"\E")
     paras = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(arr).alias("__pos", "__p"),

@@ -215,9 +215,10 @@ def filter_robots_disallowed(
     * ``'join'`` — the corpus-wide path: documents and rules cogroup
       on host (each side shuffles ONCE, nothing rides the driver),
       rules compile once per host group inside ``applyInPandas``.
-    * ``'auto'`` (default) — one bounded ``limit(valve+1).collect()``
-      on the robots table picks the tier at the valve boundary (and
-      doubles as the closure tier's rules fetch).
+    * ``'auto'`` (default) — a hosts-only ``limit(valve+1)`` probe
+      picks the tier at the valve boundary (bounded bytes either
+      way); the closure tier then fetches the full rules rows,
+      bounded by the probe's evidence.
     """
     if tier not in ("auto", "closure", "join"):
         raise ValueError(
@@ -227,16 +228,19 @@ def filter_robots_disallowed(
         return _filter_robots_join(
             df, robots, url_col, agent, keep_unknown_hosts
         )
-    # ONE bounded action serves the auto dispatch, the closure valve
-    # AND the closure's rules fetch: limit(valve+1).collect() runs the
-    # rules plan once and ships at most valve+1 rows — never the
-    # unbounded table the valve exists to keep off the driver, and
-    # never a cache write of a multi-GB rules table that the join
-    # tier would discard unused (advisor catch r9: count-then-collect
-    # ran the plan twice; review catch r10: the persist() fix
-    # materialized the full table even on the auto→join path).
-    collected = robots.limit(max_closure_hosts + 1).collect()
-    if len(collected) > max_closure_hosts:
+    # The dispatch probe collects HOSTS ONLY (limit valve+1): deciding
+    # "too big, go join" must never ship robots.txt BODIES — at the
+    # valve boundary that is up to 500k multi-KB documents, the very
+    # driver traffic the valve exists to prevent (r10 second review
+    # catch; the r10 first fix shipped full rows).  When the probe
+    # proves the table small, the closure fetch collects the full rows
+    # with a second bounded execution — two runs of the rules plan,
+    # but only on the path where the plan is cheap by evidence
+    # (advisor catch r9 rejected count+collect on the UNPROVEN path;
+    # review catch r10 rejected persist() for materializing a multi-GB
+    # table the join tier would discard unused).
+    probe = robots.select("host").limit(max_closure_hosts + 1).collect()
+    if len(probe) > max_closure_hosts:
         if tier == "auto":
             return _filter_robots_join(
                 df, robots, url_col, agent, keep_unknown_hosts
@@ -246,6 +250,8 @@ def filter_robots_disallowed(
             " robots hosts — the closure tier's ceiling. Use"
             " tier='join' (cogrouped; rules never ride the driver)"
         )
+    # ≤ valve rows proven by the probe → this collect is bounded
+    collected = robots.collect()
 
     import pandas as pd
 

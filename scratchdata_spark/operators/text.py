@@ -68,11 +68,15 @@ def quality_score(col) -> Column:
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
     digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(col) * 5.0)
     stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    # \S probe, not trim: trim strips ONLY 0x20 (the r9 CRLF lesson),
-    # so a "\n\t\n" husk would still score ~0.4 (second review catch).
-    # rlike exits on the first non-whitespace hit — a regexp_replace
-    # stripped copy cost +50% on the sf1 quality wall (measured).
-    has_content = F.coalesce(col.rlike(r"\S"), F.lit(False))
+    # Explicit-class probe, not trim: trim strips ONLY 0x20 (the r9
+    # CRLF lesson), so a "\n\t\n" husk would still score ~0.4 (second
+    # review catch).  rlike exits on the first non-whitespace hit — a
+    # regexp_replace stripped copy cost +50% on the sf1 quality wall
+    # (measured).  The class is spelled out rather than \S because
+    # Java's \s includes \x0B while RE2's (DuckDB's) does not — a
+    # vertical-tab-only husk would score 0.0 here and ~0.4 in the
+    # oracle (r10 review catch); both engines get the same class.
+    has_content = F.coalesce(col.rlike(r"[^ \t\n\x0B\f\r]"), F.lit(False))
     return F.when(~has_content, F.lit(0.0)).otherwise(
         F.round(
             0.4 * len_score + 0.2 * punct_pen + 0.2 * digit_pen

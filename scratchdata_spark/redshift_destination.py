@@ -54,6 +54,28 @@ def _check_auth(value: str, what: str) -> str:
     return value
 
 
+# S3 bucket names: the AWS grammar (lowercase, digits, dots, hyphens).
+_BUCKET_SAFE = re.compile(r"[a-z0-9.-]{3,63}")
+# Key prefixes: AWS's key-safe characters MINUS the apostrophe — like
+# the credentials, the prefix interpolates into the COPY statement's
+# quoted S3 URI literal (r10 second review catch: bucket/prefix
+# arrived from the same onboarding API as the credentials but skipped
+# their treatment).
+_PREFIX_SAFE = re.compile(r"[A-Za-z0-9!_.*()/-]*")
+
+
+def _check_bucket(value: str) -> str:
+    if not _BUCKET_SAFE.fullmatch(value):
+        raise ValueError("redshift: invalid s3 bucket name")
+    return value
+
+
+def _check_prefix(value: str) -> str:
+    if not _PREFIX_SAFE.fullmatch(value):
+        raise ValueError("redshift: invalid character in s3 prefix")
+    return value
+
+
 class RedshiftDestination(JDBCDestination):
     """JDBCDestination specialized to Redshift, with S3-staged COPY
     inserts (``redshift/insert.go:80-140``).  ``blobstore`` is the
@@ -86,7 +108,7 @@ class RedshiftDestination(JDBCDestination):
                 "redshift: COPY needs iam_role or an access key pair"
             )
         self.blobstore = blobstore
-        self.s3_bucket = s3_bucket
+        self.s3_bucket = _check_bucket(s3_bucket)
         self.access_key_id = (
             None if access_key_id is None
             else _check_auth(access_key_id, "access_key_id")
@@ -120,7 +142,9 @@ class RedshiftDestination(JDBCDestination):
         return f"{_check_ident(table)}/{os.path.basename(path)}"
 
     def _s3_uri(self, key: str) -> str:
-        prefix = getattr(self.blobstore, "prefix", "")
+        # the prefix lives on the injected blobstore, so validate at
+        # the point it enters the SQL literal, not at construction
+        prefix = _check_prefix(getattr(self.blobstore, "prefix", ""))
         full = f"{prefix}/{key}" if prefix else key
         return f"s3://{self.s3_bucket}/{full}"
 

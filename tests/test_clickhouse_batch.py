@@ -343,3 +343,28 @@ def test_real_http_client_headers_and_error(monkeypatch):
     assert captured["headers"]["X-clickhouse-key"] == "p"
     assert captured["headers"]["X-clickhouse-database"] == "db"
     assert captured["data"] == b"SELECT 1"
+
+
+@pytest.mark.parametrize(
+    "ch_type,value,expected",
+    [
+        # r10 review catches: exact int-string parse (never via float),
+        ("Int64", str(2**63 - 1), 2**63 - 1),
+        ("Int64", "5.9", 0),  # ParseInt rejects — gjson returns 0
+        ("UInt64", str(2**53 + 1), 2**53 + 1),
+        # gjson Float() True case → 1
+        ("Float64", True, 1.0),
+        # ParseBool rejects 'yes'
+        ("Bool", "yes", False),
+        ("Bool", "T", True),
+    ],
+)
+def test_r10_review_coercion_fixes(ch_type, value, expected):
+    assert json_to_ch_value(ch_type, value) == expected
+
+
+def test_nested_values_serialize_as_json_not_repr():
+    v = json_to_ch_value("String", {"a": True, "b": None, "s": "é"})
+    assert v == '{"a":true,"b":null,"s":"é"}'
+    assert json.loads(v) == {"a": True, "b": None, "s": "é"}
+    assert json_to_ch_value("String", [1, "x"]) == '[1,"x"]'

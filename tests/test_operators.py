@@ -1452,3 +1452,28 @@ def test_quality_score_degenerate_text_scores_zero(spark):
     ]
     assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 0.0
     assert got[3] > 0.0
+
+
+def test_quality_score_vertical_tab_husk_is_blank_both_engines(spark):
+    """Java \\s includes \\x0B, RE2's does not — the blank-content
+    probe spells the class out so a vertical-tab-only husk scores 0.0
+    in BOTH engines (r10 review catch)."""
+    import duckdb
+
+    from scratchdata_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "\x0b"), (2, " \t\r\n"), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r[0]: r[1]
+        for r in df.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] > 0.0
+    oracle = duckdb.sql(
+        "SELECT coalesce(regexp_matches('\x0b', '[^ \t\n\x0B\f\r]'), false)"
+    ).fetchone()[0]
+    assert oracle is False  # DuckDB agrees the husk has no content

@@ -89,12 +89,15 @@ def test_extra_columns_preserved(spark):
     assert out[2]["text"] == ""
 
 
-def test_custom_separator(spark):
-    df = _df(spark, [(1, f"a|{SHARED}"), (2, f"{SHARED}|b")])
+def test_custom_separator_is_literal(spark):
+    # sep is a LITERAL: '|' splits AND rejoins as the same character
+    # (a regex sep would rebuild 'a\|b' — the r10 review catch)
+    df = _df(spark, [(1, f"a|{SHARED}"), (2, f"{SHARED}|b|c")])
     out = {
-        r["doc_id"]: r
-        for r in dedup_paragraphs(df, sep=r"\|").collect()
+        r["doc_id"]: r for r in dedup_paragraphs(df, sep="|").collect()
     }
+    assert out[1]["text"] == f"a|{SHARED}"
+    assert out[2]["text"] == "b|c"
     assert out[2]["paragraphs_removed"] == 1
 
 

@@ -177,7 +177,7 @@ def test_factory_onboards_redshift(spark, tmp_path):
         "redshift",
         {
             "url": "jdbc:redshift://h:5439/db",
-            "s3_bucket": "b",
+            "s3_bucket": "bkt",  # >= 3 chars (AWS grammar, r10 validation)
             "s3_prefix": "pfx",
             "s3_client": s3,
             "iam_role": "arn:aws:iam::1:role/r",
@@ -187,7 +187,7 @@ def test_factory_onboards_redshift(spark, tmp_path):
     assert isinstance(dest, RedshiftDestination)
     assert dest.blobstore.prefix == "pfx"
     assert dest._s3_uri(dest._s3_key("t", "/x/f.ndjson")) == (
-        "s3://b/pfx/t/f.ndjson"
+        "s3://bkt/pfx/t/f.ndjson"
     )
     assert dest._auth_clause() == "IAM_ROLE 'arn:aws:iam::1:role/r'"
 
@@ -221,3 +221,23 @@ def test_staged_object_cleaned_up_when_copy_fails(spark, tmp_path):
     with pytest.raises(RuntimeError, match="stl_load_errors"):
         dest.insert_ndjson_file("t", path)
     assert store.list() == []
+
+
+def test_bucket_and_prefix_injection_rejected(spark, tmp_path):
+    """s3_bucket and the blobstore prefix interpolate into the COPY
+    statement's quoted URI literal — same treatment as credentials
+    (r10 second review catch)."""
+    from scratchdata_spark.redshift_destination import RedshiftDestination
+
+    store = LocalBlobStore(str(tmp_path / "s3"))
+    with pytest.raises(ValueError, match="bucket"):
+        RedshiftDestination(
+            spark, "jdbc:redshift://h:5439/db", blobstore=store,
+            s3_bucket="b'; DROP TABLE x; --", iam_role="arn:aws:iam::1:role/r",
+        )
+    dest = FakeRedshift(spark, store)
+    dest.blobstore.prefix = "ok/pre-fix_1"
+    assert dest._s3_uri("t/f.ndjson").startswith("s3://stage-bucket/ok/")
+    dest.blobstore.prefix = "p'; DROP TABLE x; --"
+    with pytest.raises(ValueError, match="prefix"):
+        dest._s3_uri("t/f.ndjson")

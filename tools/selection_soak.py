@@ -76,6 +76,11 @@ def main() -> None:
         }
         print(json.dumps({f"{rep}x": out[f"{rep}x"]}))
         docs.unpersist()
+        # dsir_logweights persists its internal feature relation (the
+        # caller-owns-handles lm.py convention, unreachable from here)
+        # — clear it so one scale's cache never pins through the next
+        # scale's timing (r10 review catch)
+        spark.catalog.clearCache()
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_scale.json",
@@ -132,6 +137,7 @@ def paragraph_soak(sf_dir: str = "/root/testdata/sf0.1",
         }
         print(json.dumps({f"{rep}x": out[f"{rep}x"]}))
         staged.unpersist()
+        spark.catalog.clearCache()  # same cross-scale hygiene as main()
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_scale.json",

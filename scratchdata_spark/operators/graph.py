@@ -156,3 +156,53 @@ def dedup_by_pairs(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_by_pairs_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster survivor election: keep the HIGHEST-
+    ``score_col`` member of each duplicate cluster (ties break to the
+    smaller id, so the election is total and deterministic), instead
+    of :func:`dedup_by_pairs`'s minimum-id rule.  The production
+    pattern behind it: near-dup clusters routinely contain one clean
+    original and several mangled re-crawls, and min-id keeps whichever
+    was crawled first — a quality model (selection.score_quality) or
+    heuristic (text.quality_score) should pick instead.
+
+    Plan shape matches dedup_by_pairs: pointer-jumped components, one
+    (id, comp, score) aggregation to elect winners — scores ride the
+    shuffle as one double next to the ids, the document payload never
+    moves — and a loser-ids anti-join that AQE broadcasts when the
+    duplicate fraction is small.
+    """
+    comp = connected_components(pairs, src, dst)
+    scored = comp.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            # NULL scores lose to any real score (a NULL-scored row
+            # must never win on NULL-ordering accidents)
+            F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            ).alias("__s"),
+        ),
+        "id",
+    )
+    # argmax via max(struct): score first, NEGATED id second so equal
+    # scores elect the smaller id
+    winners = scored.groupBy("comp").agg(
+        F.max(F.struct(F.col("__s"), (-F.col("id")).alias("__nid"))).alias(
+            "__w"
+        )
+    )
+    losers = (
+        scored.join(winners, "comp")
+        .filter(F.col("id") != -F.col("__w.__nid"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

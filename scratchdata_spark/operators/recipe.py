@@ -73,10 +73,17 @@ def _exact_dedup(df, p, id_col, text_col):
 
 @_stage("near_dedup")
 def _near_dedup(df, p, id_col, text_col):
-    """MinHash-LSH pairs → connected components → keep the minimum-id
-    member per duplicate cluster (dedup_by_pairs)."""
+    """MinHash-LSH pairs → connected components → keep one member per
+    duplicate cluster: the minimum id (default), or with
+    ``survivor='best'`` + ``score_col`` the highest-scoring member
+    (dedup_by_pairs_best — near-dup clusters routinely hold one clean
+    original and several mangled re-crawls; a quality column should
+    pick, not crawl order)."""
     from scratchdata_spark.operators.dedup import minhash_lsh_pairs
-    from scratchdata_spark.operators.graph import dedup_by_pairs
+    from scratchdata_spark.operators.graph import (
+        dedup_by_pairs,
+        dedup_by_pairs_best,
+    )
 
     pairs = minhash_lsh_pairs(
         df,
@@ -87,6 +94,8 @@ def _near_dedup(df, p, id_col, text_col):
         k=p.get("k", 5),
         threshold=p.get("threshold", 0.5),
     )
+    if p.get("survivor", "min_id") == "best":
+        return dedup_by_pairs_best(df, pairs, id_col, p["score_col"])
     return dedup_by_pairs(df, pairs, id_col)
 
 

@@ -95,3 +95,74 @@ def test_component_labels_are_member_minimum_property(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+def test_dedup_by_pairs_best_elects_highest_score(spark):
+    from scratchdata_spark.operators.graph import dedup_by_pairs_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "mangled copy", 0.2),
+            (2, "clean original", 0.9),
+            (3, "another mangled", 0.4),
+            (7, "unpaired survives", 0.1),
+            (8, "tie a", 0.5),
+            (9, "tie b", 0.5),
+            (10, "null scored", None),
+            (11, "real scored", 0.3),
+        ],
+        "doc_id long, text string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9), (10, 11)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_by_pairs_best(df, pairs, "doc_id", "q").collect()
+    }
+    # cluster {1,2,3}: highest score wins (2, not min-id 1);
+    # tie {8,9}: smaller id; {10,11}: NULL loses to a real score
+    assert kept == {2, 7, 8, 11}
+
+
+def test_dedup_by_pairs_best_matches_min_id_when_scores_equal(spark):
+    from scratchdata_spark.operators.graph import (
+        dedup_by_pairs,
+        dedup_by_pairs_best,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    ).withColumn("q", F.lit(1.0))
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 6), (2, 9)], "id_a long, id_b long"
+    )
+    a = {r["doc_id"] for r in dedup_by_pairs(df, pairs, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in dedup_by_pairs_best(df, pairs, "doc_id", "q").collect()
+    }
+    assert a == b  # constant scores degrade to the min-id rule
+
+
+def test_near_dedup_recipe_best_survivor(spark):
+    from pyspark.sql import functions as F
+
+    from scratchdata_spark.operators.recipe import run_recipe
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base + " extra", 0.1),
+            (2, base + " other", 0.9),  # same cluster, better quality
+            (5, "totally different text about gardens and weather", 0.5),
+        ],
+        "doc_id long, text string, q double",
+    )
+    out, _ = run_recipe(
+        df,
+        [{"op": "near_dedup", "threshold": 0.5, "survivor": "best",
+          "score_col": "q"}],
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 5}

@@ -368,3 +368,51 @@ def test_nested_values_serialize_as_json_not_repr():
     assert v == '{"a":true,"b":null,"s":"é"}'
     assert json.loads(v) == {"a": True, "b": None, "s": "é"}
     assert json_to_ch_value("String", [1, "x"]) == '[1,"x"]'
+
+
+# ----------------------------------------------- property-based ladder
+
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=8),
+    st.lists(st.integers(), max_size=2),
+)
+_rows = st.lists(
+    st.dictionaries(st.sampled_from(["a", "b", "c"]), _scalars, max_size=3),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_rows)
+def test_inference_ladder_properties(rows):
+    """Invariants of the insert.go:70-93 ladder for arbitrary NDJSON:
+    every column types to one of the four CH-mappable kinds; any
+    string (or nested) occurrence forces string; float beats int;
+    row order never matters."""
+    lines = [json.dumps(r) for r in rows]
+    t = infer_column_types(lines)
+    assert set(t) == {k for r in rows for k in r}
+    for col, kind in t.items():
+        vals = [r[col] for r in rows if col in r]
+        assert kind in ("string", "int", "float", "bool")
+        if any(isinstance(v, (str, list, dict)) for v in vals):
+            assert kind == "string"
+        elif any(isinstance(v, float) for v in vals):
+            assert kind == "float"
+        elif any(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            assert kind == "int"
+        elif any(isinstance(v, bool) for v in vals):
+            assert kind == "bool"
+        else:
+            assert kind == "string"  # all-null column
+    # row order affects first-seen column ORDER only, never the kinds
+    t2 = infer_column_types(list(reversed(lines)))
+    assert dict(sorted(t2.items())) == dict(sorted(t.items()))

@@ -162,11 +162,16 @@ def _g_float(v) -> float:
         return 0.0
 
 
+_GO_INT = re.compile(r"-?[0-9]+")
+
+
 def _g_int(v) -> int:
     """gjson ``Result.Int()``: floats truncate toward zero, STRINGS
-    parse as exact integers (never through float — a 17+ digit string
-    would corrupt above 2^53 where Go's ParseInt is exact, r10 review
-    catch), null/non-numeric → 0."""
+    parse as exact integers with the gjson grammar — optional '-'
+    then ASCII digits only, never through float (a 17+ digit string
+    would corrupt above 2^53) and never Python's lenient int() (which
+    accepts whitespace/'+'/underscores/unicode digits Go rejects —
+    r10 review catches), null/non-matching → 0."""
     if v is None or isinstance(v, bool):
         return 1 if v is True else 0
     if isinstance(v, int):
@@ -175,10 +180,8 @@ def _g_int(v) -> int:
         if math.isnan(v) or math.isinf(v):
             return 0
         return int(v)
-    try:
-        return int(str(v).strip(), 10)
-    except ValueError:
-        return 0
+    s = str(v)
+    return int(s, 10) if _GO_INT.fullmatch(s) else 0
 
 
 def _g_bool(v) -> bool:
@@ -204,14 +207,17 @@ def _wrap_int(v, bits: int) -> int:
     return u - (1 << bits) if u >= (1 << (bits - 1)) else u
 
 
+_GO_BIG = re.compile(r"[+-]?[0-9]+")  # big.Int SetString base-10 grammar
+
+
 def _big_int(v) -> int:
     """big.Int SetString on the decimal string (insert.go:163-166,
-    178-181); an unparsable string leaves the zero value."""
+    178-181); an unparsable string leaves the zero value.  The grammar
+    is enforced explicitly — Python's int() tolerates whitespace and
+    underscores that Go rejects (r10 review catch on _g_int; same
+    class here)."""
     s = _g_string(v)
-    try:
-        return int(s, 10)
-    except ValueError:
-        return 0
+    return int(s, 10) if _GO_BIG.fullmatch(s) else 0
 
 
 _CH_BASE = re.compile(r"^([A-Za-z0-9]+)")

@@ -185,24 +185,28 @@ def dedup_by_pairs_best(
     scored = comp.join(
         df.select(
             F.col(id_col).alias("id"),
-            # NULL scores lose to any real score (a NULL-scored row
-            # must never win on NULL-ordering accidents)
-            F.coalesce(
-                F.col(score_col).cast("double"), F.lit(float("-inf"))
-            ).alias("__s"),
+            # NEGATED score so a MIN election takes the highest score
+            # with the natural ascending id tiebreak — never negate
+            # the id, which would silently no-op for string ids (r10
+            # second review catch).  NULL scores coalesce to -inf →
+            # negate to +inf → always lose; NaN scores order LARGEST
+            # in Spark, so under MIN they also always lose (under the
+            # earlier max-election a NaN-scored mangled re-crawl beat
+            # a 0.9 clean original — same review catch).
+            (
+                -F.coalesce(
+                    F.col(score_col).cast("double"), F.lit(float("-inf"))
+                )
+            ).alias("__ns"),
         ),
         "id",
     )
-    # argmax via max(struct): score first, NEGATED id second so equal
-    # scores elect the smaller id
     winners = scored.groupBy("comp").agg(
-        F.max(F.struct(F.col("__s"), (-F.col("id")).alias("__nid"))).alias(
-            "__w"
-        )
+        F.min(F.struct(F.col("__ns"), F.col("id"))).alias("__w")
     )
     losers = (
         scored.join(winners, "comp")
-        .filter(F.col("id") != -F.col("__w.__nid"))
+        .filter(F.col("id") != F.col("__w.id"))
         .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")

@@ -94,7 +94,16 @@ def _near_dedup(df, p, id_col, text_col):
         k=p.get("k", 5),
         threshold=p.get("threshold", 0.5),
     )
-    if p.get("survivor", "min_id") == "best":
+    survivor = p.get("survivor", "min_id")
+    if survivor not in ("min_id", "best"):
+        raise ValueError(
+            f"near_dedup: unknown survivor {survivor!r}"
+            " (use 'min_id' or 'best') — a typo here would silently"
+            " discard the high-quality originals the option keeps"
+        )
+    if survivor == "best":
+        if "score_col" not in p:
+            raise ValueError("near_dedup: survivor='best' needs score_col")
         return dedup_by_pairs_best(df, pairs, id_col, p["score_col"])
     return dedup_by_pairs(df, pairs, id_col)
 

@@ -250,8 +250,18 @@ def filter_robots_disallowed(
             " robots hosts — the closure tier's ceiling. Use"
             " tier='join' (cogrouped; rules never ride the driver)"
         )
-    # ≤ valve rows proven by the probe → this collect is bounded
-    collected = robots.collect()
+    # the probe proved ≤ valve rows, but this is a SECOND execution of
+    # the plan — keep the hard bound and fail loudly if the source
+    # grew or is nondeterministic between the two actions (r10 second
+    # review catch: an unbounded collect resting on earlier-run
+    # evidence is the TOCTOU shape the valve exists to prevent)
+    collected = robots.limit(max_closure_hosts + 1).collect()
+    if len(collected) > max_closure_hosts:
+        raise ValueError(
+            "filter_robots_disallowed: robots table exceeded the valve"
+            " between the dispatch probe and the rules fetch"
+            " (nondeterministic or growing source) — use tier='join'"
+        )
 
     import pandas as pd
 

@@ -138,8 +138,13 @@ class RedshiftDestination(JDBCDestination):
 
     def _s3_key(self, table: str, path: str) -> str:
         """Store-relative key ``table/basename`` (insert.go:107-112);
-        the blobstore applies any configured prefix itself."""
-        return f"{_check_ident(table)}/{os.path.basename(path)}"
+        the blobstore applies any configured prefix itself.  The
+        basename is the THIRD component interpolated into the COPY
+        URI literal, so it gets the same character validation as the
+        bucket and prefix (r10 second review catch — sink-generated
+        spool names are ULIDs and always pass; a caller-supplied path
+        with a quote must not reach the SQL text)."""
+        return f"{_check_ident(table)}/{_check_prefix(os.path.basename(path))}"
 
     def _s3_uri(self, key: str) -> str:
         # the prefix lives on the injected blobstore, so validate at

@@ -416,3 +416,23 @@ def test_inference_ladder_properties(rows):
     # row order affects first-seen column ORDER only, never the kinds
     t2 = infer_column_types(list(reversed(lines)))
     assert dict(sorted(t2.items())) == dict(sorted(t.items()))
+
+
+@pytest.mark.parametrize(
+    "ch_type,value,expected",
+    [
+        # gjson parseInt grammar: digits with optional '-' ONLY —
+        # Python leniencies (whitespace, '+', underscores) must not
+        # parse (r10 second review catch)
+        ("Int64", " 42 ", 0),
+        ("Int64", "+42", 0),
+        ("Int64", "1_000", 0),
+        ("Int64", "-7", -7),
+        # big.Int SetString: optional sign, digits, no underscores
+        ("UInt128", "+123", 123),
+        ("Int128", "1_0", 0),
+        ("Int128", " 5", 0),
+    ],
+)
+def test_go_integer_grammar_strictness(ch_type, value, expected):
+    assert json_to_ch_value(ch_type, value) == expected

@@ -166,3 +166,58 @@ def test_near_dedup_recipe_best_survivor(spark):
           "score_col": "q"}],
     )
     assert {r["doc_id"] for r in out.collect()} == {2, 5}
+
+
+def test_dedup_by_pairs_best_string_ids_and_nan_scores(spark):
+    """r10 second review catches: a negated-id tiebreak silently
+    no-ops for string ids (NULL != comparisons), and NaN scores order
+    LARGEST in Spark so a max-election would let a corrupted 0/0
+    score beat a clean 0.9 — the min-struct election handles both."""
+    from scratchdata_spark.operators.graph import dedup_by_pairs_best
+
+    df = spark.createDataFrame(
+        [
+            ("doc-a", 0.2),
+            ("doc-b", 0.9),
+            ("doc-c", float("nan")),  # NaN must never win
+            ("doc-z", 0.5),
+        ],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_by_pairs_best(df, pairs, "doc_id", "q").collect()
+    }
+    assert kept == {"doc-b", "doc-z"}
+
+
+def test_dedup_by_pairs_best_all_nan_cluster_falls_to_min_id(spark):
+    from scratchdata_spark.operators.graph import dedup_by_pairs_best
+
+    df = spark.createDataFrame(
+        [(3, float("nan")), (1, float("nan")), (2, None)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = {
+        r["doc_id"]
+        for r in dedup_by_pairs_best(df, pairs, "doc_id", "q").collect()
+    }
+    assert len(kept) == 1  # exactly one survivor, deterministically
+
+
+def test_near_dedup_survivor_validation(spark):
+    import pytest as _pytest
+
+    from scratchdata_spark.operators.recipe import run_recipe
+
+    df = spark.createDataFrame([(1, "t", 0.5)], "doc_id long, text string, q double")
+    with _pytest.raises(ValueError, match="score_col"):
+        run_recipe(df, [{"op": "near_dedup", "survivor": "best"}])
+    with _pytest.raises(ValueError, match="unknown survivor"):
+        run_recipe(
+            df, [{"op": "near_dedup", "survivor": "highest", "score_col": "q"}]
+        )

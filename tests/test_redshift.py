@@ -241,3 +241,16 @@ def test_bucket_and_prefix_injection_rejected(spark, tmp_path):
     dest.blobstore.prefix = "p'; DROP TABLE x; --"
     with pytest.raises(ValueError, match="prefix"):
         dest._s3_uri("t/f.ndjson")
+
+
+def test_key_basename_injection_rejected(rs, tmp_path):
+    """The staged key's basename is the third component inside the
+    COPY URI literal — same validation as bucket/prefix (r10 second
+    review catch). Sink spool names (ULIDs) always pass."""
+    dest, _ = rs
+    dest.create_empty_table("t")
+    bad = tmp_path / "x'; DROP TABLE y; --.ndjson"
+    bad.write_text('{"a": 1}\n')
+    with pytest.raises(ValueError, match="prefix"):
+        dest.insert_ndjson_file("t", str(bad))
+    assert not [s for s in dest.stmts if s.startswith("COPY")]

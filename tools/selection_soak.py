@@ -50,6 +50,8 @@ def main() -> None:
             " feature-shuffle + broadcast weight join + per-doc agg;"
             " dsir = raw/target feature shuffles (raw persisted once)"
             " + bounded dists + per-doc agg + TakeOrdered(1000)."
+            " Cache cleared between scales (r10 review catch: a prior"
+            " scale's pinned feature cache skews the next timing)."
         )
     }
     for rep in replicas:
@@ -108,6 +110,7 @@ def paragraph_soak(sf_dir: str = "/root/testdata/sf0.1",
             " residue-1000 class + unique body): fingerprint agg +"
             " ids-only decision join + doc-level drop-set attach +"
             " map-side rebuild; ~2n duplicate paragraph instances."
+            " Cache cleared between scales (r10 review catch)."
         )
     }
     for rep in replicas:

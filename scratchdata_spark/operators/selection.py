@@ -57,6 +57,10 @@ _TOKEN_SPLIT = r"[^a-z0-9]+"
 _PY_SPLIT = re.compile(_TOKEN_SPLIT)
 
 MAX_TRAIN_SAMPLE = 1_000_000  # sparse feature rows, not documents
+# score_quality's array (streaming) tier carries a DENSE bucket→weight
+# array as a plan literal; past this bucket count the literal bloats
+# every task's plan and codegen
+ARRAY_TIER_MAX_BUCKETS = 8192
 
 
 def words_col(col: Column) -> Column:
@@ -237,13 +241,65 @@ def score_quality(
     buckets: int,
     portable: bool = False,
     round_to: int = 6,
+    plan: str = "auto",
 ) -> DataFrame:
     """Score every document: sigmoid(bias + Σ w_b·c_b / Σ c_b),
     rounded so the value survives engine-order float noise (the
-    minhash-jaccard convention).  Plan: one feature shuffle, one
-    BROADCAST join against the ≤ |weights| weight table, one
-    aggregation, left-join back so token-free documents still score
-    (zero feature vector → sigmoid(bias)).  No Python in the plan."""
+    minhash-jaccard convention).  Token-free documents score
+    sigmoid(bias) (zero feature vector).  No Python in either plan.
+
+    Two tiers (the embedding-LSH dispatch lesson, re-learned with
+    measurements here):
+
+    * ``'join'`` — one feature shuffle + a broadcast join against the
+      weight table + one aggregation + a left-join back.  The BATCH
+      tier: explode/groupBy/join all run in whole-stage codegen, and
+      at the 100× soak (500k docs) it holds 40.4 s where both in-plan
+      variants lose (create_map-literal 65.6 s — linear-scan lookups;
+      dense-array-literal 69.4 s — higher-order functions evaluate
+      INTERPRETED, so zero-shuffle does not mean fast).
+    * ``'array'`` — the weight table rides the plan as a dense
+      bucket-indexed array literal and the whole score is ONE column
+      expression (features → buckets → aggregate-HOF dot product,
+      O(1) ``element_at`` lookups): zero shuffles and zero state, so
+      it is legal on a STREAMING DataFrame in plain append mode —
+      the crawl-time quality gate — and fine for small interactive
+      batches.  Needs ``buckets`` ≤ ``ARRAY_TIER_MAX_BUCKETS``.
+    * ``'auto'`` (default): streaming input → ``'array'`` (the join
+      tier's blocking aggregation cannot run in append mode);
+      batch → ``'join'``.
+    """
+    if plan not in ("auto", "array", "join"):
+        raise ValueError("score_quality: plan must be 'auto'|'array'|'join'")
+    if plan == "auto":
+        plan = "array" if df.isStreaming else "join"
+    sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
+    if plan == "array":
+        if buckets > ARRAY_TIER_MAX_BUCKETS:
+            raise ValueError(
+                "score_quality: array tier needs buckets <="
+                f" {ARRAY_TIER_MAX_BUCKETS}; use plan='join'"
+            )
+        dense = F.array(
+            *[F.lit(float(weights.get(b, 0.0))) for b in range(buckets)]
+        )
+        bkts = F.transform(
+            features_col(F.col(text_col)),
+            lambda f: bucket_col(f, buckets, portable),
+        )
+        dot = F.aggregate(
+            bkts,
+            F.lit(0.0),
+            lambda acc, b: acc
+            + F.element_at(dense, (b + 1).cast("int")),
+        )
+        z = F.lit(bias) + dot / F.size(bkts)
+        prob = F.when(
+            F.coalesce(F.size(bkts), F.lit(0)) == 0, F.lit(sig0)
+        ).otherwise(
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+        )
+        return df.select(F.col(id_col), prob.alias("quality_prob"))
     spark = df.sparkSession
     feats = hashed_features(
         df, id_col, text_col, buckets=buckets, portable=portable
@@ -270,7 +326,6 @@ def score_quality(
         ),
     )
     base = df.select(id_col)
-    sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
     return base.join(scored, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("quality_prob"), F.lit(sig0)).alias("quality_prob"),

@@ -426,3 +426,80 @@ def dsir_select(
         buckets=buckets, alpha=alpha, portable=portable, persist=persist,
     )
     return w.orderBy(F.desc("dsir_logweight"), F.col(id_col)).limit(k)
+
+
+def dsir_logratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    *,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    portable: bool = False,
+) -> tuple[dict[int, float], float]:
+    """Fit the DSIR per-bucket log importance ratios and bring them to
+    the driver — the offline half of a fit-offline / gate-online
+    pipeline (CCNet's shape).  Returns ``(table, default)``: the
+    ≤ ``buckets``-entry ratio dict plus the all-smoothing ratio
+    ln((α/(Tt+αB)) / (α/(Tr+αB))) for buckets absent from both
+    corpora.  The collect is bounded by ``buckets`` rows (two bounded
+    aggs + one ≤ buckets-row result), never by corpus size."""
+    fr = hashed_features(
+        raw.select(F.lit(0).alias("__one"), F.col(text_col)),
+        "__one", text_col, buckets=buckets, portable=portable,
+    ).groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    ft = hashed_features(
+        target.select(F.lit(0).alias("__one"), F.col(text_col)),
+        "__one", text_col, buckets=buckets, portable=portable,
+    ).groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    dists = fr.join(ft, "bucket", "full").select(
+        "bucket",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+    )
+    rows = dists.collect()  # ≤ buckets rows by construction
+    rt = sum(r["rc"] for r in rows)
+    tt = sum(r["tc"] for r in rows)
+    b = float(alpha * buckets)
+    return {
+        int(r["bucket"]): math.log((r["tc"] + alpha) / (tt + b))
+        - math.log((r["rc"] + alpha) / (rt + b))
+        for r in rows
+    }, math.log(alpha / (tt + b)) - math.log(alpha / (rt + b))
+
+
+def dsir_score_expr(
+    table: dict[int, float],
+    default: float,
+    text_col: str,
+    *,
+    buckets: int,
+    portable: bool = False,
+    round_to: int = 6,
+) -> Column:
+    """The online half: per-document DSIR log weight as ONE column
+    expression over a dense bucket-indexed ratio literal — zero
+    shuffles, zero state, legal on a streaming DataFrame in append
+    mode (the score_quality array tier applied to DSIR).  Use the
+    batch path (dsir_logweights) for corpus-scale scoring — HOFs
+    evaluate interpreted (the measured score_quality lesson)."""
+    if buckets > ARRAY_TIER_MAX_BUCKETS:
+        raise ValueError(
+            "dsir_score_expr: needs buckets <="
+            f" {ARRAY_TIER_MAX_BUCKETS}; gate with the batch path"
+        )
+    dense = F.array(
+        *[F.lit(float(table.get(i, default))) for i in range(buckets)]
+    )
+    bkts = F.transform(
+        features_col(F.col(text_col)),
+        lambda f: bucket_col(f, buckets, portable),
+    )
+    logw = F.aggregate(
+        bkts,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(dense, (b + 1).cast("int")),
+    )
+    return F.when(
+        F.coalesce(F.size(bkts), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.round(logw, round_to))

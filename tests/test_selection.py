@@ -462,3 +462,75 @@ def test_array_tier_scores_a_stream(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 16
+
+
+# ------------------------------------------- DSIR fit-offline / gate-online
+
+
+def test_dsir_table_gate_matches_batch_weights(spark):
+    raw = [(i, t) for i, t in enumerate(POS + NEG)]
+    target = [(i, t) for i, t in enumerate(POS[:4])]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    table, default = S.dsir_logratio_table(
+        rdf, tdf, "text", buckets=B, portable=True
+    )
+    gated = {
+        r[0]: r[1]
+        for r in rdf.select(
+            "doc_id",
+            S.dsir_score_expr(
+                table, default, "text", buckets=B, portable=True
+            ).alias("w"),
+        ).collect()
+    }
+    batch = {
+        r[0]: r[1]
+        for r in S.dsir_logweights(
+            rdf, tdf, "doc_id", "text", buckets=B, portable=True
+        ).collect()
+    }
+    for i in batch:
+        assert gated[i] == pytest.approx(batch[i], abs=2e-6)
+
+
+def test_dsir_gate_is_zero_shuffle_and_streams(spark, tmp_path):
+    rdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(POS + NEG)], "doc_id long, text string"
+    )
+    tdf = spark.createDataFrame(
+        [(0, POS[0])], "doc_id long, text string"
+    )
+    table, default = S.dsir_logratio_table(
+        rdf, tdf, "text", buckets=B, portable=True
+    )
+    expr = S.dsir_score_expr(table, default, "text", buckets=B, portable=True)
+    p = _plan(rdf.select("doc_id", expr.alias("w")))
+    assert "Exchange" not in p and "Join" not in p, p
+    # and it gates a stream in append mode
+    src = tmp_path / "in"
+    src.mkdir()
+    rdf.coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = (
+        stream.select("doc_id", expr.alias("w"))
+        .writeStream.format("memory")
+        .queryName("dsirgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r[0]: r[1] for r in spark.sql("SELECT * FROM dsirgate").collect()}
+    want = {
+        r[0]: r[1]
+        for r in rdf.select("doc_id", expr.alias("w")).collect()
+    }
+    assert got == want
+
+
+def test_dsir_gate_bucket_cap(spark):
+    with pytest.raises(ValueError, match="buckets"):
+        S.dsir_score_expr({}, 0.0, "text", buckets=100_000)

@@ -308,6 +308,28 @@ def _remove_boilerplate(df, p, id_col, text_col):
     )
 
 
+@_stage("dsir_select")
+def _dsir_select(df, p, id_col, text_col):
+    """DSIR data selection (selection.dsir_select): keep the top-``k``
+    documents by hashed n-gram importance against a ``target``
+    reference corpus (a DataFrame parameter — the decontaminate
+    stage's benchmark pattern).  Keeps the caller's full rows via a
+    left-semi join on the selected ids."""
+    from scratchdata_spark.operators.selection import dsir_select
+
+    picked = dsir_select(
+        df,
+        p["target"],
+        id_col,
+        text_col,
+        k=int(p["k"]),
+        buckets=int(p.get("buckets", 8192)),
+        alpha=float(p.get("alpha", 1.0)),
+        portable=bool(p.get("portable", False)),
+    )
+    return df.join(picked.select(id_col), id_col, "left_semi")
+
+
 @_stage("paragraph_dedup")
 def _paragraph_dedup(df, p, id_col, text_col):
     """Corpus-wide paragraph dedup (dedup.dedup_paragraphs, the CCNet
@@ -412,6 +434,7 @@ REQUIRED_PARAMS: dict[str, tuple[str, ...]] = {
     "semantic_dedup": ("vec_col",),
     "blocked_hosts": ("domains",),
     "quality_model": ("weights", "bias"),
+    "dsir_select": ("target", "k"),
 }
 
 

@@ -534,3 +534,24 @@ def test_dsir_gate_is_zero_shuffle_and_streams(spark, tmp_path):
 def test_dsir_gate_bucket_cap(spark):
     with pytest.raises(ValueError, match="buckets"):
         S.dsir_score_expr({}, 0.0, "text", buckets=100_000)
+
+
+def test_dsir_select_recipe_stage(spark):
+    from scratchdata_spark.operators.recipe import run_recipe
+
+    rdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(POS + NEG)], "doc_id long, text string"
+    )
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(POS)], "doc_id long, text string"
+    )
+    out, manifest = run_recipe(
+        rdf,
+        [{"op": "dsir_select", "target": tdf, "k": 5, "buckets": B,
+          "portable": True}],
+    )
+    assert out.count() == 5
+    assert manifest[0]["rows_out"] == 5
+    assert set(out.columns) == {"doc_id", "text"}
+    with pytest.raises(ValueError, match="required recipe parameters"):
+        run_recipe(rdf, [{"op": "dsir_select", "k": 5}])

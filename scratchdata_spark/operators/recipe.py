@@ -326,6 +326,12 @@ def _dsir_select(df, p, id_col, text_col):
         buckets=int(p.get("buckets", 8192)),
         alpha=float(p.get("alpha", 1.0)),
         portable=bool(p.get("portable", False)),
+        # default OFF inside recipes: the operator's persisted feature
+        # relation has no reachable unpersist handle from here, and a
+        # long-lived session running many recipes would pin one cache
+        # per run (r10 third review catch); opt in for one-shot runs
+        # where the double tokenization matters more
+        persist=bool(p.get("persist_features", False)),
     )
     return df.join(picked.select(id_col), id_col, "left_semi")
 

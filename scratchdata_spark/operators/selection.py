@@ -231,6 +231,56 @@ def train_quality_classifier(
     )
 
 
+def _no_tokens(bkts: Column) -> Column:
+    """Token-free guard shared by the in-plan tiers: under legacy /
+    ANSI-off configs ``size(NULL)`` is -1, not NULL, so the test is
+    ``<= 0`` — an ``== 0`` guard let NULL-text rows score NULL instead
+    of the token-free constant (r10 third review catch, empirically
+    confirmed under spark.sql.ansi.enabled=false)."""
+    return F.coalesce(F.size(bkts), F.lit(0)) <= 0
+
+
+def _dense_dot_expr(
+    table: dict[int, float],
+    default: float,
+    text_col: str,
+    *,
+    buckets: int,
+    portable: bool,
+    streaming: bool,
+    what: str,
+) -> tuple[Column, Column]:
+    """The in-plan (streaming-legal) dot product shared by the
+    classifier's array tier and the DSIR gate: features → buckets →
+    aggregate-HOF sum over a dense bucket-indexed literal (O(1)
+    ``element_at``).  Returns ``(buckets_array, dot)``.  One copy of
+    the guard/plumbing — the ANSI-off NULL bug had to be fixed in two
+    places before this helper existed (r10 third review catch)."""
+    if buckets > ARRAY_TIER_MAX_BUCKETS:
+        hint = (
+            "reduce buckets (streaming input cannot use the join tier)"
+            if streaming
+            else "use the join/batch path"
+        )
+        raise ValueError(
+            f"{what}: in-plan tier needs buckets <="
+            f" {ARRAY_TIER_MAX_BUCKETS}; {hint}"
+        )
+    dense = F.array(
+        *[F.lit(float(table.get(b, default))) for b in range(buckets)]
+    )
+    bkts = F.transform(
+        features_col(F.col(text_col)),
+        lambda f: bucket_col(f, buckets, portable),
+    )
+    dot = F.aggregate(
+        bkts,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(dense, (b + 1).cast("int")),
+    )
+    return bkts, dot
+
+
 def score_quality(
     df: DataFrame,
     weights: dict[int, float],
@@ -268,6 +318,11 @@ def score_quality(
     * ``'auto'`` (default): streaming input → ``'array'`` (the join
       tier's blocking aggregation cannot run in append mode);
       batch → ``'join'``.
+
+    Contract note: ids are expected unique (one row per document).
+    On duplicate ids the tiers legitimately differ — the join tier's
+    groupBy scores each id on the UNION of its rows' features, the
+    array tier scores each ROW independently.
     """
     if plan not in ("auto", "array", "join"):
         raise ValueError("score_quality: plan must be 'auto'|'array'|'join'")
@@ -275,27 +330,14 @@ def score_quality(
         plan = "array" if df.isStreaming else "join"
     sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
     if plan == "array":
-        if buckets > ARRAY_TIER_MAX_BUCKETS:
-            raise ValueError(
-                "score_quality: array tier needs buckets <="
-                f" {ARRAY_TIER_MAX_BUCKETS}; use plan='join'"
-            )
-        dense = F.array(
-            *[F.lit(float(weights.get(b, 0.0))) for b in range(buckets)]
-        )
-        bkts = F.transform(
-            features_col(F.col(text_col)),
-            lambda f: bucket_col(f, buckets, portable),
-        )
-        dot = F.aggregate(
-            bkts,
-            F.lit(0.0),
-            lambda acc, b: acc
-            + F.element_at(dense, (b + 1).cast("int")),
+        bkts, dot = _dense_dot_expr(
+            weights, 0.0, text_col,
+            buckets=buckets, portable=portable,
+            streaming=df.isStreaming, what="score_quality",
         )
         z = F.lit(bias) + dot / F.size(bkts)
         prob = F.when(
-            F.coalesce(F.size(bkts), F.lit(0)) == 0, F.lit(sig0)
+            _no_tokens(bkts), F.lit(sig0)
         ).otherwise(
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
         )
@@ -335,6 +377,23 @@ def score_quality(
 # ---------------------------------------------------------------- DSIR
 
 
+def _bucket_dists(fr: DataFrame, ft: DataFrame) -> DataFrame:
+    """Raw/target bucket distributions from feature frames — ONE copy
+    of the groupBy + full-join + coalesce that dsir_logweights and
+    dsir_logratio_table previously each built (r10 third review
+    catch: the smoothing inputs must not be able to drift apart; the
+    2e-6 table-vs-batch test is the drift canary for the formula
+    itself, which lives once in Spark expressions and once in driver
+    math by necessity)."""
+    rdist = fr.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tdist = ft.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    return rdist.join(tdist, "bucket", "full").select(
+        "bucket",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+    )
+
+
 def dsir_logweights(
     raw: DataFrame,
     target: DataFrame,
@@ -371,13 +430,7 @@ def dsir_logweights(
     ft = hashed_features(
         target, id_col, text_col, buckets=buckets, portable=portable
     )
-    rdist = fr.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
-    tdist = ft.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
-    dists = rdist.join(tdist, "bucket", "full").select(
-        "bucket",
-        F.coalesce("rc", F.lit(0)).alias("rc"),
-        F.coalesce("tc", F.lit(0)).alias("tc"),
-    )
+    dists = _bucket_dists(fr, ft)
     totals = dists.agg(
         F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
     )
@@ -447,17 +500,12 @@ def dsir_logratio_table(
     fr = hashed_features(
         raw.select(F.lit(0).alias("__one"), F.col(text_col)),
         "__one", text_col, buckets=buckets, portable=portable,
-    ).groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    )
     ft = hashed_features(
         target.select(F.lit(0).alias("__one"), F.col(text_col)),
         "__one", text_col, buckets=buckets, portable=portable,
-    ).groupBy("bucket").agg(F.sum("cnt").alias("tc"))
-    dists = fr.join(ft, "bucket", "full").select(
-        "bucket",
-        F.coalesce("rc", F.lit(0)).alias("rc"),
-        F.coalesce("tc", F.lit(0)).alias("tc"),
     )
-    rows = dists.collect()  # ≤ buckets rows by construction
+    rows = _bucket_dists(fr, ft).collect()  # ≤ buckets rows
     rt = sum(r["rc"] for r in rows)
     tt = sum(r["tc"] for r in rows)
     b = float(alpha * buckets)
@@ -483,23 +531,11 @@ def dsir_score_expr(
     mode (the score_quality array tier applied to DSIR).  Use the
     batch path (dsir_logweights) for corpus-scale scoring — HOFs
     evaluate interpreted (the measured score_quality lesson)."""
-    if buckets > ARRAY_TIER_MAX_BUCKETS:
-        raise ValueError(
-            "dsir_score_expr: needs buckets <="
-            f" {ARRAY_TIER_MAX_BUCKETS}; gate with the batch path"
-        )
-    dense = F.array(
-        *[F.lit(float(table.get(i, default))) for i in range(buckets)]
+    bkts, logw = _dense_dot_expr(
+        table, default, text_col,
+        buckets=buckets, portable=portable,
+        streaming=True, what="dsir_score_expr",
     )
-    bkts = F.transform(
-        features_col(F.col(text_col)),
-        lambda f: bucket_col(f, buckets, portable),
+    return F.when(_no_tokens(bkts), F.lit(0.0)).otherwise(
+        F.round(logw, round_to)
     )
-    logw = F.aggregate(
-        bkts,
-        F.lit(0.0),
-        lambda acc, b: acc + F.element_at(dense, (b + 1).cast("int")),
-    )
-    return F.when(
-        F.coalesce(F.size(bkts), F.lit(0)) == 0, F.lit(0.0)
-    ).otherwise(F.round(logw, round_to))

@@ -555,3 +555,55 @@ def test_dsir_select_recipe_stage(spark):
     assert set(out.columns) == {"doc_id", "text"}
     with pytest.raises(ValueError, match="required recipe parameters"):
         run_recipe(rdf, [{"op": "dsir_select", "k": 5}])
+
+
+def test_in_plan_tiers_null_text_under_legacy_size_of_null(spark):
+    """size(NULL) = -1 under ANSI-off/legacy configs: the token-free
+    guard must be <= 0, not == 0, or NULL-text rows score NULL and a
+    downstream min_prob gate silently drops them (r10 third review
+    catch, shared guard in _dense_dot_expr/_no_tokens)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        df = spark.createDataFrame(
+            [(1, None), (2, "real words")], "doc_id long, text string"
+        )
+        out = {
+            r[0]: r[1]
+            for r in S.score_quality(
+                df, {0: 1.0}, -0.3, id_col="doc_id", text_col="text",
+                buckets=B, portable=True, plan="array",
+            ).collect()
+        }
+        assert out[1] == round(1 / (1 + math.exp(0.3)), 6)  # not None
+        table, default = ({0: 0.5}, -0.1)
+        got = {
+            r[0]: r[1]
+            for r in df.select(
+                "doc_id",
+                S.dsir_score_expr(
+                    table, default, "text", buckets=B, portable=True
+                ).alias("w"),
+            ).collect()
+        }
+        assert got[1] == 0.0  # not None
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_streaming_bucket_cap_message_does_not_suggest_join(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame([(1, "x")], "doc_id long, text string")\
+        .write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    with pytest.raises(ValueError, match="reduce buckets"):
+        S.score_quality(
+            stream, {0: 1.0}, 0.0, id_col="doc_id", text_col="text",
+            buckets=100_000,
+        )

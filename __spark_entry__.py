@@ -108,6 +108,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # x_dsir_select and x_dedup_paragraph (category b — all registered
 # r10, no driver row), PLUS flagship = 43 + 7 = 50 → EXACTLY full;
 # any r11 registration must ride the codec-family consolidation.
+# R11 CARRY-OVER (r10 warehouse_dml review, deferred): CREATE OR
+# REPLACE TABLE is not crash-atomic — the old table drops fully
+# before the staged replacement adopts (warehouse_dml._exec_ctas);
+# a generation-pointer swap (the compaction machinery) would close
+# the gap.  The other nine findings of that review are fixed.
 # P2/P3/P5 pair-turns also land r11 via their r8 members
 # (x_dedup_incremental, x_semantic_kmeans, x_dedup_embedding_oracle —
 # all already IN the r8-era cohort, so no extra slots).  P1/P4's

@@ -98,10 +98,12 @@ _MERGE_RE = re.compile(
     re.I | re.S,
 )
 _MERGE_WHEN_RE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED\b(?:\s+AND\s+(.+?))?\s+THEN\s+"
     r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|"
     r"INSERT\s*\([^)]*\)\s*VALUES\s*\(.+?\))"
-    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    # \b: a column named e.g. matched_total inside a SET expression
+    # must not terminate the clause early (r10 review catch)
+    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)",
     re.I | re.S,
 )
 _COPY_TO_RE = re.compile(
@@ -498,7 +500,16 @@ def _staged_write(dest, out, partition_col) -> tuple[str, int]:
     writer = out.write.mode("overwrite")
     if partition_col:
         writer = writer.partitionBy(partition_col)
-    writer.parquet(staging)
+    try:
+        writer.parquet(staging)
+    except Exception:
+        # a failed source job must not leak its partial staging dir —
+        # nothing sweeps _staging, so repeated failures would
+        # accumulate orphaned part files unbounded (r10 review catch)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return staging, int(obs.get["n"] or 0)
 
 
@@ -583,6 +594,13 @@ def _exec_ctas(dest, query: str):
             raise ValueError(f"table exists: {table}")
     src = _source_df(dest, select_text)
     target = _target_struct(src.schema)
+    # always REGENERATE ids: a self-union or join-fanout SELECT
+    # carries duplicate source __row_ids, and preserving them builds
+    # a table that trips MERGE's cardinality guard on legal
+    # statements (r10 review catch — INSERT and COPY FROM already
+    # regenerate for exactly this reason)
+    if ROW_ID in src.columns:
+        src = src.drop(ROW_ID)
     out = _with_row_id(src).select(
         *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in target.fields]
     )
@@ -765,6 +783,10 @@ def _insert_projection(info, src, col_list: str | None):
         for n in names:
             if n not in target_names:
                 raise ValueError(f"unknown column: {n}")
+        if len(set(names)) != len(names):
+            # last-wins would silently discard the earlier value
+            # (r10 review catch); DuckDB rejects the statement too
+            raise ValueError("INSERT: duplicate column in column list")
     else:
         names = [f.name for f in fields if f.name != ROW_ID]
         if ROW_ID in src.columns and len(src.columns) == len(fields):
@@ -834,6 +856,24 @@ def _exec_insert(dest, query: str):
     renamed, cols = _insert_projection(info, src, col_list)
     batch = renamed.select(*cols)  # target columns, __row_id pending
     keys, mode, set_cols = _conflict_spec(info, or_mode, conflict_cols, action)
+
+    if mode is not None:
+        # NULL conflict keys break every mode's contract: SQL equality
+        # never matches NULL against the stored NULL row, so a retried
+        # OR IGNORE re-inserts the "duplicate" it exists to prevent
+        # and upserts treat the row as fresh every run (r10 review
+        # catch).  DuckDB rejects NULL primary keys outright — match
+        # it, loudly, before anything is written.
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        if not batch.filter(null_key).isEmpty():
+            raise ValueError(
+                "ON CONFLICT: NULL in a conflict key column — null-key"
+                " rows can never match and would re-insert on every"
+                " retry (DuckDB rejects NULL keys too)"
+            )
 
     if mode is None:
         out = _with_row_id(batch)
@@ -998,6 +1038,17 @@ def _prunable_partitions(dest, info, pred_text, cond, cur_dir):
     }
     if refs != {P.lower()}:
         return None
+    # non-deterministic predicates evaluate ONCE per partition value
+    # here but per ROW in the rewrite — pruning on one draw would skip
+    # partitions the row-level semantics can still hit (r10 review
+    # catch); real engines require deterministic predicates to prune
+    if re.search(
+        r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)"
+        r"\s*\(",
+        masked,
+        re.I,
+    ):
+        return None
     if not os.path.isdir(cur_dir):
         return None
     import urllib.parse
@@ -1011,9 +1062,21 @@ def _prunable_partitions(dest, info, pred_text, cond, cur_dir):
         return None
     ptype = {f.name: f.dataType for f in info.struct().fields}[P]
     raws = [urllib.parse.unquote(d[len(P) + 1 :]) for d in dirs]
+    # the hive null-partition sentinel must become NULL BEFORE the
+    # cast: for a STRING partition column the cast keeps the literal
+    # sentinel, so `p IS NULL` never touched the null partition and
+    # the DELETE silently missed it (r10 review catch; the reader
+    # side, table_df, already maps the sentinel to NULL)
+    hive_null = "__HIVE_DEFAULT_PARTITION__"
     vdf = dest.spark.createDataFrame(
         [(r,) for r in raws], "raw string"
-    ).select("raw", F.col("raw").cast(ptype).alias(P))
+    ).select(
+        "raw",
+        F.when(F.col("raw") == hive_null, F.lit(None))
+        .otherwise(F.col("raw"))
+        .cast(ptype)
+        .alias(P),
+    )
     hits = {r["raw"] for r in vdf.filter(cond).select("raw").collect()}
     return {d for d, r in zip(dirs, raws) if r in hits}
 
@@ -1036,6 +1099,40 @@ def _parse_num(text: str):
     return float(text) if "." in text else int(text)
 
 
+def _split_top_level_and(masked: str) -> list[str]:
+    """Split on AND at parenthesis depth 0 only.  A plain regex split
+    also cut inside function arguments (`f(a AND b = 2)`), lifting an
+    inner comparison to a false 'top-level conjunct' and making the
+    file prune unsound (r10 review catch)."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(masked)
+    while i < n:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and masked[i : i + 3].upper() == "AND"
+            and (i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_"))
+            and (
+                i + 3 >= n
+                or not (masked[i + 3].isalnum() or masked[i + 3] == "_")
+            )
+        ):
+            parts.append(masked[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(masked[start:])
+    return parts
+
+
 def _numeric_conjuncts(info, pred_text: str) -> list[tuple[str, str, object]]:
     """(col_lowercase, op, literal) for every top-level AND conjunct
     of the simple numeric-comparison shape. Soundness: the full
@@ -1052,13 +1149,17 @@ def _numeric_conjuncts(info, pred_text: str) -> list[tuple[str, str, object]]:
     from scratchdata_spark.dialect import _mask_literals
 
     masked, _ = _mask_literals(pred_text)
-    if re.search(r"\bOR\b|\bNOT\b|\x00", masked, re.I):
+    if re.search(r"\bOR\b|\bNOT\b|\bCASE\b|\x00", masked, re.I):
         # a placeholder means a string literal somewhere — with only
         # numeric conjuncts usable there is nothing it could add, and
-        # skipping keeps the parse trivially reviewable
+        # skipping keeps the parse trivially reviewable.  CASE bails
+        # entirely: its WHEN arms nest boolean AND without any
+        # parentheses, so even a depth-aware split would lift an
+        # inner comparison to a false top-level conjunct (r10 review
+        # catch: `CASE WHEN flag AND b = 2 ...` pruned on b = 2)
         conjuncts = []
     else:
-        conjuncts = re.split(r"\bAND\b", masked, flags=re.I)
+        conjuncts = _split_top_level_and(masked)
     numeric = {
         f.name.lower()
         for f in info.struct().fields
@@ -1111,7 +1212,15 @@ def _file_may_match(path: str, conjuncts) -> bool:
                         any_values = True
                         break
                     continue
-                if st.num_values and st.num_values > 0:
+                if st.num_values is None:
+                    # a writer that omits null_count leaves num_values
+                    # unset: UNKNOWN is not zero — pruning here would
+                    # skip real rows (r10 review catch); the conjunct
+                    # becomes unusable instead
+                    lo = hi = None
+                    any_values = True
+                    break
+                if st.num_values > 0:
                     any_values = True
                     if not isinstance(st.min, int) or not isinstance(st.max, int):
                         lo = hi = None  # unexpected physical type
@@ -1684,8 +1793,19 @@ def _parse_merge(dest, query: str):
     and not_matched = [(pred|None, col_list|None, values_text|None)]
     (col_list None + values None = INSERT * by-name). Clauses apply
     first-match-wins in written order, per the SQL standard."""
-    m = _MERGE_RE.match(query)
-    table, t_alias, using, s_alias, on_text, whens = m.groups()
+    # parse over MASKED text: a string literal containing 'WHEN
+    # MATCHED' (or 'ON'/'USING' keywords) must not truncate the
+    # non-greedy clause captures (r10 review catch); each captured
+    # group unmasks back to its original literals
+    from scratchdata_spark.dialect import _mask_literals, _unmask_literals
+
+    masked_q, _lits = _mask_literals(query)
+    m = _MERGE_RE.match(masked_q)
+    if m is None:
+        raise ValueError("MERGE: unparsable statement")
+    table, t_alias, using_m, s_alias, on_m, whens_m = m.groups()
+    using = _unmask_literals(using_m, _lits)
+    on_text = _unmask_literals(on_m, _lits)
     info = _require_table(dest, table)
     t_alias = t_alias or table
     if using.startswith("(") and s_alias is None:
@@ -1694,9 +1814,14 @@ def _parse_merge(dest, query: str):
         raise ValueError("MERGE: target and source aliases collide")
     matched, not_matched = [], []
     consumed = 0
-    for wm in _MERGE_WHEN_RE.finditer(whens):
+    for wm in _MERGE_WHEN_RE.finditer(whens_m):
         consumed += len(wm.group(0))
-        neg, pred, action = wm.group(1), wm.group(2), wm.group(3).strip()
+        neg = wm.group(1)
+        pred = (
+            None if wm.group(2) is None
+            else _unmask_literals(wm.group(2), _lits)
+        )
+        action = _unmask_literals(wm.group(3), _lits).strip()
         up = action.upper()
         if neg:
             if not up.startswith("INSERT"):
@@ -1738,8 +1863,11 @@ def _parse_merge(dest, query: str):
             matched.append((pred, ("update", assigns)))
         else:
             raise ValueError(f"MERGE: bad WHEN MATCHED action: {action!r}")
-    if whens[consumed:].strip() or not (matched or not_matched):
-        raise ValueError(f"MERGE: unparsed WHEN clauses: {whens!r}")
+    if whens_m[consumed:].strip() or not (matched or not_matched):
+        raise ValueError(
+            "MERGE: unparsed WHEN clauses:"
+            f" {_unmask_literals(whens_m, _lits)!r}"
+        )
     fields = {f.name for f in info.struct().fields}
     for _pred, act in matched:
         if act[0] == "update":

@@ -1252,3 +1252,112 @@ def test_copy_from_round_trip(dest, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         W.validate(dest, W.normalize(f"COPY t2 FROM '{tmp_path}/ghost.parquet'"))
+
+
+# ------------------------------------------------ r10 review findings
+
+
+def test_prune_case_nested_and_is_not_a_conjunct(dest):
+    """`CASE WHEN flag AND b = 2 ...` must not lift b = 2 into a file
+    prune — rows in files whose b-range excludes 2 can still match
+    the predicate (r10 review catch)."""
+    run(dest, "create table pc as select cast(2 as bigint) as b,"
+              " false as flag")
+    run(dest, "insert into pc values (7, true)")  # second file: b != 2
+    run(dest, "delete from pc where case when flag and b = 2 and flag"
+              " then false else true end")
+    # predicate is TRUE for both rows; both must delete
+    assert run(dest, "select count(*) as n from pc") == [{"n": 0}]
+
+
+def test_prune_paren_nested_and_stays_sound(dest):
+    run(dest, "create table pf as select cast(7 as bigint) as b,"
+              " cast(1 as bigint) as c")
+    run(dest, "delete from pf where (b = 7) and (c = 1)")
+    assert run(dest, "select count(*) as n from pf") == [{"n": 0}]
+
+
+def _partitioned(spark, tmp_path, name, rows, part_col):
+    cat = TableCatalog(str(tmp_path / f"wh_{name}"))
+    d = SparkDestination(spark.newSession(), cat, "dml")
+    seed = tmp_path / f"{name}.ndjson"
+    seed.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    d.create_empty_table(name)
+    d.create_columns(name, str(seed))
+    d.set_partitioning(name, part_col)
+    d.insert_ndjson_file(name, str(seed))
+    return d
+
+
+def test_partition_is_null_prunes_to_null_partition_string_col(
+    spark, tmp_path
+):
+    """String partition column: the hive sentinel must map to NULL
+    before the cast, or `p IS NULL` never touches the null partition
+    and deletes nothing (r10 review catch)."""
+    d = _partitioned(
+        spark, tmp_path, "pn",
+        [{"v": 1, "p": "a"}, {"v": 2, "p": None}, {"v": 3, "p": None}],
+        "p",
+    )
+    assert run(d, "delete from pn where p is null") == [{"count": 2}]
+    assert run(d, "select v from pn order by v") == [{"v": 1}]
+
+
+def test_partition_prune_rejects_nondeterministic_predicate(
+    spark, tmp_path
+):
+    d = _partitioned(
+        spark, tmp_path, "pr",
+        [{"v": 1, "p": 0}, {"v": 2, "p": 1}, {"v": 3, "p": 2}],
+        "p",
+    )
+    # rand()*0 == 0 always; the guard refuses to PRUNE on rand and the
+    # unpruned row-level path deletes exactly partition 0
+    run(d, "delete from pr where p = cast(rand() * 0 as bigint)")
+    assert run(d, "select v from pr order by v") == [
+        {"v": 2}, {"v": 3},
+    ]
+
+
+def test_ctas_regenerates_row_ids_on_fanout(dest):
+    run(dest, "create table dupsrc as select g, v from t")
+    run(dest, "create table dup as select * from dupsrc"
+              " union all select * from dupsrc")
+    assert run(
+        dest,
+        "select count(*) as n from (select __row_id from dup"
+        " group by __row_id having count(*) > 1) d",
+    ) == [{"n": 0}]
+    # and the previously-tripping MERGE cardinality guard now passes
+    run(dest, "merge into dup using (select 'a' as g) s on dup.g = s.g"
+              " when matched then update set v = 99")
+
+
+def test_insert_duplicate_column_list_rejected(dest):
+    run(dest, "create table dc (a bigint, b bigint)")
+    with pytest.raises(ValueError, match="duplicate column"):
+        run(dest, "insert into dc (a, a) values (1, 2)")
+
+
+def test_upsert_null_key_rejected(dest):
+    run(dest, "create table uk (k INT PRIMARY KEY, v STRING)")
+    with pytest.raises(ValueError, match="NULL in a conflict key"):
+        run(dest, "insert or ignore into uk values (null, 'x')")
+    # non-null path still works and stays idempotent
+    run(dest, "insert or ignore into uk values (1, 'x')")
+    run(dest, "insert or ignore into uk values (1, 'x')")
+    assert run(dest, "select count(*) as n from uk") == [{"n": 1}]
+
+
+def test_merge_literal_containing_when_matched(dest):
+    """String literals carrying MERGE keywords must not truncate the
+    clause parse (r10 review catch: parsing runs on masked text)."""
+    run(dest, "create table ml (k INT, note STRING)")
+    run(dest, "insert into ml values (1, 'old')")
+    run(dest, "merge into ml using (select 1 as k) s on ml.k = s.k"
+              " when matched then update set"
+              " note = 'WHEN NOT MATCHED escalate'")
+    assert run(dest, "select note from ml") == [
+        {"note": "WHEN NOT MATCHED escalate"}
+    ]

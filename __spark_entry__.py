@@ -78,119 +78,113 @@ def entry(spark: SparkSession) -> DataFrame:
 # 3 containers; pull it INTO r11 if r11 must register anything new,
 # since r11's window is exactly full at 50).
 #
-# r10 ledger (planned in the r9 header, endorsed by VERDICT r9 #1,
-# then CORRECTED by this round's review pass — the endorsed plan ran
-# BOTH members of P1 and P4: the twins on pair-turn AND x_dedup_exact
-# / x_dedup_minhash_oracle inside the r7-era cohort.  Pair policy
-# credits the cohort members when their twins run, so those 2 slots
-# are freed and spent as category-(e) fill on two r8-era streaming
-# entries, shrinking r11's mandatory cohort):
-# (a) flagship; (b) x_remove_boilerplate (registered late r9 at slot
-# 51, no driver row yet; judge-verified green locally); (c) none —
-# x_image_near_dup registers THIS round but sits past the edge at
-# slot 51 to front r11 as its category (b), exactly the
-# x_remove_boilerplate pattern; (d) the 49-entry r7-era cohort MINUS
-# three pair-credits earned r8 (P2: incremental ran r8; P3: kmeans
-# ran r8; P5: embedding_oracle ran r8) MINUS two pair-credits earned
-# THIS round (P1: exact_rows runs below; P4: minhash_lsh runs below)
-# = 44, PLUS the two r10 pair-turns (P1 via x_dedup_exact_rows, P4
-# via x_dedup_minhash_lsh — both pairs' newest run is r7); (e) two
-# r8-era fills, streaming-first per policy (s_stream_session_windows,
-# s_stream_stateful_user_totals).  Total: 1 + 1 + 2 + 44 + 2 = 50.
-#
-# R11 PLAN: mandatory = the 49-entry r8-era cohort MINUS the two (e)
-# fills above (run r10) MINUS x_dedup_simhash (P9 credit: pairs twin
-# ran r9, within cycle at r11) MINUS q_union_distinct (F8 credit:
-# q_union_all ran r9) MINUS q_scan_external_csv and
-# q_scan_external_orc (F10 credit: q_scan_external_files ran r9),
-# PLUS q_tablesample (P6 turn: sample_deterministic ran r9), PLUS
-# x_image_near_dup, x_crawl_chain, x_quality_classifier,
+# r11 ledger (planned in the r10 header, endorsed by VERDICT r10 #1;
+# the arithmetic was re-derived from the CORRECTNESS_r* history this
+# round and matches exactly): mandatory = the 49-entry r8-era cohort
+# MINUS the two (e) fills run r10 (s_stream_session_windows,
+# s_stream_stateful_user_totals) MINUS x_dedup_simhash (P9 credit:
+# pairs twin ran r9, within cycle at r11) MINUS q_union_distinct (F8
+# credit: q_union_all ran r9) MINUS q_scan_external_csv and
+# q_scan_external_orc (F10 credit: q_scan_external_files ran r9)
+# = 43, PLUS q_tablesample (P6 turn: sample_deterministic ran r9),
+# PLUS x_image_near_dup, x_crawl_chain, x_quality_classifier,
 # x_dsir_select and x_dedup_paragraph (category b — all registered
-# r10, no driver row), PLUS flagship = 43 + 7 = 50 → EXACTLY full;
-# any r11 registration must ride the codec-family consolidation.
-# R11 CARRY-OVER (r10 warehouse_dml review, deferred): CREATE OR
-# REPLACE TABLE is not crash-atomic — the old table drops fully
-# before the staged replacement adopts (warehouse_dml._exec_ctas);
-# a generation-pointer swap (the compaction machinery) would close
-# the gap.  The other nine findings of that review are fixed.
-# P2/P3/P5 pair-turns also land r11 via their r8 members
+# r10, no driver row yet), PLUS flagship = 43 + 7 = 50 → EXACTLY
+# full; no r11 registration (VERDICT r10 #3's composed pre-training
+# chain EXTENDS the existing x_crawl_chain entry in place rather
+# than registering a sibling, so no slot is consumed and the codec
+# consolidation stays a named r12 option).
+# P2/P3/P5 pair-turns land r11 via their r8 members
 # (x_dedup_incremental, x_semantic_kmeans, x_dedup_embedding_oracle —
-# all already IN the r8-era cohort, so no extra slots).  P1/P4's
-# cohort members (x_dedup_exact, x_dedup_minhash_oracle, newest own
-# row r7) next take their pairs' turns r13 — within the 6-round
-# per-member cadence pair alternation has always implied.
+# all inside the cohort below, no extra slots).  P1/P4's cohort
+# members (x_dedup_exact, x_dedup_minhash_oracle, newest own row r7)
+# next take their pairs' turns r13 — within the 6-round per-member
+# cadence pair alternation implies.
+#
+# R12 PLAN (sketch; finalize in the r12 header): the r9-era cohort is
+# 49 entries, + flagship = 50 exactly full BEFORE credits.  Credits
+# due r12 free slots: F7 (grouping_sets/rollup/cube all ran r9 — run
+# ONE member r12, round-robin pick q_rollup; frees 2), F8 turn (run
+# q_distinct, credit q_union_all; q_union_distinct's own turn r15),
+# F10 turn (run q_scan_external_csv per the ledger rotation, credit
+# files/orc — csv+orc are r8-era so this ADDS one slot vs the r9
+# cohort), P9 turn due r12 (x_dedup_simhash_pairs ran r9 — run
+# pairs again or rotate to x_dedup_simhash; 1 slot), P6 (sample_
+# deterministic ran r9 → family due r12, rotate to q_tablesample?
+# — no: q_tablesample runs r11 below, so P6's newest run will be
+# r11 and the family skips r12).  Net: ~48-50; if tight, pull the
+# named codec-family consolidation (x_multimodal_codec_gif/mjpeg/
+# jpeg → one decode-seam family; jpeg newest r9, gif/mjpeg r10).
+#
+# R11 CARRY-OVER (r10 warehouse_dml review, deferred finding #10):
+# CREATE OR REPLACE TABLE crash-atomicity (warehouse_dml._exec_ctas)
+# — scheduled to close this round via the generation-pointer swap;
+# see tests/test_dml_atomic.py once landed.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (b) no driver row ever (registered late r9, slot 51) ---
-    "x_remove_boilerplate",
-    # --- pair-turns due r10 (pairs' newest member run is r7) ---
-    "x_dedup_exact_rows",  # P1 turn (x_dedup_exact ran r7)
-    "x_dedup_minhash_lsh",  # P4 turn (minhash_oracle ran r7)
-    # --- (d) staleness cohort (newest row r7) — 44 entries (the
-    # cohort's P1/P4 members ride their twins' r10 runs, below) ---
-    "s_semantic_stream",
-    "s_stream_tumbling_hour",
-    "q_join_asof",
-    "q_dml_merge_roundtrip",
-    "q_dialect_asof",
-    "q_dialect_qualify",
-    "q_dialect_pivot_stmt",
-    "q_dialect_distinct_on",
-    "q_dialect_agg_order_by",
-    "q_dialect_generate_series",
-    "q_dialect_list_comprehension",
-    "q_dialect_star_replace",
-    "q_dialect_struct_literals",
-    "q_dialect_subscripts",
-    "q_dialect_union_by_name",
-    "q_dialect_unnest_tokens",
-    "q_dialect_file_scan",
-    "q_agg_lists_median_mode",
-    "x_ann_cosine_topk",
-    "x_ann_pq_topk",
-    "x_cap_per_source",
-    "x_chunk_documents",
-    "x_decontaminate",
-    "x_dedup_clusters",
-    "x_dedup_substring",
-    "x_dedup_survivors",
-    "x_global_shuffle",
-    "x_multimodal_codec_gif",
-    "x_multimodal_codec_mjpeg",
-    "x_multimodal_frames",
-    "x_multimodal_meta",
-    "x_multimodal_resize",
-    "x_pii_scrub",
-    "x_pipeline_clean_corpus",
-    "x_quality_repetition",
-    "x_recipe_clean",
-    "x_resample_temperature",
-    "x_salted_join_skew",
-    "x_source_overlap",
-    "x_split_leakage_safe",
-    "x_text_fingerprint",
-    "x_text_langid",
-    "x_text_quality",
-    "x_text_token_count",
-    # --- (e) r8-era fill, streaming-first (frees r11 slots) ---
-    "s_stream_session_windows",
-    "s_stream_stateful_user_totals",
-    # --- past the ~50 edge: r11's dues first ---
-    "x_image_near_dup",  # r11 (b): registered r10, no row yet
-    "x_crawl_chain",  # r11 (b): composed admission chain, reg. r10
-    "x_quality_classifier",  # r11 (b): hashed-ngram quality model
-    "x_dsir_select",  # r11 (b): DSIR importance resampling
-    "x_dedup_paragraph",  # r11 (b): CCNet paragraph-level dedup
-    "q_tablesample",  # r11 P6 turn (sample_deterministic ran r9)
-    # r10 pair-credit skippers (newest pair-member run r8; their
-    # pairs' r11 turns run via the r8-era cohort below)
-    "x_dedup_incremental_exact",  # P2 credit (incremental ran r8)
-    "x_semantic_dedup",  # P3 credit (kmeans ran r8)
-    "x_dedup_embedding_lsh",  # P5 credit (oracle twin ran r8)
-    "x_dedup_exact",  # P1 credit (exact_rows runs r10, review catch)
-    "x_dedup_minhash_oracle",  # P4 credit (minhash_lsh runs r10)
-    "x_dedup_simhash",  # P9 credit (simhash_pairs runs r10)
+    # --- (b) registered r10, no driver row ever ---
+    "x_image_near_dup",
+    "x_crawl_chain",  # extended r11: full pre-training admission chain
+    "x_quality_classifier",
+    "x_dsir_select",
+    "x_dedup_paragraph",
+    # --- P6 pair-turn (q_sample_deterministic ran r9) ---
+    "q_tablesample",
+    # --- (d) staleness cohort (newest row r8) — 43 entries; includes
+    # the P2/P3/P5 pair-turns (incremental, kmeans, embedding_oracle)
+    "q02_filter_predicates",
+    "q_agg_basic",
+    "q_agg_filter",
+    "q_agg_stats",
+    "q_approx_quantile",
+    "q_count_distinct",
+    "q_cte",
+    "q_dml_ctas_roundtrip",
+    "q_dml_timetravel_roundtrip",
+    "q_except",
+    "q_exists_correlated",
+    "q_in_subquery",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_theta",
+    "q_lateral_join",
+    "q_nested_flatten_multitable",
+    "q_percentile_exact",
+    "q_scalar_subquery",
+    "q_time_bucket_15min",
+    "q_window_first_last",
+    "q_window_frame_range",
+    "q_window_frame_rows",
+    "q_window_lag_lead",
+    "q_window_ntile",
+    "q_window_rank",
+    "q_word_count",
+    "s_stream_dedup",
+    "s_stream_sliding_2h_1h",
+    "x_ann_cosine_lsh",
+    "x_ann_ivf_topk",
+    "x_audio_features",
+    "x_dedup_embedding_oracle",  # P5 pair-turn (lsh twin rode r10 credit)
+    "x_dedup_incremental",  # P2 pair-turn
+    "x_multimodal_codec_mp4",
+    "x_multimodal_codec_real",
+    "x_multimodal_codec_webm",
+    "x_range_join_bucketed",
+    "x_semantic_kmeans",  # P3 pair-turn
+    # --- past the ~50 edge: r11 credit skippers, newest-first ---
+    "x_dedup_simhash",  # P9 credit (simhash_pairs ran r9)
     "q_union_distinct",  # F8 credit (q_union_all ran r9)
+    "q_scan_external_csv",  # F10 credit (files twin ran r9)
+    "q_scan_external_orc",  # F10 credit
+    "x_dedup_exact",  # P1 credit (exact_rows ran r10)
+    "x_dedup_minhash_oracle",  # P4 credit (minhash_lsh ran r10)
+    "x_dedup_incremental_exact",  # P2 credit (incremental runs r11)
+    "x_semantic_dedup",  # P3 credit (kmeans runs r11)
+    "x_dedup_embedding_lsh",  # P5 credit (oracle twin runs r11)
 ]
 
 

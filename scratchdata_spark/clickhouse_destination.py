@@ -52,12 +52,15 @@ Semantics notes (divergences loudly documented):
 from __future__ import annotations
 
 import json
+import logging
 import math
 import re
 import struct
 from decimal import Decimal
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 from scratchdata_spark.engine import _check_ident
 from scratchdata_spark.jdbc_destination import JDBCDestination
@@ -94,7 +97,15 @@ def infer_column_types(lines) -> dict[str, str]:
             elif isinstance(v, bool):  # before int — bool is an int subclass
                 c["bool"] += 1
             elif isinstance(v, int):
-                c["int"] += 1
+                # strconv.Atoi fails on int64 overflow, so the
+                # reference classifies e.g. 20-digit integers as float
+                # (insert.go:52-58); Python's arbitrary-precision int
+                # must mirror that or _wrap_int silently corrupts the
+                # value on insert (r10 advisor catch).
+                if -(1 << 63) <= v < (1 << 63):
+                    c["int"] += 1
+                else:
+                    c["float"] += 1
             elif isinstance(v, float):
                 # json.loads only yields float when the raw token had a
                 # '.'/'e', exactly the rows Atoi rejects (insert.go:52)
@@ -226,10 +237,13 @@ _CH_BASE = re.compile(r"^([A-Za-z0-9]+)")
 def json_to_ch_value(ch_type: str, v):
     """The write-side twin of the read-type matrix: coerce a parsed
     JSON value to the remote column's ClickHouse type, per
-    ``clickhouse/insert.go:148-201`` (jsonToGoType).  Parameterized
-    types dispatch on their base name (``Decimal(18, 4)`` → Decimal,
-    ``DateTime64(3)`` → DateTime64), matching how the reference's
-    DESCRIBE strings arrive."""
+    ``clickhouse/insert.go:148-201`` (jsonToGoType).  DELIBERATE
+    DIVERGENCE (r10 advisor): parameterized types dispatch on their
+    base name here (``Decimal(18, 4)`` → Decimal, ``DateTime64(3)`` →
+    DateTime64), whereas the reference's switch matches the exact
+    DESCRIBE string, so those fall through to its data.String()
+    default.  Base-name dispatch is strictly more typed than the
+    reference's fallthrough; the server accepts both forms."""
     m = _CH_BASE.match(ch_type.strip())
     base = m.group(1) if m else ch_type
     if base in ("String", "FixedString"):
@@ -384,41 +398,61 @@ class ClickHouseBatchDestination(JDBCDestination):
         """Coerce every row to the remote types and send ONE batch
         (insert.go:203-276).  Wire format is JSONCompactEachRow —
         positional values in the INSERT's column order, the HTTP twin
-        of batch.Append(vals...)."""
+        of batch.Append(vals...).  A row that fails to parse or coerce
+        is logged and skipped while the rest of the batch still sends,
+        matching the reference's per-row Append-error handling
+        (insert.go:262-265); a SERVER-side rejection still fails the
+        whole batch loudly — the analogue of batch.Send failing.
+        ``lines`` may be any iterable (lazily consumed); the payload
+        is accumulated once, so peak memory is ~1× the batch body."""
         col_names = list(columns)
         remote = self.clickhouse_types(table)
         cols_sql = ",".join(f"`{_check_ident(c)}`" for c in col_names)
-        header = (
-            f"INSERT INTO {self._qualified(table)} ({cols_sql}) "
-            "FORMAT JSONCompactEachRow\n"
+        payload = bytearray(
+            (
+                f"INSERT INTO {self._qualified(table)} ({cols_sql}) "
+                "FORMAT JSONCompactEachRow\n"
+            ).encode("utf-8")
         )
-        body = []
+        n_rows = 0
         for line in lines:
             if isinstance(line, bytes):
                 line = line.decode("utf-8")
             if not line.strip():
                 continue
-            obj = json.loads(line)
-            vals = [
-                json_to_ch_value(remote.get(c, "String"), obj.get(c))
-                for c in col_names
-            ]
-            body.append(json.dumps(vals, ensure_ascii=False))
-        if not body:
+            try:
+                obj = json.loads(line)
+                vals = [
+                    json_to_ch_value(remote.get(c, "String"), obj.get(c))
+                    for c in col_names
+                ]
+            except Exception as e:  # noqa: BLE001 — skip-and-log, ref parity
+                _LOG.error("clickhouse: skipping unappendable row: %s", e)
+                continue
+            payload += json.dumps(vals, ensure_ascii=False).encode("utf-8")
+            payload += b"\n"
+            n_rows += 1
+        if not n_rows:
             return
-        self.http.post((header + "\n".join(body) + "\n").encode("utf-8"))
+        self.http.post(bytes(payload))
 
     # ------------------------------------------------------------ insert
     def insert_ndjson_file(self, table: str, ndjson_path) -> None:
         """InsertBatchFromNDJson (insert.go:278-299): infer the batch's
         column types, evolve the table, then one batched insert per
-        file.  Raw rows never ride the JDBC link."""
+        file.  Raw rows never ride the JDBC link.  Both passes stream
+        the file line-by-line (the reference's bounded scanner,
+        insert.go:224-236) instead of materializing a line list, so
+        peak memory is the single coerced batch body, not ~3× the
+        spool file (r10 advisor catch)."""
         paths = (
             [ndjson_path] if isinstance(ndjson_path, str) else list(ndjson_path)
         )
         for path in paths:
             with open(path, "rb") as f:
-                lines = f.read().splitlines()
-            columns = infer_column_types(lines)
+                columns = infer_column_types(line.rstrip(b"\n") for line in f)
             self.create_columns_with_types(table, columns)
-            self.insert_data(table, lines, columns)
+            with open(path, "rb") as f:
+                self.insert_data(
+                    table, (line.rstrip(b"\n") for line in f), columns
+                )

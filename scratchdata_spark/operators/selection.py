@@ -210,8 +210,15 @@ def train_quality_classifier(
         df, id_col, text_col, buckets=buckets, portable=portable
     )
     labels = df.select(F.col(id_col), F.col(label_col).alias("__y"))
+    # LEFT join from labels so token-free documents (which emit no
+    # feature rows) still reach the optimizer as zero vectors — a
+    # zero row contributes nothing to the weight gradient but still
+    # moves the bias, exactly as a Python-side train_logreg over the
+    # same labeled rows would (r10 advisor catch: an inner join
+    # silently dropped their labels, breaking the bit-parity
+    # contract for corpora containing empty docs).
     rows = (
-        feats.join(labels, id_col)
+        labels.join(feats, id_col, "left")
         .select(id_col, "bucket", "cnt", "__y")
         .limit(sample_rows + 1)
         .collect()
@@ -224,7 +231,8 @@ def train_quality_classifier(
     by_doc: dict = {}
     for r in rows:
         feats_d, label = by_doc.setdefault(r[0], ({}, int(r[3])))
-        feats_d[int(r[1])] = int(r[2])
+        if r[1] is not None:
+            feats_d[int(r[1])] = int(r[2])
     ordered = [by_doc[k] for k in sorted(by_doc)]
     return train_logreg(
         ordered, buckets=buckets, iters=iters, lr=lr, l2=l2

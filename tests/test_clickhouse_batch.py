@@ -436,3 +436,39 @@ def test_inference_ladder_properties(rows):
 )
 def test_go_integer_grammar_strictness(ch_type, value, expected):
     assert json_to_ch_value(ch_type, value) == expected
+
+
+# ------------------------------------------- r10 advisor regressions
+
+
+def test_inference_int64_overflow_counts_as_float():
+    # strconv.Atoi fails past int64, so the reference's ladder calls a
+    # 20-digit integer a float; Python's unbounded int must mirror it
+    # or _wrap_int corrupts the value on insert (r10 advisor catch).
+    t = infer_column_types(_lines([{"a": 99999999999999999999}]))
+    assert t == {"a": "float"}
+    t = infer_column_types(_lines([{"a": -(2**63) - 1}]))
+    assert t == {"a": "float"}
+    # the int64 boundary itself still parses via Atoi → int
+    t = infer_column_types(_lines([{"lo": -(2**63), "hi": 2**63 - 1}]))
+    assert t == {"lo": "int", "hi": "int"}
+
+
+def test_insert_skips_unappendable_row_and_sends_rest(ch, caplog):
+    dest, http = ch
+    http.types = {"a": "Int64"}
+    lines = ['{"a": 1}', "this is not json", '{"a": 3}']
+    with caplog.at_level("ERROR"):
+        dest.insert_data("t", lines, {"a": "int"})
+    assert any("skipping unappendable row" in r.message for r in caplog.records)
+    batch = [p for p in http.posts if p.startswith(b"INSERT")][-1]
+    rows = batch.decode().splitlines()[1:]
+    assert rows == ["[1]", "[3]"]  # bad row dropped, rest still sent
+
+
+def test_insert_data_accepts_lazy_iterator(ch):
+    dest, http = ch
+    http.types = {"a": "Int64"}
+    dest.insert_data("t", (f'{{"a": {i}}}' for i in range(3)), {"a": "int"})
+    batch = [p for p in http.posts if p.startswith(b"INSERT")][-1]
+    assert batch.decode().splitlines()[1:] == ["[0]", "[1]", "[2]"]

@@ -607,3 +607,28 @@ def test_streaming_bucket_cap_message_does_not_suggest_join(spark, tmp_path):
             stream, {0: 1.0}, 0.0, id_col="doc_id", text_col="text",
             buckets=100_000,
         )
+
+
+def test_token_free_documents_train_as_zero_vectors(spark):
+    # A token-free doc emits no feature rows, but its label must still
+    # reach the optimizer (as a zero vector — moves only the bias),
+    # matching a Python-side train_logreg over the same labeled rows
+    # (r10 advisor catch: the old inner join dropped it entirely).
+    df = spark.createDataFrame(
+        [(0, POS[0], 1), (1, POS[1], 1), (2, "", 0), (3, NEG[0], 0)],
+        "doc_id long, text string, label int",
+    )
+    w, b = S.train_quality_classifier(
+        df, "doc_id", "text", "label", buckets=B, portable=True
+    )
+    rows = [
+        (S.py_feature_counts(POS[0], B), 1),
+        (S.py_feature_counts(POS[1], B), 1),
+        ({}, 0),  # the empty doc, id order 2
+        (S.py_feature_counts(NEG[0], B), 0),
+    ]
+    w_ref, b_ref = S.train_logreg(rows, buckets=B)
+    assert w == w_ref and b == b_ref
+    # and dropping the empty doc changes the fit — the label is live
+    w_drop, b_drop = S.train_logreg(rows[:2] + rows[3:], buckets=B)
+    assert (w, b) != (w_drop, b_drop)

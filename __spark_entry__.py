@@ -117,9 +117,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # jpeg → one decode-seam family; jpeg newest r9, gif/mjpeg r10).
 #
 # R11 CARRY-OVER (r10 warehouse_dml review, deferred finding #10):
-# CREATE OR REPLACE TABLE crash-atomicity (warehouse_dml._exec_ctas)
-# — scheduled to close this round via the generation-pointer swap;
-# see tests/test_dml_atomic.py once landed.
+# CREATE OR REPLACE TABLE crash-atomicity — CLOSED r11: the staged
+# replacement adopts as the NEXT generation of the same table root
+# and schema+pointer swap in one atomic catalog write
+# (catalog.replace_table); kill-between-stages pytests in
+# tests/test_dml_atomic.py prove the old table survives every stage.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
     # --- (b) registered r10, no driver row ever ---

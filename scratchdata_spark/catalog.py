@@ -157,6 +157,26 @@ class TableCatalog:
         info.generation = generation
         self._put(info)
 
+    def replace_table(
+        self,
+        database: str,
+        table: str,
+        columns: list[dict],
+        generation: int,
+    ) -> TableInfo:
+        """CREATE OR REPLACE's crash-atomic adoption step: swap the
+        table's ENTIRE definition — schema, generation pointer, and a
+        reset of partitioning / tombstones / primary key (a replaced
+        table is a brand-new table) — in ONE atomic meta write
+        (os.replace in _put).  Until this call the old generation is
+        the live table; after it the new one is.  There is no
+        intermediate state a crash can expose (r10 DML review finding
+        #10: the old drop-then-recreate sequence lost the table if
+        the process died between the two steps)."""
+        info = TableInfo(database, table, list(columns), generation)
+        self._put(info)
+        return info
+
     def create_empty_table(self, database: str, table: str) -> TableInfo:
         """CREATE TABLE IF NOT EXISTS t (__row_id BIGINT) — A7."""
         existing = self.get(database, table)

@@ -1012,25 +1012,33 @@ class SparkDestination(DataFrameSerializers, Destination):
                 )
             self.catalog.set_generation(self.database, table, new_gen)
             self.plan_cache.invalidate()
-        # retire everything older than the retention window (default 2:
-        # current + immediate parent — the parent stays until the NEXT
-        # flip for in-flight readers; larger windows keep a history for
-        # read_generation / table_at() time travel). Sweep ≤ the cutoff
-        # rather than one exact index so lowering the retention later
-        # also cleans generations an earlier, larger window left behind.
-        cutoff = new_gen - max(2, int(self.retain_generations))
-        if cutoff >= 0:
-            for f in os.listdir(root):
-                p = os.path.join(root, f)
-                if f.endswith(".parquet") or f == "_SUCCESS":
-                    os.remove(p)  # g0 = loose files in the root
-                elif "=" in f and os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)  # g0 hive dirs
-                elif (
-                    f.startswith("g")
-                    and f[1:].isdigit()
-                    and 0 < int(f[1:]) <= cutoff
-                    and os.path.isdir(p)
-                ):
-                    shutil.rmtree(p, ignore_errors=True)
+        self._retire_generations(root, new_gen)
         return late
+
+    def _retire_generations(self, root: str, new_gen: int) -> None:
+        """Retire everything older than the retention window (default
+        2: current + immediate parent — the parent stays until the
+        NEXT flip for in-flight readers; larger windows keep a history
+        for read_generation / table_at() time travel). Sweep ≤ the
+        cutoff rather than one exact index so lowering the retention
+        later also cleans generations an earlier, larger window left
+        behind. Shared by the compaction/rewrite flip above and the
+        CREATE OR REPLACE adoption (warehouse_dml._exec_ctas)."""
+        import shutil
+
+        cutoff = new_gen - max(2, int(self.retain_generations))
+        if cutoff < 0:
+            return
+        for f in os.listdir(root):
+            p = os.path.join(root, f)
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                os.remove(p)  # g0 = loose files in the root
+            elif "=" in f and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)  # g0 hive dirs
+            elif (
+                f.startswith("g")
+                and f[1:].isdigit()
+                and 0 < int(f[1:]) <= cutoff
+                and os.path.isdir(p)
+            ):
+                shutil.rmtree(p, ignore_errors=True)

@@ -604,11 +604,38 @@ def _exec_ctas(dest, query: str):
     out = _with_row_id(src).select(
         *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in target.fields]
     )
-    # materialize to staging BEFORE any drop: OR REPLACE … FROM <self>
-    # must read the old data in full while it still exists
+    # materialize to staging BEFORE touching the target: OR REPLACE …
+    # FROM <self> must read the old data in full while it still exists
     staging, n = _staged_write(dest, out, None)
     if existing is not None:
-        _exec_drop_table(dest, table)
+        # Crash-atomic replace (r10 DML review finding #10, closed
+        # r11): the staged result becomes the NEXT generation of the
+        # SAME table root, adopted by the compaction machinery's
+        # pointer flip — schema, generation, and the reset of
+        # partitioning/tombstones/PK land in ONE atomic catalog write
+        # (catalog.replace_table). The old generation stays fully
+        # live until that write, so a crash at ANY point leaves the
+        # old table readable; it is then retained like a compaction
+        # parent (readers in flight, time travel) and retires on
+        # later flips. The old drop-then-recreate sequence lost the
+        # table if the process died between the two steps.
+        comp_lock = dest._compaction_lock(table)
+        with comp_lock, dest.catalog.lock(dest.database, table):
+            info = _require_table(dest, table)  # fresh pointer
+            root = dest.catalog.table_root(dest.database, table)
+            new_gen = info.generation + 1
+            new_dir = os.path.join(root, f"g{new_gen}")
+            # a replace that crashed between adoption and the meta
+            # write may have left a partial g{new_gen}: clear it so
+            # orphaned part files cannot pollute this generation
+            shutil.rmtree(new_dir, ignore_errors=True)
+            _adopt_staged(dest, staging, new_dir)
+            dest.catalog.replace_table(
+                dest.database, table, _catalog_columns(target.fields), new_gen
+            )
+            dest._retire_generations(root, new_gen)
+        dest.plan_cache.invalidate()
+        return _count_df(dest, n)
     with dest.catalog.lock(dest.database, table):
         dest.catalog.create_empty_table(dest.database, table)
         _register_schema(dest, table, target.fields)
@@ -617,6 +644,23 @@ def _exec_ctas(dest, query: str):
         )
     dest.plan_cache.invalidate()
     return _count_df(dest, n)
+
+
+def _catalog_columns(fields) -> list[dict]:
+    """The catalog `columns` list a CTAS schema registers as — the
+    batch twin of _register_schema's one-at-a-time ALTERs, built
+    up-front so replace_table can swap it in atomically."""
+    cols: list[dict] = [{"name": ROW_ID, "jsontype": "int"}]
+    for f in fields:
+        if f.name == ROW_ID:
+            continue
+        jt = _jsontype_of(f.dataType)
+        cols.append(
+            {"name": f.name, "jsontype": jt}
+            if jt is not None
+            else {"name": f.name, "sparktype": f.dataType.simpleString()}
+        )
+    return cols
 
 
 def _exec_create(dest, query: str):

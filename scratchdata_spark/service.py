@@ -169,6 +169,28 @@ def build_app(
                 client, store, bucket,
                 delete_from_gcs=settings.get("delete_from_gcs", True),
             )
+        if type_ == "postgres":
+            from scratchdata_spark.postgres_destination import (
+                PostgresCopyDestination,
+            )
+
+            transport = settings.get("copy_transport")  # test seam
+            if transport is None:
+                raise ValueError(
+                    "postgres destination needs an injected copy"
+                    " transport (no live COPY socket in this container;"
+                    " production wires a v3-protocol or psycopg"
+                    " copy_expert transport here)"
+                )
+            return PostgresCopyDestination(
+                spark,
+                settings["url"],
+                copy_transport=transport,
+                schema=settings.get("schema", "public"),
+                driver=settings.get("driver"),
+                user=settings.get("user"),
+                password=settings.get("password"),
+            )
         if type_ == "clickhouse":
             from scratchdata_spark.clickhouse_destination import (
                 ClickHouseBatchDestination,

@@ -3480,10 +3480,30 @@ def _chain_prose(i: int, j: int) -> str:
     return f"{_CHAIN_PROSE_HEAD}{tok}{_CHAIN_PROSE_TAIL}"
 
 
+# corpus-wide repeated paragraph (prose-shaped, so boilerplate KEEPS
+# it — only paragraph_dedup can kill it; the canonical copy survives
+# at the smallest (doc_id, position), which is doc 0 by construction)
+_CHAIN_NEWS = (
+    "subscribe to our newsletter today and we will send you the best "
+    "articles of the week."
+)
+# passes every quality_filter heuristic (stopwords, length, digits,
+# punctuation) but scores junk under the trained classifier — the
+# page class only MODEL-based filtering catches
+_CHAIN_MODEL_JUNK = (
+    "click here to buy now click here to buy now sale sale sale and "
+    "get the best deals on all of our products buy now limited time"
+)
+
+
 def _chain_fixture_dir() -> str:
-    """Three small archives with the fixed per-8-page role mix the
-    crawl-chain soak uses (base / utm re-fetch / exact mirror /
-    robots-disallowed / blocked host / junk / 2 more base)."""
+    """Three small archives with the fixed per-16-page role mix the
+    crawl-chain soak uses: j%8 picks base / utm re-fetch / exact
+    mirror / robots-disallowed / blocked host / junk / 2 more base,
+    EXCEPT j=14 (model-junk: survives the heuristics, only the
+    quality classifier rejects it) and j=15 (newsletter-only page:
+    paragraph_dedup empties it into a husk the model then drops —
+    the exact stage-boundary class the r10 soak caught)."""
     import os
     import tempfile
 
@@ -3491,10 +3511,13 @@ def _chain_fixture_dir() -> str:
 
     chrome = "<p>Home | Products | Pricing | Contact | Item 7</p>"
 
-    def page(body: str, with_chrome: bool = True) -> bytes:
+    def page(
+        body: str, with_chrome: bool = True, with_news: bool = True
+    ) -> bytes:
         c = chrome if with_chrome else ""
+        n = f"<p>{_CHAIN_NEWS}</p>" if with_news else ""
         return W.encode_http_response(
-            f"<html><body>{c}<p>{body}</p>{c}</body></html>".encode()
+            f"<html><body>{c}<p>{body}</p>{n}{c}</body></html>".encode()
         )
 
     d = tempfile.mkdtemp(prefix="xchain_")
@@ -3514,7 +3537,23 @@ def _chain_fixture_dir() -> str:
         for j in range(_CHAIN_PAGES):
             role = j % 8
             rid = f"<urn:uuid:{i}-{j}>"
-            if role == 1:
+            if j == 14:
+                recs.append(W.encode_warc_record(
+                    "response", page(_CHAIN_MODEL_JUNK, with_news=False),
+                    target_uri=f"https://{host}/promo/{j}",
+                    record_id=rid,
+                ))
+            elif j == 15:
+                recs.append(W.encode_warc_record(
+                    "response",
+                    W.encode_http_response(
+                        f"<html><body>{chrome}<p>{_CHAIN_NEWS}</p>"
+                        f"{chrome}</body></html>".encode()
+                    ),
+                    target_uri=f"https://{host}/news/{j}",
+                    record_id=rid,
+                ))
+            elif role == 1:
                 recs.append(W.encode_warc_record(
                     "response", page(_chain_prose(i, j - 1)),
                     target_uri=f"https://{host}/art/{j - 1}?utm_source=x",
@@ -3541,7 +3580,10 @@ def _chain_fixture_dir() -> str:
             elif role == 5:
                 recs.append(W.encode_warc_record(
                     "response",
-                    page("0101 @@ ## 42 $$ %% 9999 ^^ && 8888 !!", False),
+                    page(
+                        "0101 @@ ## 42 $$ %% 9999 ^^ && 8888 !!",
+                        with_chrome=False, with_news=False,
+                    ),
                     target_uri=f"https://{host}/junk/{j}",
                     record_id=rid,
                 ))
@@ -3556,70 +3598,9 @@ def _chain_fixture_dir() -> str:
     return d
 
 
-@q(
-    "x_crawl_chain",
-    f"""
-    SELECT CAST(i * 100 + j AS BIGINT) AS doc_id,
-           concat('https://h', CAST(i AS VARCHAR), '.example/art/',
-                  CAST(j AS VARCHAR)) AS target_uri,
-           concat('{_CHAIN_PROSE_HEAD}',
-                  substr(md5(concat(CAST(i AS VARCHAR), ':',
-                                    CAST(j AS VARCHAR))), 1, 6),
-                  '{_CHAIN_PROSE_TAIL}') AS text
-    FROM range({_CHAIN_ARCHIVES}) t(i), range({_CHAIN_PAGES}) u(j)
-    WHERE j % 8 IN (0, 6, 7)
-    """,
-)
-def x_crawl_chain(spark, sf_dir):
-    """The COMPOSED crawl admission chain under the hash gate: WARC
-    ingest (keep_paragraphs) → robots rules from the same crawl →
-    RFC 9309 filtering (cogrouped join tier) → blocked-hosts →
-    URL-level dedup → boilerplate removal → quality filter → exact
-    text dedup.  Each stage is individually oracle-checked elsewhere;
-    this entry gates their COMPOSITION (the r10 soak found its only
-    defect — quality_score admitting boilerplate-emptied husks — at
-    exactly such a stage boundary).
-
-    The oracle derives the survivors from the fixture's construction
-    arithmetic alone: every (i, j%8 ∈ {0,6,7}) base page survives with
-    its md5-token prose (md5 is portable), the utm re-fetch and the
-    exact mirror fold into the base via min-doc_id elections the
-    arithmetic doc_id makes deterministic, and the robots / blocked /
-    junk roles drop — nothing in the SQL touches any operator under
-    test."""
-    from scratchdata_spark.operators import robots as R
-    from scratchdata_spark.operators import warc as W
-    from scratchdata_spark.operators.recipe import run_recipe
-
-    d = _chain_fixture_dir()
-    records = W.read_warc(spark, d + "/*.warc", keep_paragraphs=True)
-    rules = R.rules_from_warc(records)
-    docs = (
-        records.filter(~F.col("target_uri").endswith("/robots.txt"))
-        .withColumn(
-            "doc_id",
-            (
-                F.regexp_extract("record_id", r"urn:uuid:(\d+)-(\d+)", 1)
-                .cast("long") * 100
-                + F.regexp_extract(
-                    "record_id", r"urn:uuid:(\d+)-(\d+)", 2
-                ).cast("long")
-            ),
-        )
-    )
-    admitted = R.filter_robots_disallowed(docs, rules, tier="join")
-    out, _ = run_recipe(
-        admitted,
-        [
-            {"op": "blocked_hosts", "domains": ["spam.biz"]},
-            {"op": "url_dedup"},
-            {"op": "remove_boilerplate"},
-            {"op": "quality_filter", "min_score": 0.3},
-            {"op": "exact_dedup"},
-        ],
-        counts=False,
-    )
-    return out.select("doc_id", "target_uri", "text")
+# (the x_crawl_chain entry itself is registered at the END of this
+# module — its oracle recomputes the DSIR selection stage with the
+# _md5_bucket_sql/_features_sql helpers defined below)
 
 
 # ---------------------------------------------------------------------------
@@ -3901,3 +3882,181 @@ def x_dedup_paragraph(spark, sf_dir):
     return dedup_paragraphs(staged).select(
         "doc_id", "text", "paragraphs_removed"
     )
+
+
+# ------------------------------------ r11: FULL pre-training admission
+# chain — the r10 crawl chain extended past exact_dedup with the
+# complete CCNet/DSIR selection story (VERDICT r10 #3): paragraph
+# dedup → model-based quality filter → DSIR importance resampling.
+# Registered here, after the _md5_bucket_sql/_features_sql helpers its
+# oracle needs at decoration time.
+
+_CHAIN_DSIR_BUCKETS = 2048
+_CHAIN_DSIR_K = 8
+# measured fixture margins (sf-independent — the fixture is fixed):
+# prose scores >= 0.5308, the paragraph-dedup husk sig0 = 0.4992, the
+# model-junk page 0.4757; 0.51 splits both ways with >= 0.01 margin
+# on the 6-decimal-rounded probabilities
+_CHAIN_MIN_PROB = 0.51
+
+
+def _chain_oracle_sql() -> str:
+    """DuckDB twin of the FULL chain.  Everything up to and including
+    the quality-model stage is construction arithmetic (the chain CTE
+    directly enumerates its survivors — base pages j ∈ {0,6,7,8} with
+    md5-token prose, doc 0 keeping the canonical newsletter paragraph;
+    the j=14 model-junk and the j=15 paragraph-dedup husk drop by
+    construction).  The DSIR selection stage is then RECOMPUTED from
+    scratch over the reconstructed text (the x_dsir_select oracle
+    shape: portable md5 buckets, Laplace smoothing, rounded-weight +
+    id ordering) — so the one stage whose survivor set depends on
+    hashed distributions is verified by recomputation, not assumption.
+    """
+    b = _CHAIN_DSIR_BUCKETS
+    return f"""
+    WITH chain AS (
+      SELECT CAST(i * 100 + j AS BIGINT) AS doc_id,
+             concat('https://h', CAST(i AS VARCHAR), '.example/art/',
+                    CAST(j AS VARCHAR)) AS target_uri,
+             concat('{_CHAIN_PROSE_HEAD}',
+                    substr(md5(concat(CAST(i AS VARCHAR), ':',
+                                      CAST(j AS VARCHAR))), 1, 6),
+                    '{_CHAIN_PROSE_TAIL}',
+                    CASE WHEN i = 0 AND j = 0
+                         THEN concat(chr(10), '{_CHAIN_NEWS}')
+                         ELSE '' END) AS text
+      FROM range({_CHAIN_ARCHIVES}) t(i), range({_CHAIN_PAGES}) u(j)
+      WHERE j % 8 IN (0, 6, 7) AND j < 14
+    ),
+    tgt AS (
+      SELECT concat('{_CHAIN_PROSE_HEAD}',
+                    substr(md5(concat('0:', CAST(j AS VARCHAR))), 1, 6),
+                    '{_CHAIN_PROSE_TAIL}') AS text
+      FROM (VALUES (0), (6), (7), (8)) v(j)
+    ),
+    rf AS ({_features_sql("chain")}),
+    tf AS ({_features_sql("tgt", with_id=False)}),
+    rcnt AS (
+      SELECT doc_id, {_md5_bucket_sql("f", b)} AS bucket, COUNT(*) AS cnt
+      FROM rf GROUP BY 1, 2
+    ),
+    rdist AS (SELECT bucket, SUM(cnt) AS rc FROM rcnt GROUP BY 1),
+    tdist AS (
+      SELECT {_md5_bucket_sql("f", b)} AS bucket, COUNT(*) AS tc
+      FROM tf GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT SUM(rc) FROM rdist) AS rt,
+             (SELECT SUM(tc) FROM tdist) AS tt
+    ),
+    ratios AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             ln((COALESCE(t.tc, 0) + 1.0) / (tots.tt + {float(b)!r}))
+             - ln((COALESCE(r.rc, 0) + 1.0) / (tots.rt + {float(b)!r}))
+               AS logratio
+      FROM rdist r FULL JOIN tdist t ON r.bucket = t.bucket, tots
+    ),
+    perdoc AS (
+      SELECT c.doc_id, ROUND(SUM(c.cnt * ra.logratio), 6) AS w
+      FROM rcnt c JOIN ratios ra ON ra.bucket = c.bucket
+      GROUP BY c.doc_id
+    ),
+    sel AS (
+      SELECT c.doc_id
+      FROM chain c LEFT JOIN perdoc p ON p.doc_id = c.doc_id
+      ORDER BY COALESCE(p.w, CAST(0 AS DOUBLE)) DESC, c.doc_id
+      LIMIT {_CHAIN_DSIR_K}
+    )
+    SELECT c.doc_id, c.target_uri, c.text
+    FROM chain c JOIN sel s ON s.doc_id = c.doc_id
+    """
+
+
+@q("x_crawl_chain", _chain_oracle_sql())
+def x_crawl_chain(spark, sf_dir):
+    """The COMPOSED pre-training admission chain under the hash gate —
+    ten stages end-to-end: WARC ingest (keep_paragraphs) → robots
+    rules from the same crawl → RFC 9309 filtering (cogrouped join
+    tier) → blocked-hosts → URL-level dedup → boilerplate removal →
+    heuristic quality filter → exact text dedup → corpus-wide
+    paragraph dedup (CCNet) → model-based quality filter (trained
+    fixture classifier, broadcast-join scoring) → DSIR importance
+    resampling toward a target slice.  Each stage is individually
+    oracle-checked elsewhere; this entry gates their COMPOSITION —
+    the r10 soak found its only defect (quality_score admitting
+    boilerplate-emptied husks) at exactly such a stage boundary, and
+    the fixture now BUILDS that class on purpose: the j=15
+    newsletter-only page survives every heuristic, paragraph_dedup
+    empties it, and only the model stage kills the husk; the j=14
+    promo page survives every heuristic and only the trained
+    classifier rejects it."""
+    from scratchdata_spark.operators import robots as R
+    from scratchdata_spark.operators import warc as W
+    from scratchdata_spark.operators.recipe import run_recipe
+
+    d = _chain_fixture_dir()
+    records = W.read_warc(spark, d + "/*.warc", keep_paragraphs=True)
+    rules = R.rules_from_warc(records)
+    docs = (
+        records.filter(~F.col("target_uri").endswith("/robots.txt"))
+        .withColumn(
+            "doc_id",
+            (
+                F.regexp_extract("record_id", r"urn:uuid:(\d+)-(\d+)", 1)
+                .cast("long") * 100
+                + F.regexp_extract(
+                    "record_id", r"urn:uuid:(\d+)-(\d+)", 2
+                ).cast("long")
+            ),
+        )
+    )
+    admitted = R.filter_robots_disallowed(docs, rules, tier="join")
+    w_fix, b_fix = _qc_fixture()
+    target = spark.createDataFrame(
+        [(j, _chain_prose(0, j)) for j in (0, 6, 7, 8)],
+        "doc_id long, text string",
+    )
+    cleaned, _ = run_recipe(
+        admitted,
+        [
+            {"op": "blocked_hosts", "domains": ["spam.biz"]},
+            {"op": "url_dedup"},
+            {"op": "remove_boilerplate"},
+            {"op": "quality_filter", "min_score": 0.3},
+            {"op": "exact_dedup"},
+        ],
+        counts=False,
+    )
+    # Materialize at the cleaning/selection phase boundary: the
+    # selection stages below re-execute their input lineage several
+    # times (paragraph dedup's decision join, the classifier's scored
+    # semi-join, DSIR's distribution + per-doc passes), and without a
+    # cut each pass would re-run the whole 5-stage crawl prefix —
+    # measured 16.8 s → ~7 s on this fixture.  This is the production
+    # shape too: CCNet-style pipelines checkpoint between the crawl
+    # phase and the selection phase, because the selection phase is
+    # multi-pass BY CONSTRUCTION at any scale.
+    cleaned = cleaned.localCheckpoint(eager=False)
+    out, _ = run_recipe(
+        cleaned,
+        [
+            {"op": "paragraph_dedup"},
+            {
+                "op": "quality_model",
+                "weights": w_fix,
+                "bias": b_fix,
+                "buckets": _QC_BUCKETS,
+                "portable": True,
+                "min_prob": _CHAIN_MIN_PROB,
+            },
+            {
+                "op": "dsir_select",
+                "target": target,
+                "k": _CHAIN_DSIR_K,
+                "buckets": _CHAIN_DSIR_BUCKETS,
+                "portable": True,
+            },
+        ],
+        counts=False,
+    )
+    return out.select("doc_id", "target_uri", "text")

@@ -49,8 +49,25 @@ from scratchdata_spark.session import get_spark
 
 PAGES_PER_ARCHIVE = 100  # j in 0..99; each j%8 slot has a fixed role
 GEN_ROOT = "/tmp/sdcrawl"
-GEN_VERSION = 2  # bump when _archive_bytes/_prose/role mix changes —
+GEN_VERSION = 3  # bump when _archive_bytes/_prose/role mix changes —
 # the cache dir embeds it so stale /tmp corpora never soak silently
+# (v3: news paragraph on prose pages + j%16==14 model-junk and
+# j%16==15 newsletter-only pages for the r11 selection stages)
+
+# corpus-wide repeated paragraph: prose-shaped (boilerplate keeps it),
+# so at 100x its fingerprint is a ~190k-row hot key in the paragraph
+# canonical election — the skew case the soak exists to hold linear
+NEWS = (
+    "subscribe to our newsletter today and we will send you the best "
+    "articles of the week."
+)
+# survives every heuristic, only the trained classifier rejects it; a
+# unique token per page keeps the kill mass LINEAR in archives
+# (identical bodies would fold to one doc at exact_dedup)
+MODEL_JUNK = (
+    "click here to buy now click here to buy now sale sale sale and "
+    "get the best deals on all of our products buy now limited time"
+)
 
 
 def _prose(i: int, j: int) -> str:
@@ -76,16 +93,19 @@ def _archive_bytes(i: int) -> bytes:
     per-cycle role mix (see module docstring)."""
     from scratchdata_spark.operators import warc as W
 
-    def page(body_text: str, chrome: bool = True) -> bytes:
+    def page(
+        body_text: str, chrome: bool = True, news: bool = True
+    ) -> bytes:
         chrome_p = (
             "<p>Home | Products | Pricing | Contact | Item 7</p>"
             if chrome
             else ""
         )
+        news_p = f"<p>{NEWS}</p>" if news else ""
         return W.encode_http_response(
             (
                 f"<html><body>{chrome_p}<p>{body_text}</p>"
-                f"{chrome_p}</body></html>"
+                f"{news_p}{chrome_p}</body></html>"
             ).encode()
         )
 
@@ -104,7 +124,30 @@ def _archive_bytes(i: int) -> bytes:
     for j in range(PAGES_PER_ARCHIVE):
         role = j % 8
         rid = f"<urn:uuid:{i}-{j}>"
-        if role == 1:  # utm re-fetch of this cycle's page 0
+        if j % 16 == 14:  # model-junk: only the classifier kills it
+            import hashlib as _hl
+
+            tok = "w" + _hl.sha256(f"mj{i}:{j}".encode()).hexdigest()[:6]
+            recs.append(W.encode_warc_record(
+                "response", page(f"{MODEL_JUNK} {tok}", news=False),
+                target_uri=f"https://{host}/promo/{j}",
+                record_id=rid,
+            ))
+        elif j % 16 == 15:  # newsletter-only: paragraph-dedup husk
+            recs.append(W.encode_warc_record(
+                "response",
+                W.encode_http_response(
+                    (
+                        "<html><body><p>Home | Products | Pricing | "
+                        f"Contact | Item 7</p><p>{NEWS}</p><p>Home | "
+                        "Products | Pricing | Contact | Item 7</p>"
+                        "</body></html>"
+                    ).encode()
+                ),
+                target_uri=f"https://{host}/news/{j}",
+                record_id=rid,
+            ))
+        elif role == 1:  # utm re-fetch of this cycle's page 0
             recs.append(W.encode_warc_record(
                 "response", page(_prose(i, j - 1)),
                 target_uri=f"https://{host}/art/{j - 1}?utm_source=x",
@@ -131,7 +174,7 @@ def _archive_bytes(i: int) -> bytes:
         elif role == 5:  # junk quality (digits + symbols, no stopwords)
             junk = ("0101 @@ ## 42 $$ %% 9999 ^^ && 8888 !! " * 6).strip()
             recs.append(W.encode_warc_record(
-                "response", page(junk, chrome=False),
+                "response", page(junk, chrome=False, news=False),
                 target_uri=f"https://{host}/junk/{j}",
                 record_id=rid,
             ))
@@ -200,6 +243,27 @@ def run_chain(spark, path: str) -> dict:
     # manager otherwise and distorts the downstream stage walls the
     # tool exists to record (review catch); admitted is materialized
     records.unpersist()
+    # r11: the chain now runs the FULL pre-training admission story —
+    # the r10 crawl prefix plus paragraph dedup, the trained quality
+    # classifier and DSIR selection (VERDICT r10 #3).  The model is
+    # trained ONCE on the driver through the full Spark path with the
+    # PRODUCTION hash (portable=False — the soak measures the engine
+    # tier, not the md5 oracle tier); min_prob=0.5 splits the
+    # measured fixture scores (prose ~0.53, model-junk ~0.48, husk
+    # sig0 ~0.499).
+    from scratchdata_spark.inventory_extras import _QC_NEG, _QC_POS
+    from scratchdata_spark.operators.selection import (
+        train_quality_classifier,
+    )
+
+    qc_df = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(_QC_POS)]
+        + [(100 + i, t, 0) for i, t in enumerate(_QC_NEG)],
+        "doc_id long, text string, label int",
+    )
+    w_fix, b_fix = train_quality_classifier(
+        qc_df, "doc_id", "text", "label", buckets=1024
+    )
     prev = admitted
     chain = [
         {"op": "blocked_hosts", "domains": ["spam.biz"]},
@@ -207,6 +271,14 @@ def run_chain(spark, path: str) -> dict:
         {"op": "remove_boilerplate"},
         {"op": "quality_filter", "min_score": 0.3},
         {"op": "exact_dedup"},
+        {"op": "paragraph_dedup"},
+        {
+            "op": "quality_model",
+            "weights": w_fix,
+            "bias": b_fix,
+            "buckets": 1024,
+            "min_prob": 0.5,
+        },
     ]
     for stage in chain:
         t0 = time.perf_counter()
@@ -217,8 +289,42 @@ def run_chain(spark, path: str) -> dict:
         stats["stage_rows"][stage["op"]] = manifest[0]["rows_out"]
         prev.unpersist()
         prev = df
+        if stage["op"] == "exact_dedup":
+            # LINEAGE CUT at the cleaning/selection phase boundary
+            # (r11 measurement): every selection stage below joins the
+            # frame against a derivative of itself, DOUBLING the
+            # logical plan — by DSIR the analyzer re-plans ~16 copies
+            # of the full crawl DAG and Catalyst planning time, not
+            # execution, dominates (measured: the dsir action alone
+            # 49-75 s at 1x against ~3 s on a cut lineage).  persist()
+            # does NOT truncate lineage for analysis; localCheckpoint
+            # does.  Production pipelines materialize at exactly this
+            # boundary (the multi-pass selection phase re-reads its
+            # admission set by construction).
+            prev = prev.localCheckpoint(eager=True)
+    # DSIR selection toward archive-0's prose (any fixed slice works:
+    # distributions are corpus-wide aggs; k = half the candidates so
+    # the selection does real discrimination at every scale)
+    from scratchdata_spark.operators.selection import dsir_select
+
+    k = max(1, stats["stage_rows"]["quality_model"] // 2)
+    target = spark.createDataFrame(
+        [(j, _prose(0, j)) for j in range(PAGES_PER_ARCHIVE)
+         if j % 8 in (0, 6, 7) and j % 16 not in (14, 15)],
+        "doc_id long, text string",
+    )
+    t0 = time.perf_counter()
+    picked = dsir_select(
+        prev, target, "doc_id", "text", k=k, buckets=2048,
+    )
+    out = prev.join(picked.select("doc_id"), "doc_id", "left_semi")
+    n_sel = out.count()
+    stats["stage_walls_sec"]["dsir_select"] = round(
+        time.perf_counter() - t0, 2
+    )
+    stats["stage_rows"]["dsir_select"] = n_sel
     stats["wall_sec"] = round(time.perf_counter() - t_all, 2)
-    stats["survivors"] = stats["stage_rows"]["exact_dedup"]
+    stats["survivors"] = n_sel
     prev.unpersist()
     return stats
 
@@ -251,12 +357,15 @@ def main() -> None:
     scales = out.setdefault("scales", {})
     for label, stats in results.items():
         scales.setdefault(label, {})["crawl_chain"] = stats
-    out.setdefault("notes", {}).setdefault(  # never clobber a
-        "crawl_chain",  # hand-curated provenance note (review catch)
+    # r11: the chain changed (three selection stages appended), so the
+    # provenance note is REPLACED this once, not setdefault-preserved
+    out.setdefault("notes", {})["crawl_chain"] = (
         "composed admission chain (ingest->robots join->blocked->"
-        "url_dedup->boilerplate->quality->exact_dedup), fixed dup "
-        "topology per archive, word-shaped filler; walls are "
-        "persist-boundary stage timings, solo box",
+        "url_dedup->boilerplate->quality->exact_dedup->paragraph_"
+        "dedup->quality_model->dsir_select), fixed dup topology per "
+        "archive incl. corpus-wide news paragraph (hot fp key) and "
+        "per-16-page model-junk/newsletter-husk classes; walls are "
+        "persist-boundary stage timings, solo box"
     )
     with open(bench, "w") as f:
         json.dump(out, f, indent=2)

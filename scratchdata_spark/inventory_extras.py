@@ -4016,7 +4016,7 @@ def x_crawl_chain(spark, sf_dir):
         [(j, _chain_prose(0, j)) for j in (0, 6, 7, 8)],
         "doc_id long, text string",
     )
-    cleaned, _ = run_recipe(
+    out, _ = run_recipe(
         admitted,
         [
             {"op": "blocked_hosts", "domains": ["spam.biz"]},
@@ -4024,22 +4024,13 @@ def x_crawl_chain(spark, sf_dir):
             {"op": "remove_boilerplate"},
             {"op": "quality_filter", "min_score": 0.3},
             {"op": "exact_dedup"},
-        ],
-        counts=False,
-    )
-    # Materialize at the cleaning/selection phase boundary: the
-    # selection stages below re-execute their input lineage several
-    # times (paragraph dedup's decision join, the classifier's scored
-    # semi-join, DSIR's distribution + per-doc passes), and without a
-    # cut each pass would re-run the whole 5-stage crawl prefix —
-    # measured 16.8 s → ~7 s on this fixture.  This is the production
-    # shape too: CCNet-style pipelines checkpoint between the crawl
-    # phase and the selection phase, because the selection phase is
-    # multi-pass BY CONSTRUCTION at any scale.
-    cleaned = cleaned.localCheckpoint(eager=False)
-    out, _ = run_recipe(
-        cleaned,
-        [
+            # lineage cut at the cleaning/selection phase boundary:
+            # every selection stage below self-joins the frame,
+            # doubling the logical plan — without the cut Catalyst
+            # re-analyzes ~16 copies of the crawl DAG per action
+            # (measured 16.8 s → 6.1 s on this fixture; see the
+            # checkpoint stage's docstring, recipe.py)
+            {"op": "checkpoint"},
             {"op": "paragraph_dedup"},
             {
                 "op": "quality_model",

@@ -427,6 +427,26 @@ def _filter(df, p, id_col, text_col):
     return df.filter(F.expr(p["where"]))
 
 
+@_stage("checkpoint")
+def _checkpoint(df, p, id_col, text_col):
+    """Explicit LINEAGE CUT at a phase boundary (localCheckpoint).
+
+    The selection stages (paragraph_dedup, quality_model,
+    dsir_select, decontaminate, …) each join the frame against a
+    derivative of itself, DOUBLING the logical plan; a recipe that
+    composes several of them makes Catalyst re-analyze an
+    exponentially growing tree — the r11 crawl-chain soak measured
+    49-75 s of pure PLANNING per action on a ten-stage chain against
+    ~3 s once cut (persistence does not truncate lineage for
+    analysis; a checkpoint does).  Slot one of these between the
+    cleaning phase and the selection phase.  ``eager=True``
+    materializes immediately; the default defers to the next action.
+    Note localCheckpoint stores blocks on executors — on a cluster
+    where executor loss must be survivable, materialize to a table
+    instead (COPY TO + re-scan, the module-docstring note)."""
+    return df.localCheckpoint(eager=bool(p.get("eager", False)))
+
+
 # Parameters a stage cannot run without; validated up front so a
 # config typo fails BEFORE any Spark job, not mid-recipe (every other
 # key has a default in its stage function).

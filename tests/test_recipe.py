@@ -264,3 +264,27 @@ def test_recipe_remove_boilerplate_stage(spark, sf_dir):
     bp = manifest[0]
     assert bp["op"] == "remove_boilerplate"
     assert bp["rows_dropped"] == 0
+
+
+def test_recipe_checkpoint_stage_cuts_lineage(spark):
+    """The checkpoint stage is a row-identity lineage cut: same rows
+    out, manifest reports zero drops, and the returned frame's plan no
+    longer contains the upstream scan (an ExistingRDD/checkpoint leaf
+    instead) — the phase-boundary cut the composed selection recipes
+    need (r11 soak measurement: planning time is exponential in the
+    number of self-joining stages without it)."""
+    d = spark.createDataFrame(
+        [(i, f"doc {i} text here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    got, manifest = run_recipe(
+        d, [{"op": "checkpoint"}, {"op": "exact_dedup"}]
+    )
+    assert manifest[0]["op"] == "checkpoint"
+    assert manifest[0]["rows_dropped"] == 0
+    assert got.count() == 10
+    # the cut frame's logical plan is a checkpoint scan, not the
+    # original LocalRelation lineage
+    cut, _ = run_recipe(d, [{"op": "checkpoint", "eager": True}])
+    assert "ExistingRDD" in cut._jdf.queryExecution().analyzed().toString() or \
+        "LogicalRDD" in cut._jdf.queryExecution().analyzed().toString()

@@ -620,21 +620,30 @@ def _exec_ctas(dest, query: str):
         # later flips. The old drop-then-recreate sequence lost the
         # table if the process died between the two steps.
         comp_lock = dest._compaction_lock(table)
-        with comp_lock, dest.catalog.lock(dest.database, table):
-            info = _require_table(dest, table)  # fresh pointer
-            root = dest.catalog.table_root(dest.database, table)
-            new_gen = info.generation + 1
-            new_dir = os.path.join(root, f"g{new_gen}")
-            # a replace that crashed between adoption and the meta
-            # write may have left a partial g{new_gen}: clear it so
-            # orphaned part files cannot pollute this generation
-            shutil.rmtree(new_dir, ignore_errors=True)
-            _adopt_staged(dest, staging, new_dir)
-            dest.catalog.replace_table(
-                dest.database, table, _catalog_columns(target.fields), new_gen
-            )
-            dest._retire_generations(root, new_gen)
-        dest.plan_cache.invalidate()
+        try:
+            with comp_lock, dest.catalog.lock(dest.database, table):
+                info = _require_table(dest, table)  # fresh pointer
+                root = dest.catalog.table_root(dest.database, table)
+                new_gen = info.generation + 1
+                new_dir = os.path.join(root, f"g{new_gen}")
+                # a replace that crashed between adoption and the meta
+                # write may have left a partial g{new_gen}: clear it so
+                # orphaned part files cannot pollute this generation
+                shutil.rmtree(new_dir, ignore_errors=True)
+                _adopt_staged(dest, staging, new_dir)
+                dest.catalog.replace_table(
+                    dest.database, table,
+                    _catalog_columns(target.fields), new_gen,
+                )
+                # inside the lock, like _flip_generation: no window
+                # where the flipped pointer serves a stale cached plan
+                dest.plan_cache.invalidate()
+                dest._retire_generations(root, new_gen)
+        except Exception:
+            # e.g. the table was dropped while we staged: nothing
+            # sweeps _staging, so the spooled result must not leak
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         return _count_df(dest, n)
     with dest.catalog.lock(dest.database, table):
         dest.catalog.create_empty_table(dest.database, table)

@@ -177,6 +177,25 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\blist_unique\s*\(", "array_distinct(", code, flags=re.I)
     code = re.sub(r"\barray_length\s*\(", "size(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
+    # DuckDB type aliases Spark's parser rejects (saved queries cast
+    # with them constantly: x::VARCHAR, y::INT8).  Bare VARCHAR only —
+    # Spark's parameterized VARCHAR(n) is valid and stays; TEXT is NOT
+    # bridged (it is a common COLUMN name — the documents table has
+    # one — and the rewriter cannot tell type position from value
+    # position in text).  Only runs on stock-Spark-rejected queries,
+    # so a valid Spark statement never crosses here (r11 probe catch).
+    code = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", code, flags=re.I)
+    code = re.sub(r"\bINT1\b", "TINYINT", code, flags=re.I)
+    code = re.sub(r"\bINT2\b", "SMALLINT", code, flags=re.I)
+    code = re.sub(r"\bINT4\b", "INT", code, flags=re.I)
+    code = re.sub(r"\bINT8\b", "BIGINT", code, flags=re.I)
+    code = re.sub(r"\bFLOAT4\b", "FLOAT", code, flags=re.I)
+    code = re.sub(r"\bFLOAT8\b", "DOUBLE", code, flags=re.I)
+    # HUGEINT (DuckDB's int128, what its sum(int) returns) maps to the
+    # conventional DECIMAL(38,0) — 38 digits vs int128's 39, so the
+    # outermost ~45% of the int128 range overflows loudly (ANSI cast
+    # error), never silently
+    code = re.sub(r"\bHUGEINT\b", "DECIMAL(38,0)", code, flags=re.I)
     # aggregate renames with exact Spark counterparts: list() →
     # array_agg (same unordered-bag semantics), arg_max/arg_min →
     # max_by/min_by, quantile_cont → percentile (both linearly
@@ -277,19 +296,45 @@ _STRFTIME = {
 
 def _strftime_to_java(fmt: str) -> str:
     """Translate a C strftime format to a java.time pattern; literal
-    alphabetic characters are quoted so Java doesn't read them as
-    pattern letters."""
-    out = []
-    i = 0
-    while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
+    text is quoted so Java doesn't read it as pattern letters.
+    CONSECUTIVE literal characters quote as ONE run — the old
+    per-character form emitted ``'y''r'``, which java.time reads as
+    the literal ``y'r`` (``''`` inside a quoted section is an embedded
+    quote), not ``yr``; any rendering that abuts two quoted runs hits
+    the same trap, so the grouping happens before quoting (r11
+    differential probe catch).  A run quotes only if it contains an
+    alphabetic or an apostrophe (escaped by doubling); pure
+    punctuation stays bare, keeping ``yyyy-MM-dd`` readable."""
+    toks: list[tuple[bool, str]] = []  # (is_pattern, text)
+    i, n = 0, len(fmt)
+    while i < n:
+        if fmt[i] == "%" and i + 1 < n:
             d = fmt[i : i + 2]
-            out.append(_STRFTIME.get(d, d))
+            toks.append((True, _STRFTIME.get(d, d)))
             i += 2
         else:
-            c = fmt[i]
-            out.append(f"'{c}'" if c.isalpha() else c)
+            toks.append((False, fmt[i]))
             i += 1
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush() -> None:
+        if not run:
+            return
+        text = "".join(run)
+        if any(c.isalpha() or c == "'" for c in text):
+            out.append("'" + text.replace("'", "''") + "'")
+        else:
+            out.append(text)
+        run.clear()
+
+    for is_pattern, text in toks:
+        if is_pattern:
+            flush()
+            out.append(text)
+        else:
+            run.append(text)
+    flush()
     return "".join(out)
 
 
@@ -328,7 +373,7 @@ def _rewrite_strptime(masked: str, literals: list[str]) -> str:
         lit = literals[int(m.group(3))]
         if lit[:1] != "'":
             return m.group(0)
-        translated = _strftime_to_java(lit[1:-1])
+        translated = _strftime_to_java(lit[1:-1]).replace("'", "''")
         fn = "try_to_timestamp" if m.group(1) else "to_timestamp"
         return f"{fn}({m.group(2)}, '{translated}')"
 
@@ -364,7 +409,11 @@ def _rewrite_strftime(masked: str, literals: list[str]) -> str:
         lit = literals[int(m.group(2))]
         if lit[:1] != "'":
             return m.group(0)
-        translated = _strftime_to_java(lit[1:-1])
+        # literal alphabetic characters translate to Java-quoted 'T'
+        # forms; inside the SQL literal those quotes must DOUBLE or
+        # the spliced statement is a parse error for every ISO-style
+        # format like '%Y-%m-%dT%H' (r11 differential probe catch)
+        translated = _strftime_to_java(lit[1:-1]).replace("'", "''")
         return f"date_format({m.group(1)}, '{translated}')"
 
     return re.sub(
@@ -1664,8 +1713,18 @@ COMPAT_FUNCTIONS = [
     # numeric arrays to ARRAY<STRING> and sort lexicographically —
     # silently wrong. Users get a loud unresolved-function error and
     # sort_array(), which matches DuckDB's list_sort for every type.
+    # list_sum matches DuckDB's VALUE semantics exactly: NULL elements
+    # are ignored (sum-like), an empty or all-NULL list is NULL (the
+    # old 0.0-seeded aggregate NULL-poisoned on NULL elements and
+    # returned 0 for [], both silently wrong values — r11 differential
+    # probe catch).  One DOCUMENTED divergence remains: the result is
+    # DOUBLE where DuckDB keeps HUGEINT/DECIMAL (a typed SQL UDF has
+    # one signature) — values are numerically equal, the printed type
+    # differs (6.0 vs 6).
     "CREATE OR REPLACE TEMPORARY FUNCTION list_sum(a ARRAY<DOUBLE>)"
-    " RETURNS DOUBLE RETURN aggregate(a, 0.0D, (acc, x) -> acc + x)",
+    " RETURNS DOUBLE RETURN aggregate("
+    "filter(a, x -> x IS NOT NULL), CAST(NULL AS DOUBLE),"
+    " (acc, x) -> coalesce(acc, 0.0D) + x)",
     # DuckDB's today(); now() exists natively in Spark
     "CREATE OR REPLACE TEMPORARY FUNCTION today()"
     " RETURNS DATE RETURN current_date",

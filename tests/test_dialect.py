@@ -46,8 +46,11 @@ def test_using_sample():
 def test_strftime_translation():
     assert _strftime_to_java("%Y-%m-%d") == "yyyy-MM-dd"
     assert _strftime_to_java("%H:%M:%S") == "HH:mm:ss"
-    # literal alphabetics are quoted for java.time
-    assert _strftime_to_java("%Yyr") == "yyyy'y''r'"
+    # literal alphabetics are quoted for java.time — as ONE run:
+    # per-char quoting ('y''r') is the literal y'r to java.time
+    assert _strftime_to_java("%Yyr") == "yyyy'yr'"
+    assert _strftime_to_java("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH"
+    assert _strftime_to_java("%H o'clock") == "HH' o''clock'"
     assert rewrite("SELECT strftime(ts, '%Y-%m') FROM t") == (
         "SELECT date_format(ts, 'yyyy-MM') FROM t"
     )
@@ -870,3 +873,41 @@ def test_pivot_statement_empty_count_cells_are_zero(spark):
     df = statement_form_df(spark, "PIVOT pv1 ON status USING sum(v) GROUP BY grp")
     vals = {r["grp"]: (r["A"], r["B"]) for r in df.collect()}
     assert vals == {"p1": (3, None), "p2": (None, 4)}
+
+
+def test_r11_probe_catches(spark):
+    """End-to-end regressions from the r11 differential probe battery
+    (each was a silent value or loud-where-bridgeable divergence vs
+    DuckDB)."""
+    from scratchdata_spark.dialect import register_compat_functions
+
+    register_compat_functions(spark)
+    # list_sum: NULL elements ignored; empty and all-NULL lists are
+    # NULL (the old 0.0-seeded aggregate returned NULL and 0.0 here)
+    row = spark.sql(
+        "SELECT list_sum(array(1.0D, NULL, 2.0D)) AS a,"
+        " list_sum(array()) AS b,"
+        " list_sum(array(CAST(NULL AS DOUBLE))) AS c"
+    ).collect()[0]
+    assert row.a == 3.0 and row.b is None and row.c is None
+    # ISO strftime literal 'T': the quoted pattern must splice into
+    # the SQL literal with doubled quotes, and render as a literal T
+    got = spark.sql(
+        rewrite(
+            "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09',"
+            " '%Y-%m-%dT%H:%M:%S') AS f"
+        )
+    ).collect()[0].f
+    assert got == "2024-03-05T07:08:09"
+    # bare VARCHAR / INTn / FLOATn / HUGEINT cast aliases bridge
+    row = spark.sql(
+        rewrite(
+            "SELECT 7 // 2 AS q, CAST(5 AS VARCHAR) AS s,"
+            " 3::INT8 AS i8, 2::INT2 AS i2, 1.5::FLOAT8 AS f8,"
+            " 12::HUGEINT AS h"
+        )
+    ).collect()[0]
+    assert (row.q, row.s, row.i8, row.i2, row.f8) == (3, "5", 3, 2, 1.5)
+    assert int(row.h) == 12
+    # parameterized VARCHAR(n) is valid Spark and stays untouched
+    assert "VARCHAR(10)" in rewrite("SELECT x::VARCHAR(10) // 2 FROM t")

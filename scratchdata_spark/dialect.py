@@ -73,6 +73,23 @@ operators ``BY NAME`` fail loudly with the exact replacement
 (DialectError); ``split``'s separator (regex on Spark) is handled
 only via the ``string_split`` alias. Divergences are documented or
 guarded, never guessed at.
+
+FALLBACK BLIND SPOTS (r11 differential probe): the rewriter only runs
+on text stock Spark REJECTS, so a construct that is VALID in both
+dialects with a different meaning executes with SPARK's meaning and
+can never be bridged here.  The probed list:
+
+* ``a ^ b`` — power in DuckDB, bitwise XOR in Spark (use ``power()``,
+  identical on both).
+* ``log(x)`` — log10 in DuckDB, natural log in Spark (``log10()`` /
+  ``ln()`` are unambiguous on both).
+* 3-argument ``regexp_replace`` — FIRST occurrence in DuckDB, ALL in
+  Spark (the DuckDB-idiomatic 4-argument ``'g'`` form IS bridged —
+  it fails Spark analysis and lands here).
+* ``date_trunc`` returns DATE for date inputs in DuckDB, always
+  TIMESTAMP in Spark (same instant, different printed type).
+* Numeric result widths: ``sign()`` DOUBLE vs BIGINT, ``list_sum``
+  DOUBLE vs HUGEINT/DECIMAL — values equal, types differ.
 """
 
 from __future__ import annotations
@@ -176,6 +193,10 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\blist_filter\s*\(", "filter(", code, flags=re.I)
     code = re.sub(r"\blist_unique\s*\(", "array_distinct(", code, flags=re.I)
     code = re.sub(r"\barray_length\s*\(", "size(", code, flags=re.I)
+    # array_to_string == array_join exactly (both skip NULL elements,
+    # probed r11); str_split_regex is Spark's regex split
+    code = re.sub(r"\barray_to_string\s*\(", "array_join(", code, flags=re.I)
+    code = re.sub(r"\bstr_split_regex\s*\(", "split(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
     # DuckDB type aliases Spark's parser rejects (saved queries cast
     # with them constantly: x::VARCHAR, y::INT8).  Bare VARCHAR only —
@@ -386,18 +407,77 @@ def _rewrite_strptime(masked: str, literals: list[str]) -> str:
 
 
 def _rewrite_date_diff(masked: str, literals: list[str]) -> str:
-    """``date_diff('day', a, b)`` → ``timestampdiff(DAY, a, b)`` on
+    """``date_diff('day', a, b)`` / ``datediff('day', a, b)`` →
+    ``date_diff_boundary('day', a, b)`` (a registered compat UDF) on
     the literal-masked text: the part-name placeholder must be the
-    call's first argument, so a literal elsewhere can never match."""
+    call's first argument, so a literal elsewhere can never match.
+
+    The old bridge emitted ``timestampdiff(DAY, a, b)`` — silently
+    WRONG for misaligned endpoints: DuckDB's date_diff counts PART
+    BOUNDARIES CROSSED (Jan 15 → Mar 1 is 2 months) while Spark's
+    timestampdiff counts COMPLETE intervals (1 month).  The compat
+    UDF truncates both sides to the part before diffing, which makes
+    the two definitions coincide (r11 differential probe catch).
+    Spark's own two-argument ``datediff(end, start)`` is valid Spark
+    and never reaches the rewriter; even if it did, a column first
+    argument cannot match the literal placeholder."""
     def repl(m):
         lit = literals[int(m.group(1))]
         part = lit[1:-1] if lit[:1] == "'" else lit
         if not re.fullmatch(r"\w+", part):
             return m.group(0)
-        return f"timestampdiff({part.upper()},"
+        return f"date_diff_boundary('{part.lower()}',"
 
     return re.sub(
-        rf"\bdate_diff\s*\(\s*{_MASK}(\d+){_MASK}\s*,", repl, masked, flags=re.I
+        rf"\b(?:date_diff|datediff)\s*\(\s*{_MASK}(\d+){_MASK}\s*,",
+        repl,
+        masked,
+        flags=re.I,
+    )
+
+
+def _rewrite_regexp_flags(masked: str, literals: list[str]) -> str:
+    """DuckDB's FOURTH regexp_replace argument is an options string
+    (``'g'`` = global); Spark's fourth is a start POSITION, so the
+    call shape fails analysis and reaches the rewriter.  A pure-'g'
+    flag simply drops — Spark's regexp_replace already replaces every
+    occurrence.  Any other flag set raises: silently dropping 'i'/'s'
+    would change match semantics, and the fix (``(?i)`` in the
+    pattern) is a one-token edit.  The THREE-argument form is a
+    fallback BLIND SPOT (valid in both dialects, FIRST occurrence in
+    DuckDB vs ALL in Spark) — see the module docstring.  A depth-0
+    comma count guards the match: a nested three-argument call
+    followed by an outer literal argument must not lose that literal
+    (``foo(regexp_replace(a, p, r), 'g')`` stays untouched)."""
+    def repl(m):
+        head = m.group(1)
+        args = head[head.index("(") + 1 :]
+        depth = commas = 0
+        for ch in args:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                commas += 1
+        if commas != 2:  # not the 4-argument options shape
+            return m.group(0)
+        lit = literals[int(m.group(2))]
+        if lit[:1] == "'" and lit[1:-1] == "g":
+            return head + ")"
+        raise DialectError(
+            f"regexp_replace options {lit} are not bridged: only 'g'"
+            " maps (Spark already replaces all occurrences); move"
+            " other options into the pattern, e.g. (?i) for"
+            " case-insensitive"
+        )
+
+    return re.sub(
+        rf"\b(regexp_replace\s*\((?:[^()]|\([^()]*\))*)"
+        rf",\s*{_MASK}(\d+){_MASK}\s*\)",
+        repl,
+        masked,
+        flags=re.I,
     )
 
 
@@ -1728,6 +1808,40 @@ COMPAT_FUNCTIONS = [
     # DuckDB's today(); now() exists natively in Spark
     "CREATE OR REPLACE TEMPORARY FUNCTION today()"
     " RETURNS DATE RETURN current_date",
+    # to_hex matches Spark's hex() (both uppercase, both 64-bit
+    # two's-complement for negatives — probed r11)
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(x BIGINT)"
+    " RETURNS STRING RETURN hex(x)",
+    # DuckDB date_diff counts PART BOUNDARIES CROSSED; truncating
+    # both endpoints to the part first makes Spark's complete-interval
+    # timestampdiff compute exactly that (the part is always a query
+    # literal, so Catalyst folds the CASE to one branch at plan time).
+    # Unknown parts (decade, century, era) raise loudly.
+    "CREATE OR REPLACE TEMPORARY FUNCTION date_diff_boundary"
+    "(p STRING, a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN"
+    " CASE lower(p)"
+    " WHEN 'year' THEN timestampdiff(YEAR, date_trunc('YEAR', a), date_trunc('YEAR', b))"
+    " WHEN 'years' THEN timestampdiff(YEAR, date_trunc('YEAR', a), date_trunc('YEAR', b))"
+    " WHEN 'quarter' THEN timestampdiff(QUARTER, date_trunc('QUARTER', a), date_trunc('QUARTER', b))"
+    " WHEN 'quarters' THEN timestampdiff(QUARTER, date_trunc('QUARTER', a), date_trunc('QUARTER', b))"
+    " WHEN 'month' THEN timestampdiff(MONTH, date_trunc('MONTH', a), date_trunc('MONTH', b))"
+    " WHEN 'months' THEN timestampdiff(MONTH, date_trunc('MONTH', a), date_trunc('MONTH', b))"
+    " WHEN 'week' THEN timestampdiff(WEEK, date_trunc('WEEK', a), date_trunc('WEEK', b))"
+    " WHEN 'weeks' THEN timestampdiff(WEEK, date_trunc('WEEK', a), date_trunc('WEEK', b))"
+    " WHEN 'day' THEN timestampdiff(DAY, date_trunc('DAY', a), date_trunc('DAY', b))"
+    " WHEN 'days' THEN timestampdiff(DAY, date_trunc('DAY', a), date_trunc('DAY', b))"
+    " WHEN 'hour' THEN timestampdiff(HOUR, date_trunc('HOUR', a), date_trunc('HOUR', b))"
+    " WHEN 'hours' THEN timestampdiff(HOUR, date_trunc('HOUR', a), date_trunc('HOUR', b))"
+    " WHEN 'minute' THEN timestampdiff(MINUTE, date_trunc('MINUTE', a), date_trunc('MINUTE', b))"
+    " WHEN 'minutes' THEN timestampdiff(MINUTE, date_trunc('MINUTE', a), date_trunc('MINUTE', b))"
+    " WHEN 'second' THEN timestampdiff(SECOND, date_trunc('SECOND', a), date_trunc('SECOND', b))"
+    " WHEN 'seconds' THEN timestampdiff(SECOND, date_trunc('SECOND', a), date_trunc('SECOND', b))"
+    " WHEN 'millisecond' THEN timestampdiff(MILLISECOND, date_trunc('MILLISECOND', a), date_trunc('MILLISECOND', b))"
+    " WHEN 'milliseconds' THEN timestampdiff(MILLISECOND, date_trunc('MILLISECOND', a), date_trunc('MILLISECOND', b))"
+    " WHEN 'microsecond' THEN timestampdiff(MICROSECOND, a, b)"
+    " WHEN 'microseconds' THEN timestampdiff(MICROSECOND, a, b)"
+    " ELSE CAST(raise_error(concat('date_diff: unsupported part ', p)) AS BIGINT)"
+    " END",
 ]
 
 
@@ -1752,6 +1866,7 @@ def rewrite(sql: str) -> str:
     masked, literals = _mask_literals(rewritten)
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
     masked = _rewrite_strptime(masked, literals)
+    masked = _rewrite_regexp_flags(masked, literals)
     masked = _rewrite_file_scans(masked, literals)
     masked = _rewrite_asof_join(masked, literals)
     masked = _rewrite_string_split(masked)

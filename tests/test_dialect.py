@@ -143,7 +143,11 @@ def test_more_list_and_date_functions():
     assert rewrite("SELECT list_unique(a)") == "SELECT array_distinct(a)"
     assert rewrite("SELECT array_length(a)") == "SELECT size(a)"
     assert rewrite("SELECT starts_with(s, 'a')") == "SELECT startswith(s, 'a')"
-    assert rewrite("SELECT date_diff('day', a, b)") == "SELECT timestampdiff(DAY, a, b)"
+    # boundary-crossing semantics ride the compat UDF (r11 catch:
+    # plain timestampdiff counts complete intervals, not boundaries)
+    assert rewrite("SELECT date_diff('day', a, b)") == (
+        "SELECT date_diff_boundary('day', a, b)"
+    )
 
 
 DUCKDB_QUERIES_2 = [
@@ -911,3 +915,40 @@ def test_r11_probe_catches(spark):
     assert int(row.h) == 12
     # parameterized VARCHAR(n) is valid Spark and stays untouched
     assert "VARCHAR(10)" in rewrite("SELECT x::VARCHAR(10) // 2 FROM t")
+
+
+def test_r11_probe_catches_wave2(spark):
+    """Second differential probe wave: boundary-crossing date_diff,
+    the datediff alias, to_hex/array_to_string/str_split_regex, and
+    the 4-argument regexp_replace 'g' form."""
+    from scratchdata_spark.dialect import register_compat_functions
+
+    register_compat_functions(spark)
+    # DuckDB date_diff counts part boundaries CROSSED, not complete
+    # intervals: Jan 15 -> Mar 1 is TWO month boundaries (the old
+    # timestampdiff bridge said 1 — silently wrong)
+    row = spark.sql(
+        rewrite(
+            "SELECT date_diff('month', DATE '2024-01-15', DATE '2024-03-01') AS m,"
+            " date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS y,"
+            " datediff('hour', TIMESTAMP '2024-01-01 00:59:00',"
+            "          TIMESTAMP '2024-01-01 01:01:00') AS h,"
+            " date_diff('day', DATE '2024-01-01', DATE '2024-01-31') AS d"
+        )
+    ).collect()[0]
+    assert (row.m, row.y, row.h, row.d) == (2, 1, 1, 30)
+    row = spark.sql(
+        rewrite(
+            "SELECT to_hex(255) AS h, array_to_string([1,2,3], '-') AS a,"
+            " str_split_regex('a1b2c', '[0-9]') AS sp,"
+            " regexp_replace('aaa', 'a', 'b', 'g') AS rr"
+        )
+    ).collect()[0]
+    assert (row.h, row.a, row.sp, row.rr) == ("FF", "1-2-3", ["a", "b", "c"], "bbb")
+    # non-'g' option sets refuse loudly with the fix named
+    with pytest.raises(DialectError, match="regexp_replace options"):
+        rewrite("SELECT regexp_replace('aAa', 'a', 'b', 'gi')")
+    # a nested 3-arg call followed by an outer literal must not lose
+    # the literal to the flag rewrite (depth-0 comma-count guard)
+    kept = rewrite("SELECT foo(regexp_replace(a, 'p', 'r'), 'g') // 2")
+    assert "'g'" in kept and "regexp_replace(a, 'p', 'r')" in kept

@@ -90,6 +90,11 @@ can never be bridged here.  The probed list:
   TIMESTAMP in Spark (same instant, different printed type).
 * Numeric result widths: ``sign()`` DOUBLE vs BIGINT, ``list_sum``
   DOUBLE vs HUGEINT/DECIMAL — values equal, types differ.
+* ``DATE - DATE`` — an integer day count in DuckDB, an INTERVAL in
+  Spark (``datediff(a, b)`` is the portable spelling).
+* ``INTERVAL + DATE`` — stays DATE in Spark for day-granularity
+  intervals, widens to TIMESTAMP in DuckDB — same instant, different
+  printed type.
 """
 
 from __future__ import annotations
@@ -430,6 +435,92 @@ def _rewrite_date_diff(masked: str, literals: list[str]) -> str:
 
     return re.sub(
         rf"\b(?:date_diff|datediff)\s*\(\s*{_MASK}(\d+){_MASK}\s*,",
+        repl,
+        masked,
+        flags=re.I,
+    )
+
+
+# a preceding token that ENDS a value expression: a literal
+# placeholder, an identifier/number, or a closing paren/bracket —
+# minus the keywords a prefix operator can legally follow (``SELECT
+# ~5``, ``WHERE ~x = y`` must keep Spark's bitwise meaning)
+_MATCH_TOK = r"(\x00\d+\x00|\w+|[)\]])"
+_NONVALUE_WORDS = frozenset(
+    "select where and or not when then else case on by in like ilike"
+    " rlike between having from join all distinct as is exists any"
+    " some union intersect except limit offset over partition"
+    " returns return".split()
+)
+
+
+def _sub_infix(masked: str, op_re: str, replacement: str) -> str:
+    def repl(m):
+        if m.group(1).lower() in _NONVALUE_WORDS:
+            return m.group(0)
+        return m.group(1) + replacement
+
+    return re.sub(_MATCH_TOK + r"\s*" + op_re + r"\s*", repl, masked)
+
+
+def _rewrite_match_operators(masked: str) -> str:
+    """The PostgreSQL-lineage pattern-match operators DuckDB accepts —
+    ``~`` (regex), ``!~``, ``~~`` (LIKE), ``!~~``, ``~~*`` (ILIKE),
+    ``!~~*`` — are all parse errors in Spark, so they reach the
+    rewriter; each maps to its exact Spark spelling.  INFIX-only: the
+    left context must be a token that ends a value expression and not
+    a keyword, so prefix bitwise ``~x`` (valid in both engines, after
+    SELECT/WHERE/operators) never matches.  The case-insensitive
+    regex pair ``~*`` / ``!~*`` has no Spark operator and refuses
+    loudly with the ``(?i)`` fix (r11 probe wave 3).
+    Longest-operator-first so ``!~~*`` never half-matches."""
+    masked = _sub_infix(masked, r"!~~\*", " NOT ILIKE ")
+    masked = _sub_infix(masked, r"~~\*", " ILIKE ")
+    masked = _sub_infix(masked, r"!~~", " NOT LIKE ")
+    masked = _sub_infix(masked, r"~~", " LIKE ")
+    for m in re.finditer(_MATCH_TOK + r"\s*!?~\*", masked):
+        if m.group(1).lower() not in _NONVALUE_WORDS:
+            raise DialectError(
+                "~* / !~* (case-insensitive regex match) are not"
+                " bridged: use RLIKE with an inline (?i) flag in the"
+                " pattern"
+            )
+    masked = _sub_infix(masked, r"!~", " NOT RLIKE ")
+    masked = _sub_infix(masked, r"~", " RLIKE ")
+    return masked
+
+
+def _rewrite_json_extract(masked: str, literals: list[str]) -> str:
+    """``json_extract_string(j, '$.path')`` (DuckDB's ``->>``
+    semantics) → ``get_json_object(j, '$.path')`` — exact for
+    ``$``-style paths.  Guarded: a non-``$`` path (DuckDB also accepts
+    bare keys and ``/``-pointer syntax) would make get_json_object
+    return NULL silently, so those refuse with the rewrite named.
+    Plain ``json_extract`` is NOT bridged — it returns the JSON
+    representation (strings keep their quotes) where get_json_object
+    unquotes scalars; a DialectError names both replacements."""
+    if re.search(r"\bjson_extract\s*\(", masked, flags=re.I):
+        raise DialectError(
+            "json_extract() is not bridged (it returns JSON text —"
+            " strings keep their quotes — where Spark's"
+            " get_json_object unquotes): use json_extract_string(j,"
+            " '$.path') for ->> semantics or get_json_object directly"
+        )
+
+    def repl(m):
+        lit = literals[int(m.group(2))]
+        if lit[:1] == "'" and lit[1:2] == "$":
+            return f"get_json_object({m.group(1)}, {_MASK}{m.group(2)}{_MASK})"
+        raise DialectError(
+            f"json_extract_string path {lit} is not bridged: only"
+            " '$'-style paths map to get_json_object (bare-key and"
+            " /pointer paths would return NULL silently) — rewrite"
+            " the path as '$.key'"
+        )
+
+    return re.sub(
+        rf"\bjson_extract_string\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)"
+        rf"\s*,\s*{_MASK}(\d+){_MASK}\s*\)",
         repl,
         masked,
         flags=re.I,
@@ -1312,7 +1403,7 @@ def _rewrite_star_replace(masked: str) -> str:
 
 
 _AGG_ORDER_RE = re.compile(
-    r"\b(array_agg|string_agg|listagg|group_concat)\s*\(", re.I
+    r"\b(array_agg|string_agg|listagg|group_concat|first|last)\s*\(", re.I
 )
 _ORDER_BY_IN_ARGS_RE = re.compile(r"\bORDER\s+BY\b", re.I)
 
@@ -1357,6 +1448,26 @@ def _rewrite_agg_order_by(masked: str) -> str:
                 f"listagg({args[0]}{sep})"
                 f" WITHIN GROUP (ORDER BY {order_clause})"
             )
+        elif fn in ("first", "last"):
+            # first(x ORDER BY k) == min_by(x, k) / last == max_by
+            # (DESC flips). Spark's min_by/max_by skip NULL keys as
+            # DuckDB's default NULLS-LAST ordering does; the one edge
+            # that differs — EVERY key NULL — returns NULL here vs an
+            # arbitrary value there. Multi-key or explicit NULLS
+            # modifiers stay as loud parse errors.
+            key, mods = _split_order_modifiers(order_clause)
+            if (
+                "," in order_clause
+                or not args
+                or len(args) != 1
+                or re.search(r"\bNULLS\b", mods, re.I)
+            ):
+                return masked
+            desc = bool(re.search(r"\bDESC\b", mods, re.I))
+            pick = ("max_by" if desc else "min_by") if fn == "first" else (
+                "min_by" if desc else "max_by"
+            )
+            repl = f"{pick}({args[0]}, {key})"
         else:  # array_agg
             key, mods = _split_order_modifiers(order_clause)
             if "," in order_clause or not args:
@@ -1867,6 +1978,8 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_regexp_flags(masked, literals)
+    masked = _rewrite_match_operators(masked)
+    masked = _rewrite_json_extract(masked, literals)
     masked = _rewrite_file_scans(masked, literals)
     masked = _rewrite_asof_join(masked, literals)
     masked = _rewrite_string_split(masked)

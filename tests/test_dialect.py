@@ -952,3 +952,51 @@ def test_r11_probe_catches_wave2(spark):
     # the literal to the flag rewrite (depth-0 comma-count guard)
     kept = rewrite("SELECT foo(regexp_replace(a, 'p', 'r'), 'g') // 2")
     assert "'g'" in kept and "regexp_replace(a, 'p', 'r')" in kept
+
+
+def test_r11_probe_catches_wave3(spark):
+    """Third probe wave: match-operator family, ordered first/last,
+    guarded json_extract_string."""
+    from scratchdata_spark.dialect import register_compat_functions
+
+    register_compat_functions(spark)
+    spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "abc", 30)],
+        "id long, g string, v long",
+    ).createOrReplaceTempView("t_w3")
+    # ~ / !~ regex match; ~~ family is LIKE/ILIKE
+    got = spark.sql(
+        rewrite("SELECT id FROM t_w3 WHERE g ~ '^a' AND v // 1 > 5 ORDER BY id")
+    ).collect()
+    assert [r.id for r in got] == [1, 3]
+    got = spark.sql(
+        rewrite("SELECT id FROM t_w3 WHERE g !~ '^a' AND 1 // 1 = 1")
+    ).collect()
+    assert [r.id for r in got] == [2]
+    assert " ILIKE " in rewrite("SELECT 'A' ~~* 'a%' // 1")
+    assert " NOT LIKE " in rewrite("SELECT g !~~ 'a%' FROM t // 1")
+    # prefix bitwise ~ never matches the infix rewrite
+    assert "~5" in rewrite("SELECT ~5 // 2")
+    with pytest.raises(DialectError, match="case-insensitive"):
+        rewrite("SELECT g ~* 'A' FROM t // 1")
+    # ordered first/last map to min_by/max_by
+    row = spark.sql(
+        rewrite(
+            "SELECT first(v ORDER BY id) AS f, last(v ORDER BY id) AS l,"
+            " first(v ORDER BY id DESC) AS fd FROM t_w3"
+        )
+    ).collect()[0]
+    assert (row.f, row.l, row.fd) == (10, 30, 30)
+    # json_extract_string bridges for $-paths, refuses others;
+    # json_extract refuses with the quoting rationale
+    row = spark.sql(
+        rewrite(
+            'SELECT json_extract_string(\'{"a": "x"}\', \'$.a\') AS j,'
+            " 3 // 2 AS d"
+        )
+    ).collect()[0]
+    assert row.j == "x" and row.d == 1
+    with pytest.raises(DialectError, match="only.*paths map"):
+        rewrite("SELECT json_extract_string(j, 'a') FROM t // 1")
+    with pytest.raises(DialectError, match="json_extract"):
+        rewrite("SELECT json_extract(j, '$.a') FROM t // 1")

@@ -170,6 +170,28 @@ def _segments(sql: str):
     return out
 
 
+def rewrite_type_aliases(code: str) -> str:
+    """DuckDB type aliases → Spark types, on CODE text (literals must
+    be masked or segmented out by the caller).  Bare VARCHAR only —
+    Spark's parameterized VARCHAR(n) is valid and stays; TEXT is NOT
+    bridged (it is a common COLUMN name — the documents table has one
+    — and text rewriting cannot tell type position from value
+    position).  HUGEINT (DuckDB's int128, what its sum(int) returns)
+    maps to the conventional DECIMAL(38,0) — 38 digits vs int128's
+    39, so the outermost slice of the range overflows loudly (ANSI
+    cast error), never silently.  Used by the dialect fallback AND
+    warehouse_dml's CREATE TABLE column-def parser."""
+    code = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", code, flags=re.I)
+    code = re.sub(r"\bINT1\b", "TINYINT", code, flags=re.I)
+    code = re.sub(r"\bINT2\b", "SMALLINT", code, flags=re.I)
+    code = re.sub(r"\bINT4\b", "INT", code, flags=re.I)
+    code = re.sub(r"\bINT8\b", "BIGINT", code, flags=re.I)
+    code = re.sub(r"\bFLOAT4\b", "FLOAT", code, flags=re.I)
+    code = re.sub(r"\bFLOAT8\b", "DOUBLE", code, flags=re.I)
+    code = re.sub(r"\bHUGEINT\b", "DECIMAL(38,0)", code, flags=re.I)
+    return code
+
+
 def _rewrite_code(code: str) -> str:
     # list_sort is refused loudly rather than aliased wrongly: a typed
     # SQL UDF signature would coerce ARRAY<INT> to ARRAY<STRING> and
@@ -204,24 +226,11 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\bstr_split_regex\s*\(", "split(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
     # DuckDB type aliases Spark's parser rejects (saved queries cast
-    # with them constantly: x::VARCHAR, y::INT8).  Bare VARCHAR only —
-    # Spark's parameterized VARCHAR(n) is valid and stays; TEXT is NOT
-    # bridged (it is a common COLUMN name — the documents table has
-    # one — and the rewriter cannot tell type position from value
-    # position in text).  Only runs on stock-Spark-rejected queries,
-    # so a valid Spark statement never crosses here (r11 probe catch).
-    code = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", code, flags=re.I)
-    code = re.sub(r"\bINT1\b", "TINYINT", code, flags=re.I)
-    code = re.sub(r"\bINT2\b", "SMALLINT", code, flags=re.I)
-    code = re.sub(r"\bINT4\b", "INT", code, flags=re.I)
-    code = re.sub(r"\bINT8\b", "BIGINT", code, flags=re.I)
-    code = re.sub(r"\bFLOAT4\b", "FLOAT", code, flags=re.I)
-    code = re.sub(r"\bFLOAT8\b", "DOUBLE", code, flags=re.I)
-    # HUGEINT (DuckDB's int128, what its sum(int) returns) maps to the
-    # conventional DECIMAL(38,0) — 38 digits vs int128's 39, so the
-    # outermost ~45% of the int128 range overflows loudly (ANSI cast
-    # error), never silently
-    code = re.sub(r"\bHUGEINT\b", "DECIMAL(38,0)", code, flags=re.I)
+    # with them constantly: x::VARCHAR, y::INT8); shared with the
+    # warehouse CREATE TABLE column-def parser (r11 probe catch).
+    # Only runs on stock-Spark-rejected queries, so a valid Spark
+    # statement never crosses here.
+    code = rewrite_type_aliases(code)
     # aggregate renames with exact Spark counterparts: list() →
     # array_agg (same unordered-bag semantics), arg_max/arg_min →
     # max_by/min_by, quantile_cont → percentile (both linearly

@@ -141,9 +141,24 @@ class DataFrameSerializers:
         raise NotImplementedError
 
     def _json_rows(self, df: DataFrame) -> Iterator[str]:
-        # toJSON serializes JVM-side per partition; toLocalIterator
-        # fetches one partition at a time to the driver.
-        return df.toJSON().toLocalIterator()
+        # to_json serializes JVM-side per partition; toLocalIterator
+        # fetches one partition at a time to the driver.  NULL fields
+        # are kept explicitly (ignoreNullFields=false): every
+        # reference backend writer emits them — DuckDB's COPY (FORMAT
+        # JSON), ClickHouse JSONEachRow, the Postgres json.Encoder —
+        # so a consumer checking ``row["v"] is None`` must see the
+        # key.  Plain df.toJSON() silently DROPS null fields (r11 DML
+        # differential probe catch; an old test had codified the
+        # drop).
+        from pyspark.sql import functions as F
+
+        cols = [F.col("`" + c.replace("`", "``") + "`") for c in df.columns]
+        out = df.select(
+            F.to_json(
+                F.struct(*cols), {"ignoreNullFields": "false"}
+            ).alias("__j")
+        )
+        return (r["__j"] for r in out.toLocalIterator())
 
     def query_json(self, query: str, out: IO[str]) -> None:
         out.write("[")

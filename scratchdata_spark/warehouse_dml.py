@@ -88,6 +88,13 @@ _DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.I | re.S,
 )
+# Postgres/DuckDB joined delete: DELETE FROM t USING src WHERE cond
+_DELETE_USING_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?\s+USING\s+"
+    rf"(\(.+?\)|{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+    rf"\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
 _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s*;?\s*$", re.I | re.S
 )
@@ -199,6 +206,7 @@ def statement_kind(query: str) -> str | None:
         ("truncate", _TRUNCATE_RE),
         ("alter_add", _ALTER_ADD_RE),
         ("alter_drop", _ALTER_DROP_RE),
+        ("delete_using", _DELETE_USING_RE),
         ("delete", _DELETE_RE),
         ("update", _UPDATE_RE),
         ("merge", _MERGE_RE),
@@ -266,6 +274,47 @@ def _split_where(dest, set_clause: str) -> tuple[str, str | None]:
     )
 
 
+def _update_from_to_merge(query: str) -> str | None:
+    """``UPDATE t SET … FROM src [WHERE cond]`` (the Postgres/DuckDB
+    joined update) rewritten as the equivalent MERGE statement —
+    returns None when the UPDATE has no depth-0 FROM (the plain form;
+    a FROM inside a scalar-subquery assignment sits at depth > 0 and
+    never splits).  Delegating to MERGE gives the joined update the
+    machinery it needs for free: both relations in scope for the SET
+    expressions, one CoW rewrite, and the SQL-standard CARDINALITY
+    GUARD — a target row matching multiple source rows raises loudly
+    where Postgres would silently pick an arbitrary one (r11 DML
+    differential probe: the old path mis-analyzed the statement
+    entirely).  Comma-separated multi-source FROM lists do not parse
+    as a MERGE USING relation and stay a loud error."""
+    from scratchdata_spark.dialect import (
+        _d0_matches,
+        _mask_literals,
+        _unmask_literals,
+    )
+
+    m = _UPDATE_RE.match(query)
+    if m is None:
+        return None
+    table, rest = m.groups()
+    masked, lits = _mask_literals(rest)
+    froms = list(_d0_matches(masked, r"\bFROM\b"))
+    if not froms:
+        return None
+    set_text = _unmask_literals(masked[: froms[0].start()], lits).strip()
+    tail = masked[froms[0].end() :]
+    wh = list(_d0_matches(tail, r"\bWHERE\b"))
+    if wh:
+        src_text = _unmask_literals(tail[: wh[-1].start()], lits).strip()
+        cond_text = _unmask_literals(tail[wh[-1].end() :], lits).strip()
+    else:
+        src_text, cond_text = _unmask_literals(tail, lits).strip(), "TRUE"
+    return (
+        f"MERGE INTO {table} USING {src_text} ON {cond_text}"
+        f" WHEN MATCHED THEN UPDATE SET {set_text}"
+    )
+
+
 # ------------------------------------------------------------ execute
 
 
@@ -273,6 +322,12 @@ def execute(dest, query: str):
     """Run a warehouse statement; returns the count DataFrame.
     Callers route here from query_df AFTER statement_kind matched."""
     kind = statement_kind(query)
+    if kind == "update":
+        mq = _update_from_to_merge(query)
+        if mq is not None:
+            query, kind = mq, "merge"
+    if kind == "delete_using":
+        return _exec_delete_using(dest, query)
     if kind == "ctas":
         return _exec_ctas(dest, query)
     if kind == "create":
@@ -314,6 +369,21 @@ def validate(dest, query: str) -> None:
     register session-scoped ``__at_*`` temp views — an idempotent
     session-catalog convenience, not a warehouse mutation.)"""
     kind = statement_kind(query)
+    if kind == "update":
+        # the joined form validates through the MERGE machinery it
+        # executes through (one parser, one set of checks)
+        mq = _update_from_to_merge(query)
+        if mq is not None:
+            query, kind = mq, "merge"
+    if kind == "delete_using":
+        table, t_alias, src, s_alias, cond = _parse_delete_using(dest, query)
+        frame = (
+            dest.table_df(table)
+            .alias(t_alias)
+            .crossJoin(src.alias(s_alias).limit(0))
+        )
+        _expr(dest, frame, cond)  # join predicate analyzed pre-200
+        return
     if kind == "ctas":
         m = _CTAS_RE.match(query)
         _check_ident(dest, m.group(3))
@@ -732,6 +802,7 @@ def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
         _mask_literals,
         _split_d0_commas,
         _unmask_literals,
+        rewrite_type_aliases,
     )
 
     masked, lits = _mask_literals(defs)
@@ -758,6 +829,12 @@ def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
                 if nm:
                     pk.append(nm.group(1).strip('`"'))
             cur = cur[: last.start()]
+        # DuckDB type aliases (bare VARCHAR, INT8, HUGEINT …) appear
+        # in saved schemas constantly — the reference's own Postgres
+        # type map emits VARCHAR; rewrite on the still-masked text so
+        # a DEFAULT literal containing 'VARCHAR' stays untouched
+        # (r11 DML differential probe catch)
+        cur = rewrite_type_aliases(cur)
         clean.append(_unmask_literals(cur.strip(), lits))
     return ", ".join(clean), pk
 
@@ -1452,6 +1529,51 @@ def _exec_delete(dest, query: str):
         ),
         file_prune_pred=pred,
     )
+    return _count_df(dest, before - after)
+
+
+def _parse_delete_using(dest, query: str):
+    """(table, t_alias, source_df, s_alias, cond_text) for the joined
+    delete — source resolution mirrors MERGE's USING (a table name or
+    a parenthesized query)."""
+    m = _DELETE_USING_RE.match(query)
+    table, t_alias, using, s_alias, cond = m.groups()
+    _require_table(dest, table)
+    if using.startswith("("):
+        src = _source_df(dest, using[1:-1])
+        if s_alias is None:
+            raise ValueError("DELETE USING: a subquery source needs an alias")
+    else:
+        src = _source_df(dest, f"SELECT * FROM {using}")
+        s_alias = s_alias or using
+    t_alias = t_alias or table
+    if t_alias == s_alias:
+        raise ValueError("DELETE USING: target and source aliases collide")
+    return table, t_alias, src, s_alias, cond
+
+
+def _exec_delete_using(dest, query: str):
+    """``DELETE FROM t USING src WHERE cond`` (Postgres/DuckDB joined
+    delete): target rows with AT LEAST ONE source row satisfying the
+    predicate are removed — a LEFT ANTI join inside the same CoW
+    rewrite plain DELETE uses.  Multiple source matches are harmless
+    for deletion (the row is gone either way), so no cardinality
+    guard applies, unlike UPDATE … FROM.  No partition/footer pruning:
+    the predicate spans two relations, so the rewrite is whole-table
+    (the same documented contract as MERGE)."""
+    table, t_alias, src, s_alias, cond = _parse_delete_using(dest, query)
+    tdf = dest.table_df(table).alias(t_alias)
+    sdf = src.alias(s_alias)
+    pred = _expr(dest, tdf.crossJoin(sdf.limit(0)), cond)
+
+    def transform(rows, info):
+        return (
+            rows.alias(t_alias)
+            .join(sdf, pred, "left_anti")
+            .select(*[F.col(f.name) for f in info.struct().fields])
+        )
+
+    before, after, _ = _cow_rewrite(dest, table, transform)
     return _count_df(dest, before - after)
 
 

@@ -75,7 +75,7 @@ def test_create_from_defs_and_positional_insert(dest):
     assert run(dest, "insert into t4 values (1, 'x')") == [{"count": 1}]
     assert run(dest, "insert into t4 (b) select 'only-b'") == [{"count": 1}]
     rows = run(dest, "select a, b from t4 order by b")
-    assert rows == [{"b": "only-b"}, {"a": 1, "b": "x"}]
+    assert rows == [{"a": None, "b": "only-b"}, {"a": 1, "b": "x"}]
     with pytest.raises(Exception, match="arity"):
         run(dest, "insert into t4 values (1, 'x', 99)")
 
@@ -1245,7 +1245,7 @@ def test_copy_from_round_trip(dest, tmp_path):
     run(dest, f"COPY t2 FROM '{partial}'")
     assert run(
         dest, "SELECT v FROM t2 WHERE g = 'only'"
-    ) == [{}]  # NULL v: toJSON drops null keys
+    ) == [{"v": None}]  # NULL v explicit (r11: reference writers emit it)
 
     # validation: missing file fails before execution
     from scratchdata_spark import warehouse_dml as W
@@ -1361,3 +1361,69 @@ def test_merge_literal_containing_when_matched(dest):
     assert run(dest, "select note from ml") == [
         {"note": "WHEN NOT MATCHED escalate"}
     ]
+
+
+def test_update_from_joined(dest):
+    """UPDATE … FROM (Postgres/DuckDB joined update) delegates to the
+    MERGE machinery: source columns in SET scope, one CoW rewrite,
+    and the cardinality guard raising on multi-match instead of an
+    arbitrary pick (r11 DML differential probe catch)."""
+    run(dest, "CREATE TABLE uf (k INT, v INT)")
+    run(dest, "CREATE TABLE ufs (k INT, nv INT)")
+    run(dest, "INSERT INTO uf VALUES (1, 10), (2, 20)")
+    run(dest, "INSERT INTO ufs VALUES (1, 100)")
+    assert run(dest, "UPDATE uf SET v = ufs.nv FROM ufs WHERE uf.k = ufs.k") == [
+        {"count": 1}
+    ]
+    assert run(dest, "SELECT k, v FROM uf ORDER BY k") == [
+        {"k": 1, "v": 100},
+        {"k": 2, "v": 20},
+    ]
+    # a second source row for the same key trips the cardinality rule
+    run(dest, "INSERT INTO ufs VALUES (1, 200)")
+    with pytest.raises(Exception, match="matched multiple"):
+        run(dest, "UPDATE uf SET v = ufs.nv FROM ufs WHERE uf.k = ufs.k")
+    # a FROM inside a scalar-subquery assignment is NOT the joined
+    # form — the plain UPDATE path still handles it
+    run(dest, "UPDATE uf SET v = (SELECT max(nv) FROM ufs) WHERE k = 2")
+    assert run(dest, "SELECT v FROM uf WHERE k = 2") == [{"v": 200}]
+
+
+def test_delete_using_joined(dest):
+    """DELETE … USING removes target rows with at least one matching
+    source row (left-anti CoW rewrite; multi-matches are harmless so
+    no cardinality guard — unlike UPDATE … FROM)."""
+    run(dest, "CREATE TABLE du (k INT)")
+    run(dest, "CREATE TABLE dus (k INT)")
+    run(dest, "INSERT INTO du VALUES (1), (2), (3)")
+    run(dest, "INSERT INTO dus VALUES (2), (2)")  # duplicate matches OK
+    assert run(dest, "DELETE FROM du USING dus WHERE du.k = dus.k") == [
+        {"count": 1}
+    ]
+    assert run(dest, "SELECT k FROM du ORDER BY k") == [{"k": 1}, {"k": 3}]
+    # subquery source needs an alias; aliased form works
+    assert run(
+        dest,
+        "DELETE FROM du USING (SELECT 1 AS kk) s WHERE du.k = s.kk",
+    ) == [{"count": 1}]
+    assert run(dest, "SELECT k FROM du") == [{"k": 3}]
+    with pytest.raises(Exception, match="alias"):
+        run(dest, "DELETE FROM du USING (SELECT 3 AS kk) WHERE du.k = kk")
+
+
+def test_create_table_duckdb_type_aliases(dest):
+    """Saved DuckDB schemas use bare VARCHAR / INTn / HUGEINT type
+    names; the column-def parser bridges them (the reference's own
+    Postgres type map emits VARCHAR)."""
+    run(
+        dest,
+        "CREATE TABLE ta (a VARCHAR, b INT8, c INT2, d FLOAT8, e HUGEINT)",
+    )
+    cols = {c["name"]: c["type"] for c in dest.columns("ta")}
+    assert cols["a"] == "string" and cols["b"] == "bigint"
+    # integral widths widen to the bigint storage type — the same
+    # documented jsontype widening every CREATE/CTAS column gets
+    assert cols["c"] == "bigint" and cols["d"] == "double"
+    assert cols["e"].startswith("decimal(38")
+    run(dest, "INSERT INTO ta VALUES ('x', 1, 2, 1.5, 99)")
+    assert run(dest, "SELECT a, b FROM ta") == [{"a": "x", "b": 1}]

@@ -80,7 +80,9 @@ def test_serialization_formats(dest):
     nd = io.StringIO()
     dest.query_ndjson("select a, b from s order by a", nd)
     lines = [json.loads(l) for l in nd.getvalue().strip().split("\n")]
-    assert lines == [{"a": 1, "b": "x"}, {"a": 2}]  # Spark toJSON drops nulls
+    # NULL fields are present and explicit — every reference backend
+    # writer emits them (r11 catch: plain toJSON dropped the key)
+    assert lines == [{"a": 1, "b": "x"}, {"a": 2, "b": None}]
 
     csv_buf = io.StringIO()
     dest.query_csv("select a, b from s order by a", csv_buf)

@@ -105,7 +105,7 @@ def test_insert_query_roundtrip_and_evolution(app):
     )
     rows = json.loads(body)
     assert [r.get("n") for r in rows] == [None, 1.0, 2.5]
-    assert rows[2]["flag"] is True and "msg" not in rows[2]
+    assert rows[2]["flag"] is True and rows[2]["msg"] is None
 
     # ndjson + csv formats
     code, body = _req(

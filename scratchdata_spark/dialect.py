@@ -472,16 +472,50 @@ def _sub_infix(masked: str, op_re: str, replacement: str) -> str:
     return re.sub(_MATCH_TOK + r"\s*" + op_re + r"\s*", repl, masked)
 
 
-def _rewrite_match_operators(masked: str) -> str:
+def _sub_regex_full(
+    masked: str, literals: list[str], op_re: str, keyword: str
+) -> str:
+    """``expr ~ '<pat>'`` / ``expr !~ '<pat>'`` with a LITERAL
+    pattern: DuckDB's ``~`` is SIMILAR TO — a FULL match
+    (regexp_full_match; ``'alpha' ~ 'a'`` is FALSE) — where Spark's
+    RLIKE finds the pattern ANYWHERE, so the literal is anchored as
+    ``'^(?:pat)$'`` before it rides RLIKE (r11 differential battery
+    catch: the unanchored bridge was Postgres semantics, not
+    DuckDB's).  The anchored literal is APPENDED to the mask table —
+    prepending/appending plain characters keeps any doubled quotes
+    inside intact."""
+    pattern = re.compile(
+        _MATCH_TOK + r"\s*" + op_re + rf"\s*{_MASK}(\d+){_MASK}"
+    )
+
+    def repl(m):
+        if m.group(1).lower() in _NONVALUE_WORDS:
+            return m.group(0)
+        lit = literals[int(m.group(2))]
+        if lit[:1] != "'":
+            return m.group(0)  # quoted identifier — leave loud below
+        literals.append("'^(?:" + lit[1:-1] + ")$'")
+        return (
+            f"{m.group(1)}{keyword}{_MASK}{len(literals) - 1}{_MASK}"
+        )
+
+    return pattern.sub(repl, masked)
+
+
+def _rewrite_match_operators(masked: str, literals: list[str]) -> str:
     """The PostgreSQL-lineage pattern-match operators DuckDB accepts —
-    ``~`` (regex), ``!~``, ``~~`` (LIKE), ``!~~``, ``~~*`` (ILIKE),
-    ``!~~*`` — are all parse errors in Spark, so they reach the
-    rewriter; each maps to its exact Spark spelling.  INFIX-only: the
-    left context must be a token that ends a value expression and not
-    a keyword, so prefix bitwise ``~x`` (valid in both engines, after
-    SELECT/WHERE/operators) never matches.  The case-insensitive
-    regex pair ``~*`` / ``!~*`` has no Spark operator and refuses
-    loudly with the ``(?i)`` fix (r11 probe wave 3).
+    ``~`` (FULL regex match, = SIMILAR TO), ``!~``, ``~~`` (LIKE),
+    ``!~~``, ``~~*`` (ILIKE), ``!~~*`` — are all parse errors in
+    Spark, so they reach the rewriter.  The LIKE family maps by
+    operator alone (LIKE/ILIKE are full-match on both engines); the
+    regex pair additionally ANCHORS its literal pattern because
+    Spark's RLIKE is a partial match (see _sub_regex_full).  A
+    non-literal regex pattern refuses loudly naming the
+    regexp_full_match compat function.  INFIX-only: the left context
+    must be a token that ends a value expression and not a keyword,
+    so prefix bitwise ``~x`` (valid in both engines) never matches.
+    The case-insensitive pair ``~*`` / ``!~*`` has no Spark operator
+    and refuses with the ``(?i)`` fix (r11 probe wave 3).
     Longest-operator-first so ``!~~*`` never half-matches."""
     masked = _sub_infix(masked, r"!~~\*", " NOT ILIKE ")
     masked = _sub_infix(masked, r"~~\*", " ILIKE ")
@@ -494,8 +528,16 @@ def _rewrite_match_operators(masked: str) -> str:
                 " bridged: use RLIKE with an inline (?i) flag in the"
                 " pattern"
             )
-    masked = _sub_infix(masked, r"!~", " NOT RLIKE ")
-    masked = _sub_infix(masked, r"~", " RLIKE ")
+    masked = _sub_regex_full(masked, literals, r"!~", " NOT RLIKE ")
+    masked = _sub_regex_full(masked, literals, r"~", " RLIKE ")
+    for m in re.finditer(_MATCH_TOK + r"\s*!?~(?![~*\x00])", masked):
+        if m.group(1).lower() not in _NONVALUE_WORDS:
+            raise DialectError(
+                "~ / !~ with a non-literal pattern are not bridged"
+                " (DuckDB's ~ is a FULL regex match): call"
+                " regexp_full_match(s, p) — registered as a compat"
+                " function — instead"
+            )
     return masked
 
 
@@ -1932,6 +1974,11 @@ COMPAT_FUNCTIONS = [
     # two's-complement for negatives — probed r11)
     "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(x BIGINT)"
     " RETURNS STRING RETURN hex(x)",
+    # DuckDB's regexp_full_match (also what its ~ / SIMILAR TO mean):
+    # anchor the pattern because Spark's RLIKE is a PARTIAL match
+    "CREATE OR REPLACE TEMPORARY FUNCTION regexp_full_match"
+    "(s STRING, p STRING) RETURNS BOOLEAN"
+    " RETURN s RLIKE concat('^(?:', p, ')$')",
     # DuckDB date_diff counts PART BOUNDARIES CROSSED; truncating
     # both endpoints to the part first makes Spark's complete-interval
     # timestampdiff compute exactly that (the part is always a query
@@ -1987,7 +2034,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_regexp_flags(masked, literals)
-    masked = _rewrite_match_operators(masked)
+    masked = _rewrite_match_operators(masked, literals)
     masked = _rewrite_json_extract(masked, literals)
     masked = _rewrite_file_scans(masked, literals)
     masked = _rewrite_asof_join(masked, literals)

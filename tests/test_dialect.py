@@ -964,15 +964,32 @@ def test_r11_probe_catches_wave3(spark):
         [(1, "alpha", 10), (2, "beta", 20), (3, "abc", 30)],
         "id long, g string, v long",
     ).createOrReplaceTempView("t_w3")
-    # ~ / !~ regex match; ~~ family is LIKE/ILIKE
+    # ~ / !~ are DuckDB's FULL regex match (SIMILAR TO) — the literal
+    # pattern anchors, so 'a' alone matches nothing and 'a.*' matches
+    # whole strings only; ~~ family is LIKE/ILIKE
     got = spark.sql(
-        rewrite("SELECT id FROM t_w3 WHERE g ~ '^a' AND v // 1 > 5 ORDER BY id")
+        rewrite("SELECT id FROM t_w3 WHERE g ~ 'a.*' AND v // 1 > 5 ORDER BY id")
     ).collect()
     assert [r.id for r in got] == [1, 3]
     got = spark.sql(
-        rewrite("SELECT id FROM t_w3 WHERE g !~ '^a' AND 1 // 1 = 1")
+        rewrite("SELECT id FROM t_w3 WHERE g ~ 'a' AND v // 1 > 5")
+    ).collect()
+    assert got == []  # full match: 'a' != 'alpha'
+    got = spark.sql(
+        rewrite("SELECT id FROM t_w3 WHERE g !~ 'a.*' AND 1 // 1 = 1")
     ).collect()
     assert [r.id for r in got] == [2]
+    # non-literal regex pattern refuses with the compat function named
+    with pytest.raises(DialectError, match="regexp_full_match"):
+        rewrite("SELECT id FROM t_w3 WHERE g ~ other_col AND 1 // 1 = 1")
+    # the compat function itself is registered and full-matches
+    row = spark.sql(
+        rewrite(
+            "SELECT regexp_full_match('alpha', 'a.*') AS full,"
+            " regexp_full_match('alpha', 'a') AS partial, 1 // 1 AS d"
+        )
+    ).collect()[0]
+    assert row.full is True and row.partial is False
     assert " ILIKE " in rewrite("SELECT 'A' ~~* 'a%' // 1")
     assert " NOT LIKE " in rewrite("SELECT g !~~ 'a%' FROM t // 1")
     # prefix bitwise ~ never matches the infix rewrite

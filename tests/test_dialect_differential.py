@@ -1,0 +1,154 @@
+"""Standing differential battery: the same DuckDB-dialect query text
+runs on BOTH engines (DuckDB directly, Spark through the dialect
+fallback) and must agree value-for-value.  This is the r11 probe
+harness made permanent — three ad-hoc waves of it found eight real
+divergences (list_sum NULL semantics, strftime literal quoting,
+date_diff boundary counting among them), so the corpus that passed
+stays pinned here and every future dialect change re-proves it.
+
+Cases that are KNOWN blind spots (valid in both dialects with
+different meanings — ^, log, 3-arg regexp_replace, DATE-DATE …) are
+deliberately absent: they execute with Spark's meaning by design and
+are documented in dialect.py's module docstring instead.
+
+Comparison is stringified-and-sorted, which also pins the VALUE-level
+agreement for floats (engine-specific result WIDTHS like DuckDB's
+HUGEINT sums are documented divergences and excluded)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from scratchdata_spark.dialect import register_compat_functions, rewrite
+
+# one tiny shared relation both engines hold
+_ROWS = [(1, "alpha", 10, [1, 2, 3]), (2, "beta", 20, [4, 5]),
+         (3, "abc", 30, [6])]
+
+CASES = [
+    # arithmetic / division
+    "SELECT -7 // 2 AS q",
+    "SELECT 7 // 2 AS q, 9 // 4 AS r",
+    "SELECT id // 2 AS h FROM t ORDER BY id",
+    "SELECT 10 // 4 + 1 AS x",
+    "SELECT 7 / 2 AS d",
+    "SELECT -7 % 3 AS m",
+    "SELECT round(2.5) AS r1, round(-2.5) AS r2, round(2.345, 2) AS r3",
+    "SELECT abs(-2.5) AS a, floor(-1.5) AS f, ceil(-1.5) AS c",
+    "SELECT power(2, 10) AS p",
+    "SELECT bit_count(7) AS b",
+    "SELECT pi() AS p",
+    # strings
+    "SELECT substr('abcdef', -2) AS neg, substr('abcdef', 2, 3) AS mid",
+    "SELECT left('abcdef', 2) AS l, right('abcdef', 2) AS r",
+    "SELECT repeat('ab', 3) AS r",
+    "SELECT lpad('5', 3, '0') AS l, rpad('5', 3, '0') AS r",
+    "SELECT reverse('abc') AS r",
+    "SELECT contains('hello', 'ell') AS c",
+    "SELECT instr('hello', 'l') AS i",
+    "SELECT split_part('a,b,c', ',', 2) AS p",
+    "SELECT printf('%d-%s', 7, 'x') AS p",
+    "SELECT concat_ws('-', 'a', NULL, 'b') AS s",
+    "SELECT 'Hello' ILIKE 'h%' AS m",
+    "SELECT length(NULL) AS n",
+    "SELECT 'a' || 'b' || NULL AS s",
+    "SELECT position('b' IN 'abc') AS p",
+    "SELECT starts_with(g, 'a') AS sw, count(*)::BIGINT AS n"
+    " FROM t GROUP BY ALL ORDER BY sw",
+    "SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r",
+    "SELECT regexp_extract('a123b', '([0-9]+)', 1) AS e",
+    "SELECT str_split_regex('a1b2c', '[0-9]') AS p",
+    "SELECT to_hex(255) AS h, to_hex(-1) AS neg",
+    "SELECT id FROM t WHERE g ~ '^a' ORDER BY id",
+    "SELECT id FROM t WHERE g !~ '^a' ORDER BY id",
+    # lists / structs
+    "SELECT list_contains([1,2], 2) AS c",
+    "SELECT arr[-1] AS last, arr[1] AS first FROM t ORDER BY first",
+    "SELECT [id, id*2] AS l FROM t ORDER BY id",
+    "SELECT list_transform(arr, y -> y + 1) AS l FROM t ORDER BY id",
+    "SELECT list_filter(arr, y -> y > 1) AS l FROM t ORDER BY id",
+    "SELECT array_length(arr) AS n FROM t ORDER BY n",
+    "SELECT flatten([[1,2],[3]]) AS f",
+    "SELECT array_to_string([1,2,3], '-') AS s",
+    "SELECT list_sum(list_transform(arr, y -> y * 1.0)) AS s"
+    " FROM t ORDER BY s",
+    "SELECT list_sum([1.0, NULL, 2.0]) AS withnull, list_sum([]) AS empty",
+    "SELECT x.a AS a FROM (SELECT {'a': 1} AS x)",
+    "SELECT unnest(arr) AS e FROM t WHERE id = 1 ORDER BY e",
+    # aggregates / windows
+    "SELECT arg_max(id, id) AS am, arg_min(g, id) AS an FROM t",
+    "SELECT quantile_cont(id, 0.5) AS med FROM t",
+    "SELECT median(id) AS m FROM t",
+    "SELECT g, list(id ORDER BY id DESC) AS ids FROM t GROUP BY g ORDER BY g",
+    "SELECT group_concat(g, '|' ORDER BY g) AS gc FROM t",
+    "SELECT string_agg(g, ',' ORDER BY g) AS sa FROM t",
+    "SELECT first(v ORDER BY id) AS f, last(v ORDER BY id) AS l FROM t",
+    "SELECT bool_and(v > 5) AS ba, bool_or(v > 25) AS bo FROM t",
+    "SELECT bit_and(v) AS b1, bit_or(v) AS b2, bit_xor(v) AS b3 FROM t",
+    "SELECT corr(id, v) AS c, stddev_samp(v) AS sd FROM t",
+    "SELECT count(*) FILTER (WHERE v > 10) AS n FROM t",
+    "SELECT g, sum(v) AS s FROM t GROUP BY g HAVING sum(v) > 15 ORDER BY g",
+    "SELECT id, sum(v) OVER w AS s FROM t WINDOW w AS (ORDER BY id)"
+    " ORDER BY id",
+    "SELECT lag(v, 1, 0) OVER (ORDER BY id) AS l FROM t ORDER BY id",
+    "SELECT percent_rank() OVER (ORDER BY v) AS p FROM t ORDER BY p",
+    "SELECT grouping(g) AS gr, g, sum(v) AS s FROM t GROUP BY ROLLUP(g)"
+    " ORDER BY gr, g",
+    "SELECT v, ntile(2) OVER (ORDER BY v) AS nt FROM t ORDER BY v",
+    "SELECT id, row_number() OVER (ORDER BY id) AS rn FROM t QUALIFY rn <= 2",
+    "SELECT max(v) - min(v) AS spread FROM t",
+    "SELECT sum(v)::DOUBLE / count(*) AS avg FROM t",
+    "SELECT any_value(g) AS av FROM (SELECT * FROM t WHERE g = 'beta') q",
+    # dates / times
+    "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09',"
+    " '%Y-%m-%dT%H:%M:%S') AS f",
+    "SELECT try_strptime('2024-01-02', '%Y-%m-%d') AS ts",
+    "SELECT date_part('year', DATE '2024-03-05') AS y",
+    "SELECT last_day(DATE '2024-02-05') AS ld",
+    "SELECT DATE '2024-01-01' + 5 AS d",
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 3 HOUR AS ts",
+    "SELECT date_diff('month', DATE '2024-01-15', DATE '2024-03-01') AS m",
+    "SELECT date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS y",
+    "SELECT datediff('hour', TIMESTAMP '2024-01-01 00:59:00',"
+    " TIMESTAMP '2024-01-01 01:01:00') AS h",
+    "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-01-31') AS d",
+    # misc
+    "SELECT try_cast('xx' AS INT) AS c",
+    "SELECT nullif(3, 3) AS n, ifnull(NULL, 7) AS i",
+    "SELECT coalesce(NULL, NULL, 3) AS c",
+    "SELECT id FROM t WHERE v BETWEEN 15 AND 25",
+    "SELECT CASE WHEN v > 15 THEN 'hi' ELSE 'lo' END AS c FROM t ORDER BY id",
+    "SELECT x FROM range(3) r(x) ORDER BY x",
+    "SELECT a, b FROM (VALUES (1, 'x'), (2, 'y')) v(a, b) ORDER BY a",
+    "SELECT v FROM t ORDER BY g NULLS LAST, v LIMIT 2",
+    "SELECT json_extract_string('{\"a\": \"x\"}', '$.a') AS j",
+    "SELECT CAST(5 AS VARCHAR) AS s, 3::INT8 AS i8, 1.5::FLOAT8 AS f8",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    register_compat_functions(spark)
+    spark.createDataFrame(
+        _ROWS, "id long, g string, v long, arr array<long>"
+    ).createOrReplaceTempView("t")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES"
+        " (1,'alpha',10,[1,2,3]),(2,'beta',20,[4,5]),(3,'abc',30,[6]))"
+        " v(id,g,v,arr)"
+    )
+    return spark, con
+
+
+def _norm(rows):
+    return sorted(tuple(str(c) for c in r) for r in rows)
+
+
+@pytest.mark.parametrize("sql", CASES, ids=lambda s: s[:48])
+def test_same_text_both_engines(engines, sql):
+    spark, con = engines
+    expect = _norm(con.execute(sql).fetchall())
+    got = _norm([tuple(r) for r in spark.sql(rewrite(sql)).collect()])
+    assert got == expect, f"{sql}\n spark={got}\n duck={expect}"

@@ -12,10 +12,12 @@ unchanged:
   UDFs — inlined JVM expressions, NOT Python UDFs): ``epoch_us``,
   ``epoch_ms``, ``epoch``, ``string_split`` (literal separator, via
   ``\\Q..\\E`` regex quoting), ``regexp_matches``, ``list_sum``.
-  ``list_sort`` is deliberately NOT aliased (a typed SQL UDF would
-  coerce numeric arrays to strings and sort lexicographically);
-  calls to it raise :class:`DialectError` pointing at
-  ``sort_array()``, which matches DuckDB for every element type.
+  ``list_sort`` and friends are NOT typed-UDF aliases (a typed SQL
+  UDF would coerce numeric arrays to strings and sort
+  lexicographically); they bridge as TEXT rewrites instead — the
+  wrapped-call pass (``_WRAPPED_CALLS``) emits ``array_sort`` /
+  ``sort_array(x, false)`` / NULL-filtered counts with DuckDB's
+  probed NULL semantics intact.
 * **Token rewrites** applied outside string literals and comments:
   ``* EXCLUDE (...)`` → ``* EXCEPT (...)``, ``//`` → ``DIV``,
   ``list_value(`` → ``array(``, ``list_contains(`` →
@@ -95,6 +97,16 @@ can never be bridged here.  The probed list:
 * ``INTERVAL + DATE`` — stays DATE in Spark for day-granularity
   intervals, widens to TIMESTAMP in DuckDB — same instant, different
   printed type.
+* ``hash(x)`` — different hash functions entirely (use md5/sha2 for
+  portable digests).
+* ``dayofweek`` — Sunday=0 in DuckDB, Sunday=1 in Spark (the
+  ``isodow`` compat function is identical on both).
+* ``dayname`` / ``monthname`` — full names in DuckDB, 3-letter
+  abbreviations in Spark.
+* ``to_timestamp(secs)`` — TIMESTAMP WITH TIME ZONE in DuckDB, plain
+  TIMESTAMP in Spark — same instant, different printed type.
+* ``element_at(map, k)`` — the value in Spark, a single-element LIST
+  in DuckDB.
 """
 
 from __future__ import annotations
@@ -193,17 +205,6 @@ def rewrite_type_aliases(code: str) -> str:
 
 
 def _rewrite_code(code: str) -> str:
-    # list_sort is refused loudly rather than aliased wrongly: a typed
-    # SQL UDF signature would coerce ARRAY<INT> to ARRAY<STRING> and
-    # sort lexicographically — silently wrong. sort_array() matches
-    # DuckDB's list_sort for every element type.
-    if re.search(r"\blist_sort\s*\(", code, flags=re.I):
-        raise DialectError(
-            "list_sort() is not bridged: replace it with sort_array(arr)"
-            " (or sort_array(arr, false) for descending) — Spark's"
-            " sort_array matches DuckDB's list_sort ordering for every"
-            " element type, which no typed UDF alias can."
-        )
     # * EXCLUDE (a, b) → * EXCEPT (a, b)   (DuckDB keyword for Spark's)
     code = re.sub(r"(\*\s*)EXCLUDE(\s*\()", r"\1EXCEPT\2", code, flags=re.I)
     # integer division: a // b → a DIV b. Exact for integer operands
@@ -218,12 +219,40 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\blist_has_any\s*\(", "arrays_overlap(", code, flags=re.I)
     code = re.sub(r"\blist_transform\s*\(", "transform(", code, flags=re.I)
     code = re.sub(r"\blist_filter\s*\(", "filter(", code, flags=re.I)
-    code = re.sub(r"\blist_unique\s*\(", "array_distinct(", code, flags=re.I)
+    # (list_unique moved to the WRAPPED-call pass: it is a COUNT of
+    # distinct non-null elements in DuckDB, not a distinct list — the
+    # old array_distinct alias was silently wrong, r11 wave-5 catch)
     code = re.sub(r"\barray_length\s*\(", "size(", code, flags=re.I)
     # array_to_string == array_join exactly (both skip NULL elements,
     # probed r11); str_split_regex is Spark's regex split
     code = re.sub(r"\barray_to_string\s*\(", "array_join(", code, flags=re.I)
     code = re.sub(r"\bstr_split_regex\s*\(", "split(", code, flags=re.I)
+    # r11 wave-5 direct aliases (each probed for NULL/empty/miss
+    # parity): Spark's array_* twins agree with the DuckDB list_*
+    # forms — array_position is 1-based with 0 on a miss on BOTH,
+    # array_max/min ignore NULL elements and return NULL on empty on
+    # BOTH, element_at is 1-based negative-from-end on BOTH
+    code = re.sub(r"\blist_append\s*\(", "array_append(", code, flags=re.I)
+    # (list_prepend is in the WRAPPED-call pass: DuckDB's argument
+    # order is (element, list), Spark's array_prepend is (list,
+    # element) — a plain alias would swap meanings)
+    code = re.sub(r"\blist_concat\s*\(", "concat(", code, flags=re.I)
+    code = re.sub(r"\blist_position\s*\(", "array_position(", code, flags=re.I)
+    code = re.sub(r"\blist_indexof\s*\(", "array_position(", code, flags=re.I)
+    code = re.sub(r"\blist_reverse\s*\(", "reverse(", code, flags=re.I)
+    code = re.sub(r"\barray_reverse\s*\(", "reverse(", code, flags=re.I)
+    code = re.sub(r"\blist_extract\s*\(", "element_at(", code, flags=re.I)
+    code = re.sub(r"\barray_extract\s*\(", "element_at(", code, flags=re.I)
+    code = re.sub(r"\blist_max\s*\(", "array_max(", code, flags=re.I)
+    code = re.sub(r"\blist_min\s*\(", "array_min(", code, flags=re.I)
+    code = re.sub(r"\bstrlen\s*\(", "length(", code, flags=re.I)
+    # ord/unicode return the first character's CODEPOINT in DuckDB;
+    # Spark's ascii does exactly that (probed with U+20AC)
+    code = re.sub(r"\bord\s*\(", "ascii(", code, flags=re.I)
+    code = re.sub(r"\bunicode\s*\(", "ascii(", code, flags=re.I)
+    # both week() and weekofyear() are ISO weeks (probed at year
+    # boundaries); the \s*\( keeps EXTRACT(WEEK FROM …) untouched
+    code = re.sub(r"\bweek\s*\(", "weekofyear(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
     # DuckDB type aliases Spark's parser rejects (saved queries cast
     # with them constantly: x::VARCHAR, y::INT8); shared with the
@@ -538,6 +567,78 @@ def _rewrite_match_operators(masked: str, literals: list[str]) -> str:
                 " regexp_full_match(s, p) — registered as a compat"
                 " function — instead"
             )
+    return masked
+
+
+# Single-argument DuckDB list functions whose exact Spark form wraps
+# the argument in an expression (a typed SQL UDF would coerce the
+# array's element type — the list_sort lesson — so the bridge happens
+# in TEXT, duplicating {X} where the NULL-containment CASE needs it).
+# Every template was probed against DuckDB for NULL-element,
+# empty-list and NULL-list behavior (r11 wave 5):
+#   list_unique  — COUNT of distinct non-null elements (the old
+#                  array_distinct alias returned a LIST: silently
+#                  wrong shape AND value)
+#   list_count   — count of non-null elements
+#   list_distinct— distinct list with NULLs REMOVED (Spark's
+#                  array_distinct keeps one NULL)
+#   list_sort    — ascending, NULLs LAST = Spark array_sort (the old
+#                  DialectError recommended sort_array, which puts
+#                  NULLs FIRST ascending — wrong advice, now a real
+#                  bridge)
+#   list_reverse_sort — descending NULLs last = sort_array(x, false)
+#   list_any_value — first NON-NULL element, NULL when none
+_WRAPPED_CALLS = [
+    (
+        "list_unique",
+        "(CASE WHEN ({X}) IS NULL THEN CAST(NULL AS BIGINT) ELSE"
+        " size(array_distinct(filter(({X}), _lu -> _lu IS NOT NULL)))"
+        " END)",
+    ),
+    (
+        "list_count",
+        "(CASE WHEN ({X}) IS NULL THEN CAST(NULL AS BIGINT) ELSE"
+        " size(filter(({X}), _lc -> _lc IS NOT NULL)) END)",
+    ),
+    (
+        "list_distinct",
+        "array_distinct(filter(({X}), _ld -> _ld IS NOT NULL))",
+    ),
+    ("list_sort", "array_sort(({X}))"),
+    ("list_reverse_sort", "sort_array(({X}), false)"),
+    ("list_any_value", "try_element_at(filter(({X}), _la -> _la IS NOT NULL), 1)"),
+    # two-argument swap: DuckDB list_prepend(elem, list) vs Spark
+    # array_prepend(list, elem)
+    ("list_prepend", "array_prepend(({Y}), ({X}))"),
+]
+
+
+def _rewrite_wrapped_calls(masked: str) -> str:
+    """Apply :data:`_WRAPPED_CALLS` with balanced-paren argument
+    extraction.  The template's placeholder count ({X}, or {X} + {Y})
+    fixes the expected arity; a call with a different argument count
+    (e.g. ``list_sort(l, 'DESC')``) is left in place as a loud
+    analysis error rather than half-bridged."""
+    for fname, tpl in _WRAPPED_CALLS:
+        argc = 2 if "{Y}" in tpl else 1
+        pat = re.compile(rf"\b{fname}\s*\(", re.I)
+        pos = 0
+        while True:
+            m = pat.search(masked, pos)
+            if m is None:
+                break
+            open_idx = masked.index("(", m.end() - 1)
+            close = _match_paren(masked, open_idx)
+            inner = masked[open_idx + 1 : close - 1] if close != -1 else ""
+            args = _split_d0_commas(inner) if close != -1 else []
+            if close == -1 or len(args) != argc:
+                pos = m.end()  # unmodeled form: skip it, keep scanning
+                continue
+            repl = tpl.replace("{X}", args[0].strip())
+            if argc == 2:
+                repl = repl.replace("{Y}", args[1].strip())
+            masked = masked[: m.start()] + repl + masked[close:]
+            pos = m.start()  # rescan: the argument may hold another call
     return masked
 
 
@@ -1979,6 +2080,19 @@ COMPAT_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION regexp_full_match"
     "(s STRING, p STRING) RETURNS BOOLEAN"
     " RETURN s RLIKE concat('^(?:', p, ')$')",
+    # r11 wave-5 additions, each value-probed against DuckDB
+    "CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING)"
+    " RETURNS STRING RETURN sha2(s, 256)",
+    # Spark's ^ IS bitwise xor — DuckDB spells it as a function too
+    "CREATE OR REPLACE TEMPORARY FUNCTION xor(a BIGINT, b BIGINT)"
+    " RETURNS BIGINT RETURN a ^ b",
+    # ISO day of week, Monday=1 … Sunday=7 (Spark's weekday is
+    # Monday=0)
+    "CREATE OR REPLACE TEMPORARY FUNCTION isodow(d DATE)"
+    " RETURNS BIGINT RETURN weekday(d) + 1",
+    "CREATE OR REPLACE TEMPORARY FUNCTION isinf(x DOUBLE)"
+    " RETURNS BOOLEAN RETURN x = double('Infinity')"
+    " OR x = double('-Infinity')",
     # DuckDB date_diff counts PART BOUNDARIES CROSSED; truncating
     # both endpoints to the part first makes Spark's complete-interval
     # timestampdiff compute exactly that (the part is always a query
@@ -2035,6 +2149,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_regexp_flags(masked, literals)
     masked = _rewrite_match_operators(masked, literals)
+    masked = _rewrite_wrapped_calls(masked)
     masked = _rewrite_json_extract(masked, literals)
     masked = _rewrite_file_scans(masked, literals)
     masked = _rewrite_asof_join(masked, literals)

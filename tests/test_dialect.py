@@ -140,7 +140,9 @@ def test_more_list_and_date_functions():
         "SELECT transform(a, x -> x+1)"
     )
     assert rewrite("SELECT list_filter(a, x -> x>1)") == "SELECT filter(a, x -> x>1)"
-    assert rewrite("SELECT list_unique(a)") == "SELECT array_distinct(a)"
+    # list_unique is a COUNT in DuckDB (r11 wave-5 catch): the bridge
+    # is the NULL-filtered distinct size, not array_distinct
+    assert "size(array_distinct(filter((a)," in rewrite("SELECT list_unique(a)")
     assert rewrite("SELECT array_length(a)") == "SELECT size(a)"
     assert rewrite("SELECT starts_with(s, 'a')") == "SELECT startswith(s, 'a')"
     # boundary-crossing semantics ride the compat UDF (r11 catch:
@@ -263,10 +265,19 @@ def test_backtick_subscript_not_list_literal():
     )
 
 
-def test_list_sort_raises_with_guidance():
-    with pytest.raises(DialectError, match="sort_array"):
-        rewrite("SELECT list_sort(a) FROM t")
-    # inside a literal or comment: no error
+def test_list_sort_bridges_as_text_wrap():
+    # r11: list_sort is now a TEXT bridge to array_sort (asc, NULLs
+    # LAST — exactly DuckDB), not a refusal; the old DialectError
+    # recommended sort_array, whose ascending NULLS FIRST was wrong
+    assert rewrite("SELECT list_sort(a) FROM t") == (
+        "SELECT array_sort((a)) FROM t"
+    )
+    assert rewrite("SELECT list_reverse_sort(a) FROM t") == (
+        "SELECT sort_array((a), false) FROM t"
+    )
+    # the two-argument form stays loud rather than half-bridged
+    assert "list_sort(a, 'DESC')" in rewrite("SELECT list_sort(a, 'DESC') // 1")
+    # inside a literal or comment: untouched
     assert rewrite("SELECT 'list_sort(a)' FROM t") == "SELECT 'list_sort(a)' FROM t"
 
 
@@ -480,7 +491,7 @@ def test_aggregate_renames_match_duckdb(spark, sf_dir):
     ]
     for sql in queries:
         expect = con.execute(sql).fetchall()
-        spark_sql = sql.replace("list_sort(list(", "sort_array(array_agg(")
+        spark_sql = sql
         got = [tuple(r) for r in spark.sql(rewrite(spark_sql)).collect()]
         norm = lambda rows: [json.dumps([str(v) for v in r]) for r in rows]
         assert norm(got) == norm(expect), sql

@@ -152,3 +152,35 @@ def test_same_text_both_engines(engines, sql):
     expect = _norm(con.execute(sql).fetchall())
     got = _norm([tuple(r) for r in spark.sql(rewrite(sql)).collect()])
     assert got == expect, f"{sql}\n spark={got}\n duck={expect}"
+
+
+# r11 wave-5 cases: list functions with probed NULL semantics, the
+# compat UDFs, and calendar helpers
+CASES_W5 = [
+    "SELECT list_append(arr, 9) AS a FROM t ORDER BY id",
+    "SELECT list_prepend(0, arr) AS a FROM t ORDER BY id",
+    "SELECT list_concat(arr, [9]) AS a FROM t ORDER BY id",
+    "SELECT list_position([7,8,9], 8) AS hit, list_position([7,8,9], 99) AS miss",
+    "SELECT list_reverse([1,2,3]) AS r, array_reverse([1,2,3]) AS r2",
+    "SELECT list_extract([7,8,9], 2) AS e, array_extract([7,8,9], -1) AS ne",
+    "SELECT list_max([3,1,2]) AS mx, list_min([3,1,2]) AS mn",
+    "SELECT list_max([NULL, 2, 1]) AS mx",
+    "SELECT list_sort([3,1,2]) AS s, list_sort([3,NULL,1]) AS sn",
+    "SELECT list_reverse_sort([3,NULL,1]) AS rs",
+    "SELECT list_unique([1,1,NULL,2]) AS u, list_unique([]) AS e",
+    "SELECT list_count([1,NULL,3]) AS c, list_count([]) AS e",
+    # list_distinct order is UNSPECIFIED in DuckDB — sort for compare
+    "SELECT list_sort(list_distinct([1,1,NULL,2])) AS d",
+    "SELECT list_any_value([NULL, 5, 6]) AS a",
+    "SELECT strlen('hello') AS n, ord('A') AS o, unicode('A') AS u",
+    "SELECT sha256('abc') AS h",
+    "SELECT xor(5, 3) AS x",
+    "SELECT isodow(DATE '2024-03-05') AS tue, isodow(DATE '2024-03-03') AS sun",
+    "SELECT week(DATE '2024-01-01') AS w1, week(DATE '2023-01-01') AS w2",
+    "SELECT isnan('nan'::DOUBLE) AS n, isinf('inf'::DOUBLE) AS i",
+    "SELECT make_date(2024, 3, 5) AS d",
+    "SELECT translate('abc', 'ab', 'xy') AS tr",
+    "SELECT map_keys(MAP {'a': 1, 'b': 2}) AS k, map_values(MAP {'a': 1}) AS v",
+    "SELECT cot(1.0) AS c, degrees(pi()) AS d, factorial(5) AS f",
+]
+CASES.extend(CASES_W5)

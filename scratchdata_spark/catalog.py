@@ -50,6 +50,12 @@ class TableInfo:
     # Not enforced on plain INSERT (parquet appends can't check
     # uniqueness cheaply; the upsert statements are the honest path)
     primary_key: list = field(default_factory=list)
+    # declared DEFAULT expressions (SQL text per column, from CREATE
+    # TABLE): applied when an INSERT omits the column — the one
+    # declaration that changes DATA, so unlike the stripped
+    # constraints it must not be silently dropped (r11 DML
+    # differential probe catch)
+    defaults: dict = field(default_factory=dict)
 
     def struct(self) -> StructType:
         fields = []
@@ -111,6 +117,7 @@ class TableCatalog:
             meta.get("partition_col"),
             meta.get("dropped", []),
             meta.get("primary_key", []),
+            meta.get("defaults", {}),
         )
 
     def _put(self, info: TableInfo) -> None:
@@ -125,6 +132,7 @@ class TableCatalog:
                     "partition_col": info.partition_col,
                     "dropped": info.dropped,
                     "primary_key": info.primary_key,
+                    "defaults": info.defaults,
                 },
                 f,
             )
@@ -213,6 +221,19 @@ class TableCatalog:
                 " so re-adding the name would resurrect them — use a"
                 " new column name"
             )
+
+    def set_defaults(self, database: str, table: str, defaults: dict) -> None:
+        """Record per-column DEFAULT expressions (SQL text) from
+        CREATE TABLE; INSERT fills omitted columns from them."""
+        info = self.get(database, table)
+        if info is None:
+            raise KeyError(f"no such table: {table}")
+        have = {c["name"] for c in info.columns}
+        for c in defaults:
+            if c not in have:
+                raise ValueError(f"unknown DEFAULT column: {c}")
+        info.defaults = dict(defaults)
+        self._put(info)
 
     def set_primary_key(self, database: str, table: str, cols: list) -> None:
         info = self.get(database, table)

@@ -63,7 +63,7 @@ _IDENT = r"[A-Za-z_]\w*"
 
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
-    rf"({_IDENT})\s+AS\s+(.+?)\s*;?\s*$",
+    rf"({_IDENT})\s+AS\s+(.+?)(\s+WITH\s+NO\s+DATA)?\s*;?\s*$",
     re.I | re.S,
 )
 _CREATE_DEF_RE = re.compile(
@@ -73,9 +73,10 @@ _CREATE_DEF_RE = re.compile(
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+(?:OR\s+(IGNORE|REPLACE)\s+)?INTO\s+({_IDENT})"
     rf"\s*(?:\(\s*([^)]*?)\s*\))?\s*"
-    rf"((?:SELECT|VALUES|WITH|FROM)\b.+?)\s*"
+    rf"((?:SELECT|VALUES|WITH|FROM)\b.+?|DEFAULT\s+VALUES)\s*"
     rf"(?:ON\s+CONFLICT\s*(?:\(\s*([^)]*?)\s*\))?\s+DO\s+"
-    rf"(NOTHING|UPDATE\s+SET\s+.+?)\s*)?;?\s*$",
+    rf"(NOTHING|UPDATE\s+SET\s+.+?)\s*)?"
+    rf"(?:RETURNING\s+(.+?)\s*)?;?\s*$",
     re.I | re.S,
 )
 _DROP_RE = re.compile(
@@ -96,7 +97,9 @@ _DELETE_USING_RE = re.compile(
     re.I | re.S,
 )
 _UPDATE_RE = re.compile(
-    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s*;?\s*$", re.I | re.S
+    rf"^\s*UPDATE\s+({_IDENT})(?:\s+(?:AS\s+)?(?!SET\b)({_IDENT}))?"
+    rf"\s+SET\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
 )
 _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?\s+USING\s+"
@@ -296,7 +299,7 @@ def _update_from_to_merge(query: str) -> str | None:
     m = _UPDATE_RE.match(query)
     if m is None:
         return None
-    table, rest = m.groups()
+    table, t_alias, rest = m.groups()
     masked, lits = _mask_literals(rest)
     froms = list(_d0_matches(masked, r"\bFROM\b"))
     if not froms:
@@ -309,8 +312,9 @@ def _update_from_to_merge(query: str) -> str | None:
         cond_text = _unmask_literals(tail[wh[-1].end() :], lits).strip()
     else:
         src_text, cond_text = _unmask_literals(tail, lits).strip(), "TRUE"
+    t_sql = f"{table} AS {t_alias}" if t_alias else table
     return (
-        f"MERGE INTO {table} USING {src_text} ON {cond_text}"
+        f"MERGE INTO {t_sql} USING {src_text} ON {cond_text}"
         f" WHEN MATCHED THEN UPDATE SET {set_text}"
     )
 
@@ -399,19 +403,33 @@ def validate(dest, query: str) -> None:
         m = _CREATE_DEF_RE.match(query)
         _check_ident(dest, m.group(2))
         _check_no_view(dest, m.group(2))
-        clean, pk = _parse_column_defs(m.group(3))
+        clean, pk, defaults = _parse_column_defs(m.group(3))
         struct = StructType.fromDDL(clean)  # loud on bad column defs
         names = {f.name for f in struct.fields}
         for c in pk:
             if c not in names:
                 raise ValueError(f"unknown PRIMARY KEY column: {c}")
+        for c, d in defaults.items():
+            if c not in names:
+                raise ValueError(f"unknown DEFAULT column: {c}")
+            _expr(dest, dest.spark.range(1), d)  # default analyzed pre-200
     elif kind == "insert":
         m = _INSERT_RE.match(query)
-        or_mode, table, col_list, body, conflict_cols, action = m.groups()
+        (or_mode, table, col_list, body,
+         conflict_cols, action, returning) = m.groups()
+        if returning and (or_mode or action):
+            raise ValueError(
+                "RETURNING is supported on plain INSERT only — conflict"
+                " modes would have to report which rows actually landed"
+            )
         info = _require_table(dest, table)
-        src = _source_df(dest, body)
+        src = _insert_source(dest, info, col_list, body)
         _insert_projection(info, src, col_list)  # arity/name checks
         _conflict_spec(info, or_mode, conflict_cols, action)
+        if returning:
+            # every RETURNING expression analyzed pre-200
+            frame = dest.table_df(table).limit(0)
+            frame.select(*_returning_cols(info, returning)).schema
     elif kind == "drop":
         m = _DROP_RE.match(query)
         if not m.group(1):
@@ -437,9 +455,11 @@ def validate(dest, query: str) -> None:
     elif kind == "update":
         m = _UPDATE_RE.match(query)
         info = _require_table(dest, m.group(1))
-        set_clause, pred = _split_where(dest, m.group(2))
+        set_clause, pred = _split_where(dest, m.group(3))
         assigns = _update_assignments(info, set_clause)
         tdf = dest.table_df(m.group(1))
+        if m.group(2):
+            tdf = tdf.alias(m.group(2))
         for text in assigns.values():
             _expr(dest, tdf, text)  # SET rhs analyzed too, not just names
         if pred:
@@ -583,9 +603,12 @@ def _staged_write(dest, out, partition_col) -> tuple[str, int]:
     return staging, int(obs.get["n"] or 0)
 
 
-def _adopt_staged(dest, staging: str, data_dir: str) -> None:
+def _adopt_staged(dest, staging: str, data_dir: str) -> list[str]:
     """Rename the staged parquet files into the live directory —
-    Spark part-file names carry a job UUID, so appends can't collide."""
+    Spark part-file names carry a job UUID, so appends can't collide.
+    Returns the adopted destination paths (INSERT … RETURNING reads
+    exactly these files back, never the whole table)."""
+    adopted: list[str] = []
     for dirpath, _dirs, names in os.walk(staging):
         for f in names:
             if not f.endswith(".parquet"):
@@ -594,7 +617,9 @@ def _adopt_staged(dest, staging: str, data_dir: str) -> None:
             dst = os.path.join(data_dir, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(os.path.join(dirpath, f), dst)
+            adopted.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
+    return adopted
 
 
 # ------------------------------------------------------ CREATE / CTAS
@@ -653,7 +678,7 @@ def _target_struct(src_schema) -> StructType:
 
 def _exec_ctas(dest, query: str):
     m = _CTAS_RE.match(query)
-    or_replace, if_not_exists, table, select_text = m.groups()
+    or_replace, if_not_exists, table, select_text, no_data = m.groups()
     _check_ident(dest, table)
     _check_no_view(dest, table)
     existing = dest.catalog.get(dest.database, table)
@@ -663,6 +688,11 @@ def _exec_ctas(dest, query: str):
         if not or_replace:
             raise ValueError(f"table exists: {table}")
     src = _source_df(dest, select_text)
+    if no_data:
+        # CTAS … WITH NO DATA: the SELECT contributes only its SCHEMA
+        # (both engines); limit(0) keeps the whole path identical —
+        # the staged write emits no files and adoption is a no-op
+        src = src.limit(0)
     target = _target_struct(src.schema)
     # always REGENERATE ids: a self-union or join-fanout SELECT
     # carries duplicate source __row_ids, and preserving them builds
@@ -751,13 +781,15 @@ def _exec_create(dest, query: str):
         if if_not_exists:
             return _count_df(dest, 0)
         raise ValueError(f"table exists: {table}")
-    clean, pk = _parse_column_defs(defs)
+    clean, pk, defaults = _parse_column_defs(defs)
     struct = StructType.fromDDL(clean)
     with dest.catalog.lock(dest.database, table):
         dest.catalog.create_empty_table(dest.database, table)
         _register_schema(dest, table, struct.fields)
         if pk:
             dest.catalog.set_primary_key(dest.database, table, pk)
+        if defaults:
+            dest.catalog.set_defaults(dest.database, table, defaults)
     dest.plan_cache.invalidate()
     return _count_df(dest, 0)
 
@@ -797,7 +829,10 @@ def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
     IGNORE|REPLACE. Parsing runs on MASKED text (a DEFAULT string
     literal can contain anything) and strips RIGHTMOST-first, so
     ``k INT DEFAULT 0 PRIMARY KEY`` records the PK before the greedy
-    DEFAULT tail is removed. Returns (clean DDL, pk columns)."""
+    DEFAULT tail is removed. DEFAULT expressions are RECORDED (they
+    change inserted DATA — r11) rather than dropped; quoted/masked
+    column names skip default recording (their DDL still parses).
+    Returns (clean DDL, pk columns, {column: default SQL})."""
     from scratchdata_spark.dialect import (
         _mask_literals,
         _split_d0_commas,
@@ -807,6 +842,7 @@ def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
 
     masked, lits = _mask_literals(defs)
     clean, pk = [], []
+    defaults: dict[str, str] = {}
     for item in _split_d0_commas(masked):
         tm = _TABLE_CONSTRAINT_RE.match(item)
         if tm:
@@ -824,10 +860,23 @@ def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
             if not hits:
                 break
             last = hits[-1]
-            if last.group(1).upper().replace(" ", "").startswith("PRIMARY"):
+            kw = last.group(1).upper().replace(" ", "")
+            if kw.startswith("PRIMARY"):
                 nm = _PK_COL_NAME_RE.match(cur)
                 if nm:
                     pk.append(nm.group(1).strip('`"'))
+            elif kw == "DEFAULT":
+                # rightmost-first stripping means everything after
+                # this keyword IS the default expression (trailing
+                # constraints already removed); the expression changes
+                # DATA on insert, so unlike the other declarations it
+                # is RECORDED, not dropped (r11 probe catch: k INT
+                # DEFAULT 7 inserted NULL where DuckDB inserts 7)
+                nm = _PK_COL_NAME_RE.match(cur)
+                if nm and not nm.group(1).startswith("\x00"):
+                    defaults[nm.group(1).strip('`"')] = _unmask_literals(
+                        cur[last.end() :].strip(), lits
+                    )
             cur = cur[: last.start()]
         # DuckDB type aliases (bare VARCHAR, INT8, HUGEINT …) appear
         # in saved schemas constantly — the reference's own Postgres
@@ -836,7 +885,7 @@ def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
         # (r11 DML differential probe catch)
         cur = rewrite_type_aliases(cur)
         clean.append(_unmask_literals(cur.strip(), lits))
-    return ", ".join(clean), pk
+    return ", ".join(clean), pk, defaults
 
 
 def _conflict_spec(info, or_mode, conflict_cols, action):
@@ -939,7 +988,16 @@ def _insert_projection(info, src, col_list: str | None):
                 .alias(f.name)
             )
         else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            # unlisted column: the declared DEFAULT when one exists
+            # (DuckDB fills defaults on partial-column inserts — the
+            # old unconditional NULL was silently wrong data, r11
+            # probe catch), NULL otherwise
+            d = info.defaults.get(f.name)
+            cols.append(
+                (F.expr(d) if d else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+            )
     return renamed, cols
 
 
@@ -978,11 +1036,58 @@ def _key_range_prune_fn(dest, prune_pred):
     ), prune_pred
 
 
+def _insert_source(dest, info, col_list, select_text):
+    """INSERT's source frame — the embedded SELECT/VALUES, or for
+    ``DEFAULT VALUES`` one synthesized row of the declared defaults
+    (NULL where none), pre-named so the positional projection maps it
+    1:1."""
+    if re.fullmatch(r"(?is)DEFAULT\s+VALUES", select_text.strip()):
+        if col_list and col_list.strip():
+            raise ValueError("INSERT … DEFAULT VALUES takes no column list")
+        fields = [f for f in info.struct().fields if f.name != ROW_ID]
+        return dest.spark.range(1).select(
+            *[
+                (
+                    F.expr(info.defaults[f.name])
+                    if f.name in info.defaults
+                    else F.lit(None)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in fields
+            ]
+        )
+    return _source_df(dest, select_text)
+
+
+def _returning_cols(info, returning: str):
+    """RETURNING's projection over the inserted rows: ``*`` expands to
+    every table column (DuckDB's RETURNING * includes them all — the
+    reference's tables carry __row_id as a real column), other items
+    are expressions over the inserted row."""
+    from scratchdata_spark.dialect import _split_top_level_commas_text
+
+    cols = []
+    for item in _split_top_level_commas_text(returning):
+        item = item.strip()
+        if item == "*":
+            cols.extend(F.col(f.name) for f in info.struct().fields)
+        else:
+            cols.append(F.expr(item))
+    return cols
+
+
 def _exec_insert(dest, query: str):
     m = _INSERT_RE.match(query)
-    or_mode, table, col_list, select_text, conflict_cols, action = m.groups()
+    (or_mode, table, col_list, select_text,
+     conflict_cols, action, returning) = m.groups()
+    if returning and (or_mode or action):
+        raise ValueError(
+            "RETURNING is supported on plain INSERT only — conflict"
+            " modes would have to report which rows actually landed"
+        )
     info = _require_table(dest, table)
-    src = _source_df(dest, select_text)
+    src = _insert_source(dest, info, col_list, select_text)
     renamed, cols = _insert_projection(info, src, col_list)
     batch = renamed.select(*cols)  # target columns, __row_id pending
     keys, mode, set_cols = _conflict_spec(info, or_mode, conflict_cols, action)
@@ -1013,10 +1118,28 @@ def _exec_insert(dest, query: str):
         # reads a listing pinned before any new file lands live
         staging, n = _staged_write(dest, out, info.partition_col)
         with dest.catalog.lock(dest.database, table):
-            _adopt_staged(
+            adopted = _adopt_staged(
                 dest, staging, dest.catalog.data_dir(dest.database, table)
             )
         dest.plan_cache.invalidate()
+        if returning:
+            # read back EXACTLY the adopted part files (never the
+            # whole table — a concurrent insert's rows must not leak
+            # into this statement's RETURNING); distributed scan, no
+            # driver collect, basePath recovers partition columns
+            struct = info.struct()
+            if not adopted:
+                rdf = dest.spark.createDataFrame([], struct)
+            else:
+                rdf = (
+                    dest.spark.read.schema(struct)
+                    .option(
+                        "basePath",
+                        dest.catalog.data_dir(dest.database, table),
+                    )
+                    .parquet(*adopted)
+                )
+            return rdf.select(*_returning_cols(info, returning))
         return _count_df(dest, n)
 
     if mode == "nothing":
@@ -1384,6 +1507,7 @@ def _cow_rewrite(
     want_counts: bool = True,
     empty_touch_is_noop: bool = True,
     count_pred=None,
+    src_alias: str | None = None,
 ):
     """Copy-on-write generation flip — the compaction mechanism
     applied to a row transform: snapshot the current listing, rewrite
@@ -1463,6 +1587,11 @@ def _cow_rewrite(
             )
         else:
             src = dest.spark.createDataFrame([], info.struct())
+        if src_alias:
+            # UPDATE t AS a …: the predicate/assignment expressions
+            # are alias-qualified, so the snapshot carries the alias
+            # through the count and the transform
+            src = src.alias(src_alias)
         matched = (
             src.filter(count_pred).count() if count_pred is not None else 0
         )
@@ -1913,11 +2042,13 @@ def _update_assignments(info, set_clause: str) -> dict[str, str]:
 
 def _exec_update(dest, query: str):
     m = _UPDATE_RE.match(query)
-    table, rest = m.groups()
+    table, alias, rest = m.groups()
     info = _require_table(dest, table)
     set_clause, pred = _split_where(dest, rest)
     assigns = _update_assignments(info, set_clause)
     tdf = dest.table_df(table)
+    if alias:
+        tdf = tdf.alias(alias)
     cond = (
         F.coalesce(_expr(dest, tdf, pred), F.lit(False))
         if pred
@@ -1954,6 +2085,7 @@ def _exec_update(dest, query: str):
         ),
         file_prune_pred=pred,
         count_pred=cond,
+        src_alias=alias,
     )
     return _count_df(dest, n)
 

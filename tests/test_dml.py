@@ -777,18 +777,20 @@ def test_upsert_prunes_files_and_inserts_out_of_range_keys(spark, tmp_path):
 def test_create_constraint_stripping_edge_cases(spark, tmp_path):
     from scratchdata_spark.warehouse_dml import _parse_column_defs
 
-    clean, pk = _parse_column_defs("k INT DEFAULT 0 PRIMARY KEY, a STRING")
+    clean, pk, dflt = _parse_column_defs("k INT DEFAULT 0 PRIMARY KEY, a STRING")
     assert pk == ["k"] and clean == "k INT, a STRING"
-    clean, pk = _parse_column_defs(
+    assert dflt == {"k": "0"}  # r11: DEFAULT recorded, not dropped
+    clean, pk, dflt = _parse_column_defs(
         "a INT, b INT, CONSTRAINT pk PRIMARY KEY (a, b)"
     )
-    assert pk == ["a", "b"] and clean == "a INT, b INT"
-    clean, pk = _parse_column_defs("x INT, CHECK (x > 0), UNIQUE (x)")
+    assert pk == ["a", "b"] and clean == "a INT, b INT" and dflt == {}
+    clean, pk, dflt = _parse_column_defs("x INT, CHECK (x > 0), UNIQUE (x)")
     assert pk == [] and clean == "x INT"
-    clean, pk = _parse_column_defs(
+    clean, pk, dflt = _parse_column_defs(
         "u INT REFERENCES users(id) PRIMARY KEY, note STRING DEFAULT 'a,b'"
     )
     assert pk == ["u"] and clean == "u INT, note STRING"
+    assert dflt == {"note": "'a,b'"}  # literal default, comma intact
     # end-to-end: constrained DDL creates and inserts fine
     cat = TableCatalog(str(tmp_path / "whc2"))
     d = SparkDestination(spark.newSession(), cat, "dml")
@@ -1427,3 +1429,74 @@ def test_create_table_duckdb_type_aliases(dest):
     assert cols["e"].startswith("decimal(38")
     run(dest, "INSERT INTO ta VALUES ('x', 1, 2, 1.5, 99)")
     assert run(dest, "SELECT a, b FROM ta") == [{"a": "x", "b": 1}]
+
+
+def test_update_with_table_alias(dest):
+    """UPDATE t alias SET … (both bare and AS forms) — predicates and
+    assignments may qualify with the alias (r11 wave-6 catch: the
+    aliased form previously fell through to Spark's own UPDATE and
+    failed with an unsupported-table error)."""
+    run(dest, "CREATE TABLE ua (k INT, v INT)")
+    run(dest, "INSERT INTO ua VALUES (1, 10), (2, 20)")
+    assert run(dest, "UPDATE ua t SET v = 0 WHERE t.k = 1") == [{"count": 1}]
+    assert run(dest, "UPDATE ua AS u SET v = u.v + 1 WHERE u.k = 2") == [
+        {"count": 1}
+    ]
+    assert run(dest, "SELECT k, v FROM ua ORDER BY k") == [
+        {"k": 1, "v": 0},
+        {"k": 2, "v": 21},
+    ]
+
+
+def test_ctas_with_no_data(dest):
+    """CREATE TABLE … AS SELECT … WITH NO DATA: schema only."""
+    run(dest, "CREATE TABLE nd AS SELECT g, v * 2 AS v2 FROM t WITH NO DATA")
+    assert run(dest, "SELECT count(*) AS n FROM nd") == [{"n": 0}]
+    cols = {c["name"] for c in dest.columns("nd")}
+    assert cols == {"__row_id", "g", "v2"}
+    run(dest, "INSERT INTO nd VALUES ('x', 9)")
+    assert run(dest, "SELECT g, v2 FROM nd") == [{"g": "x", "v2": 9}]
+
+
+def test_default_values_applied_on_insert(dest):
+    """Declared DEFAULTs fill omitted columns (r11 wave-6 catch: the
+    old constraint-stripping inserted NULL where DuckDB inserts the
+    default), and INSERT … DEFAULT VALUES synthesizes a full default
+    row."""
+    run(
+        dest,
+        "CREATE TABLE dv (k INT DEFAULT 7, v INT,"
+        " tag VARCHAR DEFAULT 'none')",
+    )
+    run(dest, "INSERT INTO dv (v) VALUES (1)")
+    assert run(dest, "SELECT k, v, tag FROM dv") == [
+        {"k": 7, "v": 1, "tag": "none"}
+    ]
+    run(dest, "INSERT INTO dv DEFAULT VALUES")
+    assert run(
+        dest, "SELECT k, v, tag FROM dv WHERE v IS NULL"
+    ) == [{"k": 7, "v": None, "tag": "none"}]
+    # a listed column with an explicit value overrides its default
+    run(dest, "INSERT INTO dv (k, v) VALUES (99, 2)")
+    assert run(dest, "SELECT k, tag FROM dv WHERE v = 2") == [
+        {"k": 99, "tag": "none"}
+    ]
+
+
+def test_insert_returning(dest):
+    """INSERT … RETURNING on plain inserts: expressions over exactly
+    the adopted rows (a concurrent insert's rows cannot leak in —
+    the read targets the adopted part files), * includes the table's
+    real columns, and conflict modes refuse loudly."""
+    run(dest, "CREATE TABLE ri (k INT, v INT DEFAULT 5)")
+    assert run(dest, "INSERT INTO ri VALUES (1, 10) RETURNING k, v") == [
+        {"k": 1, "v": 10}
+    ]
+    assert run(
+        dest, "INSERT INTO ri (k) VALUES (2) RETURNING k, v, v * 2 AS d"
+    ) == [{"k": 2, "v": 5, "d": 10}]
+    star = run(dest, "INSERT INTO ri VALUES (3, 30) RETURNING *")
+    assert set(star[0]) == {"__row_id", "k", "v"} and star[0]["k"] == 3
+    with pytest.raises(Exception, match="plain INSERT only"):
+        run(dest, "INSERT OR IGNORE INTO ri VALUES (1, 1) RETURNING k")
+    assert run(dest, "SELECT count(*) AS n FROM ri") == [{"n": 3}]

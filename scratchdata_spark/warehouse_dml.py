@@ -690,8 +690,12 @@ def _exec_ctas(dest, query: str):
     src = _source_df(dest, select_text)
     if no_data:
         # CTAS … WITH NO DATA: the SELECT contributes only its SCHEMA
-        # (both engines); limit(0) keeps the whole path identical —
-        # the staged write emits no files and adoption is a no-op
+        # (SQL standard / Postgres semantics); limit(0) keeps the
+        # whole path identical — the staged write emits no files and
+        # adoption is a no-op.  DELIBERATE DIVERGENCE (r11 probe):
+        # DuckDB accepts this syntax but SILENTLY IGNORES it and
+        # inserts the rows anyway; honoring the user's explicit "no
+        # data" beats reproducing that footgun.
         src = src.limit(0)
     target = _target_struct(src.schema)
     # always REGENERATE ids: a self-union or join-fanout SELECT

@@ -201,7 +201,21 @@ def rewrite_type_aliases(code: str) -> str:
     code = re.sub(r"\bFLOAT4\b", "FLOAT", code, flags=re.I)
     code = re.sub(r"\bFLOAT8\b", "DOUBLE", code, flags=re.I)
     code = re.sub(r"\bHUGEINT\b", "DECIMAL(38,0)", code, flags=re.I)
-    return code
+    # DuckDB's array-type suffix: INT[] → ARRAY<INT> (r12; surfaced by
+    # the advisor-regression battery's CAST(NULL AS INT[]) probes).
+    # EMPTY brackets only ever mean a type — a value subscript always
+    # has content — so this cannot touch expressions.  Innermost-out
+    # loop handles nesting (INT[][] → ARRAY<ARRAY<INT>>); the optional
+    # <...> arm lets the second pass match the ARRAY<…> it just built.
+    # DuckDB's fixed-size INT[3] is NOT bridged (Spark has no
+    # fixed-size array type; it stays as a loud parse error).
+    arr = re.compile(
+        r"\b([A-Za-z_]\w*(?:\s*\([^()]*\))?(?:<[^\[\]]*>)?)\s*\[\s*\]"
+    )
+    while True:
+        code, n = arr.subn(r"ARRAY<\1>", code)
+        if not n:
+            return code
 
 
 def _rewrite_code(code: str) -> str:
@@ -231,18 +245,17 @@ def _rewrite_code(code: str) -> str:
     # parity): Spark's array_* twins agree with the DuckDB list_*
     # forms — array_position is 1-based with 0 on a miss on BOTH,
     # array_max/min ignore NULL elements and return NULL on empty on
-    # BOTH, element_at is 1-based negative-from-end on BOTH
-    code = re.sub(r"\blist_append\s*\(", "array_append(", code, flags=re.I)
-    # (list_prepend is in the WRAPPED-call pass: DuckDB's argument
-    # order is (element, list), Spark's array_prepend is (list,
-    # element) — a plain alias would swap meanings)
-    code = re.sub(r"\blist_concat\s*\(", "concat(", code, flags=re.I)
+    # BOTH.
+    # (list_append / list_concat / list_prepend / list_extract /
+    # array_extract are in the WRAPPED-call pass: r12 advisor catch —
+    # DuckDB treats a NULL list as empty for append/prepend and SKIPS
+    # NULL arguments in list_concat, where Spark's array_append /
+    # concat are NULL-poisoning; and under ANSI mode element_at
+    # throws on index 0 / out-of-range where DuckDB returns NULL)
     code = re.sub(r"\blist_position\s*\(", "array_position(", code, flags=re.I)
     code = re.sub(r"\blist_indexof\s*\(", "array_position(", code, flags=re.I)
     code = re.sub(r"\blist_reverse\s*\(", "reverse(", code, flags=re.I)
     code = re.sub(r"\barray_reverse\s*\(", "reverse(", code, flags=re.I)
-    code = re.sub(r"\blist_extract\s*\(", "element_at(", code, flags=re.I)
-    code = re.sub(r"\barray_extract\s*\(", "element_at(", code, flags=re.I)
     code = re.sub(r"\blist_max\s*\(", "array_max(", code, flags=re.I)
     code = re.sub(r"\blist_min\s*\(", "array_min(", code, flags=re.I)
     code = re.sub(r"\bstrlen\s*\(", "length(", code, flags=re.I)
@@ -608,8 +621,44 @@ _WRAPPED_CALLS = [
     ("list_reverse_sort", "sort_array(({X}), false)"),
     ("list_any_value", "try_element_at(filter(({X}), _la -> _la IS NOT NULL), 1)"),
     # two-argument swap: DuckDB list_prepend(elem, list) vs Spark
-    # array_prepend(list, elem)
-    ("list_prepend", "array_prepend(({Y}), ({X}))"),
+    # array_prepend(list, elem).  DuckDB treats a NULL list as empty
+    # (probed on 1.0: list_prepend(1, NULL) = [1]) where Spark's
+    # array_prepend is NULL-poisoning — r12 advisor-class catch, the
+    # same defect ADVICE r11 flagged on list_append.
+    (
+        "list_prepend",
+        "(CASE WHEN ({Y}) IS NULL THEN array(({X}))"
+        " ELSE array_prepend(({Y}), ({X})) END)",
+    ),
+    # DuckDB treats the NULL list as empty (probed: list_append(NULL,
+    # 1) = [1], list_append(NULL, NULL) = [NULL]) where Spark's
+    # array_append returns NULL — ADVICE r11.  NULL *elements* append
+    # identically on both (probed: [1, NULL]).
+    (
+        "list_append",
+        "(CASE WHEN ({X}) IS NULL THEN array(({Y}))"
+        " ELSE array_append(({X}), ({Y})) END)",
+    ),
+    # DuckDB SKIPS NULL arguments (probed: list_concat(NULL, [1,2]) =
+    # [1,2], both-NULL = NULL) where Spark's concat is NULL-poisoning
+    # — ADVICE r11.  The CASE returns the other side verbatim, so no
+    # empty-array literal (whose element type Spark could not infer)
+    # is ever needed.  DuckDB 1.0's list_concat is strictly 2-ary
+    # (probed: 3 args is a binder error), matching the template.
+    (
+        "list_concat",
+        "(CASE WHEN ({X}) IS NULL THEN ({Y})"
+        " WHEN ({Y}) IS NULL THEN ({X})"
+        " ELSE concat(({X}), ({Y})) END)",
+    ),
+    # 1-based, negative-from-end on both; but DuckDB returns NULL on
+    # index 0 / out-of-range where ANSI-mode element_at throws
+    # (INVALID_INDEX_OF_ZERO / INVALID_ARRAY_INDEX) — ADVICE r11.
+    # try_element_at is NULL out-of-range but still throws on literal
+    # 0, hence the nullif guard (try_element_at(x, NULL) = NULL =
+    # DuckDB's list_extract(x, 0)).
+    ("list_extract", "try_element_at(({X}), nullif(({Y}), 0))"),
+    ("array_extract", "try_element_at(({X}), nullif(({Y}), 0))"),
 ]
 
 
@@ -1474,12 +1523,19 @@ def _rewrite_int_subscripts(masked: str) -> str:
     engine only falls back here after stock Spark rejects the
     statement), and in DuckDB ``l[1]`` is the FIRST element and
     ``l[-1]`` the last — Spark's bracket is 0-based and rejects
-    negatives. ``element_at`` is 1-based with negative-from-end on
-    arrays and key-lookup on maps, which is exactly DuckDB's subscript
-    semantics for both types. Non-integer subscripts (map string keys,
-    struct fields) mean the same thing on both engines and stay as
-    brackets. Restart-scan loop handles chains (``a[1][2]``) —
-    queries are short, quadratic is irrelevant."""
+    negatives. ``try_element_at`` is 1-based with negative-from-end on
+    arrays and key-lookup on maps, and returns NULL on index 0 /
+    out-of-range (via the nullif-0 guard) exactly like DuckDB's
+    subscript — the plain ``element_at`` used before r12 THROWS there
+    under pyspark 4.1's default ANSI mode (advisor catch on the
+    sibling list_extract alias). Non-integer subscripts (map string
+    keys, struct fields) mean the same thing on both engines and stay
+    as brackets. Blind spot, documented: DuckDB 1.0's map[k] returns
+    a LIST of values (``[]`` on a miss) where Spark returns the
+    scalar — integer-literal keys on maps diverge in shape either
+    way; arrays are the overwhelming use of this form. Restart-scan
+    loop handles chains (``a[1][2]``) — queries are short, quadratic
+    is irrelevant."""
     while True:
         for m in _INT_SUBSCRIPT_RE.finditer(masked):
             i = m.start()
@@ -1492,9 +1548,12 @@ def _rewrite_int_subscripts(masked: str) -> str:
             base = masked[start:i]
             if not base or base.lower() == "array":
                 continue
+            idx = m.group(1)
+            if idx.lstrip("+-") == "0":
+                idx = "nullif(0, 0)"  # DuckDB l[0] = NULL; see docstring
             masked = (
                 masked[:start]
-                + f"element_at({base}, {m.group(1)})"
+                + f"try_element_at({base}, {idx})"
                 + masked[m.end():]
             )
             break  # indices shifted — rescan

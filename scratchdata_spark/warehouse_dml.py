@@ -194,6 +194,25 @@ def split_script(query: str) -> list[str]:
     return [p for p in out if p]
 
 
+def _masked_match(rx: re.Pattern, query: str) -> tuple[str | None, ...] | None:
+    """Match a DML regex on literal-MASKED text and unmask each group
+    (r12 advisor catch: _INSERT_RE's lazy body group terminated early
+    at a string literal containing ' RETURNING x' or ' ON CONFLICT ',
+    turning a valid INSERT into an unbalanced fragment — the keyword
+    split must never see literal contents).  Placeholder indices are
+    global, so unmasking a captured fragment is exact."""
+    from scratchdata_spark.dialect import _mask_literals, _unmask_literals
+
+    masked, lits = _mask_literals(query)
+    m = rx.match(masked)
+    if m is None:
+        return None
+    return tuple(
+        _unmask_literals(g, lits) if g is not None else None
+        for g in m.groups()
+    )
+
+
 def statement_kind(query: str) -> str | None:
     """Which warehouse statement this text is, or None (normal query
     → passthrough). Callers pass normalize()d text — leading comments
@@ -217,7 +236,13 @@ def statement_kind(query: str) -> str | None:
         ("copy_from", _COPY_FROM_RE),
         ("compact", _COMPACT_RE),
     ):
-        if rx.match(query):
+        # insert/delete_using parse on MASKED text at exec time (their
+        # regexes split on mid-statement keywords a literal could
+        # fake); classify through the same path so both stages agree
+        if kind in ("insert", "delete_using"):
+            if _masked_match(rx, query) is not None:
+                return kind
+        elif rx.match(query):
             return kind
     return None
 
@@ -414,9 +439,8 @@ def validate(dest, query: str) -> None:
                 raise ValueError(f"unknown DEFAULT column: {c}")
             _expr(dest, dest.spark.range(1), d)  # default analyzed pre-200
     elif kind == "insert":
-        m = _INSERT_RE.match(query)
         (or_mode, table, col_list, body,
-         conflict_cols, action, returning) = m.groups()
+         conflict_cols, action, returning) = _masked_match(_INSERT_RE, query)
         if returning and (or_mode or action):
             raise ValueError(
                 "RETURNING is supported on plain INSERT only — conflict"
@@ -776,6 +800,23 @@ def _catalog_columns(fields) -> list[dict]:
     return cols
 
 
+def _normalize_default(dest, text: str) -> str:
+    """Stored-DEFAULT text as plain Spark SQL: keep it verbatim when
+    stock Spark analyzes it, otherwise store the dialect-rewritten
+    form (which is then re-analyzed, so a genuinely bad default is
+    still a loud CREATE-time error, never a deferred INSERT-time
+    one)."""
+    try:
+        dest.spark.range(1).select(F.expr(text)).schema
+        return text
+    except Exception:
+        from scratchdata_spark.dialect import rewrite
+
+        spark_text = rewrite(f"SELECT {text}")[len("SELECT ") :]
+        dest.spark.range(1).select(F.expr(spark_text)).schema
+        return spark_text
+
+
 def _exec_create(dest, query: str):
     m = _CREATE_DEF_RE.match(query)
     if_not_exists, table, defs = m.groups()
@@ -787,6 +828,15 @@ def _exec_create(dest, query: str):
         raise ValueError(f"table exists: {table}")
     clean, pk, defaults = _parse_column_defs(defs)
     struct = StructType.fromDDL(clean)
+    # normalize defaults to plain Spark SQL at RECORD time (r12
+    # advisor catch): validate() analyzes them through _expr's
+    # DuckDB-fallback path, but application is raw F.expr — a
+    # DuckDB-flavored default (DEFAULT ord('a'), DEFAULT 0::INT8)
+    # passed CREATE validation and then failed EVERY partial-column
+    # INSERT at analysis.  Same try-then-rewrite contract as _expr.
+    defaults = {
+        c: _normalize_default(dest, d) for c, d in defaults.items()
+    }
     with dest.catalog.lock(dest.database, table):
         dest.catalog.create_empty_table(dest.database, table)
         _register_schema(dest, table, struct.fields)
@@ -1082,9 +1132,8 @@ def _returning_cols(info, returning: str):
 
 
 def _exec_insert(dest, query: str):
-    m = _INSERT_RE.match(query)
     (or_mode, table, col_list, select_text,
-     conflict_cols, action, returning) = m.groups()
+     conflict_cols, action, returning) = _masked_match(_INSERT_RE, query)
     if returning and (or_mode or action):
         raise ValueError(
             "RETURNING is supported on plain INSERT only — conflict"
@@ -1669,8 +1718,9 @@ def _parse_delete_using(dest, query: str):
     """(table, t_alias, source_df, s_alias, cond_text) for the joined
     delete — source resolution mirrors MERGE's USING (a table name or
     a parenthesized query)."""
-    m = _DELETE_USING_RE.match(query)
-    table, t_alias, using, s_alias, cond = m.groups()
+    table, t_alias, using, s_alias, cond = _masked_match(
+        _DELETE_USING_RE, query
+    )
     _require_table(dest, table)
     if using.startswith("("):
         src = _source_df(dest, using[1:-1])

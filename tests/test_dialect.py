@@ -183,12 +183,12 @@ def test_bracket_literals_vs_subscripts():
     assert rewrite("SELECT [[1], [2]]") == "SELECT array(array(1), array(2))"
     # integer subscripts keep DuckDB's 1-based meaning via element_at
     # (this text only ever arrives after stock Spark rejected it)
-    assert rewrite("SELECT a[1] FROM t") == "SELECT element_at(a, 1) FROM t"
+    assert rewrite("SELECT a[1] FROM t") == "SELECT try_element_at(a, 1) FROM t"
     assert rewrite("SELECT split(s, ',')[1]") == (
-        "SELECT element_at(split(s, ','), 1)"
+        "SELECT try_element_at(split(s, ','), 1)"
     )
     # literal then subscript on it
-    assert rewrite("SELECT [1, 2][1]") == "SELECT element_at(array(1, 2), 1)"
+    assert rewrite("SELECT [1, 2][1]") == "SELECT try_element_at(array(1, 2), 1)"
 
 
 def test_backtick_identifiers_untouched():
@@ -261,7 +261,7 @@ def test_backtick_subscript_not_list_literal():
     # classified as a subscript (not rewritten to a list literal) and
     # then bridged to the 1-based element_at like any other subscript
     assert rewrite("SELECT `arr`[1] FROM t") == (
-        "SELECT element_at(`arr`, 1) FROM t"
+        "SELECT try_element_at(`arr`, 1) FROM t"
     )
 
 
@@ -631,15 +631,15 @@ def test_struct_and_series_execute_matching_duckdb(spark):
 
 def test_int_subscripts_become_element_at():
     assert rewrite("select l[1] // 2 from t") == (
-        "select element_at(l, 1)  DIV  2 from t"
+        "select try_element_at(l, 1)  DIV  2 from t"
     )
-    assert "element_at(l, -1)" in rewrite("select l[-1], x // y from t")
-    assert "element_at(element_at(l, 1), 2)" in rewrite("select l[1][2] // 1 from t")
-    assert "element_at(f(x), 1)" in rewrite("select f(x)[1] // 1 from t")
+    assert "try_element_at(l, -1)" in rewrite("select l[-1], x // y from t")
+    assert "try_element_at(try_element_at(l, 1), 2)" in rewrite("select l[1][2] // 1 from t")
+    assert "try_element_at(f(x), 1)" in rewrite("select f(x)[1] // 1 from t")
     # string keys (maps/structs: same meaning both engines) untouched
     assert "m['k']" in rewrite("select m['k'] // 1 from t")
     # a list literal is never a subscript base mistake
-    assert "element_at(array(1,2,3), 2)" in rewrite("select [1,2,3][2]")
+    assert "try_element_at(array(1,2,3), 2)" in rewrite("select [1,2,3][2]")
 
 
 def test_array_keyword_constructor():

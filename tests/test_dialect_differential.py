@@ -184,3 +184,30 @@ CASES_W5 = [
     "SELECT cot(1.0) AS c, degrees(pi()) AS d, factorial(5) AS f",
 ]
 CASES.extend(CASES_W5)
+
+# r12 advisor regressions: DuckDB treats NULL lists as empty for
+# append/prepend and SKIPS NULL list_concat arguments (Spark's
+# array_append/concat are NULL-poisoning), and returns NULL on index
+# 0 / out-of-range where ANSI-mode element_at throws.  Each of these
+# was a silent-wrong-value (or loud-error-on-valid-query) divergence
+# before the r12 wrapped-call bridges.
+CASES_R12A = [
+    "SELECT list_append(CAST(NULL AS INT[]), 1) AS a",
+    "SELECT list_append(CAST(NULL AS INT[]), CAST(NULL AS INT)) AS a",
+    "SELECT list_append([1], CAST(NULL AS INT)) AS a",
+    "SELECT list_prepend(1, CAST(NULL AS INT[])) AS a",
+    "SELECT list_prepend(CAST(NULL AS INT), [1]) AS a",
+    "SELECT list_concat(CAST(NULL AS INT[]), [1,2]) AS a",
+    "SELECT list_concat([1,2], CAST(NULL AS INT[])) AS a",
+    "SELECT list_concat(CAST(NULL AS INT[]), CAST(NULL AS INT[])) AS a",
+    "SELECT list_concat([1,NULL], [2]) AS a",
+    "SELECT list_concat(arr, [9]) AS a FROM t ORDER BY id",
+    "SELECT list_extract([1,2,3], 5) AS oob, list_extract([1,2,3], 0) AS z,"
+    " list_extract([1,2,3], -1) AS neg",
+    "SELECT list_extract(CAST(NULL AS INT[]), 1) AS nl,"
+    " list_extract([1,2,3], CAST(NULL AS INT)) AS ni",
+    "SELECT array_extract([1,2,3], 5) AS oob",
+    "SELECT arr[5] AS oob, arr[0] AS z FROM t ORDER BY id",
+    "SELECT ([1,2,3])[-1] AS neg, ([1,2,3])[7] AS oob",
+]
+CASES.extend(CASES_R12A)

@@ -1500,3 +1500,46 @@ def test_insert_returning(dest):
     with pytest.raises(Exception, match="plain INSERT only"):
         run(dest, "INSERT OR IGNORE INTO ri VALUES (1, 1) RETURNING k")
     assert run(dest, "SELECT count(*) AS n FROM ri") == [{"n": 3}]
+
+
+def test_insert_literal_containing_dml_keywords(dest):
+    """r12 advisor catch: _INSERT_RE matched RAW text, so a string
+    literal containing ' RETURNING x' (or ' ON CONFLICT ') terminated
+    the lazy body group at the literal and a valid INSERT failed.
+    The regex now runs on masked text."""
+    run(dest, "CREATE TABLE kw (k INT, s STRING)")
+    run(dest, "INSERT INTO kw VALUES (1, 'see RETURNING x for details')")
+    run(dest, "INSERT INTO kw SELECT 2, 'then ON CONFLICT (k) DO NOTHING'")
+    assert run(dest, "SELECT count(*) AS n FROM kw") == [{"n": 2}]
+    got = run(
+        dest,
+        "INSERT INTO kw VALUES (3, 'a RETURNING trap') RETURNING k, s",
+    )
+    assert got == [{"k": 3, "s": "a RETURNING trap"}]
+    # DELETE USING with keyword-bearing literals parses on masked text
+    run(dest, "CREATE TABLE kws AS SELECT 3 AS k")
+    run(
+        dest,
+        "DELETE FROM kw USING kws WHERE kw.k = kws.k"
+        " AND kw.s <> 'x USING y WHERE z'",
+    )
+    assert run(dest, "SELECT count(*) AS n FROM kw") == [{"n": 2}]
+
+
+def test_create_default_duckdb_flavored_expression(dest):
+    """r12 advisor catch: DEFAULT expressions were recorded verbatim
+    and applied with raw F.expr, so a DuckDB-flavored default (ord(),
+    ::INT8 casts) passed CREATE validation via the fallback path but
+    made every partial-column INSERT fail at analysis.  They are now
+    normalized to plain Spark SQL at record time."""
+    run(
+        dest,
+        "CREATE TABLE dd (k INT, c INT DEFAULT ord('a'),"
+        " w BIGINT DEFAULT 0::INT8)",
+    )
+    run(dest, "INSERT INTO dd (k) VALUES (1)")
+    assert run(dest, "SELECT k, c, w FROM dd") == [{"k": 1, "c": 97, "w": 0}]
+    run(dest, "INSERT INTO dd DEFAULT VALUES")
+    assert run(dest, "SELECT count(*) AS n FROM dd WHERE c = 97") == [
+        {"n": 2}
+    ]

@@ -69,6 +69,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      run: q_scan_external_files r9 → family due r12; csv/orc drop
 #      from r11's mandatory cohort on that credit.  Rotation: the r12
 #      turn runs csv, r15 orc, r18 files.)
+#   F11 x_multimodal_codec_jpeg / _gif / _mjpeg  (r12 new — the
+#      candidate VERDICT r10/r11 named: one decode seam, 3 container
+#      formats; mp4/webm/real stay independent (probe-vs-full-decode
+#      families).  Newest member runs: gif/mjpeg r10, jpeg r9 →
+#      jpeg skips r12 on the r10 credit; family due r13 (rotation:
+#      r13 jpeg, r16 gif, r19 mjpeg).  Frees the slot that funds the
+#      s_crawl_stream registration, per VERDICT r11 #2/#8.)
 # Effective demand = 157 registered − (6 pairs·1 + 2 families·2 + 1
 # pair·1 + 1 family·2) = 144 vs 147 capacity → 3 slots of headroom
 # (the 2 slots F10 frees fund 2 of the 3 r10-registered entries:
@@ -101,20 +108,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # next take their pairs' turns r13 — within the 6-round per-member
 # cadence pair alternation implies.
 #
-# R12 PLAN (sketch; finalize in the r12 header): the r9-era cohort is
-# 49 entries, + flagship = 50 exactly full BEFORE credits.  Credits
-# due r12 free slots: F7 (grouping_sets/rollup/cube all ran r9 — run
-# ONE member r12, round-robin pick q_rollup; frees 2), F8 turn (run
-# q_distinct, credit q_union_all; q_union_distinct's own turn r15),
-# F10 turn (run q_scan_external_csv per the ledger rotation, credit
-# files/orc — csv+orc are r8-era so this ADDS one slot vs the r9
-# cohort), P9 turn due r12 (x_dedup_simhash_pairs ran r9 — run
-# pairs again or rotate to x_dedup_simhash; 1 slot), P6 (sample_
-# deterministic ran r9 → family due r12, rotate to q_tablesample?
-# — no: q_tablesample runs r11 below, so P6's newest run will be
-# r11 and the family skips r12).  Net: ~48-50; if tight, pull the
-# named codec-family consolidation (x_multimodal_codec_gif/mjpeg/
-# jpeg → one decode-seam family; jpeg newest r9, gif/mjpeg r10).
+# R12 LEDGER (executes the R11 sketch + VERDICT r11 #1/#2/#8): the
+# r9-era cohort is 49 entries + flagship = 50 full BEFORE credits.
+# Credits applied, each freeing its slot from the mandatory cohort:
+#   F7 turn: run q_rollup, skip q_grouping_sets + q_cube  (−2)
+#   F8 turn: run q_distinct, skip q_union_all              (−1)
+#   F10 turn: run q_scan_external_csv (r8), skip q_scan_
+#     external_files (r9 member)                      (−1 +1 = 0)
+#   P9 turn: run x_dedup_simhash (r8), skip x_dedup_simhash_
+#     pairs (r9 member)                               (−1 +1 = 0)
+#   P6 credit: skip q_sample_deterministic (q_tablesample ran
+#     r11 → family within cycle)                           (−1)
+#   F11 (NEW, consolidating the codec family per VERDICT r10/r11's
+#     named candidate): skip x_multimodal_codec_jpeg on the
+#     gif/mjpeg r10 credit                                 (−1)
+# → 42 cohort + 2 rotated members + flagship = 45, five slots free:
+#   +s_crawl_stream (NEW r12 — the streamed admission chain VERDICT
+#     r11 #2 prescribed; F11's freed slot funds the registration)
+#   +x_dedup_incremental_exact, x_semantic_dedup,
+#    x_dedup_embedding_lsh, x_dedup_exact — four of the five
+#    r7-stale entries pulled forward (VERDICT r11 #1's slack rule;
+#    their 6-round member cadence hits r13, whose r10-era cohort is
+#    already full).  The fifth, x_dedup_minhash_oracle, takes P4's
+#    r13 pair-turn (swap with x_dedup_minhash_lsh, net 0), and
+#    x_dedup_exact running NOW gives P1 an r12 credit so x_dedup_
+#    exact_rows skips r13 — r13 arithmetic closes at ≤50.
+# Window = 45 + 5 = EXACTLY 50.  Effective demand after F11 =
+# 158 registered − (6 pairs·1 + 3 families·2 + 1 pair·1 + 1
+# family·2) = 143 vs 147 capacity.
 #
 # R11 CARRY-OVER (r10 warehouse_dml review, deferred finding #10):
 # CREATE OR REPLACE TABLE crash-atomicity — CLOSED r11: the staged
@@ -124,69 +145,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_dml_atomic.py prove the old table survives every stage.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (b) registered r10, no driver row ever ---
-    "x_image_near_dup",
-    "x_crawl_chain",  # extended r11: full pre-training admission chain
-    "x_quality_classifier",
-    "x_dsir_select",
-    "x_dedup_paragraph",
-    # --- P6 pair-turn (q_sample_deterministic ran r9) ---
-    "q_tablesample",
-    # --- (d) staleness cohort (newest row r8) — 43 entries; includes
-    # the P2/P3/P5 pair-turns (incremental, kmeans, embedding_oracle)
-    "q02_filter_predicates",
-    "q_agg_basic",
-    "q_agg_filter",
-    "q_agg_stats",
-    "q_approx_quantile",
-    "q_count_distinct",
-    "q_cte",
-    "q_dml_ctas_roundtrip",
-    "q_dml_timetravel_roundtrip",
-    "q_except",
-    "q_exists_correlated",
-    "q_in_subquery",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_join_left",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_theta",
-    "q_lateral_join",
-    "q_nested_flatten_multitable",
-    "q_percentile_exact",
-    "q_scalar_subquery",
-    "q_time_bucket_15min",
-    "q_window_first_last",
-    "q_window_frame_range",
-    "q_window_frame_rows",
-    "q_window_lag_lead",
-    "q_window_ntile",
-    "q_window_rank",
-    "q_word_count",
-    "s_stream_dedup",
-    "s_stream_sliding_2h_1h",
-    "x_ann_cosine_lsh",
-    "x_ann_ivf_topk",
-    "x_audio_features",
-    "x_dedup_embedding_oracle",  # P5 pair-turn (lsh twin rode r10 credit)
-    "x_dedup_incremental",  # P2 pair-turn
-    "x_multimodal_codec_mp4",
-    "x_multimodal_codec_real",
-    "x_multimodal_codec_webm",
-    "x_range_join_bucketed",
-    "x_semantic_kmeans",  # P3 pair-turn
-    # --- past the ~50 edge: r11 credit skippers, newest-first ---
-    "x_dedup_simhash",  # P9 credit (simhash_pairs ran r9)
-    "q_union_distinct",  # F8 credit (q_union_all ran r9)
-    "q_scan_external_csv",  # F10 credit (files twin ran r9)
-    "q_scan_external_orc",  # F10 credit
-    "x_dedup_exact",  # P1 credit (exact_rows ran r10)
-    "x_dedup_minhash_oracle",  # P4 credit (minhash_lsh ran r10)
-    "x_dedup_incremental_exact",  # P2 credit (incremental runs r11)
-    "x_semantic_dedup",  # P3 credit (kmeans runs r11)
-    "x_dedup_embedding_lsh",  # P5 credit (oracle twin runs r11)
+    # --- (c) NEW r12: the streamed admission chain (VERDICT r11 #2;
+    # F11's consolidation funds the slot) ---
+    "s_crawl_stream",
+    # --- family/pair turns due r12 (members rotated in) ---
+    "q_rollup",  # F7 turn (credits q_grouping_sets, q_cube)
+    "q_distinct",  # F8 turn (credits q_union_all)
+    "q_scan_external_csv",  # F10 turn, r8 member (credits files/orc)
+    "x_dedup_simhash",  # P9 turn, r8 member (credits simhash_pairs)
+    # --- r7-stale cohort pulled forward (VERDICT r11 #1 slack rule;
+    # x_dedup_minhash_oracle rides P4's r13 turn instead) ---
+    "x_dedup_incremental_exact",
+    "x_semantic_dedup",
+    "x_dedup_embedding_lsh",
+    "x_dedup_exact",  # gives P1 an r12 credit → exact_rows skips r13
+    # --- (d) staleness cohort (newest row r9) minus the credit
+    # skippers above — 42 entries ---
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q_approx_count_distinct",
+    "q_array_funcs",
+    "q_case_cast",
+    "q_date_funcs",
+    "q_dialect_duckdb_text",
+    "q_dml_compact_roundtrip",
+    "q_dml_copy_roundtrip",
+    "q_explode_posexplode",
+    "q_join_cross",
+    "q_json_funcs",
+    "q_map_struct_funcs",
+    "q_math_funcs",
+    "q_nested_flatten_horizontal",
+    "q_nested_flatten_multitable_depth2",
+    "q_nested_flatten_vertical",
+    "q_order_limit_offset",
+    "q_pivot",
+    "q_qualify_latest",
+    "q_string_funcs",
+    "q_topk_per_group",
+    "q_unpivot",
+    "s_rollup_continuous_hourly",
+    "s_stream_stream_join",
+    "x_bloom_screen",
+    "x_bpe_token_counts",
+    "x_corpus_mix",
+    "x_dedup_embedding_cosine",
+    "x_dedup_ngram_jaccard",
+    "x_lm_perplexity",
+    "x_model_score",
+    "x_multimodal_features",
+    "x_pack_sequences",
+    "x_sample_stratified",
+    "x_semantic_incremental",
+    "x_split_train_val",
+    "x_url_dedup",
+    "x_warc_ingest",
+    # --- past the ~50 edge: r12 credit skippers, due r13+ ---
+    "q_grouping_sets",  # F7 credit (q_rollup runs r12)
+    "q_cube",  # F7 credit
+    "q_union_all",  # F8 credit (q_distinct runs r12)
+    "q_union_distinct",  # F8 credit; own member turn ~r15
+    "q_scan_external_files",  # F10 credit (csv runs r12)
+    "q_scan_external_orc",  # F10 credit; member turn r15
+    "q_sample_deterministic",  # P6 credit (q_tablesample ran r11)
+    "x_dedup_simhash_pairs",  # P9 credit (x_dedup_simhash runs r12)
+    "x_multimodal_codec_jpeg",  # F11 credit (gif/mjpeg ran r10)
+    "x_dedup_minhash_oracle",  # P4's r13 turn (swap with minhash_lsh)
 ]
 
 

@@ -289,6 +289,34 @@ def _dense_dot_expr(
     return bkts, dot
 
 
+def quality_prob_expr(
+    weights: dict[int, float],
+    bias: float,
+    text_col: str,
+    *,
+    buckets: int,
+    portable: bool = False,
+    round_to: int = 6,
+) -> Column:
+    """The classifier's gate-online form (r12): per-document quality
+    probability as ONE column expression — the exact array tier
+    ``score_quality`` dispatches to, exposed as an expression so a
+    STREAMING admission chain can apply the trained model with zero
+    shuffles and zero state (the ``dsir_score_expr`` shape).  Fit
+    offline with :func:`train_quality_classifier`, gate online with
+    this."""
+    sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
+    bkts, dot = _dense_dot_expr(
+        weights, 0.0, text_col,
+        buckets=buckets, portable=portable,
+        streaming=True, what="quality_prob_expr",
+    )
+    z = F.lit(bias) + dot / F.size(bkts)
+    return F.when(_no_tokens(bkts), F.lit(sig0)).otherwise(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+    )
+
+
 def score_quality(
     df: DataFrame,
     weights: dict[int, float],
@@ -338,16 +366,9 @@ def score_quality(
         plan = "array" if df.isStreaming else "join"
     sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
     if plan == "array":
-        bkts, dot = _dense_dot_expr(
-            weights, 0.0, text_col,
-            buckets=buckets, portable=portable,
-            streaming=df.isStreaming, what="score_quality",
-        )
-        z = F.lit(bias) + dot / F.size(bkts)
-        prob = F.when(
-            _no_tokens(bkts), F.lit(sig0)
-        ).otherwise(
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+        prob = quality_prob_expr(
+            weights, bias, text_col,
+            buckets=buckets, portable=portable, round_to=round_to,
         )
         return df.select(F.col(id_col), prob.alias("quality_prob"))
     spark = df.sparkSession

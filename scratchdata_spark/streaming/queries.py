@@ -540,3 +540,205 @@ def s_semantic_stream(spark, sf_dir):
     out_df = spark.createDataFrame(rows, got.schema)
     shutil.rmtree(base, ignore_errors=True)
     return out_df
+
+
+# ------------------------------------------------------------------
+# Streaming pre-training admission chain (streaming/admission.py):
+# the stream-legal tier of x_crawl_chain, hash-gated streamed-vs-
+# batch.  Values below are measured fixture margins (sf-independent):
+# the classifier gate reuses the batch chain's 0.51 (model-junk
+# 0.475661 vs everything else >= 0.533303) and the DSIR threshold
+# -153.4 sits >= 1.0 inside the two neighboring weight levels
+# (-154.482698 below, -152.403257 above — exact Laplace arithmetic,
+# not float luck).  The husk (j=15, newsletter-only) legitimately
+# SURVIVES this tier: killing it needs corpus-wide paragraph dedup,
+# which is batch-only by construction — the boundary this entry pins.
+_SCHAIN_DSIR_MIN = -153.4
+
+
+def _schain_oracle_sql() -> str:
+    """DuckDB twin of the STREAMED admission chain.  Survivor
+    enumeration up to the classifier gate is construction arithmetic
+    (per-record stages keep base/utm/mirror/husk pages and drop
+    robots-disallowed, blocked-host, heuristic-junk and model-junk
+    pages — margins above); the DSIR gate stage is RECOMPUTED from
+    scratch over the reconstructed corpus (the x_crawl_chain oracle
+    shape), so the one distribution-dependent stage is verified by
+    recomputation, not assumption."""
+    from scratchdata_spark.inventory_extras import (
+        _CHAIN_ARCHIVES,
+        _CHAIN_DSIR_BUCKETS,
+        _CHAIN_NEWS,
+        _CHAIN_PROSE_HEAD,
+        _CHAIN_PROSE_TAIL,
+        _features_sql,
+        _md5_bucket_sql,
+    )
+
+    b = _CHAIN_DSIR_BUCKETS
+    prose = (
+        f"concat('{_CHAIN_PROSE_HEAD}',"
+        " substr(md5(concat(CAST(i AS VARCHAR), ':',"
+        " CAST({j} AS VARCHAR))), 1, 6),"
+        f" '{_CHAIN_PROSE_TAIL}', chr(10), '{_CHAIN_NEWS}')"
+    )
+    return f"""
+    WITH corpus AS (
+      -- base pages j IN (0,6,7,8)
+      SELECT CAST(i * 100 + j AS BIGINT) AS doc_id,
+             concat('https://h', CAST(i AS VARCHAR), '.example/art/',
+                    CAST(j AS VARCHAR)) AS target_uri,
+             {prose.format(j='j')} AS text
+      FROM range({_CHAIN_ARCHIVES}) t(i), (VALUES (0),(6),(7),(8)) v(j)
+      UNION ALL
+      -- utm re-fetches j IN (1,9) of page j-1 (no url dedup per-record)
+      SELECT CAST(i * 100 + j AS BIGINT),
+             concat('https://h', CAST(i AS VARCHAR), '.example/art/',
+                    CAST(j - 1 AS VARCHAR), '?utm_source=x'),
+             {prose.format(j='j - 1')}
+      FROM range({_CHAIN_ARCHIVES}) t(i), (VALUES (1),(9)) v(j)
+      UNION ALL
+      -- exact mirrors j IN (2,10) of page j-2 (no text dedup per-record)
+      SELECT CAST(i * 100 + j AS BIGINT),
+             concat('https://m', CAST(i AS VARCHAR), '.example/art/',
+                    CAST(j - 2 AS VARCHAR)),
+             {prose.format(j='j - 2')}
+      FROM range({_CHAIN_ARCHIVES}) t(i), (VALUES (2),(10)) v(j)
+      UNION ALL
+      -- newsletter-only husks j = 15 (paragraph dedup is batch-only)
+      SELECT CAST(i * 100 + 15 AS BIGINT),
+             concat('https://h', CAST(i AS VARCHAR), '.example/news/15'),
+             '{_CHAIN_NEWS}'
+      FROM range({_CHAIN_ARCHIVES}) t(i)
+    ),
+    tgt AS (
+      SELECT concat('{_CHAIN_PROSE_HEAD}',
+                    substr(md5(concat('0:', CAST(j AS VARCHAR))), 1, 6),
+                    '{_CHAIN_PROSE_TAIL}') AS text
+      FROM (VALUES (0), (6), (7), (8)) v(j)
+    ),
+    rf AS ({_features_sql("corpus")}),
+    tf AS ({_features_sql("tgt", with_id=False)}),
+    rcnt AS (
+      SELECT doc_id, {_md5_bucket_sql("f", b)} AS bucket, COUNT(*) AS cnt
+      FROM rf GROUP BY 1, 2
+    ),
+    rdist AS (SELECT bucket, SUM(cnt) AS rc FROM rcnt GROUP BY 1),
+    tdist AS (
+      SELECT {_md5_bucket_sql("f", b)} AS bucket, COUNT(*) AS tc
+      FROM tf GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT SUM(rc) FROM rdist) AS rt,
+             (SELECT SUM(tc) FROM tdist) AS tt
+    ),
+    ratios AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             ln((COALESCE(t.tc, 0) + 1.0) / (tots.tt + {float(b)!r}))
+             - ln((COALESCE(r.rc, 0) + 1.0) / (tots.rt + {float(b)!r}))
+               AS logratio
+      FROM rdist r FULL JOIN tdist t ON r.bucket = t.bucket, tots
+    ),
+    perdoc AS (
+      SELECT c.doc_id, ROUND(SUM(c.cnt * ra.logratio), 6) AS w
+      FROM rcnt c JOIN ratios ra ON ra.bucket = c.bucket
+      GROUP BY c.doc_id
+    )
+    SELECT c.doc_id, c.target_uri, c.text
+    FROM corpus c JOIN perdoc p ON p.doc_id = c.doc_id
+    WHERE p.w >= {_SCHAIN_DSIR_MIN!r}
+    """
+
+
+@q("s_crawl_stream", _schain_oracle_sql())
+def s_crawl_stream(spark, sf_dir):
+    """The streaming admission chain under the hash gate: the three
+    fixture archives arrive as 3 micro-batches (maxFilesPerTrigger=1)
+    through ONE Structured Streaming query running parse → robots
+    (closure tier, rules fit offline) → blocked-hosts → boilerplate →
+    heuristic quality → trained-classifier gate (quality_prob_expr,
+    zero-shuffle) → DSIR gate (dsir_score_expr over an offline-fit
+    log-ratio table), checkpointed exactly-once; the streamed union
+    of admitted micro-batches must equal the batch enumeration +
+    recomputed DSIR stage in DuckDB.  Stage boundaries are where this
+    repo's composition bugs have lived (VERDICT r10/r11) — this entry
+    gates the STREAMING composition the way x_crawl_chain gates the
+    batch one."""
+    import shutil
+    import tempfile
+
+    from scratchdata_spark.inventory_extras import (
+        _chain_fixture_dir,
+        _chain_prose,
+        _CHAIN_DSIR_BUCKETS,
+        _CHAIN_MIN_PROB,
+        _QC_BUCKETS,
+        _qc_fixture,
+    )
+    from scratchdata_spark.operators import robots as R
+    from scratchdata_spark.operators import warc as W
+    from scratchdata_spark.operators.selection import dsir_logratio_table
+    from scratchdata_spark.streaming.admission import (
+        admission_stages,
+        start_admission_stream,
+    )
+
+    d = _chain_fixture_dir()
+    # deterministic micro-batch order: ascending archive mtimes
+    now = os.path.getmtime(os.path.join(d, "a0.warc"))
+    for k in range(3):
+        p = os.path.join(d, f"a{k}.warc")
+        os.utime(p, (now + k, now + k))
+
+    def with_doc_id(df):
+        return df.withColumn(
+            "doc_id",
+            F.regexp_extract("record_id", r"urn:uuid:(\d+)-(\d+)", 1)
+            .cast("long") * 100
+            + F.regexp_extract(
+                "record_id", r"urn:uuid:(\d+)-(\d+)", 2
+            ).cast("long"),
+        )
+
+    # ---- fit offline (batch pass over the same crawl) ----
+    records = W.read_warc(spark, d + "/*.warc", keep_paragraphs=True)
+    rules = R.rules_from_warc(records)
+    w_fix, b_fix = _qc_fixture()
+    gates = dict(
+        robots_rules=rules,
+        blocked_domains=["spam.biz"],
+        boilerplate={},
+        min_score=0.3,
+        weights=w_fix, bias=b_fix,
+        qc_buckets=_QC_BUCKETS, min_prob=_CHAIN_MIN_PROB,
+        qc_portable=True,
+    )
+    raw = admission_stages(with_doc_id(records), **gates).select("text")
+    target = spark.createDataFrame(
+        [(j, _chain_prose(0, j)) for j in (0, 6, 7, 8)],
+        "doc_id long, text string",
+    )
+    table, default = dsir_logratio_table(
+        raw, target, "text", buckets=_CHAIN_DSIR_BUCKETS, portable=True
+    )
+
+    # ---- gate online (the stream) ----
+    base = tempfile.mkdtemp(prefix="sd-admstream-")
+    out = os.path.join(base, "out")
+    query = start_admission_stream(
+        spark, d, out, os.path.join(base, "ckpt"),
+        prepare=with_doc_id, max_files_per_trigger=1,
+        dsir_table=table, dsir_default=default,
+        dsir_buckets=_CHAIN_DSIR_BUCKETS,
+        dsir_min=_SCHAIN_DSIR_MIN, dsir_portable=True,
+        **gates,
+    )
+    query.awaitTermination()
+    got = spark.read.parquet(out).select("doc_id", "target_uri", "text")
+    # materialize before dropping the temp dirs (bounded: the fixture
+    # admits 15 documents by construction)
+    rows = got.collect()
+    out_df = spark.createDataFrame(rows, got.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+    return out_df

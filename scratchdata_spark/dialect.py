@@ -107,6 +107,15 @@ can never be bridged here.  The probed list:
   TIMESTAMP in Spark — same instant, different printed type.
 * ``element_at(map, k)`` — the value in Spark, a single-element LIST
   in DuckDB.
+* SELECT-LIST ``IN (subquery)`` over a set containing NULLs (r12
+  probe wave): where the standard (and DuckDB) yield NULL for a
+  no-match probe against a NULL-bearing set, Spark's existence-join
+  rewrite PROJECTS false (``2 IN (SELECT v …)`` with v ∈ {1, NULL} →
+  false, not NULL; same for NOT IN).  In WHERE position the engines
+  agree observably — NULL and false both drop the row — and the
+  null-aware anti-join keeps NOT IN filters exact; only the projected
+  VALUE diverges.  Engine behavior, not a rewrite: the same text with
+  plain IN (no dialect token at all) does this in stock Spark.
 """
 
 from __future__ import annotations
@@ -282,6 +291,18 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\barg_max\s*\(", "max_by(", code, flags=re.I)
     code = re.sub(r"\barg_min\s*\(", "min_by(", code, flags=re.I)
     code = re.sub(r"\bquantile_cont\s*\(", "percentile(", code, flags=re.I)
+    # quantified comparisons (r12 probe wave): = ANY/SOME (sub) is
+    # EXACTLY IN (sub) and <> ALL (sub) is EXACTLY NOT IN (sub) per
+    # the SQL standard — probed on DuckDB 1.0 for the hit/miss/empty-
+    # set/NULL-element/NULL-probe edges, all agree.  Spark has no
+    # quantified-comparison syntax at all, so these only ever arrive
+    # through the fallback.  The ORDERED quantifiers (< > <= >=) have
+    # no faithful rewrite and refuse in _guard_unbridged.
+    # lookbehind: >= ANY / <= ANY must NOT half-match as "= ANY"
+    code = re.sub(
+        r"(?<![<>!])=\s*(?:ANY|SOME)\s*\(", " IN (", code, flags=re.I
+    )
+    code = re.sub(r"(?:<>|!=)\s*ALL\s*\(", " NOT IN (", code, flags=re.I)
     # select-list unnest → explode: same one-row-per-element semantics
     # for arrays (the overwhelmingly common use). unnest of structs /
     # multiple parallel unnests differ — those become loud analysis
@@ -1813,6 +1834,20 @@ def _guard_unbridged(masked: str) -> None:
             " BY/LIMIT (engine statement form, unionByName). For this"
             " shape, list the columns explicitly in the same order on"
             " both sides — Spark set operators match by position only."
+        )
+    # = ANY / <> ALL were bridged to IN / NOT IN in _rewrite_code
+    # (exact per the SQL standard, probed on every NULL/empty edge);
+    # the ORDERED quantifiers have no faithful text rewrite — the
+    # min/max forms diverge on empty sets and NULL elements (r12
+    # probe wave) — so they refuse with the manual rewrites named
+    if re.search(r"(<=|>=|<>|!=|<|>|=)\s*(ANY|ALL|SOME)\s*\(", masked, re.I):
+        raise DialectError(
+            "quantified comparisons beyond = ANY/SOME and <> ALL are"
+            " not bridged: rewrite x > ANY (SELECT v …) as"
+            " EXISTS (SELECT 1 … WHERE x > v) and x > ALL (…) as"
+            " NOT EXISTS (SELECT 1 … WHERE NOT (x > v) OR v IS NULL)"
+            " — aggregate min/max forms diverge on empty sets and"
+            " NULL elements"
         )
 
 

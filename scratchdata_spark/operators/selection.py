@@ -274,9 +274,12 @@ def _dense_dot_expr(
             f"{what}: in-plan tier needs buckets <="
             f" {ARRAY_TIER_MAX_BUCKETS}; {hint}"
         )
-    dense = F.array(
-        *[F.lit(float(table.get(b, default))) for b in range(buckets)]
-    )
+    # ONE ArrayType literal node, not `buckets` separate literals:
+    # F.array(*lits) put 1-8k expression nodes in the plan, and a
+    # STREAMING query re-plans every micro-batch — measured 3.7x
+    # slower analyze+run at 2048 buckets (r12 admission-stream soak
+    # catch; batch plans pay the same analysis cost once)
+    dense = F.lit([float(table.get(b, default)) for b in range(buckets)])
     bkts = F.transform(
         features_col(F.col(text_col)),
         lambda f: bucket_col(f, buckets, portable),

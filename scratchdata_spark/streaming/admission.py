@@ -126,6 +126,18 @@ def admission_stages(
             text_col,
             F.when(quar, F.col(text_col)).otherwise(F.col("__clean")),
         ).drop("__clean")
+        # EXPRESSION-SPACE lineage cut (the streaming twin of the
+        # batch chain's checkpoint stage, r12 soak catch): without a
+        # barrier, Catalyst inlines the boilerplate split/filter/join
+        # expression into every downstream reference of the text
+        # column, and the gate HOFs evaluate INTERPRETED (no codegen,
+        # no common-subexpression elimination) — measured 16x on the
+        # 1x soak corpus (48.8 s → 3.1 s for the full gate stack).
+        # One Arrow identity pass per micro-batch materializes the
+        # cleaned text exactly once; persist/localCheckpoint are not
+        # append-legal, this is.
+        if min_score is not None or weights is not None or dsir_table:
+            docs = docs.mapInPandas(lambda it: it, docs.schema)
     if min_score is not None:
         docs = gate(docs, quality_score(F.col(text_col)) >= float(min_score))
     if weights is not None:

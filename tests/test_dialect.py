@@ -1028,3 +1028,32 @@ def test_r11_probe_catches_wave3(spark):
         rewrite("SELECT json_extract_string(j, 'a') FROM t // 1")
     with pytest.raises(DialectError, match="json_extract"):
         rewrite("SELECT json_extract(j, '$.a') FROM t // 1")
+
+
+def test_quantified_comparisons_bridge_or_refuse():
+    # = ANY/SOME → IN, <> / != ALL → NOT IN (exact per the standard;
+    # probed on hit/miss/empty/NULL edges in the differential battery)
+    assert rewrite("SELECT 1 = ANY (SELECT v FROM s)") == (
+        "SELECT 1  IN (SELECT v FROM s)"
+    )
+    assert rewrite("SELECT 1 = SOME (SELECT v FROM s)") == (
+        "SELECT 1  IN (SELECT v FROM s)"
+    )
+    assert rewrite("SELECT 1 <> ALL (SELECT v FROM s)") == (
+        "SELECT 1  NOT IN (SELECT v FROM s)"
+    )
+    assert rewrite("SELECT 1 != ALL (SELECT v FROM s)") == (
+        "SELECT 1  NOT IN (SELECT v FROM s)"
+    )
+    # ordered quantifiers have no faithful rewrite — loud, with the
+    # manual EXISTS forms named; >= must not half-match as "= ANY"
+    for bad in (
+        "SELECT 1 > ANY (SELECT v FROM s)",
+        "SELECT 1 >= ANY (SELECT v FROM s)",
+        "SELECT 1 < ALL (SELECT v FROM s)",
+        "SELECT 1 <= SOME (SELECT v FROM s)",
+    ):
+        with pytest.raises(DialectError, match="quantified comparisons"):
+            rewrite(bad)
+    # a literal containing '= ANY (' is untouched
+    assert "= ANY (" in rewrite("SELECT '= ANY (x)' AS s ~ 'a'")

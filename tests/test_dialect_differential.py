@@ -127,17 +127,30 @@ CASES = [
 ]
 
 
+# NULL-bearing second relation for the r12 wave (grouping null
+# markers, correlated subqueries, set-op NULL handling)
+_N_ROWS = [(1, "a", 1), (2, "a", None), (3, None, 3), (4, "b", 4),
+           (5, "b", 4)]
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     register_compat_functions(spark)
     spark.createDataFrame(
         _ROWS, "id long, g string, v long, arr array<long>"
     ).createOrReplaceTempView("t")
+    spark.createDataFrame(
+        _N_ROWS, "id long, k string, v long"
+    ).createOrReplaceTempView("n")
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t AS SELECT * FROM (VALUES"
         " (1,'alpha',10,[1,2,3]),(2,'beta',20,[4,5]),(3,'abc',30,[6]))"
         " v(id,g,v,arr)"
+    )
+    con.execute(
+        "CREATE TABLE n AS SELECT * FROM (VALUES (1,'a',1),(2,'a',NULL),"
+        "(3,NULL,3),(4,'b',4),(5,'b',4)) v(id,k,v)"
     )
     return spark, con
 
@@ -211,3 +224,87 @@ CASES_R12A = [
     "SELECT ([1,2,3])[-1] AS neg, ([1,2,3])[7] AS oob",
 ]
 CASES.extend(CASES_R12A)
+
+# r12 probe wave (VERDICT r11 #3): window frames (ROWS/RANGE,
+# reversed/forward-only/degenerate bounds, named windows, NULL
+# ordering), GROUPING SETS / ROLLUP / CUBE null-marker semantics
+# against REAL NULL groups (grouping() disambiguation, HAVING on
+# grouping, expression rollup keys), correlated subqueries
+# (scalar/EXISTS/IN incl. the NOT-IN-with-NULLs trap, correlated
+# HAVING), and set-operator type coercion + NULL rows.  58/60
+# probes agreed on first contact — pinned here; the two ordered
+# quantified comparisons (> ANY / > ALL) had no Spark form and
+# now refuse with guidance, while = ANY / <> ALL bridge exactly
+# to IN / NOT IN (probed on every NULL/empty edge).
+CASES_R12B = [
+    'SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY v RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY v DESC RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY id) AS s FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER () AS s FROM t ORDER BY id',
+    'SELECT id, first_value(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS f, last_value(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS l FROM t ORDER BY id',
+    'SELECT id, last_value(v) OVER (ORDER BY id) AS l FROM t ORDER BY id',
+    'SELECT id, nth_value(v, 2) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv FROM t ORDER BY id',
+    'SELECT id, v, max(v) OVER (PARTITION BY id % 2 ORDER BY id ROWS UNBOUNDED PRECEDING) AS m FROM t ORDER BY id',
+    'SELECT id, count(*) OVER (ORDER BY v RANGE BETWEEN CURRENT ROW AND 15 FOLLOWING) AS c FROM t ORDER BY id',
+    'SELECT id, sum(v) OVER w AS s, count(*) OVER w AS c FROM t WINDOW w AS (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) ORDER BY id',
+    'SELECT id, avg(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS a FROM t ORDER BY id',
+    'SELECT k, v, sum(v) OVER (PARTITION BY k ORDER BY id) AS s FROM n ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY k NULLS FIRST, id) AS s FROM n ORDER BY id',
+    'SELECT id, sum(v) OVER (ORDER BY k NULLS LAST, id) AS s FROM n ORDER BY id',
+    'SELECT k, sum(v) AS s, grouping(k) AS gk FROM n GROUP BY ROLLUP(k) ORDER BY gk, k NULLS FIRST',
+    'SELECT k, v, sum(id) AS s, grouping(k) AS gk, grouping(v) AS gv FROM n GROUP BY CUBE(k, v) ORDER BY gk, gv, k NULLS FIRST, v NULLS FIRST',
+    'SELECT k, v, sum(id) AS s FROM n GROUP BY GROUPING SETS ((k), (v), ()) ORDER BY k NULLS FIRST, v NULLS FIRST, s',
+    'SELECT k, v, sum(id) AS s FROM n GROUP BY GROUPING SETS ((k, v)) ORDER BY k NULLS FIRST, v NULLS FIRST',
+    "SELECT coalesce(k, 'TOTAL') AS kk, sum(v) AS s, grouping(k) AS gk FROM n GROUP BY ROLLUP(k) ORDER BY gk, kk",
+    'SELECT k, count(*) AS c FROM n GROUP BY ROLLUP(k) HAVING grouping(k) = 0 ORDER BY k NULLS FIRST',
+    'SELECT grouping(k) + grouping(v) AS lvl, count(*) AS c FROM n GROUP BY CUBE(k, v) ORDER BY lvl, c',
+    'SELECT k, v % 2 AS p, sum(id) AS s FROM n GROUP BY ROLLUP(k, v % 2) ORDER BY k NULLS FIRST, p NULLS FIRST, s',
+    'SELECT t1.id, (SELECT max(t2.v) FROM t t2 WHERE t2.id < t1.id) AS mx FROM t t1 ORDER BY t1.id',
+    'SELECT t1.id, (SELECT count(*) FROM t t2 WHERE t2.v > t1.v) AS c FROM t t1 ORDER BY t1.id',
+    'SELECT id FROM t t1 WHERE EXISTS (SELECT 1 FROM n WHERE n.id = t1.id AND n.v IS NULL) ORDER BY id',
+    'SELECT id FROM t t1 WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.id = t1.id AND n.v IS NULL) ORDER BY id',
+    'SELECT id FROM n WHERE v IN (SELECT v FROM t WHERE v < 25) ORDER BY id',
+    'SELECT id FROM n WHERE v NOT IN (SELECT v FROM t) ORDER BY id',
+    'SELECT id FROM t WHERE v NOT IN (SELECT v FROM n) ORDER BY id',
+    'SELECT id FROM t t1 WHERE v = (SELECT max(v) FROM t) ORDER BY id',
+    'SELECT t1.g, (SELECT sum(n.v) FROM n WHERE n.id <= t1.id) AS s FROM t t1 ORDER BY t1.g',
+    'SELECT k, sum(v) AS s FROM n GROUP BY k HAVING sum(v) > (SELECT avg(v) FROM n) ORDER BY k',
+    'SELECT id FROM t UNION SELECT id FROM n ORDER BY id',
+    'SELECT v FROM t UNION SELECT v FROM n ORDER BY v NULLS FIRST',
+    'SELECT id FROM n EXCEPT SELECT id FROM t ORDER BY id',
+    'SELECT id FROM n EXCEPT ALL SELECT id FROM t ORDER BY id',
+    'SELECT v FROM n INTERSECT SELECT v FROM t ORDER BY v',
+    'SELECT v FROM n INTERSECT ALL SELECT v FROM n ORDER BY v NULLS FIRST',
+    'SELECT 1 AS x UNION SELECT 1.5 AS x ORDER BY x',
+    'SELECT 1 AS x UNION SELECT CAST(2 AS BIGINT) AS x ORDER BY x',
+    'SELECT v AS x FROM t UNION SELECT 1.5 ORDER BY x',
+    'SELECT NULL AS x UNION SELECT 1 AS x ORDER BY x NULLS FIRST',
+    'SELECT v FROM n UNION ALL SELECT v FROM n ORDER BY v NULLS FIRST LIMIT 4',
+    'SELECT k FROM n EXCEPT SELECT g FROM t ORDER BY k NULLS FIRST',
+    'SELECT k FROM n INTERSECT SELECT k FROM n ORDER BY k NULLS FIRST',
+    'SELECT id, v FROM n EXCEPT SELECT id, v FROM n WHERE v IS NOT NULL ORDER BY id',
+    "SELECT sum(v) FILTER (WHERE k = 'a') AS s, count(v) FILTER (WHERE v IS NULL) AS c FROM n",
+    'SELECT id, ntile(2) OVER (ORDER BY k NULLS LAST, id) AS nt FROM n ORDER BY id',
+    'SELECT id, dense_rank() OVER (ORDER BY v NULLS FIRST) AS dr, rank() OVER (ORDER BY v NULLS FIRST) AS r FROM n ORDER BY id',
+    'SELECT id, cume_dist() OVER (ORDER BY v) AS cd FROM t ORDER BY id',
+    'SELECT id, lead(v, 1) OVER (ORDER BY id) AS ld, lag(v, 2, -1) OVER (ORDER BY id) AS lg FROM n ORDER BY id',
+    'SELECT min(v) OVER (PARTITION BY k) AS m, id FROM n ORDER BY id',
+    'SELECT id FROM n WHERE v = ANY (SELECT v FROM t WHERE v < 25) ORDER BY id',
+    'SELECT id FROM n WHERE v = SOME (SELECT v FROM t) ORDER BY id',
+    'SELECT id FROM t WHERE v <> ALL (SELECT v FROM n) ORDER BY id',
+    'SELECT id FROM n WHERE v <> ALL (SELECT v FROM t) ORDER BY id',
+    # (the SELECT-LIST form of this probe is a documented blind spot:
+    # Spark's existence join projects false where the standard says
+    # NULL for a no-match probe against a NULL-bearing set — see
+    # dialect.py's module docstring.  WHERE position agrees.)
+    "SELECT id FROM n WHERE 2 = ANY (SELECT v FROM n WHERE v IS NULL"
+    " OR v = 1) ORDER BY id",
+    'SELECT 1 <> ALL (SELECT v FROM n WHERE FALSE) AS a',
+]
+CASES.extend(CASES_R12B)

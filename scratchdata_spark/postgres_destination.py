@@ -12,12 +12,17 @@ statement is lib/pq's ``CopyInSchema`` shape and each row rides one
 CopyData frame of the v3 frontend/backend protocol in COPY TEXT
 format, exactly what lib/pq's ``stmt.Exec(values...)`` emits.
 
-No live server (and no psycopg) in this container, so the wire sits
-behind an injected transport seam — the test_clickhouse_batch /
-test_redshift pattern: tests drive a fake transport and assert the
-statement text, the frame shapes and the stringify semantics; a
-production transport would speak the v3 protocol over a socket (or
-delegate to psycopg's ``copy_expert``) with the same call sequence.
+The wire sits behind an injected transport seam — the
+test_clickhouse_batch / test_redshift pattern: tests drive a fake
+transport and assert the statement text, the frame shapes and the
+stringify semantics.  The PRODUCTION transport is
+:class:`scratchdata_spark.pgwire.SocketCopyTransport` (r12): a
+dependency-free v3-protocol client (startup, md5 + SCRAM-SHA-256
+auth, simple query, COPY-in) unit-tested against a scripted server
+byte-for-byte and env-gated live (SCRATCHDATA_POSTGRES_URL,
+tests/test_pgwire.py) like the other destination integrations.
+Frames pass through it verbatim, so the fake-transport assertions
+hold for the real wire too.
 
 Semantics notes (divergences loudly documented):
 

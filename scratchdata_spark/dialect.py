@@ -191,6 +191,18 @@ def _segments(sql: str):
     return out
 
 
+# keywords that can directly precede an empty-list literal (or are
+# otherwise never a type name in type position) — the array-suffix
+# rewrite must not treat ``ELSE []`` as ``ARRAY<ELSE>``
+_NON_TYPE_KEYWORDS = frozenset(
+    """SELECT THEN ELSE WHEN END CASE AND OR NOT IN IS AS ON BY FROM
+    WHERE HAVING RETURN RETURNING VALUES SET UNION ALL EXCEPT
+    INTERSECT DISTINCT LIMIT OFFSET JOIN THEN DEFAULT USING BETWEEN
+    LIKE ILIKE ESCAPE OVER PARTITION ORDER GROUP ROWS RANGE
+    PRECEDING FOLLOWING CURRENT ROW NULLS FIRST LAST ASC DESC""".split()
+)
+
+
 def rewrite_type_aliases(code: str) -> str:
     """DuckDB type aliases → Spark types, on CODE text (literals must
     be masked or segmented out by the caller).  Bare VARCHAR only —
@@ -212,19 +224,29 @@ def rewrite_type_aliases(code: str) -> str:
     code = re.sub(r"\bHUGEINT\b", "DECIMAL(38,0)", code, flags=re.I)
     # DuckDB's array-type suffix: INT[] → ARRAY<INT> (r12; surfaced by
     # the advisor-regression battery's CAST(NULL AS INT[]) probes).
-    # EMPTY brackets only ever mean a type — a value subscript always
-    # has content — so this cannot touch expressions.  Innermost-out
-    # loop handles nesting (INT[][] → ARRAY<ARRAY<INT>>); the optional
-    # <...> arm lets the second pass match the ARRAY<…> it just built.
-    # DuckDB's fixed-size INT[3] is NOT bridged (Spark has no
-    # fixed-size array type; it stays as a loud parse error).
+    # A value subscript always has content, but an EMPTY-LIST literal
+    # can follow a bare keyword (``ELSE []``, ``THEN []``, ``SELECT
+    # []`` are all valid DuckDB) — so keyword-led matches are skipped
+    # (r12 self-review catch: the first cut emitted ``ARRAY<ELSE>``).
+    # Innermost-out loop handles nesting (INT[][] →
+    # ARRAY<ARRAY<INT>>); the optional <...> arm lets the second pass
+    # match the ARRAY<…> it just built.  DuckDB's fixed-size INT[3]
+    # is NOT bridged (Spark has no fixed-size array type; it stays a
+    # loud parse error).
     arr = re.compile(
         r"\b([A-Za-z_]\w*(?:\s*\([^()]*\))?(?:<[^\[\]]*>)?)\s*\[\s*\]"
     )
+
+    def _array_suffix(m: re.Match) -> str:
+        if m.group(1).upper() in _NON_TYPE_KEYWORDS:
+            return m.group(0)
+        return f"ARRAY<{m.group(1)}>"
+
     while True:
-        code, n = arr.subn(r"ARRAY<\1>", code)
-        if not n:
+        new = arr.sub(_array_suffix, code)
+        if new == code:
             return code
+        code = new
 
 
 def _rewrite_code(code: str) -> str:
@@ -275,6 +297,10 @@ def _rewrite_code(code: str) -> str:
     # both week() and weekofyear() are ISO weeks (probed at year
     # boundaries); the \s*\( keeps EXTRACT(WEEK FROM …) untouched
     code = re.sub(r"\bweek\s*\(", "weekofyear(", code, flags=re.I)
+    # datetrunc is DuckDB's documented synonym of date_trunc (r12
+    # probe wave); the DATE-vs-TIMESTAMP return-type note for
+    # date_trunc (module docstring) applies identically
+    code = re.sub(r"\bdatetrunc\s*\(", "date_trunc(", code, flags=re.I)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
     # DuckDB type aliases Spark's parser rejects (saved queries cast
     # with them constantly: x::VARCHAR, y::INT8); shared with the
@@ -1597,7 +1623,9 @@ def _rewrite_trailing_commas(masked: str) -> str:
 
 
 _STAR_REPLACE_RE = re.compile(
-    r"((?:[A-Za-z_][A-Za-z0-9_]*|\x00\d+\x00)\s*\.\s*)?\*\s+REPLACE\s*\(", re.I
+    r"((?:[A-Za-z_][A-Za-z0-9_]*|\x00\d+\x00)\s*\.\s*)?\*"
+    r"\s+(?:EXCEPT\s*\(([^()]*)\)\s*)?REPLACE\s*\(",
+    re.I,
 )
 
 
@@ -1606,7 +1634,10 @@ def _rewrite_star_replace(masked: str) -> str:
     expr AS col, ...``. Same column SET; the replaced columns move to
     the end of the projection (Spark's EXCEPT keeps relative order of
     the rest, DuckDB keeps the replaced column in place) — position is
-    the one divergence, names/values match."""
+    the one divergence, names/values match.  The combined DuckDB form
+    ``* EXCLUDE (a) REPLACE (e AS c)`` (EXCLUDE already rewritten to
+    EXCEPT by the code pass) folds the exclusion list into the same
+    EXCEPT (r12 probe wave — the combined form was a loud error)."""
     while True:
         m = _STAR_REPLACE_RE.search(masked)
         if m is None:
@@ -1616,7 +1647,9 @@ def _rewrite_star_replace(masked: str) -> str:
         if close == -1:
             return masked
         items = _split_d0_commas(masked[open_idx + 1 : close - 1])
-        names = []
+        names = [
+            c.strip() for c in (m.group(2) or "").split(",") if c.strip()
+        ]
         for item in items:
             am = re.search(
                 r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*|\x00\d+\x00)\s*$", item, re.I
@@ -1635,9 +1668,110 @@ def _rewrite_star_replace(masked: str) -> str:
 
 
 _AGG_ORDER_RE = re.compile(
-    r"\b(array_agg|string_agg|listagg|group_concat|first|last)\s*\(", re.I
+    r"\b(array_agg|string_agg|listagg|group_concat|first|last"
+    r"|sum|avg|mean|count|min|max|median|product"
+    r"|bool_and|bool_or|bit_and|bit_or|bit_xor"
+    r"|stddev|stddev_samp|stddev_pop|var_samp|var_pop|variance"
+    r")\s*\(",
+    re.I,
+)
+# the order-INSENSITIVE members of the set above: DuckDB accepts
+# ORDER BY inside any aggregate, but for these it cannot change the
+# result, so the bridge simply DROPS the clause (r12 probe wave —
+# sum(v ORDER BY v) was a loud parse error on a valid no-op)
+_ORDER_INSENSITIVE_AGGS = frozenset(
+    """sum avg mean count min max median product bool_and bool_or
+    bit_and bit_or bit_xor stddev stddev_samp stddev_pop var_samp
+    var_pop variance""".split()
 )
 _ORDER_BY_IN_ARGS_RE = re.compile(r"\bORDER\s+BY\b", re.I)
+
+
+# time_bucket widths in MICROSECONDS for the fixed-width units; the
+# calendar units (month/year/decade/century) bucket by calendar
+# arithmetic in DuckDB and are refused loudly below
+_TIME_BUCKET_US = {
+    "microsecond": 1, "microseconds": 1, "us": 1,
+    "millisecond": 1000, "milliseconds": 1000, "ms": 1000,
+    "second": 10**6, "seconds": 10**6,
+    "minute": 60 * 10**6, "minutes": 60 * 10**6,
+    "hour": 3600 * 10**6, "hours": 3600 * 10**6,
+    "day": 86400 * 10**6, "days": 86400 * 10**6,
+    "week": 7 * 86400 * 10**6, "weeks": 7 * 86400 * 10**6,
+}
+# DuckDB's documented time_bucket origin: 2000-01-03 00:00:00 (a
+# Monday, so week buckets align to ISO weeks) — probed: 7-day buckets
+# of 2024-01-10 start 2024-01-08, and pre-origin timestamps floor
+# toward -inf (1969-12-31 23:00 → 22:00 for 2-hour buckets)
+_TIME_BUCKET_ORIGIN_US = 946857600000000
+_TIME_BUCKET_RE = re.compile(r"\btime_bucket\s*\(", re.I)
+_INTERVAL_ARG_RE = re.compile(
+    r"^INTERVAL\s+(?:'\s*(\d+)\s*(\w+)\s*'|(\d+)\s+(\w+))\s*$", re.I
+)
+
+
+def _rewrite_time_bucket(masked: str, literals: list[str]) -> str:
+    """``time_bucket(INTERVAL n UNIT, ts)`` (TimescaleDB-style, r12
+    probe wave — a loud UNRESOLVED_ROUTINE before) → origin-anchored
+    flooring: ``timestamp_micros(u - pmod(u - ORIGIN, W))`` with
+    ``u = unix_micros(ts)``.  pmod keeps pre-origin timestamps exact
+    (probed).  Divergence note: a DATE input returns DATE in DuckDB,
+    TIMESTAMP here — same instant, the date_trunc type note applies.
+    Calendar units and the 3-argument offset/origin forms refuse with
+    the reason named."""
+    pos = 0
+    while True:
+        m = _TIME_BUCKET_RE.search(masked, pos)
+        if m is None:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _match_paren(masked, open_idx)
+        args = (
+            _split_d0_commas(masked[open_idx + 1 : close - 1])
+            if close != -1
+            else []
+        )
+        if close == -1 or len(args) != 2:
+            raise DialectError(
+                "time_bucket is bridged only as time_bucket(INTERVAL n"
+                " unit, ts) — the offset/origin forms shift the anchor"
+                " in ways a text rewrite cannot verify"
+            )
+        am = _INTERVAL_ARG_RE.match(
+            _unmask_literals(args[0].strip(), literals)
+        )
+        unit = (am.group(2) or am.group(4)).lower() if am else None
+        if am is None or unit not in _TIME_BUCKET_US:
+            raise DialectError(
+                "time_bucket: only literal fixed-width intervals"
+                " (microseconds … weeks) are bridged — calendar units"
+                " bucket by calendar arithmetic in DuckDB; use"
+                " date_trunc for single calendar units"
+            )
+        w = int(am.group(1) or am.group(3)) * _TIME_BUCKET_US[unit]
+        ts = args[1].strip()
+        u = f"unix_micros(CAST(({ts}) AS TIMESTAMP))"
+        repl = (
+            f"timestamp_micros({u} - pmod({u}"
+            f" - {_TIME_BUCKET_ORIGIN_US}, {w}))"
+        )
+        masked = masked[: m.start()] + repl + masked[close:]
+        pos = m.start() + len(repl)
+
+
+def _order_null_guard(mods: str) -> tuple[bool, str]:
+    """(descending?, null-guard predicate text) for one ORDER BY
+    item's modifiers.  The guard expression leads the sort struct so
+    a natural struct sort reproduces the intended NULL placement:
+    DuckDB defaults to NULLS LAST in BOTH directions (probed), Spark's
+    struct comparison puts a NULL field first ascending.  Truth
+    table: the guard is ``IS NULL`` exactly when descending equals
+    nulls-first (then the boolean sorts the null rows to the intended
+    end under the chosen direction), else ``IS NOT NULL``."""
+    desc = bool(re.search(r"\bDESC\b", mods, re.I))
+    nf = re.search(r"\bNULLS\s+FIRST\b", mods, re.I)
+    nulls_first = bool(nf)  # absent → DuckDB default NULLS LAST
+    return desc, ("IS NULL" if desc == nulls_first else "IS NOT NULL")
 
 
 def _rewrite_agg_order_by(masked: str) -> str:
@@ -1674,41 +1808,73 @@ def _rewrite_agg_order_by(masked: str) -> str:
         fn = m.group(1).lower()
         args = _split_d0_commas(inner[: ob.start()])
         order_clause = inner[ob.end():].strip()
-        if fn in ("string_agg", "listagg", "group_concat"):
+        if fn in _ORDER_INSENSITIVE_AGGS:
+            repl = f"{fn}({', '.join(a.strip() for a in args)})"
+        elif fn in ("string_agg", "listagg", "group_concat"):
             sep = f", {args[1]}" if len(args) > 1 else ""
+            # Spark's default sort is NULLS FIRST ascending; DuckDB's
+            # is NULLS LAST in both directions — make the placement
+            # explicit on every key that lacks a NULLS modifier (r12
+            # self-review catch, the same family as the struct-sort
+            # guard below)
+            keys = [
+                k if re.search(r"\bNULLS\s+(FIRST|LAST)\b", k, re.I)
+                else f"{k} NULLS LAST"
+                for k in (s.strip() for s in _split_d0_commas(order_clause))
+            ]
             repl = (
                 f"listagg({args[0]}{sep})"
-                f" WITHIN GROUP (ORDER BY {order_clause})"
+                f" WITHIN GROUP (ORDER BY {', '.join(keys)})"
             )
         elif fn in ("first", "last"):
-            # first(x ORDER BY k) == min_by(x, k) / last == max_by
-            # (DESC flips). Spark's min_by/max_by skip NULL keys as
-            # DuckDB's default NULLS-LAST ordering does; the one edge
-            # that differs — EVERY key NULL — returns NULL here vs an
-            # arbitrary value there. Multi-key or explicit NULLS
-            # modifiers stay as loud parse errors.
+            # first/last(x ORDER BY k) pick the value at the ordering
+            # boundary via min_by/max_by over a (null-guard, key)
+            # struct.  The guard is load-bearing (r12 self-review
+            # catch): DuckDB defaults to NULLS LAST in BOTH
+            # directions, so last(g ORDER BY g) over {a, b, NULL} is
+            # NULL — the bare max_by(g, g) of r11 SKIPPED null keys
+            # and silently returned 'b'.  Explicit NULLS FIRST/LAST
+            # modifiers are honored through the same guard polarity.
             key, mods = _split_order_modifiers(order_clause)
-            if (
-                "," in order_clause
-                or not args
-                or len(args) != 1
-                or re.search(r"\bNULLS\b", mods, re.I)
-            ):
-                return masked
-            desc = bool(re.search(r"\bDESC\b", mods, re.I))
+            if "," in order_clause or not args or len(args) != 1:
+                return masked  # multi-key: loud parse error
+            desc, gnull = _order_null_guard(mods)
+            g = f"struct(({key}) {gnull} AS _n, {key} AS _k)"
             pick = ("max_by" if desc else "min_by") if fn == "first" else (
                 "min_by" if desc else "max_by"
             )
-            repl = f"{pick}({args[0]}, {key})"
+            repl = f"{pick}({args[0]}, {g})"
         else:  # array_agg
             key, mods = _split_order_modifiers(order_clause)
             if "," in order_clause or not args:
                 return masked  # multi-key: leave as a loud parse error
-            asc = "false" if re.search(r"\bDESC\b", mods, re.I) else "true"
-            repl = (
-                f"transform(sort_array(array_agg(struct({key} AS _ob,"
-                f" {args[0]} AS _v)), {asc}), p -> p._v)"
-            )
+            desc, gnull = _order_null_guard(mods)
+            asc = "false" if desc else "true"
+            # the (key IS [NOT] NULL) guard leads the sort struct so
+            # NULL keys land where DuckDB puts them — NULLS LAST by
+            # default in BOTH directions (r12 self-review catch: the
+            # bare struct sort put ascending NULL keys FIRST; Spark's
+            # struct comparison treats a NULL field as smallest).
+            # The struct wrap also keeps NULL VALUES — a bare
+            # array_agg(x) would silently drop them.
+            dm = re.match(r"DISTINCT\s+(.+)$", args[0].strip(), re.I | re.S)
+            if dm:
+                # list(DISTINCT x ORDER BY x): legal only when the
+                # sort key IS the distinct expression (the standard's
+                # rule) — distinct over the (guard, key, value)
+                # struct is then distinct over x itself.
+                if dm.group(1).strip() != key.strip():
+                    return masked  # foreign key: loud, never guessed
+                agg = (
+                    f"array_agg(DISTINCT struct(({key}) {gnull} AS _n,"
+                    f" {key} AS _ob, {dm.group(1)} AS _v))"
+                )
+            else:
+                agg = (
+                    f"array_agg(struct(({key}) {gnull} AS _n,"
+                    f" {key} AS _ob, {args[0]} AS _v))"
+                )
+            repl = f"transform(sort_array({agg}, {asc}), p -> p._v)"
         masked = masked[: m.start()] + repl + masked[close:]
 
 
@@ -2250,6 +2416,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_string_split(masked)
     masked = _rewrite_struct_pack(masked)
     masked = _rewrite_brace_literals(masked)
+    masked = _rewrite_time_bucket(masked, literals)
     masked = _rewrite_generate_series(masked)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_list_comprehensions(masked)

@@ -1179,7 +1179,14 @@ def _exec_insert(dest, query: str):
             # read back EXACTLY the adopted part files (never the
             # whole table — a concurrent insert's rows must not leak
             # into this statement's RETURNING); distributed scan, no
-            # driver collect, basePath recovers partition columns
+            # driver collect, basePath recovers partition columns.
+            # Lifetime note (r12 review): the frame reads fixed paths
+            # LAZILY, protected by generation retention (current +
+            # parent) — it survives ONE concurrent copy-on-write flip
+            # and fails LOUDLY (file-not-found) after two, never
+            # silently re-reads other rows.  The API path serializes
+            # immediately, so the window only matters to an embedded
+            # caller holding the frame across its own writes.
             struct = info.struct()
             if not adopted:
                 rdf = dest.spark.createDataFrame([], struct)

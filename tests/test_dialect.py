@@ -663,13 +663,29 @@ def test_star_replace_rewrite():
 
 
 def test_agg_order_by_rewrites():
+    # explicit NULLS LAST: DuckDB's default placement in BOTH
+    # directions; Spark's default is NULLS FIRST ascending (r12)
     got = rewrite("select string_agg(s, ',' order by v desc) from t group by g")
-    assert "listagg(s, ',') WITHIN GROUP (ORDER BY v desc)" in got
+    assert "listagg(s, ',') WITHIN GROUP (ORDER BY v desc NULLS LAST)" in got
+    # the (key IS [NOT] NULL) guard leads the sort struct so NULL
+    # keys land where DuckDB puts them (NULLS LAST both directions)
     got = rewrite("select list(s order by v desc) from t group by g")
     assert (
-        "transform(sort_array(array_agg(struct(v AS _ob, s AS _v)), false),"
-        " p -> p._v)" in got
+        "transform(sort_array(array_agg(struct((v) IS NOT NULL AS _n,"
+        " v AS _ob, s AS _v)), false), p -> p._v)" in got
     )
+    got = rewrite("select list(s order by v) from t group by g")
+    assert (
+        "transform(sort_array(array_agg(struct((v) IS NULL AS _n,"
+        " v AS _ob, s AS _v)), true), p -> p._v)" in got
+    )
+    # order-insensitive aggs: the no-op ORDER BY drops (r12)
+    assert rewrite("select sum(v order by v) // 1 from t") == (
+        "select sum(v)  DIV  1 from t"
+    )
+    # DISTINCT ordered agg, key == distinct expression (r12)
+    got = rewrite("select list(distinct s order by s) from t")
+    assert "array_agg(DISTINCT struct((s) IS NULL AS _n" in got
 
 
 def test_try_strptime():

@@ -308,3 +308,40 @@ CASES_R12B = [
     'SELECT 1 <> ALL (SELECT v FROM n WHERE FALSE) AS a',
 ]
 CASES.extend(CASES_R12B)
+
+# r12 self-review wave over the r11 rewriter additions: ordered
+# aggregates with NULL sort keys (the struct-sort null guard and
+# the first/last min_by/max_by guard — two silent divergences
+# fixed: DuckDB is NULLS LAST in both directions, Spark's struct
+# sort and bare min_by/max_by were not), DISTINCT ordered aggs,
+# order-insensitive aggs carrying a no-op ORDER BY, the combined
+# * EXCLUDE (...) REPLACE (...) star form, datetrunc, and the
+# origin-anchored time_bucket bridge (incl. a pre-origin 1969
+# timestamp).  Within-tie order for equal sort keys is
+# deliberately NOT pinned — unspecified in both engines (ours is
+# value-deterministic, DuckDB's is input-order).
+CASES_R12C = [
+    "SELECT string_agg(g, ',' ORDER BY v DESC) AS sa, list(v ORDER BY g) AS lv FROM t",
+    'SELECT list(DISTINCT g ORDER BY g) AS l FROM t',
+    'SELECT list(DISTINCT k ORDER BY k) AS l, list(DISTINCT k ORDER BY k DESC) AS ld FROM n',
+    'SELECT list(k ORDER BY k) AS l, list(k ORDER BY k DESC) AS ld FROM n',
+    'SELECT list(id ORDER BY k NULLS FIRST) AS l FROM n',
+    'SELECT last(id ORDER BY k) AS l FROM n',
+    'SELECT last(id ORDER BY k DESC) AS l FROM n',
+    'SELECT first(id ORDER BY k NULLS FIRST) AS f FROM n',
+    'SELECT first(k ORDER BY k) AS f, last(k ORDER BY k) AS l FROM n',
+    "SELECT string_agg(CAST(id AS VARCHAR), ',' ORDER BY k) AS s FROM n",
+    "SELECT string_agg(CAST(id AS VARCHAR), ',' ORDER BY k DESC) AS s FROM n",
+    'SELECT g, sum(v ORDER BY v) AS s FROM t GROUP BY g ORDER BY g',
+    'SELECT avg(v ORDER BY v DESC) AS a, count(v ORDER BY g) AS c FROM t',
+    'SELECT id, v FROM (SELECT * REPLACE (v * 2 AS v) FROM t) q ORDER BY id',
+    'SELECT id, g, v FROM (SELECT * EXCLUDE (arr) REPLACE (v * 2 AS v) FROM t) q ORDER BY id',
+    'SELECT id, g, v FROM (SELECT * EXCLUDE (arr) REPLACE (upper(g) AS g, v + 1 AS v) FROM t) q ORDER BY id',
+    "SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 07:38:21') AS b",
+    "SELECT time_bucket(INTERVAL 7 DAY, TIMESTAMP '2024-01-10 07:38:21') AS b",
+    "SELECT time_bucket(INTERVAL '90 seconds', TIMESTAMP '2024-01-01 00:02:31') AS b",
+    "SELECT time_bucket(INTERVAL 2 HOUR, TIMESTAMP '1969-12-31 23:00:00') AS b",
+    "SELECT time_bucket(INTERVAL 1 WEEK, TIMESTAMP '2024-01-10 00:00:00') AS b",
+    "SELECT CAST(datetrunc('month', TIMESTAMP '2024-03-15 01:02:03') AS DATE) AS m",
+]
+CASES.extend(CASES_R12C)

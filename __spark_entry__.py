@@ -137,6 +137,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # 158 registered − (6 pairs·1 + 3 families·2 + 1 pair·1 + 1
 # family·2) = 143 vs 147 capacity.
 #
+# R13 PLAN (sketch; finalize in the r13 header): mandatory = the
+# r10-era cohort (49) + flagship = 50 full BEFORE credits.  Credits:
+# F11 turn (run x_multimodal_codec_jpeg per the rotation, skip
+# gif+mjpeg: net −1), P1 credit (x_dedup_exact ran r12 → skip
+# x_dedup_exact_rows: −1), P4 turn (run x_dedup_minhash_oracle —
+# the last r7-stale entry, at its 6-round boundary — INSTEAD of
+# x_dedup_minhash_lsh: net 0).  The 2 freed slots go to the two
+# r8-era members whose OWN 6-round cadence hits r14 ahead of their
+# families' next turns: q_union_distinct (F8 next due r15) and
+# q_scan_external_orc (F10 rotation said r15) — running them r13
+# beats a forced overflow at r14.  Net: 50 EXACTLY.  s_crawl_stream
+# (r12) rejoins at r14/r15 with the r11/r12 cohorts.
+#
 # R11 CARRY-OVER (r10 warehouse_dml review, deferred finding #10):
 # CREATE OR REPLACE TABLE crash-atomicity — CLOSED r11: the staged
 # replacement adopts as the NEXT generation of the same table root

@@ -329,6 +329,15 @@ class SparkDestination(DataFrameSerializers, Destination):
             from scratchdata_spark.dialect import register_compat_functions
 
             register_compat_functions(spark)
+            # DuckDB (and the standard) read "x" as an IDENTIFIER;
+            # stock Spark reads it as a string literal, so a saved
+            # query touching a quoted column silently projected the
+            # literal text instead of the column (r12 DML probe
+            # catch).  Session-scoped: destinations own their session
+            # (the service calls newSession per destination), and the
+            # reference dialect never spells STRING literals with
+            # double quotes — those stay '…' on both engines.
+            spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
 
     # ------------------------------------------------------------- read
     def table_df(self, table: str) -> DataFrame:

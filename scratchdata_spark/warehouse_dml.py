@@ -938,7 +938,15 @@ def _parse_column_defs(defs: str) -> tuple[str, list[str]]:
         # a DEFAULT literal containing 'VARCHAR' stays untouched
         # (r11 DML differential probe catch)
         cur = rewrite_type_aliases(cur)
-        clean.append(_unmask_literals(cur.strip(), lits))
+        # double-quoted (standard/DuckDB) column names → backticks:
+        # fromDDL has its own parser that rejects "x" (r12 DML probe
+        # catch).  Safe here: DEFAULT expressions — the one place a
+        # def could carry a single-quoted literal CONTAINING double
+        # quotes — were extracted and stripped above, so any double
+        # quote left in the def text is an identifier.
+        clean.append(
+            re.sub(r'"([^"]*)"', r"`\1`", _unmask_literals(cur.strip(), lits))
+        )
     return ", ".join(clean), pk, defaults
 
 
@@ -1090,6 +1098,49 @@ def _key_range_prune_fn(dest, prune_pred):
     ), prune_pred
 
 
+def _substitute_value_defaults(info, col_list, body: str) -> str:
+    """``INSERT … VALUES (DEFAULT, 1)`` — the standard's per-position
+    DEFAULT keyword (r12 DML probe catch: a valid statement was an
+    unresolved-column error).  Each depth-0 bare DEFAULT token inside
+    a VALUES row becomes that position's recorded default expression
+    (NULL when the column has none — DuckDB's behavior too).  Runs on
+    masked text so a string literal spelling 'DEFAULT' stays data;
+    any unmodeled shape returns the body untouched (loud downstream,
+    never guessed)."""
+    if not re.match(r"(?is)^\s*VALUES\b", body) or not re.search(
+        r"(?i)\bDEFAULT\b", body
+    ):
+        return body
+    from scratchdata_spark.dialect import (
+        _mask_literals,
+        _split_d0_commas,
+        _unmask_literals,
+    )
+
+    masked, lits = _mask_literals(body)
+    if col_list and col_list.strip():
+        cols = [c.strip().strip('`"') for c in col_list.split(",")]
+    else:
+        cols = [f.name for f in info.struct().fields if f.name != ROW_ID]
+    head = re.match(r"(?is)^\s*VALUES\b", masked)
+    out_rows = []
+    for row in _split_d0_commas(masked[head.end():]):
+        r = row.strip()
+        if not (r.startswith("(") and r.endswith(")")):
+            return body
+        args = _split_d0_commas(r[1:-1])
+        new_args = []
+        for i, a in enumerate(args):
+            if a.strip().upper() == "DEFAULT":
+                if i >= len(cols):
+                    return body  # arity error: the projection reports it
+                d = info.defaults.get(cols[i])
+                a = f"({d})" if d else "NULL"
+            new_args.append(a.strip())
+        out_rows.append("(" + ", ".join(new_args) + ")")
+    return _unmask_literals("VALUES " + ", ".join(out_rows), lits)
+
+
 def _insert_source(dest, info, col_list, select_text):
     """INSERT's source frame — the embedded SELECT/VALUES, or for
     ``DEFAULT VALUES`` one synthesized row of the declared defaults
@@ -1111,7 +1162,9 @@ def _insert_source(dest, info, col_list, select_text):
                 for f in fields
             ]
         )
-    return _source_df(dest, select_text)
+    return _source_df(
+        dest, _substitute_value_defaults(info, col_list, select_text)
+    )
 
 
 def _returning_cols(info, returning: str):

@@ -126,3 +126,90 @@ def test_same_statements_both_engines(engines, stmts):
     dest.query_json(stmts[-1], out)
     got = _norm(json.loads(out.getvalue()))
     assert got == expect, f"{stmts}\n spark={got}\n duck={expect}"
+
+
+# r12 DML probe wave: simultaneous SET assignments (both RHS read the
+# OLD row), explicit NULL never taking a DEFAULT, the per-position
+# DEFAULT keyword in VALUES (was an unresolved-column error), computed
+# DEFAULT expressions, ALTER ADD backfill, self-referential inserts,
+# subquery UPDATE sources, multi-column upserts, CTAS bodies with
+# ORDER BY/LIMIT and IF NOT EXISTS no-ops, join-sourced inserts,
+# keyword-bearing string literals crossing every DML regex, aliased
+# subquery DELETE USING, double-quoted (standard) identifiers (were a
+# DDL parse error AND a silent literal-projection trap — the engine
+# session now reads "x" as an identifier like DuckDB), and
+# DEFAULT VALUES arithmetic.
+SCENARIOS += [
+ # simultaneous assignment: both RHS must read the OLD row
+ ["CREATE TABLE s1 (a INT, b INT)", "INSERT INTO s1 VALUES (1, 2)",
+  "UPDATE s1 SET a = b, b = a", "SELECT a, b FROM s1"],
+ ["CREATE TABLE s2 (a INT, b INT)", "INSERT INTO s2 VALUES (1, 2)",
+  "UPDATE s2 SET a = a + b, b = a - b", "SELECT a, b FROM s2"],
+ # explicit NULL never takes the DEFAULT
+ ["CREATE TABLE s3 (k INT DEFAULT 7, v INT)", "INSERT INTO s3 VALUES (NULL, 1)",
+  "INSERT INTO s3 (v) VALUES (2)", "SELECT k, v FROM s3 ORDER BY v"],
+ # DEFAULT keyword in VALUES position
+ ["CREATE TABLE s4 (k INT DEFAULT 7, v INT)", "INSERT INTO s4 VALUES (DEFAULT, 1)",
+  "SELECT k, v FROM s4"],
+ # computed default expression
+ ["CREATE TABLE s5 (k INT DEFAULT 2 + 3, v INT)", "INSERT INTO s5 (v) VALUES (1)",
+  "SELECT k, v FROM s5"],
+ # ALTER ADD then backfill semantics
+ ["CREATE TABLE s6 (k INT)", "INSERT INTO s6 VALUES (1)",
+  "ALTER TABLE s6 ADD COLUMN v INT", "INSERT INTO s6 VALUES (2, 20)",
+  "SELECT k, v FROM s6 ORDER BY k"],
+ # self-referential insert
+ ["CREATE TABLE s7 (k INT)", "INSERT INTO s7 VALUES (1), (2)",
+  "INSERT INTO s7 SELECT k + 10 FROM s7", "SELECT k FROM s7 ORDER BY k"],
+ # update with subquery on second table
+ ["CREATE TABLE s8 (k INT, v INT)", "CREATE TABLE s8x (m INT)",
+  "INSERT INTO s8 VALUES (1, 0), (2, 0)", "INSERT INTO s8x VALUES (5)",
+  "UPDATE s8 SET v = (SELECT max(m) FROM s8x) WHERE k = 1",
+  "SELECT k, v FROM s8 ORDER BY k"],
+ # delete everything via always-true predicate
+ ["CREATE TABLE s9 (k INT)", "INSERT INTO s9 VALUES (1), (2)",
+  "DELETE FROM s9 WHERE 1 = 1", "SELECT count(*) AS n FROM s9"],
+ # coercion on write: int into double col, decimal into int col
+ ["CREATE TABLE s10 (k INT, v DOUBLE)", "INSERT INTO s10 VALUES (1, 2), (2, 2.5)",
+  "SELECT k, v FROM s10 ORDER BY k"],
+ # upsert updating MULTIPLE columns from excluded
+ ["CREATE TABLE s11 (k INT PRIMARY KEY, a INT, b INT)",
+  "INSERT INTO s11 VALUES (1, 10, 100)",
+  "INSERT INTO s11 VALUES (1, 11, 101) ON CONFLICT (k) DO UPDATE SET a = excluded.a, b = excluded.b",
+  "SELECT k, a, b FROM s11"],
+ # conflict DO NOTHING
+ ["CREATE TABLE s12 (k INT PRIMARY KEY, v INT)",
+  "INSERT INTO s12 VALUES (1, 10)",
+  "INSERT INTO s12 VALUES (1, 99), (2, 20) ON CONFLICT (k) DO NOTHING",
+  "SELECT k, v FROM s12 ORDER BY k"],
+ # CTAS with ORDER BY / LIMIT body
+ ["CREATE TABLE s13 AS SELECT x FROM (VALUES (3), (1), (2)) t(x) ORDER BY x LIMIT 2",
+  "SELECT x FROM s13 ORDER BY x"],
+ # CTAS IF NOT EXISTS over existing
+ ["CREATE TABLE s14 AS SELECT 1 AS a",
+  "CREATE TABLE IF NOT EXISTS s14 AS SELECT 2 AS a",
+  "SELECT a FROM s14"],
+ # insert-select with join
+ ["CREATE TABLE s15 (k INT, v INT)", "CREATE TABLE s15a (k INT)", "CREATE TABLE s15b (k INT, v INT)",
+  "INSERT INTO s15a VALUES (1), (2)", "INSERT INTO s15b VALUES (1, 10), (3, 30)",
+  "INSERT INTO s15 SELECT a.k, b.v FROM s15a a JOIN s15b b ON a.k = b.k",
+  "SELECT k, v FROM s15"],
+ # update every row, no WHERE
+ ["CREATE TABLE s16 (k INT, v INT)", "INSERT INTO s16 VALUES (1, 1), (2, 2)",
+  "UPDATE s16 SET v = v * 10", "SELECT k, v FROM s16 ORDER BY k"],
+ # string literal with keywords through the whole DML path
+ ["CREATE TABLE s17 (k INT, s VARCHAR)",
+  "INSERT INTO s17 VALUES (1, 'x USING y WHERE z RETURNING q')",
+  "UPDATE s17 SET s = 'SET a = b WHERE c' WHERE k = 1",
+  "SELECT k, s FROM s17"],
+ # delete-using with alias + subquery source
+ ["CREATE TABLE s18 (k INT)", "INSERT INTO s18 VALUES (1), (2), (3)",
+  "DELETE FROM s18 t USING (SELECT 2 AS k) src WHERE t.k = src.k",
+  "SELECT k FROM s18 ORDER BY k"],
+ # quoted mixed-case identifier
+ ["CREATE TABLE s19 (\"Key\" INT, v INT)", "INSERT INTO s19 VALUES (1, 2)",
+  "SELECT \"Key\", v FROM s19"],
+ # insert DEFAULT VALUES twice + count
+ ["CREATE TABLE s20 (k INT DEFAULT 1)", "INSERT INTO s20 DEFAULT VALUES",
+  "INSERT INTO s20 DEFAULT VALUES", "SELECT sum(k) AS s FROM s20"],
+]

@@ -345,3 +345,47 @@ CASES_R12C = [
     "SELECT CAST(datetrunc('month', TIMESTAMP '2024-03-15 01:02:03') AS DATE) AS m",
 ]
 CASES.extend(CASES_R12C)
+
+# r12 wave D: EXTRACT/date_part field bridges (epoch is a fractional
+# DOUBLE, dow is Sunday=0, isodow is DAYOFWEEK_ISO exactly), numeric
+# 1-arg trunc, NULL-guarded format (DuckDB's format is NULL-poisoning
+# where Java's format_string prints 'null'), json_valid through
+# try_parse_json ('null' and '123' are VALID documents), json_keys,
+# datepart/datetrunc synonyms, and interval arithmetic.  upper('ß')
+# is a documented blind spot (ICU ẞ vs JVM SS), not pinned.
+CASES_R12D = [
+    "SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:10.5') AS e",
+    "SELECT extract(dow FROM DATE '2024-03-03') AS sun,"
+    " extract(dow FROM DATE '2024-03-04') AS mon",
+    "SELECT extract(isodow FROM DATE '2024-03-03') AS sun,"
+    " extract(isodow FROM DATE '2024-03-04') AS mon",
+    "SELECT date_part('dow', DATE '2024-03-03') AS dw,"
+    " date_part('isodow', DATE '2024-03-03') AS iso",
+    "SELECT date_part('epoch', TIMESTAMP '2024-01-01 00:00:10') AS e",
+    "SELECT datepart('year', DATE '2024-03-05') AS y",
+    # (trunc over DOUBLE is a documented width divergence: DuckDB keeps
+    # DOUBLE where floor/ceil return BIGINT — values equal)
+    "SELECT trunc(2.7) AS t, trunc(-2.7) AS tn",
+    "SELECT format('{} and {}', 1, 'x') AS f, format('{}', 2.5) AS g",
+    "SELECT format('{} {}', NULL, true) AS n",
+    "SELECT json_valid('{\"a\":1}') AS v, json_valid('nope') AS nv,"
+    " json_valid('null') AS jn, json_valid('123') AS num,"
+    " json_valid(NULL) AS sn",
+    "SELECT json_keys('{\"a\": 1, \"b\": 2}') AS k",
+    "SELECT json_array_length('[1,2,3]') AS n",
+    "SELECT levenshtein('kitten', 'sitting') AS d",
+    "SELECT INTERVAL 1 DAY + INTERVAL 2 HOUR AS i,"
+    " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 90 MINUTE AS ts",
+    "SELECT TIMESTAMP '2024-01-31 10:00:00' + INTERVAL 1 MONTH AS ts",
+    "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%d/%m/%Y %I:%M %p') AS f",
+    "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%H%M%S') AS f",
+    "SELECT strptime('05/03/2024', '%d/%m/%Y') AS ts",
+    "SELECT epoch(TIMESTAMP '2024-01-01 00:00:00') AS e,"
+    " epoch_ms(TIMESTAMP '2024-01-01 00:00:00.123') AS ms",
+    "SELECT greatest(1, NULL, 3) AS g, least(1, NULL, 3) AS l",
+    "SELECT log2(8) AS l2, log10(100) AS l10, ln(exp(1)) AS e",
+    "SELECT md5('abc') AS h",
+    "SELECT substr('日本語abc', 2, 3) AS s, reverse('日本語') AS r,"
+    " length('straße') AS n",
+]
+CASES.extend(CASES_R12D)

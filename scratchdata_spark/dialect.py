@@ -64,6 +64,20 @@ Anything the rewriter does not recognize passes through untouched —
 valid Spark SQL is never altered (every rewritten token is a parse
 error in stock Spark, so there is nothing to collide with).
 
+ONE deliberate exception to "never altered", decided r12: STRING
+LITERAL semantics are DuckDB's on the whole query surface.  DuckDB
+does not process backslash escapes ('\\d' is backslash-d; the only
+escape is '' doubling) while stock Spark's parser eats backslashes —
+so every regex class in a saved query silently matched the wrong
+thing (the largest silent-divergence class any probe wave has
+found).  query_df bridges by DOUBLING backslashes inside '…'
+literals before the first parse (:func:`escape_backslashes_for_spark`
+— a parser flag cannot do this: escapedStringLiterals breaks ''
+doubling, probed).  Consequence: text written in SPARK's literal
+dialect changes meaning — 'a\\nb' now means backslash-n, and a quote
+is spelled '' not \\'.  Reference parity wins; the engine's query
+dialect is DuckDB.
+
 Integer subscripts ARE bridged: within rewritten text ``a[1]`` is
 DuckDB's 1-based (negative-from-end) subscript, emitted as
 ``element_at(a, 1)`` — identical semantics for arrays and maps on
@@ -108,6 +122,17 @@ can never be bridged here.  The probed list:
   TIMESTAMP in Spark — same instant, different printed type.
 * ``element_at(map, k)`` — the value in Spark, a single-element LIST
   in DuckDB.
+* 2-argument ``trim``/``ltrim``/``rtrim`` (r12 probe): DuckDB reads
+  (string, trim_chars) where Spark reads (trim_chars, string) — both
+  valid, arguments silently swapped.  The unambiguous spelling is
+  ``trim(BOTH 'x' FROM s)``, identical on both.
+* 2-argument ``regexp_extract``/``regexp_extract_all`` (r12 probe):
+  the default group is 0 (full match) in DuckDB and 1 in Spark — a
+  silent wrong value for group-bearing patterns, a runtime
+  REGEX_GROUP_INDEX error for groupless ones (runtime errors do not
+  trigger the fallback).  Text that DOES fall back gets the explicit
+  ``, 0`` appended (the wrapped-call bridge); spell the index
+  explicitly otherwise.
 * ``upper``/``lower`` Unicode special-casing (r12 probe): DuckDB's
   ICU casing maps ß → ẞ (capital sharp s) where the JVM's maps it to
   SS — locale-table differences on a handful of special-cased code
@@ -277,6 +302,15 @@ def _rewrite_code(code: str) -> str:
     # probed r11); str_split_regex is Spark's regex split
     code = re.sub(r"\barray_to_string\s*\(", "array_join(", code, flags=re.I)
     code = re.sub(r"\bstr_split_regex\s*\(", "split(", code, flags=re.I)
+    # regexp_split_to_array is the Postgres-style synonym of
+    # str_split_regex; string_to_array splits on a LITERAL separator
+    # — the registered string_split compat UDF's \Q..\E quoting (r12)
+    code = re.sub(
+        r"\bregexp_split_to_array\s*\(", "split(", code, flags=re.I
+    )
+    code = re.sub(
+        r"\bstring_to_array\s*\(", "string_split(", code, flags=re.I
+    )
     # r11 wave-5 direct aliases (each probed for NULL/empty/miss
     # parity): Spark's array_* twins agree with the DuckDB list_*
     # forms — array_position is 1-based with 0 on a miss on BOTH,
@@ -721,6 +755,41 @@ _WRAPPED_CALLS = [
     (
         "trunc",
         "(CASE WHEN ({X}) >= 0 THEN floor(({X})) ELSE ceil(({X})) END)",
+    ),
+    # 2-argument regexp_extract/regexp_extract_all default to the
+    # FULL MATCH (group 0) in DuckDB but group 1 in Spark (r12 probe
+    # wave): for a group-bearing pattern that is a silent wrong value,
+    # for a groupless one a loud REGEX_GROUP_INDEX error.  The
+    # explicit-index 3-arg forms agree and pass through untouched
+    # (arity gate).
+    ("regexp_extract", "regexp_extract(({X}), ({Y}), 0)"),
+    ("regexp_extract_all", "regexp_extract_all(({X}), ({Y}), 0)"),
+    # DuckDB's list_intersect DROPS NULL matches where Spark's
+    # array_intersect keeps a NULL common to both sides (probed);
+    # element ORDER is unspecified on both.  list_cat / array_cat /
+    # array_concat are DuckDB synonyms of list_concat and share its
+    # NULL-skipping CASE (probed: list_cat(NULL, [1]) = [1]).
+    (
+        "list_intersect",
+        "array_intersect(filter(({X}), _li -> _li IS NOT NULL), ({Y}))",
+    ),
+    (
+        "list_cat",
+        "(CASE WHEN ({X}) IS NULL THEN ({Y})"
+        " WHEN ({Y}) IS NULL THEN ({X})"
+        " ELSE concat(({X}), ({Y})) END)",
+    ),
+    (
+        "array_cat",
+        "(CASE WHEN ({X}) IS NULL THEN ({Y})"
+        " WHEN ({Y}) IS NULL THEN ({X})"
+        " ELSE concat(({X}), ({Y})) END)",
+    ),
+    (
+        "array_concat",
+        "(CASE WHEN ({X}) IS NULL THEN ({Y})"
+        " WHEN ({Y}) IS NULL THEN ({X})"
+        " ELSE concat(({X}), ({Y})) END)",
     ),
     # json_valid: try_parse_json is NULL exactly on invalid documents
     # ('null' and '123' are VALID JSON and parse non-null — probed);
@@ -1232,9 +1301,14 @@ def _rewrite_string_split(masked: str) -> str:
         args = _split_d0_commas(masked[open_idx + 1 : end - 1])
         if len(args) != 2:
             return masked
+        # char(92) = backslash without a string escape: the emitted
+        # text parses identically whether the executing session runs
+        # escapedStringLiterals or not (r12 — destination sessions
+        # now run =true for DuckDB literal parity)
         masked = (
             masked[: m.start()]
-            + f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+            + f"split({args[0]},"
+            f" concat(char(92), 'Q', {args[1]}, char(92), 'E'))"
             + masked[end:]
         )
 
@@ -2454,9 +2528,14 @@ COMPAT_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION epoch(x TIMESTAMP)"
     " RETURNS DOUBLE RETURN unix_micros(x) / 1000000.0D",
     # literal-separator split (Spark's split takes a REGEX; \Q..\E
-    # quotes the separator so '.' splits on dots, not everything)
+    # quotes the separator so '.' splits on dots, not everything).
+    # char(92) spells the backslash WITHOUT a string escape, so the
+    # body parses identically under both escapedStringLiterals
+    # settings (r12: destination sessions run =true for DuckDB
+    # literal parity, and registration order must not matter)
     "CREATE OR REPLACE TEMPORARY FUNCTION string_split(s STRING, sep STRING)"
-    " RETURNS ARRAY<STRING> RETURN split(s, concat('\\\\Q', sep, '\\\\E'))",
+    " RETURNS ARRAY<STRING> RETURN"
+    " split(s, concat(char(92), 'Q', sep, char(92), 'E'))",
     "CREATE OR REPLACE TEMPORARY FUNCTION regexp_matches(s STRING, p STRING)"
     " RETURNS BOOLEAN RETURN s RLIKE p",
     # list_sort is deliberately ABSENT: a typed SQL UDF would coerce
@@ -2531,6 +2610,30 @@ COMPAT_FUNCTIONS = [
     " ELSE CAST(raise_error(concat('date_diff: unsupported part ', p)) AS BIGINT)"
     " END",
 ]
+
+
+def escape_backslashes_for_spark(sql: str) -> str:
+    """DuckDB literal semantics → Spark literal semantics, as TEXT
+    (r12 probe wave — the largest silent-divergence class found to
+    date): DuckDB does not process backslash escapes inside '…'
+    ('\\d' is backslash-d; the ONLY escape is '' doubling), while
+    stock Spark's parser eats the backslash ('\\d' parses as 'd'), so
+    every regex character class in a saved query silently matched the
+    wrong thing — probed: regexp_extract('a12', '\\d+', 0) = ''.
+    Spark's escapedStringLiterals flag is NOT the fix: it restores
+    literal backslashes but breaks '' doubling ('a''b' stops
+    collapsing — probed), so no parser config gives both semantics.
+    Doubling every backslash inside single-quoted literals does: the
+    default parser collapses the pairs back and both paritys hold.
+    Segmentation runs under DuckDB rules (_segments: doubling only,
+    backslash ordinary), exactly how the incoming text means itself.
+    Comments, double-quoted identifiers and code are untouched."""
+    out = []
+    for is_code, text in _segments(sql):
+        if not is_code and text[:1] == "'":
+            text = text.replace("\\", "\\\\")
+        out.append(text)
+    return "".join(out)
 
 
 def register_compat_functions(spark) -> None:

@@ -198,7 +198,9 @@ def _spark_code_segments(sql: str) -> list[tuple[bool, str]]:
     doubling, -- and /* */ comments) — the table_at rewrite runs
     BEFORE stock spark.sql, so unlike dialect._segments (DuckDB
     semantics, post-rejection only) it must not touch the contents of
-    literals in valid Spark text."""
+    literals in valid Spark text.  Input arrives backslash-doubled by
+    escape_backslashes_for_spark, which the escape-pair scan below
+    walks correctly."""
     out: list[tuple[bool, str]] = []
     i, n, start = 0, len(sql), 0
     while i < n:
@@ -328,7 +330,6 @@ class SparkDestination(DataFrameSerializers, Destination):
         if duckdb_compat:
             from scratchdata_spark.dialect import register_compat_functions
 
-            register_compat_functions(spark)
             # DuckDB (and the standard) read "x" as an IDENTIFIER;
             # stock Spark reads it as a string literal, so a saved
             # query touching a quoted column silently projected the
@@ -338,6 +339,20 @@ class SparkDestination(DataFrameSerializers, Destination):
             # reference dialect never spells STRING literals with
             # double quotes — those stay '…' on both engines.
             spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+            # Backslash parity is handled by TEXT preprocessing, not
+            # a parser flag: DuckDB literals don't process backslash
+            # escapes ('\d' is backslash-d) where stock Spark's
+            # parser eats them ('\d' → 'd') — every regex class in a
+            # saved query silently matched the wrong thing (r12 probe
+            # wave, the largest silent-divergence class found to
+            # date).  escapedStringLiterals=true would fix that but
+            # BREAKS quote-doubling ('a''b' stops collapsing —
+            # probed), DuckDB's one escape; Spark offers no config
+            # with both semantics.  So query_df/validate_statement
+            # double the backslashes inside '…' literals instead
+            # (dialect.escape_backslashes_for_spark) and the default
+            # parser collapses them back — both paritys hold.
+            register_compat_functions(spark)
 
     # ------------------------------------------------------------- read
     def table_df(self, table: str) -> DataFrame:
@@ -542,7 +557,23 @@ class SparkDestination(DataFrameSerializers, Destination):
 
     def query_df(self, query: str) -> DataFrame:
         query = trim_query(query)
+        if self.duckdb_compat:
+            # literal-semantics bridge (see __init__): '\d' must stay
+            # backslash-d through Spark's escape-processing parser —
+            # applied ONCE at this public boundary so every downstream
+            # consumer (stock parse, dialect fallback, warehouse DML
+            # fragments via F.expr) sees one consistent text.
+            # Re-entrant internal calls (script statements, embedded
+            # INSERT/CTAS sources) use _query_df_prepared: a second
+            # pass would double the doubling (r12 regression test).
+            from scratchdata_spark.dialect import (
+                escape_backslashes_for_spark,
+            )
 
+            query = escape_backslashes_for_spark(query)
+        return self._query_df_prepared(query)
+
+    def _query_df_prepared(self, query: str) -> DataFrame:
         # warehouse DML/DDL executes HERE, bypassing the plan cache —
         # caching would make a repeated INSERT/DELETE text a no-op —
         # and never reaches spark.sql, whose session catalog would
@@ -558,8 +589,8 @@ class SparkDestination(DataFrameSerializers, Destination):
             # intermediate SELECT is built (analyzed) but its rows are
             # never materialized — it has no observable effect.
             for stmt in script[:-1]:
-                self.query_df(stmt)
-            return self.query_df(script[-1])
+                self._query_df_prepared(stmt)
+            return self._query_df_prepared(script[-1])
         if warehouse_dml.statement_kind(stmt_text) is not None:
             self.register_views()
             return warehouse_dml.execute(self, stmt_text)
@@ -605,7 +636,16 @@ class SparkDestination(DataFrameSerializers, Destination):
         validate-then-serialize shape would run it twice."""
         from scratchdata_spark import warehouse_dml
 
-        stmt_text = warehouse_dml.normalize(trim_query(query))
+        query = trim_query(query)
+        if self.duckdb_compat:
+            # same literal-semantics bridge as query_df — validation
+            # must analyze exactly the text execution will see
+            from scratchdata_spark.dialect import (
+                escape_backslashes_for_spark,
+            )
+
+            query = escape_backslashes_for_spark(query)
+        stmt_text = warehouse_dml.normalize(query)
         script = warehouse_dml.split_script(stmt_text)
         if len(script) > 1:
             # validate each DML statement WITHOUT executing; plain

@@ -276,7 +276,10 @@ def _source_df(dest, select_text: str):
     body = select_text.strip()
     if re.match(r"(?is)^VALUES\b", body):
         body = f"SELECT * FROM {body}"
-    return dest.query_df(body)
+    # the statement text was literal-bridged ONCE at the query_df
+    # boundary; re-entering query_df would double the backslash
+    # doubling (r12 regression test)
+    return dest._query_df_prepared(body)
 
 
 def _split_where(dest, set_clause: str) -> tuple[str, str | None]:
@@ -1833,7 +1836,7 @@ def _copy_source_df(dest, source: str):
             raise ValueError(
                 "COPY source must be a SELECT query, not a statement"
             )
-        return dest.query_df(inner)
+        return dest._query_df_prepared(inner)  # already literal-bridged
     _require_table(dest, source)
     return dest.table_df(source)
 

@@ -592,7 +592,11 @@ def test_unnest_and_string_split_inline():
     from scratchdata_spark.dialect import rewrite
 
     out = rewrite("SELECT unnest(string_split(text, ' ')) AS tok FROM t")
-    assert "explode(split(text, concat('\\\\Q', ' ', '\\\\E')))" in out
+    # char(92) spells the backslash without a string escape (r12)
+    assert (
+        "explode(split(text, concat(char(92), 'Q', ' ', char(92), 'E')))"
+        in out
+    )
 
 
 def test_generate_series_rewrite_shapes():

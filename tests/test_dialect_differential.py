@@ -20,7 +20,11 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from scratchdata_spark.dialect import register_compat_functions, rewrite
+from scratchdata_spark.dialect import (
+    escape_backslashes_for_spark,
+    register_compat_functions,
+    rewrite,
+)
 
 # one tiny shared relation both engines hold
 _ROWS = [(1, "alpha", 10, [1, 2, 3]), (2, "beta", 20, [4, 5]),
@@ -135,6 +139,11 @@ _N_ROWS = [(1, "a", 1), (2, "a", None), (3, None, 3), (4, "b", 4),
 
 @pytest.fixture(scope="module")
 def engines(spark):
+    # an isolated session carrying the ENGINE's semantics
+    # (doubleQuotedIdentifiers — r12); backslash-literal parity rides
+    # the same TEXT preprocessing query_df applies (see the test body)
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     register_compat_functions(spark)
     spark.createDataFrame(
         _ROWS, "id long, g string, v long, arr array<long>"
@@ -163,7 +172,14 @@ def _norm(rows):
 def test_same_text_both_engines(engines, sql):
     spark, con = engines
     expect = _norm(con.execute(sql).fetchall())
-    got = _norm([tuple(r) for r in spark.sql(rewrite(sql)).collect()])
+    # the engine's literal-semantics bridge runs BEFORE the dialect
+    # fallback (query_df order) — the battery mirrors it
+    got = _norm([
+        tuple(r)
+        for r in spark.sql(
+            rewrite(escape_backslashes_for_spark(sql))
+        ).collect()
+    ])
     assert got == expect, f"{sql}\n spark={got}\n duck={expect}"
 
 
@@ -389,3 +405,34 @@ CASES_R12D = [
     " length('straße') AS n",
 ]
 CASES.extend(CASES_R12D)
+
+# r12 wave E: BACKSLASH literal semantics — the largest silent
+# divergence class found to date.  Stock Spark's parser processes
+# backslash escapes inside '…' ('\d' parses as 'd'), DuckDB does not,
+# so every regex character class in a saved query silently matched
+# the wrong thing (probed: regexp_extract('a12', '\d+', 0) = '' on
+# the old config, '12' on DuckDB).  Destination sessions (and this
+# battery's session) now run spark.sql.parser.escapedStringLiterals
+# for exact literal parity; the cases below all carry raw
+# backslashes end to end.
+CASES_R12E = [
+    r"SELECT regexp_extract('2024-03-05', '(\d+)-(\d+)', 2) AS g",
+    r"SELECT regexp_extract_all('a1b22c333', '\d+') AS m",
+    r"SELECT regexp_matches('abc123', '[a-z]+\d+') AS m",
+    r"SELECT regexp_split_to_array('a b  c', '\s+') AS p",
+    r"SELECT regexp_replace('a1b2', '\d', 'x', 'g') AS r",
+    r"SELECT '\d' AS raw, length('\n') AS n",
+    r"SELECT id FROM t WHERE g ~ '\w+' ORDER BY id",
+    r"SELECT split_part('a.b.c', '.', 2) AS p",
+    r"SELECT string_split('a.b.c', '.') AS s",
+    r"SELECT regexp_extract('key=val', '(\w+)=(\w+)', 1) AS k",
+    # (order is unspecified on both engines — sorted for compare;
+    # DuckDB drops NULL matches, bridged via the filter wrap)
+    "SELECT list_sort(list_intersect([1,2,2,3], [2,3,4])) AS i",
+    "SELECT list_sort(list_intersect([1,NULL,2], [NULL,2])) AS ni",
+    "SELECT list_cat(CAST(NULL AS INT[]), [1]) AS c,"
+    " array_cat([2], CAST(NULL AS INT[])) AS a,"
+    " array_concat([1], [2]) AS b",
+    "SELECT string_to_array('a,b,c', ',') AS s",
+]
+CASES.extend(CASES_R12E)

@@ -1543,3 +1543,23 @@ def test_create_default_duckdb_flavored_expression(dest):
     assert run(dest, "SELECT count(*) AS n FROM dd WHERE c = 97") == [
         {"n": 2}
     ]
+
+
+def test_backslash_literals_duckdb_semantics(dest):
+    """r12 probe-wave catch (the largest silent-divergence class):
+    DuckDB literals do not process backslash escapes, stock Spark's
+    parser does — so '\\d' in a saved query matched the letter d.
+    query_df doubles backslashes inside '…' literals before parsing;
+    quote-doubling ('' → ') must keep working at the same time (the
+    escapedStringLiterals flag would have broken it)."""
+    run(dest, "CREATE TABLE bs AS SELECT 'a1b22' AS s")
+    assert run(dest, r"SELECT regexp_extract(s, '\d+', 0) AS m FROM bs") == [
+        {"m": "1"}
+    ]
+    assert run(dest, r"SELECT '\d' AS raw") == [{"raw": "\\d"}]
+    assert run(dest, "SELECT 'a''b' AS q") == [{"q": "a'b"}]
+    # through the DML path too: the literal survives storage round trip
+    run(dest, r"INSERT INTO bs VALUES ('x\ny')")
+    assert run(dest, r"SELECT count(*) AS n FROM bs WHERE s = 'x\ny'") == [
+        {"n": 1}
+    ]

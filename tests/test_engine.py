@@ -113,10 +113,13 @@ def test_dialect_rewrite_is_a_fallback(dest):
     by the DuckDB bridging (ADVICE r3) — while DuckDB-dialect text
     still runs."""
     _insert(dest, "dlq", ['{"__row_id": 1, "v": 7}'])
-    # valid Spark text with a backslash-escaped quote + // inside the
-    # literal: must run verbatim (the old always-rewrite path would
-    # have mis-scanned the literal boundary)
-    row = dest.query_df(r"select 'a\'b // c' as s, v from dlq").collect()[0]
+    # a doubled-quote escape + // inside the literal: must run
+    # verbatim (the old always-rewrite path would have mis-scanned
+    # the literal boundary).  r12 contract note: the query surface
+    # reads literals with DUCKDB semantics — quote doubling, literal
+    # backslashes — so the pre-r12 backslash-escaped spelling
+    # ('a\'b') is no longer the way to put a quote in a string.
+    row = dest.query_df("select 'a''b // c' as s, v from dlq").collect()[0]
     assert row["s"] == "a'b // c" and row["v"] == 7
     # DuckDB-dialect text (// division) falls back to the rewriter
     assert dest.query_df("select v // 2 as h from dlq").collect()[0]["h"] == 3
@@ -481,7 +484,7 @@ def test_table_at_ignored_inside_literals_and_comments(dest):
     error on a nonexistent table/generation named there)."""
     _insert(dest, "lit", ['{"msg": "see table_at(\'nope\', 9)"}'])
     rows = dest.query_df(
-        "SELECT msg FROM lit WHERE msg = 'see table_at(\\'nope\\', 9)'"
+        "SELECT msg FROM lit WHERE msg = 'see table_at(''nope'', 9)'"
         " -- table_at('alsonope', 3)"
     ).collect()
     assert [r.msg for r in rows] == ["see table_at('nope', 9)"]

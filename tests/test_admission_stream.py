@@ -156,3 +156,46 @@ def test_parse_errors_quarantine_not_admitted(spark, src, tmp_path):
     assert quar.count() == 1
     row = quar.first()
     assert row.warc_file.endswith("zz.warc") and row.text
+
+
+def test_crash_mid_batch_replays_exactly_once(spark, src, tmp_path,
+                                              monkeypatch):
+    """Kill-between-stages for the streaming sink (the
+    test_dml_atomic pattern): a crash AFTER the admitted-rows write
+    but BEFORE the micro-batch commits must leave no duplicates after
+    restart — the overwrite-batch_id sink rewrites the same partition
+    on replay, and the file-source checkpoint never re-feeds a
+    COMMITTED batch.  This is the at-least-once foreachBatch edge the
+    idempotent-partition design exists for."""
+    import pyspark.sql.readwriter as RW
+
+    base = str(tmp_path / "crash")
+    out = os.path.join(base, "out")
+    calls = {"n": 0}
+    real_parquet = RW.DataFrameWriter.parquet
+
+    def exploding_parquet(self, path, **kw):
+        real_parquet(self, path, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:  # after batch 1's write lands, pre-commit
+            raise RuntimeError("injected crash after write, before commit")
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", exploding_parquet)
+    q = start_admission_stream(
+        spark, src, out, os.path.join(base, "ckpt"),
+        max_files_per_trigger=1, **GATES,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", real_parquet)
+    # restart with the same checkpoint: batch 1 replays (uncommitted),
+    # batch 0 does not; the replay OVERWRITES batch 1's orphan files
+    q = start_admission_stream(
+        spark, src, out, os.path.join(base, "ckpt"),
+        max_files_per_trigger=1, **GATES,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).select("target_uri").collect()
+    assert sorted(r.target_uri for r in got) == [
+        f"https://h{i}.example/a/{i}" for i in range(3)
+    ]

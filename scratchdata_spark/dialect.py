@@ -1786,6 +1786,42 @@ _ORDER_INSENSITIVE_AGGS = frozenset(
 _ORDER_BY_IN_ARGS_RE = re.compile(r"\bORDER\s+BY\b", re.I)
 
 
+# set operators are deliberately NOT cut points: ``* EXCEPT (a)`` in
+# a FROM-first select list would false-split (EXCLUDE is rewritten to
+# EXCEPT before this pass); a genuine set-op after a FROM-first
+# SELECT stays a loud parse error rather than a guessed reorder
+_CLAUSE_KEYWORDS_RE = (
+    r"\b(?:WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET)\b"
+)
+
+
+def _rewrite_from_first(masked: str) -> str:
+    """DuckDB's FROM-first statement forms (r12 probe wave — everyday
+    conveniences in saved queries): ``FROM t`` = ``SELECT * FROM t``,
+    and ``FROM t SELECT cols [WHERE …]`` reorders to the standard
+    clause order.  Top-level statements only (the fallback sees whole
+    query texts; a parenthesized FROM-first subquery stays a loud
+    parse error).  Depth-0 keyword scans on masked text — a literal
+    spelling SELECT or WHERE cannot split the statement."""
+    m = re.match(r"^\s*FROM\b", masked, re.I)
+    if m is None:
+        return masked
+    sel = list(_d0_matches(masked, r"\bSELECT\b"))
+    if not sel:
+        return "SELECT * " + masked.lstrip()
+    first = sel[0]
+    from_part = masked[m.start():first.start()].strip()
+    rest = masked[first.end():]
+    tail_hits = list(_d0_matches(rest, _CLAUSE_KEYWORDS_RE))
+    if tail_hits:
+        cut = tail_hits[0].start()
+        select_list, tail = rest[:cut].strip(), rest[cut:].strip()
+    else:
+        select_list, tail = rest.strip(), ""
+    out = f"SELECT {select_list} {from_part}"
+    return f"{out} {tail}".strip()
+
+
 _EXTRACT_RE = re.compile(
     r"\bEXTRACT\s*\(\s*(EPOCH|DOW|ISODOW)\s+FROM\b", re.I
 )
@@ -2222,6 +2258,13 @@ def _guard_unbridged(masked: str) -> None:
             " shape, list the columns explicitly in the same order on"
             " both sides — Spark set operators match by position only."
         )
+    if re.search(r"\bCOLUMNS\s*\(", masked, re.I):
+        raise DialectError(
+            "COLUMNS() dynamic projections are not bridged (expansion"
+            " needs the table's schema, which a text rewrite cannot"
+            " see) — list the columns explicitly, or use * EXCLUDE /"
+            " * REPLACE for the subtractive forms"
+        )
     # = ANY / <> ALL were bridged to IN / NOT IN in _rewrite_code
     # (exact per the SQL standard, probed on every NULL/empty edge);
     # the ORDERED quantifiers have no faithful text rewrite — the
@@ -2655,6 +2698,7 @@ def rewrite(sql: str) -> str:
     # literal-argument rewrites run on masked text: the target literal
     # participates via its placeholder, unrelated literals can't match
     masked, literals = _mask_literals(rewritten)
+    masked = _rewrite_from_first(masked)
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_regexp_flags(masked, literals)

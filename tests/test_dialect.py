@@ -1077,3 +1077,21 @@ def test_quantified_comparisons_bridge_or_refuse():
             rewrite(bad)
     # a literal containing '= ANY (' is untouched
     assert "= ANY (" in rewrite("SELECT '= ANY (x)' AS s ~ 'a'")
+
+
+def test_from_first_statements():
+    assert rewrite("FROM t") == "SELECT * FROM t"
+    assert rewrite("FROM t SELECT a, b") == "SELECT a, b FROM t"
+    assert rewrite("FROM t SELECT a WHERE b > 1 LIMIT 2") == (
+        "SELECT a FROM t WHERE b > 1 LIMIT 2"
+    )
+    # a literal spelling SELECT cannot split the statement
+    assert rewrite("FROM t WHERE s = 'x SELECT y'") == (
+        "SELECT * FROM t WHERE s = 'x SELECT y'"
+    )
+    # subquery SELECT is depth-1: bare FROM over it still bridges
+    assert rewrite("FROM (SELECT 1 AS a) q") == (
+        "SELECT * FROM (SELECT 1 AS a) q"
+    )
+    with pytest.raises(DialectError, match="COLUMNS"):
+        rewrite("SELECT COLUMNS('a.*') FROM t")

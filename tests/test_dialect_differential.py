@@ -436,3 +436,20 @@ CASES_R12E = [
     "SELECT string_to_array('a,b,c', ',') AS s",
 ]
 CASES.extend(CASES_R12E)
+
+# r12 wave F: DuckDB's FROM-first statement forms (bare FROM = SELECT
+# *, and FROM … SELECT … reorders to standard clause order) plus
+# ordinal GROUP BY/ORDER BY.  COLUMNS() dynamic projections refuse
+# with guidance (expansion needs schema).
+CASES_R12F = [
+    "FROM t",
+    "FROM t SELECT id, v",
+    "FROM t SELECT id WHERE v > 15",
+    "FROM t WHERE v > 15",
+    "FROM t SELECT g, sum(v) AS s GROUP BY g ORDER BY g",
+    "FROM t ORDER BY id LIMIT 1",
+    "FROM t SELECT * EXCLUDE (arr) WHERE id < 3 ORDER BY id",
+    "SELECT id, v FROM t ORDER BY 2 DESC",
+    "SELECT g FROM t GROUP BY 1 ORDER BY 1",
+]
+CASES.extend(CASES_R12F)

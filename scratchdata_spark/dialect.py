@@ -64,7 +64,8 @@ Anything the rewriter does not recognize passes through untouched —
 valid Spark SQL is never altered (every rewritten token is a parse
 error in stock Spark, so there is nothing to collide with).
 
-ONE deliberate exception to "never altered", decided r12: STRING
+TWO deliberate exceptions to "never altered" (the engine's query
+surface speaks DuckDB by contract).  First, decided r12: STRING
 LITERAL semantics are DuckDB's on the whole query surface.  DuckDB
 does not process backslash escapes ('\\d' is backslash-d; the only
 escape is '' doubling) while stock Spark's parser eats backslashes —
@@ -78,6 +79,32 @@ dialect changes meaning — 'a\\nb' now means backslash-n, and a quote
 is spelled '' not \\'.  Reference parity wins; the engine's query
 dialect is DuckDB.
 
+Second, decided r13 (the same boundary, the same contract): the five
+BOTH-VALID-DIFFERENT-MEANING call shapes the r11/r12 probe waves
+documented execute with DuckDB's meaning (:func:`bridge_call_
+semantics`, applied by :func:`prepare_query_text` before the first
+parse — the fallback rewriter can never see them because stock Spark
+accepts the text):
+
+* 2-argument ``trim``/``ltrim``/``rtrim`` — DuckDB's (string,
+  trim_chars) argument order, emitted as the keyword form
+  ``trim(BOTH c FROM s)`` (identical on both engines).
+* 2-argument ``regexp_extract``/``regexp_extract_all`` — group 0
+  (the full match), appended explicitly.
+* ``a ^ b`` — power (left-associative, tighter than ``*``, looser
+  than unary minus — probed).  Spark's XOR meaning is reachable as
+  the ``xor()`` compat function.
+* 1-argument ``log(x)`` — log10 (the 2-argument (base, x) form
+  already agrees).
+* 3-argument ``regexp_replace`` — FIRST-occurrence semantics via the
+  ``regexp_replace_first`` compat function; a LITERAL replacement
+  additionally moves from RE2 rewrite syntax (``\\1`` refs, ``$``
+  literal) to Java's (``$1`` refs, ``\\$`` literal) — in the
+  4-argument options form too.  Blind edges, documented: a
+  NON-literal replacement expression keeps Java ref syntax, and a
+  context assertion reaching outside the matched text (``\\B`` at a
+  match edge) evaluates against the extracted substring.
+
 Integer subscripts ARE bridged: within rewritten text ``a[1]`` is
 DuckDB's 1-based (negative-from-end) subscript, emitted as
 ``element_at(a, 1)`` — identical semantics for arrays and maps on
@@ -90,18 +117,11 @@ operators ``BY NAME`` fail loudly with the exact replacement
 only via the ``string_split`` alias. Divergences are documented or
 guarded, never guessed at.
 
-FALLBACK BLIND SPOTS (r11 differential probe): the rewriter only runs
-on text stock Spark REJECTS, so a construct that is VALID in both
-dialects with a different meaning executes with SPARK's meaning and
-can never be bridged here.  The probed list:
+FALLBACK BLIND SPOTS (r11/r12 differential probes): a construct that
+is VALID in both dialects with a different meaning executes with
+SPARK's meaning unless the r13 pre-parse bridge above covers it.  The
+remaining (type-width / printed-type / locale-table) list:
 
-* ``a ^ b`` — power in DuckDB, bitwise XOR in Spark (use ``power()``,
-  identical on both).
-* ``log(x)`` — log10 in DuckDB, natural log in Spark (``log10()`` /
-  ``ln()`` are unambiguous on both).
-* 3-argument ``regexp_replace`` — FIRST occurrence in DuckDB, ALL in
-  Spark (the DuckDB-idiomatic 4-argument ``'g'`` form IS bridged —
-  it fails Spark analysis and lands here).
 * ``date_trunc`` returns DATE for date inputs in DuckDB, always
   TIMESTAMP in Spark (same instant, different printed type).
 * Numeric result widths: ``sign()`` DOUBLE vs BIGINT, ``list_sum``
@@ -122,17 +142,6 @@ can never be bridged here.  The probed list:
   TIMESTAMP in Spark — same instant, different printed type.
 * ``element_at(map, k)`` — the value in Spark, a single-element LIST
   in DuckDB.
-* 2-argument ``trim``/``ltrim``/``rtrim`` (r12 probe): DuckDB reads
-  (string, trim_chars) where Spark reads (trim_chars, string) — both
-  valid, arguments silently swapped.  The unambiguous spelling is
-  ``trim(BOTH 'x' FROM s)``, identical on both.
-* 2-argument ``regexp_extract``/``regexp_extract_all`` (r12 probe):
-  the default group is 0 (full match) in DuckDB and 1 in Spark — a
-  silent wrong value for group-bearing patterns, a runtime
-  REGEX_GROUP_INDEX error for groupless ones (runtime errors do not
-  trigger the fallback).  Text that DOES fall back gets the explicit
-  ``, 0`` appended (the wrapped-call bridge); spell the index
-  explicitly otherwise.
 * ``upper``/``lower`` Unicode special-casing (r12 probe): DuckDB's
   ICU casing maps ß → ẞ (capital sharp s) where the JVM's maps it to
   SS — locale-table differences on a handful of special-cased code
@@ -2260,10 +2269,14 @@ def _guard_unbridged(masked: str) -> None:
         )
     if re.search(r"\bCOLUMNS\s*\(", masked, re.I):
         raise DialectError(
-            "COLUMNS() dynamic projections are not bridged (expansion"
-            " needs the table's schema, which a text rewrite cannot"
-            " see) — list the columns explicitly, or use * EXCLUDE /"
-            " * REPLACE for the subtractive forms"
+            "COLUMNS() is expanded only in the select list of a"
+            " single-table SELECT over a stored table or view"
+            " (COLUMNS(*), COLUMNS('regex'), COLUMNS(* EXCLUDE"
+            " (...))) — this shape (subquery/join source, set"
+            " operation, COLUMNS outside the select list, or an"
+            " unresolvable table) needs the columns listed"
+            " explicitly, or * EXCLUDE / * REPLACE for the"
+            " subtractive forms"
         )
     # = ANY / <> ALL were bridged to IN / NOT IN in _rewrite_code
     # (exact per the SQL standard, probed on every NULL/empty edge);
@@ -2279,6 +2292,166 @@ def _guard_unbridged(masked: str) -> None:
             " — aggregate min/max forms diverge on empty sets and"
             " NULL elements"
         )
+
+
+# ----------------------------------------- COLUMNS() macro expansion
+
+
+_COLUMNS_CALL_RE = re.compile(r"\bCOLUMNS\s*\(", re.I)
+_PLAIN_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+_EXCLUDE_ARG_RE = re.compile(r"^\*\s*EXCLUDE\s*\(", re.I | re.S)
+
+
+def _sql_ident(name: str) -> str:
+    if _PLAIN_IDENT_RE.match(name):
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _columns_arg_cols(
+    inner: str, literals: list[str], cols: list[str]
+) -> list[str] | None:
+    """Columns selected by a COLUMNS(...) argument (masked text):
+    ``*``, ``* EXCLUDE (a, b)`` or a regex literal.  DuckDB semantics,
+    probed r13: the regex is a SEARCH (partial match — 'al' matches
+    'val'), expansion keeps table column order, and zero matches is a
+    loud binder error.  Returns None for unmodeled shapes (the caller
+    leaves the text for _guard_unbridged's refusal); raises
+    DialectError for modeled-but-wrong ones (lambda form, no match)."""
+    inner = inner.strip()
+    if "->" in inner:
+        raise DialectError(
+            "COLUMNS(lambda) is not bridged: use COLUMNS('regex') or"
+            " COLUMNS(* EXCLUDE (...)) — the lambda form needs"
+            " DuckDB's binder"
+        )
+    if inner == "*":
+        return list(cols)
+    m = _EXCLUDE_ARG_RE.match(inner)
+    if m:
+        close = _match_paren(inner, m.end() - 1)
+        if close == -1 or inner[close:].strip():
+            return None
+        excluded = set()
+        for tok in _split_d0_commas(inner[m.end() : close - 1]):
+            lm = _LONE_MASK_RE.match(tok)
+            if lm:
+                lit = literals[int(lm.group(1))]
+                excluded.add(lit[1:-1].replace('""', '"'))
+            else:
+                excluded.add(tok.lower())
+        return [
+            c for c in cols if c not in excluded and c.lower() not in excluded
+        ]
+    lm = _LONE_MASK_RE.match(inner)
+    if lm and literals[int(lm.group(1))][:1] == "'":
+        pat = literals[int(lm.group(1))][1:-1].replace("''", "'")
+        try:
+            rx = re.compile(pat)
+        except re.error as exc:
+            raise DialectError(
+                f"COLUMNS({pat!r}): invalid regular expression ({exc})"
+            ) from None
+        matched = [c for c in cols if rx.search(c)]
+        if not matched:
+            raise DialectError(
+                f"COLUMNS({pat!r}): no matching columns (DuckDB raises"
+                " the same binder error)"
+            )
+        return matched
+    return None
+
+
+def expand_columns_macro(sql: str, resolve) -> str:
+    """Expand DuckDB's COLUMNS() dynamic projections when the target
+    schema is resolvable (VERDICT r12 #4): in the select list of a
+    single-table SELECT, each item holding one ``COLUMNS(*)`` /
+    ``COLUMNS('regex')`` / ``COLUMNS(* EXCLUDE (...))`` duplicates per
+    matching column with the macro replaced by the column reference
+    and the item aliased to the column name — DuckDB's output naming
+    even under aggregates (``min(COLUMNS(*))`` keeps the plain column
+    names, probed r13).  ``resolve(table) -> list[str] | None`` is the
+    engine's catalog/view lookup.  Shapes this cannot resolve
+    (subquery FROM, joins, set operations, COLUMNS outside the select
+    list) return the text unchanged so _guard_unbridged's loud
+    refusal still names the supported forms."""
+    if not _COLUMNS_CALL_RE.search(sql):
+        return sql
+    masked, literals = _mask_literals(sql)
+    if not _COLUMNS_CALL_RE.search(masked):
+        return sql
+    m0 = re.match(r"\s*SELECT\b(\s+(?:DISTINCT|ALL)\b)?", masked, re.I)
+    if m0 is None:
+        return sql
+    # depth-0 clause scan: the select list ends at the first depth-0
+    # FROM; any depth-0 set operation disqualifies the whole text
+    from_at = -1
+    for dm in _d0_matches(
+        masked[m0.end() :], r"\bFROM\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b"
+    ):
+        if dm.group(0).upper() != "FROM":
+            return sql
+        if from_at == -1:
+            from_at = m0.end() + dm.start()
+    if from_at == -1:
+        return sql
+    select_list = masked[m0.end() : from_at]
+    tail = masked[from_at + 4 :]
+    if _COLUMNS_CALL_RE.search(tail):
+        return sql  # COLUMNS outside the select list — refuse later
+    tm = re.match(r"\s*([A-Za-z_][\w.]*)", tail)
+    if tm is None:
+        return sql  # subquery / VALUES source
+    after = tail[tm.end() :].lstrip()
+    if after[:1] == ",":
+        return sql  # comma join — multi-table, unresolvable here
+    if any(True for _ in _d0_matches(tail, r"\bJOIN\b")):
+        return sql  # joined sources — COLUMNS(*) would span them
+    cols = resolve(tm.group(1))
+    if cols is None:
+        return sql
+    items = _split_d0_commas(select_list)
+    out_items: list[str] = []
+    changed = False
+    for item in items:
+        hits = list(_COLUMNS_CALL_RE.finditer(item))
+        if not hits:
+            out_items.append(item)
+            continue
+        if len(hits) > 1:
+            return sql  # multi-macro item — unmodeled, refuse later
+        if re.search(r"(?i)\s+AS\s+[\w\"`]+\s*$", item):
+            raise DialectError(
+                "an alias on a COLUMNS() item is not bridged — the"
+                " expansion names each output after its column; drop"
+                " the alias or list the columns explicitly"
+            )
+        hit = hits[0]
+        open_idx = item.index("(", hit.end() - 1)
+        close = _match_paren(item, open_idx)
+        if close == -1:
+            return sql
+        selected = _columns_arg_cols(
+            item[open_idx + 1 : close - 1], literals, cols
+        )
+        if selected is None:
+            return sql
+        for col in selected:
+            ident = _sql_ident(col)
+            out_items.append(
+                item[: hit.start()] + ident + item[close:] + " AS " + ident
+            )
+        changed = True
+    if not changed:
+        return sql
+    rebuilt = (
+        masked[: m0.end()]
+        + " "
+        + ", ".join(out_items)
+        + " "
+        + masked[from_at:]
+    )
+    return _unmask_literals(rebuilt, literals)
 
 
 # ----------------------------------------- whole-statement forms
@@ -2652,6 +2825,33 @@ COMPAT_FUNCTIONS = [
     " WHEN 'microseconds' THEN timestampdiff(MICROSECOND, a, b)"
     " ELSE CAST(raise_error(concat('date_diff: unsupported part ', p)) AS BIGINT)"
     " END",
+    # DuckDB's THREE-argument regexp_replace replaces only the FIRST
+    # occurrence (Spark replaces all), bridged by the r13 pre-parse
+    # pass to this function: locate the first match, rebuild the
+    # string around it, and run the replacement (with its $N group
+    # expansion) on the matched text alone.  The inner pattern is
+    # anchored '^(?:p)$' so an empty-match pattern can't fire twice
+    # inside the extracted match ('aab' ~ 'a*' extracts 'aa'; an
+    # unanchored replaceAll would append the replacement again at the
+    # trailing empty match — probed r13), and the non-capturing wrap
+    # keeps the caller's group numbers intact.  Known blind edge
+    # (documented in the module docstring): context assertions that
+    # reach OUTSIDE the matched text (\B at a match edge) evaluate
+    # against the extracted substring.  No backslash appears in the
+    # body, so it parses identically under both escapedStringLiterals
+    # settings (registration-order rule above).
+    "CREATE OR REPLACE TEMPORARY FUNCTION regexp_replace_first"
+    "(s STRING, p STRING, r STRING) RETURNS STRING RETURN"
+    " CASE WHEN s IS NULL OR p IS NULL OR r IS NULL"
+    " THEN CAST(NULL AS STRING)"
+    " WHEN NOT regexp_like(s, p) THEN s"
+    " ELSE concat("
+    "   substring(s, 1, regexp_instr(s, p) - 1),"
+    "   regexp_replace(regexp_extract(s, p, 0),"
+    "                  concat('^(?:', p, ')$'), r),"
+    "   substring(s, regexp_instr(s, p)"
+    "                + length(regexp_extract(s, p, 0))))"
+    " END",
 ]
 
 
@@ -2677,6 +2877,361 @@ def escape_backslashes_for_spark(sql: str) -> str:
             text = text.replace("\\", "\\\\")
         out.append(text)
     return "".join(out)
+
+
+# ------------------------------------------------- pre-parse call bridges
+#
+# r13 (VERDICT r12 #1): the five both-valid-different-meaning forms the
+# r11/r12 probe waves documented as fallback blind spots.  The fallback
+# rewriter can never see them (stock Spark ACCEPTS the text, with the
+# wrong meaning), so they are bridged HERE — an always-on pass at the
+# same query_df/validate_statement boundary as the r12 literal bridge,
+# under the same contract: the engine's query surface speaks DuckDB.
+# Like that bridge, this one deliberately changes the meaning of valid
+# Spark text (trim('x', s), log(x)=ln, a ^ b as XOR — spell XOR as the
+# xor() compat function); it is applied exactly once per statement
+# (re-entrant internal calls use engine._query_df_prepared).
+
+_POWER_OP_RE = re.compile(r"\^(?!@)")  # ^@ is DuckDB starts_with
+_LONE_MASK_RE = re.compile(rf"^{_MASK}(\d+){_MASK}$")
+_NUM_TOKEN_RE = re.compile(
+    r"\d\w*(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
+)
+
+
+def _value_ends_before(masked: str, idx: int) -> bool:
+    """True when the token ending just before ``idx`` closes a value
+    expression (identifier that is not a clause keyword, number,
+    ``)``/``]``, or a mask placeholder) — the unary-vs-binary test for
+    a sign character at ``idx``."""
+    j = idx - 1
+    while j >= 0 and masked[j].isspace():
+        j -= 1
+    if j < 0:
+        return False
+    ch = masked[j]
+    if ch in ")]" or ch == _MASK:
+        return True
+    if ch.isalnum() or ch == "_":
+        k = j
+        while k >= 0 and (masked[k].isalnum() or masked[k] == "_"):
+            k -= 1
+        return masked[k + 1 : j + 1].lower() not in _NONVALUE_WORDS
+    return False
+
+
+def _power_left_start(masked: str, op_idx: int) -> int | None:
+    """Start of ``^``'s left operand.  DuckDB precedence, probed r13:
+    left-associative, tighter than ``*``, LOOSER than unary minus
+    (``-2 ^ 2`` = 4), so a genuinely-unary sign joins the operand."""
+    j = op_idx - 1
+    while j >= 0 and masked[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    start = _expr_start(masked, j)
+    if start is None or start > j:
+        return None
+    while True:
+        # postfix :: cast binds tighter than ^ — extend over its base
+        if start >= 2 and masked[start - 2 : start] == "::":
+            prev = _expr_start(masked, start - 3)
+            if prev is None or prev > start - 3:
+                return None
+            start = prev
+            continue
+        # scientific-notation literal (2.5e-3): _expr_start stops at
+        # the exponent sign — extend through the mantissa
+        if (
+            start >= 3
+            and masked[start - 1] in "+-"
+            and masked[start - 2] in "eE"
+            and masked[start - 3].isdigit()
+        ):
+            prev = _expr_start(masked, start - 2)
+            if prev is None or prev > start - 2:
+                return None
+            start = prev
+            continue
+        break
+    while True:  # unary sign chain (- -2 ^ 2)
+        j2 = start - 1
+        while j2 >= 0 and masked[j2].isspace():
+            j2 -= 1
+        if j2 >= 0 and masked[j2] in "+-" and not _value_ends_before(
+            masked, j2
+        ):
+            start = j2
+            continue
+        return start
+
+
+def _power_right_end(masked: str, pos: int) -> int | None:
+    """End (exclusive) of ``^``'s right operand: optional unary signs,
+    one primary (number / placeholder / identifier chain / call /
+    parenthesized expression), then tighter-binding postfixes
+    (subscripts, ``::`` casts)."""
+    n = len(masked)
+    i = pos
+    while i < n and masked[i].isspace():
+        i += 1
+    while i < n and masked[i] in "+-":
+        i += 1
+        while i < n and masked[i].isspace():
+            i += 1
+    if i >= n:
+        return None
+    ch = masked[i]
+    if ch == "(":
+        i = _match_paren(masked, i)
+        if i == -1:
+            return None
+    elif ch == _MASK:
+        i = masked.index(_MASK, i + 1) + 1
+    elif ch.isdigit() or (
+        ch == "." and i + 1 < n and masked[i + 1].isdigit()
+    ):
+        i = _NUM_TOKEN_RE.match(masked, i).end()
+    elif ch.isalpha() or ch == "_":
+        word_start = i
+        while i < n and (masked[i].isalnum() or masked[i] in "._"):
+            i += 1
+        if masked[word_start:i].lower() in ("case", "interval"):
+            return None  # structured primary — refuse, don't truncate
+        j = i
+        while j < n and masked[j].isspace():
+            j += 1
+        if j < n and masked[j] == "(":
+            i = _match_paren(masked, j)
+            if i == -1:
+                return None
+    else:
+        return None
+    while True:
+        j = i
+        while j < n and masked[j].isspace():
+            j += 1
+        if j < n and masked[j] == "[":
+            depth, k = 0, j
+            while k < n:
+                if masked[k] == "[":
+                    depth += 1
+                elif masked[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= n:
+                return None
+            i = k + 1
+        elif masked[j : j + 2] == "::":
+            k = j + 2
+            while k < n and masked[k].isspace():
+                k += 1
+            while k < n and (masked[k].isalnum() or masked[k] == "_"):
+                k += 1
+            i = k
+        else:
+            return i
+
+
+def _bridge_power(masked: str) -> str:
+    """``a ^ b`` → ``power(a, b)`` — DuckDB's ``^`` is power where
+    Spark's is bitwise XOR (spell XOR as the ``xor()`` compat
+    function).  Leftmost-first restart keeps DuckDB's left
+    associativity: ``4 ^ 3 ^ 2`` → ``power(power(4, 3), 2)``."""
+    while True:
+        m = _POWER_OP_RE.search(masked)
+        if m is None:
+            return masked
+        ls = _power_left_start(masked, m.start())
+        rend = _power_right_end(masked, m.end())
+        if ls is None or rend is None:
+            ctx = masked[max(0, m.start() - 24) : m.end() + 24]
+            raise DialectError(
+                f"a ^ b (DuckDB power) could not be bridged near"
+                f" {ctx!r}: spell it power(a, b) — identical on both"
+                " engines"
+            )
+        left = masked[ls : m.start()].strip()
+        right = masked[m.end() : rend].strip()
+        masked = masked[:ls] + f"power({left}, {right})" + masked[rend:]
+
+
+def _rewrite_calls(masked: str, fname: str, fix) -> str:
+    """Apply ``fix(args) -> str | None`` to every ``fname(...)`` call
+    (balanced-paren extraction, depth-0 comma split); ``None`` leaves
+    the call untouched.  After a rewrite the scan resumes just past
+    the replacement's function name, so a same-named replacement is
+    not re-fixed but calls nested in its arguments still are."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if m is None:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _match_paren(masked, open_idx)
+        if close == -1:
+            pos = m.end()
+            continue
+        args = _split_d0_commas(masked[open_idx + 1 : close - 1])
+        repl = fix(args)
+        if repl is None:
+            pos = m.end()
+            continue
+        masked = masked[: m.start()] + repl + masked[close:]
+        pos = m.start() + len(repl.split("(", 1)[0]) + 1
+
+
+def _fix_two_arg_trim(kind: str):
+    """DuckDB's 2-argument trim family is (string, trim_chars) where
+    Spark's is (trim_chars, string) — both valid, arguments silently
+    swapped (r12 probe).  The keyword form trim(BOTH c FROM s) means
+    the same on both engines, so it is the bridge target."""
+
+    def fix(args: list[str]):
+        if len(args) != 2:
+            return None
+        return f"trim({kind} {args[1]} FROM {args[0]})"
+
+    return fix
+
+
+def _fix_extract_default(name: str):
+    """2-argument regexp_extract[_all]: the default group is 0 (the
+    full match) in DuckDB and 1 in Spark — appended explicitly."""
+
+    def fix(args: list[str]):
+        if len(args) != 2:
+            return None
+        return f"{name}({args[0]}, {args[1]}, 0)"
+
+    return fix
+
+
+def _fix_log10(args: list[str]):
+    """1-argument log() is log10 in DuckDB, ln in Spark; the 2-argument
+    (base, x) form agrees on both engines and passes through."""
+    if len(args) != 1:
+        return None
+    return f"log10({args[0]})"
+
+
+def _literal_of(arg: str, literals: list[str]) -> str | None:
+    m = _LONE_MASK_RE.match(arg.strip())
+    if m is None:
+        return None
+    lit = literals[int(m.group(1))]
+    return lit if lit[:1] == "'" else None
+
+
+def _re2_rewrite_to_java(content: str) -> str:
+    """DuckDB (RE2) replacement-string syntax → Java replaceAll
+    syntax: ``\\N`` group references become ``$N``, ``\\\\`` keeps its
+    spelling (literal backslash on both), literal ``$`` is escaped
+    (Java would read it as a dangling group reference).  Any other
+    backslash escape is invalid RE2 — DuckDB silently turns the WHOLE
+    replace into a no-op (probed r13) — and refuses loudly instead."""
+    out: list[str] = []
+    i, n = 0, len(content)
+    while i < n:
+        ch = content[i]
+        if ch == "\\":
+            nxt = content[i + 1] if i + 1 < n else ""
+            if nxt.isdigit():
+                out.append("$" + nxt)
+            elif nxt == "\\":
+                out.append("\\\\")
+            else:
+                raise DialectError(
+                    f"regexp_replace replacement {content!r} contains"
+                    f" the invalid RE2 escape '\\{nxt}' (DuckDB would"
+                    " silently skip the whole replacement): use \\0-\\9"
+                    " for group references or \\\\ for a literal"
+                    " backslash"
+                )
+            i += 2
+        elif ch == "$":
+            out.append("\\$")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _fix_regexp_replace(literals: list[str]):
+    """3-argument regexp_replace replaces the FIRST occurrence in
+    DuckDB and ALL in Spark → regexp_replace_first (compat function).
+    A LITERAL replacement additionally moves from RE2 rewrite syntax
+    (\\1 group refs, $ literal) to Java's ($1 refs, \\$ literal) —
+    for the 4-argument options form too (its 'g' flag still drops in
+    the fallback rewriter: the shape stays a Spark analysis error).
+    A 4-argument call whose last argument is NOT a string literal is
+    left whole (not a DuckDB options shape)."""
+
+    def fix(args: list[str]):
+        if len(args) not in (3, 4):
+            return None
+        if len(args) == 4 and _literal_of(args[3], literals) is None:
+            return None
+        rep = args[2]
+        lit = _literal_of(rep, literals)
+        if lit is not None:
+            bridged = _re2_rewrite_to_java(lit[1:-1])
+            if bridged != lit[1:-1]:
+                literals.append("'" + bridged + "'")
+                rep = f"{_MASK}{len(literals) - 1}{_MASK}"
+        if len(args) == 4:
+            if rep == args[2]:
+                return None
+            return (
+                f"regexp_replace({args[0]}, {args[1]}, {rep},"
+                f" {args[3]})"
+            )
+        return f"regexp_replace_first({args[0]}, {args[1]}, {rep})"
+
+    return fix
+
+
+def bridge_call_semantics(sql: str) -> str:
+    """The r13 pre-parse semantic bridge: forms that are VALID in both
+    dialects with DIFFERENT meanings execute with DuckDB's meaning.
+    Runs on masked text (literals, quoted identifiers and comments are
+    never touched, except a regexp_replace replacement literal moving
+    to Java rewrite syntax).  Applied exactly once per statement, via
+    :func:`prepare_query_text`."""
+    masked, literals = _mask_literals(sql)
+    masked = _bridge_power(masked)
+    masked = _rewrite_calls(masked, "trim", _fix_two_arg_trim("BOTH"))
+    masked = _rewrite_calls(masked, "ltrim", _fix_two_arg_trim("LEADING"))
+    masked = _rewrite_calls(
+        masked, "rtrim", _fix_two_arg_trim("TRAILING")
+    )
+    masked = _rewrite_calls(
+        masked,
+        "regexp_extract_all",
+        _fix_extract_default("regexp_extract_all"),
+    )
+    masked = _rewrite_calls(
+        masked, "regexp_extract", _fix_extract_default("regexp_extract")
+    )
+    masked = _rewrite_calls(masked, "log", _fix_log10)
+    masked = _rewrite_calls(
+        masked, "regexp_replace", _fix_regexp_replace(literals)
+    )
+    return _unmask_literals(masked, literals)
+
+
+def prepare_query_text(sql: str) -> str:
+    """The engine's single pre-parse boundary (query_df /
+    validate_statement): DuckDB semantics for the ambiguous call
+    shapes, then DuckDB literal semantics through Spark's
+    escape-processing parser.  Order matters: the call bridge reads
+    replacement literals in their DuckDB spelling, and any backslash
+    it emits (\\$) is doubled by the literal pass after it."""
+    return escape_backslashes_for_spark(bridge_call_semantics(sql))
 
 
 def register_compat_functions(spark) -> None:

@@ -558,19 +558,22 @@ class SparkDestination(DataFrameSerializers, Destination):
     def query_df(self, query: str) -> DataFrame:
         query = trim_query(query)
         if self.duckdb_compat:
-            # literal-semantics bridge (see __init__): '\d' must stay
-            # backslash-d through Spark's escape-processing parser —
-            # applied ONCE at this public boundary so every downstream
-            # consumer (stock parse, dialect fallback, warehouse DML
-            # fragments via F.expr) sees one consistent text.
-            # Re-entrant internal calls (script statements, embedded
-            # INSERT/CTAS sources) use _query_df_prepared: a second
-            # pass would double the doubling (r12 regression test).
-            from scratchdata_spark.dialect import (
-                escape_backslashes_for_spark,
-            )
+            # pre-parse bridges (see __init__): the r12 literal-
+            # semantics pass ('\d' must stay backslash-d through
+            # Spark's escape-processing parser) plus the r13 call-
+            # semantics pass (2-arg trim/regexp_extract, ^, 1-arg
+            # log, 3-arg regexp_replace — valid in both dialects,
+            # different meanings; DuckDB's wins) — applied ONCE at
+            # this public boundary so every downstream consumer
+            # (stock parse, dialect fallback, warehouse DML fragments
+            # via F.expr) sees one consistent text.  Re-entrant
+            # internal calls (script statements, embedded INSERT/CTAS
+            # sources) use _query_df_prepared: a second pass would
+            # double the literal doubling and re-bridge replacement
+            # strings (r12/r13 regression tests).
+            from scratchdata_spark.dialect import prepare_query_text
 
-            query = escape_backslashes_for_spark(query)
+            query = prepare_query_text(query)
         return self._query_df_prepared(query)
 
     def _query_df_prepared(self, query: str) -> DataFrame:
@@ -614,6 +617,7 @@ class SparkDestination(DataFrameSerializers, Destination):
                 if not self.duckdb_compat:
                     raise
                 from scratchdata_spark.dialect import (
+                    expand_columns_macro,
                     rewrite,
                     statement_form_df,
                 )
@@ -621,12 +625,27 @@ class SparkDestination(DataFrameSerializers, Destination):
                 stmt = statement_form_df(self.spark, sql_text)
                 if stmt is not None:
                     return stmt
-                rewritten = rewrite(sql_text)
+                # COLUMNS() macros expand against the registered
+                # views' schemas (r13); unresolvable shapes pass
+                # through to rewrite's loud refusal
+                expanded = expand_columns_macro(
+                    sql_text, self._resolve_columns
+                )
+                rewritten = rewrite(expanded)
                 if rewritten == sql_text:
                     raise stock_err
                 return self.spark.sql(rewritten)
 
         return self.plan_cache.get(query, build)
+
+    def _resolve_columns(self, table: str) -> list[str] | None:
+        """Column names of a registered table/view, for the COLUMNS()
+        macro expansion — None when the name doesn't resolve (the
+        dialect layer then refuses loudly instead of guessing)."""
+        try:
+            return self.spark.table(table).columns
+        except Exception:
+            return None
 
     def validate_statement(self, query: str) -> bool:
         """True if ``query`` is a warehouse DML/DDL statement, after
@@ -638,13 +657,11 @@ class SparkDestination(DataFrameSerializers, Destination):
 
         query = trim_query(query)
         if self.duckdb_compat:
-            # same literal-semantics bridge as query_df — validation
-            # must analyze exactly the text execution will see
-            from scratchdata_spark.dialect import (
-                escape_backslashes_for_spark,
-            )
+            # same pre-parse bridges as query_df — validation must
+            # analyze exactly the text execution will see
+            from scratchdata_spark.dialect import prepare_query_text
 
-            query = escape_backslashes_for_spark(query)
+            query = prepare_query_text(query)
         stmt_text = warehouse_dml.normalize(query)
         script = warehouse_dml.split_script(stmt_text)
         if len(script) > 1:

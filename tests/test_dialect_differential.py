@@ -21,7 +21,7 @@ import duckdb
 import pytest
 
 from scratchdata_spark.dialect import (
-    escape_backslashes_for_spark,
+    prepare_query_text,
     register_compat_functions,
     rewrite,
 )
@@ -172,13 +172,12 @@ def _norm(rows):
 def test_same_text_both_engines(engines, sql):
     spark, con = engines
     expect = _norm(con.execute(sql).fetchall())
-    # the engine's literal-semantics bridge runs BEFORE the dialect
-    # fallback (query_df order) — the battery mirrors it
+    # the engine's pre-parse bridges (r13 call semantics + r12 literal
+    # semantics, composed by prepare_query_text) run BEFORE the
+    # dialect fallback (query_df order) — the battery mirrors it
     got = _norm([
         tuple(r)
-        for r in spark.sql(
-            rewrite(escape_backslashes_for_spark(sql))
-        ).collect()
+        for r in spark.sql(rewrite(prepare_query_text(sql))).collect()
     ])
     assert got == expect, f"{sql}\n spark={got}\n duck={expect}"
 
@@ -453,3 +452,48 @@ CASES_R12F = [
     "SELECT g FROM t GROUP BY 1 ORDER BY 1",
 ]
 CASES.extend(CASES_R12F)
+
+# r13 pre-parse call-semantics bridges (VERDICT r12 #1): the five
+# both-valid-different-meaning forms — each of these was a SILENT
+# wrong value before bridge_call_semantics (stock Spark accepted the
+# text with its own meaning, so the fallback rewriter never ran).
+CASES_R13A = [
+    # ^ is power (left-assoc, tighter than *, looser than unary -)
+    "SELECT 2 ^ 3 ^ 2 AS assoc, -2 ^ 2 AS un, 2 * 3 ^ 2 AS prec,"
+    " 2 ^ -1 AS neg, 4 ^ 0.5 AS frac",
+    "SELECT id ^ 2 AS sq FROM t ORDER BY id",
+    "SELECT abs(-2) ^ arr[1] AS mix FROM t WHERE id = 1",
+    # 2-arg trim family: (string, trim_chars) argument order
+    "SELECT trim('xxhixx', 'x') AS t, ltrim('xxhixx', 'x') AS l,"
+    " rtrim('xxhixx', 'x') AS r",
+    "SELECT trim('abca', 'ab') AS charset, trim('  hi  ') AS plain",
+    "SELECT trim(CAST(NULL AS VARCHAR), 'x') AS ns,"
+    " trim('a', CAST(NULL AS VARCHAR)) AS nc",
+    "SELECT ltrim(g, 'a') AS l FROM t ORDER BY id",
+    # 2-arg regexp_extract[_all]: default group 0 (the full match)
+    "SELECT regexp_extract('a12b34', '\\d+') AS full",
+    "SELECT regexp_extract('a12b34', '(\\d)(\\d)') AS grouped",
+    "SELECT regexp_extract('abc', 'z+') AS nomatch",
+    "SELECT regexp_extract_all('a1b2', '\\d') AS plain",
+    "SELECT regexp_extract_all('a1b2', '(\\d)') AS grouped",
+    # 1-arg log is log10 (the 2-arg base form already agrees)
+    "SELECT log(100) AS l10, log(2, 8) AS lb, log10(1000) AS e",
+    "SELECT round(log(v), 6) AS lv FROM t ORDER BY id",
+    # 3-arg regexp_replace: FIRST occurrence + RE2 rewrite syntax
+    "SELECT regexp_replace('aaa', 'a', 'X') AS first",
+    "SELECT regexp_replace('a1b2', '(\\d)', '<\\1>') AS ref",
+    "SELECT regexp_replace('a1b2', '(\\d)', '<\\1>', 'g') AS refg",
+    "SELECT regexp_replace('aab', 'a*', 'X') AS star",
+    "SELECT regexp_replace('bab', 'a*', 'X') AS empty_first",
+    "SELECT regexp_replace('abc', 'z', 'X') AS nomatch",
+    "SELECT regexp_replace('ab', 'a', 'x$0y') AS dollar_literal",
+    "SELECT regexp_replace(CAST(NULL AS VARCHAR), 'a', 'X') AS n1",
+    "SELECT regexp_replace('xaby', 'ab|a', 'Z') AS alt",
+    "SELECT regexp_replace('a1b2', '(\\d)(x)?', '<\\2>') AS unmatched",
+    "SELECT regexp_replace(g, 'a', '@') AS col FROM t ORDER BY id",
+    "SELECT regexp_replace('a$b$c', '\\$', '/', 'g') AS esc",
+    # composition across bridges
+    "SELECT trim(regexp_replace('xxabcxx', 'b', 'B'), 'x') AS mix",
+    "SELECT log(10) ^ 2 AS chained",
+]
+CASES.extend(CASES_R13A)

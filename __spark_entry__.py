@@ -137,18 +137,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # 158 registered − (6 pairs·1 + 3 families·2 + 1 pair·1 + 1
 # family·2) = 143 vs 147 capacity.
 #
-# R13 PLAN (sketch; finalize in the r13 header): mandatory = the
-# r10-era cohort (49) + flagship = 50 full BEFORE credits.  Credits:
-# F11 turn (run x_multimodal_codec_jpeg per the rotation, skip
-# gif+mjpeg: net −1), P1 credit (x_dedup_exact ran r12 → skip
-# x_dedup_exact_rows: −1), P4 turn (run x_dedup_minhash_oracle —
-# the last r7-stale entry, at its 6-round boundary — INSTEAD of
-# x_dedup_minhash_lsh: net 0).  The 2 freed slots go to the two
-# r8-era members whose OWN 6-round cadence hits r14 ahead of their
-# families' next turns: q_union_distinct (F8 next due r15) and
-# q_scan_external_orc (F10 rotation said r15) — running them r13
-# beats a forced overflow at r14.  Net: 50 EXACTLY.  s_crawl_stream
-# (r12) rejoins at r14/r15 with the r11/r12 cohorts.
+# R13 LEDGER (executes the r12 sketch, one substitution): mandatory =
+# the r10-era cohort (49, re-derived from the CORRECTNESS_r* history)
+# + flagship = 50 full BEFORE credits.  Credits, each a cohort
+# member: F11 turn (run x_multimodal_codec_jpeg per the rotation;
+# gif+mjpeg — both r10, in the cohort — skip on the family slot:
+# net −1), P1 credit (x_dedup_exact ran r12 → skip x_dedup_exact_
+# rows: −1), P4 turn (run x_dedup_minhash_oracle — the last r7-era
+# entry — INSTEAD of cohort member x_dedup_minhash_lsh: net 0)
+# → 45 cohort runs + jpeg + minhash_oracle + flagship = 48.  The 2
+# free slots: q_dialect_columns (NEW r13 — the COLUMNS() macro
+# expansion VERDICT r12 #4 prescribed; category (b) outranks slack
+# fills) and q_union_distinct (r8, F8's r15 member turn pulled
+# forward).  The sketch's second pull-forward, q_scan_external_orc
+# (r8), is DISPLACED to r14 by the new registration — r14's
+# P2/P3/P5 credits (incremental_exact / semantic_dedup /
+# embedding_lsh all ran r12) free three slots there.  Net: 50
+# EXACTLY.  Effective demand after the registration: 159 − 15
+# consolidated = 144 vs 147 capacity.
+#
+# R14 PLAN (sketch; finalize in the r14 header): mandatory = the
+# r11-era cohort (49) + flagship = 50 BEFORE credits.  Credits:
+# P2 (skip x_dedup_incremental), P3 (skip x_semantic_kmeans), P5
+# (skip x_dedup_embedding_oracle) → −3; P6 family turn due (newest
+# member row r11): run q_sample_deterministic (r9 member) instead of
+# q_tablesample (net 0).  Freed 3 slots → q_scan_external_orc
+# (displaced from r13), s_crawl_stream (r12 — rejoins ahead of its
+# r15 deadline), + 1 semantics-heavy (e) fill from the r12 cohort.
 #
 # R11 CARRY-OVER (r10 warehouse_dml review, deferred finding #10):
 # CREATE OR REPLACE TABLE crash-atomicity — CLOSED r11: the staged
@@ -158,73 +173,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_dml_atomic.py prove the old table survives every stage.
 _PRIORITY = [
     "q01_pricing_summary",  # (a) flagship stays first (sanity row)
-    # --- (c) NEW r12: the streamed admission chain (VERDICT r11 #2;
-    # F11's consolidation funds the slot) ---
-    "s_crawl_stream",
-    # --- family/pair turns due r12 (members rotated in) ---
-    "q_rollup",  # F7 turn (credits q_grouping_sets, q_cube)
-    "q_distinct",  # F8 turn (credits q_union_all)
-    "q_scan_external_csv",  # F10 turn, r8 member (credits files/orc)
-    "x_dedup_simhash",  # P9 turn, r8 member (credits simhash_pairs)
-    # --- r7-stale cohort pulled forward (VERDICT r11 #1 slack rule;
-    # x_dedup_minhash_oracle rides P4's r13 turn instead) ---
-    "x_dedup_incremental_exact",
-    "x_semantic_dedup",
-    "x_dedup_embedding_lsh",
-    "x_dedup_exact",  # gives P1 an r12 credit → exact_rows skips r13
-    # --- (d) staleness cohort (newest row r9) minus the credit
-    # skippers above — 42 entries ---
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q_approx_count_distinct",
-    "q_array_funcs",
-    "q_case_cast",
-    "q_date_funcs",
-    "q_dialect_duckdb_text",
-    "q_dml_compact_roundtrip",
-    "q_dml_copy_roundtrip",
-    "q_explode_posexplode",
-    "q_join_cross",
-    "q_json_funcs",
-    "q_map_struct_funcs",
-    "q_math_funcs",
-    "q_nested_flatten_horizontal",
-    "q_nested_flatten_multitable_depth2",
-    "q_nested_flatten_vertical",
-    "q_order_limit_offset",
-    "q_pivot",
-    "q_qualify_latest",
-    "q_string_funcs",
-    "q_topk_per_group",
-    "q_unpivot",
-    "s_rollup_continuous_hourly",
-    "s_stream_stream_join",
-    "x_bloom_screen",
-    "x_bpe_token_counts",
-    "x_corpus_mix",
-    "x_dedup_embedding_cosine",
-    "x_dedup_ngram_jaccard",
-    "x_lm_perplexity",
-    "x_model_score",
-    "x_multimodal_features",
-    "x_pack_sequences",
-    "x_sample_stratified",
-    "x_semantic_incremental",
-    "x_split_train_val",
-    "x_url_dedup",
-    "x_warc_ingest",
-    # --- past the ~50 edge: r12 credit skippers, due r13+ ---
-    "q_grouping_sets",  # F7 credit (q_rollup runs r12)
-    "q_cube",  # F7 credit
-    "q_union_all",  # F8 credit (q_distinct runs r12)
-    "q_union_distinct",  # F8 credit; own member turn ~r15
-    "q_scan_external_files",  # F10 credit (csv runs r12)
-    "q_scan_external_orc",  # F10 credit; member turn r15
-    "q_sample_deterministic",  # P6 credit (q_tablesample ran r11)
-    "x_dedup_simhash_pairs",  # P9 credit (x_dedup_simhash runs r12)
-    "x_multimodal_codec_jpeg",  # F11 credit (gif/mjpeg ran r10)
-    "x_dedup_minhash_oracle",  # P4's r13 turn (swap with minhash_lsh)
+    # --- (b) NEW r13: COLUMNS() macro expansion (VERDICT r12 #4) ---
+    "q_dialect_columns",
+    # --- family/pair turns due r13 (members rotated in) ---
+    "x_multimodal_codec_jpeg",  # F11 turn (credits gif, mjpeg)
+    "x_dedup_minhash_oracle",  # P4 turn (credits minhash_lsh)
+    # --- r8-era member pulled forward (F8's r15 turn, run early) ---
+    "q_union_distinct",
+    # --- (d) staleness cohort (newest row r10) minus the credit
+    # skippers gif/mjpeg/exact_rows/minhash_lsh — 45 entries ---
+    "q_agg_lists_median_mode",
+    "q_dialect_agg_order_by",
+    "q_dialect_asof",
+    "q_dialect_distinct_on",
+    "q_dialect_file_scan",
+    "q_dialect_generate_series",
+    "q_dialect_list_comprehension",
+    "q_dialect_pivot_stmt",
+    "q_dialect_qualify",
+    "q_dialect_star_replace",
+    "q_dialect_struct_literals",
+    "q_dialect_subscripts",
+    "q_dialect_union_by_name",
+    "q_dialect_unnest_tokens",
+    "q_dml_merge_roundtrip",
+    "q_join_asof",
+    "s_semantic_stream",
+    "s_stream_session_windows",
+    "s_stream_stateful_user_totals",
+    "s_stream_tumbling_hour",
+    "x_ann_cosine_topk",
+    "x_ann_pq_topk",
+    "x_cap_per_source",
+    "x_chunk_documents",
+    "x_decontaminate",
+    "x_dedup_clusters",
+    "x_dedup_substring",
+    "x_dedup_survivors",
+    "x_global_shuffle",
+    "x_multimodal_frames",
+    "x_multimodal_meta",
+    "x_multimodal_resize",
+    "x_pii_scrub",
+    "x_pipeline_clean_corpus",
+    "x_quality_repetition",
+    "x_recipe_clean",
+    "x_remove_boilerplate",
+    "x_resample_temperature",
+    "x_salted_join_skew",
+    "x_source_overlap",
+    "x_split_leakage_safe",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_quality",
+    "x_text_token_count",
+    # --- past the ~50 edge: r13 credit skippers / displaced ---
+    "q_scan_external_orc",  # displaced to r14 (see R13 LEDGER note)
+    "x_multimodal_codec_gif",  # F11 credit (jpeg runs r13)
+    "x_multimodal_codec_mjpeg",  # F11 credit
+    "x_dedup_exact_rows",  # P1 credit (x_dedup_exact ran r12)
+    "x_dedup_minhash_lsh",  # P4 credit (minhash_oracle runs r13)
 ]
 
 

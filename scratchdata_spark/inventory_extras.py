@@ -1176,6 +1176,32 @@ def q_dialect_duckdb_text(spark, sf_dir):
     return spark.sql(rewrite(_DUCKDB_TEXT))
 
 
+_COLUMNS_TEXT = """
+    SELECT l_returnflag,
+           min(COLUMNS('l_(quantity|extendedprice|discount|tax)'))
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@q("q_dialect_columns", _COLUMNS_TEXT)
+def q_dialect_columns(spark, sf_dir):
+    """DuckDB's COLUMNS() dynamic projection (r13, VERDICT r12 #4):
+    the oracle and the Spark side are the SAME DuckDB text — the
+    engine expands the macro against the resolved table schema
+    (dialect.expand_columns_macro) into plain per-column aggregates,
+    keeping DuckDB's output naming (the bare column names, even under
+    an aggregate — probed).  After expansion this is one ordinary
+    hash aggregate: partial min per partition, one shuffle on the
+    group key, no extra scan per expanded column."""
+    from scratchdata_spark.dialect import expand_columns_macro, rewrite
+
+    load(spark, sf_dir)
+    expanded = expand_columns_macro(
+        _COLUMNS_TEXT, lambda t: spark.table(t).columns
+    )
+    return spark.sql(rewrite(expanded))
+
+
 # -------------------------------------------- corpus-preparation stage
 
 from scratchdata_spark.operators.pipeline import (

@@ -1095,3 +1095,145 @@ def test_from_first_statements():
     )
     with pytest.raises(DialectError, match="COLUMNS"):
         rewrite("SELECT COLUMNS('a.*') FROM t")
+
+
+def test_bridge_call_semantics_power():
+    from scratchdata_spark.dialect import bridge_call_semantics as b
+
+    # left-assoc, unary minus binds tighter, * binds looser (probed)
+    assert b("SELECT 2 ^ 3 ^ 2") == "SELECT power(power(2, 3), 2)"
+    assert b("SELECT -2 ^ 2") == "SELECT power(-2, 2)"
+    assert b("SELECT a - 2 ^ 2 FROM t") == "SELECT a - power(2, 2) FROM t"
+    assert b("SELECT 2 * 3 ^ 2") == "SELECT 2 * power(3, 2)"
+    assert b("SELECT 2 ^ -1") == "SELECT power(2, -1)"
+    assert b("SELECT abs(-2) ^ x.y[1]") == "SELECT power(abs(-2), x.y[1])"
+    assert b("SELECT 2.5e-3 ^ 2") == "SELECT power(2.5e-3, 2)"
+    assert b("SELECT x::int ^ 2") == "SELECT power(x::int, 2)"
+    # ^@ (starts_with) and masked segments are never power
+    assert b("SELECT a ^@ b") == "SELECT a ^@ b"
+    assert b("SELECT '^' || c ^ 2 FROM t") == (
+        "SELECT '^' || power(c, 2) FROM t"
+    )
+    assert b("-- a ^ b\nSELECT 1") == "-- a ^ b\nSELECT 1"
+    with pytest.raises(DialectError, match="power"):
+        b("SELECT 2 ^ CASE WHEN a THEN 1 ELSE 2 END")
+
+
+def test_bridge_call_semantics_calls():
+    from scratchdata_spark.dialect import bridge_call_semantics as b
+
+    assert b("SELECT trim('xxhixx', 'x')") == (
+        "SELECT trim(BOTH 'x' FROM 'xxhixx')"
+    )
+    assert b("SELECT ltrim(s, 'x') FROM t") == (
+        "SELECT trim(LEADING 'x' FROM s) FROM t"
+    )
+    assert b("SELECT rtrim(s, c)") == "SELECT trim(TRAILING c FROM s)"
+    # 1-arg and keyword forms pass through
+    assert b("SELECT rtrim(s)") == "SELECT rtrim(s)"
+    assert b("SELECT trim(BOTH 'x' FROM s)") == "SELECT trim(BOTH 'x' FROM s)"
+    # nested 2-arg forms both bridge
+    assert b("SELECT trim(trim(a, b), c)") == (
+        "SELECT trim(BOTH c FROM trim(BOTH b FROM a))"
+    )
+    assert b("SELECT regexp_extract(s, 'p') FROM t") == (
+        "SELECT regexp_extract(s, 'p', 0) FROM t"
+    )
+    assert b("SELECT regexp_extract(s, 'p', 1)") == (
+        "SELECT regexp_extract(s, 'p', 1)"
+    )
+    assert b("SELECT regexp_extract_all(s, 'p')") == (
+        "SELECT regexp_extract_all(s, 'p', 0)"
+    )
+    assert b("SELECT log(x)") == "SELECT log10(x)"
+    assert b("SELECT log(2, x)") == "SELECT log(2, x)"
+    assert b("SELECT dialog(x)") == "SELECT dialog(x)"  # word boundary
+
+
+def test_bridge_regexp_replace():
+    from scratchdata_spark.dialect import bridge_call_semantics as b
+
+    # 3-arg = first occurrence; RE2 rewrite syntax -> Java
+    assert b("SELECT regexp_replace(s, 'p', 'r') FROM t") == (
+        "SELECT regexp_replace_first(s, 'p', 'r') FROM t"
+    )
+    assert b(r"SELECT regexp_replace(s, '(a)', '<\1>')") == (
+        "SELECT regexp_replace_first(s, '(a)', '<$1>')"
+    )
+    assert b(r"SELECT regexp_replace(s, '(a)', '<\1>', 'g')") == (
+        "SELECT regexp_replace(s, '(a)', '<$1>', 'g')"
+    )
+    assert b("SELECT regexp_replace(s, 'p', '100$')") == (
+        r"SELECT regexp_replace_first(s, 'p', '100\$')"
+    )
+    # Spark's position form (non-literal 4th arg) is left whole
+    assert b("SELECT regexp_replace(s, 'p', 'r', 2)") == (
+        "SELECT regexp_replace(s, 'p', 'r', 2)"
+    )
+    # non-literal replacement still gets first-occurrence semantics
+    assert b("SELECT regexp_replace(s, 'p', other)") == (
+        "SELECT regexp_replace_first(s, 'p', other)"
+    )
+    # nested: each call bridged exactly once (no double transform)
+    assert b(
+        r"SELECT regexp_replace(regexp_replace(a, 'x', '\1'), 'p', '\2', 'g')"
+    ) == (
+        "SELECT regexp_replace(regexp_replace_first(a, 'x', '$1'),"
+        " 'p', '$2', 'g')"
+    )
+    # invalid RE2 escape: DuckDB silently no-ops — we refuse loudly
+    with pytest.raises(DialectError, match="invalid RE2 escape"):
+        b(r"SELECT regexp_replace(s, 'p', 'a\qb')")
+
+
+def test_prepare_query_text_composition():
+    from scratchdata_spark.dialect import prepare_query_text as p
+
+    # the call bridge runs FIRST (DuckDB literal spelling), then the
+    # literal pass doubles any backslash it emitted
+    assert p("SELECT regexp_replace(s, 'p', '$x')") == (
+        "SELECT regexp_replace_first(s, 'p', '\\\\$x')"
+    )
+    assert p(r"SELECT regexp_extract(s, '\d+')") == (
+        r"SELECT regexp_extract(s, '\\d+', 0)"
+    )
+
+
+def test_expand_columns_macro():
+    from scratchdata_spark.dialect import expand_columns_macro as ex
+
+    cols = {"t": ["id", "name", "val", "score"]}
+    r = cols.get
+    assert ex("SELECT COLUMNS(*) FROM t", r) == (
+        "SELECT id AS id, name AS name, val AS val, score AS score FROM t"
+    )
+    assert ex("SELECT min(COLUMNS('val|score')) FROM t", r) == (
+        "SELECT min(val) AS val, min(score) AS score FROM t"
+    )
+    assert ex("SELECT COLUMNS(* EXCLUDE (name)) FROM t ORDER BY id", r) == (
+        "SELECT id AS id, val AS val, score AS score FROM t ORDER BY id"
+    )
+    assert ex(
+        "SELECT id, max(COLUMNS('^s')) FROM t GROUP BY id", r
+    ) == "SELECT id, max(score) AS score FROM t GROUP BY id"
+    # the regex is a SEARCH, not a full match (DuckDB probe)
+    assert "val" in ex("SELECT COLUMNS('al') FROM t", r)
+    # unresolvable shapes pass through unchanged (guard refuses later)
+    for shape in (
+        "SELECT COLUMNS(*) FROM (SELECT 1) q",
+        "SELECT COLUMNS(*) FROM t JOIN u ON t.id = u.id",
+        "SELECT COLUMNS(*) FROM t UNION SELECT COLUMNS(*) FROM t",
+        "SELECT id FROM t WHERE COLUMNS('x') IS NULL",
+        "SELECT COLUMNS(*) FROM unknown_table",
+    ):
+        assert ex(shape, r) == shape
+    # modeled-but-wrong shapes refuse loudly
+    with pytest.raises(DialectError, match="no matching columns"):
+        ex("SELECT COLUMNS('zzz') FROM t", r)
+    with pytest.raises(DialectError, match="lambda"):
+        ex("SELECT COLUMNS(c -> c LIKE 'v%') FROM t", r)
+    with pytest.raises(DialectError, match="alias"):
+        ex("SELECT min(COLUMNS(*)) AS x FROM t", r)
+    # a literal spelling COLUMNS( is untouched
+    sql = "SELECT 'COLUMNS(*)' AS s FROM t"
+    assert ex(sql, r) == sql

@@ -191,7 +191,25 @@ def _segments(sql: str):
     start = 0
     while i < n:
         ch = sql[i]
-        if ch == "'" or ch == '"' or ch == "`":
+        if ch == "$":
+            # dollar-quoted string ($$..$$ / $tag$..$tag$ — r13
+            # review catch: the contents were scanned as CODE, so a
+            # pre-parse bridge could rewrite inside what DuckDB means
+            # as a literal).  Tags are identifier-like, so a $1
+            # positional parameter never matches.
+            m = re.match(r"\$([A-Za-z_]\w*)?\$", sql[i:])
+            if m is None:
+                i += 1
+                continue
+            tag = m.group(0)
+            end = sql.find(tag, i + len(tag))
+            end = n if end == -1 else end + len(tag)
+            if start < i:
+                out.append((True, sql[start:i]))
+            out.append((False, sql[i:end]))
+            i = end
+            start = i
+        elif ch == "'" or ch == '"' or ch == "`":
             if start < i:
                 out.append((True, sql[start:i]))
             q = ch
@@ -350,9 +368,9 @@ def _rewrite_code(code: str) -> str:
     # date_trunc (module docstring) applies identically
     code = re.sub(r"\bdatetrunc\s*\(", "date_trunc(", code, flags=re.I)
     code = re.sub(r"\bdatepart\s*\(", "date_part(", code, flags=re.I)
-    # json_keys == json_object_keys exactly (probed: top-level key
-    # array, document order)
-    code = re.sub(r"\bjson_keys\s*\(", "json_object_keys(", code, flags=re.I)
+    # json_keys is bridged in _rewrite_json_keys / _WRAPPED_CALLS
+    # (r13 — json_object_keys alone returned NULL where DuckDB gives
+    # [] on non-object roots and raises on malformed input)
     code = re.sub(r"\bstarts_with\s*\(", "startswith(", code, flags=re.I)
     # DuckDB type aliases Spark's parser rejects (saved queries cast
     # with them constantly: x::VARCHAR, y::INT8); shared with the
@@ -809,7 +827,60 @@ _WRAPPED_CALLS = [
         "(CASE WHEN ({X}) IS NULL THEN CAST(NULL AS BOOLEAN)"
         " ELSE try_parse_json(({X})) IS NOT NULL END)",
     ),
+    # json_keys, 1-arg (r13 probe wave): DuckDB returns [] for VALID
+    # non-object roots ('[1,2]', '1', 'null') and RAISES on malformed
+    # input, where json_object_keys returns NULL for both
+    (
+        "json_keys",
+        "(CASE WHEN ({X}) IS NULL THEN CAST(NULL AS ARRAY<STRING>)"
+        " WHEN json_object_keys(({X})) IS NOT NULL"
+        " THEN json_object_keys(({X}))"
+        " WHEN try_parse_json(({X})) IS NOT NULL"
+        " THEN array()"
+        " ELSE CAST(raise_error(concat('json_keys: malformed JSON: ',"
+        " ({X}))) AS ARRAY<STRING>) END)",
+    ),
 ]
+
+
+def _rewrite_json_keys2(masked: str, literals: list[str]) -> str:
+    """2-argument ``json_keys(doc, path)`` (r13 probe wave): keys of
+    the element AT the path — NULL when the path is absent, ``[]``
+    for a non-object element, a raise for a malformed document
+    (DuckDB probed).  A literal bare-key/dotted path gets the ``$.``
+    prefix get_json_object needs; JSON-pointer paths (leading ``/``)
+    refuse — their array-index steps have no faithful ``$`` twin."""
+
+    def fix(args: list[str]):
+        if len(args) != 2:
+            return None
+        x, p = args[0].strip(), args[1].strip()
+        lm = _LONE_MASK_RE.match(p)
+        if lm is not None and literals[int(lm.group(1))][:1] == "'":
+            path = literals[int(lm.group(1))][1:-1]
+            if path.startswith("/"):
+                raise DialectError(
+                    "json_keys with a JSON-pointer path ('/a/0') is"
+                    " not bridged: use the $-style path ('$.a[0]')"
+                )
+            if not path.startswith("$"):
+                path = "$." + path
+            literals.append("'" + path + "'")
+            p = f"{_MASK}{len(literals) - 1}{_MASK}"
+        elem = f"get_json_object(({x}), {p})"
+        return (
+            f"(CASE WHEN ({x}) IS NULL OR ({p}) IS NULL"
+            f" THEN CAST(NULL AS ARRAY<STRING>)"
+            f" WHEN try_parse_json(({x})) IS NULL"
+            f" THEN CAST(raise_error(concat('json_keys: malformed"
+            f" JSON: ', ({x}))) AS ARRAY<STRING>)"
+            f" WHEN {elem} IS NULL THEN CAST(NULL AS ARRAY<STRING>)"
+            f" WHEN json_object_keys({elem}) IS NOT NULL"
+            f" THEN json_object_keys({elem})"
+            f" ELSE array() END)"
+        )
+
+    return _rewrite_calls(masked, "json_keys", fix)
 
 
 def _rewrite_wrapped_calls(masked: str) -> str:
@@ -1795,31 +1866,24 @@ _ORDER_INSENSITIVE_AGGS = frozenset(
 _ORDER_BY_IN_ARGS_RE = re.compile(r"\bORDER\s+BY\b", re.I)
 
 
-# set operators are deliberately NOT cut points: ``* EXCEPT (a)`` in
-# a FROM-first select list would false-split (EXCLUDE is rewritten to
-# EXCEPT before this pass); a genuine set-op after a FROM-first
-# SELECT stays a loud parse error rather than a guessed reorder
 _CLAUSE_KEYWORDS_RE = (
     r"\b(?:WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET)\b"
 )
 
 
-def _rewrite_from_first(masked: str) -> str:
-    """DuckDB's FROM-first statement forms (r12 probe wave — everyday
-    conveniences in saved queries): ``FROM t`` = ``SELECT * FROM t``,
-    and ``FROM t SELECT cols [WHERE …]`` reorders to the standard
-    clause order.  Top-level statements only (the fallback sees whole
-    query texts; a parenthesized FROM-first subquery stays a loud
-    parse error).  Depth-0 keyword scans on masked text — a literal
-    spelling SELECT or WHERE cannot split the statement."""
-    m = re.match(r"^\s*FROM\b", masked, re.I)
+def _from_first_segment(masked: str) -> str:
+    """Reorder ONE set-op-free statement segment: ``FROM t`` =
+    ``SELECT * FROM t``; ``FROM t SELECT cols [WHERE …]`` moves to
+    standard clause order.  Depth-0 keyword scans on masked text — a
+    literal spelling SELECT or WHERE cannot split the segment."""
+    m = re.match(r"^(\s*)FROM\b", masked, re.I)
     if m is None:
         return masked
     sel = list(_d0_matches(masked, r"\bSELECT\b"))
     if not sel:
-        return "SELECT * " + masked.lstrip()
+        return m.group(1) + "SELECT * " + masked.lstrip()
     first = sel[0]
-    from_part = masked[m.start():first.start()].strip()
+    from_part = masked[m.end(1) : first.start()].strip()
     rest = masked[first.end():]
     tail_hits = list(_d0_matches(rest, _CLAUSE_KEYWORDS_RE))
     if tail_hits:
@@ -1828,11 +1892,83 @@ def _rewrite_from_first(masked: str) -> str:
     else:
         select_list, tail = rest.strip(), ""
     out = f"SELECT {select_list} {from_part}"
-    return f"{out} {tail}".strip()
+    return m.group(1) + f"{out} {tail}".strip()
+
+
+def _rewrite_from_first(masked: str) -> str:
+    """DuckDB's FROM-first statement forms (r12 probe wave — everyday
+    conveniences in saved queries): ``FROM t`` = ``SELECT * FROM t``,
+    and ``FROM t SELECT cols [WHERE …]`` reorders to the standard
+    clause order.
+
+    r13 probe catches, both via set operations: Spark ACCEPTS the
+    Hive form ``FROM t SELECT c`` natively, so a FROM-first set-op
+    statement only reaches this fallback when some OTHER token failed
+    the stock parse — and the old single-cut reorder then CORRUPTED
+    it (the first branch's reorder swallowed the whole tail).  The
+    statement is now split at depth-0 set operators and each branch
+    reordered independently (``* EXCEPT (a)`` — the select-list
+    modifier — is not a split point: preceded by ``*``).  A leading
+    ALL/DISTINCT after the operator stays with the operator.  Second:
+    a parenthesized SELECT-less FROM-first subquery ``(FROM t WHERE
+    …)`` — valid DuckDB, a Spark parse error — gets its ``SELECT *``
+    inserted by :func:`_rewrite_parenthesized_from` (run before this
+    pass)."""
+    bounds: list[tuple[int, int]] = []
+    for m in _d0_matches(
+        masked, r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bMINUS\b"
+    ):
+        if m.group(0).upper() == "EXCEPT" and masked[: m.start()].rstrip().endswith("*"):
+            continue
+        end = m.end()
+        tail = re.match(r"\s+(ALL|DISTINCT)\b", masked[end:], re.I)
+        if tail:
+            end += tail.end()
+        bounds.append((m.start(), end))
+    if not bounds:
+        return _from_first_segment(masked)
+    out, prev = [], 0
+    for s, e in bounds:
+        out.append(_from_first_segment(masked[prev:s]).strip())
+        out.append(masked[s:e].strip())
+        prev = e
+    out.append(_from_first_segment(masked[prev:]).strip())
+    return " ".join(out)
+
+
+def _rewrite_parenthesized_from(masked: str) -> str:
+    """Insert ``SELECT *`` into parenthesized SELECT-less FROM-first
+    groups: ``(FROM t WHERE id = 1)`` → ``(SELECT * FROM t WHERE
+    id = 1)`` (r13 probe — Spark's Hive form covers ``(FROM t SELECT
+    c)`` but not the bare one).  Only groups with NO group-depth-0
+    SELECT change; restart-scan handles nesting."""
+    pat = re.compile(r"\(\s*FROM\b", re.I)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if m is None:
+            return masked
+        close = _match_paren(masked, m.start())
+        if close == -1:
+            pos = m.end()
+            continue
+        inner = masked[m.start() + 1 : close - 1]
+        if any(True for _ in _d0_matches(inner, r"\bSELECT\b")):
+            pos = m.start() + 1
+            continue
+        masked = (
+            masked[: m.start() + 1]
+            + "SELECT * "
+            + inner.lstrip()
+            + masked[close - 1 :]
+        )
+        pos = m.start() + 1
 
 
 _EXTRACT_RE = re.compile(
-    r"\bEXTRACT\s*\(\s*(EPOCH|DOW|ISODOW)\s+FROM\b", re.I
+    r"\bEXTRACT\s*\(\s*(EPOCH|DOW|ISODOW|MICROSECONDS?|MILLISECONDS?)"
+    r"\s+FROM\b",
+    re.I,
 )
 _DATE_PART_RE = re.compile(
     r"\bdate_part\s*\(\s*\x00(\d+)\x00\s*,", re.I
@@ -1855,6 +1991,15 @@ def _field_bridge(field: str, expr: str) -> str:
     if f == "dow":
         # DuckDB: Sunday=0; Spark DAYOFWEEK: Sunday=1 (probed)
         return f"(EXTRACT(DAYOFWEEK FROM {expr}) - 1)"
+    if f in ("microsecond", "microseconds"):
+        # DuckDB: the sub-minute seconds INCLUDING the fraction, as
+        # integer microseconds (01:02:03.5 → 3500000 — r13 probe);
+        # Spark's SECOND field is the same DECIMAL seconds.fraction
+        return (
+            f"CAST(EXTRACT(SECOND FROM {expr}) * 1000000 AS BIGINT)"
+        )
+    if f in ("millisecond", "milliseconds"):
+        return f"CAST(EXTRACT(SECOND FROM {expr}) * 1000 AS BIGINT)"
     return f"EXTRACT(DAYOFWEEK_ISO FROM {expr})"  # isodow: exact
 
 
@@ -1890,7 +2035,11 @@ def _rewrite_extract_fields(masked: str, literals: list[str]) -> str:
             return masked
         lit = literals[int(m.group(1))]
         field = lit.strip("'\"").lower()
-        if field not in ("epoch", "dow", "isodow"):
+        if field not in (
+            "epoch", "dow", "isodow",
+            "microsecond", "microseconds",
+            "millisecond", "milliseconds",
+        ):
             pos = m.end()
             continue
         open_idx = masked.index("(", m.start())
@@ -1908,15 +2057,101 @@ def _rewrite_extract_fields(masked: str, literals: list[str]) -> str:
 
 
 _FORMAT_RE = re.compile(r"\bformat\s*\(\s*\x00(\d+)\x00\s*,", re.I)
+_FMT_PLACEHOLDER_RE = re.compile(r"\{(\d*)(?::([^{}]*))?\}")
+_FMT_SPEC_RE = re.compile(r"^([<>])?(0)?(\d+)?(?:\.(\d+))?([dfsxo])?$")
+
+
+def _fmt_to_printf(body: str, n_args: int):
+    """fmtlib format string → Java format_string directives, for the
+    mechanically-safe subset (r13 probe wave): ``{}``/``{N}`` (→ %s /
+    %N$s with a CAST-to-STRING so DATE/TIMESTAMP args print their
+    values, not their internal ints — probed: 19787), ``{:>N}`` /
+    ``{:<N}`` string alignment, ``{:d}``/``{:0Nd}``/``{:Nd}``,
+    ``{:[N][.M]f}``, ``{:x}``/``{:o}``, and ``{{``/``}}`` literal
+    braces.  Returns ``(printf_body, cast_arg_indices)`` or None for
+    the forms with no faithful printf twin: bare ``{:N}`` width on an
+    UNKNOWN type (fmtlib aligns strings LEFT and numbers RIGHT —
+    untypeable in a text rewrite), string precision ``{:.Ns}``,
+    auto/positional mixing, and argument-count mismatches."""
+    out: list[str] = []
+    casts: set[int] = set()
+    i, n, auto = 0, len(body), 0
+    used_auto = used_pos = False
+    while i < n:
+        ch = body[i]
+        if ch == "{":
+            if body[i : i + 2] == "{{":
+                out.append("{")
+                i += 2
+                continue
+            m = _FMT_PLACEHOLDER_RE.match(body, i)
+            if m is None:
+                return None
+            idx_s, spec = m.group(1), m.group(2) or ""
+            sm = _FMT_SPEC_RE.match(spec)
+            if sm is None:
+                return None
+            align, zero, width, prec, typ = sm.groups()
+            conv = typ or "s"
+            if conv == "s":
+                if prec is not None:
+                    return None  # string truncation — no printf twin
+                if width and align is None:
+                    return None  # fmtlib: strings left, numbers right
+            else:
+                if align is not None:
+                    return None
+                if prec is not None and conv != "f":
+                    return None
+            if idx_s:
+                used_pos = True
+                argi = int(idx_s)
+            else:
+                used_auto = True
+                argi = auto
+                auto += 1
+            if (used_auto and used_pos) or argi >= n_args:
+                return None
+            if conv == "s":
+                casts.add((argi, "STRING"))
+            elif conv == "f":
+                # Java's %f rejects DECIMAL (Spark's literal type for
+                # 3.14) — DuckDB's {:f} takes any numeric
+                casts.add((argi, "DOUBLE"))
+            out.append(
+                "%"
+                + (f"{argi + 1}$" if idx_s else "")
+                + ("-" if align == "<" else "")
+                + (zero or "")
+                + (width or "")
+                + (f".{prec}" if prec is not None else "")
+                + conv
+            )
+            i = m.end()
+        elif ch == "}":
+            if body[i : i + 2] == "}}":
+                out.append("}")
+                i += 2
+                continue
+            return None
+        elif ch == "%":
+            out.append("%%")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    if used_auto and auto != n_args:
+        return None  # arg-count mismatch stays a loud refusal
+    return "".join(out), casts
 
 
 def _rewrite_format(masked: str, literals: list[str]) -> str:
     """DuckDB's fmt-style ``format('{} …', args)`` → a NULL-guarded
-    ``format_string`` with ``%s`` placeholders (r12 probe wave).
-    Only the PLAIN ``{}`` placeholder bridges — indexed (``{0}``) or
-    spec'd (``{:.2f}``) forms refuse with the reason named, and the
-    guard matters because DuckDB's format is NULL-poisoning where
-    Java's format_string prints the string 'null' (probed)."""
+    ``format_string`` (r12 probe wave; spec subset r13 — see
+    :func:`_fmt_to_printf`).  Unbridgeable spec forms refuse with the
+    reason named, and the guard matters because DuckDB's format is
+    NULL-poisoning where Java's format_string prints 'null'
+    (probed)."""
     pos = 0
     while True:
         m = _FORMAT_RE.search(masked, pos)
@@ -1930,19 +2165,32 @@ def _rewrite_format(masked: str, literals: list[str]) -> str:
             pos = m.end()
             continue
         args = _split_d0_commas(masked[open_idx + 1 : close - 1])[1:]
-        if re.search(r"\{[^}]", body) or body.count("{}") != len(args):
+        bridged = _fmt_to_printf(body, len(args))
+        if bridged is None:
             raise DialectError(
-                "format() is bridged only for plain '{}' placeholders"
-                " matching the argument count — indexed/spec'd forms"
-                " ({0}, {:.2f}) have no format_string equivalent; use"
-                " printf with % directives instead"
+                "format() bridges {} / {N} / {:>N} / {:<N} / {:d} /"
+                " {:0Nd} / {:[N][.M]f} / {:x} / {:o} with matching"
+                " argument count — this format string is outside that"
+                " subset (bare {:N} width is untypeable in a text"
+                " rewrite: fmtlib aligns strings left, numbers"
+                " right); use printf with % directives instead"
             )
+        printf_body, cast_idx = bridged
         # the rewritten format string joins the literal table as a NEW
         # masked entry, so later passes never see its contents as code
-        literals.append("'" + body.replace("%", "%%").replace("{}", "%s") + "'")
+        literals.append("'" + printf_body + "'")
         tok = f"{_MASK}{len(literals) - 1}{_MASK}"
+        cast_map = dict(cast_idx)
+        passed = [
+            (
+                f"CAST(({a.strip()}) AS {cast_map[i]})"
+                if i in cast_map
+                else a.strip()
+            )
+            for i, a in enumerate(args)
+        ]
         guard = " OR ".join(f"({a.strip()}) IS NULL" for a in args)
-        call = ", ".join([tok] + [a.strip() for a in args])
+        call = ", ".join([tok] + passed)
         repl = (
             f"(CASE WHEN {guard} THEN CAST(NULL AS STRING)"
             f" ELSE format_string({call}) END)"
@@ -2309,7 +2557,10 @@ def _sql_ident(name: str) -> str:
 
 
 def _columns_arg_cols(
-    inner: str, literals: list[str], cols: list[str]
+    inner: str,
+    literals: list[str],
+    cols: list[str],
+    escaped: bool,
 ) -> list[str] | None:
     """Columns selected by a COLUMNS(...) argument (masked text):
     ``*``, ``* EXCLUDE (a, b)`` or a regex literal.  DuckDB semantics,
@@ -2346,6 +2597,11 @@ def _columns_arg_cols(
     lm = _LONE_MASK_RE.match(inner)
     if lm and literals[int(lm.group(1))][:1] == "'":
         pat = literals[int(lm.group(1))][1:-1].replace("''", "'")
+        if escaped:
+            # the engine path runs AFTER escape_backslashes_for_spark
+            # doubled every literal backslash — undo it, or a regex
+            # like 'l_\d' silently matches nothing (r13 review catch)
+            pat = pat.replace("\\\\", "\\")
         try:
             rx = re.compile(pat)
         except re.error as exc:
@@ -2362,7 +2618,9 @@ def _columns_arg_cols(
     return None
 
 
-def expand_columns_macro(sql: str, resolve) -> str:
+def expand_columns_macro(
+    sql: str, resolve, *, escaped: bool = False
+) -> str:
     """Expand DuckDB's COLUMNS() dynamic projections when the target
     schema is resolvable (VERDICT r12 #4): in the select list of a
     single-table SELECT, each item holding one ``COLUMNS(*)`` /
@@ -2432,7 +2690,7 @@ def expand_columns_macro(sql: str, resolve) -> str:
         if close == -1:
             return sql
         selected = _columns_arg_cols(
-            item[open_idx + 1 : close - 1], literals, cols
+            item[open_idx + 1 : close - 1], literals, cols, escaped
         )
         if selected is None:
             return sql
@@ -2892,7 +3150,10 @@ def escape_backslashes_for_spark(sql: str) -> str:
 # xor() compat function); it is applied exactly once per statement
 # (re-entrant internal calls use engine._query_df_prepared).
 
-_POWER_OP_RE = re.compile(r"\^(?!@)")  # ^@ is DuckDB starts_with
+# ^@ is DuckDB starts_with; ** is DuckDB's power synonym (a parse
+# error in Spark, but bridging it here keeps ONE operand scanner for
+# both spellings)
+_POWER_OP_RE = re.compile(r"\^(?!@)|\*\*")
 _LONE_MASK_RE = re.compile(rf"^{_MASK}(\d+){_MASK}$")
 _NUM_TOKEN_RE = re.compile(
     r"\d\w*(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
@@ -3224,14 +3485,40 @@ def bridge_call_semantics(sql: str) -> str:
     return _unmask_literals(masked, literals)
 
 
+def normalize_dollar_literals(sql: str) -> str:
+    """DuckDB dollar-quoted strings ($$..$$ / $tag$..$tag$ — the
+    idiom for regex-heavy literals) → standard single-quoted
+    literals with '' doubling (r13).  Runs FIRST at the pre-parse
+    boundary: the content's backslashes stay ordinary characters for
+    the literal pass to double, exactly as if the user had written
+    the quoted spelling."""
+    out = []
+    changed = False
+    for is_code, text in _segments(sql):
+        if not is_code and text[:1] == "$":
+            m = re.match(r"\$([A-Za-z_]\w*)?\$", text)
+            tag_len = m.end()
+            body = text[tag_len:]
+            if body.endswith(text[:tag_len]) and len(body) >= tag_len:
+                body = body[: -tag_len]
+            out.append("'" + body.replace("'", "''") + "'")
+            changed = True
+        else:
+            out.append(text)
+    return "".join(out) if changed else sql
+
+
 def prepare_query_text(sql: str) -> str:
     """The engine's single pre-parse boundary (query_df /
-    validate_statement): DuckDB semantics for the ambiguous call
-    shapes, then DuckDB literal semantics through Spark's
-    escape-processing parser.  Order matters: the call bridge reads
-    replacement literals in their DuckDB spelling, and any backslash
-    it emits (\\$) is doubled by the literal pass after it."""
-    return escape_backslashes_for_spark(bridge_call_semantics(sql))
+    validate_statement): dollar-quoted literals normalized, then
+    DuckDB semantics for the ambiguous call shapes, then DuckDB
+    literal semantics through Spark's escape-processing parser.
+    Order matters: the call bridge reads replacement literals in
+    their DuckDB spelling, and any backslash it emits (\\$) is
+    doubled by the literal pass after it."""
+    return escape_backslashes_for_spark(
+        bridge_call_semantics(normalize_dollar_literals(sql))
+    )
 
 
 def register_compat_functions(spark) -> None:
@@ -3244,6 +3531,9 @@ def register_compat_functions(spark) -> None:
 def rewrite(sql: str) -> str:
     """DuckDB SQL → Spark SQL. Pure text transform; string literals,
     quoted identifiers, and comments are never modified."""
+    # view_df's fallback reaches here without the pre-parse boundary —
+    # dollar literals normalize idempotently (no-op when absent)
+    sql = normalize_dollar_literals(sql)
     sql = _rewrite_qualify(sql)
     parts = [
         (is_code, _rewrite_code(text) if is_code else text)
@@ -3253,11 +3543,13 @@ def rewrite(sql: str) -> str:
     # literal-argument rewrites run on masked text: the target literal
     # participates via its placeholder, unrelated literals can't match
     masked, literals = _mask_literals(rewritten)
+    masked = _rewrite_parenthesized_from(masked)
     masked = _rewrite_from_first(masked)
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_regexp_flags(masked, literals)
     masked = _rewrite_match_operators(masked, literals)
+    masked = _rewrite_json_keys2(masked, literals)
     masked = _rewrite_wrapped_calls(masked)
     masked = _rewrite_json_extract(masked, literals)
     masked = _rewrite_file_scans(masked, literals)

@@ -629,7 +629,7 @@ class SparkDestination(DataFrameSerializers, Destination):
                 # views' schemas (r13); unresolvable shapes pass
                 # through to rewrite's loud refusal
                 expanded = expand_columns_macro(
-                    sql_text, self._resolve_columns
+                    sql_text, self._resolve_columns, escaped=True
                 )
                 rewritten = rewrite(expanded)
                 if rewritten == sql_text:

@@ -85,15 +85,31 @@ def features_col(col: Column) -> Column:
     return F.concat(w, bigrams)
 
 
-def bucket_col(feat: Column, buckets: int, portable: bool) -> Column:
-    """Feature → bucket id.  Portable = the md5-prefix 48-bit family
-    every oracle-checked hash in this repo uses (dedup.py:105);
-    default = xxhash64 (JVM-side, no SQL twin)."""
+def feature_hash_col(feat: Column, portable: bool) -> Column:
+    """Feature → signed 64-bit hash.  Portable = the md5-prefix 48-bit
+    family every oracle-checked hash in this repo uses (dedup.py:105);
+    default = xxhash64 (JVM-side, no SQL twin).  Modulus-independent:
+    the same hash serves any bucket count (the Arrow gate tier's
+    shared-hash trick)."""
     if portable:
-        h = F.conv(F.substring(F.md5(feat), 1, 12), 16, 10).cast("long")
-    else:
-        h = F.xxhash64(feat)
-    return F.pmod(h, F.lit(buckets))
+        return F.conv(F.substring(F.md5(feat), 1, 12), 16, 10).cast("long")
+    return F.xxhash64(feat)
+
+
+def bucket_col(feat: Column, buckets: int, portable: bool) -> Column:
+    """Feature → bucket id: :func:`feature_hash_col` mod buckets."""
+    return F.pmod(feature_hash_col(feat, portable), F.lit(buckets))
+
+
+def feature_hashes_col(col: Column, portable: bool) -> Column:
+    """Per-document feature-hash array (unigrams + bigrams, hashed) —
+    the JVM-side half of the Arrow gate tier: tokenization and
+    hashing stay in the plan (exact parity with bucket_col /
+    hashed_features for BOTH hash families), only the weight gather
+    moves to numpy."""
+    return F.transform(
+        features_col(col), lambda f: feature_hash_col(f, portable)
+    )
 
 
 def hashed_features(
@@ -571,3 +587,130 @@ def dsir_score_expr(
     return F.when(_no_tokens(bkts), F.lit(0.0)).otherwise(
         F.round(logw, round_to)
     )
+
+
+# ------------------------------------------- Arrow gate tier (r13)
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's round(double, n) is HALF_UP (away from zero) where
+    Python's round is half-even — the Arrow tier must round exactly
+    like the expression tier or the two disagree on 5-boundary
+    values."""
+    m = 10.0 ** nd
+    return math.copysign(math.floor(abs(x) * m + 0.5) / m, x)
+
+
+def admission_scores_arrow_pass(
+    df: DataFrame,
+    hashes_col: str,
+    *,
+    weights: dict[int, float] | None = None,
+    bias: float = 0.0,
+    qc_buckets: int = 4096,
+    dsir_table: dict[int, float] | None = None,
+    dsir_default: float = 0.0,
+    dsir_buckets: int = 8192,
+    round_to: int = 6,
+) -> DataFrame:
+    """The Arrow LUT tier for the trained admission gates (r13,
+    VERDICT r12 #3): ONE ``mapInPandas`` pass computes the enabled
+    gate scores from a :func:`feature_hashes_col` array column —
+    closure-borne numpy weight vectors (the Bloom/PQ LUT pattern),
+    one ``vec[h % buckets].sum()`` gather per row.  Consumes
+    ``hashes_col`` and appends ``quality_prob`` and/or
+    ``dsir_logweight``.
+
+    vs the expression tier (quality_prob_expr / dsir_score_expr): the
+    dense array-literal HOF evaluates INTERPRETED per token — the r12
+    10x admission-stream soak attributed ~2/3 of the steady-state
+    wall to the two gate expressions (classifier ~20.6 s, DSIR
+    ~41.6 s) — where this tier keeps tokenize+hash in the plan (one
+    HOF producing the hash array, no dense-literal lookups) and does
+    the gather vectorized.  Both gates share ONE hash array: the
+    hash is modulus-independent, so the tier also tokenizes once
+    where the expression tier tokenizes per gate.  A map-only pass —
+    zero shuffles, zero state, append-mode stream-legal — evaluated
+    exactly once by construction (a struct-returning pandas_udf was
+    measured duplicating into two ArrowEvalPython nodes under
+    projection collapse; mapInPandas cannot be duplicated).
+
+    Exact-parity contract with the expression tier (pinned by
+    tests/test_admission_gate_tiers.py): same tokenizer and hash
+    (JVM-side), HALF_UP rounding, python-round sigmoid(bias) for the
+    token-free constant, 0.0 token-free DSIR weight, z clamped to
+    ±745 where Spark's exp saturates to inf."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if weights is None and dsir_table is None:
+        raise ValueError(
+            "admission_scores_arrow_pass: at least one gate"
+            " (weights / dsir_table) is required"
+        )
+    out_fields = [f for f in df.schema.fields if f.name != hashes_col]
+    wvec = sig0 = rvec = None
+    if weights is not None:
+        if qc_buckets > ARRAY_TIER_MAX_BUCKETS:
+            raise ValueError(
+                f"admission_scores_arrow_pass: qc_buckets <="
+                f" {ARRAY_TIER_MAX_BUCKETS}"
+            )
+        # keys outside [0, buckets) are DROPPED, exactly like the
+        # expression tier's dense literal (range(buckets) lookup) —
+        # wrapping them by modulus aliased foreign weights in (r13
+        # parity-test catch)
+        wvec = np.zeros(qc_buckets, dtype=np.float64)
+        for b, w in weights.items():
+            if 0 <= int(b) < qc_buckets:
+                wvec[int(b)] = float(w)
+        # python round, NOT half-up: quality_prob_expr computes its
+        # token-free constant driver-side with python round
+        sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
+        out_fields.append(StructField("quality_prob", DoubleType()))
+    if dsir_table is not None:
+        if dsir_buckets > ARRAY_TIER_MAX_BUCKETS:
+            raise ValueError(
+                f"admission_scores_arrow_pass: dsir_buckets <="
+                f" {ARRAY_TIER_MAX_BUCKETS}"
+            )
+        rvec = np.full(dsir_buckets, float(dsir_default), dtype=np.float64)
+        for b, w in dsir_table.items():
+            if 0 <= int(b) < dsir_buckets:
+                rvec[int(b)] = float(w)
+        out_fields.append(StructField("dsir_logweight", DoubleType()))
+    schema = StructType(out_fields)
+    _bias, _qcb, _dsb, _rt = float(bias), qc_buckets, dsir_buckets, round_to
+
+    def score_batches(batches):
+        for pdf in batches:
+            hs = pdf[hashes_col]
+            n = len(pdf)
+            qp = np.empty(n, dtype=np.float64) if wvec is not None else None
+            lw = np.empty(n, dtype=np.float64) if rvec is not None else None
+            for i, h in enumerate(hs):
+                arr = None if h is None else np.asarray(h, dtype=np.int64)
+                if arr is None or arr.size == 0:
+                    # token-free / NULL text: the expression tier's
+                    # _no_tokens constants
+                    if qp is not None:
+                        qp[i] = sig0
+                    if lw is not None:
+                        lw[i] = 0.0
+                    continue
+                if qp is not None:
+                    # numpy % matches pmod: sign follows the divisor
+                    z = _bias + wvec[arr % _qcb].sum() / arr.size
+                    z = min(max(z, -745.0), 745.0)
+                    qp[i] = _round_half_up(1.0 / (1.0 + math.exp(-z)), _rt)
+                if lw is not None:
+                    lw[i] = _round_half_up(rvec[arr % _dsb].sum(), _rt)
+            out = pdf.drop(columns=[hashes_col])
+            if qp is not None:
+                out["quality_prob"] = qp
+            if lw is not None:
+                out["dsir_logweight"] = lw
+            yield out
+
+    return df.mapInPandas(score_batches, schema)

@@ -64,6 +64,7 @@ def admission_stages(
     dsir_buckets: int = 8192,
     dsir_min: float | None = None,
     dsir_portable: bool = False,
+    gate_tier: str = "auto",
 ) -> DataFrame:
     """Apply the per-record admission stages to ``docs`` (streaming OR
     batch — the same plan serves both, which is what makes the
@@ -80,13 +81,42 @@ def admission_stages(
     text.quality_score, selection.quality_prob_expr,
     selection.dsir_score_expr)."""
     from scratchdata_spark.operators.selection import (
+        admission_scores_arrow_pass,
         dsir_score_expr,
+        feature_hashes_col,
         quality_prob_expr,
     )
     from scratchdata_spark.operators.text import (
         quality_score,
         remove_boilerplate,
     )
+
+    if gate_tier not in ("auto", "expr", "arrow"):
+        raise ValueError(
+            "admission_stages: gate_tier must be 'auto'|'expr'|'arrow'"
+        )
+    trained = weights is not None or dsir_table is not None
+    # 'auto' resolves to the Arrow LUT tier: the r13 A/B measured the
+    # expression tier's dense-literal HOFs losing at every soak rung
+    # (BENCH_scale.json gate_tier_ablation — the r12 ablation's
+    # classifier+DSIR ~62 s steady-state at 10x collapses to the one
+    # hash-HOF + numpy gather).  The tiers share tokenizer, hash, and
+    # rounding, parity-pinned by tests/test_admission_gate_tiers.py.
+    # Exception: mixed hash families can't share one hash array —
+    # stay on expressions (both-portable or both-default is the only
+    # shape the chain uses).
+    use_arrow = trained and gate_tier != "expr"
+    if (
+        weights is not None
+        and dsir_table is not None
+        and qc_portable != dsir_portable
+    ):
+        use_arrow = gate_tier == "arrow"
+        if use_arrow:
+            raise ValueError(
+                "admission_stages: the arrow gate tier needs one hash"
+                " family — qc_portable and dsir_portable differ"
+            )
 
     if _QUAR not in docs.columns:
         docs = docs.withColumn(_QUAR, F.lit(False))
@@ -140,6 +170,43 @@ def admission_stages(
             docs = docs.mapInPandas(lambda it: it, docs.schema)
     if min_score is not None:
         docs = gate(docs, quality_score(F.col(text_col)) >= float(min_score))
+    if dsir_table is not None and dsir_min is None:
+        raise ValueError(
+            "admission_stages: dsir_table needs dsir_min — the"
+            " streaming gate is a threshold (top-k is not"
+            " append-legal; run batch dsir_select downstream)"
+        )
+    if trained and use_arrow:
+        # Arrow LUT tier: one hash-array HOF in the plan (shared by
+        # both gates — the hash is modulus-independent, so this also
+        # tokenizes ONCE where the expression tier tokenizes per
+        # gate), then one mapInPandas pass doing the numpy gathers.
+        # Map-only: still zero shuffles, zero state, append-legal.
+        portable = qc_portable if weights is not None else dsir_portable
+        docs = docs.withColumn(
+            "__fh", feature_hashes_col(F.col(text_col), portable)
+        )
+        docs = admission_scores_arrow_pass(
+            docs, "__fh",
+            weights=weights, bias=bias, qc_buckets=qc_buckets,
+            dsir_table=dsir_table, dsir_default=dsir_default,
+            dsir_buckets=dsir_buckets,
+        )
+        if weights is not None:
+            docs = docs.withColumn(
+                "quality_prob",
+                F.when(quar, F.lit(None)).otherwise(F.col("quality_prob")),
+            )
+            docs = gate(docs, F.col("quality_prob") >= float(min_prob))
+        if dsir_table is not None:
+            docs = docs.withColumn(
+                "dsir_logweight",
+                F.when(quar, F.lit(None)).otherwise(
+                    F.col("dsir_logweight")
+                ),
+            )
+            docs = gate(docs, F.col("dsir_logweight") >= float(dsir_min))
+        return docs
     if weights is not None:
         prob = quality_prob_expr(
             weights, bias, text_col,
@@ -150,12 +217,6 @@ def admission_stages(
         )
         docs = gate(docs, F.col("quality_prob") >= float(min_prob))
     if dsir_table is not None:
-        if dsir_min is None:
-            raise ValueError(
-                "admission_stages: dsir_table needs dsir_min — the"
-                " streaming gate is a threshold (top-k is not"
-                " append-legal; run batch dsir_select downstream)"
-            )
         w = dsir_score_expr(
             dsir_table, dsir_default, text_col,
             buckets=dsir_buckets, portable=dsir_portable,

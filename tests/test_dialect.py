@@ -1237,3 +1237,42 @@ def test_expand_columns_macro():
     # a literal spelling COLUMNS( is untouched
     sql = "SELECT 'COLUMNS(*)' AS s FROM t"
     assert ex(sql, r) == sql
+
+
+def test_from_first_set_ops_and_subqueries():
+    # r13 probe: Spark accepts the Hive FROM-first form natively, so
+    # these only reach the rewriter when another token fails — the
+    # old single-cut reorder then corrupted the set-op statement
+    assert rewrite("FROM t SELECT id UNION ALL FROM t SELECT id") == (
+        "SELECT id FROM t UNION ALL SELECT id FROM t"
+    )
+    assert rewrite("SELECT * FROM (FROM t WHERE id = 1) s") == (
+        "SELECT * FROM (SELECT * FROM t WHERE id = 1) s"
+    )
+    assert rewrite("FROM (FROM t) q SELECT count(*) AS n") == (
+        "SELECT count(*) AS n FROM (SELECT * FROM t) q"
+    )
+    # '* EXCEPT (a)' select-list modifier is not a split point
+    assert "EXCEPT" in rewrite(
+        "FROM t SELECT * EXCLUDE (arr) WHERE id < 3"
+    )
+
+
+def test_format_spec_subset():
+    out = rewrite("SELECT format('{:>8}', 'x')")
+    assert "'%8s'" in out and "AS STRING" in out
+    out = rewrite("SELECT format('{:.2f}', 3.14)")
+    assert "'%.2f'" in out and "AS DOUBLE" in out
+    out = rewrite("SELECT format('{1} {0}', 'a', 'b')")
+    assert "'%2$s %1$s'" in out
+    # bare width on an unknown type refuses (fmtlib aligns strings
+    # left, numbers right — untypeable in a text rewrite)
+    with pytest.raises(DialectError, match="untypeable"):
+        rewrite("SELECT format('{:8}', 'x')")
+    with pytest.raises(DialectError, match="format"):
+        rewrite("SELECT format('{} {}', 1)")  # arg-count mismatch
+
+
+def test_json_keys_pointer_path_refuses():
+    with pytest.raises(DialectError, match="JSON-pointer"):
+        rewrite("SELECT json_keys(j, '/a/0') FROM t")

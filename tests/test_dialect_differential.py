@@ -497,3 +497,72 @@ CASES_R13A = [
     "SELECT log(10) ^ 2 AS chained",
 ]
 CASES.extend(CASES_R13A)
+
+# r13 probe wave aimed at the r12 additions (VERDICT r12 #5):
+# FROM-first x set ops / subqueries, EXTRACT sub-second fields,
+# format() spec subset, json_keys roots/paths, double-quoted
+# identifiers x the literal bridge.  The wave found four real
+# divergence classes, all fixed and pinned here: the FROM-first
+# single-cut reorder corrupted set-op statements (Spark accepts the
+# Hive form natively, so only statements with ANOTHER failing token
+# hit it); parenthesized SELECT-less FROM-first subqueries refused;
+# format_string printed DATE/TIMESTAMP args as their internal ints
+# and refused every spec'd placeholder; json_keys returned NULL where
+# DuckDB gives [] (non-object roots), lacked the 2-arg path form, and
+# swallowed malformed input that DuckDB raises on.
+CASES_R13B = [
+    # FROM-first x set operations (each branch reorders independently)
+    "FROM t SELECT id UNION ALL FROM t SELECT id",
+    "FROM t SELECT id // 2 AS h UNION ALL FROM t SELECT id // 3 AS h",
+    "FROM t SELECT id WHERE id > 1 UNION FROM t SELECT id WHERE id < 2",
+    "FROM t SELECT id EXCEPT FROM t SELECT id WHERE id > 1",
+    "FROM t SELECT * EXCLUDE (arr, g) WHERE id < 3 ORDER BY id",
+    # FROM-first in subqueries and CTEs
+    "SELECT * FROM (FROM t WHERE id = 1) s",
+    "FROM (FROM t) q SELECT count(*) AS n",
+    "FROM (FROM t SELECT id) q SELECT id ORDER BY id",
+    "WITH c AS (FROM t SELECT id, v) SELECT sum(v) AS s FROM c",
+    "WITH c AS (FROM t) FROM c SELECT id ORDER BY id",
+    "FROM t SELECT g, sum(v) AS s GROUP BY g HAVING sum(v) > 15 ORDER BY g",
+    "FROM t SELECT id ORDER BY id LIMIT 1 OFFSET 1",
+    # EXTRACT / date_part: epoch + sub-second fields, DATE and TIMESTAMP
+    "SELECT extract(epoch FROM DATE '2024-03-05') AS e",
+    "SELECT extract(epoch FROM TIMESTAMP '2024-03-05 01:02:03.5') AS e",
+    "SELECT extract(epoch FROM DATE '1969-12-31') AS e",
+    "SELECT date_part('epoch', DATE '2024-03-05') AS e",
+    "SELECT extract(microseconds FROM TIMESTAMP '2024-03-05 01:02:03.5') AS us",
+    "SELECT extract(milliseconds FROM TIMESTAMP '2024-03-05 01:02:03.5') AS ms",
+    "SELECT date_part('microseconds', TIMESTAMP '2024-03-05 01:02:03.5') AS us",
+    "SELECT extract(microsecond FROM TIMESTAMP '2024-01-01 00:00:59.000001') AS us",
+    "SELECT extract(dow FROM TIMESTAMP '2024-03-03 05:00:00') AS d,"
+    " extract(doy FROM DATE '2024-02-01') AS y",
+    # format(): the bridged fmtlib spec subset
+    "SELECT format('{:>8}', 'x') AS f",
+    "SELECT format('{:<6}', 'ab') AS f",
+    "SELECT format('{:.2f}', 3.14159) AS f",
+    "SELECT format('{:10.3f}', 3.14159) AS f",
+    "SELECT format('{:d}', 42) AS d, format('{:05d}', 7) AS z",
+    "SELECT format('{0} {0}', 'a') AS f",
+    "SELECT format('{1} {0}', 'a', 'b') AS f",
+    "SELECT format('{:x}', 255) AS x, format('{:o}', 9) AS o",
+    "SELECT format('{{}} {}', 1) AS f",
+    "SELECT format('{}', DATE '2024-03-05') AS f",
+    "SELECT format('{}', TIMESTAMP '2024-03-05 01:02:03') AS f",
+    "SELECT format('{} {}', NULL, 1) AS f",
+    # json_keys: roots, paths, NULLs
+    "SELECT json_keys('[1,2]') AS k",
+    "SELECT json_keys('1') AS k",
+    """SELECT json_keys('{"a":1,"b":{"c":2}}') AS k""",
+    "SELECT json_keys('{}') AS k",
+    "SELECT json_keys(NULL) AS k",
+    """SELECT json_keys('{"a":{"b":1,"c":2}}', '$.a') AS k""",
+    """SELECT json_keys('{"a":{"b":1,"c":2}}', 'a') AS k""",
+    """SELECT json_keys('{"a":[1,2]}', '$.a') AS k""",
+    """SELECT json_keys('{"a":1}', '$.missing') AS k""",
+    # double-quoted identifiers x literal bridge
+    "SELECT \"v\" FROM t WHERE \"g\" ~ '^a' ORDER BY \"v\"",
+    "SELECT \"id\", 'a\\nb' AS s FROM t WHERE \"id\" = 1",
+    "SELECT \"g\" FROM t WHERE \"g\" = 'it''s' OR \"id\" = 1",
+    "SELECT regexp_extract(\"g\", '(a)l', 1) AS e FROM t ORDER BY id",
+]
+CASES.extend(CASES_R13B)

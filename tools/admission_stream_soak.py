@@ -184,6 +184,31 @@ def main() -> None:
             _gates("dsir", w_fix, b_fix, table, default, rules),
         )
         stats["full_chain"] = full
+        if n % 50 == 0 and n // 50 in (10, 100):
+            # gate-tier A/B (r13, VERDICT r12 #3/#6): the full chain
+            # re-run with gate_tier pinned to each tier.  full_chain
+            # above runs 'auto'; rows_out must agree across tiers
+            # (the parity pytest pins values, this pins the e2e
+            # stream).  100x also records per-trigger walls per tier
+            # so the steady-state flatness check covers both.
+            ab: dict = {}
+            for tier in ("expr", "arrow"):
+                g = _gates("dsir", w_fix, b_fix, table, default, rules)
+                g["gate_tier"] = tier
+                r = _run_stream(spark, path, n, g)
+                ab[tier] = {
+                    "wall_sec": r["wall_sec"],
+                    "rows_out": r["rows_out"],
+                    "trigger_walls_sec": [
+                        b["wall_sec"] for b in r["batches"]
+                    ],
+                }
+            ab["rows_out_agree"] = (
+                ab["expr"]["rows_out"]
+                == ab["arrow"]["rows_out"]
+                == full["rows_out"]
+            )
+            stats["gate_tier_ablation"] = ab
         if n % 50 == 0 and n // 50 == 10:
             # ablation ladder at the 10x rung only
             ladder: dict[str, float] = {}

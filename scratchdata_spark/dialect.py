@@ -96,14 +96,16 @@ accepts the text):
   the ``xor()`` compat function.
 * 1-argument ``log(x)`` — log10 (the 2-argument (base, x) form
   already agrees).
-* 3-argument ``regexp_replace`` — FIRST-occurrence semantics via the
-  ``regexp_replace_first`` compat function; a LITERAL replacement
-  additionally moves from RE2 rewrite syntax (``\\1`` refs, ``$``
-  literal) to Java's (``$1`` refs, ``\\$`` literal) — in the
-  4-argument options form too.  Blind edges, documented: a
-  NON-literal replacement expression keeps Java ref syntax, and a
-  context assertion reaching outside the matched text (``\\B`` at a
-  match edge) evaluates against the extracted substring.
+* 3-argument ``regexp_replace`` — FIRST-occurrence semantics via an
+  inlined foldable expression (the ``regexp_replace_first`` compat
+  function's body — inlined because SQL UDF calls cannot live in
+  inline VALUES tables); a LITERAL replacement additionally moves
+  from RE2 rewrite syntax (``\\1`` refs, ``$`` literal) to Java's
+  (``$1`` refs, ``\\$`` literal) — in the 4-argument options form
+  too.  Blind edges, documented: a NON-literal replacement
+  expression keeps Java ref syntax, and a context assertion reaching
+  outside the matched text (``\\B`` at a match edge) evaluates
+  against the extracted substring.
 
 Integer subscripts ARE bridged: within rewritten text ``a[1]`` is
 DuckDB's 1-based (negative-from-end) subscript, emitted as
@@ -3422,9 +3424,37 @@ def _re2_rewrite_to_java(content: str) -> str:
     return "".join(out)
 
 
+def _first_occurrence_replace(s: str, p: str, r: str) -> str:
+    """The regexp_replace_first compat function's body, inlined as
+    text: locate the first match, rebuild the string around it, run
+    the replacement (with $N expansion) on the matched text alone
+    under an anchored non-capturing wrap (see the COMPAT_FUNCTIONS
+    entry for the probed corner cases).  Inlined rather than called
+    because Spark cannot evaluate SQL UDFs inside inline VALUES
+    tables (INVALID_INLINE_TABLE — r13 DML-drive catch), and builtins
+    constant-fold where the UDF call could not."""
+    return (
+        f"(CASE WHEN ({s}) IS NULL OR ({p}) IS NULL OR ({r}) IS NULL"
+        f" THEN CAST(NULL AS STRING)"
+        f" WHEN NOT regexp_like(({s}), ({p})) THEN ({s})"
+        f" ELSE concat("
+        f"substring(({s}), 1, regexp_instr(({s}), ({p})) - 1),"
+        # \x01 makes the template's own (deliberately all-occurrence,
+        # anchored) inner call invisible to the regexp_replace scan —
+        # without it the rescan would re-wrap the template forever;
+        # bridge_call_semantics strips the sentinel after the pass
+        f" regexp\x01_replace(regexp_extract(({s}), ({p}), 0),"
+        f" concat('^(?:', ({p}), ')$'), ({r})),"
+        f" substring(({s}), regexp_instr(({s}), ({p}))"
+        f" + length(regexp_extract(({s}), ({p}), 0)))) END)"
+    )
+
+
 def _fix_regexp_replace(literals: list[str]):
     """3-argument regexp_replace replaces the FIRST occurrence in
-    DuckDB and ALL in Spark → regexp_replace_first (compat function).
+    DuckDB and ALL in Spark → the inlined first-occurrence expression
+    (:func:`_first_occurrence_replace`; the ``regexp_replace_first``
+    compat function stays registered as the callable spelling).
     A LITERAL replacement additionally moves from RE2 rewrite syntax
     (\\1 group refs, $ literal) to Java's ($1 refs, \\$ literal) —
     for the 4-argument options form too (its 'g' flag still drops in
@@ -3451,7 +3481,7 @@ def _fix_regexp_replace(literals: list[str]):
                 f"regexp_replace({args[0]}, {args[1]}, {rep},"
                 f" {args[3]})"
             )
-        return f"regexp_replace_first({args[0]}, {args[1]}, {rep})"
+        return _first_occurrence_replace(args[0], args[1], rep)
 
     return fix
 
@@ -3482,6 +3512,9 @@ def bridge_call_semantics(sql: str) -> str:
     masked = _rewrite_calls(
         masked, "regexp_replace", _fix_regexp_replace(literals)
     )
+    # strip the first-occurrence template's scan sentinel (see
+    # _first_occurrence_replace)
+    masked = masked.replace("\x01", "")
     return _unmask_literals(masked, literals)
 
 

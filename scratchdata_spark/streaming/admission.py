@@ -96,12 +96,16 @@ def admission_stages(
             "admission_stages: gate_tier must be 'auto'|'expr'|'arrow'"
         )
     trained = weights is not None or dsir_table is not None
-    # 'auto' resolves to the Arrow LUT tier: the r13 A/B measured the
-    # expression tier's dense-literal HOFs losing at every soak rung
-    # (BENCH_scale.json gate_tier_ablation — the r12 ablation's
-    # classifier+DSIR ~62 s steady-state at 10x collapses to the one
-    # hash-HOF + numpy gather).  The tiers share tokenizer, hash, and
-    # rounding, parity-pinned by tests/test_admission_gate_tiers.py.
+    # 'auto' resolves to the Arrow LUT tier: the r13 A/B (BENCH_
+    # scale.json gate_tier_ablation, full chain, min-of-2 solo runs)
+    # measured the expression tier's dense-literal HOFs losing at
+    # every rung — 10x: 58.3 s expr vs 25.7 s arrow (2.3x); 100x:
+    # 336.8 s vs 110.6 s (3.0x), identical rows_out, flat ±10% arrow
+    # trigger walls.  The win compounds: the hash array is computed ONCE for
+    # both gates (the expression tier tokenizes per gate), so the
+    # 10x ablation ladder prices the DSIR gate at ~0 s on top of the
+    # classifier.  The tiers share tokenizer, hash, and rounding,
+    # parity-pinned by tests/test_admission_gate_tiers.py.
     # Exception: mixed hash families can't share one hash array —
     # stay on expressions (both-portable or both-default is the only
     # shape the chain uses).

@@ -1153,34 +1153,30 @@ def test_bridge_call_semantics_calls():
 def test_bridge_regexp_replace():
     from scratchdata_spark.dialect import bridge_call_semantics as b
 
-    # 3-arg = first occurrence; RE2 rewrite syntax -> Java
-    assert b("SELECT regexp_replace(s, 'p', 'r') FROM t") == (
-        "SELECT regexp_replace_first(s, 'p', 'r') FROM t"
-    )
-    assert b(r"SELECT regexp_replace(s, '(a)', '<\1>')") == (
-        "SELECT regexp_replace_first(s, '(a)', '<$1>')"
-    )
+    # 3-arg = first occurrence, inlined as the foldable expression
+    # (a SQL UDF call cannot live in inline VALUES tables — r13)
+    out = b("SELECT regexp_replace(s, 'p', 'r') FROM t")
+    assert "regexp_instr((s), ('p'))" in out and "\x01" not in out
+    # RE2 rewrite syntax -> Java in the replacement literal
+    assert "'<$1>'" in b(r"SELECT regexp_replace(s, '(a)', '<\1>')")
     assert b(r"SELECT regexp_replace(s, '(a)', '<\1>', 'g')") == (
         "SELECT regexp_replace(s, '(a)', '<$1>', 'g')"
     )
-    assert b("SELECT regexp_replace(s, 'p', '100$')") == (
-        r"SELECT regexp_replace_first(s, 'p', '100\$')"
-    )
+    assert r"'100\$'" in b("SELECT regexp_replace(s, 'p', '100$')")
     # Spark's position form (non-literal 4th arg) is left whole
     assert b("SELECT regexp_replace(s, 'p', 'r', 2)") == (
         "SELECT regexp_replace(s, 'p', 'r', 2)"
     )
     # non-literal replacement still gets first-occurrence semantics
-    assert b("SELECT regexp_replace(s, 'p', other)") == (
-        "SELECT regexp_replace_first(s, 'p', other)"
+    assert "regexp_instr((s), ('p'))" in b(
+        "SELECT regexp_replace(s, 'p', other)"
     )
     # nested: each call bridged exactly once (no double transform)
-    assert b(
+    nested = b(
         r"SELECT regexp_replace(regexp_replace(a, 'x', '\1'), 'p', '\2', 'g')"
-    ) == (
-        "SELECT regexp_replace(regexp_replace_first(a, 'x', '$1'),"
-        " 'p', '$2', 'g')"
     )
+    assert "'$1'" in nested and "'$2'" in nested
+    assert nested.count("regexp_instr") == 2  # inner template only
     # invalid RE2 escape: DuckDB silently no-ops — we refuse loudly
     with pytest.raises(DialectError, match="invalid RE2 escape"):
         b(r"SELECT regexp_replace(s, 'p', 'a\qb')")
@@ -1191,9 +1187,7 @@ def test_prepare_query_text_composition():
 
     # the call bridge runs FIRST (DuckDB literal spelling), then the
     # literal pass doubles any backslash it emitted
-    assert p("SELECT regexp_replace(s, 'p', '$x')") == (
-        "SELECT regexp_replace_first(s, 'p', '\\\\$x')"
-    )
+    assert "'\\\\$x'" in p("SELECT regexp_replace(s, 'p', '$x')")
     assert p(r"SELECT regexp_extract(s, '\d+')") == (
         r"SELECT regexp_extract(s, '\\d+', 0)"
     )

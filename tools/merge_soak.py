@@ -32,7 +32,14 @@ def _merge(a, b, path=""):
         return [_merge(x, y, path) for x, y in zip(a, b)]
     if isinstance(a, (int, float)) and not isinstance(a, bool):
         leaf = path.rsplit(".", 1)[-1]
-        if any(leaf.endswith(s) for s in WALL_SUFFIXES):
+        # a numeric is a wall when its own key says so OR any ancestor
+        # is a walls container (fit_offline_walls_sec.classifier_fit,
+        # stage_ablation_sec_10x.parse — r13 admission-soak shapes)
+        if (
+            any(leaf.endswith(s) for s in WALL_SUFFIXES)
+            or "walls_sec" in path
+            or "_ablation_sec" in path
+        ):
             return round(min(a, b), 3)
         assert a == b, f"non-wall metric differs at {path}: {a} vs {b}"
         return a

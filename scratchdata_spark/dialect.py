@@ -634,7 +634,11 @@ def _sub_infix(masked: str, op_re: str, replacement: str) -> str:
 
 
 def _sub_regex_full(
-    masked: str, literals: list[str], op_re: str, keyword: str
+    masked: str,
+    literals: list[str],
+    op_re: str,
+    keyword: str,
+    flags: str = "",
 ) -> str:
     """``expr ~ '<pat>'`` / ``expr !~ '<pat>'`` with a LITERAL
     pattern: DuckDB's ``~`` is SIMILAR TO — a FULL match
@@ -655,7 +659,7 @@ def _sub_regex_full(
         lit = literals[int(m.group(2))]
         if lit[:1] != "'":
             return m.group(0)  # quoted identifier — leave loud below
-        literals.append("'^(?:" + lit[1:-1] + ")$'")
+        literals.append("'^(?" + flags + ":" + lit[1:-1] + ")$'")
         return (
             f"{m.group(1)}{keyword}{_MASK}{len(literals) - 1}{_MASK}"
         )
@@ -675,19 +679,23 @@ def _rewrite_match_operators(masked: str, literals: list[str]) -> str:
     regexp_full_match compat function.  INFIX-only: the left context
     must be a token that ends a value expression and not a keyword,
     so prefix bitwise ``~x`` (valid in both engines) never matches.
-    The case-insensitive pair ``~*`` / ``!~*`` has no Spark operator
-    and refuses with the ``(?i)`` fix (r11 probe wave 3).
+    The case-insensitive pair ``~*`` / ``!~*`` is not a DuckDB
+    operator at all (probed r13 — DuckDB raises) and refuses with the
+    ``'^(?i:pat)$'`` fix named.
     Longest-operator-first so ``!~~*`` never half-matches."""
     masked = _sub_infix(masked, r"!~~\*", " NOT ILIKE ")
     masked = _sub_infix(masked, r"~~\*", " ILIKE ")
     masked = _sub_infix(masked, r"!~~", " NOT LIKE ")
     masked = _sub_infix(masked, r"~~", " LIKE ")
+    # ~* / !~* are NOT DuckDB operators (probed r13: DuckDB raises
+    # "Scalar Function with name ~* does not exist") — the refusal
+    # mirrors DuckDB's own error, with the portable fix named
     for m in re.finditer(_MATCH_TOK + r"\s*!?~\*", masked):
         if m.group(1).lower() not in _NONVALUE_WORDS:
             raise DialectError(
                 "~* / !~* (case-insensitive regex match) are not"
-                " bridged: use RLIKE with an inline (?i) flag in the"
-                " pattern"
+                " bridged — DuckDB itself rejects them: use RLIKE"
+                " with '^(?i:pat)$'"
             )
     masked = _sub_regex_full(masked, literals, r"!~", " NOT RLIKE ")
     masked = _sub_regex_full(masked, literals, r"~", " RLIKE ")

@@ -1025,6 +1025,8 @@ def test_r11_probe_catches_wave3(spark):
     assert " NOT LIKE " in rewrite("SELECT g !~~ 'a%' FROM t // 1")
     # prefix bitwise ~ never matches the infix rewrite
     assert "~5" in rewrite("SELECT ~5 // 2")
+    # ~* is not a DuckDB operator either (probed r13): refusal
+    # mirrors DuckDB's own error, with the portable fix named
     with pytest.raises(DialectError, match="case-insensitive"):
         rewrite("SELECT g ~* 'A' FROM t // 1")
     # ordered first/last map to min_by/max_by

@@ -566,3 +566,24 @@ CASES_R13B = [
     "SELECT regexp_extract(\"g\", '(a)l', 1) AS e FROM t ORDER BY id",
 ]
 CASES.extend(CASES_R13B)
+
+# r13 self-probe: corners of this round's OWN bridges (the per-round
+# aim-at-your-additions pattern), plus the ~*/!~* anchored-(?i)
+# bridge and dollar-quoted literals
+CASES_R13C = [
+    "SELECT trim('xhix', '') AS a, ltrim('', 'x') AS b,"
+    " trim('aaa', 'a') AS c",
+    "SELECT 0 ^ 0 AS a, 2 ^ 0.5 ^ 2 AS b",
+    "SELECT regexp_replace('', 'a*', 'X') AS a,"
+    " regexp_replace('abc', '', 'X') AS b",
+    "SELECT regexp_replace('aXa', 'X', '\\0\\0') AS d",
+    "SELECT regexp_replace('ab', '(a)|(z)', '<\\2>') AS u",
+    "SELECT regexp_extract('', 'a*') AS a,"
+    " regexp_extract('abc', '()') AS b",
+    "SELECT 2 ** 3 ** 2 AS p",
+    "SELECT $$it's$$ AS s",
+    "SELECT $t$ $$ nested $t$ AS s",
+    "SELECT $$a$b$$ AS s",
+    "SELECT regexp_extract('a12', $$\\d+$$) AS e",
+]
+CASES.extend(CASES_R13C)

@@ -144,6 +144,14 @@ remaining (type-width / printed-type / locale-table) list:
   TIMESTAMP in Spark — same instant, different printed type.
 * ``element_at(map, k)`` — the value in Spark, a single-element LIST
   in DuckDB.
+* ``CAST(fractional AS INT/BIGINT)`` (r13 probe): DuckDB ROUNDS
+  (half away from zero — 2.7 → 3) where Spark TRUNCATES (→ 2) — a
+  silent wrong value, but NOT mechanically bridgeable in text: a
+  round() wrap would route already-integral BIGINTs through DOUBLE
+  and corrupt values above 2^53.  Spell ``round()`` explicitly.
+* Division/modulo by zero (r13 probe): NULL in DuckDB, a loud ANSI
+  DIVIDE_BY_ZERO error in Spark (the error names try_divide) —
+  error-vs-NULL, never a silent wrong value.
 * ``upper``/``lower`` Unicode special-casing (r12 probe): DuckDB's
   ICU casing maps ß → ẞ (capital sharp s) where the JVM's maps it to
   SS — locale-table differences on a handful of special-cased code
@@ -851,6 +859,72 @@ _WRAPPED_CALLS = [
         " ({X}))) AS ARRAY<STRING>) END)",
     ),
 ]
+
+
+# list_aggregate's bridged function names → the repo's existing
+# NULL-exact list forms ('sum'/'count' re-enter the compat-UDF /
+# wrapped-call pipeline; min/max map straight to Spark builtins that
+# skip NULLs exactly like DuckDB — W5 battery)
+_LIST_AGG_MAP = {
+    "sum": "list_sum({X})",
+    "count": "list_count({X})",
+    "min": "array_min({X})",
+    "max": "array_max({X})",
+    "avg": "list_avg({X})",
+    "mean": "list_avg({X})",
+}
+
+
+def _rewrite_list_aggregate(masked: str, literals: list[str]) -> str:
+    """DuckDB's generic ``list_aggregate(l, 'name'[, arg])`` (aliases
+    ``list_aggr``, ``aggregate``) for the mechanically-safe name set
+    (r13 probe wave): sum/count/min/max/avg map to the repo's
+    NULL-exact list forms; ``string_agg`` (default separator ``,`` —
+    probed) joins non-NULL elements with the empty/all-NULL/NULL list
+    → NULL.  Other names refuse loudly.  The bare ``aggregate`` alias
+    only fires when the second argument is a literal IN the name set,
+    so Spark's ``aggregate(arr, start, merge)`` HOF — whose start may
+    be a string literal — is never touched."""
+
+    def fix_for(strict: bool):
+        def fix(args: list[str]):
+            if len(args) not in (2, 3):
+                return None
+            lit = _literal_of(args[1], literals)
+            if lit is None:
+                return None
+            name = lit[1:-1].lower()
+            if name == "string_agg":
+                if len(args) == 3:
+                    sep = args[2]
+                else:
+                    literals.append("','")
+                    sep = f"{_MASK}{len(literals) - 1}{_MASK}"
+                x = args[0]
+                return (
+                    f"(CASE WHEN ({x}) IS NULL OR"
+                    f" size(filter(({x}), _sa -> _sa IS NOT NULL)) <= 0"
+                    f" THEN CAST(NULL AS STRING)"
+                    f" ELSE array_join(({x}), {sep}) END)"
+                )
+            tpl = _LIST_AGG_MAP.get(name)
+            if tpl is None or len(args) != 2:
+                if not strict:
+                    return None  # bare `aggregate`: leave Spark's HOF
+                raise DialectError(
+                    f"list_aggregate({lit}) is not bridged — supported"
+                    " names: sum, count, min, max, avg/mean,"
+                    " string_agg; spell other aggregates directly"
+                    " (e.g. sort + element_at for median)"
+                )
+            return tpl.replace("{X}", args[0])
+
+        return fix
+
+    masked = _rewrite_calls(masked, "list_aggregate", fix_for(True))
+    masked = _rewrite_calls(masked, "list_aggr", fix_for(True))
+    masked = _rewrite_calls(masked, "aggregate", fix_for(False))
+    return masked
 
 
 def _rewrite_json_keys2(masked: str, literals: list[str]) -> str:
@@ -3038,6 +3112,14 @@ COMPAT_FUNCTIONS = [
     " RETURNS DOUBLE RETURN aggregate("
     "filter(a, x -> x IS NOT NULL), CAST(NULL AS DOUBLE),"
     " (acc, x) -> coalesce(acc, 0.0D) + x)",
+    # list_avg: NULL elements ignored, empty / all-NULL / NULL list →
+    # NULL (probed r13; the try_divide's zero count covers all-NULL).
+    # Same DOUBLE-width note as list_sum.
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_avg(a ARRAY<DOUBLE>)"
+    " RETURNS DOUBLE RETURN try_divide("
+    "aggregate(filter(a, x -> x IS NOT NULL), CAST(NULL AS DOUBLE),"
+    " (acc, x) -> coalesce(acc, 0.0D) + x),"
+    " size(filter(a, x -> x IS NOT NULL)))",
     # DuckDB's today(); now() exists natively in Spark
     "CREATE OR REPLACE TEMPORARY FUNCTION today()"
     " RETURNS DATE RETURN current_date",
@@ -3590,6 +3672,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_regexp_flags(masked, literals)
     masked = _rewrite_match_operators(masked, literals)
+    masked = _rewrite_list_aggregate(masked, literals)
     masked = _rewrite_json_keys2(masked, literals)
     masked = _rewrite_wrapped_calls(masked)
     masked = _rewrite_json_extract(masked, literals)

@@ -1272,3 +1272,19 @@ def test_format_spec_subset():
 def test_json_keys_pointer_path_refuses():
     with pytest.raises(DialectError, match="JSON-pointer"):
         rewrite("SELECT json_keys(j, '/a/0') FROM t")
+
+
+def test_list_aggregate_bridge():
+    out = rewrite("SELECT list_aggregate(arr, 'sum') // 1 FROM t")
+    assert "list_sum(arr)" in out  # the NULL-exact compat function
+    assert "array_min(arr)" in rewrite(
+        "SELECT list_aggr(arr, 'min') // 1 FROM t"
+    )
+    assert "array_join" in rewrite(
+        "SELECT list_aggregate(arr, 'string_agg', '-') // 1 FROM t"
+    )
+    # the bare `aggregate` alias never touches Spark's HOF shape
+    hof = "SELECT aggregate(arr, '', (a, x) -> concat(a, x)) // 1 FROM t"
+    assert "aggregate(arr, ''" in rewrite(hof)
+    with pytest.raises(DialectError, match="list_aggregate"):
+        rewrite("SELECT list_aggregate(arr, 'median') // 1 FROM t")

@@ -585,5 +585,17 @@ CASES_R13C = [
     "SELECT $t$ $$ nested $t$ AS s",
     "SELECT $$a$b$$ AS s",
     "SELECT regexp_extract('a12', $$\\d+$$) AS e",
+    # list_aggregate family (NULL-skipping, empty/NULL → NULL; the
+    # decimal elements keep both engines' printed sums identical)
+    "SELECT list_aggregate([1.0, NULL, 2.5], 'sum') AS s,"
+    " list_aggregate([1, 2, NULL], 'count') AS c",
+    "SELECT list_aggregate([3, 1, 2], 'min') AS mn,"
+    " list_aggr([3, 1, 2], 'max') AS mx",
+    "SELECT list_aggregate([1, 2], 'avg') AS a,"
+    " list_avg([1, NULL, 2]) AS b, list_avg(CAST(NULL AS INT[])) AS n",
+    "SELECT aggregate([1.0, 2.0], 'sum') AS s",
+    "SELECT list_aggregate(['a', NULL, 'b'], 'string_agg', '-') AS s,"
+    " list_aggregate(['a', 'b'], 'string_agg') AS d",
+    "SELECT list_aggregate(CAST(NULL AS VARCHAR[]), 'string_agg', '-') AS n",
 ]
 CASES.extend(CASES_R13C)

@@ -96,6 +96,13 @@ accepts the text):
   the ``xor()`` compat function.
 * 1-argument ``log(x)`` — log10 (the 2-argument (base, x) form
   already agrees).
+* ``skewness``/``kurtosis`` — DuckDB's SAMPLE (bias-corrected)
+  statistics where Spark's are the population ones (probed r13:
+  -1.414214 vs -0.816497, 1.5 vs -1.0 on the same rows) — corrected
+  in-plan from Spark's value and count(); n too small → NULL like
+  DuckDB.  ``kurtosis_pop`` maps to Spark's raw kurtosis.  A window
+  (OVER) use of the corrected forms becomes a loud parse error, not
+  a silent population value.
 * 3-argument ``regexp_replace`` — FIRST-occurrence semantics via an
   inlined foldable expression (the ``regexp_replace_first`` compat
   function's body — inlined because SQL UDF calls cannot live in
@@ -397,6 +404,22 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\barg_max\s*\(", "max_by(", code, flags=re.I)
     code = re.sub(r"\barg_min\s*\(", "min_by(", code, flags=re.I)
     code = re.sub(r"\bquantile_cont\s*\(", "percentile(", code, flags=re.I)
+    # r13 aggregate-surface probe: DuckDB's fused/Kahan avg is plain
+    # avg on doubles; approx_quantile is approx_percentile;
+    # kurtosis_pop is exactly Spark's (population excess) kurtosis
+    code = re.sub(r"\bfavg\s*\(", "avg(", code, flags=re.I)
+    code = re.sub(
+        r"\bapprox_quantile\s*\(", "approx_percentile(", code, flags=re.I
+    )
+    code = re.sub(r"\bkurtosis_pop\s*\(", "kurtosis(", code, flags=re.I)
+    # aggregate FILTER without the WHERE keyword (DuckDB allows it);
+    # the ')' context keeps Spark's filter() HOF out of reach
+    code = re.sub(
+        r"(\))(\s*FILTER\s*\(\s*)(?!WHERE\b)",
+        r"\1\2WHERE ",
+        code,
+        flags=re.I,
+    )
     # quantified comparisons (r12 probe wave): = ANY/SOME (sub) is
     # EXACTLY IN (sub) and <> ALL (sub) is EXACTLY NOT IN (sub) per
     # the SQL standard — probed on DuckDB 1.0 for the hit/miss/empty-
@@ -844,6 +867,24 @@ _WRAPPED_CALLS = [
         "json_valid",
         "(CASE WHEN ({X}) IS NULL THEN CAST(NULL AS BOOLEAN)"
         " ELSE try_parse_json(({X})) IS NOT NULL END)",
+    ),
+    # fsum (Kahan-compensated sum) is DOUBLE in DuckDB even for
+    # integer inputs (probed r13)
+    ("fsum", "CAST(sum({X}) AS DOUBLE)"),
+    # quantile_disc / quantile (DuckDB's quantile IS the discrete
+    # form): the element at ceil(n*q) of the sorted non-null values
+    # (probed: [1,2,3,4] @ 0.5 → 2; NULLs ignored, empty → NULL).
+    # Collects the group's values — fine for query-sized groups, the
+    # documented memory note for huge ones (use approx_quantile).
+    (
+        "quantile_disc",
+        "try_element_at(array_sort(array_agg({X})),"
+        " greatest(1, CAST(ceil(count({X}) * ({Y})) AS INT)))",
+    ),
+    (
+        "quantile",
+        "try_element_at(array_sort(array_agg({X})),"
+        " greatest(1, CAST(ceil(count({X}) * ({Y})) AS INT)))",
     ),
     # json_keys, 1-arg (r13 probe wave): DuckDB returns [] for VALID
     # non-object roots ('[1,2]', '1', 'null') and RAISES on malformed
@@ -1932,6 +1973,7 @@ def _rewrite_star_replace(masked: str) -> str:
 
 _AGG_ORDER_RE = re.compile(
     r"\b(array_agg|string_agg|listagg|group_concat|first|last"
+    r"|any_value"
     r"|sum|avg|mean|count|min|max|median|product"
     r"|bool_and|bool_or|bit_and|bit_or|bit_xor"
     r"|stddev|stddev_samp|stddev_pop|var_samp|var_pop|variance"
@@ -2442,6 +2484,24 @@ def _rewrite_agg_order_by(masked: str) -> str:
                 "min_by" if desc else "max_by"
             )
             repl = f"{pick}({args[0]}, {g})"
+        elif fn == "any_value":
+            # any_value(x ORDER BY k): the FIRST NON-NULL x in order
+            # (probed r13) — like `first`, plus a leading value-null
+            # flag so NULL x rows sort after every non-null one
+            key, mods = _split_order_modifiers(order_clause)
+            if "," in order_clause or not args or len(args) != 1:
+                return masked
+            desc, gnull = _order_null_guard(mods)
+            vnull = (
+                f"({args[0]}) IS NOT NULL"
+                if desc
+                else f"({args[0]}) IS NULL"
+            )
+            g = (
+                f"struct({vnull} AS _v, ({key}) {gnull} AS _n,"
+                f" {key} AS _k)"
+            )
+            repl = f"{'max_by' if desc else 'min_by'}({args[0]}, {g})"
         else:  # array_agg
             key, mods = _split_order_modifiers(order_clause)
             if "," in order_clause or not args:
@@ -3471,6 +3531,37 @@ def _fix_log10(args: list[str]):
     return f"log10({args[0]})"
 
 
+def _fix_skewness(args: list[str]):
+    """DuckDB's skewness is the SAMPLE (bias-corrected) statistic
+    where Spark's is the population one — a silent wrong value
+    (probed r13: -1.414214 vs -0.816497 on the same four rows).
+    G1 = g1 * sqrt(n(n-1)) / (n-2); try_divide makes n <= 2 NULL,
+    matching DuckDB.  The \\x01 sentinel keeps the emitted inner call
+    out of this pass's own rescan."""
+    if len(args) != 1:
+        return None
+    x = args[0]
+    return (
+        f"try_divide(skew\x01ness({x})"
+        f" * sqrt(count({x}) * (count({x}) - 1.0)),"
+        f" count({x}) - 2.0)"
+    )
+
+
+def _fix_kurtosis(args: list[str]):
+    """DuckDB's kurtosis is the SAMPLE excess statistic where Spark's
+    is the population one (probed r13: 1.5 vs -1.0).
+    G2 = (n-1) * ((n+1) g2 + 6) / ((n-2)(n-3)); n <= 3 → NULL."""
+    if len(args) != 1:
+        return None
+    x = args[0]
+    return (
+        f"try_divide((count({x}) - 1.0)"
+        f" * ((count({x}) + 1.0) * kurt\x01osis({x}) + 6.0),"
+        f" (count({x}) - 2.0) * (count({x}) - 3.0))"
+    )
+
+
 def _literal_of(arg: str, literals: list[str]) -> str | None:
     m = _LONE_MASK_RE.match(arg.strip())
     if m is None:
@@ -3599,6 +3690,8 @@ def bridge_call_semantics(sql: str) -> str:
         masked, "regexp_extract", _fix_extract_default("regexp_extract")
     )
     masked = _rewrite_calls(masked, "log", _fix_log10)
+    masked = _rewrite_calls(masked, "skewness", _fix_skewness)
+    masked = _rewrite_calls(masked, "kurtosis", _fix_kurtosis)
     masked = _rewrite_calls(
         masked, "regexp_replace", _fix_regexp_replace(literals)
     )

@@ -597,5 +597,25 @@ CASES_R13C = [
     "SELECT list_aggregate(['a', NULL, 'b'], 'string_agg', '-') AS s,"
     " list_aggregate(['a', 'b'], 'string_agg') AS d",
     "SELECT list_aggregate(CAST(NULL AS VARCHAR[]), 'string_agg', '-') AS n",
+    # aggregate-surface wave: sample-corrected skewness/kurtosis
+    # (silent value divergence — DuckDB is bias-corrected), ordered
+    # any_value (first NON-NULL in order), FILTER without WHERE,
+    # fused/approx/discrete-quantile aliases
+    "SELECT round(skewness(v), 6) AS s FROM n",
+    "SELECT round(kurtosis(v), 6) AS k FROM n",
+    "SELECT round(skewness(v), 6) AS s, round(kurtosis(v), 6) AS k"
+    " FROM (SELECT id * id AS v FROM n) q",
+    "SELECT skewness(v) AS s FROM (SELECT 1 AS v UNION ALL SELECT 2) q",
+    "SELECT kurtosis(v) AS k FROM"
+    " (SELECT id AS v FROM n WHERE id <= 3) q",
+    "SELECT round(kurtosis_pop(v), 6) AS k FROM n",
+    "SELECT any_value(v ORDER BY id) AS a,"
+    " any_value(v ORDER BY id DESC) AS d FROM n",
+    "SELECT count(v) FILTER (v > 2) AS c,"
+    " sum(v) FILTER (WHERE k = 'b') AS s FROM n",
+    "SELECT favg(v) AS f, fsum(v) AS fs FROM n",
+    "SELECT quantile_disc(v, 0.5) AS q, quantile(v, 0.25) AS q2 FROM n",
+    "SELECT approx_quantile(v, 0.5) IS NOT NULL AS q FROM n",
+    "SELECT k, quantile_disc(v, 0.5) AS q FROM n GROUP BY k ORDER BY k",
 ]
 CASES.extend(CASES_R13C)

@@ -968,6 +968,158 @@ def _rewrite_list_aggregate(masked: str, literals: list[str]) -> str:
     return masked
 
 
+_CLAUSE_OR_SETOP_RE = re.compile(
+    r"\b(FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET"
+    r"|UNION|INTERSECT|EXCEPT|MINUS|LATERAL)\b",
+    re.I,
+)
+
+
+def _lateral_unnest_repl(m: re.Match) -> str:
+    return f" LATERAL VIEW explode({m.group(1)}) {m.group(2)} AS {m.group(3)}"
+
+
+def _rewrite_lateral_unnest(masked: str) -> str:
+    """DuckDB's comma-lateral unnest — ``FROM t, unnest(t.arr) AS
+    u(x)`` — correlates implicitly; Spark's FROM-position explode TVF
+    cannot (r13 probe: UNRESOLVED_COLUMN).  The parenthesized
+    column-alias form only exists in FROM position, so it is the
+    rewrite's signal: the comma becomes a LATERAL VIEW."""
+    return re.sub(
+        r",\s*explode\s*(\((?:[^()\x00]|\x00\d+\x00|\([^()]*\))*\))"
+        r"\s+(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
+        _lateral_unnest_repl,
+        masked,
+        flags=re.I,
+    )
+
+
+def _rewrite_parallel_unnest(masked: str) -> str:
+    """PARALLEL unnests in one select list ZIP in DuckDB — rows pair
+    up positionally, shorter lists NULL-pad to the longest (probed
+    r13: unnest([1,2]), unnest(['x','y','z']) → 3 rows) — where
+    Spark's multi-generator projection produces the CROSS PRODUCT
+    silently (the worst class: silent wrong rows).  Each select list
+    with two or more depth-0 ``explode(`` calls (the unnest alias has
+    already run) rewrites to ONE index-driven zip: a LATERAL VIEW
+    explodes struct(try_element_at(E_k, i) …) over sequence(1, max
+    size) — try_element_at supplies the NULL padding — and each
+    ``explode(E_k)`` occurrence becomes the struct field reference.
+    Nested subqueries' explodes sit at depth > 0 and are invisible to
+    the outer list (each inner SELECT gets its own scan).  A select
+    list without FROM gains a one-row dummy source."""
+    while True:
+        changed = False
+        for sm in re.finditer(r"\bSELECT\b", masked, re.I):
+            start = sm.end()
+            depth = 0
+            end = len(masked)
+            end_kw = None
+            i = start
+            while i < len(masked):
+                ch = masked[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+                elif depth == 0 and ch.isalpha() and not (
+                    masked[i - 1].isalnum() or masked[i - 1] == "_"
+                ):
+                    km = _CLAUSE_OR_SETOP_RE.match(masked, i)
+                    if km:
+                        end = i
+                        end_kw = km.group(1).upper()
+                        break
+                i += 1
+            span = masked[start:end]
+            # lookahead: a consumed '(' would corrupt _d0_matches'
+            # depth tracking
+            hits = list(_d0_matches(span, r"\bexplode\b(?=\s*\()"))
+            if len(hits) < 2:
+                continue
+            # extract each explode's argument; replace with the zip
+            # struct's field reference
+            exprs: list[str] = []
+            new_span = []
+            prev = 0
+            ok = True
+            for h in hits:
+                open_idx = span.index("(", h.end() - 1)
+                close = _match_paren(span, open_idx)
+                if close == -1:
+                    ok = False
+                    break
+                exprs.append(span[open_idx + 1 : close - 1].strip())
+                new_span.append(span[prev : h.start()])
+                new_span.append(f"__pz.__pz{len(exprs) - 1}")
+                prev = close
+            if not ok:
+                continue
+            new_span.append(span[prev:])
+            sizes = ", ".join(
+                f"coalesce(size({e}), 0)" for e in exprs
+            )
+            n = f"greatest({sizes})" if len(exprs) > 1 else sizes
+            fields = ", ".join(
+                f"try_element_at({e}, __pzi) AS __pz{k}"
+                for k, e in enumerate(exprs)
+            )
+            zip_expr = (
+                f"transform(CASE WHEN {n} < 1 THEN array()"
+                f" ELSE sequence(1, {n}) END,"
+                f" __pzi -> struct({fields}))"
+            )
+            lview = f" LATERAL VIEW explode({zip_expr}) __pzt AS __pz "
+            if end_kw == "FROM":
+                # insert after the full FROM clause: before the next
+                # depth-0 clause keyword (not FROM/LATERAL) or span end
+                j = end + 4
+                d2 = 0
+                ins = len(masked)
+                while j < len(masked):
+                    ch = masked[j]
+                    if ch == "(":
+                        d2 += 1
+                    elif ch == ")":
+                        if d2 == 0:
+                            ins = j
+                            break
+                        d2 -= 1
+                    elif d2 == 0 and ch.isalpha() and not (
+                        masked[j - 1].isalnum() or masked[j - 1] == "_"
+                    ):
+                        km = _CLAUSE_OR_SETOP_RE.match(masked, j)
+                        if km and km.group(1).upper() not in (
+                            "FROM",
+                            "LATERAL",
+                        ):
+                            ins = j
+                            break
+                    j += 1
+                masked = (
+                    masked[:start]
+                    + "".join(new_span)
+                    + masked[end:ins]
+                    + lview
+                    + masked[ins:]
+                )
+            else:
+                masked = (
+                    masked[:start]
+                    + "".join(new_span)
+                    + " FROM (SELECT 1) __pzsrc"
+                    + lview
+                    + masked[end:]
+                )
+            changed = True
+            break  # offsets shifted — rescan
+        if not changed:
+            return masked
+
+
 def _rewrite_json_keys2(masked: str, literals: list[str]) -> str:
     """2-argument ``json_keys(doc, path)`` (r13 probe wave): keys of
     the element AT the path — NULL when the path is absent, ``[]``
@@ -1660,6 +1812,80 @@ def _rewrite_generate_series(masked: str) -> str:
         last = consumed
     out.append(masked[last:])
     return "".join(out)
+
+
+def _series_guard(a: str, b: str, s: str, body: str) -> str:
+    return (
+        f"(CASE WHEN ({s}) > 0 AND ({a}) > ({b}) THEN array()"
+        f" WHEN ({s}) < 0 AND ({a}) < ({b}) THEN array()"
+        f" ELSE {body} END)"
+    )
+
+
+def _rewrite_scalar_series(masked: str) -> str:
+    """SELECT-position ``generate_series`` / ``range`` return LISTS in
+    DuckDB (r13 probe): generate_series is inclusive-stop (1-arg =
+    [0..n]), range is exclusive-stop (1-arg = [0..n-1]), and a
+    wrong-direction call is [] — where Spark's sequence() AUTO-REVERSES
+    (sequence(5, 1) = [5..1], a silent wrong value if unguarded).
+    FROM-position forms are already consumed (_rewrite_generate_series
+    rewrote generate_series; range is Spark's native TVF — a
+    FROM/JOIN-preceded ``range(`` is skipped here)."""
+
+    def fix_gs(args: list[str]):
+        if len(args) == 1:
+            return (
+                f"(CASE WHEN ({args[0]}) < 0 THEN array()"
+                f" ELSE sequence(0, {args[0]}) END)"
+            )
+        if len(args) not in (2, 3):
+            return None
+        s = args[2] if len(args) == 3 else "1"
+        return _series_guard(
+            args[0], args[1], s,
+            f"sequence({args[0]}, {args[1]}, {s})",
+        )
+
+    masked = _rewrite_calls(masked, "generate_series", fix_gs)
+
+    pat = re.compile(r"\brange\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if m is None:
+            return masked
+        before = masked[: m.start()].rstrip()
+        if re.search(r"(?i)\b(FROM|JOIN)$", before):
+            pos = m.end()
+            continue  # Spark's native range TVF — exact already
+        open_idx = masked.index("(", m.end() - 1)
+        close = _match_paren(masked, open_idx)
+        if close == -1:
+            pos = m.end()
+            continue
+        args = _split_d0_commas(masked[open_idx + 1 : close - 1])
+        if len(args) == 1:
+            repl = (
+                f"(CASE WHEN ({args[0]}) < 1 THEN array()"
+                f" ELSE sequence(0, ({args[0]}) - 1) END)"
+            )
+        elif len(args) in (2, 3):
+            s = args[2] if len(args) == 3 else "1"
+            step_back = f"(CASE WHEN ({s}) < 0 THEN -1 ELSE 1 END)"
+            repl = (
+                f"(CASE WHEN ({s}) > 0 AND ({args[0]}) >= ({args[1]})"
+                f" THEN array()"
+                f" WHEN ({s}) < 0 AND ({args[0]}) <= ({args[1]})"
+                f" THEN array()"
+                f" ELSE sequence({args[0]},"
+                f" ({args[1]}) - {step_back}, {s}) END)"
+            )
+        else:
+            pos = m.end()
+            continue
+        masked = masked[: m.start()] + repl + masked[close:]
+        pos = m.start() + 1
+    return masked
 
 
 # ---------------------------------------------------------- distinct on
@@ -3761,6 +3987,8 @@ def rewrite(sql: str) -> str:
     masked, literals = _mask_literals(rewritten)
     masked = _rewrite_parenthesized_from(masked)
     masked = _rewrite_from_first(masked)
+    masked = _rewrite_lateral_unnest(masked)
+    masked = _rewrite_parallel_unnest(masked)
     masked = _rewrite_date_diff(_rewrite_strftime(masked, literals), literals)
     masked = _rewrite_strptime(masked, literals)
     masked = _rewrite_regexp_flags(masked, literals)
@@ -3778,6 +4006,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_extract_fields(masked, literals)
     masked = _rewrite_format(masked, literals)
     masked = _rewrite_generate_series(masked)
+    masked = _rewrite_scalar_series(masked)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_list_comprehensions(masked)
     masked = _rewrite_star_replace(masked)

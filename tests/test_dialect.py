@@ -608,8 +608,12 @@ def test_generate_series_rewrite_shapes():
     assert out == (
         "SELECT * FROM (SELECT explode(sequence(1, 10, 2)) AS n) g WHERE n > 3"
     )
-    # 1-arg form and select-list position pass through
-    assert rewrite("SELECT generate_series(5)") == "SELECT generate_series(5)"
+    # select-list position returns a LIST (r13: bridged via sequence
+    # with the wrong-direction guard — Spark's sequence auto-reverses)
+    out = rewrite("SELECT generate_series(5)")
+    assert "sequence(0, 5)" in out and "array()" in out
+    out = rewrite("SELECT range(2, 10, 3)")
+    assert "sequence(2," in out and "array()" in out
 
 
 def test_struct_and_series_execute_matching_duckdb(spark):

@@ -617,5 +617,24 @@ CASES_R13C = [
     "SELECT quantile_disc(v, 0.5) AS q, quantile(v, 0.25) AS q2 FROM n",
     "SELECT approx_quantile(v, 0.5) IS NOT NULL AS q FROM n",
     "SELECT k, quantile_disc(v, 0.5) AS q FROM n GROUP BY k ORDER BY k",
+    # parallel unnest ZIPS with NULL padding (Spark's multi-generator
+    # projection cross-products silently — the worst class)
+    "SELECT unnest([1,2]) AS a, unnest(['x','y','z']) AS b",
+    "SELECT 9 AS c, unnest([1,2]) AS a, unnest(['x','y']) AS b",
+    "SELECT unnest([1,2]) + 1 AS a, unnest([3,4]) AS b",
+    "SELECT id, unnest(arr) AS a, unnest([10,20]) AS b FROM t"
+    " WHERE id = 1",
+    # comma-lateral unnest correlates
+    "SELECT t.id, u.x FROM t, unnest(t.arr) AS u(x) ORDER BY id, x",
+    "SELECT t.id, u.x FROM t, unnest(t.arr) u(x) WHERE t.id = 2"
+    " ORDER BY x",
+    # scalar series are LISTS; wrong-direction calls are empty (Spark
+    # sequence auto-reverses — guarded)
+    "SELECT generate_series(3) AS a, generate_series(1, 5, 2) AS b",
+    "SELECT generate_series(5, 1) AS a, generate_series(-1) AS b",
+    "SELECT range(3) AS a, range(0) AS b",
+    "SELECT range(2, 10, 3) AS a, range(5, 0, -2) AS b,"
+    " range(1, 5, -1) AS c",
+    "SELECT unnest(range(3)) AS r",
 ]
 CASES.extend(CASES_R13C)

@@ -408,6 +408,26 @@ def _rewrite_code(code: str) -> str:
     # avg on doubles; approx_quantile is approx_percentile;
     # kurtosis_pop is exactly Spark's (population excess) kurtosis
     code = re.sub(r"\bfavg\s*\(", "avg(", code, flags=re.I)
+    # r13 string/vector-surface probe
+    code = re.sub(r"\beditdist3\s*\(", "levenshtein(", code, flags=re.I)
+    # list_inner_product & friends are compat SQL UDFs; the fixed-size
+    # ARRAY-typed array_* spellings map onto them (lenient: DuckDB
+    # itself rejects LIST inputs there)
+    code = re.sub(
+        r"\b(?:list_dot_product|array_inner_product)\s*\(",
+        "list_inner_product(",
+        code,
+        flags=re.I,
+    )
+    code = re.sub(
+        r"\barray_cosine_similarity\s*\(",
+        "list_cosine_similarity(",
+        code,
+        flags=re.I,
+    )
+    code = re.sub(
+        r"\barray_distance\s*\(", "list_distance(", code, flags=re.I
+    )
     code = re.sub(
         r"\bapprox_quantile\s*\(", "approx_percentile(", code, flags=re.I
     )
@@ -871,6 +891,13 @@ _WRAPPED_CALLS = [
     # fsum (Kahan-compensated sum) is DOUBLE in DuckDB even for
     # integer inputs (probed r13)
     ("fsum", "CAST(sum({X}) AS DOUBLE)"),
+    # to_base(n, base): conv from decimal — uppercase digits on both
+    # engines (probed: 'FF')
+    ("to_base", "conv({X}, 10, {Y})"),
+    # like_escape/ilike_escape → the LIKE … ESCAPE operator form (a
+    # non-literal escape char becomes a loud parse error)
+    ("like_escape", "(({X}) LIKE ({Y}) ESCAPE {Z3})"),
+    ("ilike_escape", "(lower({X}) LIKE lower({Y}) ESCAPE {Z3})"),
     # quantile_disc / quantile (DuckDB's quantile IS the discrete
     # form): the element at ceil(n*q) of the sorted non-null values
     # (probed: [1,2,3,4] @ 0.5 → 2; NULLs ignored, empty → NULL).
@@ -1167,7 +1194,7 @@ def _rewrite_wrapped_calls(masked: str) -> str:
     (e.g. ``list_sort(l, 'DESC')``) is left in place as a loud
     analysis error rather than half-bridged."""
     for fname, tpl in _WRAPPED_CALLS:
-        argc = 2 if "{Y}" in tpl else 1
+        argc = 3 if "{Z3}" in tpl else 2 if "{Y}" in tpl else 1
         pat = re.compile(rf"\b{fname}\s*\(", re.I)
         pos = 0
         while True:
@@ -1182,8 +1209,10 @@ def _rewrite_wrapped_calls(masked: str) -> str:
                 pos = m.end()  # unmodeled form: skip it, keep scanning
                 continue
             repl = tpl.replace("{X}", args[0].strip())
-            if argc == 2:
+            if argc >= 2:
                 repl = repl.replace("{Y}", args[1].strip())
+            if argc == 3:
+                repl = repl.replace("{Z3}", args[2].strip())
             masked = masked[: m.start()] + repl + masked[close:]
             pos = m.start()  # rescan: the argument may hold another call
     return masked
@@ -3409,6 +3438,51 @@ COMPAT_FUNCTIONS = [
     # DuckDB's today(); now() exists natively in Spark
     "CREATE OR REPLACE TEMPORARY FUNCTION today()"
     " RETURNS DATE RETURN current_date",
+    # hamming/mismatches: positionwise differing characters of
+    # equal-length strings; unequal lengths raise, like DuckDB (r13)
+    "CREATE OR REPLACE TEMPORARY FUNCTION hamming(a STRING, b STRING)"
+    " RETURNS BIGINT RETURN CASE"
+    " WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS BIGINT)"
+    " WHEN length(a) <> length(b) THEN"
+    " CAST(raise_error('hamming: strings must be of equal length')"
+    " AS BIGINT)"
+    " ELSE size(filter(sequence(1, length(a)),"
+    " i -> substring(a, i, 1) <> substring(b, i, 1))) END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION mismatches(a STRING, b STRING)"
+    " RETURNS BIGINT RETURN hamming(a, b)",
+    # jaccard: character-SET similarity, case-sensitive (probed:
+    # 'duck'/'luck' → 0.6)
+    "CREATE OR REPLACE TEMPORARY FUNCTION jaccard(a STRING, b STRING)"
+    " RETURNS DOUBLE RETURN CASE"
+    " WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS DOUBLE)"
+    " ELSE try_divide("
+    " size(array_intersect(split(a, ''), split(b, ''))),"
+    " size(array_union(split(a, ''), split(b, '')))) END",
+    # list vector math (r13): DuckDB's list_inner_product /
+    # list_cosine_similarity / list_distance (the LIST forms; the
+    # fixed-size array_* spellings alias onto these)
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_inner_product"
+    "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN"
+    " aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,"
+    " (acc, v) -> acc + v)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_distance"
+    "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN"
+    " sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),"
+    " 0.0D, (acc, v) -> acc + v))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_cosine_similarity"
+    "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN"
+    " try_divide(list_inner_product(a, b),"
+    " sqrt(list_inner_product(a, a))"
+    " * sqrt(list_inner_product(b, b)))",
+    # regexp_escape: backslash every RE2/Java metacharacter; the
+    # backslash is spelled chr(92) so the body parses identically
+    # under both escapedStringLiterals settings (string_split note)
+    "CREATE OR REPLACE TEMPORARY FUNCTION regexp_escape(s STRING)"
+    " RETURNS STRING RETURN CASE WHEN s IS NULL"
+    " THEN CAST(NULL AS STRING) ELSE"
+    " array_join(transform(split(s, ''), c -> CASE"
+    " WHEN position(c, concat(chr(92), '.^$*+?()[]{}|')) > 0"
+    " THEN concat(chr(92), c) ELSE c END), '') END",
     # to_hex matches Spark's hex() (both uppercase, both 64-bit
     # two's-complement for negatives — probed r11)
     "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(x BIGINT)"

@@ -636,5 +636,20 @@ CASES_R13C = [
     "SELECT range(2, 10, 3) AS a, range(5, 0, -2) AS b,"
     " range(1, 5, -1) AS c",
     "SELECT unnest(range(3)) AS r",
+    # string/vector-surface wave
+    "SELECT editdist3('kitten', 'sitting') AS l,"
+    " levenshtein('abc', 'abd') AS v",
+    "SELECT hamming('abc', 'abd') AS h, mismatches('aaa', 'aba') AS m",
+    "SELECT round(jaccard('duck', 'luck'), 6) AS j",
+    "SELECT to_base(255, 16) AS b, to_base(9, 2) AS b2",
+    "SELECT like_escape('a%c', 'a$%c', '$') AS e,"
+    " like_escape('abc', 'a$%c', '$') AS ne",
+    "SELECT ilike_escape('A%C', 'a$%c', '$') AS e",
+    "SELECT regexp_escape('a.b*c') AS r",
+    "SELECT regexp_full_match('a.b', regexp_escape('a.b')) AS m,"
+    " regexp_full_match('axb', regexp_escape('a.b')) AS n",
+    "SELECT list_dot_product([1.0,2.0], [3.0,4.0]) AS p,"
+    " round(list_cosine_similarity([1.0,0.0], [1.0,1.0]), 6) AS c",
+    "SELECT list_distance([0.0,0.0], [3.0,4.0]) AS d",
 ]
 CASES.extend(CASES_R13C)

@@ -145,8 +145,10 @@ remaining (type-width / printed-type / locale-table) list:
   portable digests).
 * ``dayofweek`` — Sunday=0 in DuckDB, Sunday=1 in Spark (the
   ``isodow`` compat function is identical on both).
-* ``dayname`` / ``monthname`` — full names in DuckDB, 3-letter
-  abbreviations in Spark.
+* ``dayname`` / ``monthname`` — BRIDGED r13 (pre-parse → date_format
+  'EEEE'/'MMMM' full names); ``date_trunc`` decade/century/millennium
+  — BRIDGED r13 (Spark returned NULL silently; now year-floor
+  arithmetic, DATE-typed like DuckDB).
 * ``to_timestamp(secs)`` — TIMESTAMP WITH TIME ZONE in DuckDB, plain
   TIMESTAMP in Spark — same instant, different printed type.
 * ``element_at(map, k)`` — the value in Spark, a single-element LIST
@@ -894,6 +896,9 @@ _WRAPPED_CALLS = [
     # to_base(n, base): conv from decimal — uppercase digits on both
     # engines (probed: 'FF')
     ("to_base", "conv({X}, 10, {Y})"),
+    # 1-argument make_timestamp takes MICROSECONDS in DuckDB (the
+    # 6-argument form is native Spark and never matches this arity)
+    ("make_timestamp", "timestamp_micros({X})"),
     # like_escape/ilike_escape → the LIKE … ESCAPE operator form (a
     # non-literal escape char becomes a loud parse error)
     ("like_escape", "(({X}) LIKE ({Y}) ESCAPE {Z3})"),
@@ -1145,6 +1150,45 @@ def _rewrite_parallel_unnest(masked: str) -> str:
             break  # offsets shifted — rescan
         if not changed:
             return masked
+
+
+_DATE_SUB_PARTS = {
+    "year": "YEAR", "years": "YEAR", "quarter": "QUARTER",
+    "quarters": "QUARTER", "month": "MONTH", "months": "MONTH",
+    "week": "WEEK", "weeks": "WEEK", "day": "DAY", "days": "DAY",
+    "hour": "HOUR", "hours": "HOUR", "minute": "MINUTE",
+    "minutes": "MINUTE", "second": "SECOND", "seconds": "SECOND",
+    "millisecond": "MILLISECOND", "milliseconds": "MILLISECOND",
+    "microsecond": "MICROSECOND", "microseconds": "MICROSECOND",
+}
+
+
+def _rewrite_date_sub(masked: str, literals: list[str]) -> str:
+    """3-argument ``date_sub('part', a, b)`` / ``datesub`` counts
+    COMPLETE part intervals between a and b (DuckDB, probed r13 —
+    NOT date_diff's boundary count) = Spark's timestampdiff exactly.
+    Spark's own 2-argument date_sub(date, days) never matches this
+    arity."""
+
+    def fix(args: list[str]):
+        if len(args) != 3:
+            return None
+        lit = _literal_of(args[0], literals)
+        if lit is None:
+            return None
+        part = _DATE_SUB_PARTS.get(lit[1:-1].lower())
+        if part is None:
+            raise DialectError(
+                f"date_sub part {lit} is not bridged — supported:"
+                f" {sorted(set(_DATE_SUB_PARTS.values()))}"
+            )
+        return (
+            f"timestampdiff({part}, CAST(({args[1]}) AS TIMESTAMP),"
+            f" CAST(({args[2]}) AS TIMESTAMP))"
+        )
+
+    masked = _rewrite_calls(masked, "date_sub", fix)
+    return _rewrite_calls(masked, "datesub", fix)
 
 
 def _rewrite_json_keys2(masked: str, literals: list[str]) -> str:
@@ -3400,6 +3444,10 @@ COMPAT_FUNCTIONS = [
     # DuckDB's epoch() returns DOUBLE seconds INCLUDING the fraction
     "CREATE OR REPLACE TEMPORARY FUNCTION epoch(x TIMESTAMP)"
     " RETURNS DOUBLE RETURN unix_micros(x) / 1000000.0D",
+    # epoch_ns: DuckDB timestamps are microsecond-resolution, so the
+    # nanosecond count is exactly micros * 1000 (r13)
+    "CREATE OR REPLACE TEMPORARY FUNCTION epoch_ns(x TIMESTAMP)"
+    " RETURNS BIGINT RETURN unix_micros(x) * 1000",
     # literal-separator split (Spark's split takes a REGEX; \Q..\E
     # quotes the separator so '.' splits on dots, not everything).
     # char(92) spells the backslash WITHOUT a string escape, so the
@@ -3831,6 +3879,50 @@ def _fix_log10(args: list[str]):
     return f"log10({args[0]})"
 
 
+def _fix_monthname(args: list[str]):
+    """DuckDB month/day names are FULL names; Spark's are 3-letter
+    abbreviations — both valid, silently different values (documented
+    since r11, bridged r13)."""
+    if len(args) != 1:
+        return None
+    return f"date_format({args[0]}, 'MMMM')"
+
+
+def _fix_dayname(args: list[str]):
+    if len(args) != 1:
+        return None
+    return f"date_format({args[0]}, 'EEEE')"
+
+
+_BIG_TRUNC_PARTS = {"decade": 10, "decades": 10, "century": 100,
+                    "centuries": 100, "millennium": 1000,
+                    "millenniums": 1000, "millennia": 1000}
+
+
+def _fix_date_trunc(literals: list[str]):
+    """date_trunc('decade'|'century'|'millennium', x): Spark returns
+    NULL SILENTLY for parts it doesn't know (r13 probe) where DuckDB
+    floors the year to the multiple (2024 → 2020/2000/2000, probed)
+    and returns a DATE."""
+
+    def fix(args: list[str]):
+        if len(args) != 2:
+            return None
+        lit = _literal_of(args[0], literals)
+        if lit is None:
+            return None
+        div = _BIG_TRUNC_PARTS.get(lit[1:-1].lower())
+        if div is None:
+            return None  # a part Spark knows — native semantics
+        x = args[1]
+        return (
+            f"make_date(CAST(floor(year({x}) / {div}) * {div} AS INT),"
+            f" 1, 1)"
+        )
+
+    return fix
+
+
 def _fix_skewness(args: list[str]):
     """DuckDB's skewness is the SAMPLE (bias-corrected) statistic
     where Spark's is the population one — a silent wrong value
@@ -3992,6 +4084,14 @@ def bridge_call_semantics(sql: str) -> str:
     masked = _rewrite_calls(masked, "log", _fix_log10)
     masked = _rewrite_calls(masked, "skewness", _fix_skewness)
     masked = _rewrite_calls(masked, "kurtosis", _fix_kurtosis)
+    masked = _rewrite_calls(masked, "monthname", _fix_monthname)
+    masked = _rewrite_calls(masked, "dayname", _fix_dayname)
+    masked = _rewrite_calls(
+        masked, "date_trunc", _fix_date_trunc(literals)
+    )
+    masked = _rewrite_calls(
+        masked, "datetrunc", _fix_date_trunc(literals)
+    )
     masked = _rewrite_calls(
         masked, "regexp_replace", _fix_regexp_replace(literals)
     )
@@ -4068,6 +4168,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_regexp_flags(masked, literals)
     masked = _rewrite_match_operators(masked, literals)
     masked = _rewrite_list_aggregate(masked, literals)
+    masked = _rewrite_date_sub(masked, literals)
     masked = _rewrite_json_keys2(masked, literals)
     masked = _rewrite_wrapped_calls(masked)
     masked = _rewrite_json_extract(masked, literals)

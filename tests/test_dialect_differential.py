@@ -651,5 +651,20 @@ CASES_R13C = [
     "SELECT list_dot_product([1.0,2.0], [3.0,4.0]) AS p,"
     " round(list_cosine_similarity([1.0,0.0], [1.0,1.0]), 6) AS c",
     "SELECT list_distance([0.0,0.0], [3.0,4.0]) AS d",
+    # datetime wave: silent-NULL date_trunc parts, full day/month
+    # names, micros make_timestamp, epoch_ns, complete-interval
+    # date_sub (vs date_diff's boundary count)
+    "SELECT date_trunc('decade', DATE '2024-05-05') AS d,"
+    " date_trunc('century', DATE '1999-02-01') AS c,"
+    " date_trunc('millennium', DATE '2024-05-05') AS m",
+    "SELECT monthname(DATE '2024-03-05') AS m,"
+    " dayname(DATE '2024-03-05') AS d",
+    "SELECT make_timestamp(1709600000000000) AS ts",
+    "SELECT epoch_ns(TIMESTAMP '2024-03-05 01:02:03.5') AS ns",
+    "SELECT date_sub('month', DATE '2024-01-15', DATE '2024-03-14') AS a,"
+    " datesub('hour', TIMESTAMP '2024-01-01 00:30:00',"
+    " TIMESTAMP '2024-01-01 02:00:00') AS b",
+    "SELECT date_sub('day', DATE '2024-01-01', DATE '2024-02-01') AS d,"
+    " date_diff('day', DATE '2024-01-01', DATE '2024-02-01') AS boundary",
 ]
 CASES.extend(CASES_R13C)

@@ -114,6 +114,30 @@ accepts the text):
   outside the matched text (``\\B`` at a match edge) evaluates
   against the extracted substring.
 
+Third (r13, same boundary): the regex PATTERN dialect.  DuckDB
+compiles patterns with RE2 and Spark with java.util.regex — the
+pattern is DATA (a literal argument), so every divergence was a
+silent wrong value: POSIX bracket classes (``[[:digit:]]`` matches
+the letters d-i-g-t and ``:`` in Java), ``$`` (Java also matches
+before a trailing newline; RE2 only at end of text), octal escapes
+(``\\101`` is a backreference spelling in Java), line-terminator
+sets (``.`` excludes \\r in Java), invalid-quantifier braces
+(``a{,3}`` is literal in RE2, an error in Java), ``(?P<name>…)``
+groups, and the OPTIONS argument ('i'/'s'/'l'/'c'/'m' — folded into
+the pattern as inline flags; 'g' selects Spark's native
+all-occurrence replace).  LITERAL patterns of regexp_extract[_all] /
+regexp_matches / regexp_full_match / regexp_replace /
+str_split_regex / regexp_split_to_array and the ``~``/``!~``
+operators are translated by :func:`re2_pattern_to_java` (which also
+prepends ``(?d)`` — Java's UNIX_LINES — to equalize the
+line-terminator sets, and anchors full matches ``\\A…\\z`` instead
+of ``^…$``).  regexp_extract's named-group LIST form expands to a
+named_struct of group extracts.  Blind edges, documented: a
+NON-literal (column-valued) pattern executes with Java semantics, a
+non-empty zero-width-capable split pattern keeps Java's
+trailing-empty behavior, and ``\\p{Script}`` names beyond Java's
+table pass through.
+
 Integer subscripts ARE bridged: within rewritten text ``a[1]`` is
 DuckDB's 1-based (negative-from-end) subscript, emitted as
 ``element_at(a, 1)`` — identical semantics for arrays and maps on
@@ -696,12 +720,16 @@ def _sub_regex_full(
     """``expr ~ '<pat>'`` / ``expr !~ '<pat>'`` with a LITERAL
     pattern: DuckDB's ``~`` is SIMILAR TO — a FULL match
     (regexp_full_match; ``'alpha' ~ 'a'`` is FALSE) — where Spark's
-    RLIKE finds the pattern ANYWHERE, so the literal is anchored as
-    ``'^(?:pat)$'`` before it rides RLIKE (r11 differential battery
-    catch: the unanchored bridge was Postgres semantics, not
-    DuckDB's).  The anchored literal is APPENDED to the mask table —
-    prepending/appending plain characters keeps any doubled quotes
-    inside intact."""
+    RLIKE finds the pattern ANYWHERE, so the literal is anchored
+    ``\\A(?:pat)\\z`` before it rides RLIKE (r11 differential battery
+    catch: the unanchored bridge was Postgres semantics, not DuckDB's;
+    r13: ``\\z`` not ``$`` — Java's ``$`` also matches before a
+    trailing newline).  The anchored literal is APPENDED to the mask
+    table — prepending/appending plain characters keeps any doubled
+    quotes inside intact.  This path now only serves view_df's direct
+    fallback: query_df's pre-parse bridge already converted literal
+    ``~`` matches (with full RE2→Java pattern translation, which this
+    escape-ambiguous path cannot do)."""
     pattern = re.compile(
         _MATCH_TOK + r"\s*" + op_re + rf"\s*{_MASK}(\d+){_MASK}"
     )
@@ -712,7 +740,9 @@ def _sub_regex_full(
         lit = literals[int(m.group(2))]
         if lit[:1] != "'":
             return m.group(0)  # quoted identifier — leave loud below
-        literals.append("'^(?" + flags + ":" + lit[1:-1] + ")$'")
+        literals.append(
+            "'\\\\A(?" + flags + ":" + lit[1:-1] + ")\\\\z'"
+        )
         return (
             f"{m.group(1)}{keyword}{_MASK}{len(literals) - 1}{_MASK}"
         )
@@ -1992,12 +2022,15 @@ _ORDER_MODS_RE = re.compile(
 
 
 def _split_d0_commas(text: str) -> list[str]:
-    """Split on depth-0 commas (masked text — literal commas hidden)."""
+    """Split on depth-0 commas (masked text — literal commas hidden).
+    Depth counts ``[`` too: a DuckDB list literal argument
+    (``regexp_extract(s, p, ['a', 'b'])``) is ONE argument (r13 —
+    the paren-only count split it apart)."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(text):
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(text[start:i])
@@ -3536,10 +3569,14 @@ COMPAT_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(x BIGINT)"
     " RETURNS STRING RETURN hex(x)",
     # DuckDB's regexp_full_match (also what its ~ / SIMILAR TO mean):
-    # anchor the pattern because Spark's RLIKE is a PARTIAL match
+    # anchor the pattern because Spark's RLIKE is a PARTIAL match.
+    # \A..\z, not ^..$ — Java's $ also matches before a trailing
+    # newline, so '^..$' accepted 'abc\n' where DuckDB refuses (r13
+    # regex-dialect wave); chr(92) spells the backslash so the body
+    # parses identically under both escapedStringLiterals settings
     "CREATE OR REPLACE TEMPORARY FUNCTION regexp_full_match"
     "(s STRING, p STRING) RETURNS BOOLEAN"
-    " RETURN s RLIKE concat('^(?:', p, ')$')",
+    " RETURN s RLIKE concat(chr(92), 'A(?:', p, ')', chr(92), 'z')",
     # r11 wave-5 additions, each value-probed against DuckDB
     "CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING)"
     " RETURNS STRING RETURN sha2(s, 256)",
@@ -3606,7 +3643,8 @@ COMPAT_FUNCTIONS = [
     " ELSE concat("
     "   substring(s, 1, regexp_instr(s, p) - 1),"
     "   regexp_replace(regexp_extract(s, p, 0),"
-    "                  concat('^(?:', p, ')$'), r),"
+    "                  concat(chr(92), 'A(?:', p, ')', chr(92), 'z'),"
+    "                  r),"
     "   substring(s, regexp_instr(s, p)"
     "                + length(regexp_extract(s, p, 0))))"
     " END",
@@ -3859,16 +3897,192 @@ def _fix_two_arg_trim(kind: str):
     return fix
 
 
-def _fix_extract_default(name: str):
-    """2-argument regexp_extract[_all]: the default group is 0 (the
-    full match) in DuckDB and 1 in Spark — appended explicitly."""
+def _new_lit_mask(literals: list[str], content: str) -> str:
+    literals.append("'" + content + "'")
+    return f"{_MASK}{len(literals) - 1}{_MASK}"
+
+
+def _pattern_mask(args: list[str], literals: list[str]) -> str | None:
+    """args[1] (the pattern argument) RE2→Java translated as a fresh
+    literal mask, or None when the pattern is not a literal (the
+    documented blind edge: column-valued patterns run with Java
+    semantics)."""
+    lit = _literal_of(args[1], literals)
+    if lit is None:
+        return None
+    return _new_lit_mask(literals, re2_pattern_to_java(lit[1:-1]))
+
+
+def _mask_name_list(arg: str, literals: list[str]) -> list[str] | None:
+    """``['name1', 'name2']`` as a list of the name literals' masks —
+    DuckDB's named-groups form of regexp_extract."""
+    inner = arg.strip()
+    if not (inner.startswith("[") and inner.endswith("]")):
+        return None
+    items = [p.strip() for p in inner[1:-1].split(",")]
+    if not items or any(_literal_of(it, literals) is None for it in items):
+        return None
+    return items
+
+
+def _fix_regexp_extract(name: str, literals: list[str]):
+    """DuckDB's regexp_extract[_all] shapes, all with RE2→Java
+    pattern translation: 2-arg (the default group is 0 — the full
+    match — in DuckDB and 1 in Spark: appended explicitly), 3-arg
+    with a group index, regexp_extract's 3-arg NAME-LIST form
+    (returns a STRUCT of the named capture groups, keyed in list
+    order — probed r13), and 4-arg with an options string folded into
+    the pattern."""
 
     def fix(args: list[str]):
-        if len(args) != 2:
-            return None
-        return f"{name}({args[0]}, {args[1]}, 0)"
+        if len(args) == 4:
+            opts_lit = _literal_of(args[3], literals)
+            if opts_lit is None:
+                return None  # not a DuckDB options shape — loud later
+            plit = _literal_of(args[1], literals)
+            if plit is None:
+                raise DialectError(
+                    f"{name} with an options argument needs a literal"
+                    " pattern to fold the flags into: inline (?i)/"
+                    "(?s) in the pattern expression instead"
+                )
+            folded, _ = _fold_regexp_options(plit[1:-1], opts_lit[1:-1])
+            return (
+                f"{name}({args[0]}, {_new_lit_mask(literals, folded)},"
+                f" {args[2]})"
+            )
+        if (
+            len(args) == 3
+            and name == "regexp_extract"
+            and args[2].strip().startswith("[")
+        ):
+            names = _mask_name_list(args[2], literals)
+            if names is None:
+                return None
+            pat = _pattern_mask(args, literals) or args[1].strip()
+            fields = ", ".join(
+                f"{nm}, regexp\x01_extract({args[0]}, {pat}, {idx})"
+                for idx, nm in enumerate(names, start=1)
+            )
+            return f"named_struct({fields})"
+        if len(args) == 3:
+            pat = _pattern_mask(args, literals)
+            if pat is None:
+                return None
+            return f"{name}({args[0]}, {pat}, {args[2]})"
+        if len(args) == 2:
+            pat = _pattern_mask(args, literals) or args[1].strip()
+            return f"{name}({args[0]}, {pat}, 0)"
+        return None
 
     return fix
+
+
+def _fix_regexp_matches(name: str, literals: list[str]):
+    """regexp_matches / regexp_full_match: RE2→Java pattern
+    translation, and the optional OPTIONS argument folded into the
+    pattern (both are 2-arg compat functions on the Spark side)."""
+
+    def fix(args: list[str]):
+        if len(args) == 3:
+            opts_lit = _literal_of(args[2], literals)
+            if opts_lit is None:
+                return None
+            plit = _literal_of(args[1], literals)
+            if plit is None:
+                raise DialectError(
+                    f"{name} with an options argument needs a literal"
+                    " pattern to fold the flags into: inline (?i)/"
+                    "(?s) in the pattern expression instead"
+                )
+            folded, _ = _fold_regexp_options(plit[1:-1], opts_lit[1:-1])
+            return f"{name}({args[0]}, {_new_lit_mask(literals, folded)})"
+        if len(args) == 2:
+            pat = _pattern_mask(args, literals)
+            if pat is None:
+                return None
+            return f"{name}({args[0]}, {pat})"
+        return None
+
+    return fix
+
+
+def _empty_pattern_split(s: str) -> str:
+    """``split(s, '')`` with DuckDB semantics: Java's split takes the
+    zero-width match AT THE END too (probed r13: Spark
+    split('abc','') = [a,b,c,''] where DuckDB drops the end match →
+    [a,b,c]; '' → ['']).  Only the EMPTY literal pattern is bridged —
+    a non-empty zero-width-capable pattern (``x*``) keeps Java's
+    trailing-empty behavior, a documented blind edge."""
+    return (
+        f"(CASE WHEN ({s}) IS NULL THEN CAST(NULL AS ARRAY<STRING>)"
+        f" WHEN length({s}) = 0 THEN array('')"
+        f" ELSE slice(split(({s}), ''), 1, length({s})) END)"
+    )
+
+
+def _fix_split_regex(literals: list[str]):
+    """str_split_regex / regexp_split_to_array → Spark's split()
+    (itself regex-based), with the pattern RE2→Java translated and
+    any options folded in."""
+
+    def fix(args: list[str]):
+        if len(args) in (2, 3):
+            plit = _literal_of(args[1], literals)
+            if plit is not None and plit == "''":
+                return _empty_pattern_split(args[0])
+        if len(args) == 3:
+            opts_lit = _literal_of(args[2], literals)
+            if opts_lit is None:
+                return None
+            plit = _literal_of(args[1], literals)
+            if plit is None:
+                raise DialectError(
+                    "str_split_regex with an options argument needs a"
+                    " literal pattern to fold the flags into: inline"
+                    " (?i)/(?s) in the pattern expression instead"
+                )
+            folded, _ = _fold_regexp_options(plit[1:-1], opts_lit[1:-1])
+            return f"split({args[0]}, {_new_lit_mask(literals, folded)})"
+        if len(args) == 2:
+            pat = _pattern_mask(args, literals) or args[1].strip()
+            return f"split({args[0]}, {pat})"
+        return None
+
+    return fix
+
+
+def _bridge_match_regex_ops(masked: str, literals: list[str]) -> str:
+    """``expr ~ '<literal>'`` / ``expr !~ '<literal>'`` at the
+    PRE-PARSE boundary: DuckDB's ``~`` is a FULL match of an RE2
+    pattern, so the literal is RE2→Java translated, anchored
+    ``\\A(?:…)\\z`` (``\\z``, not ``$``: Java's ``$`` also matches
+    before a trailing newline — probed r13), and rides RLIKE.
+    Non-literal patterns fall through to the fallback rewriter's
+    loud refusal; the LIKE-family operators (``~~`` etc.) are
+    excluded by lookarounds and stay fallback-bridged."""
+    for op_re, keyword in (
+        (r"!~(?![~*])", " NOT RLIKE "),
+        (r"(?<![!~])~(?![~*])", " RLIKE "),
+    ):
+        pattern = re.compile(
+            _MATCH_TOK + r"\s*" + op_re + rf"\s*{_MASK}(\d+){_MASK}"
+        )
+
+        def repl(m):
+            if m.group(1).lower() in _NONVALUE_WORDS:
+                return m.group(0)
+            lit = literals[int(m.group(2))]
+            if lit[:1] != "'":
+                return m.group(0)
+            translated = re2_pattern_to_java(lit[1:-1])
+            mask = _new_lit_mask(
+                literals, "\\A(?:" + translated + ")\\z"
+            )
+            return f"{m.group(1)}{keyword}{mask}"
+
+        masked = pattern.sub(repl, masked)
+    return masked
 
 
 def _fix_log10(args: list[str]):
@@ -3962,6 +4176,236 @@ def _literal_of(arg: str, literals: list[str]) -> str | None:
     return lit if lit[:1] == "'" else None
 
 
+# --- RE2 PATTERN dialect (r13): DuckDB compiles patterns with RE2,
+# Spark with java.util.regex.  The pattern text is DATA (a literal
+# argument), so no text-shape rewrite can see it — the divergences
+# are silent wrong VALUES: POSIX bracket classes ([[:digit:]] matches
+# 'd','i','g','t',':' in Java), `$` (Java matches before a trailing
+# newline, RE2 only at end of text), octal escapes (\101 is a
+# BACKREFERENCE spelling in Java), and `.`/line-terminator sets (Java
+# excludes \r and U+0085/U+2028/U+2029, RE2 only \n).  LITERAL
+# patterns of the regexp family are translated by
+# :func:`re2_pattern_to_java` at the pre-parse bridge; non-literal
+# (column-valued) patterns are a documented blind edge — they execute
+# with Java semantics.
+
+_POSIX_CLASSES = {
+    "alnum": r"\p{Alnum}", "alpha": r"\p{Alpha}", "ascii": r"\p{ASCII}",
+    "blank": r"\p{Blank}", "cntrl": r"\p{Cntrl}", "digit": r"\p{Digit}",
+    "graph": r"\p{Graph}", "lower": r"\p{Lower}", "print": r"\p{Print}",
+    "punct": r"\p{Punct}", "space": r"\p{Space}", "upper": r"\p{Upper}",
+    "word": r"\w", "xdigit": r"\p{XDigit}",
+}
+_POSIX_NEGATED = {
+    name: (r"\W" if cls == r"\w" else "\\P" + cls[2:])
+    for name, cls in _POSIX_CLASSES.items()
+}
+# an inline flag group that turns on multiline — if present, `$` is
+# left alone ((?d) below makes Java's (?m) line set match RE2's)
+_RE2_MULTILINE_RE = re.compile(r"\(\?[a-zA-Z-]*m[a-zA-Z-]*[:)]")
+_INLINE_FLAGS_RE = re.compile(r"\(\?([a-zA-Z-]+)([:)])")
+_JAVA_QUANT_RE = re.compile(r"\{\d+(,\d*)?\}")
+
+
+def re2_pattern_to_java(pat: str) -> str:
+    """An RE2 pattern (DuckDB's regex dialect) → the java.util.regex
+    pattern with the same meaning.  Every translation was probed on
+    both engines (r13):
+
+    * ``(?d)`` is prepended — Java's UNIX_LINES flag shrinks its
+      line-terminator set to ``\\n``, matching RE2's, so ``.``
+      excludes exactly ``\\n`` and ``(?m)`` anchors see the same
+      lines.
+    * ``[:name:]`` POSIX classes (valid only inside ``[...]`` in RE2;
+      Java parses them as a nested class of the NAME'S CHARACTERS —
+      silently wrong) → ``\\p{Name}`` / ``\\P{Name}`` equivalents.
+    * literal ``[`` and ``&`` inside a class are escaped (Java nests
+      classes / intersects on ``&&`` where RE2 reads literals).
+    * unescaped ``$`` outside a class → ``\\z`` (RE2's ``$`` is END
+      OF TEXT; Java's matches before a trailing newline too) — unless
+      an inline ``(?m)`` makes the pattern line-anchored.
+    * ``\\NNN`` octal escapes → ``\\0NNN`` (Java reads ``\\1`` as a
+      backreference; RE2 has none).  ``\\8``/``\\9`` are invalid RE2
+      — DuckDB errors — and refuse loudly here too.
+    * ``(?P<name>…)`` (RE2's only named-group spelling) →
+      ``(?<name>…)``.
+    * ``{`` that does not open a valid repetition (``{,3}``, ``a{``)
+      is LITERAL in RE2 where Java raises — escaped to ``\\{``.
+    * an inline ``U`` flag refuses loudly: RE2's ``U`` swaps greedy
+      and lazy quantifiers, Java's switches Unicode character
+      classes — both valid, silently different.
+    * ``\\Q…\\E`` quoted sections copy verbatim (same on both).
+
+    Documented blind edges: ``\\p{Script}`` names beyond Java's table
+    (Java spells scripts ``\\p{IsGreek}``), and Java-only escapes RE2
+    rejects (``\\Z``) pass through (DuckDB would have errored — the
+    engine is more permissive, never silently different)."""
+    out: list[str] = ["(?d)"]
+    i, n = 0, len(pat)
+    in_class = False
+    multiline = _RE2_MULTILINE_RE.search(pat) is not None
+    while i < n:
+        ch = pat[i]
+        if ch == "\\":
+            nxt = pat[i + 1] if i + 1 < n else ""
+            if nxt == "Q":
+                end = pat.find(r"\E", i + 2)
+                if end == -1:
+                    out.append(pat[i:])
+                    i = n
+                else:
+                    out.append(pat[i : end + 2])
+                    i = end + 2
+                continue
+            if nxt.isdigit():
+                if nxt in "89":
+                    raise DialectError(
+                        f"regex pattern {pat!r}: '\\{nxt}' is not a"
+                        " valid RE2 escape (DuckDB rejects it; Java"
+                        " would read a backreference — silently"
+                        " different)"
+                    )
+                j = i + 1
+                while j < n and j - i <= 3 and pat[j] in "01234567":
+                    j += 1
+                out.append("\\0" + pat[i + 1 : j])
+                i = j
+                continue
+            out.append(pat[i : i + 2] if nxt else "\\")
+            i += 2 if nxt else 1
+            continue
+        if in_class:
+            if ch == "[" and pat[i : i + 2] == "[:":
+                close = pat.find(":]", i + 2)
+                if close == -1:
+                    raise DialectError(
+                        f"regex pattern {pat!r}: unterminated POSIX"
+                        " class (DuckDB rejects it)"
+                    )
+                name = pat[i + 2 : close]
+                neg = name.startswith("^")
+                table = _POSIX_NEGATED if neg else _POSIX_CLASSES
+                repl = table.get((name[1:] if neg else name).lower())
+                if repl is None:
+                    raise DialectError(
+                        f"regex pattern {pat!r}: unknown POSIX class"
+                        f" [:{name}:] (DuckDB rejects it)"
+                    )
+                out.append(repl)
+                i = close + 2
+            elif ch == "[":
+                out.append(r"\[")  # literal in RE2, nests in Java
+                i += 1
+            elif ch == "&":
+                out.append(r"\&")  # literal in RE2, && intersects
+                i += 1
+            else:
+                if ch == "]":
+                    in_class = False
+                out.append(ch)
+                i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append("[")
+            i += 1
+            if i < n and pat[i] == "^":
+                out.append("^")
+                i += 1
+            continue
+        if ch == "$" and not multiline:
+            out.append(r"\z")
+            i += 1
+            continue
+        if ch == "{":
+            m = _JAVA_QUANT_RE.match(pat, i)
+            if m is not None:
+                out.append(m.group(0))
+                i = m.end()
+            else:
+                out.append(r"\{")
+                i += 1
+            continue
+        if ch == "(" and pat[i : i + 4] == "(?P<":
+            out.append("(?<")
+            i += 4
+            continue
+        if ch == "(" and pat[i : i + 2] == "(?":
+            m = _INLINE_FLAGS_RE.match(pat, i)
+            if m is not None:
+                if "U" in m.group(1):
+                    raise DialectError(
+                        f"regex pattern {pat!r}: the (?U) flag is RE2"
+                        " ungreedy-swap but Java Unicode classes —"
+                        " rewrite the pattern with explicit lazy"
+                        " quantifiers"
+                    )
+                out.append(m.group(0))
+                i = m.end()
+            else:
+                out.append("(?")
+                i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _fold_regexp_options(
+    pat_content: str, opts: str, *, replace: bool = False
+) -> tuple[str, bool]:
+    """DuckDB's regexp OPTIONS argument → the same semantics folded
+    into the (Java-translated) pattern as inline flags.  Probed r13:
+    ``i``/``c`` toggle case sensitivity (last wins), ``s`` makes
+    ``.`` match newline (RE2 non-newline-sensitive), ``m``/``n``/
+    ``p`` are the DEFAULT newline-sensitive mode (no-ops — they do
+    NOT make ``^``/``$`` line anchors in DuckDB), ``l`` matches the
+    pattern as a literal string, ``g`` replaces globally (valid for
+    regexp_replace only).  Returns (pattern_content, global)."""
+    case_insensitive = dotall = literal = glob = False
+    for ch in opts:
+        if ch == "i":
+            case_insensitive = True
+        elif ch == "c":
+            case_insensitive = False
+        elif ch == "s":
+            dotall = True
+        elif ch in "mnp":
+            dotall = False
+        elif ch == "l":
+            literal = True
+        elif ch == "g":
+            if not replace:
+                raise DialectError(
+                    "the 'g' regexp option is only valid for"
+                    " regexp_replace (DuckDB rejects it elsewhere)"
+                )
+            glob = True
+        elif ch == " ":
+            continue
+        else:
+            raise DialectError(
+                f"unknown regexp option {ch!r} (DuckDB accepts"
+                " c/i/l/m/n/p/s and g for regexp_replace)"
+            )
+    if literal:
+        if r"\E" in pat_content:
+            raise DialectError(
+                "the 'l' (literal) regexp option with a pattern"
+                r" containing \E cannot be bridged (Java's \Q..\E"
+                " quoting ends there): escape the metacharacters"
+                " explicitly"
+            )
+        folded = "\\Q" + pat_content + "\\E"
+    else:
+        folded = re2_pattern_to_java(pat_content)
+    if dotall:
+        folded = "(?s)" + folded
+    if case_insensitive:
+        folded = "(?i)" + folded
+    return folded, glob
+
+
 def _re2_rewrite_to_java(content: str) -> str:
     """DuckDB (RE2) replacement-string syntax → Java replaceAll
     syntax: ``\\N`` group references become ``$N``, ``\\\\`` keeps its
@@ -4015,9 +4459,12 @@ def _first_occurrence_replace(s: str, p: str, r: str) -> str:
         # \x01 makes the template's own (deliberately all-occurrence,
         # anchored) inner call invisible to the regexp_replace scan —
         # without it the rescan would re-wrap the template forever;
-        # bridge_call_semantics strips the sentinel after the pass
+        # bridge_call_semantics strips the sentinel after the pass.
+        # \A..\z anchors, not ^..$: Java's $ also matches before a
+        # trailing newline, so a match ending in \n could re-match a
+        # shorter prefix here (r13 regex-dialect wave)
         f" regexp\x01_replace(regexp_extract(({s}), ({p}), 0),"
-        f" concat('^(?:', ({p}), ')$'), ({r})),"
+        f" concat('\\A(?:', ({p}), ')\\z'), ({r})),"
         f" substring(({s}), regexp_instr(({s}), ({p}))"
         f" + length(regexp_extract(({s}), ({p}), 0)))) END)"
     )
@@ -4028,33 +4475,54 @@ def _fix_regexp_replace(literals: list[str]):
     DuckDB and ALL in Spark → the inlined first-occurrence expression
     (:func:`_first_occurrence_replace`; the ``regexp_replace_first``
     compat function stays registered as the callable spelling).
-    A LITERAL replacement additionally moves from RE2 rewrite syntax
-    (\\1 group refs, $ literal) to Java's ($1 refs, \\$ literal) —
-    for the 4-argument options form too (its 'g' flag still drops in
-    the fallback rewriter: the shape stays a Spark analysis error).
-    A 4-argument call whose last argument is NOT a string literal is
-    left whole (not a DuckDB options shape)."""
+    A LITERAL pattern is RE2→Java translated; a LITERAL replacement
+    moves from RE2 rewrite syntax (\\1 group refs, $ literal) to
+    Java's ($1 refs, \\$ literal).  The 4-argument options form folds
+    its flags into a literal pattern; 'g' selects Spark's native
+    all-occurrence replace (sentineled against this pass's own
+    rescan).  A 4-argument call whose last argument is NOT a string
+    literal is left whole (not a DuckDB options shape)."""
 
     def fix(args: list[str]):
         if len(args) not in (3, 4):
             return None
-        if len(args) == 4 and _literal_of(args[3], literals) is None:
-            return None
+        glob = False
+        pat = args[1]
+        if len(args) == 4:
+            opts_lit = _literal_of(args[3], literals)
+            if opts_lit is None:
+                return None
+            opts = opts_lit[1:-1]
+            plit = _literal_of(args[1], literals)
+            if plit is None:
+                # flag folding needs a literal pattern; a bare 'g'
+                # (with the m/n/p/c no-ops) doesn't touch the pattern
+                if set(opts) - set("gmnpc "):
+                    raise DialectError(
+                        "regexp_replace with a flags option needs a"
+                        " literal pattern to fold the flags into:"
+                        " inline (?i)/(?s) in the pattern expression"
+                        " instead"
+                    )
+                glob = "g" in opts
+            else:
+                folded, glob = _fold_regexp_options(
+                    plit[1:-1], opts, replace=True
+                )
+                pat = _new_lit_mask(literals, folded)
+        else:
+            translated = _pattern_mask(args, literals)
+            if translated is not None:
+                pat = translated
         rep = args[2]
         lit = _literal_of(rep, literals)
         if lit is not None:
             bridged = _re2_rewrite_to_java(lit[1:-1])
             if bridged != lit[1:-1]:
-                literals.append("'" + bridged + "'")
-                rep = f"{_MASK}{len(literals) - 1}{_MASK}"
-        if len(args) == 4:
-            if rep == args[2]:
-                return None
-            return (
-                f"regexp_replace({args[0]}, {args[1]}, {rep},"
-                f" {args[3]})"
-            )
-        return _first_occurrence_replace(args[0], args[1], rep)
+                rep = _new_lit_mask(literals, bridged)
+        if glob:
+            return f"regexp\x01_replace({args[0]}, {pat}, {rep})"
+        return _first_occurrence_replace(args[0], pat, rep)
 
     return fix
 
@@ -4076,11 +4544,30 @@ def bridge_call_semantics(sql: str) -> str:
     masked = _rewrite_calls(
         masked,
         "regexp_extract_all",
-        _fix_extract_default("regexp_extract_all"),
+        _fix_regexp_extract("regexp_extract_all", literals),
     )
     masked = _rewrite_calls(
-        masked, "regexp_extract", _fix_extract_default("regexp_extract")
+        masked,
+        "regexp_extract",
+        _fix_regexp_extract("regexp_extract", literals),
     )
+    masked = _rewrite_calls(
+        masked,
+        "regexp_matches",
+        _fix_regexp_matches("regexp_matches", literals),
+    )
+    masked = _rewrite_calls(
+        masked,
+        "regexp_full_match",
+        _fix_regexp_matches("regexp_full_match", literals),
+    )
+    masked = _rewrite_calls(
+        masked, "str_split_regex", _fix_split_regex(literals)
+    )
+    masked = _rewrite_calls(
+        masked, "regexp_split_to_array", _fix_split_regex(literals)
+    )
+    masked = _bridge_match_regex_ops(masked, literals)
     masked = _rewrite_calls(masked, "log", _fix_log10)
     masked = _rewrite_calls(masked, "skewness", _fix_skewness)
     masked = _rewrite_calls(masked, "kurtosis", _fix_kurtosis)

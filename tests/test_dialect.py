@@ -1142,14 +1142,25 @@ def test_bridge_call_semantics_calls():
     assert b("SELECT trim(trim(a, b), c)") == (
         "SELECT trim(BOTH c FROM trim(BOTH b FROM a))"
     )
+    # the pattern literal additionally carries the RE2→Java
+    # translation ((?d) = UNIX_LINES: Java's line-terminator set
+    # shrinks to \n, matching RE2's — r13 regex-dialect wave)
     assert b("SELECT regexp_extract(s, 'p') FROM t") == (
-        "SELECT regexp_extract(s, 'p', 0) FROM t"
+        "SELECT regexp_extract(s, '(?d)p', 0) FROM t"
     )
     assert b("SELECT regexp_extract(s, 'p', 1)") == (
-        "SELECT regexp_extract(s, 'p', 1)"
+        "SELECT regexp_extract(s, '(?d)p', 1)"
     )
     assert b("SELECT regexp_extract_all(s, 'p')") == (
-        "SELECT regexp_extract_all(s, 'p', 0)"
+        "SELECT regexp_extract_all(s, '(?d)p', 0)"
+    )
+    # a non-literal pattern cannot be translated: the 2-arg group
+    # default still applies, the 3-arg form passes through
+    assert b("SELECT regexp_extract(s, p) FROM t") == (
+        "SELECT regexp_extract(s, p, 0) FROM t"
+    )
+    assert b("SELECT regexp_extract(s, p, 1)") == (
+        "SELECT regexp_extract(s, p, 1)"
     )
     assert b("SELECT log(x)") == "SELECT log10(x)"
     assert b("SELECT log(2, x)") == "SELECT log(2, x)"
@@ -1162,11 +1173,17 @@ def test_bridge_regexp_replace():
     # 3-arg = first occurrence, inlined as the foldable expression
     # (a SQL UDF call cannot live in inline VALUES tables — r13)
     out = b("SELECT regexp_replace(s, 'p', 'r') FROM t")
-    assert "regexp_instr((s), ('p'))" in out and "\x01" not in out
+    assert "regexp_instr((s), ('(?d)p'))" in out and "\x01" not in out
     # RE2 rewrite syntax -> Java in the replacement literal
     assert "'<$1>'" in b(r"SELECT regexp_replace(s, '(a)', '<\1>')")
+    # 'g' now folds to Spark's native all-occurrence replace at the
+    # pre-parse boundary (r13 regex wave) — no fallback needed
     assert b(r"SELECT regexp_replace(s, '(a)', '<\1>', 'g')") == (
-        "SELECT regexp_replace(s, '(a)', '<$1>', 'g')"
+        "SELECT regexp_replace(s, '(?d)(a)', '<$1>')"
+    )
+    # an 'i' flag folds into the pattern as (?i)
+    assert b("SELECT regexp_replace(s, 'p', 'r', 'gi')") == (
+        "SELECT regexp_replace(s, '(?i)(?d)p', 'r')"
     )
     assert r"'100\$'" in b("SELECT regexp_replace(s, 'p', '100$')")
     # Spark's position form (non-literal 4th arg) is left whole
@@ -1174,7 +1191,7 @@ def test_bridge_regexp_replace():
         "SELECT regexp_replace(s, 'p', 'r', 2)"
     )
     # non-literal replacement still gets first-occurrence semantics
-    assert "regexp_instr((s), ('p'))" in b(
+    assert "regexp_instr((s), ('(?d)p'))" in b(
         "SELECT regexp_replace(s, 'p', other)"
     )
     # nested: each call bridged exactly once (no double transform)
@@ -1195,7 +1212,7 @@ def test_prepare_query_text_composition():
     # literal pass doubles any backslash it emitted
     assert "'\\\\$x'" in p("SELECT regexp_replace(s, 'p', '$x')")
     assert p(r"SELECT regexp_extract(s, '\d+')") == (
-        r"SELECT regexp_extract(s, '\\d+', 0)"
+        r"SELECT regexp_extract(s, '(?d)\\d+', 0)"
     )
 
 
@@ -1292,3 +1309,91 @@ def test_list_aggregate_bridge():
     assert "aggregate(arr, ''" in rewrite(hof)
     with pytest.raises(DialectError, match="list_aggregate"):
         rewrite("SELECT list_aggregate(arr, 'median') // 1 FROM t")
+
+
+def test_re2_pattern_to_java():
+    from scratchdata_spark.dialect import re2_pattern_to_java as t
+
+    # (?d) = UNIX_LINES is always prepended: Java's line-terminator
+    # set shrinks to \n, matching RE2's
+    assert t("abc") == "(?d)abc"
+    assert t("[[:digit:]]+") == "(?d)[\\p{Digit}]+"
+    assert t("[^[:digit:]]") == "(?d)[^\\p{Digit}]"
+    assert t("[[:^digit:]]") == "(?d)[\\P{Digit}]"
+    assert t("[[:word:]][[:^word:]]") == "(?d)[\\w][\\W]"
+    # $ = end of text in RE2 (Java's also matches before a trailing
+    # newline) — except under an inline multiline flag
+    assert t("abc$") == "(?d)abc\\z"
+    assert t(r"a\$") == "(?d)a\\$"
+    assert t("(?m)^b$") == "(?d)(?m)^b$"
+    assert t("[$]") == "(?d)[$]"
+    # octal escapes (Java would read a backreference)
+    assert t(r"\101") == "(?d)\\0101"
+    assert t(r"\11x") == "(?d)\\011x"
+    # invalid-quantifier braces are literal in RE2
+    assert t("a{,3}") == "(?d)a\\{,3}"
+    assert t("a{2,3}b{") == "(?d)a{2,3}b\\{"
+    # named groups, literal class brackets/ampersands, \Q..\E
+    assert t("(?P<d>[0-9])") == "(?d)(?<d>[0-9])"
+    assert t("[a[b]") == "(?d)[a\\[b]"
+    assert t("[a&&b]") == "(?d)[a\\&\\&b]"
+    assert t(r"\Qa.{b\E$") == "(?d)\\Qa.{b\\E\\z"
+    # loud refusals mirror DuckDB's own errors (or name the silent
+    # Java divergence)
+    for bad in (r"\8", "(?U)a", "[[:foo:]]", "[[:digit"):
+        with pytest.raises(DialectError):
+            t(bad)
+
+
+def test_fold_regexp_options():
+    from scratchdata_spark.dialect import _fold_regexp_options as f
+
+    assert f("abc", "i") == ("(?i)(?d)abc", False)
+    # i/c toggle case sensitivity LAST-WINS (probed: 'ic' is
+    # sensitive, 'ci' insensitive)
+    assert f("abc", "ic") == ("(?d)abc", False)
+    assert f("abc", "ci") == ("(?i)(?d)abc", False)
+    assert f("a.b", "s") == ("(?s)(?d)a.b", False)
+    assert f("a.b", "m") == ("(?d)a.b", False)  # the default mode
+    assert f("a.b", "l") == ("\\Qa.b\\E", False)
+    assert f("a.b", "li") == ("(?i)\\Qa.b\\E", False)
+    assert f("p", "g", replace=True) == ("(?d)p", True)
+    with pytest.raises(DialectError, match="'g'"):
+        f("p", "g")  # g outside regexp_replace
+    with pytest.raises(DialectError, match="option"):
+        f("p", "z")
+
+
+def test_regexp_pattern_bridge_shapes():
+    from scratchdata_spark.dialect import bridge_call_semantics as b
+
+    # options folding removes the argument pre-parse
+    assert b("SELECT regexp_matches(s, 'a', 'i')") == (
+        "SELECT regexp_matches(s, '(?i)(?d)a')"
+    )
+    assert b("SELECT regexp_extract(s, 'a', 1, 'i')") == (
+        "SELECT regexp_extract(s, '(?i)(?d)a', 1)"
+    )
+    assert b("SELECT str_split_regex(s, 'a')") == (
+        "SELECT split(s, '(?d)a')"
+    )
+    assert b("SELECT regexp_split_to_array(s, 'a', 'i')") == (
+        "SELECT split(s, '(?i)(?d)a')"
+    )
+    # ~ / !~ literal patterns translate and anchor \A..\z pre-parse
+    assert b("SELECT g ~ 'a.' FROM t") == (
+        "SELECT g RLIKE '\\A(?:(?d)a.)\\z' FROM t"
+    )
+    assert b("SELECT g !~ 'a' FROM t") == (
+        "SELECT g NOT RLIKE '\\A(?:(?d)a)\\z' FROM t"
+    )
+    # the LIKE-family operators are untouched here (fallback bridges)
+    assert b("SELECT g ~~ 'a%' FROM t") == "SELECT g ~~ 'a%' FROM t"
+    assert b("SELECT g !~~ 'a%'") == "SELECT g !~~ 'a%'"
+    # non-literal pattern with an options argument refuses loudly
+    with pytest.raises(DialectError, match="literal pattern"):
+        b("SELECT regexp_matches(s, p, 'i')")
+    # named-list extract expands to a struct of group extracts
+    out = b("SELECT regexp_extract(s, '(a)(b)', ['x', 'y'])")
+    assert out.startswith("SELECT named_struct('x', regexp_extract(")
+    assert ", 2))" in out and "\x01" not in out

@@ -668,3 +668,88 @@ CASES_R13C = [
     " date_diff('day', DATE '2024-01-01', DATE '2024-02-01') AS boundary",
 ]
 CASES.extend(CASES_R13C)
+
+# r13 regex-PATTERN dialect wave: DuckDB compiles RE2, Spark compiles
+# java.util.regex — the pattern is DATA, so the divergences were all
+# silent values until the re2_pattern_to_java literal translation.
+# Every case probed DIVERGENT (or loudly broken) before the bridge.
+CASES_R13D = [
+    # POSIX bracket classes — Java reads them as a nested class of
+    # the name's characters (silently wrong values, 12 probed)
+    "SELECT regexp_extract('ab12cd', '[[:digit:]]+') AS x",
+    "SELECT regexp_extract('ab12cd', '[[:alpha:]]+') AS x",
+    "SELECT regexp_extract('a b' || chr(9) || 'c', '[[:space:]]+') AS x",
+    "SELECT regexp_extract('ab12cd', '[[:alnum:]]+') AS x",
+    "SELECT regexp_extract('ab.!?cd', '[[:punct:]]+') AS x",
+    "SELECT regexp_extract('aB12', '[[:upper:]]+') AS u,"
+    " regexp_extract('aB12', '[[:lower:]]+') AS l",
+    "SELECT regexp_extract('ab12zz', '[[:xdigit:]]+') AS x",
+    "SELECT regexp_replace('a1b2', '[[:digit:]]', 'X', 'g') AS x",
+    "SELECT regexp_matches('x9', '[[:digit:]]') AS x",
+    "SELECT regexp_extract('ab12', '[^[:digit:]]+') AS neg,"
+    " regexp_extract('ab12', '[[:^digit:]]+') AS negposix",
+    "SELECT regexp_extract('a_1-b', '[[:alnum:]_]+') AS mixed,"
+    " regexp_extract('a_1-b', '[[:word:]]+') AS word",
+    "SELECT regexp_extract('a' || chr(233), '[[:ascii:]]+') AS x",
+    # $ is END OF TEXT in RE2; Java's also matches before a trailing
+    # newline (three silent probes)
+    "SELECT regexp_matches('abc' || chr(10), 'abc$') AS a,"
+    " regexp_matches('abc' || chr(10), '^abc$') AS b,"
+    " regexp_extract('abc' || chr(10), 'c$') AS c",
+    "SELECT id FROM t WHERE g ~ '.*a$' ORDER BY id",
+    "SELECT regexp_full_match('abc' || chr(10), 'abc.*') AS x",
+    # octal escapes — Java reads \1 as a BACKREFERENCE
+    "SELECT regexp_matches('A', '\\101') AS oct3,"
+    " regexp_matches(chr(9), '\\11') AS oct2",
+    # invalid-quantifier braces are LITERAL in RE2, an error in Java
+    "SELECT regexp_matches('a{,3}', 'a{,3}') AS lit,"
+    " regexp_matches('a{', 'a{') AS open,"
+    " regexp_matches('a{2', 'a{2') AS partial,"
+    " regexp_matches('a}', 'a}') AS close",
+    # RE2's (?P<name>) named groups (Java spells them (?<name>))
+    "SELECT regexp_extract('a1', '(?P<d>[0-9])') AS x",
+    # the named-list form returns a STRUCT keyed in list order (the
+    # whole-struct value prints engine-specifically — Row vs dict —
+    # so the battery pins the FIELD values)
+    "SELECT regexp_extract('a1', '([a-z])([0-9])', ['l', 'd']).l AS l,"
+    " regexp_extract('a1', '([a-z])([0-9])', ['l', 'd']).d AS d",
+    # OPTIONS arguments fold into the pattern (probed: i/c toggle
+    # case, s = dot-matches-newline, m/n/p = the default, l literal)
+    "SELECT regexp_matches('ABC', 'abc', 'i') AS x",
+    "SELECT regexp_extract('ABC12', '([a-z]+)', 1, 'i') AS x",
+    "SELECT regexp_extract_all('ABcd', '[a-z]+', 0, 'i') AS x",
+    "SELECT regexp_replace('ABC', 'b', 'X', 'i') AS one,"
+    " regexp_replace('ABAB', 'b', 'X', 'gi') AS all_ci",
+    "SELECT regexp_matches('a' || chr(10) || 'b', 'a.b', 's') AS dotnl,"
+    " regexp_matches('a' || chr(10) || 'b', 'a.b', 'm') AS nlsens",
+    "SELECT regexp_matches('a.b', 'a.b', 'l') AS lit_hit,"
+    " regexp_matches('axb', 'a.b', 'l') AS lit_miss",
+    "SELECT str_split_regex('aXbxc', 'x', 'i') AS x",
+    # inline flags agree on both engines once (?d) normalizes the
+    # line-terminator set
+    "SELECT regexp_matches('a' || chr(10) || 'b', '(?m)^b$') AS m,"
+    " regexp_matches('a' || chr(10) || 'b', '(?s)a.b') AS s,"
+    " regexp_matches('ABC', '(?i)abc') AS i",
+    "SELECT regexp_extract('a' || chr(10) || 'b2', '(?m)^b.$') AS x",
+    # empty-pattern split: Java also takes the zero-width match at
+    # the very end (trailing '' — silently different shape)
+    "SELECT str_split_regex('abc', '') AS chars,"
+    " str_split_regex('', '') AS empty,"
+    " regexp_split_to_array('ab', '') AS viaalias",
+    # trailing-empty parity for real matches (both engines keep it)
+    "SELECT str_split_regex('ab1', '[0-9]') AS trail,"
+    " str_split_regex('aa', 'a') AS allsplit",
+    # \Q..\E quoting and class-literal corners ([ and & are literal
+    # inside an RE2 class; Java nests/intersects)
+    "SELECT regexp_matches('a.b', '\\Qa.b\\E') AS q,"
+    " regexp_matches('a[b', '[x[]+b') AS clsbracket,"
+    " regexp_matches('a&b', 'a[&]b') AS clsamp",
+    # word boundary / \A anchor / unicode class agree natively
+    "SELECT regexp_extract('foo bar', '\\bbar\\b') AS b,"
+    " regexp_matches('abc', '\\Aabc') AS a,"
+    " regexp_matches('a', '\\pL') AS pl",
+    # full-match operator with a translated pattern
+    "SELECT id FROM t WHERE g ~ '[[:lower:]]+' ORDER BY id",
+    "SELECT id FROM t WHERE g !~ '[[:lower:]]+a' ORDER BY id",
+]
+CASES.extend(CASES_R13D)

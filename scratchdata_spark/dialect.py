@@ -114,6 +114,27 @@ accepts the text):
   outside the matched text (``\\B`` at a match edge) evaluates
   against the extracted substring.
 
+Also bridged at the r13 pre-parse boundary (both-valid-different-
+meaning scalar shapes, each probed):
+
+* ``concat(...)`` — DuckDB casts every argument to VARCHAR and
+  SKIPS NULLs (``concat('a', NULL, 'b')`` = ``'ab'``) where Spark
+  propagates NULL — each argument coalesces its string cast.
+* ``left``/``right`` with a NEGATIVE count — DuckDB drops |n|
+  characters from the other end where Spark returns ``''``.
+* 2/3-argument ``substring``/``substr`` — DuckDB's window model
+  ([start, start+len) with 1-based positions, start <= 0 shrinking
+  the window, negative start counting from the end, negative length
+  selecting backward) where Spark clamps differently on every
+  corner; provably in-range literals pass through untouched.  The
+  keyword form (``substring(s FROM a FOR b)``) keeps Spark's
+  meaning — documented blind edge.
+* ``list_slice``/``array_slice`` — 1-based BOTH-INCLUSIVE with
+  negative-from-the-end indexes and out-of-range clamping, spelled
+  as Spark's ``slice``; the STEP form refuses loudly, and a STRING
+  first argument (DuckDB slices strings too) fails loudly on the
+  array-typed ``slice``.
+
 Third (r13, same boundary): the regex PATTERN dialect.  DuckDB
 compiles patterns with RE2 and Spark with java.util.regex — the
 pattern is DATA (a literal argument), so every divergence was a
@@ -185,6 +206,9 @@ remaining (type-width / printed-type / locale-table) list:
 * Division/modulo by zero (r13 probe): NULL in DuckDB, a loud ANSI
   DIVIDE_BY_ZERO error in Spark (the error names try_divide) —
   error-vs-NULL, never a silent wrong value.
+* ``cbrt(27)`` (r13 probe): 3.0000000000000004 in DuckDB, exactly
+  3.0 in Spark — last-ulp float noise in DuckDB's implementation;
+  not reproducible (and not worth reproducing) in-plan.
 * ``upper``/``lower`` Unicode special-casing (r12 probe): DuckDB's
   ICU casing maps ß → ẞ (capital sharp s) where the JVM's maps it to
   SS — locale-table differences on a handful of special-cased code
@@ -371,6 +395,9 @@ def _rewrite_code(code: str) -> str:
     # array_to_string == array_join exactly (both skip NULL elements,
     # probed r11); str_split_regex is Spark's regex split
     code = re.sub(r"\barray_to_string\s*\(", "array_join(", code, flags=re.I)
+    # strpos == instr exactly (1-based, 0 when absent, 1 for the
+    # empty needle — probed r13)
+    code = re.sub(r"\bstrpos\s*\(", "instr(", code, flags=re.I)
     code = re.sub(r"\bstr_split_regex\s*\(", "split(", code, flags=re.I)
     # regexp_split_to_array is the Postgres-style synonym of
     # str_split_regex; string_to_array splits on a LITERAL separator
@@ -2979,7 +3006,8 @@ def _guard_unbridged(masked: str) -> None:
     if re.search(r"\[[^\[\]:]*(?<!:):(?!:)[^\[\]]*\]", masked):
         raise DialectError(
             "slice subscripts (x[a:b]) are not bridged: use"
-            " slice(arr, start, length) for lists or"
+            " list_slice(l, begin, end) for lists (bridged r13, same"
+            " 1-based inclusive semantics as the bracket form) or"
             " substr(s, start, length) for strings — the bracket form"
             " is type-dependent in DuckDB and has no Spark equivalent."
         )
@@ -4052,6 +4080,135 @@ def _fix_split_regex(literals: list[str]):
     return fix
 
 
+def _int_literal_of(arg: str) -> int | None:
+    """The argument's integer value when it is a bare (optionally
+    signed) integer token in masked text, else None."""
+    m = re.match(r"^-?\d+$", arg.strip())
+    return int(m.group(0)) if m else None
+
+
+def _fix_concat(literals: list[str]):
+    """DuckDB's concat() casts every argument to VARCHAR and SKIPS
+    NULLs (concat('a', NULL, 'b') = 'ab', concat(NULL) = '') where
+    Spark's propagates NULL — a silent wrong value (r13 probe).
+    Bridged by coalescing each argument's string cast."""
+
+    def fix(args: list[str]):
+        if not args:
+            return None
+        parts = ", ".join(
+            f"coalesce(CAST(({a}) AS STRING), '')" for a in args
+        )
+        return f"concat({parts})"
+
+    return fix
+
+
+def _fix_left_right(name: str):
+    """DuckDB's left/right with a NEGATIVE count drops |n| characters
+    from the other end (left('abcdef', -2) = 'abcd') where Spark
+    returns '' — a silent wrong value (r13 probe).  A provably
+    non-negative literal count passes through untouched."""
+
+    def fix(args: list[str]):
+        if len(args) != 2:
+            return None
+        n = _int_literal_of(args[1])
+        if n is not None and n >= 0:
+            return None
+        s, cnt = args[0], args[1]
+        return (
+            f"{name}(({s}), (CASE WHEN ({cnt}) < 0 THEN"
+            f" greatest(length(({s})) + ({cnt}), 0)"
+            f" ELSE ({cnt}) END))"
+        )
+
+    return fix
+
+
+def _fix_substring(name: str):
+    """DuckDB's 3-argument substring follows the window model
+    [start, start+len) with 1-based positions, a start of 0 or less
+    shrinking the window (substring('abcdef', 0, 3) = 'ab'), a
+    NEGATIVE start counting from the end (-1 = the last character),
+    and a NEGATIVE length selecting BACKWARD from start — where
+    Spark's start 0 means 1 and negative start means
+    from-the-end-with-full-length (probed r13: 'abc' vs 'ab', 'f' vs
+    'cdef'…).  Provably start >= 1 and len >= 0 literals pass
+    through (the semantics agree there).  The keyword form
+    (substring(s FROM a FOR b)) arrives as one argument and keeps
+    Spark's meaning — a documented blind edge."""
+
+    def fix(args: list[str]):
+        if len(args) != 3:
+            if len(args) == 2:
+                st = _int_literal_of(args[1])
+                if st is not None and st >= 1:
+                    return None
+                s, start = args[0], args[1]
+                # 2-arg: negative start counts from the end, 0 -> 1
+                return (
+                    f"{name}(({s}), (CASE WHEN ({start}) < 0 THEN"
+                    f" greatest(length(({s})) + ({start}) + 1, 1)"
+                    f" ELSE greatest(({start}), 1) END))"
+                )
+            return None
+        st, ln = _int_literal_of(args[1]), _int_literal_of(args[2])
+        if st is not None and ln is not None and st >= 1 and ln >= 0:
+            return None
+        s, start, length = args[0], args[1], args[2]
+        # normalized start (negative -> from end), then the window
+        # [least(st', st'+len), greatest(st', st'+len)) clipped to
+        # positions >= 1
+        stn = (
+            f"(CASE WHEN ({start}) < 0 THEN"
+            f" length(({s})) + ({start}) + 1 ELSE ({start}) END)"
+        )
+        lo = f"least({stn}, {stn} + ({length}))"
+        hi = f"greatest({stn}, {stn} + ({length}))"
+        return (
+            f"{name}(({s}), greatest({lo}, 1),"
+            f" greatest({hi} - greatest({lo}, 1), 0))"
+        )
+
+    return fix
+
+
+def _fix_list_slice(literals: list[str]):
+    """DuckDB's list_slice/array_slice(l, begin, end): 1-based,
+    BOTH-INCLUSIVE, negative indexes count from the end (-1 = last),
+    out-of-range clamps, begin > end → [] — Spark's slice(l, start,
+    length) spelled exactly (r13 probes).  The 4-argument STEP form
+    refuses loudly.  A STRING first argument (DuckDB slices strings
+    too) fails loudly on Spark's array-typed slice — use substring/
+    left/right for strings."""
+
+    def fix(args: list[str]):
+        if len(args) == 4:
+            raise DialectError(
+                "list_slice with a STEP argument is not bridged:"
+                " filter(l, …) on element positions or transform("
+                "sequence(...), i -> l[i]) express stepped selection"
+            )
+        if len(args) != 3:
+            return None
+        lst, b, e = args[0], args[1], args[2]
+        bn = (
+            f"greatest(CASE WHEN ({b}) < 0 THEN"
+            f" size(({lst})) + ({b}) + 1 ELSE ({b}) END, 1)"
+        )
+        en = (
+            f"least(CASE WHEN ({e}) < 0 THEN"
+            f" size(({lst})) + ({e}) + 1 ELSE ({e}) END,"
+            f" size(({lst})))"
+        )
+        return (
+            f"slice(({lst}), {bn}, greatest({en} - {bn} + 1, 0))"
+        )
+
+    return fix
+
+
 def _bridge_match_regex_ops(masked: str, literals: list[str]) -> str:
     """``expr ~ '<literal>'`` / ``expr !~ '<literal>'`` at the
     PRE-PARSE boundary: DuckDB's ``~`` is a FULL match of an RE2
@@ -4568,6 +4725,19 @@ def bridge_call_semantics(sql: str) -> str:
         masked, "regexp_split_to_array", _fix_split_regex(literals)
     )
     masked = _bridge_match_regex_ops(masked, literals)
+    masked = _rewrite_calls(masked, "concat", _fix_concat(literals))
+    masked = _rewrite_calls(masked, "left", _fix_left_right("left"))
+    masked = _rewrite_calls(masked, "right", _fix_left_right("right"))
+    masked = _rewrite_calls(
+        masked, "substring", _fix_substring("substring")
+    )
+    masked = _rewrite_calls(masked, "substr", _fix_substring("substr"))
+    masked = _rewrite_calls(
+        masked, "list_slice", _fix_list_slice(literals)
+    )
+    masked = _rewrite_calls(
+        masked, "array_slice", _fix_list_slice(literals)
+    )
     masked = _rewrite_calls(masked, "log", _fix_log10)
     masked = _rewrite_calls(masked, "skewness", _fix_skewness)
     masked = _rewrite_calls(masked, "kurtosis", _fix_kurtosis)

@@ -1397,3 +1397,32 @@ def test_regexp_pattern_bridge_shapes():
     out = b("SELECT regexp_extract(s, '(a)(b)', ['x', 'y'])")
     assert out.startswith("SELECT named_struct('x', regexp_extract(")
     assert ", 2))" in out and "\x01" not in out
+
+
+def test_scalar_shape_bridges():
+    from scratchdata_spark.dialect import bridge_call_semantics as b
+
+    # concat: every argument coalesces its string cast (NULL-skip)
+    assert b("SELECT concat(a, b)") == (
+        "SELECT concat(coalesce(CAST((a) AS STRING), ''),"
+        " coalesce(CAST((b) AS STRING), ''))"
+    )
+    # left/right: provably non-negative literal counts pass through
+    assert b("SELECT left(s, 2)") == "SELECT left(s, 2)"
+    assert b("SELECT right(s, 0)") == "SELECT right(s, 0)"
+    assert "greatest(length((s)) + (-2), 0)" in b("SELECT left(s, -2)")
+    assert "greatest(length((s)) + (n), 0)" in b("SELECT right(s, n)")
+    # substring: provably in-range literals pass through
+    assert b("SELECT substring(s, 1, 3)") == "SELECT substring(s, 1, 3)"
+    assert b("SELECT substr(s, 2)") == "SELECT substr(s, 2)"
+    assert "least(" in b("SELECT substring(s, 0, 3)")
+    assert "greatest(" in b("SELECT substring(s, i, 3)")
+    # the keyword form is untouched (one argument after the split)
+    assert b("SELECT substring(s FROM 2 FOR 3)") == (
+        "SELECT substring(s FROM 2 FOR 3)"
+    )
+    # list_slice spells Spark's slice; the STEP form refuses
+    out = b("SELECT list_slice(l, 2, 3)")
+    assert out.startswith("SELECT slice((l), ")
+    with pytest.raises(DialectError, match="STEP"):
+        b("SELECT list_slice(l, 1, 5, 2)")

@@ -753,3 +753,51 @@ CASES_R13D = [
     "SELECT id FROM t WHERE g !~ '[[:lower:]]+a' ORDER BY id",
 ]
 CASES.extend(CASES_R13D)
+
+# r13 scalar-shape wave: both-valid-different-meaning function corners
+# (concat NULL-skipping, left/right negative counts, the substring
+# window model, list_slice inclusive slicing, strpos) — every case
+# either probed DIVERGENT or loudly unresolved before the bridges.
+CASES_R13E = [
+    # concat casts-and-skips-NULLs in DuckDB; Spark propagated NULL
+    "SELECT concat('a', NULL, 'b') AS x, concat(NULL, NULL) AS y",
+    "SELECT concat('a', 1, 2.5) AS x",
+    "SELECT concat(DATE '2024-01-02', ' x') AS x",
+    "SELECT concat(g, NULL, id) AS x FROM t ORDER BY id",
+    "SELECT concat(NULL) AS x",
+    # left/right negative counts drop from the other end
+    "SELECT left('abcdef', -2) AS l, right('abcdef', -2) AS r",
+    "SELECT left('abc', -5) AS l, right('abc', -5) AS r",
+    "SELECT left('abcdef', 2) AS l, right('abcdef', 0) AS r",
+    "SELECT left(g, -1) AS l FROM t ORDER BY id",
+    # substring window model: start 0 shrinks, negative start counts
+    # from the end, negative length selects backward
+    "SELECT substring('abcdef', 0, 3) AS zero,"
+    " substring('abcdef', 1, 3) AS one,"
+    " substring('abcdef', -1, 3) AS negone,"
+    " substring('abcdef', -2, 3) AS negtwo",
+    "SELECT substring('abcdef', -10, 3) AS far,"
+    " substring('abcdef', -7, 3) AS edge,"
+    " substring('abcdef', 2, 0) AS zlen,"
+    " substring('abcdef', 3, -1) AS neglen",
+    "SELECT substring('abcdef', -1) AS tail2,"
+    " substring('abcdef', 0) AS whole,"
+    " substring('abcdef', -6) AS all6",
+    "SELECT substr('abcdef', 0, 2) AS s",
+    "SELECT substring(g, id - 2, 3) AS dyn FROM t ORDER BY id",
+    # list_slice / array_slice: 1-based inclusive, negatives from the
+    # end, clamping, begin > end -> []
+    "SELECT list_slice([1,2,3,4], 2, 3) AS mid,"
+    " list_slice([1,2,3,4], 2, -1) AS toend,"
+    " list_slice([1,2,3,4], -3, -2) AS negs",
+    "SELECT list_slice([1,2,3,4], 0, 2) AS clamplo,"
+    " list_slice([1,2,3,4], 3, 2) AS empty,"
+    " list_slice([1,2,3,4], 2, 99) AS clamphi,"
+    " list_slice([1,2,3,4], -99, 2) AS clampneg",
+    "SELECT array_slice([1,2,3,4], 2, 3) AS a",
+    "SELECT list_slice(arr, 1, 2) AS s FROM t ORDER BY id",
+    # strpos == instr
+    "SELECT strpos('hello', 'l') AS hit, strpos('hello', 'z') AS miss,"
+    " strpos('hello', '') AS empty",
+]
+CASES.extend(CASES_R13E)

@@ -398,6 +398,20 @@ def _rewrite_code(code: str) -> str:
     # strpos == instr exactly (1-based, 0 when absent, 1 for the
     # empty needle — probed r13)
     code = re.sub(r"\bstrpos\s*\(", "instr(", code, flags=re.I)
+    # row() builds an unnamed struct; Spark's struct() names the
+    # fields col1… — which is exactly what the positional
+    # struct_extract bridge addresses (r13)
+    code = re.sub(r"\brow\s*\(", "struct(", code, flags=re.I)
+    # group_concat == string_agg in DuckDB (the default-separator fix
+    # happened at the pre-parse boundary)
+    code = re.sub(r"\bgroup_concat\s*\(", "string_agg(", code, flags=re.I)
+    # long spellings of the gcd/lcm compat functions
+    code = re.sub(
+        r"\bgreatest_common_divisor\s*\(", "gcd(", code, flags=re.I
+    )
+    code = re.sub(
+        r"\bleast_common_multiple\s*\(", "lcm(", code, flags=re.I
+    )
     code = re.sub(r"\bstr_split_regex\s*\(", "split(", code, flags=re.I)
     # regexp_split_to_array is the Postgres-style synonym of
     # str_split_regex; string_to_array splits on a LITERAL separator
@@ -988,6 +1002,40 @@ _WRAPPED_CALLS = [
         " ELSE CAST(raise_error(concat('json_keys: malformed JSON: ',"
         " ({X}))) AS ARRAY<STRING>) END)",
     ),
+    # map_extract returns a LIST — [value] on a hit, [] on a miss or
+    # NULL key (probed r13); map_filter + <=> reproduces all three
+    ("map_extract", "map_values(map_filter(({X}), (_mk, _mv) -> _mk <=> ({Y})))"),
+    # histogram: value → count map, NULLs dropped, keys ascending
+    # (probed r13).  array_agg drops NULLs like DuckDB's histogram;
+    # the duplicated aggregate folds to one in Catalyst.
+    (
+        "histogram",
+        "map_from_entries((CASE WHEN count(({X})) = 0 THEN NULL"
+        " ELSE transform("
+        "array_sort(array_distinct(array_agg({X}))),"
+        " _hv -> struct(_hv AS key,"
+        " size(filter(array_agg({X}), _he -> _he <=> _hv)) AS value))"
+        " END))",
+    ),
+    # product: NULLs skipped, empty / all-NULL group → NULL, DOUBLE
+    # result (probed r13)
+    (
+        "product",
+        "(CASE WHEN count(({X})) = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE aggregate(array_agg({X}), CAST(1.0 AS DOUBLE),"
+        " (_pa, _px) -> _pa * _px) END)",
+    ),
+    # entropy: Shannon entropy in BITS (log2) over the value
+    # distribution, NULLs dropped, empty group → 0.0 (probed r13)
+    (
+        "entropy",
+        "(CASE WHEN count(({X})) = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE aggregate(transform(array_distinct(array_agg({X})),"
+        " _ev -> size(filter(array_agg({X}), _ee -> _ee <=> _ev))),"
+        " CAST(0.0 AS DOUBLE), (_ea, _ec) -> _ea"
+        " - (_ec / CAST(count(({X})) AS DOUBLE))"
+        " * log2(_ec / CAST(count(({X})) AS DOUBLE))) END)",
+    ),
 ]
 
 
@@ -1317,6 +1365,60 @@ def _rewrite_wrapped_calls(masked: str) -> str:
             masked = masked[: m.start()] + repl + masked[close:]
             pos = m.start()  # rescan: the argument may hold another call
     return masked
+
+
+_NULLS_MOD_RE = re.compile(r"\s+(IGNORE|RESPECT)\s+NULLS\s*$", re.I)
+_NULLS_MOD_FNS = ("first_value", "last_value", "nth_value", "lag", "lead")
+
+
+def _rewrite_ignore_nulls(masked: str) -> str:
+    """DuckDB spells the null-skipping modifier INSIDE the window
+    call (``last_value(v IGNORE NULLS) OVER …``) where Spark requires
+    it between the call and OVER (``last_value(v) IGNORE NULLS OVER
+    …``) — a parse error until r13, now moved out mechanically."""
+    for fname in _NULLS_MOD_FNS:
+
+        def fix(args: list[str], _fname=fname):
+            if not args:
+                return None
+            m = _NULLS_MOD_RE.search(args[-1])
+            if m is None:
+                return None
+            last = args[-1][: m.start()]
+            inner = ", ".join([*args[:-1], last.strip()])
+            return f"{_fname}({inner}) {m.group(1).upper()} NULLS"
+
+        masked = _rewrite_calls(masked, fname, fix)
+    return masked
+
+
+def _rewrite_struct_extract(masked: str, literals: list[str]) -> str:
+    """``struct_extract(s, 'name')`` → ``(s).name`` and the
+    positional ``struct_extract(s, n)`` → ``(s).coln`` (exact for
+    row()/struct()-built structs, whose Spark field names are col1…;
+    a NAMED struct has no colN field, so the positional form on one
+    fails loudly rather than silently).  A non-literal key refuses —
+    Spark has no runtime struct subscript."""
+
+    def fix(args: list[str]):
+        if len(args) != 2:
+            return None
+        lit = _literal_of(args[1], literals)
+        if lit is not None:
+            name = lit[1:-1].replace("''", "'")
+            if not re.fullmatch(r"[A-Za-z_]\w*", name):
+                return f"(({args[0]}).`{name}`)"
+            return f"(({args[0]}).{name})"
+        n = _int_literal_of(args[1])
+        if n is not None and n >= 1:
+            return f"(({args[0]}).col{n})"
+        raise DialectError(
+            "struct_extract needs a literal field name or position"
+            " (Spark has no runtime struct subscript): spell the"
+            " field access s.name directly"
+        )
+
+    return _rewrite_calls(masked, "struct_extract", fix)
 
 
 def _rewrite_json_extract(masked: str, literals: list[str]) -> str:
@@ -2050,14 +2152,15 @@ _ORDER_MODS_RE = re.compile(
 
 def _split_d0_commas(text: str) -> list[str]:
     """Split on depth-0 commas (masked text — literal commas hidden).
-    Depth counts ``[`` too: a DuckDB list literal argument
-    (``regexp_extract(s, p, ['a', 'b'])``) is ONE argument (r13 —
-    the paren-only count split it apart)."""
+    Depth counts ``[`` and ``{`` too: a DuckDB list or struct/map
+    literal argument (``regexp_extract(s, p, ['a', 'b'])``,
+    ``struct_extract({'a': 1}, 'a')``) is ONE argument (r13 — the
+    paren-only count split them apart)."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(text):
-        if ch in "([":
+        if ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(text[start:i])
@@ -2810,7 +2913,10 @@ def _rewrite_agg_order_by(masked: str) -> str:
         if fn in _ORDER_INSENSITIVE_AGGS:
             repl = f"{fn}({', '.join(a.strip() for a in args)})"
         elif fn in ("string_agg", "listagg", "group_concat"):
-            sep = f", {args[1]}" if len(args) > 1 else ""
+            # DuckDB's default separator is ',' — Spark's 1-arg
+            # listagg concatenates with NOTHING, a silent wrong
+            # value (r13 probe: 'a,a,b,b' vs 'aabb')
+            sep = f", {args[1]}" if len(args) > 1 else ", ','"
             # Spark's default sort is NULLS FIRST ascending; DuckDB's
             # is NULLS LAST in both directions — make the placement
             # explicit on every key that lacks a NULLS modifier (r12
@@ -3618,6 +3724,27 @@ COMPAT_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION isinf(x DOUBLE)"
     " RETURNS BOOLEAN RETURN x = double('Infinity')"
     " OR x = double('-Infinity')",
+    # isfinite: neither NaN nor infinite; NULL → NULL (r13)
+    "CREATE OR REPLACE TEMPORARY FUNCTION isfinite(x DOUBLE)"
+    " RETURNS BOOLEAN RETURN NOT (isnan(x)"
+    " OR x = double('Infinity') OR x = double('-Infinity'))",
+    # even: round AWAY from zero to the next even number (probed r13:
+    # 2.5 → 4, -2.5 → -4, 2 → 2, 3 → 4, -0.5 → -2)
+    "CREATE OR REPLACE TEMPORARY FUNCTION even(x DOUBLE)"
+    " RETURNS DOUBLE RETURN CASE"
+    " WHEN x >= 0 THEN 2.0D * ceil(x / 2.0D)"
+    " ELSE 2.0D * floor(x / 2.0D) END",
+    # gcd/lcm: Euclid as a bounded fold — 92 steps covers the 64-bit
+    # worst case (consecutive Fibonacci numbers); signs drop like
+    # DuckDB (gcd(-12, 18) = 6, lcm(4, -6) = 12, gcd(0, 0) = 0)
+    "CREATE OR REPLACE TEMPORARY FUNCTION gcd(a BIGINT, b BIGINT)"
+    " RETURNS BIGINT RETURN aggregate(sequence(1, 92),"
+    " named_struct('x', abs(a), 'y', abs(b)),"
+    " (_g, _i) -> CASE WHEN _g.y = 0 THEN _g"
+    " ELSE named_struct('x', _g.y, 'y', _g.x % _g.y) END).x",
+    "CREATE OR REPLACE TEMPORARY FUNCTION lcm(a BIGINT, b BIGINT)"
+    " RETURNS BIGINT RETURN CASE WHEN a = 0 OR b = 0 THEN 0"
+    " ELSE (abs(a) DIV gcd(a, b)) * abs(b) END",
     # DuckDB date_diff counts PART BOUNDARIES CROSSED; truncating
     # both endpoints to the part first makes Spark's complete-interval
     # timestampdiff compute exactly that (the part is always a query
@@ -4209,6 +4336,29 @@ def _fix_list_slice(literals: list[str]):
     return fix
 
 
+def _fix_string_agg_default(name: str):
+    """1-argument string_agg/listagg/group_concat: DuckDB's default
+    separator is ',' where Spark's listagg/string_agg concatenates
+    with NOTHING — a silent wrong value (r13 probe: 'a,a,b,b' vs
+    'aabb').  The separator is made explicit; an in-argument ORDER BY
+    tail keeps its position (that shape fails the stock parse and
+    reaches the fallback's WITHIN-GROUP rewrite as the 2-argument
+    form); DISTINCT prefixes ride along untouched."""
+
+    def fix(args: list[str]):
+        if len(args) != 1:
+            return None
+        arg = args[0]
+        obs = list(_d0_matches(arg, r"\bORDER\s+BY\b"))
+        if obs:
+            head = arg[: obs[0].start()].rstrip()
+            tail = arg[obs[0].start() :]
+            return f"{name}({head}, ',' {tail})"
+        return f"{name}({arg}, ',')"
+
+    return fix
+
+
 def _bridge_match_regex_ops(masked: str, literals: list[str]) -> str:
     """``expr ~ '<literal>'`` / ``expr !~ '<literal>'`` at the
     PRE-PARSE boundary: DuckDB's ``~`` is a FULL match of an RE2
@@ -4738,6 +4888,15 @@ def bridge_call_semantics(sql: str) -> str:
     masked = _rewrite_calls(
         masked, "array_slice", _fix_list_slice(literals)
     )
+    masked = _rewrite_calls(
+        masked, "string_agg", _fix_string_agg_default("string_agg")
+    )
+    masked = _rewrite_calls(
+        masked, "listagg", _fix_string_agg_default("listagg")
+    )
+    masked = _rewrite_calls(
+        masked, "group_concat", _fix_string_agg_default("group_concat")
+    )
     masked = _rewrite_calls(masked, "log", _fix_log10)
     masked = _rewrite_calls(masked, "skewness", _fix_skewness)
     masked = _rewrite_calls(masked, "kurtosis", _fix_kurtosis)
@@ -4827,6 +4986,8 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_list_aggregate(masked, literals)
     masked = _rewrite_date_sub(masked, literals)
     masked = _rewrite_json_keys2(masked, literals)
+    masked = _rewrite_ignore_nulls(masked)
+    masked = _rewrite_struct_extract(masked, literals)
     masked = _rewrite_wrapped_calls(masked)
     masked = _rewrite_json_extract(masked, literals)
     masked = _rewrite_file_scans(masked, literals)

@@ -801,3 +801,65 @@ CASES_R13E = [
     " strpos('hello', '') AS empty",
 ]
 CASES.extend(CASES_R13E)
+
+# r13 aggregate/struct/map wave: default-separator string_agg (a
+# silent value through the fallback's WITHIN-GROUP rewrite AND the
+# stock path), histogram/product/entropy templates, struct_extract /
+# row(), map_extract, IGNORE-NULLS placement, gcd/lcm/even/isfinite
+# compat functions.  MAP-typed whole values print engine-specifically
+# (dict-of-arrays in duckdb's python repr), so map results pin via
+# element access / cardinality.
+CASES_R13F = [
+    # 1-arg string_agg family: DuckDB's default separator is ','
+    "SELECT string_agg(k ORDER BY id) AS s FROM n",
+    "SELECT string_agg(k) AS s FROM (SELECT k FROM n WHERE id = 1) q",
+    "SELECT group_concat(k ORDER BY id) AS s FROM n",
+    "SELECT group_concat(k) AS s FROM (SELECT k FROM n WHERE id <= 1) q",
+    "SELECT listagg(id ORDER BY id) AS s FROM n",
+    # list/array_agg keep NULL elements (ordered forms)
+    "SELECT list(v ORDER BY id) AS l FROM n",
+    "SELECT array_agg(v ORDER BY id) AS l FROM n",
+    "SELECT k, list(v ORDER BY id) AS l FROM n GROUP BY k"
+    " ORDER BY k NULLS FIRST",
+    # histogram: value -> count map, NULLs dropped, keys ascending
+    "SELECT map_keys(histogram(k)) AS ks, map_values(histogram(k)) AS vs"
+    " FROM n",
+    "SELECT map_keys(histogram(v)) AS ks, map_values(histogram(v)) AS vs"
+    " FROM n",
+    "SELECT histogram(v) IS NULL AS empty FROM n WHERE false",
+    # product: NULL-skipping, all-NULL -> NULL
+    "SELECT product(v) AS p FROM n",
+    "SELECT product(v) AS p FROM n WHERE v IS NULL",
+    # entropy: log2-based, NULLs dropped, empty -> 0.0
+    "SELECT entropy(k) AS e FROM n",
+    "SELECT entropy(v) AS e FROM n",
+    "SELECT entropy(v) AS e FROM n WHERE false",
+    # map_extract returns a LIST ([] on miss/NULL key)
+    "SELECT map_extract(MAP {'a': 1}, 'a') AS hit,"
+    " map_extract(MAP {'a': 1}, 'z') AS miss,"
+    " map_extract(MAP {'a': 1}, NULL) AS nullkey",
+    # struct_extract by name and position (row() -> struct())
+    "SELECT struct_extract({'a': 7, 'b': 'x'}, 'b') AS b",
+    "SELECT struct_extract(row(1, 'x'), 1) AS p1,"
+    " struct_extract(row(1, 'x'), 2) AS p2",
+    # IGNORE NULLS moves out of the call parens
+    "SELECT id, last_value(v IGNORE NULLS) OVER (ORDER BY id) AS lv"
+    " FROM n ORDER BY id",
+    "SELECT id, first_value(v IGNORE NULLS) OVER (ORDER BY id) AS fv"
+    " FROM n ORDER BY id",
+    "SELECT id, lag(v IGNORE NULLS) OVER (ORDER BY id) AS l"
+    " FROM n ORDER BY id",
+    # compat scalar functions, value-probed
+    "SELECT even(2.5) AS a, even(-2.5) AS b, even(2.0) AS c,"
+    " even(-0.5) AS d",
+    "SELECT gcd(12, 18) AS a, gcd(-12, 18) AS b, gcd(0, 5) AS c,"
+    " gcd(0, 0) AS d, lcm(4, -6) AS e",
+    "SELECT greatest_common_divisor(12, 18) AS g,"
+    " least_common_multiple(4, 6) AS l",
+    "SELECT isfinite(1.0) AS f, isfinite('inf'::DOUBLE) AS inf,"
+    " isfinite('nan'::DOUBLE) AS nan",
+    # regr family / covar agree natively (pinned)
+    "SELECT covar_samp(id, v) AS cs, covar_pop(id, v) AS cp FROM n",
+    "SELECT regr_slope(v, id) AS s, regr_count(v, id) AS c FROM n",
+]
+CASES.extend(CASES_R13F)

@@ -1367,6 +1367,37 @@ def _rewrite_wrapped_calls(masked: str) -> str:
     return masked
 
 
+def _rewrite_parse_path_args(masked: str, literals: list[str]) -> str:
+    """Normalize the parse_path family's optional arguments onto the
+    full-arity compat functions: parse_path/parse_dirpath/
+    parse_dirname(p[, sep]) and parse_filename(p[, trim_ext][, sep])
+    — a lone 2nd argument that is a string literal is the SEPARATOR
+    (DuckDB's flexible overload, probed r13), anything else is the
+    trim flag."""
+
+    def two_arg(name: str):
+        def fix(args: list[str]):
+            if len(args) == 1:
+                return f"{name}({args[0]}, 'system')"
+            return None
+
+        return fix
+
+    for fname in ("parse_path", "parse_dirpath", "parse_dirname"):
+        masked = _rewrite_calls(masked, fname, two_arg(fname))
+
+    def filename_fix(args: list[str]):
+        if len(args) == 1:
+            return f"parse_filename({args[0]}, false, 'system')"
+        if len(args) == 2:
+            if _literal_of(args[1], literals) is not None:
+                return f"parse_filename({args[0]}, false, {args[1]})"
+            return f"parse_filename({args[0]}, {args[1]}, 'system')"
+        return None
+
+    return _rewrite_calls(masked, "parse_filename", filename_fix)
+
+
 _NULLS_MOD_RE = re.compile(r"\s+(IGNORE|RESPECT)\s+NULLS\s*$", re.I)
 _NULLS_MOD_FNS = ("first_value", "last_value", "nth_value", "lag", "lead")
 
@@ -3745,6 +3776,88 @@ COMPAT_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION lcm(a BIGINT, b BIGINT)"
     " RETURNS BIGINT RETURN CASE WHEN a = 0 OR b = 0 THEN 0"
     " ELSE (abs(a) DIV gcd(a, b)) * abs(b) END",
+    # format_bytes: binary units, ONE decimal TRUNCATED (probed r13:
+    # 2047 → '1.9 KiB', not 2.0), singular '1 byte', PiB is the top
+    # unit (2^60 → '1024.0 PiB'), sign kept
+    "CREATE OR REPLACE TEMPORARY FUNCTION format_bytes(x BIGINT)"
+    " RETURNS STRING RETURN CASE WHEN x IS NULL THEN NULL"
+    " WHEN abs(x) < 1024 THEN concat(CAST(x AS STRING),"
+    " CASE WHEN abs(x) = 1 THEN ' byte' ELSE ' bytes' END)"
+    " ELSE concat(CASE WHEN x < 0 THEN '-' ELSE '' END,"
+    " format_string('%.1f', floor(abs(CAST(x AS DOUBLE))"
+    " / pow(1024.0D, least(CAST(floor(log2(abs(CAST(x AS DOUBLE)))"
+    " / 10) AS INT), 5)) * 10.0D) / 10.0D), ' ',"
+    " element_at(array('KiB', 'MiB', 'GiB', 'TiB', 'PiB'),"
+    " least(CAST(floor(log2(abs(CAST(x AS DOUBLE))) / 10) AS INT),"
+    " 5))) END",
+    # parse_path family (probed r13 on every corner below): the
+    # separator argument maps 'system'/'forward_slash' → '/',
+    # 'backslash' → \\, 'both_slash' → either (the engine's host
+    # convention is '/', like DuckDB's on this platform).  A leading
+    # separator is its own root component; empty components drop.
+    "CREATE OR REPLACE TEMPORARY FUNCTION parse_path"
+    "(p STRING, sep STRING) RETURNS ARRAY<STRING> RETURN"
+    " CASE WHEN p IS NULL THEN NULL ELSE"
+    " (CASE WHEN p RLIKE concat('^', CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat(chr(92), chr(92))"
+    "   WHEN 'both_slash' THEN concat('[/', chr(92), chr(92), ']')"
+    "   ELSE '/' END)"
+    "  THEN array(substring(p, 1, 1)) ELSE array() END)"
+    " || filter(split(p, CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat(chr(92), chr(92))"
+    "   WHEN 'both_slash' THEN concat('[/', chr(92), chr(92), ']')"
+    "   ELSE '/' END), _pc -> _pc <> '') END",
+    # parse_dirpath: strip the trailing component and ONE trailing
+    # separator ('/a/b/c.txt' → '/a/b', '/a.txt' → '', 'a/b/' →
+    # 'a/b', all-separator input stays itself)
+    "CREATE OR REPLACE TEMPORARY FUNCTION parse_dirpath"
+    "(p STRING, sep STRING) RETURNS STRING RETURN"
+    " CASE WHEN p IS NULL THEN NULL"
+    " WHEN p RLIKE concat('^(?:', CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat(chr(92), chr(92))"
+    "   WHEN 'both_slash' THEN concat('[/', chr(92), chr(92), ']')"
+    "   ELSE '/' END, ')+$') THEN p"
+    " ELSE regexp_replace(p, concat('(?:', CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat(chr(92), chr(92))"
+    "   WHEN 'both_slash' THEN concat('[/', chr(92), chr(92), ']')"
+    "   ELSE '/' END, ')?', CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat('[^', chr(92), chr(92), ']')"
+    "   WHEN 'both_slash' THEN concat('[^/', chr(92), chr(92), ']')"
+    "   ELSE '[^/]' END, '*$'), '') END",
+    # parse_dirname: the FIRST path component — the root separator
+    # for absolute paths, '' when no separator at all
+    "CREATE OR REPLACE TEMPORARY FUNCTION parse_dirname"
+    "(p STRING, sep STRING) RETURNS STRING RETURN"
+    " CASE WHEN p IS NULL THEN NULL"
+    " WHEN p RLIKE concat('^', CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat(chr(92), chr(92))"
+    "   WHEN 'both_slash' THEN concat('[/', chr(92), chr(92), ']')"
+    "   ELSE '/' END) THEN substring(p, 1, 1)"
+    " WHEN p RLIKE CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat(chr(92), chr(92))"
+    "   WHEN 'both_slash' THEN concat('[/', chr(92), chr(92), ']')"
+    "   ELSE '/' END"
+    " THEN regexp_extract(p, concat('^(', CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat('[^', chr(92), chr(92), ']')"
+    "   WHEN 'both_slash' THEN concat('[^/', chr(92), chr(92), ']')"
+    "   ELSE '[^/]' END, '*)'), 1)"
+    " ELSE '' END",
+    # parse_filename: the trailing component; trim_extension removes
+    # the LAST .ext ('.hidden' → '', 'a.tar.gz' → 'a.tar')
+    "CREATE OR REPLACE TEMPORARY FUNCTION parse_filename"
+    "(p STRING, trim_ext BOOLEAN, sep STRING) RETURNS STRING RETURN"
+    " CASE WHEN p IS NULL THEN NULL"
+    " WHEN coalesce(trim_ext, false)"
+    " THEN regexp_replace(regexp_extract(p, concat('(',"
+    " CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat('[^', chr(92), chr(92), ']')"
+    "   WHEN 'both_slash' THEN concat('[^/', chr(92), chr(92), ']')"
+    "   ELSE '[^/]' END, '*)$'), 1),"
+    " concat(chr(92), '.[^.]*$'), '')"
+    " ELSE regexp_extract(p, concat('(', CASE lower(sep)"
+    "   WHEN 'backslash' THEN concat('[^', chr(92), chr(92), ']')"
+    "   WHEN 'both_slash' THEN concat('[^/', chr(92), chr(92), ']')"
+    "   ELSE '[^/]' END, '*)$'), 1) END",
     # DuckDB date_diff counts PART BOUNDARIES CROSSED; truncating
     # both endpoints to the part first makes Spark's complete-interval
     # timestampdiff compute exactly that (the part is always a query
@@ -4955,9 +5068,150 @@ def prepare_query_text(sql: str) -> str:
 
 def register_compat_functions(spark) -> None:
     """Session-scoped SQL UDFs (inlined JVM expressions — they appear
-    in plans as their body, inside whole-stage codegen; never Python)."""
+    in plans as their body, inside whole-stage codegen; never Python),
+    plus the Arrow-vectorized similarity functions below."""
     for ddl in COMPAT_FUNCTIONS:
         spark.sql(ddl)
+    register_python_compat(spark)
+
+
+def _jaro_value(s1: str, s2: str) -> float:
+    """Jaro similarity — validated value-exact against DuckDB over
+    400 random pairs (r13)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0  # both-empty included: DuckDB says 0.0 (probed)
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+
+
+def _jaro_winkler_value(s1: str, s2: str) -> float:
+    """Jaro-Winkler with the classic 0.7 boost threshold and p = 0.1
+    — the thresholdless variant diverged on 55 of 400 random pairs
+    against DuckDB, the 0.7 one on none (r13 validation)."""
+    j = _jaro_value(s1, s2)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * 0.1 * (1 - j)
+
+
+def _damerau_value(a: str, b: str) -> int:
+    """FULL Damerau-Levenshtein (Lowrance-Wagner, transpositions over
+    a distance) — DuckDB's is the unrestricted form: 'ca' → 'abc' is
+    2, where the restricted OSA variant says 3 (probed r13)."""
+    da: dict[str, int] = {}
+    inf = len(a) + len(b)
+    h = [[inf] * (len(b) + 2) for _ in range(len(a) + 2)]
+    for i in range(len(a) + 1):
+        h[i + 1][1] = i
+    for j in range(len(b) + 1):
+        h[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,
+                h[i + 1][j] + 1,
+                h[i][j + 1] + 1,
+                h[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return h[len(a) + 1][len(b) + 1]
+
+
+def register_python_compat(spark) -> None:
+    """The DuckDB string-similarity family as ARROW-vectorized pandas
+    UDFs — iterative algorithms with no builtin-expression spelling
+    (jaro/jaro_winkler_similarity, damerau_levenshtein) and full-
+    Unicode strip_accents (NFD + combining-mark drop, validated
+    char-exact against DuckDB's ICU path incl. non-decomposable ł and
+    ligatures).  Arrow batches amortize the per-row Python; these are
+    match-refinement functions, not scan-hot-path ones — prefer
+    levenshtein/editdist3 (JVM builtins) in tight loops."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _pairwise(fn, null):
+        # no type annotations: the module's future-annotations mode
+        # stringifies them and pandas_udf's hint inference chokes —
+        # the explicit returnType carries the typing
+        def run(a, b):
+            return pd.Series(
+                [
+                    null if x is None or y is None else fn(x, y)
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        return run
+
+    spark.udf.register(
+        "jaro_similarity",
+        pandas_udf(_pairwise(_jaro_value, None), "double"),
+    )
+    spark.udf.register(
+        "jaro_winkler_similarity",
+        pandas_udf(_pairwise(_jaro_winkler_value, None), "double"),
+    )
+    spark.udf.register(
+        "damerau_levenshtein",
+        pandas_udf(_pairwise(_damerau_value, None), "long"),
+    )
+
+    def _strip_accents(s):
+        return pd.Series(
+            [
+                None
+                if v is None
+                else "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", v)
+                    if not unicodedata.combining(c)
+                )
+                for v in s
+            ]
+        )
+
+    spark.udf.register(
+        "strip_accents", pandas_udf(_strip_accents, "string")
+    )
 
 
 def rewrite(sql: str) -> str:
@@ -4988,6 +5242,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_json_keys2(masked, literals)
     masked = _rewrite_ignore_nulls(masked)
     masked = _rewrite_struct_extract(masked, literals)
+    masked = _rewrite_parse_path_args(masked, literals)
     masked = _rewrite_wrapped_calls(masked)
     masked = _rewrite_json_extract(masked, literals)
     masked = _rewrite_file_scans(masked, literals)

@@ -863,3 +863,53 @@ CASES_R13F = [
     "SELECT regr_slope(v, id) AS s, regr_count(v, id) AS c FROM n",
 ]
 CASES.extend(CASES_R13F)
+
+# r13 string-utility wave: the previously loud-by-design family
+# implemented — format_bytes (truncated one-decimal binary units),
+# the parse_path family (root components, separator overloads,
+# trim_extension), and the Arrow-vectorized similarity functions
+# (jaro / jaro-winkler with the 0.7 boost threshold, FULL
+# Damerau-Levenshtein, NFD strip_accents) — each validated
+# value-exact against DuckDB (400 random pairs for the similarity
+# trio) before pinning.
+CASES_R13G = [
+    "SELECT format_bytes(0) AS a, format_bytes(1) AS b,"
+    " format_bytes(-1) AS c, format_bytes(1023) AS d,"
+    " format_bytes(1024) AS e, format_bytes(2047) AS f",
+    "SELECT format_bytes(-2048) AS a, format_bytes(123456789) AS b,"
+    " format_bytes(1152921504606846976) AS c,"
+    " format_bytes(1023999999999999999) AS d",
+    "SELECT parse_path('/a/b/c.txt') AS a, parse_path('a//b') AS b,"
+    " parse_path('') AS c, parse_path('/') AS d",
+    "SELECT parse_path('a' || chr(92) || 'b', 'backslash') AS a,"
+    " parse_path('a' || chr(92) || 'b/c', 'both_slash') AS b",
+    "SELECT parse_dirpath('/a/b/c.txt') AS a, parse_dirpath('b.txt') AS b,"
+    " parse_dirpath('/a.txt') AS c, parse_dirpath('a/b/') AS d,"
+    " parse_dirpath('/') AS e, parse_dirpath('//a//b//c') AS f",
+    "SELECT parse_dirname('/a/b/c.txt') AS a,"
+    " parse_dirname('a/b/c.txt') AS b, parse_dirname('b.txt') AS c,"
+    " parse_dirname('a/') AS d, parse_dirname('') AS e",
+    "SELECT parse_filename('/a/b/c.txt') AS a,"
+    " parse_filename('/a/b/c.txt', true) AS b,"
+    " parse_filename('a/b/') AS c, parse_filename('.hidden', true) AS d,"
+    " parse_filename('a.tar.gz', true) AS e, parse_filename('a.', true) AS f",
+    "SELECT parse_filename('/a/b/c.txt', false, 'forward_slash') AS a,"
+    " parse_dirpath('/a/b/c.txt', 'forward_slash') AS b",
+    "SELECT jaro_similarity('duck', 'duckdb') AS a,"
+    " jaro_winkler_similarity('duck', 'duckdb') AS b,"
+    " jaro_winkler_similarity('martha', 'marhta') AS c,"
+    " jaro_winkler_similarity('dwayne', 'duane') AS d",
+    "SELECT jaro_similarity('', '') AS same, jaro_similarity('a', '') AS e,"
+    " jaro_winkler_similarity('abcdef', 'abcdef') AS ident",
+    "SELECT damerau_levenshtein('duckdb', 'udckbd') AS a,"
+    " damerau_levenshtein('ca', 'abc') AS unrestricted,"
+    " damerau_levenshtein('', 'abc') AS fromempty,"
+    " damerau_levenshtein('', '') AS both_empty",
+    "SELECT strip_accents('mühleisen') AS a, strip_accents('łódź') AS b,"
+    " strip_accents('âéìõü ÅÆÇ ñ') AS c, strip_accents('héllo wörld') AS d",
+    "SELECT jaro_similarity(g, 'alpha') AS j FROM t ORDER BY id",
+    "SELECT jaro_similarity('abc', NULL) AS a, strip_accents(NULL) AS b,"
+    " damerau_levenshtein(NULL, 'x') AS c, format_bytes(NULL) AS d,"
+    " parse_path(NULL) AS e",
+]
+CASES.extend(CASES_R13G)

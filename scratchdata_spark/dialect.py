@@ -398,6 +398,17 @@ def _rewrite_code(code: str) -> str:
     # strpos == instr exactly (1-based, 0 when absent, 1 for the
     # empty needle — probed r13)
     code = re.sub(r"\bstrpos\s*\(", "instr(", code, flags=re.I)
+    # r13 list-function aliases: apply == list_transform, list_pack ==
+    # list_value, array_filter == list_filter, array_unique ==
+    # list_unique (the COUNT semantics — rename BEFORE the wrapped
+    # pass so the count template applies); len == length for strings
+    # (on a LIST argument Spark's length fails loudly where DuckDB
+    # counts — a type-dependent meaning no text rewrite can split)
+    code = re.sub(r"\bapply\s*\(", "transform(", code, flags=re.I)
+    code = re.sub(r"\blist_pack\s*\(", "array(", code, flags=re.I)
+    code = re.sub(r"\barray_filter\s*\(", "filter(", code, flags=re.I)
+    code = re.sub(r"\barray_unique\s*\(", "list_unique(", code, flags=re.I)
+    code = re.sub(r"\blen\s*\(", "length(", code, flags=re.I)
     # row() builds an unnamed struct; Spark's struct() names the
     # fields col1… — which is exactly what the positional
     # struct_extract bridge addresses (r13)
@@ -1005,6 +1016,47 @@ _WRAPPED_CALLS = [
     # map_extract returns a LIST — [value] on a hit, [] on a miss or
     # NULL key (probed r13); map_filter + <=> reproduces all three
     ("map_extract", "map_values(map_filter(({X}), (_mk, _mv) -> _mk <=> ({Y})))"),
+    # list_select: 1-based index projection, out-of-range → NULL
+    # element (probed r13: list_select([10,20], [5]) = [NULL])
+    (
+        "list_select",
+        "transform(({Y}), _ls -> try_element_at(({X}), CAST(_ls AS INT)))",
+    ),
+    # list_where: mask selection (probed: [10,20,30] × [t,f,t] →
+    # [10,30]); the slice caps the index probe at the list size so an
+    # empty list never builds a descending sequence
+    (
+        "list_where",
+        "transform(filter(slice(transform("
+        "sequence(1, greatest(size(({X})), 1)),"
+        " _lw -> struct(try_element_at(({X}), _lw) AS v,"
+        " try_element_at(({Y}), _lw) AS m)),"
+        " 1, greatest(size(({X})), 0)), _lp -> _lp.m), _lp -> _lp.v)",
+    ),
+    # list_resize: truncate or NULL-pad (2-arg) / fill-pad (3-arg);
+    # a NULL size means 0 (probed: list_resize([1], NULL) = []), a
+    # NULL list stays NULL.  The 2-arg pad spells a NULL OF THE
+    # ELEMENT TYPE as an out-of-range try_element_at.
+    (
+        "list_resize",
+        "(CASE WHEN ({X}) IS NULL THEN NULL ELSE"
+        " slice(transform(sequence(1,"
+        " greatest(CAST(coalesce(({Y}), 0) AS INT), 1)),"
+        " _lr -> CASE WHEN _lr <= size(({X}))"
+        " THEN try_element_at(({X}), _lr)"
+        " ELSE try_element_at(({X}), size(({X})) + 1) END),"
+        " 1, greatest(CAST(coalesce(({Y}), 0) AS INT), 0)) END)",
+    ),
+    (
+        "list_resize",
+        "(CASE WHEN ({X}) IS NULL THEN NULL ELSE"
+        " slice(transform(sequence(1,"
+        " greatest(CAST(coalesce(({Y}), 0) AS INT), 1)),"
+        " _lr -> CASE WHEN _lr <= size(({X}))"
+        " THEN try_element_at(({X}), _lr)"
+        " ELSE ({Z3}) END),"
+        " 1, greatest(CAST(coalesce(({Y}), 0) AS INT), 0)) END)",
+    ),
     # histogram: value → count map, NULLs dropped, keys ascending
     # (probed r13).  array_agg drops NULLs like DuckDB's histogram;
     # the duplicated aggregate folds to one in Catalyst.
@@ -1364,6 +1416,136 @@ def _rewrite_wrapped_calls(masked: str) -> str:
                 repl = repl.replace("{Z3}", args[2].strip())
             masked = masked[: m.start()] + repl + masked[close:]
             pos = m.start()  # rescan: the argument may hold another call
+    return masked
+
+
+_LAMBDA2_RE = re.compile(r"^\(\s*\w+\s*,\s*\w+\s*\)\s*->")
+_LAMBDA3_RE = re.compile(r"^\(\s*\w+\s*,\s*\w+\s*,\s*\w+\s*\)\s*->")
+
+
+def _rewrite_list_lambda_calls(masked: str) -> str:
+    """list_reduce(l, (a, b) -> …): DuckDB seeds with the FIRST
+    element (an empty list raises) where Spark's aggregate needs an
+    explicit zero — seeded as element_at(l, 1), whose ANSI
+    out-of-bounds error reproduces the empty-list raise.  The
+    3-parameter index variant refuses loudly (Spark's fold lambda is
+    binary)."""
+
+    def reduce_fix(args: list[str]):
+        if len(args) != 2:
+            return None
+        lam = args[1].strip()
+        if _LAMBDA3_RE.match(lam):
+            raise DialectError(
+                "list_reduce with the 3-parameter (acc, x, i) lambda"
+                " is not bridged: zip the index in explicitly —"
+                " list_zip(l, generate_series(1, len(l))) — and"
+                " reduce over the pairs"
+            )
+        if not _LAMBDA2_RE.match(lam):
+            return None
+        x = args[0]
+        return (
+            f"aggregate(slice(({x}), 2, greatest(size(({x})) - 1, 0)),"
+            f" element_at(({x}), 1), {lam})"
+        )
+
+    masked = _rewrite_calls(masked, "list_reduce", reduce_fix)
+    masked = _rewrite_calls(masked, "reduce", reduce_fix)
+    return masked
+
+
+def _rewrite_list_zip(masked: str) -> str:
+    """list_zip(l1, l2, …[, truncate]): structs of parallel elements,
+    NULL-padded to the LONGEST list (or truncated to the shortest
+    with the flag — probed r13).  Spelled as an index-driven
+    transform building ``col1…colN`` structs — the same positional
+    field names struct() produces, so the positional struct_extract
+    bridge composes.  The slice cap keeps the sequence ascending for
+    empty lists."""
+
+    def fix(args: list[str]):
+        if len(args) < 1:
+            return None
+        truncate = False
+        lists = args
+        last = args[-1].strip().lower()
+        if last in ("true", "false"):
+            truncate = last == "true"
+            lists = args[:-1]
+            if not lists:
+                return None
+        sizes = ", ".join(f"size(({a}))" for a in lists)
+        bound = "least" if truncate else "greatest"
+        length = f"{bound}({sizes})" if len(lists) > 1 else f"size(({lists[0]}))"
+        fields = ", ".join(
+            f"try_element_at(({a}), _zi) AS col{i}"
+            for i, a in enumerate(lists, start=1)
+        )
+        return (
+            f"slice(transform(sequence(1, greatest({length}, 1)),"
+            f" _zi -> struct({fields})), 1, greatest({length}, 0))"
+        )
+
+    return _rewrite_calls(masked, "list_zip", fix)
+
+
+def _rewrite_list_sort_args(masked: str, literals: list[str]) -> str:
+    """list_sort's literal direction/null-order options and
+    list_grade_up (the 1-based permutation that sorts the list,
+    stable on ties — probed r13).  Option mapping probed: the
+    defaults are ASC + NULLS LAST in both directions."""
+
+    def sort_fix(args: list[str]):
+        if len(args) not in (2, 3):
+            return None
+        opts = []
+        for a in args[1:]:
+            lit = _literal_of(a, literals)
+            if lit is None:
+                return None  # non-literal option: loud downstream
+            opts.append(lit[1:-1].strip().upper())
+        desc = opts[0] == "DESC"
+        nulls_first = len(opts) > 1 and opts[1] == "NULLS FIRST"
+        x = args[0]
+        if not desc and not nulls_first:
+            return f"array_sort(({x}))"
+        if not desc and nulls_first:
+            return f"sort_array(({x}), true)"
+        if desc and not nulls_first:
+            return f"sort_array(({x}), false)"
+        return f"reverse(array_sort(({x})))"
+
+    def grade_fix(args: list[str]):
+        if len(args) not in (1, 2):
+            return None
+        desc = False
+        if len(args) == 2:
+            lit = _literal_of(args[1], literals)
+            if lit is None:
+                return None
+            desc = lit[1:-1].strip().upper() == "DESC"
+        x = args[0]
+        pairs = (
+            f"slice(transform(sequence(1, greatest(size(({x})), 1)),"
+            f" _gi -> struct(try_element_at(({x}), _gi) AS v,"
+            f" _gi AS i)), 1, greatest(size(({x})), 0))"
+        )
+        if not desc:
+            # struct compare sorts by v then i: ascending, stable
+            return f"transform(array_sort({pairs}), _gs -> _gs.i)"
+        cmp = (
+            "(_ga, _gb) -> CASE"
+            " WHEN _ga.v IS NULL AND _gb.v IS NULL THEN"
+            "  CASE WHEN _ga.i < _gb.i THEN -1 ELSE 1 END"
+            " WHEN _ga.v IS NULL THEN 1 WHEN _gb.v IS NULL THEN -1"
+            " WHEN _ga.v > _gb.v THEN -1 WHEN _ga.v < _gb.v THEN 1"
+            " WHEN _ga.i < _gb.i THEN -1 ELSE 1 END"
+        )
+        return f"transform(array_sort({pairs}, {cmp}), _gs -> _gs.i)"
+
+    masked = _rewrite_calls(masked, "list_sort", sort_fix)
+    masked = _rewrite_calls(masked, "list_grade_up", grade_fix)
     return masked
 
 
@@ -3148,7 +3330,15 @@ def _guard_unbridged(masked: str) -> None:
             " substr(s, start, length) for strings — the bracket form"
             " is type-dependent in DuckDB and has no Spark equivalent."
         )
-    if re.search(r"\bBY\s+NAME\b", masked, re.I):
+    # set-op context only: a bare "BY NAME" would also match ORDER/
+    # GROUP BY over a column literally called "name" (r13 verify-
+    # drive catch — a false refusal on every such fallback query)
+    if re.search(
+        r"\b(UNION|EXCEPT|INTERSECT)\s+(?:ALL\s+|DISTINCT\s+)?"
+        r"BY\s+NAME\b",
+        masked,
+        re.I,
+    ):
         raise DialectError(
             "BY NAME set operators are bridged only as a top-level"
             " UNION [ALL] BY NAME statement without a trailing ORDER"
@@ -5243,6 +5433,9 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_ignore_nulls(masked)
     masked = _rewrite_struct_extract(masked, literals)
     masked = _rewrite_parse_path_args(masked, literals)
+    masked = _rewrite_list_lambda_calls(masked)
+    masked = _rewrite_list_zip(masked)
+    masked = _rewrite_list_sort_args(masked, literals)
     masked = _rewrite_wrapped_calls(masked)
     masked = _rewrite_json_extract(masked, literals)
     masked = _rewrite_file_scans(masked, literals)

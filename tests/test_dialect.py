@@ -275,8 +275,11 @@ def test_list_sort_bridges_as_text_wrap():
     assert rewrite("SELECT list_reverse_sort(a) FROM t") == (
         "SELECT sort_array((a), false) FROM t"
     )
-    # the two-argument form stays loud rather than half-bridged
-    assert "list_sort(a, 'DESC')" in rewrite("SELECT list_sort(a, 'DESC') // 1")
+    # the two-argument option forms are bridged too (r13): literal
+    # direction/null-order map onto the probed sort_array combos
+    assert "sort_array((a), false)" in rewrite(
+        "SELECT list_sort(a, 'DESC') // 1"
+    )
     # inside a literal or comment: untouched
     assert rewrite("SELECT 'list_sort(a)' FROM t") == "SELECT 'list_sort(a)' FROM t"
 
@@ -1426,3 +1429,16 @@ def test_scalar_shape_bridges():
     assert out.startswith("SELECT slice((l), ")
     with pytest.raises(DialectError, match="STEP"):
         b("SELECT list_slice(l, 1, 5, 2)")
+
+
+def test_by_name_guard_is_setop_scoped():
+    # r13 verify-drive catch: a column literally named "name" made
+    # every fallback query with ORDER/GROUP BY name refuse as a
+    # BY NAME set operator
+    out = rewrite("SELECT name, list_grade_up(a) AS g FROM t ORDER BY name")
+    assert "ORDER BY name" in out
+    rewrite("SELECT v FROM t GROUP BY name // 1")  # no refusal
+    with pytest.raises(DialectError, match="BY NAME"):
+        rewrite("SELECT a FROM t UNION BY NAME SELECT b FROM u // 1")
+    with pytest.raises(DialectError, match="BY NAME"):
+        rewrite("SELECT a FROM t UNION ALL BY NAME SELECT b FROM u // 1")

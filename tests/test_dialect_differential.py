@@ -913,3 +913,45 @@ CASES_R13G = [
     " parse_path(NULL) AS e",
 ]
 CASES.extend(CASES_R13G)
+
+# r13 list-function wave: list_select/list_where/list_resize/
+# list_reduce/list_zip/list_grade_up and the list_sort option forms —
+# each loudly unresolved (or option-refused) before the bridges;
+# every corner below probed against DuckDB first.  list_zip structs
+# pin via positional struct_extract (DuckDB's zip structs are
+# unnamed; the bridge builds col1…colN, the same names struct()
+# would).
+CASES_R13H = [
+    "SELECT list_select([10,20,30], [3,1,3]) AS a,"
+    " list_select([10,20], [5]) AS oob",
+    "SELECT list_where([10,20,30], [true,false,true]) AS a,"
+    " list_where([1,2], [true]) AS short",
+    "SELECT list_resize([1,2], 0) AS empty, list_resize([1,2], 4) AS pad,"
+    " list_resize([1,2,3], 2, 9) AS cut,"
+    " list_resize([1], NULL) AS nullsize",
+    # (3-arg fill over a TABLE column is deliberately absent: this
+    # DuckDB build fills only the FIRST new slot with the value and
+    # ZEROES the rest — [4,5] -> [4,5,-1,0] — contradicting its own
+    # docs; the bridge follows the documented all-slots semantics)
+    "SELECT list_resize(arr, 4) AS r FROM t ORDER BY id",
+    "SELECT list_reduce([1,2,3], (a, b) -> a + b) AS fold,"
+    " list_reduce([5], (a, b) -> a + b) AS single",
+    "SELECT list_reduce(arr, (a, b) -> a + b) AS r FROM t ORDER BY id",
+    "SELECT list_grade_up([30,10,20]) AS asc_perm,"
+    " list_grade_up([2,2,1]) AS ties",
+    "SELECT list_grade_up([30,10,20], 'DESC') AS d,"
+    " list_grade_up(['b','a'], 'DESC') AS s",
+    "SELECT list_sort([3,1,2], 'DESC') AS d,"
+    " list_sort([3,NULL,1], 'ASC', 'NULLS FIRST') AS nf,"
+    " list_sort([3,NULL,1], 'DESC', 'NULLS FIRST') AS dnf,"
+    " list_sort([3,NULL,1], 'ASC') AS plain",
+    "SELECT struct_extract(list_zip([1,2], ['a','b'])[1], 1) AS z1,"
+    " struct_extract(list_zip([1,2,3], ['a'])[2], 2) AS padnull",
+    "SELECT struct_extract(list_zip([1,2,3], ['a','b'], true)[2], 2)"
+    " AS truncated",
+    "SELECT apply([1,2], x -> x * 2) AS a, list_pack(1, 2) AS p,"
+    " array_filter([1,2,3], x -> x > 1) AS f",
+    "SELECT array_unique([1,1,2,NULL]) AS u, len('abc') AS l",
+    "SELECT list_indexof([1,2,3], 3) AS i, list_position([1,2], 9) AS m",
+]
+CASES.extend(CASES_R13H)

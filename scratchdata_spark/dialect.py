@@ -3387,6 +3387,90 @@ def _sql_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+_POSIX_ASCII = {
+    "alnum": "0-9A-Za-z", "alpha": "A-Za-z", "ascii": "\\x00-\\x7f",
+    "blank": " \\t", "cntrl": "\\x00-\\x1f\\x7f", "digit": "0-9",
+    "graph": "\\x21-\\x7e", "lower": "a-z", "print": "\\x20-\\x7e",
+    "punct": "!-/:-@\\[-`{-~", "space": " \\t\\n\\r\\f\\v",
+    "upper": "A-Z", "word": "0-9A-Za-z_", "xdigit": "0-9A-Fa-f",
+}
+
+
+def _re2_pattern_to_python(pat: str) -> str:
+    """An RE2 pattern → Python ``re`` semantics, for the COLUMNS()
+    macro (a THIRD regex dialect — the engine matches column names
+    host-side).  Same probed divergence classes as the Java
+    translation where Python shares them: POSIX classes (expanded to
+    ASCII ranges — Python has no ``\\p{Digit}``), ``$`` (Python's
+    also matches before a trailing newline → ``\\Z``), and
+    invalid-quantifier ``{`` (literal in RE2, ``{,3}`` means {0,3} in
+    Python — escaped).  Octal escapes and ``(?P<name>)`` already
+    agree."""
+    out: list[str] = []
+    i, n = 0, len(pat)
+    in_class = False
+    multiline = _RE2_MULTILINE_RE.search(pat) is not None
+    while i < n:
+        ch = pat[i]
+        if ch == "\\":
+            out.append(pat[i : i + 2] if i + 1 < n else "\\")
+            i += 2 if i + 1 < n else 1
+            continue
+        if in_class:
+            if pat[i : i + 2] == "[:":
+                close = pat.find(":]", i + 2)
+                if close == -1:
+                    raise DialectError(
+                        f"regex pattern {pat!r}: unterminated POSIX"
+                        " class (DuckDB rejects it)"
+                    )
+                name = pat[i + 2 : close]
+                if name.startswith("^"):
+                    raise DialectError(
+                        f"COLUMNS pattern {pat!r}: negated POSIX"
+                        " classes are not bridged here — spell the"
+                        " class out ([^0-9] for [:^digit:])"
+                    )
+                repl = _POSIX_ASCII.get(name.lower())
+                if repl is None:
+                    raise DialectError(
+                        f"regex pattern {pat!r}: unknown POSIX class"
+                        f" [:{name}:] (DuckDB rejects it)"
+                    )
+                out.append(repl)
+                i = close + 2
+                continue
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            if i < n and pat[i] == "^":
+                out.append("^")
+                i += 1
+            continue
+        if ch == "$" and not multiline:
+            out.append("\\Z")
+            i += 1
+            continue
+        if ch == "{":
+            m = _JAVA_QUANT_RE.match(pat, i)
+            if m is not None:
+                out.append(m.group(0))
+                i = m.end()
+            else:
+                out.append("\\{")
+                i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _columns_arg_cols(
     inner: str,
     literals: list[str],
@@ -3434,7 +3518,9 @@ def _columns_arg_cols(
             # like 'l_\d' silently matches nothing (r13 review catch)
             pat = pat.replace("\\\\", "\\")
         try:
-            rx = re.compile(pat)
+            # the pattern is RE2 (DuckDB's dialect) — translate the
+            # probed divergence classes before the host-side compile
+            rx = re.compile(_re2_pattern_to_python(pat))
         except re.error as exc:
             raise DialectError(
                 f"COLUMNS({pat!r}): invalid regular expression ({exc})"

@@ -1442,3 +1442,23 @@ def test_by_name_guard_is_setop_scoped():
         rewrite("SELECT a FROM t UNION BY NAME SELECT b FROM u // 1")
     with pytest.raises(DialectError, match="BY NAME"):
         rewrite("SELECT a FROM t UNION ALL BY NAME SELECT b FROM u // 1")
+
+
+def test_columns_macro_re2_pattern_dialect():
+    from scratchdata_spark.dialect import expand_columns_macro as ex
+
+    cols = {"w": ["a1", "a2", "bx", "nm"]}
+    r = cols.get
+    # POSIX classes are RE2 (DuckDB probe: COLUMNS('a[[:digit:]]')
+    # selects a1, a2) — Python re would read a literal class
+    assert ex("SELECT COLUMNS('a[[:digit:]]') FROM w", r) == (
+        "SELECT a1 AS a1, a2 AS a2 FROM w"
+    )
+    # RE2's $ is end of text; 'x$' selects only bx
+    assert ex("SELECT COLUMNS('x$') FROM w", r) == (
+        "SELECT bx AS bx FROM w"
+    )
+    with pytest.raises(DialectError, match="POSIX"):
+        ex("SELECT COLUMNS('[[:nope:]]') FROM w", r)
+    with pytest.raises(DialectError, match="negated"):
+        ex("SELECT COLUMNS('[[:^digit:]]') FROM w", r)

@@ -955,3 +955,29 @@ CASES_R13H = [
     "SELECT list_indexof([1,2,3], 3) AS i, list_position([1,2], 9) AS m",
 ]
 CASES.extend(CASES_R13H)
+
+# r13 interaction wave: compositions of this round's OWN bridges
+# (the aim-at-your-additions protocol) — pre-parse fixes nesting in
+# each other, DISTINCT + ORDER BY through the string_agg separator
+# fix, the regex-translated ~ over a concat-bridged expression,
+# IGNORE-NULLS with explicit frames.
+CASES_R13I = [
+    "SELECT string_agg(DISTINCT k ORDER BY k) AS s FROM n",
+    "SELECT string_agg(DISTINCT k, '|' ORDER BY k) AS s FROM n",
+    # (unordered DISTINCT group_concat is deliberately absent: the
+    # concatenation order is engine-internal without ORDER BY)
+    "SELECT group_concat(DISTINCT k ORDER BY k) AS s FROM n",
+    "SELECT regexp_replace(concat('a', NULL, 'b'), 'b', 'X') AS r",
+    "SELECT concat(substring('abcdef', 0, 3), left('xyz', -1)) AS c",
+    "SELECT concat(k, id) ~ 'a[[:digit:]]' AS m FROM n"
+    " WHERE k IS NOT NULL ORDER BY id",
+    "SELECT list_reduce(list_transform(list_zip([1,2],[10,20]),"
+    " _s -> struct_extract(_s, 1) + struct_extract(_s, 2)),"
+    " (a, b) -> a + b) AS z",
+    "SELECT id, last_value(v IGNORE NULLS) OVER (ORDER BY id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv"
+    " FROM n ORDER BY id",
+    "SELECT k, string_agg(CAST(v AS VARCHAR) ORDER BY id) AS s"
+    " FROM n GROUP BY k ORDER BY k NULLS FIRST",
+]
+CASES.extend(CASES_R13I)

@@ -3642,6 +3642,90 @@ _PIVOT_STMT_RE = re.compile(
 )
 
 
+_DESCRIBE_STMT_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(?!SELECT\b|FROM\b|WITH\b|VALUES\b|TABLE\b)"
+    r"([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.I,
+)
+_DESCRIBE_QUERY_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+([A-Za-z_][\w.]*)"
+    r"|((?:SELECT|FROM|WITH|VALUES)\b.+?))\s*;?\s*$",
+    re.I | re.S,
+)
+_SHOW_TABLES_STMT_RE = re.compile(
+    r"^\s*SHOW\s+(?:ALL\s+)?TABLES\s*;?\s*$", re.I
+)
+_SPARK_TO_DUCK_TYPES = {
+    "long": "BIGINT", "integer": "INTEGER", "short": "SMALLINT",
+    "byte": "TINYINT", "string": "VARCHAR", "double": "DOUBLE",
+    "float": "FLOAT", "boolean": "BOOLEAN", "binary": "BLOB",
+    "date": "DATE", "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def spark_type_to_duckdb(dt) -> str:
+    """A Spark DataType → the DuckDB type NAME DESCRIBE prints
+    (BIGINT/VARCHAR/INTEGER[]/STRUCT(x INTEGER)/MAP(K, V)…)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return spark_type_to_duckdb(dt.elementType) + "[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({spark_type_to_duckdb(dt.keyType)},"
+            f" {spark_type_to_duckdb(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {spark_type_to_duckdb(f.dataType)}"
+            for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    name = dt.typeName()
+    return _SPARK_TO_DUCK_TYPES.get(name, name.upper())
+
+
+def describe_form_df(spark, query: str, tables=None, run_sql=None):
+    """``DESCRIBE t`` / ``DESCRIBE SELECT …`` / ``SHOW TABLES`` with
+    DUCKDB's output shapes (probed: DESCRIBE = column_name /
+    column_type / null / key / default / extra with DuckDB type
+    names; SHOW TABLES = one ``name`` column).  Stock Spark ACCEPTS
+    these statements with its own catalogs' shapes, so the engine's
+    speaks-DuckDB contract intercepts them BEFORE the stock parse —
+    the same decision as the literal-semantics bridge.  Returns None
+    for any other text; ``tables`` is a callable yielding the
+    engine's table/view names (SHOW TABLES passes through to stock
+    Spark when absent)."""
+    m = _DESCRIBE_STMT_RE.match(query) or _DESCRIBE_QUERY_RE.match(query)
+    if m:
+        target = (m.group(1) or "").strip()
+        body = m.group(2).strip() if m.lastindex and m.lastindex >= 2 and m.group(2) else ""
+        if body:
+            # the body may itself be DuckDB-dialect text — route it
+            # through the engine's query path when one is provided
+            schema = (run_sql or spark.sql)(body).schema
+        else:
+            schema = spark.table(target).schema
+        rows = [
+            (f.name, spark_type_to_duckdb(f.dataType), "YES", None,
+             None, None)
+            for f in schema.fields
+        ]
+        return spark.createDataFrame(
+            rows,
+            "column_name string, column_type string, null string,"
+            " key string, default string, extra string",
+        )
+    if tables is not None and _SHOW_TABLES_STMT_RE.match(query):
+        return spark.createDataFrame(
+            [(n,) for n in sorted(tables())], "name string"
+        )
+    return None
+
+
 def statement_form_df(spark, query: str):
     """DuckDB whole-statement forms with no SQL-text equivalent —
     ``SUMMARIZE`` and the simplified ``PIVOT`` statement. Returns a

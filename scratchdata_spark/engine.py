@@ -607,6 +607,20 @@ class SparkDestination(DataFrameSerializers, Destination):
             # engine-specific surface, deliberately outside the
             # DuckDB dialect fallback (DuckDB has no equivalent).
             sql_text = self._rewrite_table_at(query)
+            if self.duckdb_compat:
+                # DESCRIBE / SHOW TABLES parse in stock Spark with
+                # SPARK's catalog shapes — the speaks-DuckDB contract
+                # intercepts them first (dialect.describe_form_df)
+                from scratchdata_spark.dialect import describe_form_df
+
+                shaped = describe_form_df(
+                    self.spark,
+                    sql_text,
+                    tables=self._catalog_names,
+                    run_sql=self._query_df_prepared,
+                )
+                if shaped is not None:
+                    return shaped
             try:
                 return self.spark.sql(sql_text)
             except Exception as stock_err:
@@ -637,6 +651,13 @@ class SparkDestination(DataFrameSerializers, Destination):
                 return self.spark.sql(rewritten)
 
         return self.plan_cache.get(query, build)
+
+    def _catalog_names(self) -> list[str]:
+        """Table + view names of the engine's database, for SHOW
+        TABLES' DuckDB-shaped output."""
+        names = list(self.catalog.tables(self.database))
+        names += list(self.catalog.views(self.database))
+        return names
 
     def _resolve_columns(self, table: str) -> list[str] | None:
         """Column names of a registered table/view, for the COLUMNS()

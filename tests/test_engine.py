@@ -533,3 +533,29 @@ def test_stored_view_over_time_travel(spark, tmp_path):
     frozen = {r.a for r in dest.query_df("SELECT a FROM snap").collect()}
     assert live == {0, 1, 3}
     assert frozen == {0, 1, 2, 3}
+
+
+def test_describe_show_tables_duckdb_shapes(dest):
+    # the engine's query surface speaks DuckDB: DESCRIBE / SHOW
+    # TABLES return DUCKDB's output shapes (probed: column_name /
+    # column_type / null / key / default / extra with DuckDB type
+    # names; SHOW TABLES = one `name` column), not Spark's catalogs'
+    _insert(dest, "dsc", ['{"name": "x", "n": 3, "rate": 1.5}'])
+    rows = [tuple(r) for r in dest.query_df("DESCRIBE dsc").collect()]
+    assert ("n", "BIGINT", "YES", None, None, None) in rows
+    assert ("rate", "DOUBLE", "YES", None, None, None) in rows
+    assert dest.query_df("DESCRIBE dsc").columns == [
+        "column_name", "column_type", "null", "key", "default", "extra"
+    ]
+    # DESC alias and the DESCRIBE SELECT form (the body may be
+    # DuckDB-dialect text — routed through the query path)
+    assert [tuple(r) for r in dest.query_df(
+        "DESC SELECT n + 1 AS m, [1,2] AS l FROM dsc").collect()] == [
+        ("m", "BIGINT", "YES", None, None, None),
+        ("l", "INTEGER[]", "YES", None, None, None),
+    ]
+    names = [r.name for r in dest.query_df("SHOW TABLES").collect()]
+    assert "dsc" in names and dest.query_df("SHOW TABLES").columns == ["name"]
+    # a column named "name" in ORDER BY still queries (guard scope)
+    assert [tuple(r) for r in dest.query_df(
+        "SELECT name FROM dsc ORDER BY name").collect()] == [("x",)]

@@ -409,6 +409,9 @@ def _rewrite_code(code: str) -> str:
     code = re.sub(r"\barray_filter\s*\(", "filter(", code, flags=re.I)
     code = re.sub(r"\barray_unique\s*\(", "list_unique(", code, flags=re.I)
     code = re.sub(r"\blen\s*\(", "length(", code, flags=re.I)
+    # window-frame EXCLUDE NO OTHERS is DuckDB's spelled-out DEFAULT
+    # (probed r13) — a no-op Spark's frame grammar rejects
+    code = re.sub(r"\bEXCLUDE\s+NO\s+OTHERS\b", "", code, flags=re.I)
     # row() builds an unnamed struct; Spark's struct() names the
     # fields col1… — which is exactly what the positional
     # struct_extract bridge addresses (r13)
@@ -3330,6 +3333,18 @@ def _guard_unbridged(masked: str) -> None:
             " substr(s, start, length) for strings — the bracket form"
             " is type-dependent in DuckDB and has no Spark equivalent."
         )
+    # window-frame EXCLUDE (r13 probe): NO OTHERS is DuckDB's default
+    # (dropped by _rewrite_code); the real exclusions have no Spark
+    # frame spelling — refuse with the subtraction workaround named
+    if re.search(
+        r"\bEXCLUDE\s+(CURRENT\s+ROW|TIES|GROUP)\b", masked, re.I
+    ):
+        raise DialectError(
+            "window frame EXCLUDE CURRENT ROW/TIES/GROUP is not"
+            " bridged (Spark frames cannot exclude rows): for"
+            " invertible aggregates subtract the excluded part —"
+            " sum(v) OVER frame - v for EXCLUDE CURRENT ROW"
+        )
     # set-op context only: a bare "BY NAME" would also match ORDER/
     # GROUP BY over a column literally called "name" (r13 verify-
     # drive catch — a false refusal on every such fallback query)
@@ -4136,6 +4151,47 @@ COMPAT_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION lcm(a BIGINT, b BIGINT)"
     " RETURNS BIGINT RETURN CASE WHEN a = 0 OR b = 0 THEN 0"
     " ELSE (abs(a) DIV gcd(a, b)) * abs(b) END",
+    # interval constructors (probed r13: day-time ones land exactly
+    # on make_dt_interval; month-granularity ones are YEAR TO MONTH
+    # intervals — calendar-correct under DATE arithmetic, where
+    # DuckDB's python client merely APPROXIMATES them as 30-day
+    # timedeltas when printing)
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_days(n BIGINT)"
+    " RETURNS INTERVAL DAY TO SECOND RETURN"
+    " make_dt_interval(CAST(n AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_weeks(n BIGINT)"
+    " RETURNS INTERVAL DAY TO SECOND RETURN"
+    " make_dt_interval(CAST(n * 7 AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_hours(n BIGINT)"
+    " RETURNS INTERVAL DAY TO SECOND RETURN"
+    " make_dt_interval(0, CAST(n AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_minutes(n BIGINT)"
+    " RETURNS INTERVAL DAY TO SECOND RETURN"
+    " make_dt_interval(0, 0, CAST(n AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_seconds(n BIGINT)"
+    " RETURNS INTERVAL DAY TO SECOND RETURN"
+    " make_dt_interval(0, 0, 0, CAST(n AS DECIMAL(18,6)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(n BIGINT)"
+    " RETURNS INTERVAL DAY TO SECOND RETURN"
+    " make_dt_interval(0, 0, 0, CAST(n / 1000.0 AS DECIMAL(18,6)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_microseconds(n BIGINT)"
+    " RETURNS INTERVAL DAY TO SECOND RETURN"
+    " make_dt_interval(0, 0, 0, CAST(n / 1000000.0 AS DECIMAL(18,6)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_months(n BIGINT)"
+    " RETURNS INTERVAL YEAR TO MONTH RETURN"
+    " make_ym_interval(0, CAST(n AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_years(n BIGINT)"
+    " RETURNS INTERVAL YEAR TO MONTH RETURN"
+    " make_ym_interval(CAST(n AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_decades(n BIGINT)"
+    " RETURNS INTERVAL YEAR TO MONTH RETURN"
+    " make_ym_interval(CAST(n * 10 AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_centuries(n BIGINT)"
+    " RETURNS INTERVAL YEAR TO MONTH RETURN"
+    " make_ym_interval(CAST(n * 100 AS INT))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_millennia(n BIGINT)"
+    " RETURNS INTERVAL YEAR TO MONTH RETURN"
+    " make_ym_interval(CAST(n * 1000 AS INT))",
     # format_bytes: binary units, ONE decimal TRUNCATED (probed r13:
     # 2047 → '1.9 KiB', not 2.0), singular '1 byte', PiB is the top
     # unit (2^60 → '1024.0 PiB'), sign kept

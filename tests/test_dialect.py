@@ -1462,3 +1462,19 @@ def test_columns_macro_re2_pattern_dialect():
         ex("SELECT COLUMNS('[[:nope:]]') FROM w", r)
     with pytest.raises(DialectError, match="negated"):
         ex("SELECT COLUMNS('[[:^digit:]]') FROM w", r)
+
+
+def test_frame_exclude_guard():
+    # NO OTHERS (the default) drops; real exclusions refuse loudly
+    out = rewrite(
+        "SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND"
+        " 1 FOLLOWING EXCLUDE NO OTHERS) FROM t // 1"
+    )
+    assert "EXCLUDE" not in out.upper()
+    with pytest.raises(DialectError, match="EXCLUDE"):
+        rewrite(
+            "SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING"
+            " AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t // 1"
+        )
+    # the star-EXCLUDE projection form is untouched by the guard
+    assert "EXCEPT" in rewrite("SELECT * EXCLUDE (v) FROM t // 1")

@@ -981,3 +981,26 @@ CASES_R13I = [
     " FROM n GROUP BY k ORDER BY k NULLS FIRST",
 ]
 CASES.extend(CASES_R13I)
+
+# r13 interval-constructor wave: the to_* family (make_dt_interval /
+# make_ym_interval spellings) and frame EXCLUDE NO OTHERS (DuckDB's
+# spelled-out default, dropped).  Month-granularity results CAST to
+# DATE in the text: INTERVAL + DATE widens to TIMESTAMP in DuckDB and
+# stays DATE in Spark — the documented printed-type divergence, same
+# instant.
+CASES_R13J = [
+    "SELECT DATE '2024-01-01' + to_days(30) AS d",
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(5)"
+    " + to_minutes(90) AS ts",
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_seconds(90)"
+    " + to_milliseconds(500) AS s",
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_weeks(2)"
+    " + to_microseconds(10) AS w",
+    "SELECT CAST(DATE '2024-01-31' + to_months(1) AS DATE) AS m,"
+    " CAST(DATE '2024-01-01' + to_years(1) AS DATE) AS y",
+    "SELECT CAST(DATE '2020-01-01' + to_decades(1) AS DATE) AS dec,"
+    " CAST(DATE '1924-01-01' + to_centuries(1) AS DATE) AS cen",
+    "SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING"
+    " AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM t ORDER BY id",
+]
+CASES.extend(CASES_R13J)

@@ -373,7 +373,7 @@ def test_nested_values_serialize_as_json_not_repr():
 # ----------------------------------------------- property-based ladder
 
 
-from hypothesis import given
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _scalars = st.one_of(
@@ -391,6 +391,11 @@ _rows = st.lists(
 )
 
 
+# too_slow suppressed: the FIRST example draw occasionally takes >1 s
+# on a box still JIT-warming the Spark JVM next door, tripping the
+# health check spuriously (observed r13; passes in isolation).  The
+# assertions themselves are unchanged.
+@settings(suppress_health_check=[HealthCheck.too_slow])
 @given(_rows)
 def test_inference_ladder_properties(rows):
     """Invariants of the insert.go:70-93 ladder for arbitrary NDJSON:

@@ -54,6 +54,27 @@ that floor (q_intersect ~10 ms, x_multimodal_meta ~8 ms at sf0.1)
 cannot reach 2× here by plan quality; their plans are already minimal
 (one scan, zero or one shuffle). The floor amortizes at any real
 scale — at sf1+ the same queries clear it and track DuckDB.
+
+ROUND-13 METHODOLOGY FIX (OPTIMIZATION_r13.md §1 — a measurement bug,
+fixed explicitly per the optimization-round rules; numbers before and
+after the fix are both recorded there).  Two compounding artifacts
+made every pre-r13 rep time only a warm final stage instead of the
+query: (a) the star schema was pinned in the in-memory columnar cache
+before the timed region, and (b) each rep re-ran an action on the
+SAME Dataset object, so Spark re-submitted the same RDD lineage and
+skipped every stage whose shuffle files survived from the previous
+rep (plus reused operator-internal ``persist()`` intermediates such
+as the LM count tables).  Measured at sf0.1: x_quality_classifier
+re-executed on the same Dataset costs 0.12 s, on a fresh plan 16 s —
+the old protocol measured the 0.12.  Since r13 every timed rep
+executes a FRESH physical plan (fresh shuffle IDs — no stage
+skipping) after ``spark.catalog.clearCache()`` (no persisted
+intermediates), with no base-table cache: each rep computes from the
+parquet inputs, warm only at the OS page-cache level — the same
+warmth the DuckDB baseline gets.  Plan construction (parse/analyze)
+is still amortized via the plan dict, mirroring the engine's
+PlanCache; physical planning and codegen are timed, as the product
+pays them per query.
 """
 
 from __future__ import annotations
@@ -118,6 +139,20 @@ def _fetch(df) -> int:
         return len(df.collect())
 
 
+def _fresh(df):
+    """A fresh execution of the same analyzed plan (r13 methodology
+    fix — see the module docstring): re-running an action on the SAME
+    Dataset re-submits the same RDD lineage, and Spark then skips
+    every stage whose shuffle files still exist, so a warm rep times
+    only the final stage of the query.  Wrapping the analyzed plan in
+    a new Dataset (``select("*")``) forces fresh physical planning and
+    fresh shuffle IDs: every timed rep recomputes the whole query from
+    the parquet inputs.  Analysis of the trivial Project is ~ms; the
+    optimizer/codegen rerun it causes is part of what the engine
+    charges per query and is timed on purpose."""
+    return df.select("*")
+
+
 def _query_fn(name):
     if name in BENCH_VARIANTS:
         return BENCH_VARIANTS[name]
@@ -163,14 +198,21 @@ def main() -> None:
         },
     )
 
-    # BASELINE.md's target is warm-session wall clock with cached
-    # tables. Pin the star schema in the in-memory columnar cache —
-    # the Spark analogue of DuckDB's buffer pool residency — so reps
-    # measure query execution, not parquet re-decode.
+    # r13 OPTIMIZATION-ROUND METHODOLOGY FIX (OPTIMIZATION_r13.md §1):
+    # this loop used to pin every base table in the in-memory columnar
+    # cache before the timed region.  Combined with re-executing the
+    # same Dataset per rep (which reuses shuffle files and SKIPS every
+    # upstream stage), the old numbers timed a warm final stage over
+    # cached data, not query execution — result caching outside the
+    # timed region, which the optimization round forbids.  Now every
+    # timed rep computes from the parquet inputs: no base-table cache,
+    # a fresh physical plan per rep (_fresh), and operator-internal
+    # persisted intermediates cleared between reps (the clearCache in
+    # the rep loop).  OS page cache stays warm, exactly like the
+    # DuckDB baseline's warm protocol (tools/bench_duckdb.py).
     from scratchdata_spark.inventory import load
 
-    for df in load(spark, sf_dir).values():
-        df.cache().count()
+    load(spark, sf_dir)  # register temp views / parquet footers only
 
     # The first executions of a plan shape pay whole-stage-codegen +
     # C2 JIT compilation (multi-second, amortized to zero in any
@@ -196,8 +238,16 @@ def main() -> None:
         for name in names:
             best = float("inf")
             for _ in range(reps):
+                # Drop operator-internal persisted intermediates (LM
+                # count tables, DSIR feature frames, minhash signature
+                # stages) so this rep recomputes them from parquet;
+                # within one execution identical subtrees still share
+                # work via Spark's ReuseExchange, which is ordinary
+                # single-query behavior, not a warm cache.
+                spark.catalog.clearCache()
+                df = _fresh(_prepared(plans, name, spark, sf_dir))
                 t0 = time.perf_counter()
-                _fetch(_prepared(plans, name, spark, sf_dir))
+                _fetch(df)
                 best = min(best, time.perf_counter() - t0)
             pass_wall += best
             if best < timings.get(name, float("inf")):

@@ -358,8 +358,9 @@ def _quality_model(df, p, id_col, text_col):
     documents whose classifier probability clears ``min_prob``.
     ``weights``/``bias`` are a trained model (selection.
     train_quality_classifier output) — the recipe applies it through
-    the broadcast-join scoring plan, adding one feature shuffle and
-    no Python.  Slots after the heuristic quality_filter in a crawl
+    score_quality's auto dispatch (r13: the map-only Arrow LUT tier
+    for closure-sized weight tables, the broadcast-join plan above
+    the cap).  Slots after the heuristic quality_filter in a crawl
     recipe (cheap rules first, model second — the CCNet ordering)."""
     from scratchdata_spark.operators.selection import score_quality
 

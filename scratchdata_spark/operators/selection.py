@@ -48,6 +48,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from scratchdata_spark.operators import ensure_parallelism
+
 # One tokenizer, three engines.  ASCII-only word characters: the
 # split pattern is identical bytes in Java, Python and DuckDB regex
 # dialects, and lower() only has to agree on characters that can
@@ -133,8 +135,6 @@ def hashed_features(
     # 1.3 s fanned at sf0.1/32 cores).  At real scale the input has
     # more partitions than cores and this is a no-op; when it fires,
     # the shuffle moves only the two projected columns.
-    from scratchdata_spark.operators import ensure_parallelism
-
     ex = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(features_col(F.col(text_col))).alias("__f"),
@@ -381,19 +381,50 @@ def score_quality(
       it is legal on a STREAMING DataFrame in plain append mode —
       the crawl-time quality gate — and fine for small interactive
       batches.  Needs ``buckets`` ≤ ``ARRAY_TIER_MAX_BUCKETS``.
+    * ``'arrow'`` — :func:`admission_scores_arrow_pass` on a
+      :func:`feature_hashes_col` array: tokenize+hash stay in the
+      plan (exact hash parity with the other tiers), the weight
+      gather runs as one numpy indexing op per document inside a
+      map-only ``mapInPandas`` — zero shuffles, weights closure-borne
+      (needs ``buckets`` ≤ ``ARRAY_TIER_MAX_BUCKETS``).  r13
+      measurement at sf0.1 (5k docs, fresh plans): join tier 1.36 s,
+      arrow 1.01 s — the join tier's exchange + double aggregation +
+      join-back cost more than the Arrow boundary here.  The join
+      tier remains the dispatch for big weight tables, where a
+      closure array would bloat every task.
     * ``'auto'`` (default): streaming input → ``'array'`` (the join
       tier's blocking aggregation cannot run in append mode);
-      batch → ``'join'``.
+      batch → ``'arrow'`` when the weight table fits the closure
+      cap, ``'join'`` otherwise.
 
     Contract note: ids are expected unique (one row per document).
     On duplicate ids the tiers legitimately differ — the join tier's
     groupBy scores each id on the UNION of its rows' features, the
-    array tier scores each ROW independently.
+    array/arrow tiers score each ROW independently.
     """
-    if plan not in ("auto", "array", "join"):
-        raise ValueError("score_quality: plan must be 'auto'|'array'|'join'")
+    if plan not in ("auto", "array", "join", "arrow"):
+        raise ValueError(
+            "score_quality: plan must be 'auto'|'array'|'join'|'arrow'"
+        )
     if plan == "auto":
-        plan = "array" if df.isStreaming else "join"
+        if df.isStreaming:
+            plan = "array"
+        else:
+            plan = "arrow" if buckets <= ARRAY_TIER_MAX_BUCKETS else "join"
+    if plan == "arrow":
+        if buckets > ARRAY_TIER_MAX_BUCKETS:
+            raise ValueError(
+                f"score_quality: plan='arrow' needs buckets <="
+                f" {ARRAY_TIER_MAX_BUCKETS}"
+            )
+        hashed = ensure_parallelism(df.select(id_col, text_col)).select(
+            F.col(id_col),
+            feature_hashes_col(F.col(text_col), portable).alias("__qh"),
+        )
+        return admission_scores_arrow_pass(
+            hashed, "__qh", weights=weights, bias=bias,
+            qc_buckets=buckets, round_to=round_to,
+        ).select(F.col(id_col), "quality_prob")
     sig0 = round(1.0 / (1.0 + math.exp(-bias)), round_to)
     if plan == "array":
         prob = quality_prob_expr(

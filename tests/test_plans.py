@@ -210,11 +210,12 @@ def test_cosine_topk_lsh_bucket_truncated(spark, sf_dir):
 
 def test_cosine_topk_exchange_is_pruned(spark, sf_dir):
     """Brute-force cosine_topk must not exchange the full q×n scored
-    set (VERDICT r6 #4): the per-batch Arrow prune (PQ's per-batch
-    top-R pattern) sits BELOW the ranking window's hash exchange, so
-    the shuffle carries ~q·k·batches rows.  The prune is a passthrough
-    filter — the JVM-fold cosine doubles cross Arrow untouched, which
-    is what keeps the exact tier's oracle hash-green."""
+    set (VERDICT r6 #4; tier reshaped r13): the GEMM scoring seam
+    computes every corpus×query cosine inside one map-only
+    ``mapInPandas`` pass (cumsum accumulation — the HOF fold order
+    bit-for-bit) and prunes each batch to its local top-k BELOW the
+    ranking window's hash exchange, so the shuffle carries
+    ~q·k·batches rows instead of q×n."""
     from scratchdata_spark.operators.similarity import cosine_topk
 
     e = load(spark, sf_dir)["embeddings"]
@@ -222,12 +223,12 @@ def test_cosine_topk_exchange_is_pruned(spark, sf_dir):
         "vec_id as query_id", "embedding"
     )
     p = plan(cosine_topk(e, queries, k=5), mode="simple")
-    assert "MapInArrow" in p, p
     # exactly one hash exchange (the window's), and it consumes the
-    # pruned seam's output: parent prints above child in tree order
+    # scoring seam's output: parent prints above child in tree order
     idx_ex = [i for i, ln in enumerate(p.splitlines())
               if "Exchange hashpartitioning" in ln]
-    idx_ar = [i for i, ln in enumerate(p.splitlines()) if "MapInArrow" in ln]
+    idx_ar = [i for i, ln in enumerate(p.splitlines())
+              if "MapInPandas" in ln]
     assert len(idx_ex) == 1 and len(idx_ar) == 1, p
     assert idx_ex[0] < idx_ar[0], p
 

@@ -187,16 +187,59 @@ def test_training_valve_raises(spark):
         )
 
 
-def test_scoring_plan_no_python_and_broadcast_join(spark):
+def test_scoring_default_dispatches_to_arrow_tier(spark):
+    """r13: batch 'auto' now dispatches to the Arrow LUT tier when the
+    weight table fits the closure cap (measured 1.01 s vs the join
+    tier's 1.36 s at sf0.1) — exactly ONE map-only MapInPandas, no
+    row-at-a-time Python, no shuffle in the scoring plan."""
     df = _fixture_df(spark)
     out = S.score_quality(
         df, {1: 0.5, 2: -0.5}, 0.1, id_col="doc_id", text_col="text",
         buckets=B,
     )
     p = _plan(out)
+    assert p.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p.replace("Exchange RoundRobin", "")  # fan-out only
+
+
+def test_scoring_join_plan_no_python_and_broadcast_join(spark):
+    df = _fixture_df(spark)
+    out = S.score_quality(
+        df, {1: 0.5, 2: -0.5}, 0.1, id_col="doc_id", text_col="text",
+        buckets=B, plan="join",
+    )
+    p = _plan(out)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" not in p, p
+
+
+def test_scoring_arrow_join_tier_parity(spark):
+    """The arrow and join tiers must produce identical scores —
+    including token-free docs and both hash families."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, ""), (3, None),
+         (4, "numbers 123 and symbols !!"), (5, "the the the")],
+        "doc_id long, text string",
+    )
+    w = {b: (b % 7 - 3) / 4.0 for b in range(B)}
+    for portable in (True, False):
+        a = {
+            r[0]: r[1]
+            for r in S.score_quality(
+                df, w, -0.2, id_col="doc_id", text_col="text",
+                buckets=B, portable=portable, plan="arrow",
+            ).collect()
+        }
+        j = {
+            r[0]: r[1]
+            for r in S.score_quality(
+                df, w, -0.2, id_col="doc_id", text_col="text",
+                buckets=B, portable=portable, plan="join",
+            ).collect()
+        }
+        assert a == j
 
 
 # ---------------------------------------------------------------- DSIR

@@ -54,13 +54,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingles(col, k: int = 5):
     """Character k-shingles as a distinct array — pure column
-    expressions (transform over a sequence), no UDF."""
-    n = F.greatest(F.length(col) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k))
+    expressions (transform over a sequence), no UDF.
+
+    ``col`` is let-bound (operators.bind_once): callers pass computed
+    expressions (normalize_text of the raw column), and the in-lambda
+    ``substr`` would otherwise re-normalize the row once per SHINGLE
+    — O(chars²) (the r13 features_col find, same fix)."""
+    from scratchdata_spark.operators import bind_once
+
+    def _sh(c):
+        n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k))
+            )
         )
-    )
+
+    return bind_once(col, _sh)
 
 
 def minhash_signature(

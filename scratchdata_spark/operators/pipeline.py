@@ -134,15 +134,21 @@ def word_ngrams(col: Column, n: int) -> Column:
     array_join), codegen end to end. Texts shorter than n words yield
     an empty array (the sequence guard matters: Spark's
     ``sequence(1, 0)`` counts DOWN, it is not empty)."""
-    toks = F.split(normalize_text(col), " ")
-    cnt = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    from scratchdata_spark.operators import bind_once
+
+    # let-bound: the in-lambda slice would otherwise re-split the row
+    # once per n-gram — O(tokens²) (the r13 features_col find)
+    def _grams(toks):
+        cnt = F.size(toks) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(F.split(normalize_text(col), " "), _grams)
 
 
 def decontaminate(

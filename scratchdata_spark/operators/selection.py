@@ -48,7 +48,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from scratchdata_spark.operators import ensure_parallelism
+from scratchdata_spark.operators import bind_once, ensure_parallelism
 
 # One tokenizer, three engines.  ASCII-only word characters: the
 # split pattern is identical bytes in Java, Python and DuckDB regex
@@ -74,17 +74,26 @@ def words_col(col: Column) -> Column:
 
 def features_col(col: Column) -> Column:
     """Unigrams + space-joined bigrams, one array (fastText's word
-    n-gram feature set with n=2)."""
-    w = words_col(col)
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
-                                  F.element_at(w, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(w, bigrams)
+    n-gram feature set with n=2).
+
+    The word array is LET-BOUND (operators.bind_once) so the
+    split+filter runs once per row: the bigram lambda's two
+    ``element_at`` reads per element would otherwise re-evaluate the
+    whole tokenize per bigram — O(tokens²) (r13 measurement on the
+    hash pipeline: 0.81 s → 0.27 s at sf0.1)."""
+
+    def _feats(w: Column) -> Column:
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                      F.element_at(w, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(w, bigrams)
+
+    return bind_once(words_col(col), _feats)
 
 
 def feature_hash_col(feat: Column, portable: bool) -> Column:

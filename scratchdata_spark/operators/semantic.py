@@ -55,17 +55,24 @@ def _nearest_centroid(vec, centroids: list[list[float]]):
         F.lit(math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0)
         for c in centroids
     ])
-    vn = _norm(vec)
-    sims = F.transform(
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda p: F.coalesce(
-            F.try_divide(
-                _dot(vec, F.element_at(cents, p + 1)),
-                vn * F.element_at(norms, p + 1),
+    from scratchdata_spark.operators import bind_once
+
+    # vn is let-bound (operators.bind_once): referenced once per
+    # centroid inside the lambda, the norm fold would otherwise
+    # re-evaluate k times per row (the r13 features_col find)
+    def _sims(vn):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda p: F.coalesce(
+                F.try_divide(
+                    _dot(vec, F.element_at(cents, p + 1)),
+                    vn * F.element_at(norms, p + 1),
+                ),
+                F.lit(-2.0),
             ),
-            F.lit(-2.0),
-        ),
-    )
+        )
+
+    sims = bind_once(_norm(vec), _sims)
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 

@@ -147,18 +147,28 @@ def adjacent_pairs(arr):
     """``array<struct<w1, w2>>`` of adjacent elements — empty below 2
     elements (``sequence(1, 0)`` would DESCEND, so the guard is load-
     bearing). The one implementation behind every bigram consumer
-    (top_bigram_fraction here, the LM operators in lm.py)."""
-    n = F.size(arr)
-    return F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(arr, i).alias("w1"),
-                F.element_at(arr, i + 1).alias("w2"),
+    (top_bigram_fraction here, the LM operators in lm.py).
+
+    ``arr`` is let-bound (operators.bind_once): callers pass computed
+    split expressions, and the two per-element ``element_at`` reads
+    would otherwise re-tokenize the row per PAIR — O(tokens²) (the
+    r13 features_col find, same fix)."""
+    from scratchdata_spark.operators import bind_once
+
+    def _pairs(a):
+        n = F.size(a)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(a, i).alias("w1"),
+                    F.element_at(a, i + 1).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    return bind_once(arr, _pairs)
 
 
 def top_bigram_fraction(col) -> Column:

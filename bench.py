@@ -188,8 +188,12 @@ def main() -> None:
         # they fan their input out via ensure_parallelism.
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
         extra_conf={
-            # sf0.1 parquet is ~10 MB/table: split finer than the 128 MB
-            # production default so the scan parallelizes across cores.
+            # The testdata parquet is single-row-group, so this does NOT
+            # parallelize the scan (parquet cannot split inside a row
+            # group; the extra splits are empty tasks — measured noise-
+            # level either way at sf0.1).  Kept for protocol continuity;
+            # the production session uses the 128 MB default, and
+            # compute-heavy operators fan out via ensure_parallelism.
             "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
             # At bench SFs every query is one or two broadcast stages;
             # AQE's runtime re-planning only adds stage barriers here.

@@ -332,10 +332,18 @@ def _minhash_stages(
     hashed = F.transform(
         shingles(normalize_text(F.col(text_col)), k), lambda s: F.xxhash64(s)
     )
+    # The semi join must sit BELOW the shingle projection in the code:
+    # Catalyst's PushDownLeftSemiAntiJoin does NOT move a semi join
+    # under a Project in Spark 4.1 (verified with a minimal repro —
+    # the r13 captured plan showed Project(__shset) for EVERY doc
+    # feeding an Exchange of full shingle arrays before the join).
+    # Joining first prunes to survivors, and the join's exchange (when
+    # the planner picks SMJ) carries (id, text) instead of the ~8×
+    # larger array<long> shingle payload.
     shsets = (
         ensure_parallelism(df.select(id_col, text_col))
-        .select(F.col(id_col), hashed.alias("__shset"))
         .join(survivor_ids, id_col, "left_semi")
+        .select(F.col(id_col), hashed.alias("__shset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # No join hints here: both inputs are persisted with known (small)

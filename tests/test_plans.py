@@ -698,3 +698,25 @@ def test_container_probe_entries_are_map_only(spark, sf_dir):
         # column pruning: the scan reads only doc_id, never text/bytes
         read_schema = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
         assert "text" not in read_schema, (name, read_schema)
+
+
+def test_minhash_verify_prunes_before_shingling(spark, sf_dir):
+    """The minhash verify branch may rebuild shingle sets only for
+    docs that survived the candidate screen.  Catalyst's
+    PushDownLeftSemiAntiJoin does NOT move a semi join below a
+    Project (verified on 4.1 with a minimal repro), so the pruning
+    join must sit below the shingle projection in the operator code
+    itself — the r13 plan capture caught the projected ``__shset``
+    arrays (~8× the text bytes) being built for EVERY doc and hauled
+    through the join's shuffle.  Gate: no shuffle exchange may carry
+    the shingle-hash arrays; they exist only above the semi join
+    (broadcast of the pruned survivor relation is fine)."""
+    from scratchdata_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir)["documents"]
+    p = plan(minhash_lsh_pairs(d, "doc_id", "text"))
+    assert "__shset" in p, p  # the verify branch exists
+    for block in p.split("\n\n"):
+        head = block.split("\n", 1)[0]
+        if ") Exchange" in head and "__shset" in block:
+            raise AssertionError(f"shingle arrays cross a shuffle:\n{block}")

@@ -345,10 +345,21 @@ def _topk_scored(
     schema = (
         f"`__qid` {qid_type}, `neighbor_id` {nid_type}, `cos_sim` double"
     )
+    # The query matrix rides a BROADCAST VARIABLE, not the task
+    # closure (r14, guide §3.1 / VERDICT r13 #8): a closure is
+    # re-serialized into every task launch, so at 4096 queries ×
+    # high-dim float64 a many-thousand-task corpus scan would ship
+    # the matrix per TASK; a broadcast ships it once per executor
+    # and the closure carries only the handle.  Cleaned up by the
+    # ContextCleaner when the plan is GC'd.
+    bc = c.sparkSession.sparkContext.broadcast(
+        (qids, qid_arr, qmat, qn, qdim)
+    )
 
     def score(batches):
         import pandas as pd
 
+        qids, qid_arr, qmat, qn, qdim = bc.value
         nq = len(qids)
         for pdf in batches:
             if nq == 0 or len(pdf) == 0:

@@ -3729,15 +3729,21 @@ def describe_form_df(spark, query: str, tables=None, run_sql=None):
              None, None)
             for f in schema.fields
         ]
-        return spark.createDataFrame(
+        ddf = spark.createDataFrame(
             rows,
             "column_name string, column_type string, null string,"
             " key string, default string, extra string",
         )
+        # driver-built shape: serializers collect() it without the
+        # toLocalIterator socket round trips (engine._fetch_rows)
+        ddf._sd_local_result = True
+        return ddf
     if tables is not None and _SHOW_TABLES_STMT_RE.match(query):
-        return spark.createDataFrame(
+        sdf = spark.createDataFrame(
             [(n,) for n in sorted(tables())], "name string"
         )
+        sdf._sd_local_result = True
+        return sdf
     return None
 
 

@@ -135,10 +135,26 @@ class DataFrameSerializers:
     """JSON / NDJSON / CSV streaming serializers (A13–A15) for any
     backend exposing ``query_df`` — shared by the Spark and JDBC
     destinations. All three stream through ``toLocalIterator`` so the
-    driver holds one partition at a time."""
+    driver holds one partition at a time — EXCEPT local-relation
+    results (DML counts, command results), which collect directly:
+    ``toLocalIterator`` pays a serving-socket setup plus a job round
+    trip per partition (~0.5 s measured for a one-row result, r14),
+    while a local relation's ``collect()`` never launches a job and
+    its whole "partition" is already the driver-side row set, so the
+    peak driver memory is identical."""
 
     def query_df(self, query: str) -> DataFrame:  # pragma: no cover - abstract
         raise NotImplementedError
+
+    @staticmethod
+    def _fetch_rows(out: DataFrame, local: bool):
+        if local:
+            return iter(out.collect())
+        # prefetchPartitions lets the JVM serve the next partition
+        # while the driver consumes the current one (same one-
+        # partition-at-a-time driver memory bound, minus the ack
+        # round trip per partition)
+        return out.toLocalIterator(prefetchPartitions=True)
 
     def _json_rows(self, df: DataFrame) -> Iterator[str]:
         # to_json serializes JVM-side per partition; toLocalIterator
@@ -152,13 +168,22 @@ class DataFrameSerializers:
         # drop).
         from pyspark.sql import functions as F
 
+        # isLocal is checked on the INPUT df: the analyzed plan of the
+        # to_json projection is a Project over the LocalRelation, which
+        # isLocal() no longer recognizes (the optimizer folds it back
+        # into a LocalRelation before execution, so collect() still
+        # runs without a job).  _sd_local_result is the engine's own
+        # tag on driver-built small results (DML counts, DESCRIBE/SHOW
+        # shapes) — createDataFrame yields a LogicalRDD, which
+        # isLocal() reports False even for one literal row.
+        local = getattr(df, "_sd_local_result", False) or df.isLocal()
         cols = [F.col("`" + c.replace("`", "``") + "`") for c in df.columns]
         out = df.select(
             F.to_json(
                 F.struct(*cols), {"ignoreNullFields": "false"}
             ).alias("__j")
         )
-        return (r["__j"] for r in out.toLocalIterator())
+        return (r["__j"] for r in self._fetch_rows(out, local))
 
     def query_json(self, query: str, out: IO[str]) -> None:
         out.write("[")
@@ -180,7 +205,8 @@ class DataFrameSerializers:
         writer = csv.writer(out)
         writer.writerow(df.columns)  # deterministic column order
         # (fixes the reference's BigQuery map-iteration bug, query.go:112-180)
-        for row in df.toLocalIterator():
+        local = getattr(df, "_sd_local_result", False) or df.isLocal()
+        for row in self._fetch_rows(df, local):
             writer.writerow(["null" if v is None else v for v in row])
 
 

@@ -75,6 +75,28 @@ def test_existing_column_never_retypes_cast_on_write(dest):
     assert rows == {1: 5, 2: None}  # non-castable → NULL (documented policy)
 
 
+def test_local_result_serializer_fast_path(dest):
+    """r14: driver-built results (DML counts, DESCRIBE/SHOW shapes)
+    carry ``_sd_local_result`` and the serializers collect() them
+    directly — same rows as the toLocalIterator path, minus its
+    serving-socket setup (~0.5 s per statement measured)."""
+    from scratchdata_spark.warehouse_dml import _count_df
+
+    df = _count_df(dest, 3)
+    assert getattr(df, "_sd_local_result", False)
+    fast = list(dest._fetch_rows(df, True))
+    slow = list(dest._fetch_rows(df, False))
+    assert fast == slow
+    assert fast[0]["count"] == 3
+
+    # end to end: a DML statement's count result serializes through
+    # the fast path with the same shape as before
+    _insert(dest, "lrt", ['{"__row_id": 1, "a": 1}'])
+    buf = io.StringIO()
+    dest.query_json("DELETE FROM lrt WHERE a = 999", buf)
+    assert json.loads(buf.getvalue()) == [{"count": 0}]
+
+
 def test_serialization_formats(dest):
     _insert(dest, "s", ['{"__row_id": 1, "a": 1, "b": "x"}', '{"__row_id": 2, "a": 2}'])
     nd = io.StringIO()

@@ -9,6 +9,101 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
+# ----------------------------------------------------------------------
+# Suite budget (r14, VERDICT r13 #2): the full suite grew to ~1,625
+# tests / ~31 min, which the driver's pytest budget cannot finish.  The
+# DEFAULT run is a quick suite (~12-14 min): the soak/battery classes
+# below are skipped unless SPARK_GRAFT_FULL_TESTS=1.  Everything gated
+# here is redundant-at-smoke-level coverage, not the only test of a
+# behavior: the differential batteries re-check the dialect/DML bridges
+# statement-by-statement against DuckDB (the unit suites test_dialect /
+# test_dml cover the same code paths), the equivalence soaks re-run
+# streaming/batch parity end to end, and the per-entry inventory sweep
+# is reduced to the bench set (the driver's own oracle gate samples 50
+# registry entries every round).  Run the FULL battery before shipping
+# operator changes: SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/.
+# ----------------------------------------------------------------------
+
+FULL_TESTS = os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+_HEAVY_FILES = {
+    # 528-case dialect differential battery vs DuckDB (~195 s)
+    "test_dialect_differential.py",
+    # 39-scenario DML same-statement battery vs DuckDB (~170 s)
+    "test_dml_differential.py",
+}
+
+_HEAVY_TESTS = {
+    # streaming/batch equivalence soaks (~100 s)
+    "test_streaming.py::test_semantic_dedup_stream_matches_batch",
+    "test_streaming.py::test_stream_dedup_and_stream_join",
+    "test_streaming.py::test_ingest_stream_idempotent_by_key",
+    "test_admission_stream.py::test_streamed_union_equals_batch",
+    "test_admission_stream.py::test_exactly_once_restart",
+    "test_admission_gate_tiers.py::test_tier_parity_both_gates",
+    "test_admission_gate_tiers.py::test_tier_parity_single_gates",
+    # training / statistical-distribution soaks (~95 s)
+    "test_bpe.py::test_bpe_train_learns_frequent_pairs",
+    "test_recipe.py::test_recipe_semantic_dedup_matches_manual",
+    "test_boilerplate.py::test_remove_boilerplate_properties",
+    "test_pipeline_ops.py::test_resample_by_temperature_rates",
+    "test_urls.py::test_normalize_url_collapses_duplicates",
+    "test_urls.py::test_with_registered_domain_psl_tier",
+    "test_plans.py::test_pair_expansion_is_size_tiered",
+    "test_graph.py::test_near_dedup_recipe_best_survivor",
+    # multi-statement DML walks ≥10 s each; the remaining ~60 DML
+    # tests exercise every statement kind individually (~170 s)
+    "test_dml.py::test_view_survives_generation_flips",
+    "test_dml.py::test_view_sees_table_mutations",
+    "test_dml.py::test_insert_literal_containing_dml_keywords",
+    "test_dml.py::test_primary_key_and_upsert_statements",
+    "test_dml.py::test_create_view_persists_across_sessions",
+    "test_dml.py::test_upsert_prunes_files_and_inserts_out_of_range_keys",
+    "test_dml.py::test_update_from_joined",
+    "test_dml.py::test_merge_count_excludes_predicate_misses",
+}
+
+# per-registry-entry sweeps: quick mode runs the bench set (the names
+# bench.py times — the perf-critical operator paths) plus anything the
+# entry sweep alone covers; full mode runs all ~155 entries
+_SAMPLED_FAMILIES = {
+    "test_inventory.py::test_query_runs",
+    "test_inventory.py::test_query_schema_is_canonicalizer_safe",
+}
+
+
+def _bench_names() -> set[str]:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        from bench import EXTRAS, HEADLINE
+
+        return set(HEADLINE) | set(EXTRAS)
+    except Exception:  # pragma: no cover - bench.py moved/renamed
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    if FULL_TESTS:
+        return
+    skip = pytest.mark.skip(
+        reason="quick suite (driver budget); SPARK_GRAFT_FULL_TESTS=1 runs it"
+    )
+    bench = None
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        base = item.nodeid.split("::", 1)[-1].split("[", 1)[0]
+        key = f"{fname}::{base}"
+        if fname in _HEAVY_FILES or key in _HEAVY_TESTS:
+            item.add_marker(skip)
+        elif key in _SAMPLED_FAMILIES and "[" in item.nodeid:
+            if bench is None:
+                bench = _bench_names()
+            entry = item.nodeid.split("[", 1)[1].rstrip("]")
+            if entry not in bench:
+                item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

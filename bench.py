@@ -89,9 +89,21 @@ clears them), and it is what made AQE look 2.9× worse on minhash in
 r13.  Every timed rep now re-builds the query DataFrame (fresh plan,
 fresh shuffle IDs, persists re-registered); ``clearCache()`` between
 reps still drops the cached DATA, so each rep recomputes everything
-from parquet inside the timed action.  With the operators' designed
-plans restored, AQE is ON in the bench session again — matching the
-production session (session.py) instead of diverging from it.
+from parquet inside the timed action.
+
+ROUND-14 AQE POSITION (VERDICT r13 #1/#2): with the persists restored
+the production AQE-on config was re-A/B'd.  At sf1, minhash AQE-on is
+within 12% of AQE-off (4.94 vs 4.40 s best; medians equal) — the
+operator no longer depends on ReuseExchange, so the production
+session (AQE on) carries NO operator-specific penalty.  At sf0.1,
+AQE-on still costs +30–130% on EVERY sub-second query (paired
+same-session A/B: q_window_frame_rows 2.3×, x_ann_cosine_topk 2.0×,
+minhash 1.7×) — the fixed per-stage materialization barrier AQE
+inserts at each exchange, a latency floor that amortizes at scale,
+not a plan difference.  The bench therefore keeps AQE OFF by default
+at this scale (comparable with the r13 protocol and with DuckDB's
+sub-100 ms times), parameterized via SPARK_GRAFT_BENCH_AQE=1 for
+at-scale runs; the production session (session.py) keeps AQE on.
 """
 
 from __future__ import annotations
@@ -122,6 +134,15 @@ HEADLINE = [
     "q_approx_count_distinct",
     "q_window_frame_rows",
     "q_json_funcs",
+    # r14 ADDITIONS (never renamed/removed — the driver contract): the
+    # same q01/q03/q05 against a row-group-split copy of the inputs
+    # (inventory.load_mrg, VERDICT r13 #5).  The single-row-group
+    # testdata makes every scan one task at any core count, so the
+    # driver's 8-vs-32 scaling block read ≈1 for every scan-bound
+    # query; these rows give the scaling measurement a real signal.
+    "q01_pricing_summary_mrg",
+    "q03_shipping_priority_mrg",
+    "q05_local_supplier_volume_mrg",
 ]
 
 EXTRAS = [  # included once implemented (operators/ extras)
@@ -143,7 +164,19 @@ EXTRAS = [  # included once implemented (operators/ extras)
     # pairs, no estimator screen) and an md5-based portable hash —
     # ~12 s at sf0.1 by design, ~100× the production tier. The
     # performance path is x_dedup_minhash_lsh above.
+    "x_ann_pq_topk_coldfit",  # r14 ADDITION (VERDICT r13 #9): the
+    # cold-fit PQ row — same query as x_ann_pq_topk, but the timer
+    # starts before the plan BUILD (BUILD_TIMED below) so the
+    # driver-side codebook fit is inside the timed region.  The
+    # existing x_ann_pq_topk row keeps its meaning: the fit-once /
+    # probe-many contract (externally persisted codebooks, like lm's
+    # external count tables), where only encode+score+rerank is paid
+    # per query round.
 ]
+
+# Entries whose plan BUILD does real work (driver-side fits) and is
+# deliberately timed: the clock starts before the query function runs.
+BUILD_TIMED = {"x_ann_pq_topk_coldfit"}
 
 
 def _fetch(df) -> int:
@@ -220,15 +253,20 @@ def main() -> None:
             # the production session uses the 128 MB default, and
             # compute-heavy operators fan out via ensure_parallelism.
             "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
-            # AQE ON — the production session's setting (session.py).
-            # r13 measured AQE-on 2.9× worse on minhash and turned it
-            # off bench-only; r14 found that measurement was made with
-            # the operator's persist() registrations silently dropped
-            # (see the module docstring) — with the designed plans
-            # restored, AQE-on ≈ AQE-off (x_dedup_minhash_lsh paired
-            # A/B, OPTIMIZATION_r14.md §1), so the bench no longer
-            # diverges from the production config.
-            "spark.sql.adaptive.enabled": "true",
+            # AQE off at bench scale, on in production (session.py):
+            # r13's "AQE 2.9× worse on minhash" was a bench artifact
+            # (persist registrations silently dropped — module
+            # docstring), and with the designed plans restored the
+            # at-scale A/B shows parity (sf1 minhash 1.12×, within the
+            # ±20% VERDICT bar).  What remains at sf0.1 is AQE's fixed
+            # per-exchange stage-barrier latency, +30–130% on EVERY
+            # sub-second query — a small-scale latency floor, not a
+            # plan difference, so it is parameterized rather than
+            # hard-coded: SPARK_GRAFT_BENCH_AQE=1 benches the
+            # production config (OPTIMIZATION_r14.md §1).
+            "spark.sql.adaptive.enabled": (
+                "true" if os.environ.get("SPARK_GRAFT_BENCH_AQE") == "1" else "false"
+            ),
         },
     )
 
@@ -279,9 +317,13 @@ def main() -> None:
                 # materialization is part of the timed action — the
                 # same cost any fresh caller of the operator pays.
                 spark.catalog.clearCache()
-                df = _fresh(name, spark, sf_dir)
-                t0 = time.perf_counter()
-                _fetch(df)
+                if name in BUILD_TIMED:
+                    t0 = time.perf_counter()
+                    _fetch(_fresh(name, spark, sf_dir))
+                else:
+                    df = _fresh(name, spark, sf_dir)
+                    t0 = time.perf_counter()
+                    _fetch(df)
                 best = min(best, time.perf_counter() - t0)
             pass_wall += best
             if best < timings.get(name, float("inf")):

@@ -1098,10 +1098,21 @@ def q_json_funcs(spark, sf_dir):
     """``from_json`` with an explicit schema, not ``get_json_object``:
     one Jackson parse per row into a typed struct (~8× faster here and
     the difference only grows with repeated ``$.path`` extractions —
-    get_json_object re-parses the document per call)."""
+    get_json_object re-parses the document per call).
+
+    The parse sits ABOVE a fan-out of the projected ``props`` column
+    (r14, guide §2.5 input skew / VERDICT r13 #4): the testdata
+    parquet is single-row-group, so without it the whole Jackson
+    parse runs on one core — 7.4× DuckDB's vectorized JSON at sf1.
+    The round-robin exchange moves only the JSON strings being
+    parsed; on a real many-split scan ``ensure_parallelism`` is a
+    no-op."""
+    from scratchdata_spark.operators import ensure_parallelism
+
     e = load(spark, sf_dir)["events"]
     return (
-        e.select(F.from_json("props", "k string").alias("j"))
+        ensure_parallelism(e.select("props"))
+        .select(F.from_json("props", "k string").alias("j"))
         .select(F.col("j.k").cast("bigint").alias("k_val"))
         .groupBy("k_val")
         .agg(F.count("*").alias("n"))
@@ -1367,6 +1378,201 @@ def b_window_frame_rows(spark, sf_dir):
         "o_orderkey",
         F.sum("o_totalprice").over(w1).alias("running_total"),
         F.avg("o_totalprice").over(w3).alias("moving_avg3"),
+    )
+
+
+# ======================================================================
+# Multi-row-group scan entries (r14, VERDICT r13 #5; guide §6).
+#
+# The testdata parquet is written as ONE row group per table, and
+# parquet cannot split inside a row group — so every scan in the bench
+# is a single task no matter the core count, and the driver's 8-vs-32
+# core scaling measurement reads ≈1 everywhere: the bench produced NO
+# parallelism evidence at all.  These entries run the SAME q01/q03/q05
+# queries (same oracle SQL, same rows, hash-identical results) against
+# a row-group-split copy of the inputs that the engine's own parquet
+# sink writes ONCE per (sf_dir, mtime) under /tmp.
+#
+# This is a DATA-LAYOUT rewrite, not result caching: the copy contains
+# the raw input rows only (no query results, no derived columns, no
+# filters), exactly the layout any real ingest through the engine's
+# sink would produce (the sink bounds rows per file; a 100 TB table is
+# always many row groups).  The rewrite runs at plan-build time —
+# outside the timed region — and is skipped when the copy is current.
+# The split count derives from the SOURCE BYTE SIZE (~256 KB per
+# file, capped at 64), never from the session's core count, so the
+# 8-core and 32-core driver passes read byte-identical inputs.
+# ======================================================================
+
+_MRG_TABLES = ("lineitem", "orders", "customer", "supplier", "nation", "region")
+_MRG_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def load_mrg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Row-group-split copies of the join tables, registered as
+    ``<table>_mrg`` temp views (separate names — re-pointing the main
+    views would silently change what every OTHER query scans)."""
+    import hashlib
+    import os
+
+    key = (session_key(spark), sf_dir)
+    cached = _MRG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ap = os.path.abspath(sf_dir)
+    root = (
+        "/tmp/scratchdata_mrg/"
+        f"{os.path.basename(ap)}-{hashlib.md5(ap.encode()).hexdigest()[:8]}"
+    )
+    out: dict[str, DataFrame] = {}
+    for t in _MRG_TABLES:
+        src = f"{ap}/{t}.parquet"
+        dst = f"{root}/{t}"
+        stamp = f"{dst}/_SUCCESS"
+        if (
+            not os.path.exists(stamp)
+            or os.path.getmtime(stamp) < os.path.getmtime(src)
+        ):
+            n = int(max(1, min(64, os.path.getsize(src) // (256 * 1024))))
+            (
+                spark.read.parquet(src)
+                .repartition(n)
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+        df = spark.read.parquet(dst)
+        df.createOrReplaceTempView(f"{t}_mrg")
+        out[t] = df
+    _MRG_CACHE[key] = out
+    return out
+
+
+@q("q01_pricing_summary_mrg", REGISTRY["q01_pricing_summary"][1])
+def q01_mrg(spark, sf_dir):
+    """q01 over the row-group-split layout: the lineitem scan fans out
+    across splits instead of running as one task."""
+    l = load_mrg(spark, sf_dir)["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc, "sum_disc_price", 4),
+            dsum(charge, "sum_charge", 6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q("q03_shipping_priority_mrg", REGISTRY["q03_shipping_priority"][1])
+def q03_mrg(spark, sf_dir):
+    """q03 over the row-group-split layout."""
+    t = load_mrg(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1998-03-15")
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+    )
+
+
+@q("q05_local_supplier_volume_mrg", REGISTRY["q05_local_supplier_volume"][1])
+def q05_mrg(spark, sf_dir):
+    """q05 over the row-group-split layout."""
+    t = load_mrg(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+    )
+
+
+@bench_variant("q01_pricing_summary_mrg")
+def b_q01_mrg(spark, sf_dir):
+    """The b_q01 double-sum text over the split views — the bench
+    times exactly the q01 variant semantics with only the input
+    layout changed, so q01 vs q01_mrg isolates scan parallelism."""
+    load_mrg(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               AVG(l_quantity) AS avg_qty,
+               AVG(l_extendedprice) AS avg_price,
+               AVG(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem_mrg
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@bench_variant("q03_shipping_priority_mrg")
+def b_q03_mrg(spark, sf_dir):
+    load_mrg(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(customer_mrg), BROADCAST(orders_mrg) */
+               l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        FROM customer_mrg
+        JOIN orders_mrg ON c_custkey = o_custkey
+        JOIN lineitem_mrg ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1998-03-15'
+          AND l_shipdate > '1998-03-15'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        """
+    )
+
+
+@bench_variant("q05_local_supplier_volume_mrg")
+def b_q05_mrg(spark, sf_dir):
+    load_mrg(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(customer_mrg), BROADCAST(orders_mrg),
+                   BROADCAST(supplier_mrg), BROADCAST(nation_mrg),
+                   BROADCAST(region_mrg) */
+               n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem_mrg
+        JOIN orders_mrg ON l_orderkey = o_orderkey
+        JOIN customer_mrg ON c_custkey = o_custkey
+        JOIN supplier_mrg ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation_mrg ON c_nationkey = n_nationkey
+        JOIN region_mrg ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """
     )
 
 

@@ -2898,6 +2898,30 @@ def x_ann_pq_topk(spark, sf_dir):
     return pq_topk(e, queries, 64, k=5, m=8, nbits=6, rerank=20)
 
 
+@q("x_ann_pq_topk_coldfit", None)  # PQ is approximate: rows-only
+def x_ann_pq_topk_coldfit(spark, sf_dir):
+    """The same PQ query as x_ann_pq_topk, registered separately so
+    the bench can time the COLD-FIT path honestly (r14, VERDICT r13
+    #9): ``pq_fit`` is a driver-side sample-collect + numpy Lloyd's
+    that runs at plan-BUILD time, outside the bench timer — so the
+    x_ann_pq_topk row measures the fit-once/probe-many contract
+    (codebooks already in hand, encode+score+rerank timed), the
+    production shape where a persisted fit is reused across query
+    rounds exactly like lm's external count tables.  bench.py lists
+    this entry in BUILD_TIMED and starts the clock BEFORE the build,
+    so this row is fit + encode + score + rerank end to end.  No
+    caching anywhere: both entries refit/re-encode from parquet on
+    every rep."""
+    from scratchdata_spark.operators.pq import pq_topk
+
+    e = load(spark, sf_dir)["embeddings"]
+    queries = (
+        e.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return pq_topk(e, queries, 64, k=5, m=8, nbits=6, rerank=20)
+
+
 # ------------------------------------------ r9: the crawl-stack entries
 # (VERDICT r8 #1: WARC ingestion, URL dedup, corpus mixing, Bloom
 # pre-screen, BPE counts — production-shaped operators that were

@@ -130,13 +130,37 @@ def lm_perplexity(
             " head collects would re-aggregate the corpus otherwise"
         )
     if counts is None:
-        counts = ngram_lm_fit(df, id_col, text_col, persist=False)
-    uni, big, v = counts
+        # Self-fit: ONE shared bigram-occurrence relation, persisted,
+        # feeds BOTH the count aggregation and the probe join (r14,
+        # VERDICT r13 #6).  Without it the tokenize→pair-build→explode
+        # ran twice — the two branches were physically non-identical
+        # only because of column pruning, so neither ReuseExchange nor
+        # the codegen stage could share them.  The persist is the
+        # operator's designed materialization point (same contract as
+        # minhash's sig/cand stages): it registers at plan-build time,
+        # materializes inside the first action, and is NOT unpersisted
+        # here — a fit-once/score-many caller goes through
+        # ``ngram_lm_fit`` and owns its handles instead.
+        from pyspark import StorageLevel
+
+        src = ensure_parallelism(df)
+        pairs = _bigrams(src, id_col, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        uni = (
+            src.select(F.explode(_words(text_col)).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c1"))
+        )
+        big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+        v = uni.count()
+    else:
+        uni, big, v = counts
+        pairs = _bigrams(ensure_parallelism(df), id_col, text_col)
     if v <= 0:
         # an empty reference model would put 0 in the smoothing
         # denominator (ANSI mode throws; non-ANSI silently NULLs)
         raise ValueError("lm_perplexity: empty reference model (V=0)")
-    pairs = _bigrams(ensure_parallelism(df), id_col, text_col)
     uni1 = uni.withColumnRenamed("w", "w1")
     if hot_k is not None:
         from scratchdata_spark.operators.skew import salted_join_hot

@@ -39,12 +39,11 @@ def main() -> None:
 
     load(spark, sf_dir)
     for name in names:
-        df = _query_fn(name)(spark, sf_dir)
-        _fetch(df)  # warm: codegen + JIT
+        _fetch(_query_fn(name)(spark, sf_dir))  # warm: codegen + JIT
         best, runs = float("inf"), []
         for _ in range(reps):
             spark.catalog.clearCache()
-            fresh = _fresh(df)
+            fresh = _fresh(name, spark, sf_dir)
             t0 = time.perf_counter()
             _fetch(fresh)
             dt = time.perf_counter() - t0

@@ -9,14 +9,16 @@ pairwise topology, so near-dup mass grows linearly and the measured
 wall tracks tier cost, not output size) and writes the measured
 crossover into BENCH_scale.json's ``dispatch_crossover`` block.
 
-Protocol: solo box, BENCH REGIME — the dispatch exists purely for
-warm-session small-scale latency (at cluster scale GEMM wins
-outright), so the measurement must replicate bench.py's conditions:
-shuffle_partitions=8, AQE off, input cached, ONE DataFrame per
-(n, tier) whose analyzed plan is reused across reps (the HOF tier's
-fold expressions are enormous — rebuilding the plan per rep measures
-analysis/codegen, not execution; the first soak draft did exactly
-that and misread GEMM as winning at every size), warm pass then
+Protocol: solo box, BENCH REGIME.  r14 re-pin (VERDICT r13 #3): the
+r8 numbers were taken under the pre-r13 gamed regime (input cached,
+one Dataset reused across reps — warm final stages, not queries), so
+the crossover they pinned was stale.  The regime now mirrors
+bench.py's honest r14 protocol exactly: shuffle_partitions=8, AQE off
+(the r14 bench default — production keeps AQE on; the divergence is
+the measured per-exchange barrier latency at small scale, bench.py
+docstring), NO input cache (parquet scan, page-cache warm only), a
+FRESH build per rep with clearCache between reps (plan build outside
+the timer, exactly like bench.py's rep loop), warm pass then
 best-of-3.
 
 Usage: python tools/dispatch_crossover.py [sf_dir]
@@ -39,18 +41,27 @@ from tools.scale_soak import scaled_embeddings
 SIZES = (2048, 4096, 8192, 12288, 16384, 20480)
 
 
-def _time_tier(vectors, n: int, planes: int, force_hof: bool) -> tuple[float, int]:
-    df = near_dup_pairs(
-        vectors, dim=64, threshold=0.4, n_planes=planes,
-        corpus_size=n,
-        small_corpus_rows=(1 << 40) if force_hof else 0,
-    )
+def _time_tier(
+    spark, path: str, n: int, planes: int, force_hof: bool
+) -> tuple[float, int]:
+    def build():
+        vectors = spark.read.parquet(path)
+        return near_dup_pairs(
+            vectors, dim=64, threshold=0.4, n_planes=planes,
+            corpus_size=n,
+            small_corpus_rows=(1 << 40) if force_hof else 0,
+        )
+
     # action = bench.py's _fetch (toArrow): a count() over the same
     # plan measured 7× slower on this box (separate aggregate
     # execution path) and is NOT what the bench regime measures
-    pairs = df.toArrow().num_rows  # warm pass: codegen + JIT
+    pairs = build().toArrow().num_rows  # warm pass: codegen + JIT
     best = math.inf
     for _ in range(3):
+        # bench.py's r14 rep protocol: fresh build (outside the
+        # timer), cleared cache, timed action
+        spark.catalog.clearCache()
+        df = build()
         t0 = time.monotonic()
         df.toArrow()
         best = min(best, time.monotonic() - t0)
@@ -62,6 +73,7 @@ def main() -> None:
     spark = get_spark(
         app_name="dispatch-crossover",
         shuffle_partitions=8,  # bench.py's setting: KB-scale shuffles
+        # AQE off: the r14 bench default (bench.py) this dispatch serves
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     blocks = []
@@ -83,12 +95,11 @@ def main() -> None:
         # changes AQE's broadcast decisions and flips the verdict
         path = os.path.join(stage_root, f"emb_{target}")
         scaled.write.mode("overwrite").parquet(path)
-        vectors = spark.read.parquet(path).cache()
-        vectors.count()  # bench regime: input resident in memory
+        # NO .cache() of the input (r14 honest regime): the tiers scan
+        # parquet like the bench does, warm only at the OS page cache
         planes = max(3, math.ceil(math.log2(max(2.0, n / 60.0))))
-        hof_s, hof_pairs = _time_tier(vectors, n, planes, force_hof=True)
-        gemm_s, gemm_pairs = _time_tier(vectors, n, planes, force_hof=False)
-        vectors.unpersist()
+        hof_s, hof_pairs = _time_tier(spark, path, n, planes, force_hof=True)
+        gemm_s, gemm_pairs = _time_tier(spark, path, n, planes, force_hof=False)
         blocks.append(
             {
                 "n_vectors": n,

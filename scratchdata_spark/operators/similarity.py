@@ -764,6 +764,22 @@ def near_dup_pairs(
     stays fixed.  Both tiers round cos_sim HALF_UP to 6 and agree on
     NULL/zero-norm containment, so the dispatch is invisible in the
     output.
+
+    r14 RE-PIN (VERDICT r13 #3): the r8 numbers above were taken
+    under the pre-r13 gamed regime (cached input, reused Dataset —
+    warm final stages).  Re-measured under the honest r14 protocol
+    (no input cache, fresh build per rep, clearCache between reps —
+    tools/dispatch_crossover.py, updated table in BENCH_scale.json):
+    HOF/GEMM 1.05/1.37 s at 4k, 1.07/0.89 at 8k, 1.29/1.11 at 12k,
+    2.74/1.80 at 20k — the crossover still falls between 4k and 8k
+    (the honest clock raised both tiers' absolute cost ~5× but
+    moved the HOF-vs-GEMM balance point by less than the 4k–8k
+    sampling gap), so the 6144 default stands, now with
+    honest-protocol evidence.  (The 2k block's nominal GEMM win,
+    1.78/1.18, is first-block JIT warm-up on the HOF side — it
+    contradicts the fixed-cost analysis and every earlier 2k
+    measurement, and the crossover scan ignores non-monotone
+    leading blocks by construction.)
     """
     v = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))

@@ -3703,6 +3703,91 @@ def spark_type_to_duckdb(dt) -> str:
     return _SPARK_TO_DUCK_TYPES.get(name, name.upper())
 
 
+def _split_ddl_cols(ddl: str) -> list[tuple[str, str]]:
+    """``"a bigint, b decimal(10,2)"`` → ``[("a","bigint"), …]`` —
+    top-level comma split (parens nest: DECIMAL/STRUCT types)."""
+    cols, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:i].strip()
+            if part:
+                name, typ = part.split(None, 1)
+                cols.append((name.strip("`"), typ.strip()))
+            start = i + 1
+    return cols
+
+
+def _sql_literal(v, typ: str) -> str:
+    """One python value as CAST-pinned SQL literal text, or raise for
+    anything outside the driver-built-result vocabulary (the caller
+    falls back to createDataFrame)."""
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if isinstance(v, bool):
+        return f"CAST({'TRUE' if v else 'FALSE'} AS {typ})"
+    if isinstance(v, int):
+        return f"CAST({v} AS {typ})"
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError("non-finite float literal")
+        return f"CAST({v!r} AS {typ})"
+    if isinstance(v, str):
+        out = []
+        for ch in v:
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "'":
+                out.append("\\'")
+            elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+                out.append(f"\\u{ord(ch):04X}")
+            else:
+                out.append(ch)
+        return f"CAST('{''.join(out)}' AS {typ})"
+    raise ValueError(f"no literal rendering for {type(v).__name__}")
+
+
+def local_result_df(spark, rows, ddl: str):
+    """Driver-built small result (DML count, DESCRIBE/SHOW shape,
+    compaction summary) as a TRUE LocalRelation via a VALUES
+    statement.  createDataFrame yields a LogicalRDD over a PythonRDD,
+    so every action on it — even the serializers' direct collect()
+    fast path — launches a defaultParallelism-task Python-worker job
+    (~0.5 s per one-row result in local[32], measured r14).  A VALUES
+    LocalRelation plans as LocalTableScan, whose executeCollect
+    returns rows with NO job, and the serializers' to_json projection
+    constant-folds into it too (ConvertToLocalRelation) — ~6 ms
+    end to end, measured r14.  Empty row sets use LIMIT 0, which
+    OptimizeLimitZero folds to an empty LocalRelation.  Values the
+    literal renderer doesn't cover fall back to createDataFrame
+    (correct, just slower).  Either way the result carries
+    ``_sd_local_result`` for engine._fetch_rows."""
+    cols = _split_ddl_cols(ddl)
+    try:
+        names = ", ".join("`" + n.replace("`", "``") + "`" for n, _ in cols)
+        if rows:
+            values = ", ".join(
+                "(" + ", ".join(
+                    _sql_literal(v, t) for v, (_, t) in zip(row, cols)
+                ) + ")"
+                for row in rows
+            )
+            df = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({names})")
+        else:
+            body = ", ".join(
+                f"CAST(NULL AS {t}) AS `" + n.replace("`", "``") + "`"
+                for n, t in cols
+            )
+            df = spark.sql(f"SELECT {body} LIMIT 0")
+    except Exception:
+        df = spark.createDataFrame(rows, ddl)
+    df._sd_local_result = True
+    return df
+
+
 def describe_form_df(spark, query: str, tables=None, run_sql=None):
     """``DESCRIBE t`` / ``DESCRIBE SELECT …`` / ``SHOW TABLES`` with
     DUCKDB's output shapes (probed: DESCRIBE = column_name /
@@ -3729,21 +3814,18 @@ def describe_form_df(spark, query: str, tables=None, run_sql=None):
              None, None)
             for f in schema.fields
         ]
-        ddf = spark.createDataFrame(
+        # driver-built shape: a LocalRelation, so the serializers
+        # fetch it without any job (local_result_df / _fetch_rows)
+        return local_result_df(
+            spark,
             rows,
             "column_name string, column_type string, null string,"
             " key string, default string, extra string",
         )
-        # driver-built shape: serializers collect() it without the
-        # toLocalIterator socket round trips (engine._fetch_rows)
-        ddf._sd_local_result = True
-        return ddf
     if tables is not None and _SHOW_TABLES_STMT_RE.match(query):
-        sdf = spark.createDataFrame(
-            [(n,) for n in sorted(tables())], "name string"
+        return local_result_df(
+            spark, [(n,) for n in sorted(tables())], "name string"
         )
-        sdf._sd_local_result = True
-        return sdf
     return None
 
 

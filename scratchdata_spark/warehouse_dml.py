@@ -248,15 +248,13 @@ def statement_kind(query: str) -> str | None:
 
 
 def _count_df(dest, n: int):
-    df = dest.spark.createDataFrame(
-        [(int(n),)], StructType([StructField("count", LongType(), False)])
-    )
-    # driver-built one-row result: the serializers collect() it
-    # directly instead of paying toLocalIterator's serving-socket
-    # setup (~0.5 s per DML statement, measured r14 — engine.py
-    # DataFrameSerializers._fetch_rows)
-    df._sd_local_result = True
-    return df
+    # driver-built one-row result as a LocalRelation: the serializers
+    # collect() it with NO job — createDataFrame's PythonRDD paid a
+    # defaultParallelism-task job per action (~0.5 s per DML
+    # statement, measured r14 — dialect.local_result_df)
+    from scratchdata_spark.dialect import local_result_df
+
+    return local_result_df(dest.spark, [(int(n),)], "count bigint")
 
 
 def _expr(dest, df, text: str):
@@ -2128,7 +2126,11 @@ def _exec_compact(dest, query: str):
         min_files=int(min_files) if min_files else 8,
         sort_cols=sort_cols,
     )
-    cdf = dest.spark.createDataFrame(
+    from scratchdata_spark.dialect import local_result_df
+
+    # driver-built one-row result as a LocalRelation (no-job collect)
+    return local_result_df(
+        dest.spark,
         [(
             bool(out.get("compacted")),
             int(out.get("files_in", out.get("files", 0))),
@@ -2139,8 +2141,6 @@ def _exec_compact(dest, query: str):
         "compacted boolean, files_in int, files_out int,"
         " generation int, reason string",
     )
-    cdf._sd_local_result = True  # driver-built one-row result
-    return cdf
 
 
 # -------------------------------------------------------------- UPDATE

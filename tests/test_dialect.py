@@ -1478,3 +1478,45 @@ def test_frame_exclude_guard():
         )
     # the star-EXCLUDE projection form is untouched by the guard
     assert "EXCEPT" in rewrite("SELECT * EXCLUDE (v) FROM t // 1")
+
+
+def test_local_result_df_values_relation(spark):
+    """r14: local_result_df renders driver-built rows as a VALUES
+    LocalRelation (no-job collect), pinning types, NULLs, reserved
+    names, and escaping; empty row sets fold to an empty relation."""
+    from scratchdata_spark.dialect import local_result_df
+
+    df = local_result_df(
+        spark,
+        [("a's \\ path\nx", None, True, 7), ("plain", "v", False, None)],
+        "name string, `default` string, flag boolean, n bigint",
+    )
+    assert getattr(df, "_sd_local_result", False)
+    # the ANALYZED plan keeps a Project over the LocalRelation (so
+    # isLocal() is false), but the EXECUTED plan is LocalTableScan,
+    # whose executeCollect returns rows without submitting a job
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "string", "boolean", "bigint"
+    ]
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [
+        ("a's \\ path\nx", None, True, 7), ("plain", "v", False, None)
+    ]
+
+    empty = local_result_df(spark, [], "name string, n int")
+    assert "LocalTableScan" in empty._jdf.queryExecution().executedPlan().toString()
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "string", "int"
+    ]
+
+    # values outside the literal vocabulary fall back to
+    # createDataFrame — correct rows, just not a LocalRelation
+    import datetime
+
+    fb = local_result_df(
+        spark, [(datetime.date(2026, 1, 2),)], "d date"
+    )
+    assert getattr(fb, "_sd_local_result", False)
+    assert [tuple(r) for r in fb.collect()] == [(datetime.date(2026, 1, 2),)]

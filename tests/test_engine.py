@@ -84,6 +84,10 @@ def test_local_result_serializer_fast_path(dest):
 
     df = _count_df(dest, 3)
     assert getattr(df, "_sd_local_result", False)
+    # r14: driver-built results plan as LocalTableScan (VALUES), so
+    # collect() launches no job at all — createDataFrame's PythonRDD
+    # paid a defaultParallelism-task job per action
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
     fast = list(dest._fetch_rows(df, True))
     slow = list(dest._fetch_rows(df, False))
     assert fast == slow

@@ -946,6 +946,35 @@ def ivf_topk(
                 ),
             )
         )
+        if top == 1:
+            # Corpus-side assignment: one best cell per row.  A window
+            # here shuffles every (row × centroid) copy — n_centroids
+            # copies of each VECTOR through the exchange — only to
+            # keep rank 1.  max_by is a declarative aggregate with a
+            # map-side partial, and the crossJoin preserves the side's
+            # partitioning, so each row's candidate cells collapse to
+            # one row BEFORE the exchange: the shuffle carries each
+            # vector once, 1/n_centroids of the window shape's bytes
+            # (guide §2.3), and no sort.  Tie/NULL order matches the
+            # window's (__csim DESC, __cent_id ASC) exactly: NULL sims
+            # coalesce to -Infinity (desc NULLS LAST ≡ smallest), and
+            # the negated id breaks ties toward the lowest cell; NaN
+            # sorts above every double in both forms (Spark's total
+            # order).  Verified output-identical vs the window shape
+            # at sf0.1 (same result hash).
+            ordkey = F.struct(
+                F.coalesce(F.col("__csim"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("__cent_id")).alias("negid"),
+            )
+            return (
+                sims.groupBy(sid)
+                .agg(
+                    F.max_by(F.col("__cent_id"), ordkey).alias("__cent_id"),
+                    F.first(svec).alias(svec),
+                    F.first(snorm).alias(snorm),
+                )
+                .select(sid, "__cent_id", svec, snorm)
+            )
         w = Window.partitionBy(sid).orderBy(F.col("__csim").desc(), "__cent_id")
         return (
             sims.withColumn("__crank", F.row_number().over(w))

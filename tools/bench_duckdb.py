@@ -103,6 +103,19 @@ DUCKDB_VARIANTS: dict[str, str] = {
 }
 
 
+# The _mrg rows time the same query text as their originals (only the
+# Spark-side input LAYOUT differs, which DuckDB has no analogue of —
+# it parallelizes inside a row group), so they reuse the same
+# double-sum variant text; without this they would fall back to the
+# DECIMAL oracle SQL and reintroduce the asymmetry for those rows.
+for _n in (
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+):
+    DUCKDB_VARIANTS[_n + "_mrg"] = DUCKDB_VARIANTS[_n]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"

@@ -1405,6 +1405,14 @@ def b_window_frame_rows(spark, sf_dir):
 # ======================================================================
 
 _MRG_TABLES = ("lineitem", "orders", "customer", "supplier", "nation", "region")
+# Only the PROBE side needs the split layout: the q01/q03/q05 plans
+# broadcast every other table, and the scaling signal lives in the
+# big-table scan's task count.  Splitting the broadcast sides too
+# costs their build jobs a many-small-files scan for no signal (at
+# synthesized sf1 the 64-file dimension scans made q03_mrg ~50%
+# SLOWER than q03 — measured r14); they register as straight views
+# over the source parquet instead.
+_MRG_SPLIT = ("lineitem",)
 _MRG_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
@@ -1427,20 +1435,23 @@ def load_mrg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for t in _MRG_TABLES:
         src = f"{ap}/{t}.parquet"
-        dst = f"{root}/{t}"
-        stamp = f"{dst}/_SUCCESS"
-        if (
-            not os.path.exists(stamp)
-            or os.path.getmtime(stamp) < os.path.getmtime(src)
-        ):
-            n = int(max(1, min(64, os.path.getsize(src) // (256 * 1024))))
-            (
-                spark.read.parquet(src)
-                .repartition(n)
-                .write.mode("overwrite")
-                .parquet(dst)
-            )
-        df = spark.read.parquet(dst)
+        if t in _MRG_SPLIT:
+            dst = f"{root}/{t}"
+            stamp = f"{dst}/_SUCCESS"
+            if (
+                not os.path.exists(stamp)
+                or os.path.getmtime(stamp) < os.path.getmtime(src)
+            ):
+                n = int(max(1, min(64, os.path.getsize(src) // (256 * 1024))))
+                (
+                    spark.read.parquet(src)
+                    .repartition(n)
+                    .write.mode("overwrite")
+                    .parquet(dst)
+                )
+            df = spark.read.parquet(dst)
+        else:
+            df = spark.read.parquet(src)
         df.createOrReplaceTempView(f"{t}_mrg")
         out[t] = df
     _MRG_CACHE[key] = out

@@ -1271,16 +1271,18 @@ def b_q01(spark, sf_dir):
 
 @bench_variant("q03_shipping_priority")
 def b_q03(spark, sf_dir):
-    """Broadcast-hinted SQL plan: at bench SFs the filtered customer set
-    and orders are <10 MB, so hinting removes every pre-agg shuffle
-    (single stage over the lineitem scan). At cluster scale these sides
-    outgrow broadcast — the un-hinted inventory version leaves the
-    choice to AQE, which decides per-size at runtime."""
+    """Un-hinted SQL plan (r14): the r6-era BROADCAST(customer,orders)
+    hints were re-A/B'd under the honest protocol and LOSE at both
+    measured scales — sf0.1 0.49 vs 0.42 s, synthesized sf1 1.38 vs
+    1.28 s — because the broadcast BUILD of orders (a driver collect +
+    relation build that grows with SF) costs more than the shuffle it
+    replaces, and orders outgrows broadcast entirely at cluster scale
+    (guide §3.1: broadcast the side that FITS).  The planner now
+    chooses per-stats, as the registry version always did."""
     load(spark, sf_dir)
     return spark.sql(
         """
-        SELECT /*+ BROADCAST(customer), BROADCAST(orders) */
-               l_orderkey,
+        SELECT l_orderkey,
                SUM(l_extendedprice * (1 - l_discount)) AS revenue,
                CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         FROM customer
@@ -1296,13 +1298,15 @@ def b_q03(spark, sf_dir):
 
 @bench_variant("q05_local_supplier_volume")
 def b_q05(spark, sf_dir):
-    """Same rationale as b_q03: every build side fits broadcast at
-    bench SFs -> zero shuffles before the final 25-group agg."""
+    """Broadcast hints only on the TRUE dimension sides (r14):
+    customer/orders scale with the data and their broadcast builds
+    lose at sf1 (1.71 vs 1.40 s measured, honest protocol) and are a
+    memory hazard at cluster scale; supplier/nation/region stay
+    hinted — the measured winner at sf1, within noise at sf0.1."""
     load(spark, sf_dir)
     return spark.sql(
         """
-        SELECT /*+ BROADCAST(customer), BROADCAST(orders),
-                   BROADCAST(supplier), BROADCAST(nation), BROADCAST(region) */
+        SELECT /*+ BROADCAST(supplier), BROADCAST(nation), BROADCAST(region) */
                n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -1551,8 +1555,7 @@ def b_q03_mrg(spark, sf_dir):
     load_mrg(spark, sf_dir)
     return spark.sql(
         """
-        SELECT /*+ BROADCAST(customer_mrg), BROADCAST(orders_mrg) */
-               l_orderkey,
+        SELECT l_orderkey,
                SUM(l_extendedprice * (1 - l_discount)) AS revenue,
                CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         FROM customer_mrg
@@ -1571,8 +1574,7 @@ def b_q05_mrg(spark, sf_dir):
     load_mrg(spark, sf_dir)
     return spark.sql(
         """
-        SELECT /*+ BROADCAST(customer_mrg), BROADCAST(orders_mrg),
-                   BROADCAST(supplier_mrg), BROADCAST(nation_mrg),
+        SELECT /*+ BROADCAST(supplier_mrg), BROADCAST(nation_mrg),
                    BROADCAST(region_mrg) */
                n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
         FROM lineitem_mrg

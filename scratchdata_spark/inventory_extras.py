@@ -3788,10 +3788,22 @@ def x_quality_classifier(spark, sf_dir):
     )
 
     w_ref, b_ref = _qc_fixture()
-    fdf = spark.createDataFrame(
-        [(i, t, 1) for i, t in enumerate(_QC_POS)]
-        + [(100 + i, t, 0) for i, t in enumerate(_QC_NEG)],
-        "doc_id long, text string, label int",
+    # VALUES LocalRelation, not createDataFrame: the training pass
+    # runs several actions over this fixture at plan-BUILD time, and
+    # a createDataFrame plans as a PythonRDD whose every action
+    # launches a defaultParallelism Python-worker job (~1 s of build
+    # wall per invocation measured r14; LocalTableScan builds in
+    # ~0.3 s).  Same rows, same schema — the learned weights stay
+    # bit-identical (train_matches still asserts it).
+    vals = ", ".join(
+        "(CAST(%d AS BIGINT), '%s', %d)" % (i, t.replace("'", "''"), lab)
+        for i, t, lab in (
+            [(i, t, 1) for i, t in enumerate(_QC_POS)]
+            + [(100 + i, t, 0) for i, t in enumerate(_QC_NEG)]
+        )
+    )
+    fdf = spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text, label)"
     )
     w, b = train_quality_classifier(
         fdf, "doc_id", "text", "label", buckets=_QC_BUCKETS, portable=True

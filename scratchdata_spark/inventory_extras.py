@@ -3308,7 +3308,8 @@ def x_bpe_token_counts(spark, sf_dir):
     from scratchdata_spark.operators.bpe import bpe_token_counts, bpe_train
 
     expected_merges, _ = _bpe_fixture()
-    df = spark.createDataFrame(
+    df = _fixture_values_df(
+        spark,
         [(i, t) for i, t in enumerate(_BPE_TEXTS)],
         "doc_id long, text string",
     )
@@ -3660,6 +3661,38 @@ def _chain_fixture_dir() -> str:
 # idiom) and the engine-shared [^a-z0-9]+ tokenizer.
 
 _QC_BUCKETS = 1024
+def _fixture_values_df(spark, rows, ddl: str):
+    """Small literal fixture (ints/strings) as a VALUES LocalRelation
+    with the exact schema of ``createDataFrame(rows, ddl)``.  A
+    createDataFrame fixture plans as a PythonRDD, so every action a
+    training pass runs over it at plan-BUILD time launches a
+    defaultParallelism Python-worker job (~0.1–0.3 s each in
+    local[32], measured r14); a VALUES relation is a LocalTableScan —
+    no Python source job.  Values the renderer doesn't cover fall
+    back to createDataFrame (correct, just slower)."""
+
+    def lit(v, typ):
+        t = typ.strip().lower()
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t in ("string",):
+            return "'" + str(v).replace("'", "''") + "'"
+        if t in ("long", "bigint", "int", "integer", "smallint", "tinyint"):
+            return f"CAST({int(v)} AS {t})"
+        raise ValueError(f"unsupported fixture literal type {typ}")
+
+    cols = [c.strip().rsplit(" ", 1) for c in ddl.split(",")]
+    try:
+        vals = ", ".join(
+            "(" + ", ".join(lit(v, t) for v, (_, t) in zip(row, cols)) + ")"
+            for row in rows
+        )
+        names = ", ".join(n for n, _ in cols)
+        return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({names})")
+    except Exception:  # pragma: no cover - defensive fallback
+        return spark.createDataFrame(rows, ddl)
+
+
 _QC_POS = [
     "the quick brown fox jumps over the lazy dog and then it rests",
     "we present the results of the experiment and discuss what it means",
@@ -3795,15 +3828,11 @@ def x_quality_classifier(spark, sf_dir):
     # wall per invocation measured r14; LocalTableScan builds in
     # ~0.3 s).  Same rows, same schema — the learned weights stay
     # bit-identical (train_matches still asserts it).
-    vals = ", ".join(
-        "(CAST(%d AS BIGINT), '%s', %d)" % (i, t.replace("'", "''"), lab)
-        for i, t, lab in (
-            [(i, t, 1) for i, t in enumerate(_QC_POS)]
-            + [(100 + i, t, 0) for i, t in enumerate(_QC_NEG)]
-        )
-    )
-    fdf = spark.sql(
-        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text, label)"
+    fdf = _fixture_values_df(
+        spark,
+        [(i, t, 1) for i, t in enumerate(_QC_POS)]
+        + [(100 + i, t, 0) for i, t in enumerate(_QC_NEG)],
+        "doc_id long, text string, label int",
     )
     w, b = train_quality_classifier(
         fdf, "doc_id", "text", "label", buckets=_QC_BUCKETS, portable=True

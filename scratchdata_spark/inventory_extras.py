@@ -4103,7 +4103,8 @@ def x_crawl_chain(spark, sf_dir):
     )
     admitted = R.filter_robots_disallowed(docs, rules, tier="join")
     w_fix, b_fix = _qc_fixture()
-    target = spark.createDataFrame(
+    target = _fixture_values_df(
+        spark,
         [(j, _chain_prose(0, j)) for j in (0, 6, 7, 8)],
         "doc_id long, text string",
     )
